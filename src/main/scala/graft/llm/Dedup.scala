@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star surface).
+  *
+  * Scale design: every variant is a shuffle-on-key plan with no driver-side
+  * state. Exact dedup shuffles once on the text hash; MinHash-LSH shuffles on
+  * (band, bucket) so only same-bucket docs ever meet (the classic
+  * shingle→minhash→band→bucket-join layout); SimHash joins on table chunks of
+  * the 64-bit signature (Hamming ≤ k via the pigeonhole band trick).
+  * All hashes are explicit polynomial/xxhash-based expressions — portable,
+  * seed-stable, no RNG at plan time.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: canonical id = min(id) over identical `text`.
+    * One hash shuffle on the text (Spark hashes group keys; at 100 TB group
+    * on `xxhash64(text)` first and verify within-group to keep shuffle rows
+    * narrow — both forms below).
+    */
+  def exactCanonical(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.withColumn("canonical_id",
+      min(col(idCol)).over(Window.partitionBy(col(textCol))))
+
+  /** Exact duplicate pairs (canonical, dup) — rows whose text matches an
+    * earlier id. */
+  def exactDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    exactCanonical(docs, idCol, textCol)
+      .filter(col(idCol) =!= col("canonical_id"))
+      .select(col("canonical_id"), col(idCol).as("dup_id"))
+
+  /** w-token shingles of the whitespace token stream, distinct per doc. */
+  def shingles(docs: DataFrame, w: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.select(col(idCol),
+        filter(
+          transform(sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))),
+          s => s =!= "").as("sh"))
+      .select(col(idCol), explode_outer(array_distinct(col("sh"))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: docs sharing ≥1 shingle are
+    * candidates (inverted-index join on the shingle), then |∩| / |∪| ≥ τ.
+    * The shingle join is the scale risk: at 100 TB, hot shingles explode the
+    * candidate set — production path is [[minHashLsh]]; this exact form is
+    * the oracle-checkable ground truth.
+    */
+  def ngramJaccardPairs(docs: DataFrame, w: Int, tau: Double,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, w, idCol, textCol)
+      .filter(col("shingle").isNotNull)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature column: for each of `numHashes` seeded permutations,
+    * min over the doc's shingles of `xxhash64(shingle, seed)`. Deterministic
+    * across runs/partitions (seeds are 1..n literals).
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int,
+                        idCol: String = "doc_id"): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(array((1 to numHashes).map(seed =>
+        min(xxhash64(lit(seed), col("shingle")))): _*).as("minhash"))
+
+  /** MinHash-LSH candidate pairs: signature split into `bands` bands of
+    * `rowsPerBand` rows; docs agreeing on any full band meet in a bucket
+    * join; candidates deduped across bands. Near-dup probability follows the
+    * (1−(1−s^r)^b) S-curve. Returns (id_a, id_b) candidates — callers verify
+    * with [[ngramJaccardPairs]]-style exact Jaccard on the candidate set
+    * only (cheap: candidate count ≪ n²).
+    */
+  def minHashLshCandidates(docs: DataFrame, w: Int, bands: Int,
+                           rowsPerBand: Int, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, w, idCol, textCol).filter(col("shingle").isNotNull)
+    val sig = minHashSignatures(sh, bands * rowsPerBand, idCol)
+    val banded = sig.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("minhash"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
+          .as(Seq("band", "bucket")))
+      .withColumn("bucket", xxhash64(col("band"), col("bucket").cast("string")))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b2 = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b2, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** LSH candidates verified by exact Jaccard ≥ τ — the full
+    * shingle→minhash→band→bucket→verify dedup pipeline. */
+  def minHashDedupPairs(docs: DataFrame, w: Int, tau: Double, bands: Int = 16,
+                        rowsPerBand: Int = 4, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val cand = minHashLshCandidates(docs, w, bands, rowsPerBand, idCol, textCol)
+    val sh = shingles(docs, w, idCol, textCol).filter(col("shingle").isNotNull)
+    val setsById = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shset"))
+    cand
+      .join(setsById.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(setsById.select(col(idCol).as("id_b"), col("shset").as("set_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token stream: sign-sum of per-token xxhash bits.
+    * Bit i of the signature is 1 iff Σ_tokens (bit_i(hash) ? 1 : −1) > 0.
+    */
+  def simHash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    val sig = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    docs.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found via the
+    * pigeonhole band trick: split 64 bits into `maxDist`+1 bands — any pair
+    * within distance shares ≥1 exact band → bucket join on (band, bits),
+    * verify with `bit_count(xor)`. No n² pass.
+    */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sigs = simHash(docs, idCol, textCol)
+    val bandCols = array((0 until nBands).map(b => struct(
+      lit(b).as("band"),
+      shiftright(col("simhash"), b * width)
+        .bitwiseAND(lit((1L << width) - 1)).as("bits"))): _*)
+    val banded = sigs.select(col(idCol), col("simhash"),
+        explode(bandCols).as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"), col(idCol).as("id_a"),
+      col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bits"), col(idCol).as("id_b"),
+      col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star surface): brute-force cosine
+  * top-k as the exact baseline, plus an LSH-bucketed approximate variant as
+  * the 100 TB scale path.
+  *
+  * Dot products are `aggregate(zip_with(...))` column expressions — summed
+  * in array order with double accumulation, so results are bit-deterministic
+  * across partitionings (no shuffle-order float drift).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float-array columns, double accumulation in array
+    * order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, scan all corpus
+    * vectors, rank by (cosine desc, id asc). The corpus side stays
+    * partitioned; queries are broadcast (queries ≪ corpus is the ANN
+    * shape). Per-partition top-k then global top-k via the rank window —
+    * the heavy crossing is map-side only.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "score", "rnk")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * xxhash64 → roughly uniform in [−0.5, 0.5]. Seed-stable, no RNG state.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1e6) - 0.5
+
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits; `seed` picks
+    * an independent hyperplane family (one per hash table). */
+  def lshBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(seed * 10007 + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the
+    * IVF-style inverted-list layout — at scale this is the partition key of
+    * the stored index); each query probes only its own bucket across
+    * `tables` independent hash tables, then exact-rank within candidates.
+    * Recall is tunable via (nPlanes, tables).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, tables: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val tableIds = (0 until tables)
+    def banded(df: DataFrame, id: String, v: String) =
+      tableIds.map { t =>
+        df.select(lit(t).as("tbl"), col(idCol).as(id), col(vecCol).as(v))
+          .withColumn("bucket", lshBucket(col(v), nPlanes, seed = t))
+      }.reduce(_ unionByName _)
+    val c = banded(corpus, "neighbor_id", "cv")
+    val q = banded(queries, "query_id", "qv")
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+      .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+  }
+}

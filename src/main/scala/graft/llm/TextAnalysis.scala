@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines (beyond
+  * the reference surface; BASELINE.json north star). All column-expression
+  * based (whole-stage codegen, no UDFs) so they run at scan speed and the
+  * scan only reads the `text` column (check `ReadSchema` in explain).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text`, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word count: alphanumeric runs + each punctuation mark
+    * counted separately — a cheap deterministic proxy for a real BPE
+    * tokenizer's piece count.
+    */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= "")) +
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+
+  /** Quality features per document: chars, tokens, mean token length,
+    * punctuation ratio, stopword ratio.
+    */
+  def withQualityFeatures(docs: DataFrame, textCol: String = "text",
+                          stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          greatest(size(toks), lit(1)))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^.,;:!?'\"()]", "")).cast("double") /
+          greatest(length(t), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, x => x.isin(stopwords.map(lit): _*))).cast("double") /
+          greatest(size(toks), lit(1)))
+  }
+
+  /** Composite quality score in [0,1]: length-window + stopword presence −
+    * punctuation excess. Deterministic arithmetic only.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withQualityFeatures(docs, textCol)
+      .withColumn("quality_score",
+        (when(col("n_tokens").between(10, 1000), 0.4).otherwise(0.0)
+          + when(col("stopword_ratio") > 0.01, 0.3).otherwise(0.0)
+          + when(col("punct_ratio") < 0.2, 0.3).otherwise(0.0)))
+
+  /** Language ID by stopword voting: score(lang) = #tokens in that language's
+    * stopword list; argmax wins, ties resolved by list order, no hits →
+    * "und". An n-gram-free heuristic that stays in codegen.
+    */
+  def langId(docs: DataFrame, textCol: String = "text",
+             stoplists: Seq[(String, Seq[String])] = DefaultStoplists): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = stoplists.map { case (lang, words) =>
+      (lang, size(filter(toks, x => x.isin(words.map(lit): _*))))
+    }
+    // argmax with first-wins tie-break, expressed as a fold over langs
+    val best = scored.foldLeft((lit("und"), lit(0))) {
+      case ((bLang, bScore), (lang, score)) =>
+        (when(score > bScore, lit(lang)).otherwise(bLang),
+          when(score > bScore, score).otherwise(bScore))
+    }
+    docs.withColumn("pred_lang", best._1)
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint of the document text
+    * (char-by-char, base 31, wrapping long arithmetic) — order-sensitive,
+    * whitespace-insensitive variant hashes the token stream. Computed with
+    * `aggregate` over the char array: stays distributed and codegen'd.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Tiny per-language stoplists for [[langId]]. */
+  val DefaultStoplists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.jobs.OfflineMetrics
+
+/** Batch relational operator queries (SURVEY §2.3-2.5, §2.8) over the driver
+  * test tables, each with a DuckDB oracle.
+  *
+  * Determinism rules used throughout the query registry (the driver
+  * hash-compares values): money sums go through DECIMAL casts (exact in both
+  * engines, cast back to double), ratios are single IEEE divisions of exact
+  * integers (bit-identical across engines), and any float whose value is an
+  * order-sensitive sum of many doubles is rounded far below its error bound.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/A4 grouped multi-aggregate (word-count/co-occurrence sum family,
+    * `flink-base/.../wc/WorldCount.scala:19`, `OfflineDataSetUtils.java:329`). */
+  def aggSum(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+
+  /** A3 count-distinct (the reference's double-groupBy UV pattern,
+    * `OfflineJob.java:267-272,304-307`). */
+  def countDistinctUv(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("uv"), count(lit(1)).as("pv"))
+
+  /** A7a/b pivot via conditional aggregation + CTR with the reference's
+    * Double.MAX_VALUE zero-show sentinel (`OfflineDataSetUtils.java:296-304`)
+    * and P2 JSON field extraction. */
+  def pivotCtr(s: SparkSession, dir: String): DataFrame =
+    OfflineMetrics.actionLog(Tables.events(s, dir))
+      .groupBy("scene")
+      .agg(
+        sum(when(col("action") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("action") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("action") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(col("action") === "signup", 1L).otherwise(0L)).as("signups"),
+        sum(when(col("action") === "error", 1L).otherwise(0L)).as("errors"))
+      .withColumn("ctr",
+        when(col("views") === 0, lit(Double.MaxValue))
+          .otherwise(col("clicks").cast("double") / col("views")))
+
+  /** A8 HAVING-style arithmetic OR predicate over a full-outer join with the
+    * reference's NULL semantics kept (`OfflineJob.java:386-392`). */
+  def havingAbnormal(s: SparkSession, dir: String): DataFrame =
+    OfflineMetrics.ctrAbnormal(
+      OfflineMetrics.actionLog(Tables.events(s, dir)), "user_id")
+
+  /** J2 chained equi-joins through broadcast-able dims (revenue roll-up;
+    * `ItemIdCfVersion5.java:199-204` chained joins). */
+  def joinChain(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** J3/J4 full outer join with null-tolerant merge to a concat string
+    * (`OfflineJob.java:386-387`; `AucCalcVersion5.java:491-514`). */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("views"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("purchases"))
+    v.join(p, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        concat_ws("_", coalesce(col("views"), lit(0L)),
+          coalesce(col("purchases"), lit(0L))).as("views_purchases"))
+  }
+
+  /** J6 left outer join + matched flag (`PetalDataSetUtils.java:142-153`). */
+  def joinLeftFlag(s: SparkSession, dir: String): DataFrame = {
+    val used = Tables.lineitem(s, dir).select(col("l_partkey").as("pk")).distinct()
+    Tables.part(s, dir)
+      .join(used, col("p_partkey") === col("pk"), "left_outer")
+      .select(col("p_partkey"),
+        when(col("pk").isNull, 0).otherwise(1).as("used"))
+  }
+
+  /** J7 semi-join (`ItemIdCfHuabanVersion4.java:134` inner+distinct,
+    * expressed as the idiomatic left_semi). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** J8 anti-join via the reference's verbatim `NOT IN (SELECT concat(...))`
+    * SQL (`AucCalcSecond.java:263-266`), run through spark.sql — Catalyst's
+    * RewritePredicateSubquery turns it into the same left-anti join we'd
+    * write by hand. */
+  def antiJoinSql(s: SparkSession, dir: String): DataFrame = {
+    OfflineMetrics.actionLog(Tables.events(s, dir))
+      .createOrReplaceTempView("g_actionlog")
+    s.sql(
+      """SELECT user_id, item FROM g_actionlog
+        |WHERE action = 'view' AND concat(user_id, '_', item) NOT IN
+        |  (SELECT concat(user_id, '_', item) FROM g_actionlog
+        |   WHERE action = 'click')""".stripMargin)
+      .distinct()
+  }
+
+  /** U1 union of heterogeneous metric streams (`OfflineJob.java:489-496`). */
+  def unionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val pv = ev.groupBy(pmod(col("user_id"), lit(5)).as("scene"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("metric", lit("pv"))
+    val uv = ev.groupBy(pmod(col("user_id"), lit(5)).as("scene"))
+      .agg(countDistinct(col("user_id")).cast("double").as("value"))
+      .withColumn("metric", lit("uv"))
+    val err = ev.filter(col("event_type") === "error")
+      .groupBy(pmod(col("user_id"), lit(5)).as("scene"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("metric", lit("errors"))
+    pv.unionByName(uv).unionByName(err).select("scene", "metric", "value")
+  }
+
+  /** U2 minus/EXCEPT (`CheckValues.java:54`). */
+  def exceptUnused(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(col("p_partkey").as("k"))
+      .except(Tables.lineitem(s, dir).select(col("l_partkey").as("k")))
+
+  /** P4 full-row distinct (`ItemIdCfVersion5.java:143`). */
+  def distinctPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("user_id", "event_type").distinct()
+
+  /** S1/P2/A1 word count — the canonical text-scan pipeline
+    * (`flink-base/.../wc/WorldCount.scala:17-21`). */
+  def wordCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** §7 offline dashboard pivot: the six per-scene ratios of
+    * `OfflineJob.java:396-523` (see [[graft.jobs.OfflineMetrics]]). */
+  def offlineMetrics(s: SparkSession, dir: String): DataFrame =
+    OfflineMetrics.metricsWide(Tables.events(s, dir))
+
+  val queries: Map[String, Q] = Map(
+    "q01_agg_sum" -> aggSum,
+    "q02_count_distinct" -> countDistinctUv,
+    "q03_pivot_ctr" -> pivotCtr,
+    "q04_having_abnormal" -> havingAbnormal,
+    "q05_join_chain" -> joinChain,
+    "q06_join_full_outer" -> joinFullOuter,
+    "q07_join_left_flag" -> joinLeftFlag,
+    "q08_semi_join" -> semiJoin,
+    "q09_anti_join_sql" -> antiJoinSql,
+    "q10_union_metrics" -> unionMetrics,
+    "q11_except" -> exceptUnused,
+    "q12_distinct" -> distinctPairs,
+    "q13_word_count" -> wordCount,
+    "q14_offline_metrics" -> offlineMetrics)
+
+  private val sceneExpr = "user_id % 5"
+  private val itemExpr =
+    "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q03_pivot_ctr" ->
+      s"""SELECT $sceneExpr AS scene,
+        |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS views,
+        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS clicks,
+        |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS signups,
+        |  SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS errors,
+        |  CASE WHEN SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) = 0
+        |       THEN 1.7976931348623157e308
+        |       ELSE CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS DOUBLE)
+        |            / SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) END AS ctr
+        |FROM events GROUP BY 1""".stripMargin,
+    "q04_having_abnormal" ->
+      s"""WITH sh AS (SELECT $sceneExpr AS scene, user_id, COUNT(*) AS c
+        |           FROM events WHERE event_type='view' GROUP BY 1, 2),
+        |     dt AS (SELECT $sceneExpr AS scene, user_id, COUNT(*) AS c
+        |           FROM events WHERE event_type='click' GROUP BY 1, 2),
+        |     j AS (SELECT COALESCE(sh.scene, dt.scene) AS scene,
+        |                  sh.c AS show_count, dt.c AS detail_count
+        |           FROM sh FULL OUTER JOIN dt
+        |             ON sh.scene = dt.scene AND sh.user_id = dt.user_id)
+        |SELECT scene, COUNT(*) AS abnormal_count, SUM(detail_count) AS detail_sum
+        |FROM j
+        |WHERE (show_count = 0 AND detail_count > 0)
+        |   OR CAST(detail_count AS DOUBLE) / show_count > 0.2
+        |GROUP BY scene""".stripMargin,
+    "q05_join_chain" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |       AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q06_join_full_outer" ->
+      """WITH v AS (SELECT user_id, COUNT(*) AS views FROM events
+        |           WHERE event_type='view' GROUP BY user_id),
+        |     p AS (SELECT user_id, COUNT(*) AS purchases FROM events
+        |           WHERE event_type='purchase' GROUP BY user_id)
+        |SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+        |  CAST(COALESCE(views, 0) AS VARCHAR) || '_' ||
+        |  CAST(COALESCE(purchases, 0) AS VARCHAR) AS views_purchases
+        |FROM v FULL OUTER JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q07_join_left_flag" ->
+      """SELECT p_partkey,
+        |  CASE WHEN pk IS NULL THEN 0 ELSE 1 END AS used
+        |FROM part LEFT JOIN
+        |  (SELECT DISTINCT l_partkey AS pk FROM lineitem) u
+        |  ON p_partkey = pk""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q09_anti_join_sql" ->
+      s"""SELECT DISTINCT user_id, $itemExpr AS item FROM events
+        |WHERE event_type = 'view'
+        |  AND CAST(user_id AS VARCHAR) || '_' || CAST($itemExpr AS VARCHAR) NOT IN
+        |    (SELECT CAST(user_id AS VARCHAR) || '_' || CAST($itemExpr AS VARCHAR)
+        |     FROM events WHERE event_type = 'click')""".stripMargin,
+    "q10_union_metrics" ->
+      s"""SELECT $sceneExpr AS scene, 'pv' AS metric,
+        |       CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT $sceneExpr AS scene, 'uv' AS metric,
+        |       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS value
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT $sceneExpr AS scene, 'errors' AS metric,
+        |       CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM events WHERE event_type='error' GROUP BY 1""".stripMargin,
+    "q11_except" ->
+      """SELECT p_partkey AS k FROM part
+        |EXCEPT SELECT l_partkey AS k FROM lineitem""".stripMargin,
+    "q12_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q13_word_count" ->
+      """SELECT word, COUNT(*) AS cnt FROM
+        |  (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "q14_offline_metrics" -> OfflineMetricsOracle.sql)
+}
