@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.jobs.{Auc, ItemCf}
+import graft.ops.Ranking
+
+/** Window/rank operators (SURVEY §2.6), the AUC and item-CF pipelines, and
+  * batch analogs of the streaming multi-resolution windows (§2.10 T3) —
+  * each with a DuckDB oracle.
+  */
+object RankQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def clickViewBase(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(5)).cast("long").as("scene"),
+        col("user_id"),
+        col("value").as("score"),
+        when(col("event_type") === "click", 1).otherwise(0).as("label"))
+
+  /** W1 row_number rank (`AucCalcVersion5.java:302-311`): top-3 per type. */
+  def windowRank(s: SparkSession, dir: String): DataFrame =
+    Ranking.rowNumber(Tables.events(s, dir),
+        Seq(col("event_type")), Seq(col("value").desc, col("event_id")), "rn")
+      .filter(col("rn") <= 3)
+      .select("event_type", "event_id", "value", "rn")
+
+  /** W3 fractional rank over score ties (`AucCalcVersion5.java:312-340`):
+    * per-scene sum of the click rows' fractional ranks. */
+  def rankTies(s: SparkSession, dir: String): DataFrame =
+    Ranking.fractionalRank(clickViewBase(s, dir), Seq(col("scene")),
+        col("score"), "frank")
+      .groupBy("scene")
+      .agg(round(sum(when(col("label") === 1, col("frank")).otherwise(0.0)), 6)
+          .as("click_rank_sum"),
+        sum(col("label")).as("clicks"))
+
+  /** W4 group size broadcast onto rows (`AucCalcVersion5.java:343-362`). */
+  def groupSize(s: SparkSession, dir: String): DataFrame =
+    Ranking.groupSize(Tables.events(s, dir), Seq(col("user_id")), "group_size")
+      .select("user_id", "event_type", "group_size").distinct()
+
+  /** Mann-Whitney AUC per scene (`AucCalcVersion5.java:396-429`). */
+  def aucByScene(s: SparkSession, dir: String): DataFrame =
+    Auc.auc(clickViewBase(s, dir), Seq("scene"))
+      .withColumn("auc", round(col("auc"), 9))
+
+  /** UAUC: show-weighted mean of per-user AUCs (`AucCalcVersion5.java:432-489`). */
+  def uaucByScene(s: SparkSession, dir: String): DataFrame =
+    Auc.uauc(clickViewBase(s, dir), Seq("scene"), "user_id")
+      .withColumn("uauc", round(col("uauc"), 9))
+
+  /** Item-CF co-occurrence + cosine (`ItemIdCfVersion5.java:143-218`). */
+  def itemcfCosine(s: SparkSession, dir: String): DataFrame = {
+    val inter = ItemCf.interactions(Tables.events(s, dir))
+    ItemCf.cosineScores(ItemCf.cooccurrenceSimple(inter), inter)
+  }
+
+  /** Item-CF distance-decay increment-emission weights
+    * (`ItemIdCfVersion5.java:147-192`, the A9 hard part). */
+  def itemcfDecay(s: SparkSession, dir: String): DataFrame =
+    ItemCf.cooccurrenceDecay(ItemCf.interactions(Tables.events(s, dir)), n = 2)
+      .select(col("a"), col("b"), round(col("together_count"), 6).as("weight"))
+
+  /** A11/W5 per-item ordered top list with cap/min-length contract
+    * (`ItemIdCfVersion5.java:221-240`; `Hdfs2RedisVersion5.java:84-91`). */
+  def itemcfToplist(s: SparkSession, dir: String): DataFrame =
+    ItemCf.topLists(itemcfCosine(s, dir), cap = 10, minLen = 5)
+      .select("a", "toplist")
+
+  /** A10 size histogram (`ItemIdCfVersion5.java:242-278`). */
+  def itemcfHistogram(s: SparkSession, dir: String): DataFrame =
+    ItemCf.sizeHistogram(itemcfCosine(s, dir))
+
+  /** T3 batch analog: tumbling 1-hour event-time windows (PV/UV/value). */
+  def windowHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("pv"),
+        countDistinct(col("user_id")).as("uv"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("hour_ms"),
+        col("pv"), col("uv"), col("sum_value"))
+
+  /** T3's UTC+8-aligned day window, the reference's exact flooring
+    * arithmetic `(t+8h)/(24h)*(24h)−8h` (`ActionLogJobSecond.java:207-231`). */
+  def dayUtc8(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(expr("((unix_millis(ts) + 28800000) div 86400000) * 86400000 - 28800000")
+        .as("day_start_ms"))
+      .groupBy("day_start_ms").agg(count(lit(1)).as("pv"))
+
+  /** T3/T5 multi-resolution rollup: 5-min partials re-aggregated to 1-hour —
+    * the reference's coarse-windows-fed-by-fine-windows merge design
+    * (`ActionLogJob.java:260-329`). Oracle checks it equals direct hourly. */
+  def multiresRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("pv5"))
+      .select((expr("unix_millis(w.start) div 3600000") * 3600000L).as("hour_ms"),
+        col("pv5"))
+      .groupBy("hour_ms").agg(sum("pv5").as("pv"))
+
+  /** T6 batch analog of the temperature-jump alert (`TempChangeAlert.scala:
+    * 12-19`): previous-value-per-key via lag, jump threshold 50. */
+  def alertLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull && col("value") - col("prev") > 50)
+      .groupBy("user_id").agg(count(lit(1)).as("n_jumps"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q15_window_rank" -> windowRank,
+    "q16_rank_ties" -> rankTies,
+    "q17_group_size" -> groupSize,
+    "q18_auc" -> aucByScene,
+    "q19_uauc" -> uaucByScene,
+    "q20_itemcf_cosine" -> itemcfCosine,
+    "q21_itemcf_decay" -> itemcfDecay,
+    "q22_itemcf_toplist" -> itemcfToplist,
+    "q23_itemcf_histogram" -> itemcfHistogram,
+    "q24_window_hourly" -> windowHourly,
+    "q25_day_utc8" -> dayUtc8,
+    "q26_multires_rollup" -> multiresRollup,
+    "q27_alert_lag" -> alertLag)
+
+  private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
+
+  private val clickViewSql =
+    """SELECT user_id % 5 AS scene, user_id, value AS score,
+      |       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS label
+      |FROM events WHERE event_type IN ('click','view')""".stripMargin
+
+  private val cosineSql =
+    s"""WITH ui AS (SELECT DISTINCT user_id, $item AS item FROM events
+      |            WHERE event_type='click'),
+      |pairs AS (SELECT l.item AS a, r.item AS b, COUNT(*) AS together_count
+      |          FROM ui l JOIN ui r
+      |            ON l.user_id = r.user_id AND l.item <> r.item
+      |          GROUP BY 1, 2),
+      |counts AS (SELECT item, COUNT(*) AS u FROM ui GROUP BY item)
+      |SELECT p.a, p.b, p.together_count,
+      |       CAST(p.together_count AS DOUBLE) / SQRT(ca.u * cb.u) AS score
+      |FROM pairs p
+      |JOIN counts ca ON p.a = ca.item
+      |JOIN counts cb ON p.b = cb.item""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q15_window_rank" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        |  SELECT event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin,
+    "q16_rank_ties" ->
+      s"""WITH base AS ($clickViewSql),
+        |r AS (SELECT scene, score, label,
+        |        ROW_NUMBER() OVER (PARTITION BY scene ORDER BY score) AS rn
+        |      FROM base),
+        |f AS (SELECT scene, label,
+        |        AVG(rn) OVER (PARTITION BY scene, score) AS frank
+        |      FROM r)
+        |SELECT scene,
+        |  ROUND(SUM(CASE WHEN label=1 THEN frank ELSE 0 END), 6) AS click_rank_sum,
+        |  SUM(label) AS clicks
+        |FROM f GROUP BY scene""".stripMargin,
+    "q17_group_size" ->
+      """SELECT DISTINCT user_id, event_type, group_size FROM (
+        |  SELECT user_id, event_type,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS group_size
+        |  FROM events) t""".stripMargin,
+    "q18_auc" ->
+      s"""WITH base AS ($clickViewSql),
+        |r AS (SELECT scene, score, label,
+        |        ROW_NUMBER() OVER (PARTITION BY scene ORDER BY score) AS rn
+        |      FROM base),
+        |f AS (SELECT scene, label,
+        |        AVG(rn) OVER (PARTITION BY scene, score) AS frank
+        |      FROM r)
+        |SELECT scene,
+        |  ROUND((SUM(CASE WHEN label=1 THEN frank ELSE 0 END)
+        |         - (SUM(label) * 1.0 * (SUM(label)+1)) / 2)
+        |        / (SUM(label) * 1.0 * (COUNT(*) - SUM(label))), 9) AS auc
+        |FROM f GROUP BY scene
+        |HAVING SUM(label) > 0 AND COUNT(*) - SUM(label) > 0""".stripMargin,
+    "q19_uauc" ->
+      s"""WITH base AS ($clickViewSql),
+        |r AS (SELECT scene, user_id, score, label,
+        |        ROW_NUMBER() OVER (PARTITION BY scene, user_id ORDER BY score) AS rn,
+        |        COUNT(*) OVER (PARTITION BY scene, user_id) AS shw
+        |      FROM base),
+        |f AS (SELECT scene, user_id, label, shw,
+        |        AVG(rn) OVER (PARTITION BY scene, user_id, score) AS frank
+        |      FROM r),
+        |pu AS (SELECT scene, user_id, ANY_VALUE(shw) AS shw,
+        |         (SUM(CASE WHEN label=1 THEN frank ELSE 0 END)
+        |          - (SUM(label) * 1.0 * (SUM(label)+1)) / 2)
+        |         / (SUM(label) * 1.0 * (COUNT(*) - SUM(label))) AS auc
+        |       FROM f GROUP BY scene, user_id
+        |       HAVING SUM(label) > 0 AND COUNT(*) - SUM(label) > 0)
+        |SELECT scene, ROUND(SUM(shw * auc) / SUM(shw), 9) AS uauc
+        |FROM pu GROUP BY scene""".stripMargin,
+    "q20_itemcf_cosine" -> cosineSql,
+    "q21_itemcf_decay" ->
+      s"""WITH inter AS (SELECT DISTINCT user_id, $item AS item, ts
+        |               FROM events WHERE event_type='click'),
+        |pos AS (SELECT user_id, item,
+        |          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, item) AS pos
+        |        FROM inter),
+        |pr AS (SELECT l.user_id, l.item AS a, r.item AS b, l.pos AS i, r.pos AS j,
+        |         CASE WHEN r.pos - l.pos <= 2 THEN 1.0
+        |              ELSE EXP((2 - (r.pos - l.pos)) / 5.0) END AS score
+        |       FROM pos l JOIN pos r
+        |         ON l.user_id = r.user_id AND l.pos < r.pos AND l.item <> r.item),
+        |em AS (SELECT *, MAX(score) OVER (PARTITION BY user_id, a, b ORDER BY i, j
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |       FROM pr),
+        |s AS (SELECT a, b, SUM(score) AS s FROM em
+        |      WHERE prev_max IS NULL OR score > prev_max GROUP BY a, b),
+        |m AS (SELECT a, b, s FROM s
+        |      UNION ALL SELECT b AS a, a AS b, s FROM s)
+        |SELECT a, b, ROUND(SUM(s), 6) AS weight FROM m GROUP BY a, b""".stripMargin,
+    "q22_itemcf_toplist" ->
+      s"""WITH scores AS ($cosineSql),
+        |top AS (SELECT a, b, score,
+        |          ROW_NUMBER() OVER (PARTITION BY a
+        |                             ORDER BY score DESC, b) AS rnk
+        |        FROM scores)
+        |SELECT a, string_agg(CAST(b AS VARCHAR), ',' ORDER BY rnk) AS toplist
+        |FROM top WHERE rnk <= 10 GROUP BY a HAVING COUNT(*) >= 5""".stripMargin,
+    "q23_itemcf_histogram" ->
+      s"""WITH scores AS ($cosineSql),
+        |sz AS (SELECT a, COUNT(*) AS n FROM scores GROUP BY a)
+        |SELECT CASE WHEN n >= 400 THEN '400+' WHEN n >= 300 THEN '300+'
+        |            WHEN n >= 200 THEN '200+' WHEN n >= 100 THEN '100+'
+        |            WHEN n >= 90 THEN '90+' WHEN n >= 80 THEN '80+'
+        |            WHEN n >= 70 THEN '70+' WHEN n >= 60 THEN '60+'
+        |            WHEN n >= 50 THEN '50+' WHEN n >= 40 THEN '40+'
+        |            WHEN n >= 30 THEN '30+' WHEN n >= 20 THEN '20+'
+        |            WHEN n >= 10 THEN '10+' WHEN n >= 0 THEN '0+'
+        |            ELSE 'other' END AS bucket,
+        |       COUNT(*) AS cnt
+        |FROM sz GROUP BY 1""".stripMargin,
+    "q24_window_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |  COUNT(*) AS pv, COUNT(DISTINCT user_id) AS uv,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q25_day_utc8" ->
+      """SELECT ((epoch_ms(ts) + 28800000) // 86400000) * 86400000 - 28800000
+        |         AS day_start_ms,
+        |       COUNT(*) AS pv
+        |FROM events GROUP BY 1""".stripMargin,
+    "q26_multires_rollup" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, COUNT(*) AS pv
+        |FROM events GROUP BY 1""".stripMargin,
+    "q27_alert_lag" ->
+      """WITH l AS (SELECT user_id, value,
+        |             LAG(value) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT user_id, COUNT(*) AS n_jumps FROM l
+        |WHERE prev IS NOT NULL AND value - prev > 50
+        |GROUP BY user_id""".stripMargin)
+}
