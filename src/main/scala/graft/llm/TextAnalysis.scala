@@ -74,14 +74,20 @@ object TextAnalysis {
     docs.withColumn("pred_lang", best._1)
   }
 
-  /** 64-bit polynomial rolling-hash fingerprint of the document text
-    * (char-by-char, base 31, wrapping long arithmetic) — order-sensitive,
-    * whitespace-insensitive variant hashes the token stream. Computed with
+  /** Polynomial rolling-hash fingerprint of the document text: fold
+    * `acc = (acc*31 + code) mod 2^57` over the char codes. The modulus keeps
+    * `acc*31 + c < 2^62`, so the arithmetic never overflows a signed 64-bit
+    * int — making the value portable across engines (Java wraps silently on
+    * overflow, ANSI engines raise), hence oracle-checkable. Computed with
     * `aggregate` over the char array: stays distributed and codegen'd.
     */
+  val FingerprintMod: Long = 1L << 57
+
   def fingerprint(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
-      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+      (acc, ch) => pmod(
+        acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+        lit(FingerprintMod)))
 
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

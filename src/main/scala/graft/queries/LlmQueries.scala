@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data-pipeline operator queries (north-star surface):
+  * dedup family, embedding similarity search, text analysis, multimodal
+  * plumbing. Hash-based variants (MinHash/SimHash/LSH) have no DuckDB
+  * equivalent for xxhash64 → rows-only driver check; everything else is
+  * oracle-checked.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: canonical id per text (hash-groupBy family). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(Tables.documents(s, dir))
+      .select("doc_id", "canonical_id")
+
+  /** Exact 3-gram Jaccard near-dup pairs (τ = 0.5). */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), w = 3, tau = 0.5)
+
+  /** MinHash-LSH candidates verified by exact Jaccard — rows-only check
+    * (xxhash64 signatures not reproducible in the oracle). */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDedupPairs(Tables.documents(s, dir), w = 3, tau = 0.5)
+
+  /** SimHash Hamming-≤3 pairs via pigeonhole bands — rows-only check. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, dir), maxDist = 3)
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** LSH-bucketed approximate top-5 (the scale path) — rows-only check. */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Per-language corpus statistics (all-integer outputs). */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = TextAnalysis.tokens(t)
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks)).as("total_tokens"),
+        sum(length(t)).as("total_chars"),
+        sum(length(regexp_replace(t, "[^.,;:!?'\"()]", ""))).as("punct_chars"),
+        sum(size(filter(toks,
+          x => x.isin(TextAnalysis.DefaultStopwords.map(lit): _*))))
+          .as("stopword_tokens"))
+  }
+
+  /** Language-ID confusion counts: stopword-vote prediction × labeled lang. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir))
+      .groupBy("pred_lang", "lang").agg(count(lit(1)).as("n"))
+
+  /** Per-document quality features + composite score. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality_score")
+
+  /** Overflow-safe polynomial rolling-hash fingerprint per document. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  /** Multimodal metadata decode over binary payloads (stubbed codec, real
+    * partition-batched plumbing). Deterministic fake dims → oracle-checked.
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.decodeMeta(Multimodal.asMedia(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("doc_id"), col("nBytes").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("durationMs").as("duration_ms"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q28_dedup_exact" -> dedupExact,
+    "q29_jaccard_pairs" -> jaccardPairs,
+    "q30_minhash_dedup" -> minhashDedup,
+    "q31_simhash_pairs" -> simhashPairs,
+    "q32_knn_brute" -> knnBrute,
+    "q33_knn_lsh" -> knnLsh,
+    "q34_text_stats" -> textStats,
+    "q35_lang_id" -> langId,
+    "q36_quality_score" -> qualityScore,
+    "q37_fingerprint" -> fingerprint,
+    "q38_multimodal_meta" -> multimodalMeta)
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
+
+  val oracles: Map[String, String] = Map(
+    "q28_dedup_exact" ->
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+        |FROM documents""".stripMargin,
+    "q29_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+    "q32_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |dots AS (SELECT query_id, neighbor_id,
+        |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+        |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nc
+        |         FROM q, c, UNNEST(range(1, len(qe) + 1)) AS t(i)
+        |         WHERE query_id <> neighbor_id
+        |         GROUP BY query_id, neighbor_id)
+        |SELECT query_id, neighbor_id, ROUND(dp / (nq * nc), 6) AS score,
+        |       ROW_NUMBER() OVER (PARTITION BY query_id
+        |                          ORDER BY dp / (nq * nc) DESC, neighbor_id) AS rnk
+        |FROM dots QUALIFY rnk <= 5""".stripMargin,
+    "q34_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')))
+        |       AS BIGINT) AS punct_chars,
+        |  CAST(SUM(len(list_filter($toksSql, x -> list_contains($stopSql, x))))
+        |       AS BIGINT) AS stopword_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q35_lang_id" -> LangIdOracle.sql,
+    "q36_quality_score" ->
+      s"""WITH f AS (SELECT doc_id, $toksSql AS w, text FROM documents),
+        |feat AS (SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+        |    / GREATEST(len(w), 1) AS mean_token_len,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
+        |    / GREATEST(length(text), 1) AS punct_ratio,
+        |  CAST(len(list_filter(w, x -> list_contains($stopSql, x))) AS DOUBLE)
+        |    / GREATEST(len(w), 1) AS stopword_ratio
+        |FROM f)
+        |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+        |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+        |   + CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END)
+        |   + CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END AS quality_score
+        |FROM feat""".stripMargin,
+    "q37_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(text, ''),
+        |                                ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 144115188075855872) AS fp
+        |FROM documents""".stripMargin,
+    "q38_multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        |  strlen(text) % 640 AS width,
+        |  (strlen(text) * 7) % 480 AS height,
+        |  (strlen(text) * 3) % 10000 AS duration_ms
+        |FROM documents""".stripMargin)
+}
+
+/** Oracle for the stopword-vote language-ID argmax (first-wins ties). */
+object LangIdOracle {
+  val sql: String = {
+    val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    val lists = graft.llm.TextAnalysis.DefaultStoplists
+    val scoreCols = lists.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'${w}'").mkString("[", ",", "]")
+      s"len(list_filter($toks, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = lists.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH sc AS (SELECT lang, $scoreCols FROM documents),
+      |m AS (SELECT lang, $mx AS mx, * FROM sc)
+      |SELECT CASE WHEN mx = 0 THEN 'und' $caseChain END AS pred_lang,
+      |       lang, COUNT(*) AS n
+      |FROM m GROUP BY 1, 2""".stripMargin
+  }
+}

@@ -28,6 +28,7 @@ object RankQueries {
     Ranking.rowNumber(Tables.events(s, dir),
         Seq(col("event_type")), Seq(col("value").desc, col("event_id")), "rn")
       .filter(col("rn") <= 3)
+      .withColumn("rn", col("rn").cast("long"))
       .select("event_type", "event_id", "value", "rn")
 
   /** W3 fractional rank over score ties (`AucCalcVersion5.java:312-340`):
@@ -169,7 +170,7 @@ object RankQueries {
         |      FROM r)
         |SELECT scene,
         |  ROUND(SUM(CASE WHEN label=1 THEN frank ELSE 0 END), 6) AS click_rank_sum,
-        |  SUM(label) AS clicks
+        |  CAST(SUM(label) AS BIGINT) AS clicks
         |FROM f GROUP BY scene""".stripMargin,
     "q17_group_size" ->
       """SELECT DISTINCT user_id, event_type, group_size FROM (

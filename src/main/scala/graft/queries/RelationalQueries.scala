@@ -193,14 +193,14 @@ object RelationalQueries {
         |FROM events GROUP BY event_type""".stripMargin,
     "q03_pivot_ctr" ->
       s"""SELECT $sceneExpr AS scene,
-        |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS views,
-        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS clicks,
-        |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchases,
-        |  SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS signups,
-        |  SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS errors,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
         |  CASE WHEN SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) = 0
         |       THEN 1.7976931348623157e308
-        |       ELSE CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS DOUBLE)
+        |       ELSE CAST(CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
         |            / SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) END AS ctr
         |FROM events GROUP BY 1""".stripMargin,
     "q04_having_abnormal" ->
@@ -212,7 +212,7 @@ object RelationalQueries {
         |                  sh.c AS show_count, dt.c AS detail_count
         |           FROM sh FULL OUTER JOIN dt
         |             ON sh.scene = dt.scene AND sh.user_id = dt.user_id)
-        |SELECT scene, COUNT(*) AS abnormal_count, SUM(detail_count) AS detail_sum
+        |SELECT scene, COUNT(*) AS abnormal_count, CAST(SUM(detail_count) AS BIGINT) AS detail_sum
         |FROM j
         |WHERE (show_count = 0 AND detail_count > 0)
         |   OR CAST(detail_count AS DOUBLE) / show_count > 0.2
