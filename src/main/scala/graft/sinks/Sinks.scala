@@ -1,0 +1,110 @@
+package graft.sinks
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY §2.2). HBase/Redis/ES cluster fidelity is a
+  * non-goal (§7.3): the external stores become (a) a keyed parquet "metric
+  * store" with idempotent upsert — the semantic core of the reference's
+  * rowkey-overwrite HBase writes — and (b) a pluggable [[KeyValueSink]] with
+  * the reference's Redis list contract enforced upstream as a transform.
+  */
+object Sinks {
+
+  /** K1: text sink, overwrite (`ItemIdCfVersion5.java:278-285`). */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  /** K2: CSV sink with custom delimiter and the reference's fixed
+    * parallelism 24 (`OfflineDataSetUtils.java:209-212`). */
+  def writeCsv(df: DataFrame, path: String, sep: String = "/",
+               parallelism: Int = 24): Unit =
+    df.repartition(parallelism).write.mode(SaveMode.Overwrite)
+      .option("sep", sep).csv(path)
+
+  /** K7 replacement: metric-store upsert — read-merge-write keyed parquet,
+    * overwrite-by-key like the reference's HBase rowkey puts
+    * (`HBaseOutputFormat.java:35-45`). Used from `foreachBatch` for
+    * streaming T5/T12 (idempotent: re-running a batch converges).
+    *
+    * At scale the store would be a transactional table format; plain
+    * parquet + full-key anti-join merge keeps the same semantics here.
+    */
+  def upsertMetricStore(spark: SparkSession, path: String, updates: DataFrame,
+                        keyCols: Seq[String]): Unit = {
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Exception => null }
+    val merged =
+      if (existing == null) updates
+      else existing.join(updates.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti").unionByName(updates)
+    // write via temp dir: the read above and the overwrite below would
+    // otherwise race on the same files
+    val tmp = path + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** K4/K5/K6 abstraction: keyed writes with DEL→RPUSH→EXPIRE (list) or
+    * HSET (hash) or SQL-upsert semantics. Implementations hold no Spark
+    * state; executors call per partition.
+    */
+  trait KeyValueSink extends Serializable {
+    def putList(key: String, values: Seq[String], ttlSeconds: Long): Unit
+    def putHash(key: String, field: String, value: String): Unit
+  }
+
+  /** In-memory KV sink for tests (single-JVM local mode). Storage is
+    * static: Spark serializes the sink into executor closures, so instance
+    * fields would be written on a copy — the JVM-global maps make writes
+    * visible to the driver. */
+  class InMemoryKv extends KeyValueSink {
+    def lists: ConcurrentHashMap[String, Seq[String]] = InMemoryKv.lists
+    def hashes: ConcurrentHashMap[String, String] = InMemoryKv.hashes
+    override def putList(key: String, values: Seq[String],
+                         ttlSeconds: Long): Unit = InMemoryKv.lists.put(key, values)
+    override def putHash(key: String, field: String, value: String): Unit =
+      InMemoryKv.hashes.put(s"$key/$field", value)
+  }
+
+  object InMemoryKv {
+    val lists = new ConcurrentHashMap[String, Seq[String]]()
+    val hashes = new ConcurrentHashMap[String, String]()
+  }
+
+  /** K4: Redis list publishing with the reference's contract
+    * (`Hdfs2RedisVersion5.java:67-102`): value lists sorted desc by score,
+    * min length 20, cap 400, TTL 7 days, single writer (`coalesce(1)` — the
+    * reference forces parallelism 1). Expects (key, values) rows where
+    * `values` is the pre-sorted, pre-capped array — see
+    * `graft.ops.Ranking.orderedConcat` for building it.
+    */
+  def publishLists(df: DataFrame, sink: KeyValueSink,
+                   ttlSeconds: Long = 7L * 24 * 3600,
+                   singleWriter: Boolean = true): Unit = {
+    val d = if (singleWriter) df.coalesce(1) else df
+    d.select(col("key").cast("string"), col("values").cast("array<string>"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          sink.putList(r.getString(0), r.getSeq[String](1), ttlSeconds)
+        }
+      }
+  }
+
+  /** K6: JDBC-style upsert via generic executor callback (try-update,
+    * insert-on-miss — `flink-base/.../sink/MyJdbcSink.scala:19-43`). The
+    * callback owns connection lifecycle per partition. */
+  def upsertForeach(df: DataFrame)(open: () => (String, Seq[Any]) => Unit)
+  : Unit =
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val upsert = open()
+      rows.foreach(r => upsert(r.getString(0), r.toSeq.tail))
+    }
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.SensorReading
+
+/** Stateful per-key stream operators (SURVEY §2.10 T6-T10) — the
+  * reference's `ProcessFunction`/`KeyedProcessFunction` demos as
+  * `flatMapGroupsWithState`.
+  */
+object Alerts {
+
+  case class TempAlert(id: String, prev: Double, curr: Double)
+  case class KeyCount(id: String, count: Long)
+  case class RisingAlert(id: String, sinceTs: Long, atTs: Long)
+
+  /** T6: "previous value per key" — alert when the temperature jumps by
+    * more than `threshold` between consecutive readings
+    * (`flink-base/.../process/TempChangeAlert.scala:12-19`, ValueState).
+    */
+  def tempChangeAlerts(readings: Dataset[SensorReading], threshold: Double)
+                      (implicit s: SparkSession): Dataset[TempAlert] = {
+    import s.implicits._
+    readings.groupByKey(_.id)
+      .flatMapGroupsWithState[Double, TempAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[SensorReading], state: GroupState[Double]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[TempAlert]()
+          // within a micro-batch, order by event time (the reference sees
+          // records one-at-a-time in arrival order; batch order is ts)
+          rows.toSeq.sortBy(_.timestamp).foreach { r =>
+            last.foreach { p =>
+              if (math.abs(r.temperature - p) > threshold)
+                out += TempAlert(id, p, r.temperature)
+            }
+            last = Some(r.temperature)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** T8: count-with-timeout — per-key running count emitted when the key
+    * goes quiet (`flink-process/.../myprocess/CountWithTimeoutFunction.java:
+    * 14-67`: processing-time timer at the next 30 s boundary). The timer
+    * becomes `ProcessingTimeTimeout` + `setTimeoutDuration`.
+    */
+  /** The state-transition function, exposed for deterministic testing with
+    * `TestGroupState` (real timers need wall-clock batches). */
+  def countWithTimeoutFn(timeoutMs: Long)(
+      key: String, rows: Iterator[String], state: GroupState[Long])
+  : Iterator[KeyCount] =
+    if (state.hasTimedOut) {
+      val c = state.getOption.getOrElse(0L)
+      state.remove()
+      Iterator.single(KeyCount(key, c))
+    } else {
+      val c = state.getOption.getOrElse(0L) + rows.size
+      state.update(c)
+      state.setTimeoutDuration(timeoutMs)
+      Iterator.empty
+    }
+
+  def countWithTimeout(lines: Dataset[String], timeoutMs: Long = 30000)
+                      (implicit s: SparkSession): Dataset[KeyCount] = {
+    import s.implicits._
+    lines.groupByKey(identity)
+      .flatMapGroupsWithState[Long, KeyCount](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        countWithTimeoutFn(timeoutMs))
+  }
+
+  /** T9: event-time "keeps rising for `riseMs`" alert
+    * (`flink-base/.../process/MyProcess.scala:24-38`): state tracks the
+    * last temperature and when the monotone rise started; the reference's
+    * event-time timer becomes an emit-on-arrival check (an alert fires with
+    * the first event at ≥ riseMs of rise — same alerts, delivered on the
+    * next event rather than by timer; documented processing delta).
+    */
+  def risingTempAlerts(readings: Dataset[SensorReading], riseMs: Long)
+                      (implicit s: SparkSession): Dataset[RisingAlert] = {
+    import s.implicits._
+    // state: (lastTemp, riseStartTs, alreadyFired)
+    readings.groupByKey(_.id)
+      .flatMapGroupsWithState[(Double, Long, Boolean), RisingAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[SensorReading],
+         state: GroupState[(Double, Long, Boolean)]) =>
+          var st = state.getOption.getOrElse((Double.MinValue, -1L, false))
+          val out = scala.collection.mutable.ArrayBuffer[RisingAlert]()
+          rows.toSeq.sortBy(_.timestamp).foreach { r =>
+            val (lastTemp, since, fired) = st
+            if (since < 0 || r.temperature <= lastTemp) {
+              st = (r.temperature, r.timestamp, false)
+            } else {
+              if (!fired && r.timestamp - since >= riseMs) {
+                out += RisingAlert(id, since, r.timestamp)
+                st = (r.temperature, since, true)
+              } else st = (r.temperature, since, fired)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** T10: side outputs (`FreezingAlert.scala:15-27`) — Spark has no side
+    * outputs; the idiom is two filters over one stream (dual queries share
+    * the source; document as such). Returns (alerts, mainstream).
+    */
+  def freezingAlertSplit(readings: DataFrame, freezeBelow: Double = 32.0)
+  : (DataFrame, DataFrame) =
+    (readings.filter(col("temperature") < freezeBelow),
+      readings.filter(col("temperature") >= freezeBelow))
+
+  /** U3/U4: split/select + connect/coMap (`SplitSelectStream.scala:14-33`):
+    * demux via filters, re-connect via unionByName after normalizing
+    * schemas. */
+  def splitConnect(readings: DataFrame, threshold: Double): DataFrame = {
+    val high = readings.filter(col("temperature") >= threshold)
+      .select(col("id"), lit("high").as("level"), col("temperature"))
+    val low = readings.filter(col("temperature") < threshold)
+      .select(col("id"), lit("low").as("level"), col("temperature"))
+    high.unionByName(low)
+  }
+}

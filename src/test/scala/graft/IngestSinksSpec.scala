@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Sentinels
+import graft.sinks.Sinks
+import graft.sources.Ingest
+
+/** Source parse specs (S-ops, P2) and sink contracts (K-ops). */
+class IngestSinksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("P2: sentinel-tolerant action-log parse drops and fills per spec") {
+    val lines = Seq(
+      """{"sceneId":"635","userId":"u1","itemId":"i1","action":"show","contextExist":"1","actionTime":"1700000000000.0"}""",
+      """{"userId":"u2","contextExist":"1"}""", // missing fields → sentinels
+      """{"sceneId":"x","itemId":"i","action":"show","contextExist":"1"}""", // no userId → drop
+      """{"sceneId":"x","userId":"u3","contextExist":"0"}""", // contextExist≠1 → drop
+      """not json at all""" // parse failure → drop
+    ).toDF("line")
+    val got = Ingest.parseActionLog(lines).collect()
+    assert(got.length == 2)
+    val byUser = got.map(r => r.getAs[String]("userId") -> r).toMap
+    assert(byUser("u1").getAs[Long]("actionTime") == 1700000000000L)
+    assert(byUser("u2").getAs[String]("sceneId") == Sentinels.Invalid)
+    assert(byUser("u2").getAs[String]("action") == Sentinels.Invalid)
+  }
+
+  test("S9/K2: custom-delimiter CSV roundtrip with fixed parallelism") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq(("s1", "u1"), ("s2", "u2")).toDF("yesSceneId", "yesUserId")
+    Sinks.writeCsv(df, dir, sep = "/", parallelism = 3)
+    val schema = StructType(Seq(StructField("yesSceneId", StringType),
+      StructField("yesUserId", StringType)))
+    val back = Ingest.csv(spark, dir, schema, sep = "/")
+    assert(back.as[(String, String)].collect().toSet ==
+      Set(("s1", "u1"), ("s2", "u2")))
+  }
+
+  test("S2: recursive directory scan reads nested files") {
+    val root = Files.createTempDirectory("graft_rec")
+    Files.writeString(root.resolve("a.txt"), "top\n")
+    val sub = Files.createDirectory(root.resolve("sub"))
+    Files.writeString(sub.resolve("b.txt"), "nested\n")
+    val got = Ingest.textLinesRecursive(spark, root.toString)
+      .as[String].collect().toSet
+    assert(got == Set("top", "nested"))
+  }
+
+  test("S4: existence probe filters missing paths") {
+    val root = Files.createTempDirectory("graft_probe")
+    Files.writeString(root.resolve("h1.txt"), "x")
+    val got = Ingest.existingPaths(spark,
+      Seq(s"$root/h1.txt", s"$root/h2.txt"))
+    assert(got == Seq(s"$root/h1.txt"))
+  }
+
+  test("K7: metric store upsert overwrites by key and keeps others") {
+    val dir = Files.createTempDirectory("graft_ms").toString + "/store"
+    Sinks.upsertMetricStore(spark, dir,
+      Seq(("k1", 0L, 5L), ("k2", 0L, 7L)).toDF("key", "w", "pv"), Seq("key", "w"))
+    Sinks.upsertMetricStore(spark, dir,
+      Seq(("k1", 0L, 9L)).toDF("key", "w", "pv"), Seq("key", "w"))
+    val got = spark.read.parquet(dir).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("k1", 0L, 9L), ("k2", 0L, 7L)))
+  }
+
+  test("K4: list publishing honors the Redis contract through InMemoryKv") {
+    val kv = new Sinks.InMemoryKv
+    val df = Seq(("item1", Seq("a:0.9", "b:0.8"))).toDF("key", "values")
+    Sinks.publishLists(df, kv)
+    assert(kv.lists.get("item1") == Seq("a:0.9", "b:0.8"))
+  }
+
+  test("K6: upsert foreach delivers rows to the callback") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    IngestSinksSpec.seenQueue = seen
+    val df = Seq(("k1", 1), ("k2", 2)).toDF("key", "v")
+    Sinks.upsertForeach(df)(() => (k, rest) => {
+      IngestSinksSpec.seenQueue.add(s"$k=${rest.head}")
+      ()
+    })
+    assert(seen.toArray.map(_.toString).toSet == Set("k1=1", "k2=2"))
+  }
+
+  test("S1/S7 shapes: text lines + deterministic sensor stream schema") {
+    val root = Files.createTempDirectory("graft_txt")
+    Files.writeString(root.resolve("w.txt"), "hello world\n")
+    assert(Ingest.textLines(spark, root.toString).as[String].collect()
+      .sameElements(Array("hello world")))
+    val sensor = Ingest.sensorStream(spark)
+    assert(sensor.schema.fieldNames.toSeq ==
+      Seq("id", "timestamp", "temperature"))
+    assert(sensor.isStreaming)
+  }
+}
+
+object IngestSinksSpec {
+  // static hop for the foreachPartition closure (test JVM == executor JVM)
+  @volatile var seenQueue: java.util.concurrent.ConcurrentLinkedQueue[String] = _
+}

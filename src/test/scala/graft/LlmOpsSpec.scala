@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** LLM-operator behavior tests: LSH candidate recall vs exact ground truth,
+  * SimHash near-dup detection, ANN recall vs brute force, multimodal
+  * plumbing shapes.
+  */
+class LlmOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("minhash-LSH finds the high-jaccard pairs the exact pass finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashDedupPairs(docs, w = 3, tau = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // verified-LSH output is a subset of exact by construction; at jaccard
+    // ≥0.8 with 16 bands × 4 rows the miss probability is ~(1-0.8^4)^16 ≈ 2e-5
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}")
+  }
+
+  test("simhash flags identical docs and separates unrelated ones") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val d = Seq((1L, base), (2L, base), (3L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(d, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical text → Hamming 0
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // near-dups rank closer than unrelated docs even when past the radius
+    val sigs = Dedup.simHash(Seq((1L, base), (2L, base + " tail"),
+        (3L, "completely different words entirely")).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("exact dedup canonicalizes identical texts") {
+    val d = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exactCanonical(d).select("doc_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 7L))
+  }
+
+  test("LSH ANN recalls most of brute-force top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, nPlanes = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("multimodal plumbing: decode/features/frames shapes") {
+    implicit val s = spark
+    val media = Multimodal.asMedia(docs.limit(10))
+    assert(media.schema("content").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 10 && meta.forall(m => m.nBytes > 0 &&
+      m.width < 640 && m.height < 480))
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.forall(_.features.length == 16))
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty && frames.forall(_.frameBytes.length <= 1024))
+  }
+}

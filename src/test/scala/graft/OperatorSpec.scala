@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.jobs.{Auc, ItemCf}
+import graft.ops.Ranking
+
+/** Operator-level golden tests. The decay test re-derives the reference's
+  * increment-emission weights with a direct in-memory reimplementation of
+  * the `ItemIdCfVersion5.java:147-192` loop semantics and compares against
+  * the window-expression version.
+  */
+class OperatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cooccurrenceDecay matches a direct reimplementation of the reference loop") {
+    val n = 2
+    val inter = ItemCf.interactions(Tables.events(spark, sfDir))
+    val rows = inter.as[(Long, Long, java.sql.Timestamp)].collect()
+    // reference semantics: per user, items time-sorted (tie: item); for
+    // i<j pairs score by positional distance; per oriented key, emit on
+    // strictly-increasing running max, both directions; sum emissions.
+    val expected = scala.collection.mutable.Map[(Long, Long), Double]()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val items = rs.sortBy(r => (r._3.getTime, r._2)).map(_._2)
+      val runMax = scala.collection.mutable.Map[(Long, Long), (Double, Double)]()
+      for (i <- items.indices; j <- (i + 1) until items.length) {
+        val (a, b) = (items(i), items(j))
+        if (a != b) {
+          val d = j - i
+          val score = if (d <= n) 1.0 else math.exp(1.0 * (n - d) / (2 * n + 1))
+          runMax.get((a, b)) match {
+            case None =>
+              runMax((a, b)) = (score, score)
+              expected((a, b)) = expected.getOrElse((a, b), 0.0) + score
+              expected((b, a)) = expected.getOrElse((b, a), 0.0) + score
+            case Some((m0, m1)) =>
+              var (n0, n1) = (m0, m1)
+              if (score > m0) {
+                n0 = score
+                expected((a, b)) = expected.getOrElse((a, b), 0.0) + score
+              }
+              if (score > m1) {
+                n1 = score
+                expected((b, a)) = expected.getOrElse((b, a), 0.0) + score
+              }
+              runMax((a, b)) = (n0, n1)
+          }
+        }
+      }
+    }
+    val got = ItemCf.cooccurrenceDecay(inter, n)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9,
+      s"pair $k: got $v expected ${expected(k)}") }
+  }
+
+  test("orderedConcat caps, orders desc, and drops short lists") {
+    val df = Seq(
+      ("k1", 3.0, 1L), ("k1", 1.0, 2L), ("k1", 2.0, 3L), ("k1", 2.0, 1L),
+      ("k2", 9.0, 9L)
+    ).toDF("key", "score", "id")
+    val out = Ranking.orderedConcat(df, Seq(col("key")), col("score"),
+      col("id"), col("id").cast("string"), cap = 3, minLen = 2, as = "l")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // k1 sorted: (3.0,1), (2.0,1), (2.0,3), (1.0,2) → capped at 3
+    assert(out == Map("k1" -> "1,1,3"))
+  }
+
+  test("sizeHistogram buckets by descending edges") {
+    val df = Seq(405, 90, 12, 3).toDF("sz")
+    val got = Ranking.sizeHistogram(df, col("sz"),
+      Seq(400, 100, 10, 0)).as[(String, Long)].collect().toMap
+    assert(got == Map("400+" -> 1L, "10+" -> 2L, "0+" -> 1L))
+  }
+
+  test("AUC equals naive O(n^2) Mann-Whitney on a small slice") {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(lit(0L).as("g"), col("value").as("score"),
+        when(col("event_type") === "click", 1).otherwise(0).as("label"))
+    val rows = base.as[(Long, Double, Int)].collect()
+    val pos = rows.filter(_._3 == 1).map(_._2)
+    val neg = rows.filter(_._3 == 0).map(_._2)
+    val naive = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum / (pos.length.toDouble * neg.length)
+    val got = Auc.auc(base, Seq("g")).select("auc").as[Double].head()
+    assert(math.abs(got - naive) < 1e-9, s"auc $got vs naive $naive")
+  }
+
+  test("fractionalRank assigns tie-group means") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0))
+      .toDF("k", "score")
+    val got = Ranking.fractionalRank(df, Seq(col("k")), col("score"))
+      .select("score", "frank").as[(Double, Double)].collect().sorted
+    assert(got.toSeq == Seq((1.0, 1.0), (2.0, 2.5), (2.0, 2.5), (3.0, 4.0)))
+  }
+}

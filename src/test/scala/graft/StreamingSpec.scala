@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.SensorReading
+import graft.streaming.{Alerts, StreamingDashboard}
+
+/** Structured Streaming semantics tests (SURVEY §2.10): watermark late-drop,
+  * multi-resolution rollup with the metric store, stateful alerts.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("T2/T4: watermark drops events older than the grace window") {
+    implicit val s = spark
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = StreamingDashboard.fiveMinAgg(
+      mem.toDF().toDF("ts", "user_id").withColumn("key", lit("s1")),
+      "key", "ts", "user_id", lateness = "10 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("wm_out").start()
+    try {
+      mem.addData((ts(0), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      // advance watermark to 10:30 - 10min = 10:20
+      mem.addData((ts(30), 3L))
+      q.processAllAvailable()
+      // late event at 10:01 — older than watermark → dropped
+      mem.addData((ts(1), 4L))
+      q.processAllAvailable()
+      val out = spark.table("wm_out")
+        .groupBy("window_start_ms").agg(max("pv").as("pv"))
+        .as[(Long, Long)].collect().toMap
+      val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      assert(out(w0) == 2L, s"late event must not bump the 10:00 window: $out")
+    } finally q.stop()
+  }
+
+  test("T3/T5: multi-res rollup store matches batch truth and is idempotent") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_store").toString
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id").withColumn("key", lit("s1"))
+    val q = StreamingDashboard.run(events, s"$dir/store", s"$dir/ckpt",
+        trigger = Trigger.AvailableNow()) // drain then stop, per-batch flush
+      .start()
+    try {
+      mem.addData((ts(0), 1L), (ts(3), 1L), (ts(7), 2L), (ts(22), 3L))
+      q.awaitTermination()
+    } finally q.stop()
+    val q2 = StreamingDashboard.run(events, s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.AvailableNow()).start()
+    try {
+      mem.addData((ts(40), 1L)) // second trigger updates the 1h window
+      q2.awaitTermination()
+    } finally q2.stop()
+    val coarse = spark.read.parquet(s"$dir/store/coarse")
+      .filter(col("granularity") === "1h")
+      .select("window_start_ms", "pv").as[(Long, Long)].collect().toMap
+    val hourStart = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    assert(coarse(hourStart) == 5L,
+      s"1h rollup should count all 5 events: $coarse")
+    // UTC+8 day window starts at 16:00 UTC the previous day
+    val day = spark.read.parquet(s"$dir/store/coarse")
+      .filter(col("granularity") === "1d")
+      .select("window_start_ms").as[Long].head()
+    assert((day + StreamingDashboard.DayOffsetMs) % 86400000L == 0)
+  }
+
+  test("T6: temperature change alert fires on jumps above threshold") {
+    implicit val s = spark
+    val mem = MemoryStream[SensorReading]
+    val q = Alerts.tempChangeAlerts(mem.toDS(), threshold = 10.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("alerts_out").start()
+    try {
+      mem.addData(SensorReading("a", 1000, 60.0), SensorReading("a", 2000, 65.0))
+      q.processAllAvailable()
+      mem.addData(SensorReading("a", 3000, 80.0)) // jump 15 > 10 across batches
+      q.processAllAvailable()
+      val alerts = spark.table("alerts_out").as[Alerts.TempAlert].collect()
+      assert(alerts.toSeq == Seq(Alerts.TempAlert("a", 65.0, 80.0)))
+    } finally q.stop()
+  }
+
+  test("T9: rising-temperature alert fires after sustained rise") {
+    implicit val s = spark
+    val mem = MemoryStream[SensorReading]
+    val q = Alerts.risingTempAlerts(mem.toDS(), riseMs = 10000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rising_out").start()
+    try {
+      mem.addData(
+        SensorReading("a", 0, 60.0), SensorReading("a", 4000, 61.0),
+        SensorReading("a", 8000, 62.0), SensorReading("a", 12000, 63.0),
+        SensorReading("b", 0, 60.0), SensorReading("b", 12000, 50.0))
+      q.processAllAvailable()
+      val alerts = spark.table("rising_out").as[Alerts.RisingAlert].collect()
+      assert(alerts.toSeq == Seq(Alerts.RisingAlert("a", 0, 12000)))
+    } finally q.stop()
+  }
+
+  test("T8: count-with-timeout accumulates, then emits and clears on timeout") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // accumulate path: two batches of events for the same key
+    import org.apache.spark.api.java.Optional
+    val s1 = TestGroupState.create[Long](Optional.empty[Long](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    assert(Alerts.countWithTimeoutFn(30000)("x", Iterator("a", "b"), s1).isEmpty)
+    assert(s1.get == 2L)
+    assert(Alerts.countWithTimeoutFn(30000)("x", Iterator("c"), s1).isEmpty)
+    assert(s1.get == 3L)
+    // timeout path: timer fired → emit (key, count) and drop state
+    val s2 = TestGroupState.create[Long](Optional.of(3L),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 61000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = Alerts.countWithTimeoutFn(30000)("x", Iterator.empty, s2).toSeq
+    assert(out == Seq(Alerts.KeyCount("x", 3L)))
+    assert(s2.isRemoved)
+  }
+
+  test("T10/U3/U4: side-output split and reconnect") {
+    val df = Seq(("a", 20.0), ("b", 60.0)).toDF("id", "temperature")
+    val (alerts, main) = Alerts.freezingAlertSplit(df)
+    assert(alerts.select("id").as[String].collect().toSeq == Seq("a"))
+    assert(main.select("id").as[String].collect().toSeq == Seq("b"))
+    val merged = Alerts.splitConnect(df, 50.0)
+      .as[(String, String, Double)].collect().sorted
+    assert(merged.toSeq == Seq(("a", "low", 20.0), ("b", "high", 60.0)))
+  }
+}
