@@ -4,21 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Embedding similarity search (north-star surface): brute-force cosine
   * top-k as the exact baseline, plus an LSH-bucketed approximate variant as
   * the 100 TB scale path.
   *
-  * Dot products are `aggregate(zip_with(...))` column expressions — summed
-  * in array order with double accumulation, so results are bit-deterministic
-  * across partitionings (no shuffle-order float drift).
+  * Dot products run through the codegen'd [[graft.functions.FloatVecDot]]
+  * expression — a tight primitive loop summing in array order with double
+  * accumulation, so results are bit-deterministic across partitionings (no
+  * shuffle-order float drift) and bit-equal to the higher-order-function
+  * form it replaced.
   */
 object Similarity {
 
   /** Σ aᵢ·bᵢ over two float-array columns, double accumulation in array
     * order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = VectorFunctions.vec_dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,20 +47,28 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * xxhash64 → roughly uniform in [−0.5, 0.5]. Seed-stable, no RNG state.
+    * splitmix64-style integer mix → uniform in [−0.5, 0.5]. Computed
+    * driver-side into plane literals — seed-stable, no RNG state.
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1e6) - 0.5
+  private def planeComponent(p: Int, i: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 1000000L).toDouble / 1e6) - 0.5
+  }
 
   /** Random-hyperplane LSH bucket id from `nPlanes` sign bits; `seed` picks
-    * an independent hyperplane family (one per hash table). */
-  def lshBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =
+    * an independent hyperplane family (one per hash table). The planes are
+    * array<float> literals and each projection is one codegen'd
+    * [[graft.functions.FloatVecDot]] — no per-row interpreted closures.
+    */
+  def lshBucket(vec: Column, nPlanes: Int, seed: Int = 0, dim: Int = 64): Column =
     (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(seed * 10007 + p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val plane = lit(Array.tabulate(dim)(i =>
+        planeComponent(seed * 10007 + p, i).toFloat))
+      when(VectorFunctions.vec_dot(vec, plane) > 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the
@@ -70,12 +80,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 8, tables: Int = 4,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     val tableIds = (0 until tables)
     def banded(df: DataFrame, id: String, v: String) =
       tableIds.map { t =>
         df.select(lit(t).as("tbl"), col(idCol).as(id), col(vecCol).as(v))
-          .withColumn("bucket", lshBucket(col(v), nPlanes, seed = t))
+          .withColumn("bucket", lshBucket(col(v), nPlanes, seed = t, dim = dim))
       }.reduce(_ unionByName _)
     val c = banded(corpus, "neighbor_id", "cv")
     val q = banded(queries, "query_id", "qv")
