@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Scale posture (SURVEY §2.10 T11 + §7.2 step 7): AQE on (runtime
+  * re-planning, skew-join splitting — the reference's 2-scene whitelist
+  * implies heavy key skew), shuffle partitions sized to the machine rather
+  * than the 200 default, UTC session time, RocksDB state store for streaming
+  * jobs whose keyed state exceeds heap (the reference's RocksDB/FsState
+  * choice at `flink-base/.../process/MyProcessDemo.scala:22`,
+  * `flink-statistics/.../action/ActionLogJob.java:85`). Checkpointing is
+  * per-query (`option("checkpointLocation", …)`), replacing the reference's
+  * 60 s exactly-once checkpoints + HBase state rehydration (T12).
+  */
+object Sessions {
+  def builder(appName: String, cores: Int = Runtime.getRuntime.availableProcessors(),
+              rocksDbState: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+    if (rocksDbState)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else b
+  }
+
+  def local(appName: String, cores: Int = Runtime.getRuntime.availableProcessors())
+  : SparkSession =
+    builder(appName, cores).master(s"local[$cores]").getOrCreate()
+}

@@ -161,7 +161,17 @@ object RelationalQueries {
   def offlineMetrics(s: SparkSession, dir: String): DataFrame =
     OfflineMetrics.metricsWide(Tables.events(s, dir))
 
+  /** A3 faithful two-phase count-distinct plan
+    * (`OfflineJob.java:267-272`): inner distinct shuffles on (key, value),
+    * outer count shuffles on key — no reducer ever holds a hot key's full
+    * value set. */
+  def countDistinctTwoPhase(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Relational.countDistinctTwoPhase(Tables.events(s, dir),
+      col("event_type"), col("user_id"), as = "uv")
+      .withColumnRenamed("key", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "q39_count_distinct_2phase" -> countDistinctTwoPhase,
     "q01_agg_sum" -> aggSum,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
@@ -182,6 +192,10 @@ object RelationalQueries {
     "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q39_count_distinct_2phase" ->
+      """SELECT event_type, COUNT(*) AS uv FROM
+        |  (SELECT DISTINCT event_type, user_id FROM events) t
+        |GROUP BY event_type""".stripMargin,
     "q01_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -91,6 +91,35 @@ class OperatorSpec extends SparkSpecBase {
     assert(math.abs(got - naive) < 1e-9, s"auc $got vs naive $naive")
   }
 
+  test("J9/J10/P5/A3: relational blocks behave") {
+    import graft.ops.Relational
+    // A3 two-phase count-distinct == countDistinct
+    val ev = Tables.events(spark, sfDir)
+    val two = Relational.countDistinctTwoPhase(ev, col("event_type"),
+      col("user_id")).as[(String, Long)].collect().toMap
+    val ref = ev.groupBy("event_type").agg(countDistinct("user_id"))
+      .as[(String, Long)].collect().toMap
+    assert(two == ref)
+    // J9 cogroup
+    val l = Seq(("a", 1), ("a", 2), ("b", 3)).toDS()
+    val r = Seq(("a", 10), ("c", 30)).toDS()
+    val cg = Relational.coGroup(l, r)(_._1)(_._1) { (k, ls, rs) =>
+      Iterator.single((k, ls.map(_._2).sum, rs.map(_._2).sum))
+    }.collect().toSet
+    assert(cg == Set(("a", 3, 10), ("b", 3, 0), ("c", 0, 30)))
+    // J10 broadcast-map join
+    val base = Seq("s1", "s2").toDF("scene")
+    val joined = Relational.joinBroadcastMap(base, "scene",
+      Map("s1" -> ((5L, 2L))), spark)
+    val row = joined.filter(col("scene") === "s1")
+      .select("click_pv", "uv").as[(Long, Long)].head()
+    assert(row == ((5L, 2L)))
+    // P5 partition index present and bounded
+    val pi = Relational.withPartitionIndex(base).select("partition_id")
+      .as[Int].collect()
+    assert(pi.forall(_ >= 0))
+  }
+
   test("fractionalRank assigns tie-group means") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0))
       .toDF("k", "score")
