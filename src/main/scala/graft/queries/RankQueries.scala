@@ -56,17 +56,27 @@ object RankQueries {
     Auc.uauc(clickViewBase(s, dir), Seq("scene"), "user_id")
       .withColumn("uauc", round(col("uauc"), 9))
 
-  /** Item-CF co-occurrence + cosine (`ItemIdCfVersion5.java:143-218`). */
+  /** Item-CF co-occurrence + cosine (`ItemIdCfVersion5.java:143-218`).
+    * `interactions` feeds four subplans (both self-join sides + the two
+    * count joins) — persist+materialize it so the events table is scanned
+    * once, not four times (the SURVEY §4.1 documented share point; at
+    * 100 TB this is the difference between one pass over the log and four).
+    * Identical logical plans hit the same cache entry across q20/q22/q23.
+    */
   def itemcfCosine(s: SparkSession, dir: String): DataFrame = {
-    val inter = ItemCf.interactions(Tables.events(s, dir))
+    val inter = ItemCf.interactions(Tables.events(s, dir)).persist()
+    inter.count()
     ItemCf.cosineScores(ItemCf.cooccurrenceSimple(inter), inter)
   }
 
   /** Item-CF distance-decay increment-emission weights
     * (`ItemIdCfVersion5.java:147-192`, the A9 hard part). */
-  def itemcfDecay(s: SparkSession, dir: String): DataFrame =
-    ItemCf.cooccurrenceDecay(ItemCf.interactions(Tables.events(s, dir)), n = 2)
+  def itemcfDecay(s: SparkSession, dir: String): DataFrame = {
+    val inter = ItemCf.interactions(Tables.events(s, dir)).persist()
+    inter.count()
+    ItemCf.cooccurrenceDecay(inter, n = 2)
       .select(col("a"), col("b"), round(col("together_count"), 6).as("weight"))
+  }
 
   /** A11/W5 per-item ordered top list with cap/min-length contract
     * (`ItemIdCfVersion5.java:221-240`; `Hdfs2RedisVersion5.java:84-91`). */

@@ -80,6 +80,24 @@ object Ingest {
         (lit(60.0) + (pmod(xxhash64(col("value")), lit(2000)).cast("double")
           - 1000.0) / 100.0).as("temperature"))
 
+  /** A8 fixture parse: the Redis-loader "countStat" line format
+    * `<itemId>_<id2>:<score>,<id3>:<score>,...` (written at
+    * `ItemIdCfVersion5.java:283`, parsed back at
+    * `flink-process/.../sink/hdfs2redis/Hdfs2RedisVersion5.java:77-93`),
+    * with the publishing contract applied: lists shorter than `minLen`
+    * dropped, lists capped at `cap` (reference 20/400, W5).
+    */
+  def parseCountStat(lines: DataFrame, minLen: Int = 20, cap: Int = 400,
+                     lineCol: String = "line"): DataFrame = {
+    val l = col(lineCol)
+    lines
+      .select(substring_index(l, "_", 1).as("key"),
+        split(expr(s"substring($lineCol, instr($lineCol, '_') + 1)"), ",")
+          .as("values"))
+      .filter(size(col("values")) >= minLen)
+      .withColumn("values", slice(col("values"), 1, cap))
+  }
+
   /** P2 parse spec: sentinel-tolerant JSON field extraction — the
     * reference's universal flatMap parser (`OfflineDataSetUtils.java:66-113`):
     * structurally-bad rows are DROPPED (bad JSON / failed requirement),

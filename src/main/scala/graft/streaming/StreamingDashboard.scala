@@ -64,6 +64,37 @@ object StreamingDashboard {
       col("pv"), col("uv"))
   }
 
+  /** Sketch-mode 5-min aggregation: PV + a mergeable HLL sketch of the
+    * user set (DataSketches binary). This is the 100 TB answer to T13: the
+    * reference keeps exact per-window user sets in HBase so coarse windows
+    * can re-count; a sketch column merges upward through [[rollupSketch]]
+    * without ever re-touching raw events, and the store stays narrow.
+    */
+  def fiveMinAggSketch(events: DataFrame, keyCol: String, tsCol: String,
+                       userCol: String, lateness: String = "10 minutes")
+  : DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol).as("key"), window(col(tsCol), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("pv"),
+        hll_sketch_agg(col(userCol)).as("uv_sketch"))
+      .select(col("key"), unix_millis(col("w.start")).as("window_start_ms"),
+        col("pv"), col("uv_sketch"))
+
+  /** Coarse rollup with UV: sums PV and unions the HLL sketches, emitting
+    * the estimated distinct-user count per coarse window. */
+  def rollupSketch(fiveMin: DataFrame): DataFrame =
+    Granularities.map { case (name, g) =>
+      val offset = if (name == "1d") DayOffsetMs else 0L
+      fiveMin.select(col("key"),
+          lit(name).as("granularity"),
+          (((col("window_start_ms") + offset) / g).cast("long") * g - offset)
+            .as("window_start_ms"),
+          col("pv"), col("uv_sketch"))
+        .groupBy("key", "granularity", "window_start_ms")
+        .agg(sum("pv").as("pv"),
+          hll_sketch_estimate(hll_union_agg(col("uv_sketch"))).as("uv"))
+    }.reduce(_ unionByName _)
+
   /** Coarse-window rollup of stored 5-min partials: floor each 5-min start
     * into its 15min/1h/1d window (1d aligned UTC+8, the reference's exact
     * flooring `(t+8h)/(g)*(g)−8h`) and sum PV. Pure batch transform —

@@ -86,6 +86,40 @@ class IngestSinksSpec extends SparkSpecBase {
     assert(seen.toArray.map(_.toString).toSet == Set("k1=1", "k2=2"))
   }
 
+  test("A8/W5: countStat parse honors min-length and cap") {
+    val good = "item1_" + (1 to 25).map(i => s"n$i:0.5").mkString(",")
+    val short = "item2_a:1.0,b:0.9"
+    val lines = Seq(good, short).toDF("line")
+    val got = Ingest.parseCountStat(lines, minLen = 20, cap = 22)
+      .as[(String, Seq[String])].collect()
+    assert(got.length == 1)
+    assert(got.head._1 == "item1")
+    assert(got.head._2.length == 22 && got.head._2.head == "n1:0.5")
+  }
+
+  test("T13 sketch rollup: HLL coarse UV matches exact within tolerance") {
+    import graft.streaming.StreamingDashboard
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type").as("key"))
+    val fine = StreamingDashboard.fiveMinAggSketch(ev, "key", "ts", "user_id")
+    val coarse = StreamingDashboard.rollupSketch(fine)
+      .filter(col("granularity") === "1h")
+      .select(col("key"), col("window_start_ms"), col("uv"))
+    val exact = ev
+      .select(col("key"),
+        (expr("unix_millis(ts) div 3600000") * 3600000L).as("window_start_ms"),
+        col("user_id"))
+      .groupBy("key", "window_start_ms")
+      .agg(countDistinct("user_id").as("uv_exact"))
+    val joined = coarse.join(exact, Seq("key", "window_start_ms"))
+      .select(col("uv").cast("double"), col("uv_exact").cast("double"))
+      .as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (est, ex) =>
+      assert(math.abs(est - ex) / math.max(ex, 1.0) < 0.05,
+        s"sketch uv $est vs exact $ex") }
+  }
+
   test("S1/S7 shapes: text lines + deterministic sensor stream schema") {
     val root = Files.createTempDirectory("graft_txt")
     Files.writeString(root.resolve("w.txt"), "hello world\n")
