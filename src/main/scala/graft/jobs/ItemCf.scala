@@ -128,6 +128,13 @@ object ItemCf {
     Ranking.orderedConcat(scores, Seq(col("a")), col("score"), col("b"),
       col("b").cast("string"), cap, minLen, as = "toplist")
 
+  /** Top lists in the reference's full `id:score` value format
+    * (`ItemIdCfVersion5.java:231`). */
+  def topListsWithScores(scores: DataFrame, cap: Int = 400,
+                         minLen: Int = 0): DataFrame =
+    Ranking.orderedConcat(scores, Seq(col("a")), col("score"), col("b"),
+      concat_ws(":", col("b"), col("score")), cap, minLen, as = "toplist")
+
   /** The "quDuan" size histogram eyeball-check
     * (`ItemIdCfVersion5.java:242-278`). */
   def sizeHistogram(scores: DataFrame): DataFrame =

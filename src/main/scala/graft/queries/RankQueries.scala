@@ -127,7 +127,18 @@ object RankQueries {
       .groupBy("user_id").agg(count(lit(1)).as("n_jumps"))
   }
 
+  /** ShuJuStat board co-occurrence weights (`flink-itemcf/.../huaban/
+    * ShuJuStat.java:76-107`): events cast as (item = props.k pinned to
+    * board = user_id); all-integer arithmetic. */
+  def boardstatsPairs(s: SparkSession, dir: String): DataFrame =
+    graft.jobs.BoardStats.pairWeights(
+      Tables.events(s, dir).filter(col("event_type") === "view")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+          col("user_id").as("board"))
+        .filter(col("item").isNotNull))
+
   val queries: Map[String, Q] = Map(
+    "q40_boardstats_pairs" -> boardstatsPairs,
     "q15_window_rank" -> windowRank,
     "q16_rank_ties" -> rankTies,
     "q17_group_size" -> groupSize,
@@ -164,6 +175,18 @@ object RankQueries {
       |JOIN counts cb ON p.b = cb.item""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q40_boardstats_pairs" ->
+      s"""WITH hb AS (SELECT DISTINCT $item AS item, user_id AS board
+        |            FROM events WHERE event_type='view'),
+        |bc AS (SELECT board, COUNT(*) AS board_count FROM hb GROUP BY board),
+        |ic AS (SELECT item, COUNT(*) AS item_count FROM hb GROUP BY item)
+        |SELECT a.item AS a, b.item AS b,
+        |       CAST(SUM(bc.board_count + ic.item_count) AS BIGINT) AS weight
+        |FROM hb a
+        |JOIN hb b ON a.board = b.board AND a.item <> b.item
+        |JOIN bc ON a.board = bc.board
+        |JOIN ic ON b.item = ic.item
+        |GROUP BY a.item, b.item""".stripMargin,
     "q15_window_rank" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

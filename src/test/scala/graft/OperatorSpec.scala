@@ -91,6 +91,33 @@ class OperatorSpec extends SparkSpecBase {
     assert(math.abs(got - naive) < 1e-9, s"auc $got vs naive $naive")
   }
 
+  test("A5: boardsList JSON explode parse") {
+    val lines = Seq(
+      """{"itemId":"i1","boardsList":[{"boardId":"b1"},{"boardId":"b2"}]}""",
+      """{"itemId":"i2","boardsList":[]}""",
+      """broken json""").toDF("line")
+    val got = graft.jobs.BoardStats.fromJsonLines(lines)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("i1", "b1"), ("i1", "b2")))
+  }
+
+  test("AUC matches naive Mann-Whitney on randomized tied inputs (seeded)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(200)((0L,
+        (rnd.nextInt(20) / 2.0), // coarse grid → many ties
+        if (rnd.nextBoolean()) 1 else 0))
+      val pos = rows.filter(_._3 == 1).map(_._2)
+      val neg = rows.filter(_._3 == 0).map(_._2)
+      val naive = (for (p <- pos; q <- neg)
+        yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum /
+        (pos.length.toDouble * neg.length)
+      val got = Auc.auc(rows.toDF("g", "score", "label"), Seq("g"))
+        .select("auc").as[Double].head()
+      assert(math.abs(got - naive) < 1e-9, s"seed $seed: $got vs $naive")
+    }
+  }
+
   test("J9/J10/P5/A3: relational blocks behave") {
     import graft.ops.Relational
     // A3 two-phase count-distinct == countDistinct
