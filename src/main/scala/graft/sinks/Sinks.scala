@@ -98,6 +98,17 @@ object Sinks {
       }
   }
 
+  /** K9: Kafka producer sink (`flink-base/.../source/KafkaSource.scala:
+    * 28-30`) — streaming writer shape; expects a `value` (and optional
+    * `key`) string column. */
+  def kafkaWriter(df: DataFrame, servers: String, topic: String,
+                  checkpoint: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** K6: JDBC-style upsert via generic executor callback (try-update,
     * insert-on-miss — `flink-base/.../sink/MyJdbcSink.scala:19-43`). The
     * callback owns connection lifecycle per partition. */

