@@ -94,6 +94,24 @@ object Multimodal {
         StubCodec.features(r.content, dim))))
   }
 
+  /** Resize pass: re-encode each payload to target dimensions. The codec
+    * call is the stub (a real impl decodes, scales, re-encodes); the
+    * contract — binary in, binary out, metadata updated, batched per
+    * partition — is real. The stub deterministically truncates/pads the
+    * payload to `targetW*targetH/16` bytes so output size tracks the
+    * requested dimensions. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int)
+            (implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    val outLen = math.max(1, targetW * targetH / 16)
+    media.select(col("doc_id"), col("content"), col("media_type").as("mediaType"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val out = java.util.Arrays.copyOf(r.content, outLen)
+        MediaRow(r.doc_id, out, r.mediaType)
+      })
+  }
+
   /** Frame-sampling pass: one output row per sampled frame (N→M). */
   def sampleFrames(media: DataFrame, stride: Int = 2)
                   (implicit s: SparkSession): Dataset[FrameRow] = {

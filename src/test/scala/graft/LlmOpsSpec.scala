@@ -86,5 +86,7 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(feats.forall(_.features.length == 16))
     val frames = Multimodal.sampleFrames(media, stride = 2).collect()
     assert(frames.nonEmpty && frames.forall(_.frameBytes.length <= 1024))
+    val resized = Multimodal.resize(media, targetW = 64, targetH = 64).collect()
+    assert(resized.forall(_.content.length == 64 * 64 / 16))
   }
 }
