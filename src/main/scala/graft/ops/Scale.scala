@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Scale techniques (SURVEY §7.2 step 7): skew-safe aggregation and a
+  * bounded top-K aggregator. These are the knobs for the 100 TB posture —
+  * the reference's own data is skewed (2-scene whitelist,
+  * `flink-process/.../common/Constants.java:7`), so a plain `groupBy(scene)`
+  * sends half the log through two reducers.
+  */
+object Scale {
+
+  /** Salted two-phase aggregation for additive aggregates: phase 1 groups
+    * on (key, salt) spreading a hot key over `salts` reducers with partial
+    * (map-side) combine, phase 2 merges the partials per key. AQE's skew
+    * handling covers joins; this covers the aggregation path when a single
+    * group's state is itself the bottleneck.
+    *
+    * `aggs` maps output column name → (phase-1 agg of the input column,
+    * phase-2 merge of the partial). E.g. count: (count(x), sum(partial));
+    * sum: (sum(x), sum(partial)); max: (max(x), max(partial)).
+    */
+  def saltedAgg(df: DataFrame, key: Column, salts: Int,
+                aggs: Seq[(String, (Column, String => Column))]): DataFrame = {
+    val phase1 = df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }: _*)
+    phase1.groupBy(col("key"))
+      .agg(aggs.head._2._2(s"__p_${aggs.head._1}").as(aggs.head._1),
+        aggs.tail.map { case (n, (_, m)) => m(s"__p_$n").as(n) }: _*)
+  }
+
+  /** Convenience: salted count + sum(value). */
+  def saltedCountSum(df: DataFrame, key: Column, value: Column,
+                     salts: Int = 16): DataFrame =
+    saltedAgg(df, key, salts, Seq(
+      "cnt" -> (count(lit(1)), (p: String) => sum(col(p))),
+      "sum_value" -> (sum(value), (p: String) => sum(col(p)))))
+
+  /** Bounded top-K typed aggregator: keeps at most `k` (score, payload)
+    * pairs in the aggregation buffer (min-heap semantics via sorted
+    * truncation), so per-group state is O(k) instead of the O(group)
+    * `collect_list` + `sort_array` pattern — the SURVEY §4.2 "optional
+    * custom piece" for exact ordered top-K at 100 TB. Descending by score,
+    * ascending payload tie-break.
+    */
+  class TopKAgg(k: Int)
+    extends Aggregator[(Double, String), Seq[(Double, String)], Seq[String]] {
+    private def order(a: (Double, String), b: (Double, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    override def zero: Seq[(Double, String)] = Seq.empty
+    override def reduce(buf: Seq[(Double, String)], in: (Double, String))
+    : Seq[(Double, String)] =
+      (buf :+ in).sortWith(order).take(k)
+    override def merge(a: Seq[(Double, String)], b: Seq[(Double, String)])
+    : Seq[(Double, String)] = (a ++ b).sortWith(order).take(k)
+    override def finish(buf: Seq[(Double, String)]): Seq[String] =
+      buf.map(_._2)
+    override def bufferEncoder: Encoder[Seq[(Double, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, String)]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  def topKColumn(k: Int): TypedColumn[(Double, String), Seq[String]] =
+    new TopKAgg(k).toColumn
+
+  /** Bucketed-table layout for co-located joins: write both sides bucketed
+    * by the join key → the sort-merge join reads pre-bucketed files with no
+    * Exchange (checked in BucketingSpec). At 100 TB this is the difference
+    * between re-shuffling the fact table per query and never shuffling it.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+}
