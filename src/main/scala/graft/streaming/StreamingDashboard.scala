@@ -112,6 +112,39 @@ object StreamingDashboard {
         .agg(sum("pv").as("pv"))
     }.reduce(_ unionByName _)
 
+  /** T1: processing-time tagging — Spark is event-time-first, so the
+    * reference's `timeWindow` on processing time
+    * (`flink-process/.../FlinkConsumerKafka.java:62`) maps to windowing on
+    * an ingest timestamp stamped at read (documented delta: batch-planning
+    * time, not per-record arrival time).
+    */
+  def withIngestTime(df: DataFrame, as: String = "ingest_ts"): DataFrame =
+    df.withColumn(as, current_timestamp())
+
+  /** Sketch-mode pipeline: like [[run]] but the store carries mergeable HLL
+    * sketches, so coarse UV comes from sketch unions (the 100 TB path). */
+  def runSketch(events: DataFrame, storePath: String, checkpoint: String,
+                keyCol: String = "key", tsCol: String = "ts",
+                userCol: String = "user_id",
+                trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
+  : DataStreamWriter[org.apache.spark.sql.Row] =
+    fiveMinAggSketch(events, keyCol, tsCol, userCol)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fineStore = s"$storePath/fine"
+        Sinks.upsertMetricStore(spark, fineStore, batch,
+          Seq("key", "window_start_ms"))
+        val allFine = spark.read.parquet(fineStore)
+        Sinks.upsertMetricStore(spark, s"$storePath/coarse",
+          rollupSketch(allFine),
+          Seq("key", "granularity", "window_start_ms"))
+        ()
+      }
+
   /** Full pipeline: 5-min update-mode aggregation → per-trigger foreachBatch
     * that (a) upserts the changed 5-min partials into the metric store and
     * (b) recomputes + upserts the coarse windows those partials touch —

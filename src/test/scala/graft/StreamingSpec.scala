@@ -131,6 +131,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(s2.isRemoved)
   }
 
+  test("T1/T13: sketch-mode streaming pipeline stores coarse UV") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_sketch").toString
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = StreamingDashboard.withIngestTime(
+      mem.toDF().toDF("ts", "user_id").withColumn("key", lit("s1")))
+    assert(events.schema.fieldNames.contains("ingest_ts")) // T1 tagging
+    val q = StreamingDashboard.runSketch(events, s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.AvailableNow()).start()
+    try {
+      mem.addData((ts(0), 1L), (ts(2), 1L), (ts(3), 2L), (ts(22), 3L))
+      q.awaitTermination()
+    } finally q.stop()
+    val hour = spark.read.parquet(s"$dir/store/coarse")
+      .filter(col("granularity") === "1h")
+      .select("pv", "uv").as[(Long, Long)].head()
+    assert(hour == ((4L, 3L)), s"pv/uv: $hour") // 4 events, 3 distinct users
+  }
+
   test("T10/U3/U4: side-output split and reconnect") {
     val df = Seq(("a", 20.0), ("b", 60.0)).toDF("id", "temperature")
     val (alerts, main) = Alerts.freezingAlertSplit(df)
