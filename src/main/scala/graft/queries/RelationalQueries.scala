@@ -170,7 +170,14 @@ object RelationalQueries {
       col("event_type"), col("user_id"), as = "uv")
       .withColumnRenamed("key", "event_type")
 
+  /** The reference's faithful long metric-stream shape: (scene, metric,
+    * value) union of the six ratio streams (`OfflineJob.java:489-496`),
+    * ready for the pivot-to-6-slot row. */
+  def offlineMetricsLong(s: SparkSession, dir: String): DataFrame =
+    OfflineMetrics.metricsLong(Tables.events(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "q41_offline_metrics_long" -> offlineMetricsLong,
     "q39_count_distinct_2phase" -> countDistinctTwoPhase,
     "q01_agg_sum" -> aggSum,
     "q02_count_distinct" -> countDistinctUv,
@@ -191,7 +198,16 @@ object RelationalQueries {
   private val itemExpr =
     "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
+  private val longMetricNames = Seq("transfor_error_ratio",
+    "abnormal_user_ratio", "abnormal_user_click_ratio",
+    "abnormal_item_ratio", "abnormal_item_click_ratio",
+    "user_fluctuate_ratio")
+
   val oracles: Map[String, String] = Map(
+    "q41_offline_metrics_long" ->
+      longMetricNames.map(n =>
+        s"SELECT scene, '$n' AS metric, $n AS value FROM (\n${OfflineMetricsOracle.sql}\n) w_$n")
+        .mkString("\nUNION ALL\n"),
     "q39_count_distinct_2phase" ->
       """SELECT event_type, COUNT(*) AS uv FROM
         |  (SELECT DISTINCT event_type, user_id FROM events) t

@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape regression tests: lock in the physical-plan properties the
+  * 100 TB posture depends on (column pruning, filter pushdown, broadcast
+  * joins, anti-join rewrite) so a refactor that silently loses them fails
+  * here rather than in a benchmark.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 scan prunes to the four referenced columns") {
+    val p = planOf("q01_agg_sum")
+    assert(p.contains("l_returnflag"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"),
+      s"scan should not read unreferenced columns:\n$p")
+  }
+
+  test("q05 joins all dimension tables via broadcast") {
+    val p = planOf("q05_join_chain")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"dim joins must broadcast, not sort-merge:\n$p")
+  }
+
+  test("q09 NOT IN subquery rewrites to a hash anti join") {
+    val p = planOf("q09_anti_join_sql")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"single-column NOT IN must take the optimized NAAJ path:\n$p")
+  }
+
+  test("q03 pushes the scan filters into parquet") {
+    val p = planOf("q24_window_hourly")
+    // events scan: only ts/user_id/value referenced
+    assert(!p.contains("props"), s"window agg should not read props:\n$p")
+  }
+
+  test("q32 broadcasts the query vectors, not the corpus") {
+    val p = planOf("q32_knn_brute")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("vec_dot") || p.contains("floatvecdot") ||
+      p.toLowerCase.contains("floatvecdot"), s"codegen dot expected:\n$p")
+  }
+}
