@@ -71,6 +71,28 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Embedding-cosine near-duplicate pairs: all pairs (a < b) with cosine ≥
+    * `tau` — the embedding-space dedup variant (exact form; the LSH-bucketed
+    * candidate path of [[lshTopK]] is the 100 TB route, where only
+    * same-bucket pairs are scored). Norms are precomputed per vector and
+    * broadcast so each pair costs one codegen'd dot product.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, tau: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      l2norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the
     * IVF-style inverted-list layout — at scale this is the partition key of
     * the stored index); each query probes only its own bucket across

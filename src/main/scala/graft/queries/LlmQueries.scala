@@ -95,7 +95,13 @@ object LlmQueries {
         col("durationMs").as("duration_ms"))
   }
 
+  /** Embedding-cosine near-dup pairs (τ = 0.45 — the corpus has no planted
+    * embedding dups, so the threshold sits just inside the natural tail). */
+  def embeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), tau = 0.45)
+
   val queries: Map[String, Q] = Map(
+    "q42_embedding_dedup" -> embeddingDedup,
     "q28_dedup_exact" -> dedupExact,
     "q29_jaccard_pairs" -> jaccardPairs,
     "q30_minhash_dedup" -> minhashDedup,
@@ -112,6 +118,17 @@ object LlmQueries {
   private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q42_embedding_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |           SUM(CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)) AS dp,
+        |           SQRT(SUM(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))) AS na,
+        |           SQRT(SUM(CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) AS nb
+        |         FROM v a, v b, UNNEST(range(1, len(a.e) + 1)) AS t(i)
+        |         WHERE a.vec_id < b.vec_id
+        |         GROUP BY a.vec_id, b.vec_id)
+        |SELECT id_a, id_b, ROUND(dp / (na * nb), 6) AS cos
+        |FROM dots WHERE dp / (na * nb) >= 0.45""".stripMargin,
     "q28_dedup_exact" ->
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         |FROM documents""".stripMargin,
