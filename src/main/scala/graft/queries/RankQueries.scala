@@ -66,7 +66,10 @@ object RankQueries {
   def itemcfCosine(s: SparkSession, dir: String): DataFrame = {
     val inter = ItemCf.interactions(Tables.events(s, dir)).persist()
     inter.count()
-    ItemCf.cosineScores(ItemCf.cooccurrenceSimple(inter), inter)
+    // persist the scores too: q22 (toplists) and q23 (histogram) rebuild the
+    // same logical plan, and the cache manager swaps in this entry by
+    // sameResult — three queries, one cosine computation
+    ItemCf.cosineScores(ItemCf.cooccurrenceSimple(inter), inter).persist()
   }
 
   /** Item-CF distance-decay increment-emission weights
