@@ -123,20 +123,21 @@ object RelationalQueries {
       .distinct()
   }
 
-  /** U1 union of heterogeneous metric streams (`OfflineJob.java:489-496`). */
+  /** U1 union of heterogeneous metric streams (`OfflineJob.java:489-496`),
+    * normalized through [[graft.ops.Relational.tagMetric]]. */
   def unionMetrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Relational.tagMetric
     val ev = Tables.events(s, dir)
-    val pv = ev.groupBy(pmod(col("user_id"), lit(5)).as("scene"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .withColumn("metric", lit("pv"))
-    val uv = ev.groupBy(pmod(col("user_id"), lit(5)).as("scene"))
-      .agg(countDistinct(col("user_id")).cast("double").as("value"))
-      .withColumn("metric", lit("uv"))
-    val err = ev.filter(col("event_type") === "error")
-      .groupBy(pmod(col("user_id"), lit(5)).as("scene"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .withColumn("metric", lit("errors"))
-    pv.unionByName(uv).unionByName(err).select("scene", "metric", "value")
+    val scene = pmod(col("user_id"), lit(5))
+    val pv = tagMetric(ev.groupBy(scene.as("scene"))
+      .agg(count(lit(1)).as("v")), col("scene"), "pv", col("v"))
+    val uv = tagMetric(ev.groupBy(scene.as("scene"))
+      .agg(countDistinct(col("user_id")).as("v")), col("scene"), "uv", col("v"))
+    val err = tagMetric(ev.filter(col("event_type") === "error")
+      .groupBy(scene.as("scene"))
+      .agg(count(lit(1)).as("v")), col("scene"), "errors", col("v"))
+    pv.unionByName(uv).unionByName(err)
+      .select(col("key").as("scene"), col("metric"), col("value"))
   }
 
   /** U2 minus/EXCEPT (`CheckValues.java:54`). */

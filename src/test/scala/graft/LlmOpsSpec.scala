@@ -60,6 +60,14 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("bpe-ish subword count: alnum runs + punctuation marks") {
+    import graft.llm.TextAnalysis
+    val d = Seq("hello, world! (two-words)").toDF("text")
+    // runs: hello, world, two, words = 4; punct: , ! ( - ) = 5
+    val got = d.select(TextAnalysis.bpeishCount(col("text"))).as[Int].head()
+    assert(got == 9, s"got $got")
+  }
+
   test("vec_dot registers as a SQL function and matches the Column API") {
     graft.functions.VectorFunctions.register(spark)
     Tables.embeddings(spark, sfDir).limit(5)
