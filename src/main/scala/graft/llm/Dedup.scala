@@ -82,15 +82,21 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature column: for each of `numHashes` seeded permutations,
-    * min over the doc's shingles of `xxhash64(shingle, seed)`. Deterministic
-    * across runs/partitions (seeds are 1..n literals).
+  /** MinHash signature column: `numHashes` permutations via the standard
+    * two-hash family h_i = h1 + i·h2 (wrapping 64-bit arithmetic) — two
+    * xxhash64 evaluations per shingle instead of `numHashes`, with the same
+    * collision behavior for banding purposes. Deterministic across
+    * runs/partitions.
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int,
                         idCol: String = "doc_id"): DataFrame =
-    sh.groupBy(col(idCol))
-      .agg(array((1 to numHashes).map(seed =>
-        min(xxhash64(lit(seed), col("shingle")))): _*).as("minhash"))
+    // 31-bit masks keep h1 + i*h2 far from long overflow (ANSI mode raises
+    // on wrap); 31 bits per permutation is ample for banding buckets
+    sh.withColumn("__h1", xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
+      .withColumn("__h2", xxhash64(lit(1), col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
+      .groupBy(col(idCol))
+      .agg(array((1 to numHashes).map(i =>
+        min(col("__h1") + lit(i.toLong) * col("__h2"))): _*).as("minhash"))
 
   /** MinHash-LSH candidate pairs: signature split into `bands` bands of
     * `rowsPerBand` rows; docs agreeing on any full band meet in a bucket

@@ -91,6 +91,12 @@ class OperatorSpec extends SparkSpecBase {
     assert(math.abs(got - naive) < 1e-9, s"auc $got vs naive $naive")
   }
 
+  test("driver contract: entry() returns rows; oracle keys subset queries") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without a query: $extra")
+  }
+
   test("A5: boardsList JSON explode parse") {
     val lines = Seq(
       """{"itemId":"i1","boardsList":[{"boardId":"b1"},{"boardId":"b2"}]}""",

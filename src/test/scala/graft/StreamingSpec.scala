@@ -50,19 +50,16 @@ class StreamingSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("graft_store").toString
     val mem = MemoryStream[(Timestamp, Long)]
     val events = mem.toDF().toDF("ts", "user_id").withColumn("key", lit("s1"))
+    // data must land before start: AvailableNow snapshots offsets at launch
+    mem.addData((ts(0), 1L), (ts(3), 1L), (ts(7), 2L), (ts(22), 3L))
     val q = StreamingDashboard.run(events, s"$dir/store", s"$dir/ckpt",
         trigger = Trigger.AvailableNow()) // drain then stop, per-batch flush
       .start()
-    try {
-      mem.addData((ts(0), 1L), (ts(3), 1L), (ts(7), 2L), (ts(22), 3L))
-      q.awaitTermination()
-    } finally q.stop()
+    try q.awaitTermination() finally q.stop()
+    mem.addData((ts(40), 1L)) // second trigger updates the 1h window
     val q2 = StreamingDashboard.run(events, s"$dir/store", s"$dir/ckpt",
       trigger = Trigger.AvailableNow()).start()
-    try {
-      mem.addData((ts(40), 1L)) // second trigger updates the 1h window
-      q2.awaitTermination()
-    } finally q2.stop()
+    try q2.awaitTermination() finally q2.stop()
     val coarse = spark.read.parquet(s"$dir/store/coarse")
       .filter(col("granularity") === "1h")
       .select("window_start_ms", "pv").as[(Long, Long)].collect().toMap
@@ -138,12 +135,10 @@ class StreamingSpec extends SparkSpecBase {
     val events = StreamingDashboard.withIngestTime(
       mem.toDF().toDF("ts", "user_id").withColumn("key", lit("s1")))
     assert(events.schema.fieldNames.contains("ingest_ts")) // T1 tagging
+    mem.addData((ts(0), 1L), (ts(2), 1L), (ts(3), 2L), (ts(22), 3L))
     val q = StreamingDashboard.runSketch(events, s"$dir/store", s"$dir/ckpt",
       trigger = Trigger.AvailableNow()).start()
-    try {
-      mem.addData((ts(0), 1L), (ts(2), 1L), (ts(3), 2L), (ts(22), 3L))
-      q.awaitTermination()
-    } finally q.stop()
+    try q.awaitTermination() finally q.stop()
     val hour = spark.read.parquet(s"$dir/store/coarse")
       .filter(col("granularity") === "1h")
       .select("pv", "uv").as[(Long, Long)].head()
