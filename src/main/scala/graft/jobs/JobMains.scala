@@ -84,7 +84,7 @@ object OfflineMetricsJob {
     val wide = OfflineMetrics.metricsWide(events)
     Sinks.upsertMetricStore(spark, s"$outDir/metricstore", wide, Seq("scene"))
     Sinks.writeText(wide.select(concat_ws("_",
-      wide.columns.map(col): _*)), s"$outDir/allStatResult")
+      wide.columns.toIndexedSeq.map(col): _*)), s"$outDir/allStatResult")
     val dayCache = OfflineMetrics.actionLog(events)
       .select(col("scene").cast("string").as("yesSceneId"),
         col("user_id").cast("string").as("yesUserId")).distinct()

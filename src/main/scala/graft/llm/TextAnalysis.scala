@@ -70,7 +70,7 @@ object TextAnalysis {
       sum(when(col("__tok").isin(words.map(lit): _*), 1).otherwise(0))
         .cast("int").as(s"__s_$lang")
     }
-    val grouped = toked.groupBy(docs.columns.map(col): _*)
+    val grouped = toked.groupBy(docs.columns.toIndexedSeq.map(col): _*)
       .agg(scoreCols.head, scoreCols.tail: _*)
     // argmax with first-wins tie-break, expressed as a fold over langs
     val best = stoplists.map(_._1).foldLeft((lit("und"), lit(0))) {
