@@ -140,7 +140,22 @@ object RankQueries {
           col("user_id").as("board"))
         .filter(col("item").isNotNull))
 
+  /** Session windows (beyond-reference: Spark-native `session_window` with a
+    * 30-minute inactivity gap — sessionization for training-data pipelines).
+    * Per user: number of sessions and total events. Oracle reproduces the
+    * gap-merge semantics with a lag comparison at microsecond precision
+    * (strictly `diff >= gap` starts a new session, matching the exclusive
+    * window end).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"))
+
   val queries: Map[String, Q] = Map(
+    "q43_sessionize" -> sessionize,
     "q40_boardstats_pairs" -> boardstatsPairs,
     "q15_window_rank" -> windowRank,
     "q16_rank_ties" -> rankTies,
@@ -178,6 +193,18 @@ object RankQueries {
       |JOIN counts cb ON p.b = cb.item""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q43_sessionize" ->
+      """WITH e AS (SELECT user_id, ts,
+        |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |m AS (SELECT user_id,
+        |        CASE WHEN prev IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM m GROUP BY user_id""".stripMargin,
     "q40_boardstats_pairs" ->
       s"""WITH hb AS (SELECT DISTINCT $item AS item, user_id AS board
         |            FROM events WHERE event_type='view'),
