@@ -100,7 +100,22 @@ object LlmQueries {
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), tau = 0.45)
 
+  /** MapType column handling — the reference's `channelInfo:
+    * Map<String,String>` shape (`ActionLogJob.java:580`, SURVEY §1.1):
+    * props parsed as a map, exploded, values aggregated per key. */
+  def propsMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .as(Seq("map_key", "map_value")))
+      .groupBy("map_key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("map_value").cast("long")).as("value_sum"))
+
   val queries: Map[String, Q] = Map(
+    "q44_props_map" -> propsMap,
     "q42_embedding_dedup" -> embeddingDedup,
     "q28_dedup_exact" -> dedupExact,
     "q29_jaccard_pairs" -> jaccardPairs,
@@ -118,6 +133,11 @@ object LlmQueries {
   private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
 
   val oracles: Map[String, String] = Map(
+    "q44_props_map" ->
+      """SELECT 'k' AS map_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))
+        |       AS BIGINT) AS value_sum
+        |FROM events""".stripMargin,
     "q42_embedding_dedup" ->
       """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -107,6 +107,15 @@ object Alerts {
       }
   }
 
+  /** The streaming word count tutorial entry (`flink-base/.../wc/
+    * StreamWorldCount.scala:13-16`): lines → words → per-word running count
+    * (update output mode = Flink's retracting keyed sum).
+    */
+  def streamingWordCount(lines: DataFrame): DataFrame =
+    lines.select(explode(split(col("line"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count()
+
   /** T10: side outputs (`FreezingAlert.scala:15-27`) — Spark has no side
     * outputs; the idiom is two filters over one stream (dual queries share
     * the source; document as such). Returns (alerts, mainstream).

@@ -145,6 +145,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(hour == ((4L, 3L)), s"pv/uv: $hour") // 4 events, 3 distinct users
   }
 
+  test("streaming word count keeps running per-word totals across batches") {
+    implicit val s = spark
+    val mem = MemoryStream[String]
+    val q = Alerts.streamingWordCount(mem.toDF().toDF("line"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wc_out").start()
+    try {
+      mem.addData("a b a")
+      q.processAllAvailable()
+      mem.addData("a c")
+      q.processAllAvailable()
+      val latest = spark.table("wc_out")
+        .groupBy("word").agg(max("count").as("c"))
+        .as[(String, Long)].collect().toMap
+      assert(latest == Map("a" -> 3L, "b" -> 1L, "c" -> 1L), s"got $latest")
+    } finally q.stop()
+  }
+
+  test("SQL entry over the registered catalog joins across tables") {
+    graft.core.Catalog.registerAll(spark, sfDir)
+    val n = spark.sql(
+      """SELECT r_name, COUNT(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin).count()
+    assert(n > 0)
+    assert(spark.sql("SELECT COUNT(*) FROM events").as[Long].head() > 0)
+  }
+
   test("T10/U3/U4: side-output split and reconnect") {
     val df = Seq(("a", 20.0), ("b", 60.0)).toDF("id", "temperature")
     val (alerts, main) = Alerts.freezingAlertSplit(df)
