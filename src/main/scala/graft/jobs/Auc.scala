@@ -17,6 +17,22 @@ import graft.ops.Ranking
   */
 object Auc {
 
+  /** Dimension explode (`AucCalcVersion5.java:276-299`): each labeled row
+    * fans out to one "full" row plus one row per dimension tag
+    * (`"channel," + value` style), so AUC computes per (keys, channel)
+    * across every slice in one pass. 1→(1+N) via a union of projections —
+    * Catalyst folds it into a single scan with N+1 projections.
+    */
+  def explodeDimensions(df: DataFrame,
+                        dims: Seq[(String, org.apache.spark.sql.Column)])
+  : DataFrame = {
+    val base = df.withColumn("channel", lit("full"))
+    dims.foldLeft(base) { case (acc, (name, value)) =>
+      acc.unionByName(df.withColumn("channel",
+        concat_ws(",", lit(name), value)))
+    }
+  }
+
   /** Fractional-rank rows: rank = avg(row_number) over ties of `score`
     * within `keys` (`AucCalcVersion5.java:302-340`). Ordering ties beyond
     * `score` don't matter — tied rows all receive the tie-group mean.

@@ -154,7 +154,20 @@ object RankQueries {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"))
 
+  /** AUC per (scene, channel) after the reference's dimension explode
+    * (`AucCalcVersion5.java:276-299`): every row contributes to the "full"
+    * slice plus its event-type slice. */
+  def aucByChannel(s: SparkSession, dir: String): DataFrame = {
+    val base = clickViewBase(s, dir)
+      .withColumn("cohort", pmod(col("user_id"), lit(2)))
+    Auc.auc(Auc.explodeDimensions(base,
+        Seq("cohort" -> col("cohort"))).drop("cohort", "user_id"),
+        Seq("scene", "channel"))
+      .withColumn("auc", round(col("auc"), 9))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_auc_by_channel" -> aucByChannel,
     "q43_sessionize" -> sessionize,
     "q40_boardstats_pairs" -> boardstatsPairs,
     "q15_window_rank" -> windowRank,
@@ -193,6 +206,26 @@ object RankQueries {
       |JOIN counts cb ON p.b = cb.item""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q45_auc_by_channel" ->
+      s"""WITH base AS ($clickViewSql),
+        |ex AS (SELECT scene, score, label, 'full' AS channel FROM base
+        |       UNION ALL
+        |       SELECT scene, score, label,
+        |              'cohort,' || CAST(user_id % 2 AS VARCHAR) AS channel
+        |       FROM base),
+        |r AS (SELECT scene, channel, score, label,
+        |        ROW_NUMBER() OVER (PARTITION BY scene, channel
+        |                           ORDER BY score) AS rn
+        |      FROM ex),
+        |f AS (SELECT scene, channel, label,
+        |        AVG(rn) OVER (PARTITION BY scene, channel, score) AS frank
+        |      FROM r)
+        |SELECT scene, channel,
+        |  ROUND((SUM(CASE WHEN label=1 THEN frank ELSE 0 END)
+        |         - (SUM(label) * 1.0 * (SUM(label)+1)) / 2)
+        |        / (SUM(label) * 1.0 * (COUNT(*) - SUM(label))), 9) AS auc
+        |FROM f GROUP BY scene, channel
+        |HAVING SUM(label) > 0 AND COUNT(*) - SUM(label) > 0""".stripMargin,
     "q43_sessionize" ->
       """WITH e AS (SELECT user_id, ts,
         |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
