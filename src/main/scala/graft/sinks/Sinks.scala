@@ -98,6 +98,16 @@ object Sinks {
       }
   }
 
+  /** K5: Redis hash publishing — the `HSET sensor <id> <temp>` mapper shape
+    * (`flink-base/.../sink/MyRedisMapper.scala:12-20`): one HSET per row
+    * into a fixed hash key. */
+  def publishHashes(df: DataFrame, sink: KeyValueSink, hashKey: String,
+                    fieldCol: String = "id", valueCol: String = "value"): Unit =
+    df.select(col(fieldCol).cast("string"), col(valueCol).cast("string"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach(r => sink.putHash(hashKey, r.getString(0), r.getString(1)))
+      }
+
   /** K9: Kafka producer sink (`flink-base/.../source/KafkaSource.scala:
     * 28-30`) — streaming writer shape; expects a `value` (and optional
     * `key`) string column. */

@@ -120,6 +120,34 @@ class IngestSinksSpec extends SparkSpecBase {
         s"sketch uv $est vs exact $ex") }
   }
 
+  test("K5: hash publishing delivers HSET-shaped writes") {
+    val kv = new Sinks.InMemoryKv
+    val df = Seq(("sensor_1", 60.5), ("sensor_2", 61.0)).toDF("id", "value")
+    Sinks.publishHashes(df, kv, "sensor")
+    assert(kv.hashes.get("sensor/sensor_1") == "60.5")
+    assert(kv.hashes.get("sensor/sensor_2") == "61.0")
+  }
+
+  test("S3: compressed text is auto-decoded by the codec infrastructure") {
+    val root = Files.createTempDirectory("graft_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(root.resolve("part.txt.gz")))
+    gz.write("line one\nline two\n".getBytes("UTF-8"))
+    gz.close()
+    val got = Ingest.textLines(spark, root.toString).as[String].collect().toSet
+    assert(got == Set("line one", "line two"))
+  }
+
+  test("W2: topKPerGroup keeps k rows per key in order") {
+    import graft.ops.Ranking
+    val df = Seq(("a", 3.0), ("a", 1.0), ("a", 2.0), ("b", 9.0))
+      .toDF("k", "v")
+    val got = Ranking.topKPerGroup(df, Seq(col("k")),
+        Seq(col("v").desc), k = 2)
+      .as[(String, Double)].collect().toSet
+    assert(got == Set(("a", 3.0), ("a", 2.0), ("b", 9.0)))
+  }
+
   test("S1/S7 shapes: text lines + deterministic sensor stream schema") {
     val root = Files.createTempDirectory("graft_txt")
     Files.writeString(root.resolve("w.txt"), "hello world\n")
