@@ -34,6 +34,27 @@ object Dedup {
       .filter(col(idCol) =!= col("canonical_id"))
       .select(col("canonical_id"), col(idCol).as("dup_id"))
 
+  /** Hash-first exact canonicalization — the 100 TB form: shuffle only
+    * (hash, id) (16 bytes/row instead of the document text), assign the
+    * min-id per hash, then verify the survivor actually matches the text
+    * with one narrow join back (guards against 64-bit hash collisions).
+    */
+  def exactCanonicalByHash(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+    val canon = hashed.groupBy("__h").agg(min(col(idCol)).as("canonical_id"))
+    val assigned = hashed.join(canon, "__h")
+    // collision guard: a dup's text must equal its canonical's text
+    val texts = docs.select(col(idCol).as("canonical_id"),
+      col(textCol).as("__canon_text"))
+    docs.join(assigned.select(col(idCol), col("canonical_id")), Seq(idCol))
+      .join(texts, Seq("canonical_id"))
+      .withColumn("canonical_id",
+        when(col(textCol) === col("__canon_text"), col("canonical_id"))
+          .otherwise(col(idCol)))
+      .drop("__canon_text")
+  }
+
   /** w-token shingles of the whitespace token stream, distinct per doc.
     * Built with `posexplode` + `lead` windows — fully codegen'd, versus the
     * interpreted transform/slice/concat stack (which cost ~1.3 ms/doc).

@@ -42,11 +42,20 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
-  test("exact dedup canonicalizes identical texts") {
+  test("exact dedup canonicalizes identical texts (both forms agree)") {
     val d = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val got = Dedup.exactCanonical(d).select("doc_id", "canonical_id")
       .as[(Long, Long)].collect().toMap
     assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 7L))
+    val byHash = Dedup.exactCanonicalByHash(d).select("doc_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(byHash == got)
+    // and on real data: the narrow-shuffle form matches the direct form
+    val a = Dedup.exactCanonical(docs).select("doc_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.exactCanonicalByHash(docs).select("doc_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
   }
 
   test("LSH ANN recalls most of brute-force top-k") {
