@@ -103,21 +103,28 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature column: `numHashes` permutations via the standard
-    * two-hash family h_i = h1 + i·h2 (wrapping 64-bit arithmetic) — two
-    * xxhash64 evaluations per shingle instead of `numHashes`, with the same
-    * collision behavior for banding purposes. Deterministic across
-    * runs/partitions.
+  /** MinHash signature column: `numHashes` independent permutations. The
+    * shingle string is hashed ONCE (`g = xxhash64(shingle)`), then each
+    * permutation re-scrambles the 8-byte value with an outer
+    * `xxhash64(g + i)` — one string hash plus `numHashes` cheap long hashes
+    * per shingle, deterministic across runs/partitions.
+    *
+    * The classic two-hash shortcut (h_i = h1 + i·h2) is NOT used: its
+    * per-permutation orderings are correlated — a single element with small
+    * (h1, h2) can achieve the min for every i, so a near-dup pair can be
+    * missed by all bands at once regardless of band count (observed on the
+    * gate corpus: one jaccard-0.5 pair missed even at 64×1). The outer hash
+    * makes each permutation's ordering independent.
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int,
                         idCol: String = "doc_id"): DataFrame =
-    // 31-bit masks keep h1 + i*h2 far from long overflow (ANSI mode raises
-    // on wrap); 31 bits per permutation is ample for banding buckets
-    sh.withColumn("__h1", xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
-      .withColumn("__h2", xxhash64(lit(1), col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
+    // mask to 62 bits so g + i can't overflow a long (ANSI mode raises on
+    // wrap); the outer xxhash64 restores full-range values for banding
+    sh.withColumn("__g",
+        xxhash64(col("shingle")).bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL)))
       .groupBy(col(idCol))
       .agg(array((1 to numHashes).map(i =>
-        min(col("__h1") + lit(i.toLong) * col("__h2"))): _*).as("minhash"))
+        min(xxhash64(col("__g") + lit(i.toLong)))): _*).as("minhash"))
 
   /** MinHash-LSH candidate pairs: signature split into `bands` bands of
     * `rowsPerBand` rows; docs agreeing on any full band meet in a bucket

@@ -93,6 +93,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** LSH-bucketed embedding near-duplicate pairs — the 100 TB default:
+    * vectors are bucketed by `tables` independent random-hyperplane
+    * signatures of `nPlanes` bits; only same-(table, bucket) pairs are
+    * scored, then verified with the exact cosine ≥ `tau` — no cartesian
+    * anywhere in the plan. Candidates found by several tables are deduped
+    * BEFORE the dot product so each surviving pair is scored once.
+    *
+    * Output is identical to [[embeddingNearDupPairs]] whenever every
+    * qualifying pair collides in ≥1 table — miss probability per pair is
+    * (1−p^nPlanes)^tables with p = 1 − θ/π; LlmOpsSpec pins recall 1.0 at
+    * the registry parameters so tuning can't silently regress.
+    */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, tau: Double,
+                               nPlanes: Int = 2, tables: Int = 16,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               dim: Int = 64): DataFrame = {
+    val banded = (0 until tables).map { t =>
+      embeddings.select(lit(t).as("tbl"), col(idCol), col(vecCol))
+        .withColumn("bucket", lshBucket(col(vecCol), nPlanes, seed = t, dim = dim))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      l2norm(col(vecCol)).as("nrm"))
+    cand
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the
     * IVF-style inverted-list layout — at scale this is the partition key of
     * the stored index); each query probes only its own bucket across

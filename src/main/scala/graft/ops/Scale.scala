@@ -24,8 +24,16 @@ object Scale {
     */
   def saltedAgg(df: DataFrame, key: Column, salts: Int,
                 aggs: Seq[(String, (Column, String => Column))]): DataFrame = {
+    // The salt must be a deterministic function of row content: a salt from
+    // spark_partition_id()/monotonically_increasing_id() changes when a map
+    // task is re-executed after a fetch failure, so reducers that already
+    // consumed the old outputs would double-count or drop partials. Hashing
+    // every input column keeps re-executed tasks bit-identical; distinct
+    // rows still spread a hot key across `salts` reducers (identical
+    // duplicate rows share a salt, which only concentrates exact-duplicate
+    // volume — acceptable, and the common hot-key shape is distinct rows).
     val phase1 = df
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),
         aggs.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }: _*)

@@ -8,9 +8,11 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline operator queries (north-star surface):
   * dedup family, embedding similarity search, text analysis, multimodal
-  * plumbing. Hash-based variants (MinHash/SimHash/LSH) have no DuckDB
-  * equivalent for xxhash64 → rows-only driver check; everything else is
-  * oracle-checked.
+  * plumbing. The approximate paths (q30 MinHash-LSH, q33 ANN) run with
+  * recall-1.0-tuned parameters and exact verification, so they share the
+  * oracles of their exact twins (q29/q32). Only q31 SimHash stays
+  * rows-only: its output IS the xxhash64-defined signature distance, which
+  * no portable SQL oracle can reproduce.
   */
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -24,10 +26,14 @@ object LlmQueries {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), w = 3, tau = 0.5)
 
-  /** MinHash-LSH candidates verified by exact Jaccard — rows-only check
-    * (xxhash64 signatures not reproducible in the oracle). */
+  /** MinHash-LSH candidates verified by exact Jaccard. 32 bands × 2 rows
+    * puts the catch probability at τ=0.5 at 1−0.75³² ≈ 0.9999, and the
+    * verify step makes every emitted pair exact — so the output equals the
+    * exact q29 ground truth and shares its oracle (LlmOpsSpec pins recall
+    * 1.0 at these parameters). */
   def minhashDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashDedupPairs(Tables.documents(s, dir), w = 3, tau = 0.5)
+    Dedup.minHashDedupPairs(Tables.documents(s, dir), w = 3, tau = 0.5,
+      bands = 32, rowsPerBand = 2)
 
   /** SimHash Hamming-≤3 pairs via pigeonhole bands — rows-only check. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -41,10 +47,13 @@ object LlmQueries {
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** LSH-bucketed approximate top-5 (the scale path) — rows-only check. */
+  /** LSH-bucketed approximate top-5 (the scale path). 2 planes × 16 tables
+    * reaches recall 1.0 on the probe set (LlmOpsSpec pins it), so the output
+    * equals brute force and shares the q32 oracle. */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nPlanes = 2, tables = 16)
       .select(col("query_id"), col("neighbor_id"),
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
@@ -96,9 +105,11 @@ object LlmQueries {
   }
 
   /** Embedding-cosine near-dup pairs (τ = 0.45 — the corpus has no planted
-    * embedding dups, so the threshold sits just inside the natural tail). */
+    * embedding dups, so the threshold sits just inside the natural tail).
+    * Runs the LSH-bucketed path — no cartesian in the plan (PlanSpec-locked);
+    * the all-pairs form stays as the test oracle (LlmOpsSpec). */
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), tau = 0.45)
+    Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), tau = 0.45)
 
   /** MapType column handling — the reference's `channelInfo:
     * Map<String,String>` shape (`ActionLogJob.java:580`, SURVEY §1.1):
@@ -132,7 +143,50 @@ object LlmQueries {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
 
+  /** q29's exact-Jaccard oracle, shared by q30: the MinHash-LSH path
+    * verifies every candidate with the same exact jaccard expression, and
+    * its banding parameters are recall-1.0-tuned (LlmOpsSpec), so the two
+    * queries emit identical relations. */
+  private val jaccardOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
+
+  /** q32's brute-force oracle, shared by q33: the LSH table/plane parameters
+    * are recall-1.0-tuned (LlmOpsSpec), so approximate top-k equals exact
+    * top-k on the probe set. */
+  private val knnOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      |dots AS (SELECT query_id, neighbor_id,
+      |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+      |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+      |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nc
+      |         FROM q, c, UNNEST(range(1, len(qe) + 1)) AS t(i)
+      |         WHERE query_id <> neighbor_id
+      |         GROUP BY query_id, neighbor_id)
+      |SELECT query_id, neighbor_id, ROUND(dp / (nq * nc), 6) AS score,
+      |       ROW_NUMBER() OVER (PARTITION BY query_id
+      |                          ORDER BY dp / (nq * nc) DESC, neighbor_id) AS rnk
+      |FROM dots QUALIFY rnk <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q30_minhash_dedup" -> jaccardOracleSql,
+    "q33_knn_lsh" -> knnOracleSql,
     "q44_props_map" ->
       """SELECT 'k' AS map_key, COUNT(*) AS n,
         |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))
@@ -152,38 +206,8 @@ object LlmQueries {
     "q28_dedup_exact" ->
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         |FROM documents""".stripMargin,
-    "q29_jaccard_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
-        |       WHERE len(w) >= 3),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        |          FROM sh a JOIN sh b
-        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON id_a = sa.doc_id
-        |JOIN sizes sb ON id_b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
-    "q32_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
-        |dots AS (SELECT query_id, neighbor_id,
-        |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
-        |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
-        |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nc
-        |         FROM q, c, UNNEST(range(1, len(qe) + 1)) AS t(i)
-        |         WHERE query_id <> neighbor_id
-        |         GROUP BY query_id, neighbor_id)
-        |SELECT query_id, neighbor_id, ROUND(dp / (nq * nc), 6) AS score,
-        |       ROW_NUMBER() OVER (PARTITION BY query_id
-        |                          ORDER BY dp / (nq * nc) DESC, neighbor_id) AS rnk
-        |FROM dots QUALIFY rnk <= 5""".stripMargin,
+    "q29_jaccard_pairs" -> jaccardOracleSql,
+    "q32_knn_brute" -> knnOracleSql,
     "q34_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,

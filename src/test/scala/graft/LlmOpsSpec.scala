@@ -58,15 +58,39 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
-  test("LSH ANN recalls most of brute-force top-k") {
+  test("LSH ANN at registry params (2 planes × 16 tables) recalls ALL of " +
+    "brute-force top-k — q33 shares q32's oracle on this guarantee") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshTopK(emb, queries, k = 5, nPlanes = 4, tables = 8)
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, nPlanes = 2, tables = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    assert(lsh == brute, s"ANN missed ${brute -- lsh}, extra ${lsh -- brute}")
+  }
+
+  test("minhash at registry params (32 bands × 2 rows) equals exact jaccard " +
+    "pairs at tau=0.5 — q30 shares q29's oracle on this guarantee") {
+    val exact = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minHashDedupPairs(docs, w = 3, tau = 0.5,
+        bands = 32, rowsPerBand = 2)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}")
+  }
+
+  test("bucketed embedding near-dup equals the exact all-pairs form — q42 " +
+    "runs the bucketed path on this guarantee") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.embeddingNearDupPairs(emb, tau = 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.embeddingNearDupPairsLsh(emb, tau = 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}")
   }
 
   test("bpe-ish subword count: alnum runs + punctuation marks") {

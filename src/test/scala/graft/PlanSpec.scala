@@ -39,6 +39,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("props"), s"window agg should not read props:\n$p")
   }
 
+  test("q42 bucketed near-dup has no cartesian anywhere in the plan") {
+    val p = planOf("q42_embedding_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must join on (table, bucket), never all-pairs:\n$p")
+  }
+
   test("q32 broadcasts the query vectors, not the corpus") {
     val p = planOf("q32_knn_brute")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
