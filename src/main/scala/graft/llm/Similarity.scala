@@ -71,6 +71,18 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** One-pass banding shared by the LSH paths: every table's bucket id is
+    * computed in a single projection and `posexplode`d into (tbl, bucket)
+    * rows — ONE scan of the vectors instead of a `tables`-way union of
+    * scans (the union form re-read the corpus per table). */
+  private def bandedBuckets(df: DataFrame, tables: Int, nPlanes: Int,
+                            idCol: String, vecCol: String, dim: Int,
+                            idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(vecCol), nPlanes, seed = t, dim = dim)): _*))
+        .as(Seq("tbl", "bucket")))
+
   /** Embedding-cosine near-duplicate pairs: all pairs (a < b) with cosine ≥
     * `tau` — the embedding-space dedup variant (exact form; the LSH-bucketed
     * candidate path of [[lshTopK]] is the 100 TB route, where only
@@ -110,12 +122,10 @@ object Similarity {
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
                                dim: Int = 64): DataFrame = {
-    val banded = (0 until tables).map { t =>
-      embeddings.select(lit(t).as("tbl"), col(idCol), col(vecCol))
-        .withColumn("bucket", lshBucket(col(vecCol), nPlanes, seed = t, dim = dim))
-    }.reduce(_ unionByName _)
-    val a = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val banded = bandedBuckets(embeddings, tables, nPlanes, idCol, vecCol,
+      dim, "id", "v")
+    val a = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -142,14 +152,10 @@ object Similarity {
               nPlanes: Int = 8, tables: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding", dim: Int = 64): DataFrame = {
-    val tableIds = (0 until tables)
-    def banded(df: DataFrame, id: String, v: String) =
-      tableIds.map { t =>
-        df.select(lit(t).as("tbl"), col(idCol).as(id), col(vecCol).as(v))
-          .withColumn("bucket", lshBucket(col(v), nPlanes, seed = t, dim = dim))
-      }.reduce(_ unionByName _)
-    val c = banded(corpus, "neighbor_id", "cv")
-    val q = banded(queries, "query_id", "qv")
+    val c = bandedBuckets(corpus, tables, nPlanes, idCol, vecCol, dim,
+      "neighbor_id", "cv")
+    val q = bandedBuckets(queries, tables, nPlanes, idCol, vecCol, dim,
+      "query_id", "qv")
     c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -34,22 +34,68 @@ object Sinks {
     */
   def upsertMetricStore(spark: SparkSession, path: String, updates: DataFrame,
                         keyCols: Seq[String]): Unit = {
-    val existing =
-      try spark.read.parquet(path)
-      catch { case _: Exception => null }
+    // existence must be checked explicitly: treating ANY read failure as
+    // "store missing" would overwrite the store with just this batch's
+    // updates on a transient IO error — silent loss of all accumulated
+    // metrics. A real failure propagates so the streaming batch retries.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (existing == null) updates
-      else existing.join(updates.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti").unionByName(updates)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) updates
+      else spark.read.parquet(path)
+        .join(updates.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti").unionByName(updates)
     // write via temp dir: the read above and the overwrite below would
     // otherwise race on the same files
     val tmp = path + "__tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Day-partitioned metric-store upsert — the incremental form for
+    * per-trigger streaming flushes: `updates` must carry the partition
+    * column `dayCol`, and the merge reads + rewrites ONLY the partitions
+    * named in the updates. Untouched `day=` directories are never read,
+    * rewritten, or even listed, so a long-lived store costs O(touched days)
+    * per trigger, not O(history) — the flush-only-what-changed behavior of
+    * the reference's per-window HBase puts.
+    */
+  def upsertMetricStorePartitioned(spark: SparkSession, path: String,
+                                   updates: DataFrame, keyCols: Seq[String],
+                                   dayCol: String = "day"): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val u = updates.persist()
+    try {
+      val days = u.select(col(dayCol)).distinct().collect()
+        .map(_.getLong(0))
+      if (days.isEmpty) return
+      val existingDirs = days
+        .map(d => new org.apache.hadoop.fs.Path(path, s"$dayCol=$d"))
+        .filter(fs.exists).map(_.toString)
+      val merged =
+        if (existingDirs.isEmpty) u
+        // read ONLY the touched day dirs (basePath keeps the partition
+        // column) — the rest of the store is not even listed
+        else spark.read.option("basePath", path).parquet(existingDirs: _*)
+          .join(u.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .unionByName(u)
+      // materialize into a temp dir first (the merge plan reads the very
+      // files being replaced), then swap only the touched partition dirs
+      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(dayCol).parquet(tmp.toString)
+      fs.mkdirs(hp)
+      days.foreach { d =>
+        val src = new org.apache.hadoop.fs.Path(tmp, s"$dayCol=$d")
+        val dst = new org.apache.hadoop.fs.Path(hp, s"$dayCol=$d")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(tmp, true)
+    } finally u.unpersist()
   }
 
   /** K4/K5/K6 abstraction: keyed writes with DEL→RPUSH→EXPIRE (list) or

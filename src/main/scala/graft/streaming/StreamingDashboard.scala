@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -40,10 +40,32 @@ object StreamingDashboard {
     * start at UTC 16:00 = midnight UTC+8. */
   val DayOffsetMs: Long = 8L * 3600 * 1000
 
+  /** Floor an epoch-ms column to the window of size `g` shifted by
+    * `offset`, in pure long arithmetic: ms − pmod(ms+offset, g). No double
+    * division anywhere (cast-of-double truncates toward zero rather than
+    * flooring and loses exactness past 2^53 — e.g. a future µs unit), and
+    * pmod's non-negative remainder keeps true floor semantics for
+    * pre-epoch timestamps.
+    */
+  def floorWindow(ms: Column, g: Long, offset: Long): Column =
+    ms - pmod(ms + lit(offset), lit(g))
+
+  /** UTC+8 day-window start for an epoch-ms column — the metric store's
+    * partition key. Every 5-min window falls in exactly one UTC+8 day, and
+    * no coarse granularity straddles a UTC+8 day boundary (15min/1h windows
+    * are aligned and the boundary is at UTC 16:00, an aligned instant), so
+    * rollups are day-local and the store merge can swap single `day=`
+    * directories.
+    */
+  def dayFloor(ms: Column): Column = floorWindow(ms, 86400000L, DayOffsetMs)
+
   /** T2: watermarked 5-minute windowed PV/UV per key. `exactUv` picks
     * exact distinct-set counting (test scale) vs HLL (cluster scale).
-    * Output columns: key, window_start_ms, pv, uv (uv mergeable only in
-    * HLL mode — exact mode re-counts from events at rollup).
+    * Output columns: key, window_start_ms, pv, uv. NOTE: exact-mode uv is
+    * NOT mergeable — it is correct for the 5-min windows only, and [[run]]'s
+    * coarse rollup deliberately carries pv alone (distinct counts cannot be
+    * summed). Coarse UV comes from the sketch pipeline ([[runSketch]]),
+    * whose HLL column unions upward losslessly.
     */
   def fiveMinAgg(events: DataFrame, keyCol: String, tsCol: String,
                  userCol: String, lateness: String = "10 minutes",
@@ -87,7 +109,7 @@ object StreamingDashboard {
       val offset = if (name == "1d") DayOffsetMs else 0L
       fiveMin.select(col("key"),
           lit(name).as("granularity"),
-          (((col("window_start_ms") + offset) / g).cast("long") * g - offset)
+          floorWindow(col("window_start_ms"), g, offset)
             .as("window_start_ms"),
           col("pv"), col("uv_sketch"))
         .groupBy("key", "granularity", "window_start_ms")
@@ -105,12 +127,24 @@ object StreamingDashboard {
       val offset = if (name == "1d") DayOffsetMs else 0L
       fiveMin.select(col("key"),
           lit(name).as("granularity"),
-          (((col("window_start_ms") + offset) / g).cast("long") * g - offset)
+          floorWindow(col("window_start_ms"), g, offset)
             .as("window_start_ms"),
           col("pv"))
         .groupBy("key", "granularity", "window_start_ms")
         .agg(sum("pv").as("pv"))
     }.reduce(_ unionByName _)
+
+  /** The distinct coarse (key, granularity, window_start_ms) triples a
+    * batch of 5-min partials contributes to — the restriction set for the
+    * incremental rollup: only these windows are recomputed per trigger,
+    * never the whole store history.
+    */
+  def touchedCoarseWindows(fiveMin: DataFrame): DataFrame =
+    Granularities.map { case (name, g) =>
+      val offset = if (name == "1d") DayOffsetMs else 0L
+      fiveMin.select(col("key"), lit(name).as("granularity"),
+        floorWindow(col("window_start_ms"), g, offset).as("window_start_ms"))
+    }.reduce(_ unionByName _).distinct()
 
   /** T1: processing-time tagging — Spark is event-time-first, so the
     * reference's `timeWindow` on processing time
@@ -120,6 +154,43 @@ object StreamingDashboard {
     */
   def withIngestTime(df: DataFrame, as: String = "ingest_ts"): DataFrame =
     df.withColumn(as, current_timestamp())
+
+  /** Per-trigger incremental flush shared by [[run]] and [[runSketch]]:
+    * (a) upsert the batch's changed 5-min partials into the day-partitioned
+    * fine store; (b) recompute ONLY the coarse windows those partials touch,
+    * reading only the touched day partitions of the fine store; (c) upsert
+    * them into the day-partitioned coarse store, which rewrites only the
+    * touched `day=` directories.
+    *
+    * This is the reference's flush-only-touched-windows trigger behavior
+    * (`ActionLogJobSecond.java:358-378`): cost per trigger is O(touched
+    * days' partials), not O(store history) — the previous full-store
+    * re-rollup would grow without bound on a long-running stream.
+    */
+  private def incrementalFlush(batch: DataFrame, storePath: String,
+                               roll: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val fineStore = s"$storePath/fine"
+    val fine = batch.withColumn("day", dayFloor(col("window_start_ms")))
+      .persist()
+    try {
+      val days = fine.select("day").distinct().collect().map(_.getLong(0))
+      if (days.isEmpty) return
+      Sinks.upsertMetricStorePartitioned(spark, fineStore, fine,
+        Seq("key", "window_start_ms"))
+      // all partials feeding a touched coarse window live in the same
+      // UTC+8 day partition (see dayFloor) — read only those directories
+      val fineTouched = spark.read.option("basePath", fineStore)
+        .parquet(days.map(d => s"$fineStore/day=$d"): _*)
+      val touched = touchedCoarseWindows(fine)
+      val coarse = roll(fineTouched.drop("day"))
+        .join(touched, Seq("key", "granularity", "window_start_ms"),
+          "left_semi")
+        .withColumn("day", dayFloor(col("window_start_ms")))
+      Sinks.upsertMetricStorePartitioned(spark, s"$storePath/coarse", coarse,
+        Seq("key", "granularity", "window_start_ms"))
+    } finally fine.unpersist()
+  }
 
   /** Sketch-mode pipeline: like [[run]] but the store carries mergeable HLL
     * sketches, so coarse UV comes from sketch unions (the 100 TB path). */
@@ -134,42 +205,28 @@ object StreamingDashboard {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fineStore = s"$storePath/fine"
-        Sinks.upsertMetricStore(spark, fineStore, batch,
-          Seq("key", "window_start_ms"))
-        val allFine = spark.read.parquet(fineStore)
-        Sinks.upsertMetricStore(spark, s"$storePath/coarse",
-          rollupSketch(allFine),
-          Seq("key", "granularity", "window_start_ms"))
-        ()
+        incrementalFlush(batch, storePath, rollupSketch)
       }
 
   /** Full pipeline: 5-min update-mode aggregation → per-trigger foreachBatch
     * that (a) upserts the changed 5-min partials into the metric store and
-    * (b) recomputes + upserts the coarse windows those partials touch —
+    * (b) recomputes + upserts only the coarse windows those partials touch —
     * the reference's 5-minute flush cadence (`ActionLogJobSecond.java:
-    * 175-187`) with `Trigger.ProcessingTime`.
+    * 175-187`) with `Trigger.ProcessingTime`. Coarse rows carry pv only
+    * (exact uv is not mergeable — see [[fiveMinAgg]]); use [[runSketch]]
+    * when coarse UV is needed.
     */
   def run(events: DataFrame, storePath: String, checkpoint: String,
           keyCol: String = "key", tsCol: String = "ts",
           userCol: String = "user_id",
           trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
-  : DataStreamWriter[org.apache.spark.sql.Row] = {
+  : DataStreamWriter[org.apache.spark.sql.Row] =
     fiveMinAgg(events, keyCol, tsCol, userCol)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fineStore = s"$storePath/fine"
-        Sinks.upsertMetricStore(spark, fineStore, batch,
-          Seq("key", "window_start_ms"))
-        val allFine = spark.read.parquet(fineStore)
-        Sinks.upsertMetricStore(spark, s"$storePath/coarse", rollup(allFine),
-          Seq("key", "granularity", "window_start_ms"))
-        ()
+        incrementalFlush(batch, storePath, rollup)
       }
-  }
 }

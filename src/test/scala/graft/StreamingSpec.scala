@@ -73,6 +73,56 @@ class StreamingSpec extends SparkSpecBase {
     assert((day + StreamingDashboard.DayOffsetMs) % 86400000L == 0)
   }
 
+  test("T5/T12 incremental: a later-day trigger rewrites only its own day " +
+    "partition and the store still matches batch truth") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id").withColumn("key", lit("s1"))
+    mem.addData((ts(0), 1L), (ts(7), 2L)) // day A (UTC+8 day of 2024-01-01)
+    val q = StreamingDashboard.run(events, s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    def dayDirs(store: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/store/$store")
+      d.listFiles().filter(_.getName.startsWith("day="))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val fineBefore = dayDirs("fine")
+    val coarseBefore = dayDirs("coarse")
+    assert(fineBefore.size == 1 && coarseBefore.size == 1)
+
+    // three days later — a different UTC+8 day partition
+    mem.addData((Timestamp.valueOf("2024-01-04 10:00:00"), 9L))
+    Thread.sleep(1100) // mtime granularity guard
+    val q2 = StreamingDashboard.run(events, s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+
+    val fineAfter = dayDirs("fine")
+    val coarseAfter = dayDirs("coarse")
+    assert(fineAfter.size == 2 && coarseAfter.size == 2,
+      s"new day partition expected: $fineAfter / $coarseAfter")
+    coarseBefore.foreach { case (name, mtime) =>
+      assert(coarseAfter(name) == mtime,
+        s"untouched coarse partition $name was rewritten")
+    }
+    fineBefore.foreach { case (name, mtime) =>
+      assert(fineAfter(name) == mtime,
+        s"untouched fine partition $name was rewritten")
+    }
+    // and the incremental store equals a from-scratch batch rollup
+    val truth = StreamingDashboard
+      .rollup(spark.read.parquet(s"$dir/store/fine").drop("day"))
+      .select("key", "granularity", "window_start_ms", "pv")
+      .as[(String, String, Long, Long)].collect().toSet
+    val got = spark.read.parquet(s"$dir/store/coarse")
+      .select("key", "granularity", "window_start_ms", "pv")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == truth, s"incremental != batch truth:\n$got\nvs\n$truth")
+  }
+
   test("T6: temperature change alert fires on jumps above threshold") {
     implicit val s = spark
     val mem = MemoryStream[SensorReading]
