@@ -41,14 +41,28 @@ object BoardStats {
 
   /** Pair weights: weight(a,b) = Σ over shared boards of
     * (boardCount(board) + itemCount(b)). All-integer arithmetic.
+    *
+    * `maxPerBoard` (0 = unbounded) caps how many items per board enter the
+    * pairing self-join — the hot-key guard: a board with M items fans out
+    * M² pairs, quadratic in the hottest board at 100×. The per-board and
+    * per-item counts are still computed over ALL rows (the weights of the
+    * surviving pairs are exact); only pair GENERATION is bounded, keeping
+    * the first `maxPerBoard` items in id order per board. Boards at or
+    * under the cap are untouched (ScaleSpec pins the equivalence).
     */
-  def pairWeights(itemBoard: DataFrame): DataFrame = {
+  def pairWeights(itemBoard: DataFrame, maxPerBoard: Int = 0): DataFrame = {
     val hb = itemBoard.select("item", "board").distinct().persist()
     hb.count() // shared by four subplans; eager so the scan runs once
     val bc = hb.groupBy("board").agg(count(lit(1)).as("board_count"))
     val ic = hb.groupBy("item").agg(count(lit(1)).as("item_count"))
-    val a = hb.select(col("item").as("a"), col("board"))
-    val b = hb.select(col("item").as("b"), col("board"))
+    val pairSrc =
+      if (maxPerBoard <= 0) hb
+      else hb.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("board").orderBy("item")))
+        .filter(col("__rn") <= maxPerBoard).drop("__rn")
+    val a = pairSrc.select(col("item").as("a"), col("board"))
+    val b = pairSrc.select(col("item").as("b"), col("board"))
     a.join(b, Seq("board")).filter(col("a") =!= col("b"))
       .join(broadcast(bc), Seq("board"))
       .join(broadcast(ic.select(col("item").as("b"), col("item_count"))), Seq("b"))

@@ -47,9 +47,22 @@ object ItemCf {
     *
     * Output: one row per user per ordered position pair (i < j):
     * (user_id, a = item at i, b = item at j, i, j, score).
+    *
+    * `maxPerUser` (0 = unbounded) keeps only the N most-recent events per
+    * user before pairing — the 100× hot-key guard: a user with L events
+    * fans out L²/2 pairs, so one bot account with 10⁶ clicks would emit
+    * 5·10¹¹ rows. The reference gets the same bound implicitly from its
+    * 24 h scan window. Groups at or under the cap are untouched
+    * (ScaleSpec pins the equivalence).
     */
-  def positionalPairs(inter: DataFrame, n: Int): DataFrame = {
-    val pos = inter.withColumn("pos", row_number().over(
+  def positionalPairs(inter: DataFrame, n: Int, maxPerUser: Int = 0): DataFrame = {
+    val bounded =
+      if (maxPerUser <= 0) inter
+      else inter.withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("item").desc)))
+        .filter(col("__rn") <= maxPerUser).drop("__rn")
+    val pos = bounded.withColumn("pos", row_number().over(
       Window.partitionBy("user_id").orderBy(col("ts"), col("item"))))
     val l = pos.select(col("user_id"), col("item").as("a"), col("pos").as("i"))
     val r = pos.select(col("user_id"), col("item").as("b"), col("pos").as("j"))
@@ -75,8 +88,9 @@ object ItemCf {
     * preceding rows of the (user, a, b) key ordered by (i, j) — one window
     * expression instead of the reference's in-heap HashMap.
     */
-  def cooccurrenceDecay(inter: DataFrame, n: Int): DataFrame = {
-    val pairs = positionalPairs(inter, n)
+  def cooccurrenceDecay(inter: DataFrame, n: Int,
+                        maxPerUser: Int = 0): DataFrame = {
+    val pairs = positionalPairs(inter, n, maxPerUser)
     val w = Window.partitionBy("user_id", "a", "b").orderBy("i", "j")
       .rowsBetween(Window.unboundedPreceding, -1)
     val emitted = pairs

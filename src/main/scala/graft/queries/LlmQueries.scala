@@ -140,7 +140,11 @@ object LlmQueries {
     "q37_fingerprint" -> fingerprint,
     "q38_multimodal_meta" -> multimodalMeta)
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
+  // corpus is single-space text so both agree today, but a fixture with
+  // tabs/newlines would silently diverge with the narrower split
+  private val toksSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
   private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
 
   /** q29's exact-Jaccard oracle, shared by q30: the MinHash-LSH path
@@ -253,7 +257,8 @@ object LlmQueries {
 /** Oracle for the stopword-vote language-ID argmax (first-wins ties). */
 object LangIdOracle {
   val sql: String = {
-    val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    // keep aligned with TextAnalysis.tokens, see toksSql above
+    val toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
     val lists = graft.llm.TextAnalysis.DefaultStoplists
     val scoreCols = lists.map { case (lang, ws) =>
       val arr = ws.map(w => s"'${w}'").mkString("[", ",", "]")

@@ -125,6 +125,18 @@ object Sinks {
     val hashes = new ConcurrentHashMap[String, String]()
   }
 
+  /** K4 wiring: a real Redis-protocol sink when `GRAFT_REDIS=host:port` is
+    * set (see [[RespKv]]), the in-memory test sink otherwise — so jobs are
+    * written once against [[KeyValueSink]] and the environment picks the
+    * backend. */
+  def kvFromEnv(env: Map[String, String] = sys.env): KeyValueSink =
+    env.get("GRAFT_REDIS") match {
+      case Some(hp) =>
+        val Array(h, p) = hp.split(":", 2)
+        new RespKv(h, p.toInt)
+      case None => new InMemoryKv
+    }
+
   /** K4: Redis list publishing with the reference's contract
     * (`Hdfs2RedisVersion5.java:67-102`): value lists sorted desc by score,
     * min length 20, cap 400, TTL 7 days, single writer (`coalesce(1)` — the

@@ -138,6 +138,19 @@ class IngestSinksSpec extends SparkSpecBase {
     assert(got == Set("line one", "line two"))
   }
 
+  test("S3: hadoop-snappy framed text decodes through the same autodetect " +
+    "path (the reference's raw-snappy edge, framed variant)") {
+    val root = Files.createTempDirectory("graft_sn")
+    val codec = new org.apache.hadoop.io.compress.SnappyCodec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val out = codec.createOutputStream(
+      java.nio.file.Files.newOutputStream(root.resolve("part.txt.snappy")))
+    out.write("alpha beta\ngamma\n".getBytes("UTF-8"))
+    out.close()
+    val got = Ingest.textLines(spark, root.toString).as[String].collect().toSet
+    assert(got == Set("alpha beta", "gamma"))
+  }
+
   test("W2: topKPerGroup keeps k rows per key in order") {
     import graft.ops.Ranking
     val df = Seq(("a", 3.0), ("a", 1.0), ("a", 2.0), ("b", 9.0))

@@ -39,6 +39,40 @@ class ScaleSpec extends SparkSpecBase {
     assert(viaAgg("b") == Seq("q"))
   }
 
+  test("pair-cap guards: identical under the cap, bounded on a hot key") {
+    import java.sql.Timestamp
+    import graft.jobs.{BoardStats, ItemCf}
+    // small groups (3 events/user) — a cap of 10 must change nothing
+    val small = (1 to 5).flatMap(u => (1 to 3).map(i =>
+      (u.toLong, i.toLong * u, new Timestamp(i * 60000L))))
+      .toDF("user_id", "item", "ts")
+    def decay(cap: Int) = ItemCf.cooccurrenceDecay(small, n = 2,
+        maxPerUser = cap)
+      .select(col("a"), col("b"), round(col("together_count"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(decay(10) == decay(0))
+    // a planted hot user with 60 events: cap 10 bounds the pair fan-out
+    val hot = (1 to 60).map(i => (99L, i.toLong, new Timestamp(i * 60000L)))
+      .toDF("user_id", "item", "ts")
+    val uncapped = ItemCf.positionalPairs(hot, n = 2).count()
+    val capped = ItemCf.positionalPairs(hot, n = 2, maxPerUser = 10).count()
+    assert(uncapped == 60L * 59 / 2 && capped == 10L * 9 / 2,
+      s"uncapped=$uncapped capped=$capped")
+    // and the cap keeps the MOST RECENT events (positions re-rank 1..N)
+    val kept = ItemCf.positionalPairs(hot, n = 2, maxPerUser = 10)
+      .select("a").distinct().as[Long].collect().toSet
+    assert(kept == (51L to 59L).toSet, s"kept=$kept") // 60 is only ever 'b'
+
+    val boards = (1 to 4).flatMap(b => (1 to 3).map(i =>
+      (s"i$i$b", s"b$b"))).toDF("item", "board")
+    def bw(cap: Int) = BoardStats.pairWeights(boards, maxPerBoard = cap)
+      .as[(String, String, Long)].collect().toSet
+    assert(bw(10) == bw(0))
+    val hotBoard = (1 to 50).map(i => (f"i$i%03d", "hb")).toDF("item", "board")
+    assert(BoardStats.pairWeights(hotBoard).count() == 50L * 49)
+    assert(BoardStats.pairWeights(hotBoard, maxPerBoard = 10).count() == 10L * 9)
+  }
+
   test("bucketed tables join without an exchange") {
     for (t <- Seq("g_bucket_l", "g_bucket_r")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
