@@ -82,6 +82,8 @@ object OfflineMetrics {
     */
   def metricsWide(events: DataFrame): DataFrame = {
     val log = actionLog(events).cache()
+    log.count() // eager: five subplans race to populate a lazy cache,
+                // re-running the events scan + JSON parse once per branch
     val totals = sceneTotals(log)
     val userAb = ctrAbnormal(log, "user_id")
       .select(col("scene"), col("abnormal_count").as("ab_users"),
