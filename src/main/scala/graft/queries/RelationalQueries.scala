@@ -177,7 +177,26 @@ object RelationalQueries {
   def offlineMetricsLong(s: SparkSession, dir: String): DataFrame =
     OfflineMetrics.metricsLong(Tables.events(s, dir))
 
+  /** As-of join (beyond-reference extension): for every click event, the
+    * most recent view `value` at or before its timestamp per user —
+    * [[graft.ops.AsOf.joinAsOf]]'s single-shuffle tagged-union form,
+    * oracle-checked against DuckDB's native ASOF LEFT JOIN. The view side
+    * is pre-aggregated to one row per (user, ts) so the as-of winner is
+    * well-defined in both engines.
+    */
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("last_view_value"))
+    graft.ops.AsOf.joinAsOf(clicks, views, Seq("user_id"), "ts", "ts",
+        Seq("last_view_value"))
+      .select("event_id", "user_id", "last_view_value")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_asof_join" -> asofClickView,
     "q41_offline_metrics_long" -> offlineMetricsLong,
     "q39_count_distinct_2phase" -> countDistinctTwoPhase,
     "q01_agg_sum" -> aggSum,
@@ -205,6 +224,14 @@ object RelationalQueries {
     "user_fluctuate_ratio")
 
   val oracles: Map[String, String] = Map(
+    "q46_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS last_view_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value
+        |                FROM events WHERE event_type = 'view'
+        |                GROUP BY 1, 2) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q41_offline_metrics_long" ->
       longMetricNames.map(n =>
         s"SELECT scene, '$n' AS metric, $n AS value FROM (\n${OfflineMetricsOracle.sql}\n) w_$n")

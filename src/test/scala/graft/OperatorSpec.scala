@@ -124,6 +124,40 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("as-of join: at-or-before match, equal-ts inclusion, null on no match") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 300L),
+      (4L, 99L, 500L)).toDF("id", "k", "ts")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (10L, 300L, "c"),
+      (77L, 1L, "z")).toDF("k", "ts", "tag")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("tag"))
+      .select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("a"),  // equal ts matches (>= contract)
+      2L -> Some("b"),  // most recent at-or-before 250
+      3L -> Some("c"),
+      4L -> None))      // key with no right rows -> null payload
+
+    // and against a naive per-row computation on real data
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("v"))
+    val gotReal = AsOf.joinAsOf(clicks, views, Seq("user_id"), "ts", "ts",
+        Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    val vRows = views.select(col("user_id"), col("ts").cast("long"), col("v"))
+      .as[(Long, Long, Double)].collect()
+    val naive = clicks.select(col("event_id"), col("user_id"),
+        col("ts").cast("long"))
+      .as[(Long, Long, Long)].collect().map { case (id, u, t) =>
+        val cands = vRows.filter(r => r._1 == u && r._2 <= t)
+        id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+    assert(gotReal == naive)
+  }
+
   test("J9/J10/P5/A3: relational blocks behave") {
     import graft.ops.Relational
     // A3 two-phase count-distinct == countDistinct
