@@ -195,7 +195,41 @@ object RelationalQueries {
       .select("event_id", "user_id", "last_view_value")
   }
 
+  /** Interval join (beyond-reference extension, Flink's `intervalJoin`
+    * shape): every (click, view) pair of the same user with the view in
+    * the 5 minutes at-or-before the click — bucketed time join, see
+    * [[graft.ops.RangeJoin.intervalJoin]].
+    */
+  def intervalClickView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"))
+    graft.ops.RangeJoin.intervalJoin(clicks, views, Seq("user_id"),
+        "cts", "vts", lowerMs = -300000L, upperMs = 0L)
+      .select("click_id", "view_id", "user_id")
+  }
+
+  /** Exact interpolated percentiles per event_type (beyond-reference
+    * extension): p50/p95/p99 of `value`. Exact `percentile` is the oracle
+    * target; `approx_percentile` is the mergeable 100 TB path (equivalence
+    * within tolerance pinned in OperatorSpec). Interpolation arithmetic
+    * differs in evaluation order between engines → rounded to 6.
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+
   val queries: Map[String, Q] = Map(
+    "q48_percentiles" -> valuePercentiles,
+    "q47_interval_join" -> intervalClickView,
     "q46_asof_join" -> asofClickView,
     "q41_offline_metrics_long" -> offlineMetricsLong,
     "q39_count_distinct_2phase" -> countDistinctTwoPhase,
@@ -224,6 +258,18 @@ object RelationalQueries {
     "user_fluctuate_ratio")
 
   val oracles: Map[String, String] = Map(
+    "q48_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q47_interval_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'view'
+        | AND r.ts BETWEEN l.ts - INTERVAL 5 MINUTE AND l.ts""".stripMargin,
     "q46_asof_join" ->
       """SELECT l.event_id, l.user_id, r.value AS last_view_value
         |FROM (SELECT event_id, user_id, ts FROM events

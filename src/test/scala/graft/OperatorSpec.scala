@@ -158,6 +158,35 @@ class OperatorSpec extends SparkSpecBase {
     assert(gotReal == naive)
   }
 
+  test("interval join equals the naive equi-join + range filter") {
+    import graft.ops.RangeJoin
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts").as("cts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id"), col("ts").as("vts"))
+    val bucketed = RangeJoin.intervalJoin(clicks, views, Seq("user_id"),
+        "cts", "vts", lowerMs = -300000L, upperMs = 0L)
+      .select("cid", "vid").as[(Long, Long)].collect().toSet
+    val naive = clicks.join(views, "user_id")
+      .filter(unix_millis(col("vts")) >= unix_millis(col("cts")) - 300000L &&
+        unix_millis(col("vts")) <= unix_millis(col("cts")))
+      .select("cid", "vid").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
+  test("approx_percentile tracks exact percentile (the mergeable scale path)") {
+    val ev = Tables.events(spark, sfDir)
+    val rows = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("exact"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx"))
+      .select("exact", "approx").as[(Double, Double)].collect()
+    rows.foreach { case (e, a) =>
+      assert(math.abs(e - a) <= math.max(1.0, e * 0.05),
+        s"approx $a too far from exact $e")
+    }
+  }
+
   test("J9/J10/P5/A3: relational blocks behave") {
     import graft.ops.Relational
     // A3 two-phase count-distinct == countDistinct
