@@ -46,6 +46,20 @@ class PlanSpec extends SparkSpecBase {
       s"near-dup must join on (table, bucket), never all-pairs:\n$p")
   }
 
+  test("q46 as-of join lowers to a join-free single-shuffle window plan") {
+    val p = planOf("q46_asof_join")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"as-of must be union+window, not a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q47 interval join stays an equi hash/merge join on (key, bucket)") {
+    val p = planOf("q47_interval_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate must be residual on an equi join:\n$p")
+  }
+
   test("q32 broadcasts the query vectors, not the corpus") {
     val p = planOf("q32_knn_brute")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
