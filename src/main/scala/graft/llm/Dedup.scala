@@ -55,22 +55,24 @@ object Dedup {
       .drop("__canon_text")
   }
 
-  /** w-token shingles of the whitespace token stream, distinct per doc.
-    * Built with `posexplode` + `lead` windows — fully codegen'd, versus the
-    * interpreted transform/slice/concat stack (which cost ~1.3 ms/doc).
-    * Returns only complete shingles (docs shorter than w emit nothing).
+  /** w-token shingles of the whitespace token stream, distinct per doc by
+    * default (`distinct = false` keeps every occurrence — repetition
+    * analysis needs the multiplicities). Built with `posexplode` + `lead`
+    * windows — fully codegen'd, versus the interpreted
+    * transform/slice/concat stack (which cost ~1.3 ms/doc). Returns only
+    * complete shingles (docs shorter than w emit nothing).
     */
   def shingles(docs: DataFrame, w: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text", distinct: Boolean = true): DataFrame = {
     val toked = docs.select(col(idCol),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     val wspec = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts = (0 until w).map(j =>
       if (j == 0) col("tok") else lead(col("tok"), j).over(wspec))
-    toked.select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
+    val all = toked.select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
         parts.last.isNotNull.as("__complete"))
       .filter(col("__complete")).drop("__complete")
-      .distinct()
+    if (distinct) all.distinct() else all
   }
 
   /** Exact n-gram Jaccard near-dup pairs: docs sharing ≥1 shingle are

@@ -25,6 +25,23 @@ object TextAnalysis {
     size(filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= "")) +
       length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
 
+  /** PII/link scrub patterns — written to parse identically under Java
+    * regex (Spark codegen) and RE2 (DuckDB oracle): no backrefs, no
+    * lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Count of regex matches in `text` (0 when none). */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Training-data scrub: URLs then emails replaced with placeholder
+    * tokens — the standard pre-training PII/link masking pass, pure column
+    * expressions (URLs first: an email-shaped substring inside a URL must
+    * be masked as part of the URL, not split). */
+  def scrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+
   /** Quality features per document: chars, tokens, mean token length,
     * punctuation ratio, stopword ratio.
     */
@@ -54,6 +71,19 @@ object TextAnalysis {
         (when(col("n_tokens").between(10, 1000), 0.4).otherwise(0.0)
           + when(col("stopword_ratio") > 0.01, 0.3).otherwise(0.0)
           + when(col("punct_ratio") < 0.2, 0.3).otherwise(0.0)))
+
+  /** Gopher-style repetition signal: the frequency share of each document's
+    * most-repeated w-gram (→ 1.0 when one shingle dominates — boilerplate /
+    * generated spam). Two hash aggregates with map-side combine; docs
+    * shorter than w emit nothing. max/sum are exact integers, so the single
+    * division is bit-deterministic.
+    */
+  def repetitionRatio(docs: DataFrame, w: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    Dedup.shingles(docs, w, idCol, textCol, distinct = false)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg((max("n").cast("double") / sum("n")).as("rep_ratio"))
 
   /** Language ID by stopword voting: score(lang) = #tokens in that language's
     * stopword list; argmax wins, ties resolved by list order, no hits →

@@ -125,7 +125,29 @@ object LlmQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("map_value").cast("long")).as("value_sum"))
 
+  /** PII/link scrub stats: masked text length + per-kind match counts
+    * (the corpus plants no emails/URLs, so counts are zero and clean_len
+    * equals length — the planted-content behavior is unit-tested in
+    * LlmOpsSpec; this query gate-checks the masking pipeline shape). */
+  def scrubStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(col("doc_id"),
+      length(TextAnalysis.scrub(t)).cast("long").as("clean_len"),
+      countMatchesLong(t, TextAnalysis.EmailRe).as("n_emails"),
+      countMatchesLong(t, TextAnalysis.UrlRe).as("n_urls"))
+  }
+
+  private def countMatchesLong(t: org.apache.spark.sql.Column, re: String) =
+    TextAnalysis.countMatches(t, re).cast("long")
+
+  /** Most-repeated-3-gram frequency share per document (Gopher-style
+    * repetition filter signal). */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionRatio(Tables.documents(s, dir), w = 3)
+
   val queries: Map[String, Q] = Map(
+    "q49_scrub" -> scrubStats,
+    "q50_repetition" -> repetition,
     "q44_props_map" -> propsMap,
     "q42_embedding_dedup" -> embeddingDedup,
     "q28_dedup_exact" -> dedupExact,
@@ -189,6 +211,26 @@ object LlmQueries {
       |FROM dots QUALIFY rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q49_scrub" ->
+      s"""SELECT doc_id,
+        |  CAST(length(regexp_replace(
+        |    regexp_replace(text, '${TextAnalysis.UrlRe}', '<URL>', 'g'),
+        |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g')) AS BIGINT) AS clean_len,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRe}'))
+        |    AS BIGINT) AS n_urls
+        |FROM documents""".stripMargin,
+    "q50_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 3),
+        |c AS (SELECT doc_id, shingle, COUNT(*) AS n FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+        |  AS rep_ratio
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q30_minhash_dedup" -> jaccardOracleSql,
     "q33_knn_lsh" -> knnOracleSql,
     "q44_props_map" ->

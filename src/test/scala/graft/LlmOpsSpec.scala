@@ -93,6 +93,37 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("scrub masks URLs before emails and counts each kind") {
+    import graft.llm.TextAnalysis
+    val d = Seq(
+      "mail me at bob.smith+x@example.co.uk today",
+      "see https://ex.com/a?u=a@b.com and http://y.io",
+      "nothing here").toDF("text")
+    val got = d.select(
+        TextAnalysis.scrub(col("text")).as("c"),
+        TextAnalysis.countMatches(col("text"), TextAnalysis.EmailRe).as("e"),
+        TextAnalysis.countMatches(col("text"), TextAnalysis.UrlRe).as("u"))
+      .as[(String, Int, Int)].collect()
+    assert(got(0) == (("mail me at <EMAIL> today", 1, 0)))
+    // the email-shaped query param is swallowed by the URL mask
+    assert(got(1) == (("see <URL> and <URL>", 1, 2)))
+    assert(got(2) == (("nothing here", 0, 0)))
+  }
+
+  test("repetition ratio: dominated doc scores high, varied doc low") {
+    import graft.llm.TextAnalysis
+    val d = Seq(
+      (1L, "buy now " + ("click here click here click here"), 0),
+      (2L, "one two three four five six seven eight nine ten", 0),
+      (3L, "ab", 0)).toDF("doc_id", "text", "pad")
+    val got = TextAnalysis.repetitionRatio(d)
+      .as[(Long, Double)].collect().toMap
+    assert(!got.contains(3L)) // shorter than w emits nothing
+    assert(got(1L) > got(2L) && got(2L) > 0.0)
+    // varied doc: every 3-gram unique -> max/sum = 1/8
+    assert(math.abs(got(2L) - 1.0 / 8) < 1e-12)
+  }
+
   test("bpe-ish subword count: alnum runs + punctuation marks") {
     import graft.llm.TextAnalysis
     val d = Seq("hello, world! (two-words)").toDF("text")
