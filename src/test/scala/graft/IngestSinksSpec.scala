@@ -128,6 +128,59 @@ class IngestSinksSpec extends SparkSpecBase {
     assert(kv.hashes.get("sensor/sensor_2") == "61.0")
   }
 
+  test("S6: socket source streams lines from a live TCP server") {
+    val server = new java.net.ServerSocket(0)
+    val feeder = new Thread(() => {
+      val s = server.accept()
+      val w = new java.io.PrintWriter(s.getOutputStream, true)
+      w.println("hello"); w.println("socket world")
+      // keep the connection open; closing would end the stream early
+      Thread.sleep(30000)
+    })
+    feeder.setDaemon(true); feeder.start()
+    val q = Ingest.socketStream(spark, "127.0.0.1", server.getLocalPort)
+      .writeStream.format("memory").queryName("sock_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      def rows() = spark.table("sock_out").as[String].collect().toSet
+      while (rows().size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows() == Set("hello", "socket world"))
+    } finally { q.stop(); server.close() }
+  }
+
+  test("S8/K6: real JDBC roundtrip + upsert through embedded Derby") {
+    val db = Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    // S8 sink+source: write a table through Spark JDBC, read it back.
+    // Uppercase names: Spark quotes identifiers on write and Derby resolves
+    // unquoted query references to uppercase, so they must agree.
+    Seq((1L, "a"), (2L, "b")).toDF("ID", "NAME")
+      .write.format("jdbc").option("url", url).option("dbtable", "t1").save()
+    val back = Ingest.jdbc(spark, url, "SELECT ID, NAME FROM t1")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b")))
+    // K6 upsert: try-update-else-insert through the generic callback
+    // against a real connection (the reference's MyJdbcSink shape)
+    val updates = Seq(("1", "A"), ("3", "c")).toDF("ID", "NAME")
+    Sinks.upsertForeach(updates) { () =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      (key: String, rest: Seq[Any]) => {
+        val upd = conn.prepareStatement("UPDATE t1 SET NAME = ? WHERE ID = ?")
+        upd.setString(1, rest.head.toString); upd.setLong(2, key.toLong)
+        if (upd.executeUpdate() == 0) {
+          val ins = conn.prepareStatement("INSERT INTO t1 VALUES (?, ?)")
+          ins.setLong(1, key.toLong); ins.setString(2, rest.head.toString)
+          ins.executeUpdate()
+        }
+      }
+    }
+    val after = Ingest.jdbc(spark, url, "SELECT ID, NAME FROM t1")
+      .as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "A"), (2L, "b"), (3L, "c")))
+  }
+
   test("S3: compressed text is auto-decoded by the codec infrastructure") {
     val root = Files.createTempDirectory("graft_gz")
     val gz = new java.util.zip.GZIPOutputStream(
