@@ -75,6 +75,20 @@ class ExternalSinksSpec extends SparkSpecBase {
     } finally mock.close()
   }
 
+  test("K4 end-to-end: publishLists drives RespKv from executor closures") {
+    val mock = new MockResp
+    try {
+      val df = Seq(("rank:s9", Seq("a", "b"))).toDF("key", "values")
+      Sinks.publishLists(df, new RespKv("127.0.0.1", mock.port),
+        ttlSeconds = 60L)
+      val got = mock.commands.toArray.toSeq
+      assert(got == Seq(
+        Seq("DEL", "rank:s9"),
+        Seq("RPUSH", "rank:s9", "a", "b"),
+        Seq("EXPIRE", "rank:s9", "60")), s"got $got")
+    } finally mock.close()
+  }
+
   test("K4 RESP client surfaces server errors as task failures") {
     val server = new ServerSocket(0)
     val t = new Thread(() => {
