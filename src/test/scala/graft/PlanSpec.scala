@@ -60,6 +60,14 @@ class PlanSpec extends SparkSpecBase {
       s"range predicate must be residual on an equi join:\n$p")
   }
 
+  test("q49/q50 text queries prune the documents scan to doc_id + text") {
+    for (q <- Seq("q49_scrub", "q50_repetition")) {
+      val p = planOf(q)
+      assert(!p.contains("lang") && !p.contains("source"),
+        s"$q must not read unreferenced document columns:\n$p")
+    }
+  }
+
   test("q32 broadcasts the query vectors, not the corpus") {
     val p = planOf("q32_knn_brute")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
