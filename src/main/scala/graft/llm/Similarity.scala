@@ -105,17 +105,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** LSH-bucketed embedding near-duplicate pairs — the 100 TB default:
-    * vectors are bucketed by `tables` independent random-hyperplane
-    * signatures of `nPlanes` bits; only same-(table, bucket) pairs are
-    * scored, then verified with the exact cosine ≥ `tau` — no cartesian
-    * anywhere in the plan. Candidates found by several tables are deduped
-    * BEFORE the dot product so each surviving pair is scored once.
+  /** Exact-cosine verification of a candidate pair set: join the vectors
+    * back (norms precomputed once per side), score each candidate with one
+    * codegen'd dot product, keep cosine ≥ `tau`. Shared tail of every
+    * bucketed near-dup path — the output is exact on whatever candidates
+    * arrive, so recall of the candidate generator is the only approximation
+    * anywhere.
+    */
+  private def verifyPairs(embeddings: DataFrame, cand: DataFrame, tau: Double,
+                          idCol: String, vecCol: String): DataFrame = {
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      l2norm(col(vecCol)).as("nrm"))
+    cand
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-bucketed embedding near-duplicate pairs — applicable at HIGH
+    * thresholds (τ ≳ 0.8, i.e. angle ≲ 37°), where a few sign bits separate
+    * near-dups from the bulk: vectors are bucketed by `tables` independent
+    * random-hyperplane signatures of `nPlanes` bits; only same-(table,
+    * bucket) pairs are scored, then verified with the exact cosine ≥ `tau` —
+    * no cartesian anywhere in the plan.
+    *
+    * At low τ (inside the random-cosine bulk, e.g. 0.45 on 64-dim data) a
+    * random pair crosses few hyperplanes, so the buckets stop pruning —
+    * candidate count approaches all-pairs and the structure buys nothing.
+    * That regime belongs to [[embeddingNearDupPairsIvf]], whose buckets are
+    * data-dependent (k-means cells) instead of random planes.
     *
     * Output is identical to [[embeddingNearDupPairs]] whenever every
     * qualifying pair collides in ≥1 table — miss probability per pair is
-    * (1−p^nPlanes)^tables with p = 1 − θ/π; LlmOpsSpec pins recall 1.0 at
-    * the registry parameters so tuning can't silently regress.
+    * (1−p^nPlanes)^tables with p = 1 − θ/π.
     */
   def embeddingNearDupPairsLsh(embeddings: DataFrame, tau: Double,
                                nPlanes: Int = 2, tables: Int = 16,
@@ -129,17 +156,156 @@ object Similarity {
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val withNorm = embeddings.select(col(idCol), col(vecCol),
-      l2norm(col(vecCol)).as("nrm"))
-    cand
-      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    verifyPairs(embeddings, cand, tau, idCol, vecCol)
+  }
+
+  /** splitmix64 — the standard 64-bit finalizer mix; deterministic stand-in
+    * for an RNG (same family as [[planeComponent]]). */
+  private def splitmix64(x: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic spherical k-means coarse quantizers for IVF bucketing:
+    * `tables` independent centroid sets, each Lloyd-iterated driver-side on
+    * the same hash-ordered sample presented in a per-table deterministic
+    * order (init = first `k` sample vectors in that order, so each table
+    * converges to a different local optimum — table diversity is the recall
+    * knob exactly as in multi-table LSH).
+    *
+    * The training collect is bounded (`sampleN` rows — standard IVF
+    * practice: the quantizer trains on a sample, never the corpus) and
+    * seed-stable: sample membership and every float operation happen in a
+    * deterministic order, so re-runs and task retries see identical
+    * centroids.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, k: Int, tables: Int,
+                        iters: Int = 8, sampleN: Int = 1024,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding")
+  : Array[Array[Array[Float]]] = {
+    val rows = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .sort(abs(xxhash64(col("id"))), col("id")) // deterministic pseudo-random sample
+      .limit(sampleN)
+      .collect()
+    require(rows.length >= k, s"IVF needs ≥ k=$k sample vectors, got ${rows.length}")
+    val ids = rows.map(_.getLong(0))
+    val unit: Array[Array[Double]] = rows.map { r =>
+      val a = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    val dim = unit.head.length
+    Array.tabulate(tables) { t =>
+      // per-table order: splitmix of (id + table·prime), ties by id
+      val order = ids.indices.sortBy(i =>
+        (splitmix64(ids(i) + t.toLong * 1000000007L), ids(i)))
+      val s = order.map(unit).toArray
+      var cents = Array.tabulate(k)(i => s(i).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val cnt = new Array[Int](k)
+        for (v <- s) {
+          var best = 0; var bestD = Double.NegativeInfinity
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+            if (d > bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          cnt(best) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (cnt(c) == 0) cents(c) // empty cell keeps its old centroid
+          else {
+            val n = math.sqrt(sums(c).map(x => x * x).sum)
+            if (n == 0) cents(c) else sums(c).map(_ / n)
+          }
+        }
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
+  /** IVF assignments: one row per (vector, table, probed centroid). Each
+    * table contributes the `probes` nearest centroids by dot product (the
+    * vector's own norm is constant per row, so dot order = cosine order).
+    * ONE scan of the corpus computes every table's assignment — tables·k
+    * codegen'd [[graft.functions.FloatVecDot]] projections, no interpreted
+    * per-element closures in the scoring.
+    */
+  def ivfAssignments(embeddings: DataFrame,
+                     centroids: Array[Array[Array[Float]]], probes: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val perTable = centroids.zipWithIndex.map { case (cents, t) =>
+      val sims = array(cents.zipWithIndex.map { case (cent, c) =>
+        struct(VectorFunctions.vec_dot(col(vecCol), lit(cent)).as("d"),
+          lit(c).as("c"))
+      }: _*)
+      // natural struct ordering sorts by (d asc, c asc); reversed slice =
+      // top `probes` by similarity, deterministic tie-break
+      transform(slice(reverse(array_sort(sims)), 1, probes),
+        s => struct(lit(t).as("tbl"), s("c").as("centroid")))
+    }
+    embeddings
+      .select(col(idCol).as("id"),
+        explode(flatten(array(perTable: _*))).as("pr"))
+      .select(col("id"), col("pr.tbl").as("tbl"),
+        col("pr.centroid").as("centroid"))
+  }
+
+  /** Candidate pairs under the IVF partitions: ids sharing a (table,
+    * centroid) cell, deduped across tables BEFORE any scoring. Exposed
+    * separately so the candidate volume is testable (ScaleSpec asserts the
+    * gate corpus stays < 0.3 · C(n,2) — the property the hyperplane path
+    * lost at low τ).
+    */
+  def ivfCandidatePairs(embeddings: DataFrame,
+                        centroids: Array[Array[Array[Float]]], probes: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val asg = ivfAssignments(embeddings, centroids, probes, idCol, vecCol)
+    val a = asg.select(col("tbl"), col("centroid"), col("id").as("id_a"))
+    val b = asg.select(col("tbl"), col("centroid"), col("id").as("id_b"))
+    a.join(b, Seq("tbl", "centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** IVF-bucketed embedding near-duplicate pairs — the low-τ scale path
+    * (data-dependent k-means cells prune where random hyperplanes cannot):
+    * train `tables` deterministic coarse quantizers on a bounded sample,
+    * assign every vector to its nearest centroid per table (`probes` > 1
+    * widens each table's probe set), score ONLY same-cell pairs, then
+    * exact-verify cosine ≥ `tau`. No cartesian anywhere; candidate volume ≈
+    * Σ_cells (cell/n)² per table instead of all pairs.
+    *
+    * Output equals [[embeddingNearDupPairs]] whenever every qualifying pair
+    * shares a cell in ≥1 table. Like q30/q33, the registry parameters are
+    * recall-1.0-tuned on the gate corpora and pinned by LlmOpsSpec +
+    * ScaleSpec (candidate-fraction bound); re-tune via the TuneIvf harness
+    * whenever fixtures or scales change. At 100 TB: scale `k` with corpus
+    * size (bucket size n/k bounds the per-cell quadratic term), keep the
+    * quantizer sample bounded, and the assignment scan stays one pass.
+    */
+  def embeddingNearDupPairsIvf(embeddings: DataFrame, tau: Double,
+                               k: Int = 64, tables: Int = 12,
+                               probes: Int = 1, iters: Int = 8,
+                               sampleN: Int = 1024,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val cents = trainIvfCentroids(embeddings, k, tables, iters, sampleN,
+      idCol, vecCol)
+    verifyPairs(embeddings,
+      ivfCandidatePairs(embeddings, cents, probes, idCol, vecCol),
+      tau, idCol, vecCol)
   }
 
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the

@@ -106,10 +106,15 @@ object LlmQueries {
 
   /** Embedding-cosine near-dup pairs (τ = 0.45 — the corpus has no planted
     * embedding dups, so the threshold sits just inside the natural tail).
-    * Runs the LSH-bucketed path — no cartesian in the plan (PlanSpec-locked);
-    * the all-pairs form stays as the test oracle (LlmOpsSpec). */
+    * Runs the IVF path (data-dependent k-means cells — at this low τ random
+    * hyperplanes stop pruning, so the LSH variant is reserved for τ ≳ 0.8):
+    * no cartesian in the plan (PlanSpec-locked), candidate volume bounded
+    * (ScaleSpec pins < 0.3·C(n,2) at sf0.01), recall 1.0 on the gate corpora
+    * (LlmOpsSpec pins equality with the exact all-pairs form — a property of
+    * these fixtures at the TuneIvf-chosen parameters, not of IVF itself;
+    * re-run TuneIvf if fixtures or gate scales change). */
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), tau = 0.45)
+    Similarity.embeddingNearDupPairsIvf(Tables.embeddings(s, dir), tau = 0.45)
 
   /** MapType column handling — the reference's `channelInfo:
     * Map<String,String>` shape (`ActionLogJob.java:580`, SURVEY §1.1):

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.llm.Similarity
 import graft.ops.Scale
 
 /** Scale-technique tests: salted aggregation equivalence, bounded top-K
@@ -71,6 +72,17 @@ class ScaleSpec extends SparkSpecBase {
     val hotBoard = (1 to 50).map(i => (f"i$i%03d", "hb")).toDF("item", "board")
     assert(BoardStats.pairWeights(hotBoard).count() == 50L * 49)
     assert(BoardStats.pairWeights(hotBoard, maxPerBoard = 10).count() == 10L * 9)
+  }
+
+  test("q42 IVF candidate volume is bounded at sf0.01 — < 0.3 · C(n,2), " +
+    "the property the hyperplane path lost at low τ") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val totalPairs = n * (n - 1) / 2
+    val cents = Similarity.trainIvfCentroids(emb, k = 64, tables = 12)
+    val cand = Similarity.ivfCandidatePairs(emb, cents, probes = 1).count()
+    assert(cand < 0.3 * totalPairs,
+      s"IVF candidates $cand ≥ 0.3 × $totalPairs — bucketing stopped pruning")
   }
 
   test("bucketed tables join without an exchange") {
