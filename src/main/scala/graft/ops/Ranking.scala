@@ -66,27 +66,24 @@ object Ranking {
     * `Hdfs2RedisVersion5.java:77-93`). `cap` bounds the list (reference 400),
     * `minLen` drops short lists (reference 20).
     *
-    * Implemented with `collect_list(struct)` + `sort_array` — group lists in
-    * the reference's workloads are bounded per key (per-item similarity
-    * lists), so the collected array is small; for unbounded groups at 100 TB
-    * use [[topKPerGroup]] first to bound the list under the cap.
+    * Rows are bounded to the top `cap` BEFORE aggregation (row_number window
+    * ≤ cap), so no aggregation buffer ever holds more than `cap` elements —
+    * a 100×-hot key collects 400 structs, not its whole neighbor set. The
+    * kept rank doubles as the sort key inside the group, so the final
+    * ordering is a natural (codegen'd) struct sort, not an interpreted
+    * comparator lambda. The window and the groupBy share the partition keys,
+    * so Catalyst plans a single exchange for both.
     */
   def orderedConcat(df: DataFrame, partition: Seq[Column], sortDesc: Column,
                     tieAsc: Column, payload: Column, cap: Int, minLen: Int,
                     as: String = "toplist"): DataFrame =
-    df.groupBy(partition: _*)
-      .agg(slice(
-        transform(
-          array_sort(collect_list(struct(sortDesc.as("s"), tieAsc.as("t"),
-            payload.as("p"))),
-            // descending by score, ascending tie-break
-            (l, r) => when(l("s") > r("s"), -1)
-              .when(l("s") < r("s"), 1)
-              .when(l("t") < r("t"), -1)
-              .when(l("t") > r("t"), 1)
-              .otherwise(0)),
-          e => e("p")),
-        1, cap).as("__items"))
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(partition: _*).orderBy(sortDesc.desc, tieAsc.asc)))
+      .filter(col("__rn") <= cap)
+      .groupBy(partition: _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__rn").as("r"), payload.as("p")))),
+        e => e("p")).as("__items"))
       .filter(size(col("__items")) >= minLen)
       .withColumn(as, concat_ws(",", col("__items")))
       .drop("__items")

@@ -50,11 +50,15 @@ object Scale {
       "sum_value" -> (sum(value), (p: String) => sum(col(p)))))
 
   /** Bounded top-K typed aggregator: keeps at most `k` (score, payload)
-    * pairs in the aggregation buffer (min-heap semantics via sorted
-    * truncation), so per-group state is O(k) instead of the O(group)
-    * `collect_list` + `sort_array` pattern — the SURVEY §4.2 "optional
-    * custom piece" for exact ordered top-K at 100 TB. Descending by score,
-    * ascending payload tie-break.
+    * pairs in the aggregation buffer, so per-group state is O(k) instead of
+    * the O(group) `collect_list` + `sort_array` pattern — the SURVEY §4.2
+    * "optional custom piece" for exact ordered top-K at 100 TB. Descending
+    * by score, ascending payload tie-break.
+    *
+    * The buffer invariant is "sorted, length ≤ k", so `reduce` never
+    * re-sorts: a full buffer rejects a non-qualifying row in O(1) (the
+    * common case once the group exceeds k) and otherwise binary-inserts in
+    * O(log k) compares; `merge` is a linear merge of two sorted runs.
     */
   class TopKAgg(k: Int)
     extends Aggregator[(Double, String), Seq[(Double, String)], Seq[String]] {
@@ -62,10 +66,35 @@ object Scale {
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     override def zero: Seq[(Double, String)] = Seq.empty
     override def reduce(buf: Seq[(Double, String)], in: (Double, String))
-    : Seq[(Double, String)] =
-      (buf :+ in).sortWith(order).take(k)
+    : Seq[(Double, String)] = {
+      if (buf.length >= k && !order(in, buf(buf.length - 1))) buf
+      else {
+        var lo = 0
+        var hi = buf.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (order(buf(mid), in)) lo = mid + 1 else hi = mid
+        }
+        val out = scala.collection.mutable.ArrayBuffer.from(buf)
+        out.insert(lo, in)
+        if (out.length > k) out.remove(k)
+        out.toSeq
+      }
+    }
     override def merge(a: Seq[(Double, String)], b: Seq[(Double, String)])
-    : Seq[(Double, String)] = (a ++ b).sortWith(order).take(k)
+    : Seq[(Double, String)] = {
+      val out = new scala.collection.mutable.ArrayBuffer[(Double, String)](k)
+      var i = 0
+      var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        if (j >= b.length || (i < a.length && order(a(i), b(j)))) {
+          out += a(i); i += 1
+        } else {
+          out += b(j); j += 1
+        }
+      }
+      out.toSeq
+    }
     override def finish(buf: Seq[(Double, String)]): Seq[String] =
       buf.map(_._2)
     override def bufferEncoder: Encoder[Seq[(Double, String)]] =

@@ -70,6 +70,23 @@ class OperatorSpec extends SparkSpecBase {
     assert(out == Map("k1" -> "1,1,3"))
   }
 
+  test("orderedConcat bounds the collected list BEFORE aggregation — a " +
+    "group 10× over cap collects only cap structs") {
+    val df = (1 to 100).map(i => ("hot", i.toDouble, i.toLong))
+      .toDF("key", "score", "id")
+    val out = Ranking.orderedConcat(df, Seq(col("key")), col("score"),
+      col("id"), col("id").cast("string"), cap = 10, minLen = 2, as = "l")
+    assert(out.collect().map(_.getString(1)).toSeq ==
+      Seq((100 to 91 by -1).mkString(",")))
+    // the rank filter sits BELOW the aggregate in the physical plan (a
+    // parent prints before its child), so no buffer ever exceeds cap
+    val plan = out.queryExecution.executedPlan.toString
+    val agg = plan.indexOf("collect_list")
+    val rnFilter = plan.indexOf("<= 10")
+    assert(agg >= 0 && rnFilter > agg,
+      s"expected row_number cap filter below the aggregate:\n$plan")
+  }
+
   test("sizeHistogram buckets by descending edges") {
     val df = Seq(405, 90, 12, 3).toDF("sz")
     val got = Ranking.sizeHistogram(df, col("sz"),

@@ -40,6 +40,24 @@ class ScaleSpec extends SparkSpecBase {
     assert(viaAgg("b") == Seq("q"))
   }
 
+  test("bounded-insertion TopKAgg equals sort-and-take on a seeded 400-row " +
+    "group (duplicate scores, multi-partition merge path)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map(i =>
+      ("g", rnd.nextInt(50).toDouble, f"p$i%03d"))
+    val expected = rows.map(r => (r._2, r._3))
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .take(7).map(_._2)
+    val got = rows.toDF("key", "score", "payload")
+      .repartition(8) // exercises merge() across partial buffers
+      .as[(String, Double, String)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(Scale.topKColumn(7).name("top"))
+      .collect().toMap
+    assert(got("g") == expected)
+  }
+
   test("pair-cap guards: identical under the cap, bounded on a hot key") {
     import java.sql.Timestamp
     import graft.jobs.{BoardStats, ItemCf}
