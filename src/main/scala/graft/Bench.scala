@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * and prints one JSON line. A warmup pass at sf0.001 runs every query
   * first so JIT/codegen compilation is not billed to the first timed query
   * (local-mode JVMs start cold; a long-lived cluster wouldn't).
+  *
+  * Each query runs `SPARK_GRAFT_REPEAT` times (default 2) and reports the
+  * MINIMUM — the number closest to the plan's intrinsic cost. Two driver
+  * rounds in a row produced 10× single-run outliers under machine load
+  * (r1 q44 50 s vs 0.7 s controlled, r2 q22 25 s vs 2.2 s); min-of-2 makes
+  * a spike have to hit the same query twice to survive into the report.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,18 +39,25 @@ object Bench {
     // run in name order with the cache cleared between queries, so each
     // query is timed on its own plan (no cross-query cache pollination) and
     // re-persists never hit "already cached" warnings
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.sqlContext.clearCache()
-      val t0 = System.nanoTime()
-      // a failure must be LOUD: a swallowed exception would be reported as
-      // a fast query, hiding a regression as a speedup
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(e.getClass.getSimpleName)
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to repeat).map { _ =>
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        // a failure must be LOUD: a swallowed exception would be reported as
+        // a fast query, hiding a regression as a speedup
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Some(e.getClass.getSimpleName)
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      // any failed run fails the query; time is the min over clean runs
+      val err = runs.collectFirst { case (_, Some(e)) => e }
+      (name, runs.collect { case (t, None) => t }
+        .minOption.getOrElse(0.0), err)
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
