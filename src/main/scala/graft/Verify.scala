@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // cache ownership: a query's persisted intermediates live until the
+      // caller's action completes; the write above IS that action, so
+      // release here — a 50-query session must not accumulate 50 caches
+      finally spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -86,7 +86,9 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     // the shingle set feeds three subplans (sizes + both join sides):
     // persist so the tokenize/shingle pass runs once (SURVEY §4.1
-    // shared-subplan reuse — Spark recomputes per use otherwise)
+    // shared-subplan reuse — Spark recomputes per use otherwise).
+    // Cache ownership: backs the returned lazy plan — the caller releases
+    // via clearCache() once its action completes (as Verify/Bench do)
     val sh = shingles(docs, w, idCol, textCol)
       .filter(col("shingle").isNotNull).persist()
     sh.count() // eager: lazy persist would be computed once per join branch

@@ -62,6 +62,11 @@ object RankQueries {
     * once, not four times (the SURVEY §4.1 documented share point; at
     * 100 TB this is the difference between one pass over the log and four).
     * Identical logical plans hit the same cache entry across q20/q22/q23.
+    *
+    * Cache ownership: the persisted intermediates back the RETURNED lazy
+    * plan, so the caller that drives the action releases them —
+    * `spark.sqlContext.clearCache()` after the action completes, as Verify
+    * and Bench do per query (asserted by OperatorSpec's hygiene test).
     */
   def itemcfCosine(s: SparkSession, dir: String): DataFrame = {
     val inter = ItemCf.interactions(Tables.events(s, dir)).persist()

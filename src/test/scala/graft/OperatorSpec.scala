@@ -114,6 +114,17 @@ class OperatorSpec extends SparkSpecBase {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
+  test("cache hygiene: driving every registry query Verify-style leaves " +
+    "the session cache manager empty") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => fail(s"$name failed: ${e.getMessage}") }
+      finally spark.sqlContext.clearCache()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cached plans survived the per-query release")
+  }
+
   test("A5: boardsList JSON explode parse") {
     val lines = Seq(
       """{"itemId":"i1","boardsList":[{"boardId":"b1"},{"boardId":"b2"}]}""",
