@@ -31,9 +31,10 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^\\s]+"
 
-  /** Count of regex matches in `text` (0 when none). */
+  /** Count of regex matches in `text` (0 when none, including NULL text —
+    * `size(null)` alone would propagate the NULL). */
   def countMatches(text: Column, re: String): Column =
-    size(regexp_extract_all(text, lit(re), lit(0)))
+    coalesce(size(regexp_extract_all(text, lit(re), lit(0))), lit(0))
 
   /** Training-data scrub: URLs then emails replaced with placeholder
     * tokens — the standard pre-training PII/link masking pass, pure column

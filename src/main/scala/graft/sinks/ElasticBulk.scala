@@ -32,15 +32,25 @@ object ElasticBulk {
     df.select(doc, id).foreachPartition { rows: Iterator[Row] =>
       rows.grouped(batchSize).foreach { chunk =>
         val body = chunk.map { r =>
+          // ids/index names are data — escape them or a quote/backslash in
+          // one id corrupts the whole NDJSON bulk request
           val action =
-            if (r.isNullAt(1)) s"""{"index":{"_index":"$index"}}"""
-            else s"""{"index":{"_index":"$index","_id":"${r.getString(1)}"}}"""
+            if (r.isNullAt(1)) s"""{"index":{"_index":${jstr(index)}}}"""
+            else s"""{"index":{"_index":${jstr(index)},"_id":${jstr(r.getString(1))}}}"""
           action + "\n" + r.getString(0)
         }.mkString("", "\n", "\n")
         post(s"$baseUrl/_bulk", body)
       }
     }
   }
+
+  /** JSON string literal: quotes, backslashes, and control chars escaped. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** Streaming form: per-trigger bulk upsert from `foreachBatch`. */
   def streamWriter(df: DataFrame, baseUrl: String, index: String,
@@ -58,6 +68,10 @@ object ElasticBulk {
     try {
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
+      // a hung endpoint must fail the task (Spark retries), not block it
+      // forever — HttpURLConnection's default timeouts are infinite
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(60000)
       conn.setRequestProperty("Content-Type", "application/x-ndjson")
       val out = conn.getOutputStream
       out.write(body.getBytes(UTF_8)); out.close()

@@ -31,6 +31,11 @@ class RespKv(host: String, port: Int) extends Sinks.KeyValueSink {
       sock = new Socket(host, port)
       in = new BufferedInputStream(sock.getInputStream)
       out = new BufferedOutputStream(sock.getOutputStream)
+      // executor-side instances are deserialized copies the driver can
+      // never close() — release the one socket per JVM at shutdown
+      val s = sock
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try s.close() catch { case _: Throwable => () }))
     }
   }
 
@@ -80,10 +85,14 @@ class RespKv(host: String, port: Int) extends Sinks.KeyValueSink {
     cmds.foreach(_ => readReply())
   }
 
-  /** DEL → RPUSH(all values) → EXPIRE, the reference's list contract. */
+  /** DEL → RPUSH(all values) → EXPIRE, the reference's list contract.
+    * An empty `values` is just the DEL: `RPUSH key` with no elements is a
+    * RESP protocol error, and it would fire AFTER the DEL — every task
+    * retry would re-delete and re-fail. */
   override def putList(key: String, values: Seq[String],
                        ttlSeconds: Long): Unit =
-    pipeline(Seq(
+    if (values.isEmpty) pipeline(Seq(Seq("DEL", key)))
+    else pipeline(Seq(
       Seq("DEL", key),
       Seq("RPUSH", key) ++ values,
       Seq("EXPIRE", key, ttlSeconds.toString)))

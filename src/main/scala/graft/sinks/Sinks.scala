@@ -38,21 +38,39 @@ object Sinks {
     // "store missing" would overwrite the store with just this batch's
     // updates on a transient IO error — silent loss of all accumulated
     // metrics. A real failure propagates so the streaming batch retries.
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    recoverOld(fs, oldP, hp) // a prior run may have crashed mid-swap
     val merged =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) updates
+      if (!fs.exists(hp)) updates
       else spark.read.parquet(path)
         .join(updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti").unionByName(updates)
     // write via temp dir: the read above and the overwrite below would
     // otherwise race on the same files
-    val tmp = path + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // crash-safe swap (never delete-then-rename): at every instant either
+    // the store or its __old copy holds the full history — a crash leaves a
+    // state the recovery above repairs instead of an empty store that a
+    // retry would silently re-seed from one batch
+    if (fs.exists(hp)) fs.rename(hp, oldP)
+    fs.rename(tmp, hp)
+    fs.delete(oldP, true)
   }
+
+  /** Crash recovery for the rename-swap protocol: `old` holds the previous
+    * content of a destination that was being replaced. Destination missing
+    * → the rename-into-place never happened, restore the old content;
+    * destination present → the swap completed and the old copy is garbage.
+    */
+  private def recoverOld(fs: org.apache.hadoop.fs.FileSystem,
+                         old: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(old)) {
+      if (!fs.exists(dst)) fs.rename(old, dst) else { fs.delete(old, true); () }
+    }
 
   /** Day-partitioned metric-store upsert — the incremental form for
     * per-trigger streaming flushes: `updates` must carry the partition
@@ -67,6 +85,15 @@ object Sinks {
                                    dayCol: String = "day"): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // __old lives OUTSIDE the store root: a day=<d>__old dir inside it
+    // would read back as a bogus partition value
+    val oldRoot = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(oldRoot)) { // a prior run crashed mid-swap: repair ALL days
+      fs.listStatus(oldRoot).foreach(st =>
+        recoverOld(fs, st.getPath,
+          new org.apache.hadoop.fs.Path(hp, st.getPath.getName)))
+      fs.delete(oldRoot, true)
+    }
     val u = updates.persist()
     try {
       val days = u.select(col(dayCol)).distinct().collect()
@@ -91,10 +118,21 @@ object Sinks {
       days.foreach { d =>
         val src = new org.apache.hadoop.fs.Path(tmp, s"$dayCol=$d")
         val dst = new org.apache.hadoop.fs.Path(hp, s"$dayCol=$d")
-        fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst)
+        // crash-safe per-day swap: park the current partition under
+        // __old/, rename the new one into place, then discard the parked
+        // copy — a crash anywhere leaves either dst or its __old copy
+        // intact for the recovery pass above (delete-then-rename had a
+        // window that lost the day's whole accumulated history)
+        if (fs.exists(src)) {
+          if (fs.exists(dst)) {
+            fs.mkdirs(oldRoot)
+            fs.rename(dst, new org.apache.hadoop.fs.Path(oldRoot, s"$dayCol=$d"))
+          }
+          fs.rename(src, dst)
+        }
       }
       fs.delete(tmp, true)
+      fs.delete(oldRoot, true)
     } finally u.unpersist()
   }
 

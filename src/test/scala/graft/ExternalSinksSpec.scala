@@ -75,6 +75,21 @@ class ExternalSinksSpec extends SparkSpecBase {
     } finally mock.close()
   }
 
+  test("K4 RESP client sends only the DEL for an empty list — a bare " +
+    "RPUSH with no elements is a protocol error after the delete") {
+    val mock = new MockResp
+    try {
+      val kv = new RespKv("127.0.0.1", mock.port)
+      kv.putList("rank:empty", Seq.empty, ttlSeconds = 60L)
+      kv.putHash("sensor", "s1", "1") // proves the pipeline still works
+      kv.close()
+      val got = mock.commands.toArray.toSeq
+      assert(got == Seq(
+        Seq("DEL", "rank:empty"),
+        Seq("HSET", "sensor", "s1", "1")), s"got $got")
+    } finally mock.close()
+  }
+
   test("K4 end-to-end: publishLists drives RespKv from executor closures") {
     val mock = new MockResp
     try {
@@ -130,6 +145,17 @@ class ExternalSinksSpec extends SparkSpecBase {
       assert(lines(0) == """{"index":{"_index":"docs","_id":"1"}}""")
       assert(lines(1).contains(""""text":"alpha""""))
       assert(body.endsWith("\n"), "bulk body must end with newline")
+
+      // an id with a quote and backslash must be escaped, not corrupt the
+      // action line
+      bodies.clear()
+      val tricky = Seq(("""a"b\c""", "x")).toDF("doc_id", "text")
+      ElasticBulk.bulkIndex(tricky.coalesce(1),
+        s"http://127.0.0.1:${http.getAddress.getPort}", "docs",
+        idCol = Some("doc_id"))
+      val action = bodies.get(0)._2.split("\n")(0)
+      assert(action == """{"index":{"_index":"docs","_id":"a\"b\\c"}}""",
+        s"got $action")
     } finally http.stop(0)
   }
 

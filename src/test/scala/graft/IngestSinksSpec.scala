@@ -68,6 +68,41 @@ class IngestSinksSpec extends SparkSpecBase {
     assert(got == Set(("k1", 0L, 9L), ("k2", 0L, 7L)))
   }
 
+  test("K7: metric store swap is crash-recoverable — a parked __old copy " +
+    "is restored when the rename-into-place never happened") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_msr").toString + "/store"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sinks.upsertMetricStore(spark, dir,
+      Seq(("k1", 5L)).toDF("key", "pv"), Seq("key"))
+    // simulate a crash between "park dst as __old" and "rename tmp→dst":
+    // the store dir is gone, only the parked history remains
+    fs.rename(new Path(dir), new Path(dir + "__old"))
+    assert(!fs.exists(new Path(dir)))
+    // the next upsert must first restore the parked copy, then merge onto
+    // the FULL history — k1 survives even though this batch only has k2
+    Sinks.upsertMetricStore(spark, dir,
+      Seq(("k2", 7L)).toDF("key", "pv"), Seq("key"))
+    val got = spark.read.parquet(dir).as[(String, Long)].collect().toSet
+    assert(got == Set(("k1", 5L), ("k2", 7L)))
+    assert(!fs.exists(new Path(dir + "__old")))
+
+    // partitioned form: same protocol per day= dir, __old parked OUTSIDE
+    // the store root so it can never read back as a partition value
+    val pdir = Files.createTempDirectory("graft_msrp").toString + "/store"
+    Sinks.upsertMetricStorePartitioned(spark, pdir,
+      Seq(("k1", 1L, 5L)).toDF("key", "day", "pv"), Seq("key", "day"))
+    fs.mkdirs(new Path(pdir + "__old"))
+    fs.rename(new Path(pdir, "day=1"), new Path(pdir + "__old/day=1"))
+    Sinks.upsertMetricStorePartitioned(spark, pdir,
+      Seq(("k2", 1L, 7L)).toDF("key", "day", "pv"), Seq("key", "day"))
+    val pgot = spark.read.parquet(pdir).select("key", "day", "pv")
+      .as[(String, Long, Long)].collect().toSet
+    assert(pgot == Set(("k1", 1L, 5L), ("k2", 1L, 7L)))
+    assert(!fs.exists(new Path(pdir + "__old")))
+  }
+
   test("K4: list publishing honors the Redis contract through InMemoryKv") {
     val kv = new Sinks.InMemoryKv
     val df = Seq(("item1", Seq("a:0.9", "b:0.8"))).toDF("key", "values")
