@@ -25,6 +25,30 @@ object Ingest {
   def textLinesRecursive(s: SparkSession, dir: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").textFile(dir).toDF("line")
 
+  /** S3 edge: raw (unframed) snappy-compressed text — the reference's
+    * custom unsplittable format (`flink-process/.../readsnappy/
+    * HdfsSnappyFileInputFormat.java:17-29`: `testForUnsplittable = true`,
+    * stream wrapped in a snappy inflater; framed/codec-extension variants
+    * already flow through the standard text reader's codec autodetect).
+    *
+    * Raw snappy has no sync markers, so a file IS the split — exactly what
+    * `binaryFile` provides (one row per file, never split). Each file's
+    * bytes are inflated on the executor and burst into lines; parallelism
+    * comes from the number of files, as with every unsplittable codec. At
+    * 100 TB that means "many medium files" is the usable layout and a
+    * single giant raw-snappy file is inherently serial — same contract as
+    * the reference, where this format existed to re-read job outputs.
+    */
+  def textLinesRawSnappy(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .mapPartitions(_.flatMap(bytes =>
+        new String(org.xerial.snappy.Snappy.uncompress(bytes),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator))
+      .toDF("line")
+  }
+
   /** S4: multi-partition scan with existence probe — the reference's
     * day/hour template loop; kept for layouts without partition columns. */
   def existingPaths(s: SparkSession, candidates: Seq[String]): Seq[String] = {
