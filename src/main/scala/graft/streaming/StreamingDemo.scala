@@ -2,23 +2,34 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** End-to-end streaming drive: replays the `events` test table through a
-  * file-source stream (S10) → watermarked 5-min aggregation (T2) →
-  * foreachBatch metric-store upsert + multi-resolution rollup (T3/T5) and
-  * prints the resulting coarse windows.
+/** End-to-end streaming drive WITH batch cross-check: replays the `events`
+  * test table through a file-source stream (S10) → watermarked 5-min
+  * aggregation (T2) → foreachBatch metric-store upsert + multi-resolution
+  * rollup (T3/T5), for BOTH the exact pipeline and the HLL-sketch pipeline
+  * (T13), then asserts the final coarse stores against the batch analogs
+  * the DuckDB gate verifies (q24 hourly, q25 UTC+8 day):
   *
-  * Usage: runMain graft.streaming.StreamingDemo [sfDir]
+  *  - coarse PV per (key, hour) and per (key, UTC+8 day) must equal the
+  *    batch aggregation EXACTLY (pv is additive — any drift means the
+  *    incremental flush lost or double-counted a partial);
+  *  - sketch-pipeline coarse UV must be within 5% relative error of the
+  *    exact batch distinct count per hour (DataSketches HLL at the default
+  *    lgK=12 has ~2.5% RSE, so 5% is a 2σ bound).
+  *
+  * Exits non-zero on any mismatch — driver-runnable at any SF:
+  * `runMain graft.streaming.StreamingDemo [sfDir]` (sf0.1 for the
+  * non-toy-scale check).
   */
 object StreamingDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -26,24 +37,89 @@ object StreamingDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val work = Files.createTempDirectory("graft_stream_demo").toString
-    // stage the batch table as a file-stream source directory
-    graft.core.Tables.events(spark, sfDir)
-      .select(col("ts"), col("user_id"),
-        col("event_type").as("key"))
-      .write.parquet(s"$work/in")
+    // Stage the table as an event-time-ORDERED replay: four sequential
+    // ts-range slices (2 files each), written one after another so the file
+    // source's modification-time ordering feeds them to AvailableNow as four
+    // in-order micro-batches (maxFilesPerTrigger=2) — exercising the T5
+    // re-emission/upsert path across triggers. Order matters: a shuffled
+    // replay makes month-old rows arrive after newer ones and the T4
+    // watermark (correctly) drops them, which a batch count never would —
+    // the comparison below is only meaningful on a valid, ordered log.
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type").as("key"))
+    import spark.implicits._
+    val (lo, hi) = ev.agg(min(unix_millis(col("ts"))),
+      max(unix_millis(col("ts")))).as[(Long, Long)].head()
+    val step = (hi - lo) / 4 + 1
+    for (i <- 0 until 4)
+      ev.filter(unix_millis(col("ts")).between(lo + i * step,
+          lo + (i + 1) * step - 1))
+        .repartition(2)
+        .write.mode("append").parquet(s"$work/in")
     val schema = spark.read.parquet(s"$work/in").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$work/in")
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$work/in")
 
-    val q = StreamingDashboard.run(stream, s"$work/store", s"$work/ckpt",
-      trigger = Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamingDashboard.run(stream, s"$work/store", s"$work/ckpt",
+      trigger = Trigger.AvailableNow()).start().awaitTermination()
+    StreamingDashboard.runSketch(stream, s"$work/sketch", s"$work/ckpt2",
+      trigger = Trigger.AvailableNow()).start().awaitTermination()
 
-    val coarse = spark.read.parquet(s"$work/store/coarse")
-    println(s"[demo] coarse rows: ${coarse.count()}")
-    coarse.groupBy("granularity")
-      .agg(count(lit(1)).as("windows"), sum("pv").as("events"))
-      .orderBy("granularity")
-      .show(20, truncate = false)
+    // ---- batch ground truth (the q24/q25 shapes, keyed) ----
+    val events = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("ts"), col("user_id"))
+    val hourly = events
+      .groupBy(col("key"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("pv"), countDistinct(col("user_id")).as("uv"))
+      .select(col("key"), unix_millis(col("w.start")).as("window_start_ms"),
+        col("pv"), col("uv"))
+    val daily = events
+      .groupBy(col("key"),
+        StreamingDashboard.dayFloor(unix_millis(col("ts")))
+          .as("window_start_ms"))
+      .agg(count(lit(1)).as("pv"))
+
+    // exact-pipeline coarse rows carry pv only (exact uv is not mergeable);
+    // the sketch store also has uv
+    def coarse(store: String, gran: String): DataFrame = {
+      val df = spark.read.parquet(s"$work/$store/coarse")
+        .filter(col("granularity") === gran)
+      val cols = Seq("key", "window_start_ms", "pv") ++
+        (if (df.columns.contains("uv")) Seq("uv") else Nil)
+      df.select(cols.map(col): _*)
+    }
+
+    def comparePv(got: DataFrame, want: DataFrame, what: String): Unit = {
+      val diff = got.select("key", "window_start_ms", "pv")
+        .exceptAll(want.select("key", "window_start_ms", "pv"))
+        .unionByName(want.select("key", "window_start_ms", "pv")
+          .exceptAll(got.select("key", "window_start_ms", "pv")))
+      val n = diff.count()
+      require(n == 0, {
+        diff.show(10, truncate = false)
+        s"$what: $n (key, window, pv) rows differ from the batch analog"
+      })
+      println(s"[demo] PASS $what pv exact (${want.count()} windows)")
+    }
+
+    comparePv(coarse("store", "1h"), hourly, "exact-pipeline hourly")
+    comparePv(coarse("store", "1d"), daily, "exact-pipeline UTC+8 daily")
+    comparePv(coarse("sketch", "1h"), hourly, "sketch-pipeline hourly")
+
+    // sketch UV within 5% of exact, every hourly window
+    val uvErr = coarse("sketch", "1h").alias("g")
+      .join(hourly.alias("w"), Seq("key", "window_start_ms"))
+      .select(col("key"), col("window_start_ms"),
+        col("g.uv").cast("double").as("got"),
+        col("w.uv").cast("double").as("want"))
+      .withColumn("rel", abs(col("got") - col("want")) / col("want"))
+    val worst = uvErr.agg(max("rel")).head.getDouble(0)
+    require(worst <= 0.05, {
+      uvErr.orderBy(col("rel").desc).show(10, truncate = false)
+      f"sketch uv relative error $worst%.4f exceeds 5%% HLL bound"
+    })
+    println(f"[demo] PASS sketch uv within HLL tolerance (worst rel err " +
+      f"$worst%.4f over ${uvErr.count()} windows)")
     spark.stop()
   }
 }
