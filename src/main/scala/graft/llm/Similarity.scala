@@ -249,10 +249,15 @@ object Similarity {
         struct(VectorFunctions.vec_dot(col(vecCol), lit(cent)).as("d"),
           lit(c).as("c"))
       }: _*)
-      // natural struct ordering sorts by (d asc, c asc); reversed slice =
-      // top `probes` by similarity, deterministic tie-break
-      transform(slice(reverse(array_sort(sims)), 1, probes),
-        s => struct(lit(t).as("tbl"), s("c").as("centroid")))
+      // natural struct ordering compares (d, c), so max/sort give the top
+      // cell(s) by similarity with a deterministic tie-break; probes=1 is
+      // a single O(k) array_max, not an O(k log k) sort of k structs
+      if (probes == 1)
+        array(struct(lit(t).as("tbl"),
+          array_max(sims)("c").as("centroid")))
+      else
+        transform(slice(reverse(array_sort(sims)), 1, probes),
+          s => struct(lit(t).as("tbl"), s("c").as("centroid")))
     }
     embeddings
       .select(col(idCol).as("id"),
@@ -271,7 +276,12 @@ object Similarity {
                         centroids: Array[Array[Array[Float]]], probes: Int,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    // both self-join sides read the assignments — persist AND materialize
+    // so the tables·k dot-product scan runs once, not once per branch
+    // (cache ownership: released by the caller's post-action clearCache)
     val asg = ivfAssignments(embeddings, centroids, probes, idCol, vecCol)
+      .persist()
+    asg.count()
     val a = asg.select(col("tbl"), col("centroid"), col("id").as("id_a"))
     val b = asg.select(col("tbl"), col("centroid"), col("id").as("id_b"))
     a.join(b, Seq("tbl", "centroid"))
