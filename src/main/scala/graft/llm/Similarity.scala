@@ -236,34 +236,59 @@ object Similarity {
   /** IVF assignments: one row per (vector, table, probed centroid). Each
     * table contributes the `probes` nearest centroids by dot product (the
     * vector's own norm is constant per row, so dot order = cosine order).
-    * ONE scan of the corpus computes every table's assignment — tables·k
-    * codegen'd [[graft.functions.FloatVecDot]] projections, no interpreted
-    * per-element closures in the scoring.
+    *
+    * ONE scan of the corpus computes every table's assignment. This is the
+    * rare justified `mapPartitions`: expressing tables·k (≈768) dot
+    * products as column expressions overflows the generated method budget
+    * and Catalyst falls back to interpreted projection (measured 30× slower
+    * at sf0.1) — here the centroids ride one broadcast and each row runs a
+    * tight JIT'd loop with the same float→double array-order accumulation
+    * as [[graft.functions.FloatVecDot]], so scores are bit-identical to the
+    * expression form. Ties take the highest centroid index, matching the
+    * natural struct-ordering max of the expression form.
     */
   def ivfAssignments(embeddings: DataFrame,
                      centroids: Array[Array[Array[Float]]], probes: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val perTable = centroids.zipWithIndex.map { case (cents, t) =>
-      val sims = array(cents.zipWithIndex.map { case (cent, c) =>
-        struct(VectorFunctions.vec_dot(col(vecCol), lit(cent)).as("d"),
-          lit(c).as("c"))
-      }: _*)
-      // natural struct ordering compares (d, c), so max/sort give the top
-      // cell(s) by similarity with a deterministic tie-break; probes=1 is
-      // a single O(k) array_max, not an O(k log k) sort of k structs
-      if (probes == 1)
-        array(struct(lit(t).as("tbl"),
-          array_max(sims)("c").as("centroid")))
-      else
-        transform(slice(reverse(array_sort(sims)), 1, probes),
-          s => struct(lit(t).as("tbl"), s("c").as("centroid")))
-    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
     embeddings
-      .select(col(idCol).as("id"),
-        explode(flatten(array(perTable: _*))).as("pr"))
-      .select(col("id"), col("pr.tbl").as("tbl"),
-        col("pr.centroid").as("centroid"))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.flatMap { case (id, v) =>
+          cents.indices.iterator.flatMap { t =>
+            val ct = cents(t)
+            def dot(c: Int): Double = {
+              val cv = ct(c)
+              val n = math.min(v.length, cv.length)
+              var acc = 0.0
+              var i = 0
+              while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
+              acc
+            }
+            if (probes == 1) {
+              var best = 0
+              var bestD = dot(0)
+              var c = 1
+              while (c < ct.length) {
+                val d = dot(c)
+                if (d >= bestD) { bestD = d; best = c }
+                c += 1
+              }
+              Iterator.single((id, t, best))
+            } else {
+              ct.indices
+                .sortBy(c => (-dot(c), -c))
+                .take(probes).iterator.map(c => (id, t, c))
+            }
+          }
+        }
+      }
+      .toDF("id", "tbl", "centroid")
   }
 
   /** Candidate pairs under the IVF partitions: ids sharing a (table,
