@@ -199,7 +199,11 @@ object Similarity {
       if (n == 0) a else a.map(_ / n)
     }
     val dim = unit.head.length
-    Array.tabulate(tables) { t =>
+    // tables are independent Lloyd runs over the same sample — train them on
+    // a driver-side thread pool; per-table arithmetic order is untouched, so
+    // the result is bit-identical to the sequential loop
+    val out = new Array[Array[Array[Float]]](tables)
+    java.util.stream.IntStream.range(0, tables).parallel().forEach { t =>
       // per-table order: splitmix of (id + table·prime), ties by id
       val order = ids.indices.sortBy(i =>
         (splitmix64(ids(i) + t.toLong * 1000000007L), ids(i)))
@@ -229,8 +233,9 @@ object Similarity {
           }
         }
       }
-      cents.map(_.map(_.toFloat))
+      out(t) = cents.map(_.map(_.toFloat))
     }
+    out
   }
 
   /** IVF assignments: one row per (vector, table, probed centroid). Each
