@@ -185,6 +185,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph — the cluster-resolution
+    * step every dedup pipeline needs after pair generation: each vertex ends
+    * up labeled with the minimum id reachable from it, so the label IS the
+    * canonical (survivor) id of its duplicate cluster. Vertices in no pair
+    * keep their own id.
+    *
+    * Hash-min label propagation: every vertex starts as its own component;
+    * each round takes the min label over the closed neighborhood; fixpoint
+    * when the global label sum stops decreasing (labels are monotonically
+    * non-increasing, so an unchanged sum means no label moved). Rounds =
+    * graph diameter — near-dup clusters are shallow (dups of one document),
+    * so this converges in a handful of rounds; each round is one shuffle
+    * join + one aggregation, no driver-side graph state. Every round is
+    * eagerly localCheckpoint'ed, truncating lineage so round N's plan does
+    * not replay rounds 1..N−1 (at a real cluster use a reliable checkpoint
+    * dir for executor-loss tolerance; the algorithm is unchanged).
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          idCol: String = "id",
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(pairs.columns(0)).as("__src"), col(pairs.columns(1)).as("__dst"))
+    val sym = edges.union(
+      edges.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .persist()
+    var labels = vertices
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("comp"))
+      .localCheckpoint(true)
+    // decimal sum: overflow-safe at any corpus size (ANSI mode raises on
+    // long-sum wrap); strictly decreasing until the fixpoint
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var last = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nbrMin = sym.join(labels, sym("__dst") === labels("id"))
+        .groupBy(col("__src").as("id")).agg(min(col("comp")).as("__nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      labels = next
+      converged = s.compareTo(last) == 0
+      last = s
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds the bound; raise maxIters")
+    labels
+  }
+
+  /** Near-duplicate cluster assignment: exact n-gram Jaccard pairs at τ →
+    * connected components → (id, cluster_id) with cluster_id = min id of the
+    * duplicate cluster (its canonical survivor). The full pair→cluster
+    * resolution pipeline; at 100 TB feed [[minHashDedupPairs]] output
+    * instead of the exact pair generator (same shape, LSH-pruned).
+    */
+  def nearDupClusters(docs: DataFrame, w: Int, tau: Double,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    connectedComponents(
+      docs.select(col(idCol)),
+      ngramJaccardPairs(docs, w, tau, idCol, textCol).select("id_a", "id_b"),
+      idCol)
+
   /** 64-bit SimHash of the token stream: sign-sum of per-token xxhash bits.
     * Bit i of the signature is 1 iff Σ_tokens (bit_i(hash) ? 1 : −1) > 0.
     *

@@ -348,6 +348,46 @@ object Similarity {
       tau, idCol, vecCol)
   }
 
+  /** IVF approximate top-k — the inverted-file ANN layout (train a coarse
+    * quantizer, store each corpus vector in its nearest cell, probe only the
+    * query's nearest `probes` cells per table): corpus assignments use
+    * probes=1 (each vector lives in exactly one cell per table — the stored
+    * index), queries probe `probes` cells so near-boundary neighbors in
+    * adjacent cells are still found; `tables` independent quantizers are the
+    * remaining recall knob. Candidates dedupe across tables before the exact
+    * cosine ranking, so each (query, neighbor) is scored once.
+    *
+    * At 100 TB the corpus assignment is the partition key of the stored
+    * index (one cell = one partition bucket) and only probes·tables cells
+    * are ever read per query — the scan never touches the full corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              kCentroids: Int = 64, tables: Int = 12, probes: Int = 6,
+              iters: Int = 8, sampleN: Int = 1024,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cents = trainIvfCentroids(corpus, kCentroids, tables, iters, sampleN,
+      idCol, vecCol)
+    val c = ivfAssignments(corpus, cents, probes = 1, idCol, vecCol)
+      .toDF("neighbor_id", "tbl", "centroid")
+    val q = ivfAssignments(queries, cents, probes, idCol, vecCol)
+      .toDF("query_id", "tbl", "centroid")
+    val cand = c.join(broadcast(q), Seq("tbl", "centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the
     * IVF-style inverted-list layout — at scale this is the partition key of
     * the stored index); each query probes only its own bucket across

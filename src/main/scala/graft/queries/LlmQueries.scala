@@ -116,6 +116,25 @@ object LlmQueries {
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairsIvf(Tables.embeddings(s, dir), tau = 0.45)
 
+  /** Near-dup cluster resolution: exact jaccard pairs (the q29 relation) →
+    * connected components → every doc labeled with its cluster's canonical
+    * (min) id — the survivor-selection step that turns pair output into an
+    * actually deduplicated corpus. Singletons label themselves. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(Tables.documents(s, dir), w = 3, tau = 0.5)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+
+  /** IVF ANN top-5 (inverted-file layout — the stored-index scale path).
+    * 12 tables × 64 cells, 6 query-side probes reaches recall 1.0 on the
+    * gate corpora (LlmOpsSpec pins equality with brute force), so it shares
+    * the q32 oracle — same contract as q33's hyperplane variant. */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** MapType column handling — the reference's `channelInfo:
     * Map<String,String>` shape (`ActionLogJob.java:580`, SURVEY §1.1):
     * props parsed as a map, exploded, values aggregated per key. */
@@ -165,7 +184,9 @@ object LlmQueries {
     "q35_lang_id" -> langId,
     "q36_quality_score" -> qualityScore,
     "q37_fingerprint" -> fingerprint,
-    "q38_multimodal_meta" -> multimodalMeta)
+    "q38_multimodal_meta" -> multimodalMeta,
+    "q51_dedup_clusters" -> dedupClusters,
+    "q52_knn_ivf" -> knnIvf)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -174,12 +195,11 @@ object LlmQueries {
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
   private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
 
-  /** q29's exact-Jaccard oracle, shared by q30: the MinHash-LSH path
-    * verifies every candidate with the same exact jaccard expression, and
-    * its banding parameters are recall-1.0-tuned (LlmOpsSpec), so the two
-    * queries emit identical relations. */
-  private val jaccardOracleSql: String =
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+  /** Shared CTE chain computing the exact 3-gram Jaccard pair relation —
+    * body of the q29/q30 oracle and the pair generator inside the q51
+    * cluster oracle. */
+  private val jaccardCtes: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
@@ -188,13 +208,35 @@ object LlmQueries {
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
       |          FROM sh a JOIN sh b
       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON id_a = sa.doc_id
-      |JOIN sizes sb ON id_b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
+      |          GROUP BY 1, 2),
+      |jpairs AS (SELECT id_a, id_b,
+      |             CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      |           FROM inter
+      |           JOIN sizes sa ON id_a = sa.doc_id
+      |           JOIN sizes sb ON id_b = sb.doc_id
+      |           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin
+
+  /** q29's exact-Jaccard oracle, shared by q30: the MinHash-LSH path
+    * verifies every candidate with the same exact jaccard expression, and
+    * its banding parameters are recall-1.0-tuned (LlmOpsSpec), so the two
+    * queries emit identical relations. */
+  private val jaccardOracleSql: String =
+    s"""WITH $jaccardCtes
+      |SELECT id_a, id_b, jaccard FROM jpairs""".stripMargin
+
+  /** q51's oracle: min reachable doc_id over the jaccard pair graph via a
+    * recursive CTE (UNION dedup terminates the fixpoint) — the declarative
+    * twin of the hash-min label propagation. */
+  private val clusterOracleSql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+      |          UNION ALL
+      |          SELECT id_b AS src, id_a AS dst FROM jpairs),
+      |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+      |          UNION
+      |          SELECT e.dst AS id, reach.r AS r
+      |          FROM edges e JOIN reach ON e.src = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
   /** q32's brute-force oracle, shared by q33: the LSH table/plane parameters
     * are recall-1.0-tuned (LlmOpsSpec), so approximate top-k equals exact
@@ -238,6 +280,8 @@ object LlmQueries {
         |FROM c GROUP BY doc_id""".stripMargin,
     "q30_minhash_dedup" -> jaccardOracleSql,
     "q33_knn_lsh" -> knnOracleSql,
+    "q51_dedup_clusters" -> clusterOracleSql,
+    "q52_knn_ivf" -> knnOracleSql,
     "q44_props_map" ->
       """SELECT 'k' AS map_key, COUNT(*) AS n,
         |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))

@@ -99,6 +99,48 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("connected components: chain graph needs multiple rounds; labels = " +
+    "min reachable id; singletons keep their own id") {
+    // chain 10-11-12-13-14-15 (diameter 5) + pair (20,21) + singleton 30
+    val verts = (10L to 15L).toSeq ++ Seq(20L, 21L, 30L)
+    val pairs = Seq((11L, 10L), (11L, 12L), (13L, 12L), (13L, 14L),
+      (15L, 14L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(verts.toDF("id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 15L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L && got(30L) == 30L)
+  }
+
+  test("near-dup clusters equal a driver-side union-find over the exact " +
+    "pair relation — q51 rests on this equivalence") {
+    val pairs = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val ids = docs.select(col("doc_id")).as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.nearDupClusters(docs, w = 3, tau = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty, "gate corpus should contain near-dup pairs")
+    assert(got == expected)
+  }
+
+  test("IVF ANN at registry params (12 tables × 64 cells, 6 probes) recalls " +
+    "ALL of brute-force top-k — q52 shares q32's oracle on this guarantee") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == brute, s"IVF missed ${brute -- ivf}, extra ${ivf -- brute}")
+  }
+
   test("scrub masks URLs before emails and counts each kind") {
     import graft.llm.TextAnalysis
     val d = Seq(
