@@ -348,6 +348,22 @@ object Similarity {
       tau, idCol, vecCol)
   }
 
+  /** Per-label embedding centroids: per-dimension mean over each label's
+    * vectors — the class-prototype statistic (nearest-centroid classifiers,
+    * per-class drift monitoring, IVF seeding from labels). One posexplode +
+    * one hash aggregation, map-side combined; the mean is rounded at 1e-6 —
+    * far above the ~1e-13 float-sum order drift between engines, far below
+    * anything meaningful in the statistic (the order-sensitive-sum rule;
+    * see the determinism comments in queries/RelationalQueries.scala).
+    */
+  def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "e")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(round(sum(col("e").cast("double")) / count(lit(1)), 6).as("mu"),
+        count(lit(1)).as("n"))
+
   /** IVF approximate top-k — the inverted-file ANN layout (train a coarse
     * quantizer, store each corpus vector in its nearest cell, probe only the
     * query's nearest `probes` cells per table): corpus assignments use

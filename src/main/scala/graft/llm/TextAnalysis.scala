@@ -128,6 +128,44 @@ object TextAnalysis {
         acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
         lit(FingerprintMod)))
 
+  /** Per-(doc, token) term statistics: tf (occurrences in the doc), df
+    * (docs containing the token), n_docs — the exact-integer core of TF-IDF
+    * weighting. One explode of the token stream feeds both aggregations;
+    * the df join shuffles on the token (at 100 TB the vocabulary is far
+    * smaller than the corpus, and AQE handles the stopword-key skew — df
+    * rows are one per token, so the build side stays narrow).
+    */
+  def termStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toked = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toked.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toked.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token").crossJoin(broadcast(n))
+  }
+
+  /** Top-`k` distinctive terms per document, scored tf·(n_docs/df) — the
+    * rational-IDF variant of TF-IDF: one IEEE division of exact integers is
+    * bit-identical across engines (ln(n/df) is only correctly-rounded per
+    * libm, so its products can differ in the last ulp and break the oracle
+    * hash; n/df is monotone in the same direction, so "rare in the corpus,
+    * frequent in the doc" ranks the same way). Ties break on the token. */
+  def topTermsPerDoc(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    termStats(docs, idCol, textCol)
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token"))))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 

@@ -135,6 +135,20 @@ object LlmQueries {
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Top-3 distinctive terms per document — TF-IDF with rational IDF
+    * (tf·n_docs/df: one exact-integer division is bit-deterministic across
+    * engines where ln-based weights are only ulp-close; see
+    * TextAnalysis.topTermsPerDoc). */
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTermsPerDoc(Tables.documents(s, dir), k = 3)
+
+  /** Per-label embedding centroids (class prototypes): per-dimension mean,
+    * rounded at 1e-6 per the order-sensitive-sum rule. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, dir))
+      .select(col("label"), col("dim"), col("mu"),
+        col("n").cast("long").as("n"))
+
   /** MapType column handling — the reference's `channelInfo:
     * Map<String,String>` shape (`ActionLogJob.java:580`, SURVEY §1.1):
     * props parsed as a map, exploded, values aggregated per key. */
@@ -186,7 +200,9 @@ object LlmQueries {
     "q37_fingerprint" -> fingerprint,
     "q38_multimodal_meta" -> multimodalMeta,
     "q51_dedup_clusters" -> dedupClusters,
-    "q52_knn_ivf" -> knnIvf)
+    "q52_knn_ivf" -> knnIvf,
+    "q53_top_terms" -> topTerms,
+    "q54_label_centroids" -> labelCentroids)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -282,6 +298,27 @@ object LlmQueries {
     "q33_knn_lsh" -> knnOracleSql,
     "q51_dedup_clusters" -> clusterOracleSql,
     "q52_knn_ivf" -> knnOracleSql,
+    "q53_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+        |          FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.token AS token,
+        |        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |        CAST(tf * n_docs AS DOUBLE) / df AS score
+        |      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, score,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                     ORDER BY score DESC, token) AS rnk
+        |FROM s QUALIFY rnk <= 3""".stripMargin,
+    "q54_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS mu,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        |GROUP BY label, i""".stripMargin,
     "q44_props_map" ->
       """SELECT 'k' AS map_key, COUNT(*) AS n,
         |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))

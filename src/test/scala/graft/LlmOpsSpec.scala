@@ -141,6 +141,33 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(ivf == brute, s"IVF missed ${brute -- ivf}, extra ${ivf -- brute}")
   }
 
+  test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
+    import graft.llm.TextAnalysis
+    val d = Seq(
+      (1L, "zebra zebra zebra common common"),
+      (2L, "common words here"),
+      (3L, "common words there")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsPerDoc(d, k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // doc 1: zebra tf=3 df=1 → 9.0 beats common tf=2 df=3 → 2.0
+    assert(top == Map(1L -> "zebra", 2L -> "here", 3L -> "there"))
+    val stats = TextAnalysis.termStats(d)
+      .select("doc_id", "token", "tf", "df", "n_docs")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(stats.find(s => s._1 == 1L && s._2 == "common")
+      .contains((1L, "common", 2L, 3L, 3L)))
+  }
+
+  test("label centroids: per-dimension means per label") {
+    val e = Seq((0, Array(1f, 3f)), (0, Array(3f, 5f)), (1, Array(2f, 7f)))
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(e)
+      .select("label", "dim", "mu", "n")
+      .as[(Int, Long, Double, Long)].collect().toSet
+    assert(got == Set((0, 0L, 2.0, 2L), (0, 1L, 4.0, 2L),
+      (1, 0L, 2.0, 1L), (1, 1L, 7.0, 1L)))
+  }
+
   test("scrub masks URLs before emails and counts each kind") {
     import graft.llm.TextAnalysis
     val d = Seq(
