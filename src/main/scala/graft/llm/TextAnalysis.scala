@@ -166,6 +166,43 @@ object TextAnalysis {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Deterministic content-hash train/val/test split: bucket =
+    * fingerprint(text) mod 100, split by bucket thresholds (default
+    * 80/10/10). Hashing the CONTENT (not the id) sends byte-identical
+    * duplicates to the same split — no exact-dup leakage across train/val —
+    * and the assignment is stable across reshuffles, re-ingests, and
+    * engines (the fingerprint is the portable mod-2^57 rolling hash of
+    * [[fingerprint]]).
+    */
+  def dataSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        pmod(fingerprint(col(textCol)), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  /** Token-budget sequence packing: documents in id order are laid out
+    * contiguously and cut into bins of `budget` tokens — each doc is
+    * assigned the bin its start offset falls in (contiguous chunking, the
+    * deterministic relational cousin of greedy sample packing). The global
+    * running token count uses [[graft.ops.Scale.globalCumSum]] — two-phase
+    * prefix sum, NOT the single-task `Window.orderBy` form, so the layout
+    * scales to the full corpus.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    graft.ops.Scale.globalCumSum(
+        docs.select(col(idCol),
+          tokenCount(col(textCol)).cast("long").as("n_tokens")),
+        idCol, "n_tokens", "cum_tokens")
+      .withColumn("bin",
+        expr(s"(cum_tokens - n_tokens) div ${budget}L"))
+      .select(idCol, "n_tokens", "cum_tokens", "bin")
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 

@@ -106,6 +106,43 @@ object Scale {
   def topKColumn(k: Int): TypedColumn[(Double, String), Seq[String]] =
     new TopKAgg(k).toColumn
 
+  /** Scale-correct global running sum of an integral column ordered by a
+    * unique key. The naive `sum.over(Window.orderBy(key))` funnels the whole
+    * dataset through ONE window task (its Exchange is SinglePartition); this
+    * is the classic two-phase prefix sum instead: range-partition on the key
+    * (contiguous, ordered ranges), within-partition running sums in
+    * parallel, then one bounded collect of the per-partition totals whose
+    * exclusive prefix is broadcast back as each partition's offset. Integer
+    * addition is order-independent, so the result is exact and deterministic
+    * for a unique key regardless of where the range boundaries land.
+    *
+    * Cache note: the partitioned frame backs the returned plan — caller
+    * releases via clearCache() after its action (Verify/Bench do).
+    */
+  def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
+                   outCol: String = "cum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("long")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsets = totals.map { case (pid, t) =>
+      val o = (pid, running); running += t; o
+    }
+    val offDf = parts.sparkSession.createDataFrame(offsets)
+      .toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offDf), "__pid")
+      .withColumn(outCol,
+        sum(col(valueCol).cast("long")).over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
   /** Bucketed-table layout for co-located joins: write both sides bucketed
     * by the join key → the sort-merge join reads pre-bucketed files with no
     * Exchange (checked in BucketingSpec). At 100 TB this is the difference

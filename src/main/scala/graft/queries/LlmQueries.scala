@@ -149,6 +149,18 @@ object LlmQueries {
       .select(col("label"), col("dim"), col("mu"),
         col("n").cast("long").as("n"))
 
+  /** Deterministic content-hash 80/10/10 split — exact duplicates land in
+    * the same split (no train/val leakage), assignment stable across
+    * engines via the portable mod-2^57 fingerprint. */
+  def dataSplit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dataSplit(Tables.documents(s, dir))
+
+  /** Token-budget sequence packing (2048/bin) over the two-phase prefix
+    * sum — the single-task global-window form is the anti-pattern
+    * (PlanSpec asserts no SinglePartition exchange). */
+  def seqPacking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, dir), budget = 2048)
+
   /** MapType column handling — the reference's `channelInfo:
     * Map<String,String>` shape (`ActionLogJob.java:580`, SURVEY §1.1):
     * props parsed as a map, exploded, values aggregated per key. */
@@ -202,7 +214,9 @@ object LlmQueries {
     "q51_dedup_clusters" -> dedupClusters,
     "q52_knn_ivf" -> knnIvf,
     "q53_top_terms" -> topTerms,
-    "q54_label_centroids" -> labelCentroids)
+    "q54_label_centroids" -> labelCentroids,
+    "q55_data_split" -> dataSplit,
+    "q56_seq_packing" -> seqPacking)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -298,6 +312,29 @@ object LlmQueries {
     "q33_knn_lsh" -> knnOracleSql,
     "q51_dedup_clusters" -> clusterOracleSql,
     "q52_knn_ivf" -> knnOracleSql,
+    "q55_data_split" ->
+      """WITH fp AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(text, ''),
+        |                                ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 144115188075855872) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM fp""".stripMargin,
+    "q56_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |       (cum_tokens - n_tokens) // 2048 AS bin
+        |FROM c""".stripMargin,
     "q53_top_terms" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token
         |             FROM documents),

@@ -46,6 +46,13 @@ class PlanSpec extends SparkSpecBase {
       s"near-dup must join on (table, bucket), never all-pairs:\n$p")
   }
 
+  test("q56 packing avoids the single-partition global window") {
+    val p = planOf("q56_seq_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cumsum must be the two-phase prefix sum, not one window task:\n$p")
+    spark.sqlContext.clearCache() // globalCumSum's range-partitioned persist
+  }
+
   test("q46 as-of join lowers to a join-free single-shuffle window plan") {
     val p = planOf("q46_asof_join")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),

@@ -26,6 +26,21 @@ class ScaleSpec extends SparkSpecBase {
     assert(salted == direct)
   }
 
+  test("two-phase global cumsum equals the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val naive = docs
+      .withColumn("cum", sum(col("n_chars")).over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    val scaled = Scale.globalCumSum(docs, "doc_id", "n_chars")
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(scaled == naive)
+    spark.sqlContext.clearCache()
+  }
+
   test("bounded top-K aggregator matches collect_list + sort + slice") {
     val scores = Seq(
       ("a", 3.0, "x"), ("a", 5.0, "y"), ("a", 4.0, "z"), ("a", 5.0, "w"),
