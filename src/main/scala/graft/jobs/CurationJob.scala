@@ -7,9 +7,10 @@ import graft.llm.{Dedup, TextAnalysis}
 import graft.sinks.Sinks
 
 /** End-to-end training-data curation pipeline (the north-star composition):
-  * documents → PII/link scrub → exact dedup → MinHash-LSH near-dup removal
-  * → repetition filter → quality filter → language ID → curated parquet +
-  * per-stage survival stats.
+  * documents → PII/link scrub → exact dedup → MinHash-LSH near-dup cluster
+  * resolution → repetition filter → quality filter → language ID →
+  * content-hash split + sequence packing → curated parquet + per-stage
+  * survival stats.
   *
   * Shape notes for 100 TB: every stage is a narrow transform or a
   * key-bucketed join (no driver state); near-dup removal drops the higher
@@ -38,10 +39,15 @@ object CurationJob {
     val afterExact = exact.count()
 
     // 2. near-dup removal: MinHash-LSH candidates verified at jaccard ≥ 0.8,
-    //    drop the higher id of each pair
-    val nearDupLosers = Dedup.minHashDedupPairs(exact, w = 3, tau = 0.8)
-      .select(col("id_b").as("doc_id")).distinct()
-    val afterNear = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    //    resolved into clusters (transitive: A~B, B~C drops B AND C even
+    //    though A,C never pair — per-pair dropping would keep C), keeping
+    //    each cluster's canonical min id
+    val nearPairs = Dedup.minHashDedupPairs(exact, w = 3, tau = 0.8)
+      .select("id_a", "id_b")
+    val survivors = Dedup
+      .connectedComponents(exact.select(col("doc_id")), nearPairs, "doc_id")
+      .filter(col("id") === col("comp")).select(col("id").as("doc_id"))
+    val afterNear = exact.join(survivors, Seq("doc_id"), "left_semi")
       .persist()
     val nAfterNear = afterNear.count()
 
@@ -61,7 +67,15 @@ object CurationJob {
         "n_tokens", "quality_score")
     val nCurated = curated.count()
 
-    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    // 5. training layout: content-hash 80/10/10 split (exact dups — already
+    //    removed here, but stable under re-runs — share a split) and
+    //    2048-token sequence packing bins over the curated set
+    val withLayout = curated
+      .join(TextAnalysis.dataSplit(curated).select("doc_id", "split"), "doc_id")
+      .join(TextAnalysis.packSequences(curated, budget = 2048)
+        .select("doc_id", "bin"), "doc_id")
+
+    withLayout.write.mode("overwrite").parquet(s"$outDir/curated")
     val stats = Seq(
       ("input", total), ("after_exact_dedup", afterExact),
       ("after_near_dedup", nAfterNear), ("after_repetition", nAfterRep),

@@ -213,6 +213,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming content dedup: first arrival wins across micro-batches, " +
+    "watermark bounds the state") {
+    implicit val s = spark
+    val mem = MemoryStream[(Timestamp, String)]
+    val deduped = graft.streaming.StreamingDedup.dedupByContent(
+      mem.toDF().toDF("ts", "text"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((ts(0), "alpha"), (ts(1), "alpha"), (ts(1), "beta"))
+      q.processAllAvailable()
+      // same content in a later micro-batch, still within the horizon
+      mem.addData((ts(2), "alpha"), (ts(3), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .as[String].collect().sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"),
+        s"each content must survive exactly once: ${texts.toSeq}")
+    } finally q.stop()
+  }
+
   test("SQL entry over the registered catalog joins across tables") {
     graft.core.Catalog.registerAll(spark, sfDir)
     val n = spark.sql(
