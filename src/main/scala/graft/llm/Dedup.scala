@@ -279,29 +279,29 @@ object Dedup {
       .select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found via the
-    * pigeonhole band trick: split 64 bits into `maxDist`+1 bands — any pair
-    * within distance shares ≥1 exact band → bucket join on (band, bits),
-    * verify with `bit_count(xor)`. No n² pass.
+  /** All pairs of 64-bit signatures within Hamming distance `maxDist`, via
+    * the pigeonhole band trick: split 64 bits into `maxDist`+1 bands — a
+    * pair within distance differs in ≤ maxDist bands, so it agrees exactly
+    * on ≥1 band → bucket join on (band, bits), verify with
+    * `bit_count(xor)`. No n² pass. `sigs` is (idCol, sigCol); shared by
+    * text SimHash and image perceptual-hash dedup.
     */
-  def simHashPairs(docs: DataFrame, maxDist: Int = 3,
-                   idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+  def hammingPairs(sigs: DataFrame, maxDist: Int,
+                   idCol: String, sigCol: String): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sigs = simHash(docs, idCol, textCol)
     val bandCols = array((0 until nBands).map(b => struct(
       lit(b).as("band"),
-      shiftright(col("simhash"), b * width)
+      shiftright(col(sigCol), b * width)
         .bitwiseAND(lit((1L << width) - 1)).as("bits"))): _*)
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val banded = sigs.select(col(idCol), col(sigCol),
         explode(bandCols).as("bb"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col(sigCol),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
     val a = banded.select(col("band"), col("bits"), col(idCol).as("id_a"),
-      col("simhash").as("sig_a"))
+      col(sigCol).as("sig_a"))
     val b = banded.select(col("band"), col("bits"), col(idCol).as("id_b"),
-      col("simhash").as("sig_b"))
+      col(sigCol).as("sig_b"))
     a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -309,4 +309,11 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (pigeonhole
+    * banding, see [[hammingPairs]]). */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    hammingPairs(simHash(docs, idCol, textCol), maxDist, idCol, "simhash")
 }

@@ -112,6 +112,58 @@ object Multimodal {
       })
   }
 
+  case class HashRow(doc_id: Long, phash: Long)
+
+  /** aHash-style 64-bit perceptual hash per payload: downsample the decoded
+    * grayscale to an 8×8 grid, bit i = cell i brighter than the mean — tiny
+    * payload edits flip few cells, so near-identical media land within a
+    * small Hamming radius. The decode is the stub (cells here average raw
+    * payload byte chunks); the hash construction, batching, and the
+    * banded pair search ([[perceptualDupPairs]]) are the real contract.
+    */
+  def perceptualHash(media: DataFrame)
+                    (implicit s: SparkSession): Dataset[HashRow] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("content"), col("media_type").as("mediaType"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val cells = new Array[Long](64)
+        val counts = new Array[Int](64)
+        val n = r.content.length
+        var i = 0
+        while (i < n) {
+          // fixed 64-way split of the payload = the stub "8x8 downsample"
+          val c = (i.toLong * 64 / math.max(n, 1)).toInt
+          cells(c) += (r.content(i) & 0xffL)
+          counts(c) += 1
+          i += 1
+        }
+        var mean = 0.0
+        var c = 0
+        while (c < 64) {
+          if (counts(c) > 0) cells(c) = cells(c) / counts(c)
+          mean += cells(c) / 64.0
+          c += 1
+        }
+        var h = 0L
+        c = 0
+        while (c < 64) {
+          if (cells(c) > mean) h |= 1L << c
+          c += 1
+        }
+        HashRow(r.doc_id, h)
+      })
+  }
+
+  /** Perceptual near-duplicate pairs: media whose aHash signatures are
+    * within Hamming `maxDist`, found with the same pigeonhole banding as
+    * text SimHash ([[graft.llm.Dedup.hammingPairs]]) — one bucket join,
+    * never all-pairs. */
+  def perceptualDupPairs(media: DataFrame, maxDist: Int = 3)
+                        (implicit s: SparkSession): DataFrame =
+    Dedup.hammingPairs(perceptualHash(media).toDF(), maxDist,
+      "doc_id", "phash")
+
   /** Frame-sampling pass: one output row per sampled frame (N→M). */
   def sampleFrames(media: DataFrame, stride: Int = 2)
                   (implicit s: SparkSession): Dataset[FrameRow] = {

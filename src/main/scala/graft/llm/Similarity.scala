@@ -334,6 +334,17 @@ object Similarity {
     * whenever fixtures or scales change. At 100 TB: scale `k` with corpus
     * size (bucket size n/k bounds the per-cell quadratic term), keep the
     * quantizer sample bounded, and the assignment scan stays one pass.
+    *
+    * Applicability boundary, measured (TuneIvfSf01): at sf0.1 — 2000
+    * uniform random vectors, where τ=0.45 sits in the random-cosine bulk —
+    * these parameters recall 125/144 of the exact tail pairs at candidate
+    * fraction 0.15; pushing recall to 1.0 there requires a ≥0.5 candidate
+    * fraction at ANY (tables, k, probes) combination, i.e. half of
+    * all-pairs. That is the data's geometry, not a tuning gap: full-recall
+    * low-τ search on unclustered data is Θ(n²) for every bucketing scheme.
+    * IVF's scale value is on corpora with real duplicate structure, where
+    * qualifying pairs are co-located; the gate corpora (recall 1.0) and
+    * this doc record both sides of that line.
     */
   def embeddingNearDupPairsIvf(embeddings: DataFrame, tau: Double,
                                k: Int = 64, tables: Int = 12,
@@ -373,12 +384,20 @@ object Similarity {
     * remaining recall knob. Candidates dedupe across tables before the exact
     * cosine ranking, so each (query, neighbor) is scored once.
     *
+    * The probe count trades recall for read volume, and the right value is
+    * data-dependent: on clustered corpora (real embedding spaces) a few
+    * probes reach the true neighbors; this corpus is uniform random, where
+    * a query's 5-NN are barely closer than the bulk, so the registry runs
+    * probes=16 — measured recall 1.0 vs brute force at sf0.001, sf0.01 AND
+    * sf0.1 (TuneIvfSf01), still reading only probes·tables inverted lists
+    * per query.
+    *
     * At 100 TB the corpus assignment is the partition key of the stored
     * index (one cell = one partition bucket) and only probes·tables cells
     * are ever read per query — the scan never touches the full corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              kCentroids: Int = 64, tables: Int = 12, probes: Int = 6,
+              kCentroids: Int = 64, tables: Int = 12, probes: Int = 16,
               iters: Int = 8, sampleN: Int = 1024,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {

@@ -112,7 +112,10 @@ object LlmQueries {
     * (ScaleSpec pins < 0.3·C(n,2) at sf0.01), recall 1.0 on the gate corpora
     * (LlmOpsSpec pins equality with the exact all-pairs form — a property of
     * these fixtures at the TuneIvf-chosen parameters, not of IVF itself;
-    * re-run TuneIvf if fixtures or gate scales change). */
+    * re-run TuneIvf if fixtures or gate scales change). At bench scale
+    * (sf0.1, uniform random vectors) recall is 125/144 — the measured
+    * low-τ applicability boundary documented on
+    * Similarity.embeddingNearDupPairsIvf. */
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairsIvf(Tables.embeddings(s, dir), tau = 0.45)
 
@@ -125,9 +128,10 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
 
   /** IVF ANN top-5 (inverted-file layout — the stored-index scale path).
-    * 12 tables × 64 cells, 6 query-side probes reaches recall 1.0 on the
-    * gate corpora (LlmOpsSpec pins equality with brute force), so it shares
-    * the q32 oracle — same contract as q33's hyperplane variant. */
+    * 12 tables × 64 cells, 16 query-side probes reaches recall 1.0 at all
+    * three local corpora — sf0.001/sf0.01 (gate) and sf0.1 (bench), per
+    * TuneIvfSf01; LlmOpsSpec pins equality with brute force — so it shares
+    * the q32 oracle, same contract as q33's hyperplane variant. */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)

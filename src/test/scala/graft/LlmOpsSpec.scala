@@ -130,7 +130,7 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
-  test("IVF ANN at registry params (12 tables × 64 cells, 6 probes) recalls " +
+  test("IVF ANN at registry params (12 tables × 64 cells, 16 probes) recalls " +
     "ALL of brute-force top-k — q52 shares q32's oracle on this guarantee") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
@@ -220,6 +220,25 @@ class LlmOpsSpec extends SparkSpecBase {
     viaSql.foreach { case (_, d, c) =>
       assert(!d.isNaN && c >= -1.0001 && c <= 1.0001)
     }
+  }
+
+  test("perceptual hash pairs near-identical media, separates unrelated") {
+    implicit val s = spark
+    val base = ("the quick brown fox jumps over the lazy dog " * 30).getBytes
+    val tweaked = base.clone(); tweaked(100) = 'X'.toByte
+    val other = ("completely different payload bytes entirely " * 40).getBytes
+    val media = Seq((1L, base), (2L, tweaked), (3L, other))
+      .toDF("doc_id", "content")
+      .withColumn("media_type", lit("image/png"))
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hashes(1L), hashes(2L)) <= 3,
+      s"one-byte edit must stay within the radius: ${ham(hashes(1L), hashes(2L))}")
+    val pairs = Multimodal.perceptualDupPairs(media, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
   test("multimodal plumbing: decode/features/frames shapes") {

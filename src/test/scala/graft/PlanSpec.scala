@@ -46,6 +46,16 @@ class PlanSpec extends SparkSpecBase {
       s"near-dup must join on (table, bucket), never all-pairs:\n$p")
   }
 
+  test("q52 IVF ANN joins probe assignments via broadcast — the corpus side " +
+    "stays partitioned") {
+    val p = planOf("q52_knn_ivf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-side assignments must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN must never fall back to all-pairs:\n$p")
+  }
+
   test("q56 packing avoids the single-partition global window") {
     val p = planOf("q56_seq_packing")
     assert(!p.contains("Exchange SinglePartition"),
