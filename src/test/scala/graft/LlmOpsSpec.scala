@@ -141,6 +141,23 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(ivf == brute, s"IVF missed ${brute -- ivf}, extra ${ivf -- brute}")
   }
 
+  test("int8 quantization round-trips within the grid error bound") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val orig = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val q = Similarity.quantizeInt8(emb)
+    assert(q.schema("qvec").dataType.simpleString == "array<tinyint>")
+    val back = Similarity.dequantizeInt8(q)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(back.keySet == orig.keySet)
+    orig.foreach { case (id, v) =>
+      val bound = (v.max - v.min) / 510.0 + 1e-6
+      v.zip(back(id)).foreach { case (x, xb) =>
+        assert(math.abs(x - xb) <= bound, s"vec $id: |$x - $xb| > $bound")
+      }
+    }
+  }
+
   test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
     import graft.llm.TextAnalysis
     val d = Seq(
