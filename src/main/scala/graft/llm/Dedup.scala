@@ -216,7 +216,7 @@ object Dedup {
     // decimal sum: overflow-safe at any corpus size (ANSI mode raises on
     // long-sum wrap); strictly decreasing until the fixpoint
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var last = labelSum(labels)
     var iter = 0
     var converged = false

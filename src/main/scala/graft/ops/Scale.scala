@@ -33,7 +33,7 @@ object Scale {
     // duplicate rows share a salt, which only concentrates exact-duplicate
     // volume — acceptable, and the common hot-key shape is distinct rows).
     val phase1 = df
-      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+      .withColumn("__salt", pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),
         aggs.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }: _*)
@@ -133,7 +133,7 @@ object Scale {
     val offsets = totals.map { case (pid, t) =>
       val o = (pid, running); running += t; o
     }
-    val offDf = parts.sparkSession.createDataFrame(offsets)
+    val offDf = parts.sparkSession.createDataFrame(offsets.toIndexedSeq)
       .toDF("__pid", "__offset")
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

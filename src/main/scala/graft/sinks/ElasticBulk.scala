@@ -26,7 +26,7 @@ object ElasticBulk {
 
   def bulkIndex(df: DataFrame, baseUrl: String, index: String,
                 idCol: Option[String] = None, batchSize: Int = 500): Unit = {
-    val doc = to_json(struct(df.columns.map(col): _*)).as("__doc")
+    val doc = to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("__doc")
     val id = idCol.map(c => col(c).cast("string"))
       .getOrElse(lit(null).cast("string")).as("__id")
     df.select(doc, id).foreachPartition { rows: Iterator[Row] =>

@@ -106,7 +106,7 @@ object Sinks {
         if (existingDirs.isEmpty) u
         // read ONLY the touched day dirs (basePath keeps the partition
         // column) — the rest of the store is not even listed
-        else spark.read.option("basePath", path).parquet(existingDirs: _*)
+        else spark.read.option("basePath", path).parquet(existingDirs.toIndexedSeq: _*)
           .join(u.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
           .unionByName(u)
       // materialize into a temp dir first (the merge plan reads the very

@@ -181,7 +181,7 @@ object StreamingDashboard {
       // all partials feeding a touched coarse window live in the same
       // UTC+8 day partition (see dayFloor) — read only those directories
       val fineTouched = spark.read.option("basePath", fineStore)
-        .parquet(days.map(d => s"$fineStore/day=$d"): _*)
+        .parquet(days.toIndexedSeq.map(d => s"$fineStore/day=$d"): _*)
       val touched = touchedCoarseWindows(fine)
       val coarse = roll(fineTouched.drop("day"))
         .join(touched, Seq("key", "granularity", "window_start_ms"),

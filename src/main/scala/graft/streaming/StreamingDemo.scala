@@ -113,7 +113,7 @@ object StreamingDemo {
         col("g.uv").cast("double").as("got"),
         col("w.uv").cast("double").as("want"))
       .withColumn("rel", abs(col("got") - col("want")) / col("want"))
-    val worst = uvErr.agg(max("rel")).head.getDouble(0)
+    val worst = uvErr.agg(max("rel")).head().getDouble(0)
     require(worst <= 0.05, {
       uvErr.orderBy(col("rel").desc).show(10, truncate = false)
       f"sketch uv relative error $worst%.4f exceeds 5%% HLL bound"
