@@ -138,17 +138,20 @@ object Multimodal {
           counts(c) += 1
           i += 1
         }
-        var mean = 0.0
+        var total = 0L
         var c = 0
         while (c < 64) {
           if (counts(c) > 0) cells(c) = cells(c) / counts(c)
-          mean += cells(c) / 64.0
+          total += cells(c)
           c += 1
         }
+        // bit = cell brighter than the mean, as the integer comparison
+        // cell*64 > Σcells — exact, portable arithmetic (no float mean),
+        // so the hash is reproducible by any engine including the oracle
         var h = 0L
         c = 0
         while (c < 64) {
-          if (cells(c) > mean) h |= 1L << c
+          if (cells(c) * 64 > total) h |= 1L << c
           c += 1
         }
         HashRow(r.doc_id, h)

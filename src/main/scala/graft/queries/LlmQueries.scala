@@ -165,6 +165,30 @@ object LlmQueries {
   def seqPacking(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packSequences(Tables.documents(s, dir), budget = 2048)
 
+  /** Int8 quantization audit: per-vector grid bounds (exact float→double,
+    * no rounding needed) plus integer summaries of the code array — code
+    * sums/extremes are exact ints, and the per-code round() is
+    * half-away-from-zero in both engines, so the whole row is
+    * hash-deterministic. */
+  def quantStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("q_min"), col("q_max"),
+        aggregate(col("qvec"), lit(0L), (a, q) => a + q.cast("long"))
+          .as("code_sum"),
+        array_min(col("qvec")).cast("long").as("code_min"),
+        array_max(col("qvec")).cast("long").as("code_max"))
+
+  /** Perceptual (aHash) signature per media payload — integer-only
+    * arithmetic end to end (64-way byte-chunk means, bit = cell·64 > Σcells)
+    * so the 64-bit hash is bit-reproducible by the SQL oracle, unlike the
+    * xxhash64-defined q31. The corpus payloads are ASCII text bytes, so SQL
+    * codepoints equal the bytes the Scala side reads. */
+  def perceptualHashes(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.perceptualHash(
+      Multimodal.asMedia(Tables.documents(s, dir))).toDF()
+  }
+
   /** MapType column handling — the reference's `channelInfo:
     * Map<String,String>` shape (`ActionLogJob.java:580`, SURVEY §1.1):
     * props parsed as a map, exploded, values aggregated per key. */
@@ -220,7 +244,9 @@ object LlmQueries {
     "q53_top_terms" -> topTerms,
     "q54_label_centroids" -> labelCentroids,
     "q55_data_split" -> dataSplit,
-    "q56_seq_packing" -> seqPacking)
+    "q56_seq_packing" -> seqPacking,
+    "q57_quant_stats" -> quantStats,
+    "q58_perceptual_hash" -> perceptualHashes)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -316,6 +342,39 @@ object LlmQueries {
     "q33_knn_lsh" -> knnOracleSql,
     "q51_dedup_clusters" -> clusterOracleSql,
     "q52_knn_ivf" -> knnOracleSql,
+    "q58_perceptual_hash" ->
+      """WITH chars AS (
+        |  SELECT doc_id, i - 1 AS idx, length(text) AS n,
+        |         ascii(text[i]) AS code
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+        |cells AS (
+        |  SELECT doc_id, (idx * 64) // n AS c,
+        |         SUM(code) // COUNT(*) AS cell
+        |  FROM chars GROUP BY doc_id, (idx * 64) // n),
+        |tot AS (SELECT doc_id, SUM(cell) AS total FROM cells GROUP BY doc_id)
+        |SELECT cells.doc_id,
+        |  CAST(BIT_OR(CASE
+        |    WHEN cell * 64 <= total THEN 0
+        |    WHEN c = 63 THEN -9223372036854775808
+        |    ELSE 1::BIGINT << c END) AS BIGINT) AS phash
+        |FROM cells JOIN tot USING (doc_id)
+        |GROUP BY cells.doc_id""".stripMargin,
+    "q57_quant_stats" ->
+      """WITH g AS (SELECT vec_id,
+        |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+        |    embedding AS e
+        |  FROM embeddings),
+        |codes AS (SELECT vec_id, mn, mx,
+        |    CASE WHEN mx = mn THEN -128
+        |         ELSE CAST(ROUND((CAST(e[i] AS DOUBLE) - mn) * 255.0
+        |                          / (mx - mn)) AS INT) - 128 END AS q
+        |  FROM g, UNNEST(range(1, len(e) + 1)) AS t(i))
+        |SELECT vec_id, MIN(mn) AS q_min, MIN(mx) AS q_max,
+        |       CAST(SUM(q) AS BIGINT) AS code_sum,
+        |       CAST(MIN(q) AS BIGINT) AS code_min,
+        |       CAST(MAX(q) AS BIGINT) AS code_max
+        |FROM codes GROUP BY vec_id""".stripMargin,
     "q55_data_split" ->
       """WITH fp AS (SELECT doc_id,
         |  list_reduce(
