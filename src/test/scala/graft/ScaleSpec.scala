@@ -41,6 +41,21 @@ class ScaleSpec extends SparkSpecBase {
     spark.sqlContext.clearCache()
   }
 
+  test("global cumsum on empty input returns empty; CC fails loud when " +
+    "round budget is too small for the diameter") {
+    import graft.llm.Dedup
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+    assert(Scale.globalCumSum(empty, "doc_id", "n_chars").count() == 0)
+    spark.sqlContext.clearCache()
+    // chain 1-2-3-4 needs 3 propagation rounds; 1 round must throw, not
+    // silently return half-merged labels
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(verts, chain, maxIters = 1).collect()
+    }
+  }
+
   test("bounded top-K aggregator matches collect_list + sort + slice") {
     val scores = Seq(
       ("a", 3.0, "x"), ("a", 5.0, "y"), ("a", 4.0, "z"), ("a", 5.0, "w"),
