@@ -13,9 +13,10 @@ import graft.sinks.Sinks
   * survival stats.
   *
   * Shape notes for 100 TB: every stage is a narrow transform or a
-  * key-bucketed join (no driver state); near-dup removal drops the higher
-  * id of each verified pair (deterministic survivor choice); stats come
-  * from one pass per stage boundary.
+  * key-bucketed join (no driver state); near-dup removal resolves the
+  * verified pairs into connected-component clusters and keeps each
+  * cluster's min id (transitive, deterministic survivor choice); stats
+  * come from one pass per stage boundary.
   *
   * Usage: runMain graft.jobs.CurationJob [sfDir] [outDir]
   */

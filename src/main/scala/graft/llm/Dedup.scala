@@ -214,9 +214,13 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("comp"))
       .localCheckpoint(true)
     // decimal sum: overflow-safe at any corpus size (ANSI mode raises on
-    // long-sum wrap); strictly decreasing until the fixpoint
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    // long-sum wrap); strictly decreasing until the fixpoint. Empty vertex
+    // set sums to SQL NULL — normalize to zero so the loop converges on
+    // round one instead of NPEing on compareTo
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var last = labelSum(labels)
     var iter = 0
     var converged = false

@@ -370,14 +370,21 @@ object Similarity {
   def quantizeInt8(embeddings: DataFrame,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val mn = array_min(col(vecCol)).cast("double")
-    val mx = array_max(col(vecCol)).cast("double")
-    embeddings.select(col(idCol), mn.as("q_min"), mx.as("q_max"),
-      transform(col(vecCol), x =>
-        when(mx === mn, lit(-128))
-          .otherwise(round((x.cast("double") - mn) * 255.0 / (mx - mn), 0)
-            .cast("int") - 128)
-          .cast("tinyint")).as("qvec"))
+    // two selects: the bounds are projected to columns FIRST so the
+    // per-element lambda references scalars — inlining array_min/array_max
+    // into the transform would rescan the whole array per element (O(d²))
+    val mn = col("q_min")
+    val mx = col("q_max")
+    embeddings
+      .select(col(idCol), col(vecCol),
+        array_min(col(vecCol)).cast("double").as("q_min"),
+        array_max(col(vecCol)).cast("double").as("q_max"))
+      .select(col(idCol), mn, mx,
+        transform(col(vecCol), x =>
+          when(mx === mn, lit(-128))
+            .otherwise(round((x.cast("double") - mn) * 255.0 / (mx - mn), 0)
+              .cast("int") - 128)
+            .cast("tinyint")).as("qvec"))
   }
 
   /** Inverse of [[quantizeInt8]]: x̂ᵢ = min + (qᵢ+128)·(max−min)/255. */

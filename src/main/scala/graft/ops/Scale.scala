@@ -67,7 +67,8 @@ object Scale {
     override def zero: Seq[(Double, String)] = Seq.empty
     override def reduce(buf: Seq[(Double, String)], in: (Double, String))
     : Seq[(Double, String)] = {
-      if (buf.length >= k && !order(in, buf(buf.length - 1))) buf
+      if (k <= 0) buf
+      else if (buf.length >= k && !order(in, buf(buf.length - 1))) buf
       else {
         var lo = 0
         var hi = buf.length

@@ -351,14 +351,18 @@ object LlmQueries {
         |  SELECT doc_id, (idx * 64) // n AS c,
         |         SUM(code) // COUNT(*) AS cell
         |  FROM chars GROUP BY doc_id, (idx * 64) // n),
-        |tot AS (SELECT doc_id, SUM(cell) AS total FROM cells GROUP BY doc_id)
-        |SELECT cells.doc_id,
-        |  CAST(BIT_OR(CASE
-        |    WHEN cell * 64 <= total THEN 0
-        |    WHEN c = 63 THEN -9223372036854775808
-        |    ELSE 1::BIGINT << c END) AS BIGINT) AS phash
-        |FROM cells JOIN tot USING (doc_id)
-        |GROUP BY cells.doc_id""".stripMargin,
+        |tot AS (SELECT doc_id, SUM(cell) AS total FROM cells GROUP BY doc_id),
+        |h AS (SELECT cells.doc_id,
+        |    CAST(BIT_OR(CASE
+        |      WHEN cell * 64 <= total THEN 0
+        |      WHEN c = 63 THEN -9223372036854775808
+        |      ELSE 1::BIGINT << c END) AS BIGINT) AS phash
+        |  FROM cells JOIN tot USING (doc_id)
+        |  GROUP BY cells.doc_id)
+        |-- empty text emits no char rows but the Scala side hashes it to 0:
+        |-- anchor on documents so both relations cover every doc
+        |SELECT d.doc_id, COALESCE(h.phash, 0) AS phash
+        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
     "q57_quant_stats" ->
       """WITH g AS (SELECT vec_id,
         |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,

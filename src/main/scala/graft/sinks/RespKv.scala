@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, InputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, InputStream, OutputStream}
 import java.net.Socket
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -11,33 +11,19 @@ import java.nio.charset.StandardCharsets.UTF_8
   * (`flink-process/.../sink/MyJedisCluster.java:47-58`: DEL → RPUSH →
   * EXPIRE per key; `flink-base/.../sink/MyRedisMapper.scala:12-20`: HSET).
   *
-  * Executor model: the class is serialized into foreachPartition closures;
-  * the socket is `@transient` and opened lazily per executor JVM, so no
-  * connection state crosses the wire. Commands for one logical put are
-  * pipelined (single flush) and all replies drained; a `-ERR` reply throws,
-  * failing the task so Spark retries — at-least-once, idempotent because
-  * every put is a full-key overwrite.
+  * Executor model: instances are serialized into foreachPartition closures
+  * (one deserialized copy per task), so the CONNECTION cannot live on the
+  * instance — it is a JVM-wide registry entry keyed by (host, port) in the
+  * companion, shared by every task in the executor, guarded by a
+  * per-connection lock, and closed by one JVM shutdown hook. Commands for
+  * one logical put are pipelined (single flush) and all replies drained; a
+  * `-ERR` reply throws, failing the task so Spark retries — at-least-once,
+  * idempotent because every put is a full-key overwrite.
   *
   * Use [[Sinks.kvFromEnv]] to select this against a real server via
   * `GRAFT_REDIS=host:port`; tests run against an in-process mock server.
   */
 class RespKv(host: String, port: Int) extends Sinks.KeyValueSink {
-  @transient private var sock: Socket = _
-  @transient private var in: InputStream = _
-  @transient private var out: java.io.OutputStream = _
-
-  private def ensureOpen(): Unit = {
-    if (sock == null || sock.isClosed) {
-      sock = new Socket(host, port)
-      in = new BufferedInputStream(sock.getInputStream)
-      out = new BufferedOutputStream(sock.getOutputStream)
-      // executor-side instances are deserialized copies the driver can
-      // never close() — release the one socket per JVM at shutdown
-      val s = sock
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try s.close() catch { case _: Throwable => () }))
-    }
-  }
 
   /** RESP array-of-bulk-strings encoding; lengths are BYTE lengths. */
   private def encode(cmd: Seq[String]): Array[Byte] = {
@@ -52,37 +38,13 @@ class RespKv(host: String, port: Int) extends Sinks.KeyValueSink {
     buf.toByteArray
   }
 
-  private def readLine(): String = {
-    val sb = new StringBuilder
-    var c = in.read()
-    while (c != '\r' && c != -1) { sb.append(c.toChar); c = in.read() }
-    in.read() // the \n
-    sb.toString
-  }
-
-  /** Drain one reply; throws on -ERR. Array/bulk payloads are read fully
-    * (writers only need acknowledgement, not content). */
-  private def readReply(): Unit = {
-    val line = readLine()
-    if (line.isEmpty) return
-    line.charAt(0) match {
-      case '+' | ':' => ()
-      case '-' => throw new java.io.IOException(s"RESP error: $line")
-      case '$' =>
-        val n = line.drop(1).toInt
-        if (n >= 0) { in.readNBytes(n); in.read(); in.read() }
-      case '*' =>
-        val n = line.drop(1).toInt
-        (0 until math.max(n, 0)).foreach(_ => readReply())
-      case _ => ()
+  private def pipeline(cmds: Seq[Seq[String]]): Unit = {
+    val conn = RespKv.connect(host, port)
+    conn.synchronized {
+      cmds.foreach(c => conn.out.write(encode(c)))
+      conn.out.flush()
+      cmds.foreach(_ => RespKv.readReply(conn.in))
     }
-  }
-
-  private def pipeline(cmds: Seq[Seq[String]]): Unit = synchronized {
-    ensureOpen()
-    cmds.foreach(c => out.write(encode(c)))
-    out.flush()
-    cmds.foreach(_ => readReply())
   }
 
   /** DEL → RPUSH(all values) → EXPIRE, the reference's list contract.
@@ -100,5 +62,71 @@ class RespKv(host: String, port: Int) extends Sinks.KeyValueSink {
   override def putHash(key: String, field: String, value: String): Unit =
     pipeline(Seq(Seq("HSET", key, field, value)))
 
-  def close(): Unit = synchronized { if (sock != null) sock.close() }
+  def close(): Unit = RespKv.release(host, port)
+}
+
+object RespKv {
+  private final class Conn(val sock: Socket) {
+    val in: InputStream = new BufferedInputStream(sock.getInputStream)
+    val out: OutputStream = new BufferedOutputStream(sock.getOutputStream)
+  }
+
+  // one live connection per endpoint per JVM — NOT per task instance: a
+  // per-instance socket + shutdown hook would accumulate one of each per
+  // task in a long-lived executor (fd exhaustion, unbounded hook threads)
+  private val conns =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Conn]()
+  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def connect(host: String, port: Int): Conn =
+    conns.compute((host, port), (_, old) => {
+      if (old != null && !old.sock.isClosed) old
+      else {
+        if (old != null) closeQuietly(old)
+        if (hooked.compareAndSet(false, true)) {
+          // best effort: if the JVM is already shutting down the sockets
+          // die with it anyway
+          try Runtime.getRuntime.addShutdownHook(new Thread(() => closeAll()))
+          catch { case _: IllegalStateException => () }
+        }
+        new Conn(new Socket(host, port))
+      }
+    })
+
+  private def release(host: String, port: Int): Unit =
+    Option(conns.remove((host, port))).foreach(closeQuietly)
+
+  private def closeAll(): Unit = {
+    conns.values.forEach(c => closeQuietly(c))
+    conns.clear()
+  }
+
+  private def closeQuietly(c: Conn): Unit =
+    try c.sock.close() catch { case _: Throwable => () }
+
+  private def readLine(in: InputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r' && c != -1) { sb.append(c.toChar); c = in.read() }
+    in.read() // the \n
+    sb.toString
+  }
+
+  /** Drain one reply; throws on -ERR. Array/bulk payloads are read fully
+    * (writers only need acknowledgement, not content). */
+  private def readReply(in: InputStream): Unit = {
+    val line = readLine(in)
+    if (line.isEmpty) return
+    line.charAt(0) match {
+      case '+' | ':' => ()
+      case '-' => throw new java.io.IOException(s"RESP error: $line")
+      case '$' =>
+        val n = line.drop(1).toInt
+        if (n >= 0) { in.readNBytes(n); in.read(); in.read() }
+      case '*' =>
+        val n = line.drop(1).toInt
+        (0 until math.max(n, 0)).foreach(_ => readReply(in))
+      case _ => ()
+    }
+  }
 }

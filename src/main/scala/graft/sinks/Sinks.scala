@@ -55,10 +55,19 @@ object Sinks {
     // the store or its __old copy holds the full history — a crash leaves a
     // state the recovery above repairs instead of an empty store that a
     // retry would silently re-seed from one batch
-    if (fs.exists(hp)) fs.rename(hp, oldP)
-    fs.rename(tmp, hp)
-    fs.delete(oldP, true)
+    if (fs.exists(hp)) renameOrThrow(fs, hp, oldP)
+    renameOrThrow(fs, tmp, hp)
+    fs.delete(oldP, true) // best-effort: leftover __old is repaired next run
   }
+
+  /** Hadoop rename returns `false` (no exception) on many failures; a swap
+    * step that silently no-ops would let the next step destroy the only
+    * surviving copy — fail loud so the streaming batch retries instead. */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
 
   /** Crash recovery for the rename-swap protocol: `old` holds the previous
     * content of a destination that was being replaced. Destination missing
@@ -69,7 +78,8 @@ object Sinks {
                          old: org.apache.hadoop.fs.Path,
                          dst: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(old)) {
-      if (!fs.exists(dst)) fs.rename(old, dst) else { fs.delete(old, true); () }
+      if (!fs.exists(dst)) renameOrThrow(fs, old, dst)
+      else { fs.delete(old, true); () }
     }
 
   /** Day-partitioned metric-store upsert — the incremental form for
@@ -126,9 +136,10 @@ object Sinks {
         if (fs.exists(src)) {
           if (fs.exists(dst)) {
             fs.mkdirs(oldRoot)
-            fs.rename(dst, new org.apache.hadoop.fs.Path(oldRoot, s"$dayCol=$d"))
+            renameOrThrow(fs, dst,
+              new org.apache.hadoop.fs.Path(oldRoot, s"$dayCol=$d"))
           }
-          fs.rename(src, dst)
+          renameOrThrow(fs, src, dst)
         }
       }
       fs.delete(tmp, true)

@@ -47,6 +47,10 @@ class ScaleSpec extends SparkSpecBase {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
     assert(Scale.globalCumSum(empty, "doc_id", "n_chars").count() == 0)
     spark.sqlContext.clearCache()
+    // empty vertex set: label sum is SQL NULL — must converge, not NPE
+    assert(Dedup.connectedComponents(
+      Seq.empty[Long].toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
     // chain 1-2-3-4 needs 3 propagation rounds; 1 round must throw, not
     // silently return half-merged labels
     val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
