@@ -41,9 +41,17 @@ class RespKv(host: String, port: Int) extends Sinks.KeyValueSink {
   private def pipeline(cmds: Seq[Seq[String]]): Unit = {
     val conn = RespKv.connect(host, port)
     conn.synchronized {
-      cmds.foreach(c => conn.out.write(encode(c)))
-      conn.out.flush()
-      cmds.foreach(_ => RespKv.readReply(conn.in))
+      try {
+        cmds.foreach(c => conn.out.write(encode(c)))
+        conn.out.flush()
+        cmds.foreach(_ => RespKv.readReply(conn.in))
+      } catch {
+        case e: java.io.IOException =>
+          // a half-broken (but not closed) socket would otherwise be
+          // reused by every retry; drop it so the next attempt redials
+          RespKv.invalidate(host, port, conn)
+          throw e
+      }
     }
   }
 
@@ -95,6 +103,12 @@ object RespKv {
 
   private def release(host: String, port: Int): Unit =
     Option(conns.remove((host, port))).foreach(closeQuietly)
+
+  /** Drop `conn` from the registry (only if still current) and close it. */
+  private def invalidate(host: String, port: Int, conn: Conn): Unit = {
+    conns.remove((host, port), conn)
+    closeQuietly(conn)
+  }
 
   private def closeAll(): Unit = {
     conns.values.forEach(c => closeQuietly(c))
