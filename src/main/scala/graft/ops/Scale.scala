@@ -107,6 +107,47 @@ object Scale {
   def topKColumn(k: Int): TypedColumn[(Double, String), Seq[String]] =
     new TopKAgg(k).toColumn
 
+  /** Mergeable Misra-Gries heavy-hitters summary: at most `k` (item, count)
+    * counters per aggregation buffer, so finding the frequent items of an
+    * unbounded stream costs O(k) state — the frequency counterpart of the
+    * HLL distinct sketch in the kit. Guarantee: any item with true count
+    * > n/(k+1) survives, and every reported count undercounts by at most
+    * the total decrement amount (classic MG bounds); exact ranking of the
+    * survivors comes from a cheap second pass filtered to them. `merge`
+    * combines summaries then re-truncates with the same decrement rule, so
+    * the bound holds across partitions (Agarwal et al.'s mergeable-summary
+    * result).
+    */
+  class TopFreqAgg(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // decrement all by the (k+1)-th largest count; drop zeros — one MG
+        // "subtract the minimum" step batched
+        val dec = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        m.flatMap { case (i, c) =>
+          if (c - dec > 0) Some(i -> (c - dec)) else None
+        }
+      }
+    override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
+      shrink(m.updated(item, m.getOrElse(item, 0L) + 1L))
+    override def merge(a: Map[String, Long],
+                       b: Map[String, Long]): Map[String, Long] =
+      shrink(b.foldLeft(a) { case (m, (i, c)) =>
+        m.updated(i, m.getOrElse(i, 0L) + c)
+      })
+    override def finish(m: Map[String, Long]): Map[String, Long] = m
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  def topFreqColumn(k: Int): TypedColumn[String, Map[String, Long]] =
+    new TopFreqAgg(k).toColumn
+
   /** Scale-correct global running sum of an integral column ordered by a
     * unique key. The naive `sum.over(Window.orderBy(key))` funnels the whole
     * dataset through ONE window task (its Exchange is SinglePartition); this

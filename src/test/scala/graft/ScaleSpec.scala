@@ -60,6 +60,33 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("Misra-Gries heavy hitters: dominant tokens survive the bounded " +
+    "summary and the undercount respects the n/(k+1) bound") {
+    import graft.llm.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select(explode(TextAnalysis.tokens(col("text")))
+      .as("tok")).as[String]
+    val n = tokens.count()
+    val k = 32
+    val sketch = tokens.groupByKey(_ => 0)
+      .agg(Scale.topFreqColumn(k).name("top")).collect().head._2
+    assert(sketch.size <= k)
+    val exact = tokens.groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    // every item above the MG threshold must be present
+    val threshold = n / (k + 1)
+    val mustSurvive = exact.filter(_._2 > threshold).keySet
+    assert(mustSurvive.nonEmpty, "corpus should have heavy tokens")
+    assert(mustSurvive.subsetOf(sketch.keySet),
+      s"missing heavy hitters: ${mustSurvive -- sketch.keySet}")
+    // reported counts never exceed the truth and undercount by <= threshold
+    sketch.foreach { case (tok, c) =>
+      assert(c <= exact(tok))
+      assert(exact(tok) - c <= threshold,
+        s"$tok undercounted by ${exact(tok) - c} > $threshold")
+    }
+  }
+
   test("bounded top-K aggregator matches collect_list + sort + slice") {
     val scores = Seq(
       ("a", 3.0, "x"), ("a", 5.0, "y"), ("a", 4.0, "z"), ("a", 5.0, "w"),
