@@ -460,6 +460,79 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Persist an IVF index: `path/centroids` holds the tables·k quantizer
+    * vectors (bounded, broadcastable), `path/postings` holds one row per
+    * (vector, table) stored under its nearest cell — PARTITIONED BY
+    * (tbl, centroid), so a search touches only the probed cells'
+    * directories and the rest of the corpus is never listed or read. This
+    * is the materialized form of the inverted-file layout the in-memory
+    * [[ivfTopK]] computes per call; vectors are duplicated once per table
+    * (the standard multi-table IVF storage trade — set tables=1 for a
+    * storage-tight single-quantizer index).
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    kCentroids: Int = 64, tables: Int = 12,
+                    iters: Int = 8, sampleN: Int = 1024,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainIvfCentroids(corpus, kCentroids, tables, iters, sampleN,
+      idCol, vecCol)
+    val centRows = for {
+      t <- cents.indices
+      c <- cents(t).indices
+    } yield (t, c, cents(t)(c))
+    spark.createDataFrame(centRows).toDF("tbl", "centroid", "cvec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssignments(corpus, cents, probes = 1, idCol, vecCol)
+      .join(corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec")), "id")
+      .write.mode("overwrite").partitionBy("tbl", "centroid")
+      .parquet(s"$path/postings")
+  }
+
+  /** Search a stored IVF index: the bounded centroid table is collected,
+    * queries are assigned their `probes` nearest cells per table, and the
+    * postings scan is joined on the PARTITION columns — dynamic partition
+    * pruning (checked in LlmOpsSpec) reads only the probed cell
+    * directories. Same contract as [[ivfTopK]]; with identical training
+    * parameters the results are identical (deterministic quantizers).
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, probes: Int = 16,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select("tbl", "centroid", "cvec")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val tables = centRows.map(_._1).max + 1
+    val cents = Array.tabulate(tables) { t =>
+      centRows.filter(_._1 == t).sortBy(_._2).map(_._3)
+    }
+    val qAsg = ivfAssignments(queries, cents, probes, idCol, vecCol)
+      .toDF("query_id", "tbl", "centroid")
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("tbl"), col("centroid"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    // score on the pruned scan itself (the posting row carries the vector),
+    // then dedup (pair, score) — same pair from different tables produces
+    // the same score, and a second full postings scan is never needed
+    postings.join(broadcast(qAsg), Seq("tbl", "centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+      .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the
     * IVF-style inverted-list layout — at scale this is the partition key of
     * the stored index); each query probes only its own bucket across

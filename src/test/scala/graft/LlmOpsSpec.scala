@@ -158,6 +158,24 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("stored IVF index: search equals the in-memory path and the postings " +
+    "scan is partition-pruned to the probed cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(emb, dir)
+    val fromIndex = Similarity.searchIvfIndex(spark, dir, queries, k = 5)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"postings scan must prune to the probed (tbl, centroid) dirs:\n$plan")
+    val got = fromIndex.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val inMem = Similarity.ivfTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == inMem,
+      s"index search diverged: missing ${inMem -- got}, extra ${got -- inMem}")
+  }
+
   test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
     import graft.llm.TextAnalysis
     val d = Seq(
