@@ -37,14 +37,20 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(
+    rankTopK(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", cosine(col("qv"), col("cv"))), k)
+      .select("query_id", "neighbor_id", "score", "rnk")
+  }
+
+  /** Shared ANN ranking tail: per query, row_number over (score desc,
+    * neighbor asc) truncated at k — ONE definition so every top-k path
+    * (brute, LSH, IVF, stored index) ranks and tie-breaks identically. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("neighbor_id"))))
       .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "score", "rnk")
-  }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * splitmix64-style integer mix → uniform in [−0.5, 0.5]. Computed
@@ -252,6 +258,32 @@ object Similarity {
     * expression form. Ties take the highest centroid index, matching the
     * natural struct-ordering max of the expression form.
     */
+  /** Dot of `v` against centroid `c` of table `ct` — float→double in array
+    * order, bit-identical to [[graft.functions.FloatVecDot]]. */
+  private def cellDot(ct: Array[Array[Float]], v: Array[Float],
+                      c: Int): Double = {
+    val cv = ct(c)
+    val n = math.min(v.length, cv.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Argmax cell for `v` in table `ct`; ties take the highest index,
+    * matching the natural struct-ordering max of the expression form. */
+  private def nearestCell(ct: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = cellDot(ct, v, 0)
+    var c = 1
+    while (c < ct.length) {
+      val d = cellDot(ct, v, c)
+      if (d >= bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def ivfAssignments(embeddings: DataFrame,
                      centroids: Array[Array[Array[Float]]], probes: Int,
                      idCol: String = "vec_id",
@@ -267,33 +299,35 @@ object Similarity {
         rows.flatMap { case (id, v) =>
           cents.indices.iterator.flatMap { t =>
             val ct = cents(t)
-            def dot(c: Int): Double = {
-              val cv = ct(c)
-              val n = math.min(v.length, cv.length)
-              var acc = 0.0
-              var i = 0
-              while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
-              acc
-            }
-            if (probes == 1) {
-              var best = 0
-              var bestD = dot(0)
-              var c = 1
-              while (c < ct.length) {
-                val d = dot(c)
-                if (d >= bestD) { bestD = d; best = c }
-                c += 1
-              }
-              Iterator.single((id, t, best))
-            } else {
-              ct.indices
-                .sortBy(c => (-dot(c), -c))
-                .take(probes).iterator.map(c => (id, t, c))
-            }
+            if (probes == 1) Iterator.single((id, t, nearestCell(ct, v)))
+            else ct.indices
+              .sortBy(c => (-cellDot(ct, v, c), -c))
+              .take(probes).iterator.map(c => (id, t, c))
           }
         }
       }
       .toDF("id", "tbl", "centroid")
+  }
+
+  /** Index-build variant of the assignment scan: carries the vector through
+    * (the postings row stores it), so writing the index is ONE pass — no
+    * second corpus scan or shuffle join to re-attach the payload. */
+  private def ivfPostingRows(embeddings: DataFrame,
+                             centroids: Array[Array[Array[Float]]],
+                             idCol: String, vecCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.flatMap { case (id, v) =>
+          cents.indices.iterator.map(t => (id, v, t, nearestCell(cents(t), v)))
+        }
+      }
+      .toDF("id", "vec", "tbl", "centroid")
   }
 
   /** Candidate pairs under the IVF partitions: ids sharing a (table,
@@ -451,13 +485,10 @@ object Similarity {
       col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("cv"))
-    cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("score")), k)
   }
 
   /** Persist an IVF index: `path/centroids` holds the tables·k quantizer
@@ -478,18 +509,29 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = trainIvfCentroids(corpus, kCentroids, tables, iters, sampleN,
       idCol, vecCol)
+    // build the whole index under a temp root, then swap the root with the
+    // store protocol (park old, rename new, discard parked): centroids and
+    // postings must change together — two independent overwrites would let
+    // a crash (or a concurrent reader) pair new quantizers with old cells
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    graft.sinks.Sinks.recoverOld(fs, oldP, hp) // prior crash mid-swap
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    fs.delete(tmp, true)
     val centRows = for {
       t <- cents.indices
       c <- cents(t).indices
     } yield (t, c, cents(t)(c))
     spark.createDataFrame(centRows).toDF("tbl", "centroid", "cvec")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssignments(corpus, cents, probes = 1, idCol, vecCol)
-      .join(corpus.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("vec")), "id")
-      .write.mode("overwrite").partitionBy("tbl", "centroid")
-      .parquet(s"$path/postings")
+      .write.parquet(s"$tmp/centroids")
+    ivfPostingRows(corpus, cents, idCol, vecCol)
+      .write.partitionBy("tbl", "centroid")
+      .parquet(s"$tmp/postings")
+    if (fs.exists(hp)) graft.sinks.Sinks.renameOrThrow(fs, hp, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmp, hp)
+    fs.delete(oldP, true) // best-effort: leftover __old is repaired next run
   }
 
   /** Search a stored IVF index: the bounded centroid table is collected,
@@ -521,16 +563,13 @@ object Similarity {
     // score on the pruned scan itself (the posting row carries the vector),
     // then dedup (pair, score) — same pair from different tables produces
     // the same score, and a second full postings scan is never needed
-    postings.join(broadcast(qAsg), Seq("tbl", "centroid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
-      .distinct()
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      postings.join(broadcast(qAsg), Seq("tbl", "centroid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("score"))
+        .distinct(), k)
   }
 
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the
@@ -547,14 +586,11 @@ object Similarity {
       "neighbor_id", "cv")
     val q = bandedBuckets(queries, tables, nPlanes, idCol, vecCol, dim,
       "query_id", "qv")
-    c.join(broadcast(q), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
-      .distinct()
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      c.join(broadcast(q), Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("score"))
+        .distinct(), k)
   }
 }

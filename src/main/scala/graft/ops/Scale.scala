@@ -124,9 +124,13 @@ object Scale {
     private def shrink(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= k) m
       else {
-        // decrement all by the (k+1)-th largest count; drop zeros — one MG
-        // "subtract the minimum" step batched
-        val dec = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        // decrement all by the (k+1)-th largest count and drop zeros — one
+        // MG "subtract the minimum" step batched. On the per-row reduce
+        // path the size is exactly k+1, where the (k+1)-th largest IS the
+        // minimum: O(k) instead of a sort (merge, size up to 2k, sorts)
+        val dec =
+          if (m.size == k + 1) m.values.min
+          else m.values.toSeq.sorted(Ordering[Long].reverse)(k)
         m.flatMap { case (i, c) =>
           if (c - dec > 0) Some(i -> (c - dec)) else None
         }

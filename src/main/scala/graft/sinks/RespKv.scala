@@ -46,9 +46,10 @@ class RespKv(host: String, port: Int) extends Sinks.KeyValueSink {
         conn.out.flush()
         cmds.foreach(_ => RespKv.readReply(conn.in))
       } catch {
-        case e: java.io.IOException =>
-          // a half-broken (but not closed) socket would otherwise be
-          // reused by every retry; drop it so the next attempt redials
+        // any failure (IO, EOF, parse of a desynced stream) leaves replies
+        // unconsumed, so the connection is poisoned either way — drop it so
+        // the next attempt redials instead of reusing it
+        case scala.util.control.NonFatal(e) =>
           RespKv.invalidate(host, port, conn)
           throw e
       }
@@ -121,6 +122,10 @@ object RespKv {
   private def readLine(in: InputStream): String = {
     val sb = new StringBuilder
     var c = in.read()
+    // EOF here means the peer closed the connection: that is a FAILED
+    // reply, not an empty one — treating it as success would acknowledge
+    // writes the server never processed
+    if (c == -1) throw new java.io.EOFException("RESP peer closed connection")
     while (c != '\r' && c != -1) { sb.append(c.toChar); c = in.read() }
     in.read() // the \n
     sb.toString

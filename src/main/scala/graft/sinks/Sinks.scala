@@ -63,9 +63,9 @@ object Sinks {
   /** Hadoop rename returns `false` (no exception) on many failures; a swap
     * step that silently no-ops would let the next step destroy the only
     * surviving copy — fail loud so the streaming batch retries instead. */
-  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
-                            src: org.apache.hadoop.fs.Path,
-                            dst: org.apache.hadoop.fs.Path): Unit =
+  private[graft] def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                                   src: org.apache.hadoop.fs.Path,
+                                   dst: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename $src -> $dst failed")
 
@@ -74,9 +74,9 @@ object Sinks {
     * → the rename-into-place never happened, restore the old content;
     * destination present → the swap completed and the old copy is garbage.
     */
-  private def recoverOld(fs: org.apache.hadoop.fs.FileSystem,
-                         old: org.apache.hadoop.fs.Path,
-                         dst: org.apache.hadoop.fs.Path): Unit =
+  private[graft] def recoverOld(fs: org.apache.hadoop.fs.FileSystem,
+                                old: org.apache.hadoop.fs.Path,
+                                dst: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(old)) {
       if (!fs.exists(dst)) renameOrThrow(fs, old, dst)
       else { fs.delete(old, true); () }
