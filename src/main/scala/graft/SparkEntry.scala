@@ -9,10 +9,10 @@ import graft.queries.{LlmQueries, RankQueries, RelationalQueries}
   * `queries` maps each implemented SURVEY §2 operator to a batch DataFrame
   * over the test tables in `sfDir`; `oracleSql` holds the equivalent DuckDB
   * SQL the driver hash-compares against (column names aligned on both
-  * sides). Queries without an oracle entry are hash-unverifiable (seeded
-  * internal hashes) and get the driver's rows-only check — today that is
-  * exactly one: q31_simhash_pairs, whose output IS an xxhash64-defined
-  * signature distance DuckDB cannot reproduce (see LlmQueries.simhashPairs).
+  * sides). Every registry query has an oracle entry — q31 simhash, the
+  * last rows-only holdout, votes on the portable mod-2^57 fingerprint hash
+  * since round 5 so DuckDB reproduces its signatures bit-for-bit (see
+  * LlmQueries.simhashPairs).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -258,8 +258,16 @@ object Dedup {
       ngramJaccardPairs(docs, w, tau, idCol, textCol).select("id_a", "id_b"),
       idCol)
 
-  /** 64-bit SimHash of the token stream: sign-sum of per-token xxhash bits.
+  /** 64-bit SimHash of the token stream: sign-sum of per-token hash bits.
     * Bit i of the signature is 1 iff Σ_tokens (bit_i(hash) ? 1 : −1) > 0.
+    *
+    * `tokenHash` picks the hash family (ours to choose — the reference has
+    * no simhash): default xxhash64 spreads over all 64 bits; pass
+    * [[TextAnalysis.fingerprint]] for the portable mod-2^57 polynomial that
+    * a SQL oracle reproduces bit-identically (its bits ≥ 57 are always 0,
+    * so those signature bits are constant-0 on both engines — Hamming
+    * distances are unaffected, the high pigeonhole band just carries 7
+    * fewer effective bits).
     *
     * Single-pass plan: token hashes exploded once, then all 64 bit-votes as
     * conditional sums inside ONE whole-stage-codegen hash aggregate —
@@ -267,10 +275,11 @@ object Dedup {
     * per row) this is ~60× less per-row work and vectorizes the scan.
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val hashes = docs.select(col(idCol),
-      explode_outer(transform(toks, t => xxhash64(t))).as("h"))
+      explode_outer(transform(toks, t => tokenHash(t))).as("h"))
     val votes = (0 until 64).map { i =>
       sum(when(col("h").isNull, 0L)
         .when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
@@ -318,6 +327,8 @@ object Dedup {
     * banding, see [[hammingPairs]]). */
   def simHashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
-    hammingPairs(simHash(docs, idCol, textCol), maxDist, idCol, "simhash")
+                   textCol: String = "text",
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs(simHash(docs, idCol, textCol, tokenHash), maxDist, idCol,
+      "simhash")
 }

@@ -10,9 +10,9 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   * dedup family, embedding similarity search, text analysis, multimodal
   * plumbing. The approximate paths (q30 MinHash-LSH, q33 ANN) run with
   * recall-1.0-tuned parameters and exact verification, so they share the
-  * oracles of their exact twins (q29/q32). Only q31 SimHash stays
-  * rows-only: its output IS the xxhash64-defined signature distance, which
-  * no portable SQL oracle can reproduce.
+  * oracles of their exact twins (q29/q32). q31 SimHash votes on the
+  * portable mod-2^57 fingerprint hash so its signatures are SQL-oracle
+  * reproducible (see [[simhashPairs]]).
   */
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -35,9 +35,15 @@ object LlmQueries {
     Dedup.minHashDedupPairs(Tables.documents(s, dir), w = 3, tau = 0.5,
       bands = 32, rowsPerBand = 2)
 
-  /** SimHash Hamming-≤3 pairs via pigeonhole bands — rows-only check. */
+  /** SimHash Hamming-≤3 pairs via pigeonhole bands. Token bits vote on the
+    * portable mod-2^57 polynomial fingerprint (the q37/q55 hash family, ours
+    * to choose — the reference has no simhash) instead of xxhash64, so the
+    * signature — and hence the pair set — is reproducible bit-for-bit by the
+    * SQL oracle. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(Tables.documents(s, dir), maxDist = 3)
+    Dedup.simHashPairs(Tables.documents(s, dir), maxDist = 3,
+        tokenHash = TextAnalysis.fingerprint)
+      .withColumn("hamming", col("hamming").cast("long"))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -454,6 +460,35 @@ object LlmQueries {
         |       AS BIGINT) AS stopword_tokens
         |FROM documents GROUP BY lang""".stripMargin,
     "q35_lang_id" -> LangIdOracle.sql,
+    // q31: same hash family as q37 (mod-2^57 rolling hash), applied per
+    // token; 64-bit signature = sign-vote per bit; pairs at Hamming ≤ 3.
+    // Bits ≥ 57 of the hash are identically 0 (the modulus), so voting over
+    // range(0,57) is exactly the Scala side's 64-bit vote — the high bits'
+    // votes are always -n ≤ 0 there, never set — and stays clear of the
+    // 1<<63 BIGINT overflow DuckDB raises on.
+    "q31_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(tok, ''),
+        |                                ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 144115188075855872) AS th
+        |  FROM toks),
+        |votes AS (SELECT doc_id, i,
+        |    SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, UNNEST(range(0, 57)) AS t(i) GROUP BY doc_id, i),
+        |sig0 AS (SELECT doc_id,
+        |    CAST(BIT_OR(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END)
+        |         AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id),
+        |-- zero-token docs emit no vote rows but the Scala side signs them 0
+        |sig AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+        |        FROM documents d LEFT JOIN sig0 s USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "q36_quality_score" ->
       s"""WITH f AS (SELECT doc_id, $toksSql AS w, text FROM documents),
         |feat AS (SELECT doc_id,

@@ -40,6 +40,15 @@ class LlmOpsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    // portable-hash variant (the q31 gate path): same planted-pair behavior,
+    // and signatures confined to the 57 bits the mod-2^57 hash can set
+    val pp = Dedup.simHashPairs(d, maxDist = 3,
+        tokenHash = graft.llm.TextAnalysis.fingerprint)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pp.contains((1L, 2L)) && !pp.contains((1L, 3L)))
+    val psigs = Dedup.simHash(d, tokenHash = graft.llm.TextAnalysis.fingerprint)
+      .as[(Long, Long)].collect().toMap
+    assert(psigs.values.forall(s => (s >>> 57) == 0L))
   }
 
   test("exact dedup canonicalizes identical texts (both forms agree)") {
