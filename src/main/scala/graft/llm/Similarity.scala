@@ -505,10 +505,14 @@ object Similarity {
                     kCentroids: Int = 64, tables: Int = 12,
                     iters: Int = 8, sampleN: Int = 1024,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding",
+                    trainOn: DataFrame = null): Unit = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, kCentroids, tables, iters, sampleN,
-      idCol, vecCol)
+    // quantizer training decoupled from the indexed corpus (standard IVF
+    // practice — train on a representative sample, index everything):
+    // `trainOn` defaults to the corpus itself
+    val cents = trainIvfCentroids(Option(trainOn).getOrElse(corpus),
+      kCentroids, tables, iters, sampleN, idCol, vecCol)
     // build the whole index under a temp root, then swap the root with the
     // store protocol (park old, rename new, discard parked): centroids and
     // postings must change together — two independent overwrites would let
@@ -534,6 +538,64 @@ object Similarity {
     fs.delete(oldP, true) // best-effort: leftover __old is repaired next run
   }
 
+  /** Read a stored index's quantizers back as the in-memory
+    * tables×k×dim array (bounded by construction — centroid counts are
+    * index parameters, never corpus-sized). */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Float]]] = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select("tbl", "centroid", "cvec")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val tables = centRows.map(_._1).max + 1
+    Array.tabulate(tables) { t =>
+      centRows.filter(_._1 == t).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Append a batch of vectors to an existing stored IVF index — the daily
+    * incremental path a 100 TB embedding store needs (a full
+    * [[writeIvfIndex]] rebuild re-reads the whole corpus). The batch is
+    * assigned with the STORED quantizers (centroids are immutable once
+    * written — postings are add-only under fixed centroids, so appending
+    * parquet files into the existing (tbl, centroid) partition dirs is
+    * safe; Spark's output committer publishes the new files only at job
+    * commit). Fails loud before writing anything if the index is missing or
+    * the batch's vector dimension disagrees with the stored quantizers —
+    * [[cellDot]] would otherwise silently truncate the dot products.
+    *
+    * Quantizer drift is the documented trade: cells grow as the
+    * distribution shifts; rebuild (retrain) when cell-size skew degrades
+    * probe recall.
+    */
+  def appendIvfIndex(batch: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val cents =
+      try readCentroids(spark, path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"appendIvfIndex: no IVF index at $path (write one with " +
+              s"writeIvfIndex first): ${e.getMessage}")
+      }
+    val k = cents.head.length
+    require(cents.forall(_.length == k),
+      s"appendIvfIndex: corrupt index at $path — tables disagree on " +
+        s"centroid count (${cents.map(_.length).mkString(",")})")
+    val dim = cents.head.head.length
+    val dims = batch.agg(
+      min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx")).head()
+    require(!dims.isNullAt(0) && dims.getInt(0) == dim && dims.getInt(1) == dim,
+      s"appendIvfIndex: batch vector dims [${dims.get(0)}, ${dims.get(1)}] " +
+        s"!= stored quantizer dim $dim at $path")
+    ivfPostingRows(batch, cents, idCol, vecCol)
+      .write.partitionBy("tbl", "centroid")
+      .mode("append")
+      .parquet(s"$path/postings")
+  }
+
   /** Search a stored IVF index: the bounded centroid table is collected,
     * queries are assigned their `probes` nearest cells per table, and the
     * postings scan is joined on the PARTITION columns — dynamic partition
@@ -545,14 +607,7 @@ object Similarity {
                      queries: DataFrame, k: Int, probes: Int = 16,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val centRows = spark.read.parquet(s"$path/centroids")
-      .select("tbl", "centroid", "cvec")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val tables = centRows.map(_._1).max + 1
-    val cents = Array.tabulate(tables) { t =>
-      centRows.filter(_._1 == t).sortBy(_._2).map(_._3)
-    }
+    val cents = readCentroids(spark, path)
     val qAsg = ivfAssignments(queries, cents, probes, idCol, vecCol)
       .toDF("query_id", "tbl", "centroid")
     val postings = spark.read.parquet(s"$path/postings")

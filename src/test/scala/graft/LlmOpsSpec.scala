@@ -185,6 +185,37 @@ class LlmOpsSpec extends SparkSpecBase {
       s"index search diverged: missing ${inMem -- got}, extra ${got -- inMem}")
   }
 
+  test("incremental IVF append: write-half + append-half equals a full " +
+    "rebuild with the same training sample; dim mismatch fails loud") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val mid = 250L // sf0.001 has 500 vectors with dense ids
+    val first = emb.filter(col("vec_id") < mid)
+    val rest = emb.filter(col("vec_id") >= mid)
+    val queries = emb.filter(col("vec_id") < 10)
+    val incDir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Similarity.writeIvfIndex(first, incDir)
+    Similarity.appendIvfIndex(rest, incDir)
+    // the reference relation: postings over the FULL corpus, quantizers
+    // trained on the same sample the incremental index trained on (`first`)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Similarity.writeIvfIndex(emb, fullDir, trainOn = first)
+    val inc = Similarity.searchIvfIndex(spark, incDir, queries, k = 5)
+    assert(inc.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "appended index lost partition pruning")
+    val full = Similarity.searchIvfIndex(spark, fullDir, queries, k = 5)
+    val a = inc.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = full.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b, s"append diverged from rebuild: missing ${b -- a}, extra ${a -- b}")
+    // guard rails: wrong-dim batch refused before any write; missing index refused
+    val bad = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    intercept[IllegalArgumentException] { Similarity.appendIvfIndex(bad, incDir) }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(emb, incDir + "_nope")
+    }
+  }
+
   test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
     import graft.llm.TextAnalysis
     val d = Seq(
