@@ -152,6 +152,35 @@ object Scale {
   def topFreqColumn(k: Int): TypedColumn[String, Map[String, Long]] =
     new TopFreqAgg(k).toColumn
 
+  /** Exact top-`topN` most frequent items, MG-pruned: pass 1 runs the
+    * bounded [[TopFreqAgg]] summary (O(sketchK) state per partial, one
+    * collect of ≤ sketchK counters — never the vocabulary) to find the
+    * candidate set; pass 2 re-counts ONLY the survivors exactly and takes
+    * the top `topN` by (count desc, item) — a TakeOrderedAndProject, never
+    * a global sort. At 100 TB pass 2's scan filter drops every
+    * non-candidate token before the shuffle, so the exact aggregation
+    * touches ≤ sketchK groups.
+    *
+    * Exactness contract: the output is the true top-`topN` whenever the
+    * true top-`topN` all survive pass 1 — guaranteed when their counts
+    * exceed n/(sketchK+1) (the MG bound), and unconditionally when
+    * sketchK ≥ the item cardinality (the summary never decrements — the
+    * degenerate exact case; the gate corpus' 31-token near-uniform
+    * vocabulary sits here, so q59 runs sketchK=32). In between, size
+    * sketchK to the distribution's heavy tail.
+    */
+  def heavyHittersExact(items: org.apache.spark.sql.Dataset[String],
+                        sketchK: Int, topN: Int): DataFrame = {
+    val survivors = items.groupByKey(_ => 0)(Encoders.scalaInt)
+      .agg(topFreqColumn(sketchK).name("top"))
+      .collect().headOption.map(_._2.keySet).getOrElse(Set.empty[String])
+    items.toDF("item")
+      .filter(col("item").isin(survivors.toSeq.sorted.map(lit): _*))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(topN)
+  }
+
   /** Scale-correct global running sum of an integral column ordered by a
     * unique key. The naive `sum.over(Window.orderBy(key))` funnels the whole
     * dataset through ONE window task (its Exchange is SinglePartition); this

@@ -229,6 +229,21 @@ object LlmQueries {
   def repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionRatio(Tables.documents(s, dir), w = 3)
 
+  /** Exact corpus-wide top-10 tokens via the mergeable Misra-Gries summary
+    * + exact second pass (graft.ops.Scale.heavyHittersExact). sketchK=32 ≥
+    * the corpus vocabulary (31), where the MG summary never decrements and
+    * the candidate set is unconditionally complete — the n/(k+1) survival
+    * bound alone would NOT cover this near-uniform distribution at k=16
+    * (no token reaches n/17), so the parameter choice is the honesty. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .as[String]
+    graft.ops.Scale.heavyHittersExact(toks, sketchK = 32, topN = 10)
+      .select(col("item").as("token"), col("cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -252,7 +267,8 @@ object LlmQueries {
     "q55_data_split" -> dataSplit,
     "q56_seq_packing" -> seqPacking,
     "q57_quant_stats" -> quantStats,
-    "q58_perceptual_hash" -> perceptualHashes)
+    "q58_perceptual_hash" -> perceptualHashes,
+    "q59_heavy_hitters" -> heavyHitters)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -460,6 +476,11 @@ object LlmQueries {
         |       AS BIGINT) AS stopword_tokens
         |FROM documents GROUP BY lang""".stripMargin,
     "q35_lang_id" -> LangIdOracle.sql,
+    "q59_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
     // q31: same hash family as q37 (mod-2^57 rolling hash), applied per
     // token; 64-bit signature = sign-vote per bit; pairs at Hamming ≤ 3.
     // Bits ≥ 57 of the hash are identically 0 (the modulus), so voting over

@@ -227,7 +227,22 @@ object RelationalQueries {
         round(percentile(col("value"), lit(0.95)), 6).as("p95"),
         round(percentile(col("value"), lit(0.99)), 6).as("p99"))
 
+  /** Global top-100 events by (value desc, event_id) — SURVEY §2.7's
+    * global ORDER BY / LIMIT cell (the reference has no global sort; Spark
+    * gets it free, and THIS is the shape to insist on): `orderBy.limit`
+    * lowers to TakeOrderedAndProject — per-partition bounded top-k heaps
+    * merged on the driver — NOT a full Sort through a single-partition
+    * Exchange, the classic 100× scale trap. PlanSpec locks the shape.
+    * The tie-break on event_id makes the row SET deterministic at the
+    * value boundary on both engines. */
+  def topEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select("event_id", "event_type", "value")
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
+    "q60_top_events" -> topEvents,
     "q48_percentiles" -> valuePercentiles,
     "q47_interval_join" -> intervalClickView,
     "q46_asof_join" -> asofClickView,
@@ -258,6 +273,11 @@ object RelationalQueries {
     "user_fluctuate_ratio")
 
   val oracles: Map[String, String] = Map(
+    // raw doubles pass through unmodified from parquet (no arithmetic), so
+    // the hash compare is exact; the event_id tie-break fixes the boundary
+    "q60_top_events" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
     "q48_percentiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,

@@ -63,6 +63,15 @@ class PlanSpec extends SparkSpecBase {
     spark.sqlContext.clearCache() // globalCumSum's range-partitioned persist
   }
 
+  test("q60 global top-100 lowers to TakeOrderedAndProject, not a global " +
+    "sort through one partition") {
+    val p = planOf("q60_top_events")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must lower to per-partition bounded heaps:\n$p")
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Sort "),
+      s"global top-k must never materialize a full sort:\n$p")
+  }
+
   test("q46 as-of join lowers to a join-free single-shuffle window plan") {
     val p = planOf("q46_asof_join")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),

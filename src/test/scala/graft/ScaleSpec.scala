@@ -87,6 +87,28 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("TopFreqAgg buffer never exceeds k through reduce and merge, and " +
+    "heavyHittersExact returns the exact top-N") {
+    val agg = new Scale.TopFreqAgg(8)
+    var buf = agg.zero
+    (1 to 500).foreach { i =>
+      buf = agg.reduce(buf, s"tok${i % 40}")
+      assert(buf.size <= 8, s"buffer grew to ${buf.size}")
+    }
+    var other = agg.zero
+    (1 to 500).foreach { i => other = agg.reduce(other, s"x${i % 40}") }
+    assert(agg.merge(buf, other).size <= 8)
+    // two-pass exact heavy hitters vs plain groupBy on the corpus tokens
+    import graft.llm.TextAnalysis
+    val tokens = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok")).as[String]
+    val got = Scale.heavyHittersExact(tokens, sketchK = 32, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    val want = tokens.groupBy("tok").count().as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }.take(10).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("bounded top-K aggregator matches collect_list + sort + slice") {
     val scores = Seq(
       ("a", 3.0, "x"), ("a", 5.0, "y"), ("a", 4.0, "z"), ("a", 5.0, "w"),
