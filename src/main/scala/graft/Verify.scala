@@ -22,15 +22,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
       // cache ownership: a query's persisted intermediates live until the
-      // caller's action completes; the write above IS that action, so
-      // release here — a 50-query session must not accumulate 50 caches
-      finally spark.sqlContext.clearCache()
+      // caller's action completes; the write IS that action, and the scope
+      // releases every library-tracked persist on exit (success or failure)
+      // — a 60-query session must not accumulate 60 caches
+      graft.core.CacheScope.scoped {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

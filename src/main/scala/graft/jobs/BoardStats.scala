@@ -51,7 +51,8 @@ object BoardStats {
     * under the cap are untouched (ScaleSpec pins the equivalence).
     */
   def pairWeights(itemBoard: DataFrame, maxPerBoard: Int = 0): DataFrame = {
-    val hb = itemBoard.select("item", "board").distinct().persist()
+    val hb = graft.core.CacheScope.track(
+      itemBoard.select("item", "board").distinct().persist())
     hb.count() // shared by four subplans; eager so the scan runs once
     val bc = hb.groupBy("board").agg(count(lit(1)).as("board_count"))
     val ic = hb.groupBy("item").agg(count(lit(1)).as("item_count"))

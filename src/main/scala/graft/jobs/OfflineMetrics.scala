@@ -81,7 +81,7 @@ object OfflineMetrics {
     * `OfflineDataSetUtils.java:320-356` — same algebra, different source).
     */
   def metricsWide(events: DataFrame): DataFrame = {
-    val log = actionLog(events).cache()
+    val log = graft.core.CacheScope.track(actionLog(events).cache())
     log.count() // eager: five subplans race to populate a lazy cache,
                 // re-running the events scan + JSON parse once per branch
     val totals = sceneTotals(log)

@@ -87,10 +87,10 @@ object Dedup {
     // the shingle set feeds three subplans (sizes + both join sides):
     // persist so the tokenize/shingle pass runs once (SURVEY §4.1
     // shared-subplan reuse — Spark recomputes per use otherwise).
-    // Cache ownership: backs the returned lazy plan — the caller releases
-    // via clearCache() once its action completes (as Verify/Bench do)
-    val sh = shingles(docs, w, idCol, textCol)
-      .filter(col("shingle").isNotNull).persist()
+    // Cache ownership: backs the returned lazy plan — released by the
+    // caller's CacheScope after its action (or clearCache outside one)
+    val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
+      .filter(col("shingle").isNotNull).persist())
     sh.count() // eager: lazy persist would be computed once per join branch
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
@@ -144,19 +144,30 @@ object Dedup {
       shingles(docs, w, idCol, textCol).filter(col("shingle").isNotNull),
       bands, rowsPerBand, idCol)
 
-  /** Candidate generation from a pre-computed (id, shingle) frame. */
-  def minHashLshCandidatesFrom(sh: DataFrame, bands: Int, rowsPerBand: Int,
-                               idCol: String = "doc_id"): DataFrame = {
-    // both sides of the bucket self-join read the signatures — persist AND
-    // materialize so the 64-way min-hash aggregation runs once (a lazy
-    // persist is computed by both branches of the same action)
-    val sig = minHashSignatures(sh, bands * rowsPerBand, idCol).persist()
-    sig.count()
-    val banded = sig.select(col(idCol),
+  /** (id, band, bucket) rows from a (id, shingle) frame: minhash
+    * signatures split into `bands` bands of `rowsPerBand` rows, each band's
+    * slice hashed to one 64-bit bucket key. The banding layout shared by
+    * the batch self-join candidates and the streaming signature store
+    * (same deterministic hashes → a stream batch meets earlier batches in
+    * exactly the buckets the batch pipeline would). */
+  def bandedSignatures(sh: DataFrame, bands: Int, rowsPerBand: Int,
+                       idCol: String = "doc_id"): DataFrame =
+    minHashSignatures(sh, bands * rowsPerBand, idCol)
+      .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("minhash"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
           .as(Seq("band", "bucket")))
       .withColumn("bucket", xxhash64(col("band"), col("bucket").cast("string")))
+
+  /** Candidate generation from a pre-computed (id, shingle) frame. */
+  def minHashLshCandidatesFrom(sh: DataFrame, bands: Int, rowsPerBand: Int,
+                               idCol: String = "doc_id"): DataFrame = {
+    // both sides of the bucket self-join read the banded signatures —
+    // persist AND materialize so the 64-way min-hash aggregation runs once
+    // (a lazy persist is computed by both branches of the same action)
+    val banded = graft.core.CacheScope.track(
+      bandedSignatures(sh, bands, rowsPerBand, idCol).persist())
+    banded.count()
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b2 = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b2, Seq("band", "bucket"))
@@ -169,8 +180,8 @@ object Dedup {
   def minHashDedupPairs(docs: DataFrame, w: Int, tau: Double, bands: Int = 16,
                         rowsPerBand: Int = 4, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, w, idCol, textCol)
-      .filter(col("shingle").isNotNull).persist()
+    val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
+      .filter(col("shingle").isNotNull).persist())
     sh.count() // eager, see ngramJaccardPairs
     val cand = minHashLshCandidatesFrom(sh, bands, rowsPerBand, idCol)
     val setsById = sh.groupBy(col(idCol))

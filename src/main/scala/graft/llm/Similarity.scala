@@ -342,9 +342,9 @@ object Similarity {
                         vecCol: String = "embedding"): DataFrame = {
     // both self-join sides read the assignments — persist AND materialize
     // so the tables·k dot-product scan runs once, not once per branch
-    // (cache ownership: released by the caller's post-action clearCache)
-    val asg = ivfAssignments(embeddings, centroids, probes, idCol, vecCol)
-      .persist()
+    // (cache ownership: released by the caller's CacheScope / clearCache)
+    val asg = graft.core.CacheScope.track(
+      ivfAssignments(embeddings, centroids, probes, idCol, vecCol).persist())
     asg.count()
     val a = asg.select(col("tbl"), col("centroid"), col("id").as("id_a"))
     val b = asg.select(col("tbl"), col("centroid"), col("id").as("id_b"))

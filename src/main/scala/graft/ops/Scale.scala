@@ -191,16 +191,16 @@ object Scale {
     * addition is order-independent, so the result is exact and deterministic
     * for a unique key regardless of where the range boundaries land.
     *
-    * Cache note: the partitioned frame backs the returned plan — caller
-    * releases via clearCache() after its action (Verify/Bench do).
+    * Cache note: the partitioned frame backs the returned plan — released
+    * by the caller's CacheScope after its action (or clearCache outside).
     */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
                    outCol: String = "cum"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = df
+    val parts = graft.core.CacheScope.track(df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .persist())
     val totals = parts.groupBy("__pid")
       .agg(sum(col(valueCol).cast("long")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -64,23 +64,26 @@ object RankQueries {
     * Identical logical plans hit the same cache entry across q20/q22/q23.
     *
     * Cache ownership: the persisted intermediates back the RETURNED lazy
-    * plan, so the caller that drives the action releases them —
-    * `spark.sqlContext.clearCache()` after the action completes, as Verify
-    * and Bench do per query (asserted by OperatorSpec's hygiene test).
+    * plan, so the release happens after the caller's action — via the
+    * caller's graft.core.CacheScope (Verify/Bench and OperatorSpec's
+    * hygiene test drive queries inside one) or an explicit clearCache.
     */
   def itemcfCosine(s: SparkSession, dir: String): DataFrame = {
-    val inter = ItemCf.interactions(Tables.events(s, dir)).persist()
+    val inter = graft.core.CacheScope.track(
+      ItemCf.interactions(Tables.events(s, dir)).persist())
     inter.count()
     // persist the scores too: q22 (toplists) and q23 (histogram) rebuild the
     // same logical plan, and the cache manager swaps in this entry by
     // sameResult — three queries, one cosine computation
-    ItemCf.cosineScores(ItemCf.cooccurrenceSimple(inter), inter).persist()
+    graft.core.CacheScope.track(
+      ItemCf.cosineScores(ItemCf.cooccurrenceSimple(inter), inter).persist())
   }
 
   /** Item-CF distance-decay increment-emission weights
     * (`ItemIdCfVersion5.java:147-192`, the A9 hard part). */
   def itemcfDecay(s: SparkSession, dir: String): DataFrame = {
-    val inter = ItemCf.interactions(Tables.events(s, dir)).persist()
+    val inter = graft.core.CacheScope.track(
+      ItemCf.interactions(Tables.events(s, dir)).persist())
     inter.count()
     ItemCf.cooccurrenceDecay(inter, n = 2)
       .select(col("a"), col("b"), round(col("together_count"), 6).as("weight"))

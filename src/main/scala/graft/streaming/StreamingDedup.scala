@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming exact dedup — the ingest-time counterpart of the batch
   * [[graft.llm.Dedup.exactCanonicalByHash]]: documents are keyed by the
@@ -28,4 +29,107 @@ object StreamingDedup {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+
+  /** Streaming NEAR-dup detection — the minhash-band counterpart of
+    * [[dedupByContent]]: each micro-batch's documents are shingled,
+    * minhash-banded (identical deterministic hashes to the batch
+    * [[graft.llm.Dedup.minHashDedupPairs]] pipeline), bucket-joined
+    * against a PERSISTED signature store of every earlier batch plus
+    * itself, exact-Jaccard-verified, and the surviving (id_a, id_b,
+    * jaccard) pairs handed to `onPairs`. The union of emissions over the
+    * stream equals the batch pipeline's pair relation on the same corpus
+    * (StreamingSpec pins it) — each unordered pair is emitted exactly
+    * once, in the first batch whose arrival completes it.
+    *
+    * Store layout and idempotence: `store/{bands,shingles}/batch=<id>`,
+    * each batch OVERWRITING only its own partition dir — a replayed
+    * micro-batch (foreachBatch is at-least-once) rewrites the same rows
+    * and, because candidates only pair the current batch against batches
+    * STRICTLY OLDER plus itself, re-emits exactly its own pairs rather
+    * than duplicating them. The store is partitioned by batch on write and
+    * read back whole — at 100 TB ingest, re-layout by (band, bucket) with
+    * a compaction job to make the probe side partition-prunable; the
+    * within-batch plumbing is unchanged.
+    *
+    * State posture: unlike the watermark-bounded exact dedup, a near-dup
+    * STORE is meant to remember the corpus (that is the product: dedup
+    * against everything seen); size it like the batch index, not like
+    * streaming state.
+    *
+    * Returns the writer — caller sets checkpointLocation and starts:
+    * {{{
+    * StreamingDedup.minHashDedupStream(docs, store, w = 3, tau = 0.5) {
+    *   (pairs, batchId) => pairs.write.mode("append").parquet(out)
+    * }.option("checkpointLocation", ckpt).start()
+    * }}}
+    */
+  def minHashDedupStream(docs: DataFrame, storePath: String, w: Int,
+                         tau: Double, bands: Int = 16, rowsPerBand: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text")
+                        (onPairs: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] = {
+    import graft.llm.Dedup
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.core.CacheScope.scoped {
+        val shB = graft.core.CacheScope.track(
+          Dedup.shingles(batch, w, idCol, textCol)
+            .filter(col("shingle").isNotNull).persist())
+        shB.count()
+        val bandsB = graft.core.CacheScope.track(
+          Dedup.bandedSignatures(shB, bands, rowsPerBand, idCol).persist())
+        bandsB.count()
+        // earlier batches only: a replayed batch must not meet its own
+        // half-written store rows as "other" docs
+        val storeBands = readStore(spark, s"$storePath/bands", batchId,
+          bandsB.schema)
+        val storeSh = readStore(spark, s"$storePath/shingles", batchId,
+          shB.schema)
+        // new-vs-(old ∪ new) bucket join; columns renamed per side so the
+        // shared-lineage self-join keeps real join predicates
+        val newSide = bandsB.select(col("band"), col("bucket"),
+          col(idCol).as("id_new"))
+        val allSide = storeBands.union(bandsB).select(col("band"),
+          col("bucket"), col(idCol).as("id_other"))
+        val cand = newSide.join(allSide, Seq("band", "bucket"))
+          .filter(col("id_new") =!= col("id_other"))
+          .select(least(col("id_new"), col("id_other")).as("id_a"),
+            greatest(col("id_new"), col("id_other")).as("id_b"))
+          .distinct()
+        val setsById = storeSh.union(shB).groupBy(col(idCol))
+          .agg(collect_set(col("shingle")).as("shset"))
+        val pairs = cand
+          .join(setsById.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
+          .join(setsById.select(col(idCol).as("id_b"), col("shset").as("set_b")), "id_b")
+          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+          .filter(col("jaccard") >= tau)
+          .select("id_a", "id_b", "jaccard")
+        onPairs(pairs, batchId)
+        // publish this batch into the store LAST: a crash before this point
+        // replays the batch against the same store it just read
+        bandsB.write.mode("overwrite")
+          .parquet(s"$storePath/bands/batch=$batchId")
+        shB.write.mode("overwrite")
+          .parquet(s"$storePath/shingles/batch=$batchId")
+      }
+    }
+  }
+
+  /** Read every `batch=<id>` partition with id < `before`; empty frame
+    * with `schema` when the store has no prior batches. */
+  private def readStore(spark: org.apache.spark.sql.SparkSession,
+                        root: String, before: Long,
+                        schema: org.apache.spark.sql.types.StructType)
+  : DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.parquet(root)
+        .filter(col("batch") < before)
+        .drop("batch")
+  }
 }

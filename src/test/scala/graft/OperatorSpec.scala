@@ -114,15 +114,18 @@ class OperatorSpec extends SparkSpecBase {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("cache hygiene: driving every registry query Verify-style leaves " +
-    "the session cache manager empty") {
+  test("cache hygiene: driving every registry query inside a CacheScope " +
+    "leaves the session cache manager empty — no global clearCache") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => fail(s"$name failed: ${e.getMessage}") }
-      finally spark.sqlContext.clearCache()
+      graft.core.CacheScope.scoped {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => fail(s"$name failed: ${e.getMessage}") }
+      }
+      // per-query assertion: an untracked persist is attributed to the
+      // query that leaked it, not noticed 60 queries later
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left cached plans behind its CacheScope")
     }
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "cached plans survived the per-query release")
   }
 
   test("A5: boardsList JSON explode parse") {

@@ -234,6 +234,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup dedup: union of per-batch emissions " +
+    "equals the batch pipeline's pair relation") {
+    implicit val s = spark
+    import graft.llm.Dedup
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mh_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Set[(Long, Long)]()
+    val q = graft.streaming.StreamingDedup.minHashDedupStream(
+        mem.toDF().toDF("doc_id", "text"), store, w = 3, tau = 0.5,
+        bands = 32, rowsPerBand = 2) { (pairs, _) =>
+      emitted ++= pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      // three arrival waves — near-dup pairs must be found both within one
+      // batch and across the store boundary
+      rows.grouped((rows.size + 2) / 3).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchPairs = graft.core.CacheScope.scoped {
+      Dedup.minHashDedupPairs(docs, w = 3, tau = 0.5, bands = 32,
+          rowsPerBand = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(batchPairs.nonEmpty, "fixture should contain planted near-dups")
+    assert(emitted.toSet == batchPairs,
+      s"stream/batch divergence: missing ${batchPairs -- emitted}, " +
+        s"extra ${emitted.toSet -- batchPairs}")
+  }
+
   test("SQL entry over the registered catalog joins across tables") {
     graft.core.Catalog.registerAll(spark, sfDir)
     val n = spark.sql(
