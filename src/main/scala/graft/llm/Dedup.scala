@@ -284,13 +284,35 @@ object Dedup {
     * conditional sums inside ONE whole-stage-codegen hash aggregate —
     * against the naive form (64 interpreted higher-order `aggregate` calls
     * per row) this is ~60× less per-row work and vectorizes the scan.
+    *
+    * `hashDistinctFirst` computes the token hash once per DISTINCT token
+    * and joins it back onto the occurrence stream (the df-join layout of
+    * TF-IDF): the right call when the hash is expensive relative to a join
+    * — the portable fingerprint is an interpreted per-char fold, and
+    * paying it per occurrence cost q31 4× at bench scale (vocabulary ≪
+    * corpus, at 100 TB as at sf0.1). Leave it off for cheap codegen hashes
+    * like the xxhash64 default, where the join would cost more than it
+    * saves.
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
-              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+              tokenHash: Column => Column = xxhash64(_),
+              hashDistinctFirst: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val hashes = docs.select(col(idCol),
-      explode_outer(transform(toks, t => tokenHash(t))).as("h"))
+    val hashes =
+      if (!hashDistinctFirst)
+        docs.select(col(idCol),
+          explode_outer(transform(toks, t => tokenHash(t))).as("h"))
+      else {
+        val occ = docs.select(col(idCol), explode_outer(toks).as("__tok"))
+        val vocab = occ.select(col("__tok")).filter(col("__tok").isNotNull)
+          .distinct()
+          .withColumn("h", tokenHash(col("__tok")))
+        // left join keeps the null-token row of empty docs (vote sum 0 →
+        // signature 0, same as the direct path); AQE broadcasts the vocab
+        // side when small and handles stopword skew when not
+        occ.join(vocab, Seq("__tok"), "left").select(col(idCol), col("h"))
+      }
     val votes = (0 until 64).map { i =>
       sum(when(col("h").isNull, 0L)
         .when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
@@ -339,7 +361,9 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id",
                    textCol: String = "text",
-                   tokenHash: Column => Column = xxhash64(_)): DataFrame =
-    hammingPairs(simHash(docs, idCol, textCol, tokenHash), maxDist, idCol,
-      "simhash")
+                   tokenHash: Column => Column = xxhash64(_),
+                   hashDistinctFirst: Boolean = false): DataFrame =
+    hammingPairs(
+      simHash(docs, idCol, textCol, tokenHash, hashDistinctFirst),
+      maxDist, idCol, "simhash")
 }

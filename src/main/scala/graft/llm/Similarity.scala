@@ -596,6 +596,31 @@ object Similarity {
       .parquet(s"$path/postings")
   }
 
+  /** Posting-list size per (tbl, centroid) cell of a stored IVF index —
+    * the rebuild signal for [[appendIvfIndex]]'s documented quantizer-drift
+    * trade: appended batches grow cells unevenly as the data distribution
+    * shifts, and probe cost follows the hottest probed cells. The scan
+    * reads ONLY the two partition columns, so this is a file-listing-sized
+    * job, not a corpus read. */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .groupBy("tbl", "centroid")
+      .agg(count(lit(1)).as("n_postings"))
+
+  /** Per-table skew summary over [[ivfCellStats]]: max/mean cell size
+    * (1.0 = perfectly balanced). Rebuild (retrain quantizers via
+    * [[writeIvfIndex]]) when the ratio drifts past the tolerance your
+    * probe-latency budget allows — the standard IVF maintenance loop. */
+  def ivfSkew(spark: org.apache.spark.sql.SparkSession,
+              path: String): DataFrame =
+    ivfCellStats(spark, path)
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_postings")).as("n_postings"),
+        (max(col("n_postings")) /
+          (sum(col("n_postings")) / count(lit(1)))).as("max_over_mean"))
+
   /** Search a stored IVF index: the bounded centroid table is collected,
     * queries are assigned their `probes` nearest cells per table, and the
     * postings scan is joined on the PARTITION columns — dynamic partition

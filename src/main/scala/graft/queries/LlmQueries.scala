@@ -42,7 +42,7 @@ object LlmQueries {
     * SQL oracle. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), maxDist = 3,
-        tokenHash = TextAnalysis.fingerprint)
+        tokenHash = TextAnalysis.fingerprint, hashDistinctFirst = true)
       .withColumn("hamming", col("hamming").cast("long"))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */

@@ -49,6 +49,12 @@ class LlmOpsSpec extends SparkSpecBase {
     val psigs = Dedup.simHash(d, tokenHash = graft.llm.TextAnalysis.fingerprint)
       .as[(Long, Long)].collect().toMap
     assert(psigs.values.forall(s => (s >>> 57) == 0L))
+    // the distinct-first hash layout (q31's bench path) is a pure plan
+    // change: signatures must be bit-identical to the direct form
+    val dsigs = Dedup.simHash(d, tokenHash = graft.llm.TextAnalysis.fingerprint,
+        hashDistinctFirst = true)
+      .as[(Long, Long)].collect().toMap
+    assert(dsigs == psigs, s"distinct-first diverged: $dsigs vs $psigs")
   }
 
   test("exact dedup canonicalizes identical texts (both forms agree)") {
@@ -214,6 +220,16 @@ class LlmOpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Similarity.appendIvfIndex(emb, incDir + "_nope")
     }
+    // maintenance signal: cell stats account for every appended posting
+    // (one row per vector per table) and the skew summary stays sane
+    val nVec = emb.count()
+    val stats = Similarity.ivfCellStats(spark, incDir)
+    val perTbl = stats.groupBy("tbl").agg(sum("n_postings").as("n"))
+      .select("n").as[Long].collect()
+    assert(perTbl.forall(_ == nVec), s"per-table postings $perTbl != $nVec")
+    val skew = Similarity.ivfSkew(spark, incDir)
+      .select("max_over_mean").as[Double].collect()
+    assert(skew.forall(s => s >= 1.0 && s.isFinite), s"skew $skew")
   }
 
   test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
