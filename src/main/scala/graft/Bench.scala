@@ -45,17 +45,21 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        // a failure must be LOUD: a swallowed exception would be reported as
-        // a fast query, hiding a regression as a speedup
-        val err = graft.core.CacheScope.scoped {
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            Some(e.getClass.getSimpleName)
-          }
+        // the elapsed time is read INSIDE the scope, right after the action
+        // returns — the scope's exit unpersist is bookkeeping, not query
+        // cost, and must not be billed to the reported time
+        graft.core.CacheScope.scoped {
+          val t0 = System.nanoTime()
+          // a failure must be LOUD: a swallowed exception would be reported
+          // as a fast query, hiding a regression as a speedup
+          val err =
+            try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              Some(e.getClass.getSimpleName)
+            }
+          ((System.nanoTime() - t0) / 1e9, err)
         }
-        ((System.nanoTime() - t0) / 1e9, err)
       }
       // any failed run fails the query; time is the min over clean runs
       val err = runs.collectFirst { case (_, Some(e)) => e }

@@ -174,8 +174,20 @@ object Scale {
     val survivors = items.groupByKey(_ => 0)(Encoders.scalaInt)
       .agg(topFreqColumn(sketchK).name("top"))
       .collect().headOption.map(_._2.keySet).getOrElse(Set.empty[String])
-    items.toDF("item")
-      .filter(col("item").isin(survivors.toSeq.sorted.map(lit): _*))
+    val base = items.toDF("item")
+    // small survivor sets compile to an In predicate the scan can evaluate
+    // inline; a heavy-tail sketchK (thousands of survivors) would bloat the
+    // plan with a giant literal list instead — above the threshold, filter
+    // via a broadcast semi-join on a survivors frame
+    val filtered =
+      if (survivors.size <= 128)
+        base.filter(col("item").isin(survivors.toSeq.sorted.map(lit): _*))
+      else {
+        import items.sparkSession.implicits._
+        val survivorDf = survivors.toSeq.sorted.toDF("item")
+        base.join(broadcast(survivorDf), Seq("item"), "left_semi")
+      }
+    filtered
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item"))
       .limit(topN)

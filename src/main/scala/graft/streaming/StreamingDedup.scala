@@ -87,16 +87,19 @@ object StreamingDedup {
           shB.schema)
         // new-vs-(old ∪ new) bucket join; columns renamed per side so the
         // shared-lineage self-join keeps real join predicates
+        // unionByName: the store side comes back from parquet, whose column
+        // order is not contractually the in-memory plan's — a positional
+        // union would silently mis-join band/bucket/id if either reorders
         val newSide = bandsB.select(col("band"), col("bucket"),
           col(idCol).as("id_new"))
-        val allSide = storeBands.union(bandsB).select(col("band"),
+        val allSide = storeBands.unionByName(bandsB).select(col("band"),
           col("bucket"), col(idCol).as("id_other"))
         val cand = newSide.join(allSide, Seq("band", "bucket"))
           .filter(col("id_new") =!= col("id_other"))
           .select(least(col("id_new"), col("id_other")).as("id_a"),
             greatest(col("id_new"), col("id_other")).as("id_b"))
           .distinct()
-        val setsById = storeSh.union(shB).groupBy(col(idCol))
+        val setsById = storeSh.unionByName(shB).groupBy(col(idCol))
           .agg(collect_set(col("shingle")).as("shset"))
         val pairs = cand
           .join(setsById.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
@@ -118,18 +121,48 @@ object StreamingDedup {
   }
 
   /** Read every `batch=<id>` partition with id < `before`; empty frame
-    * with `schema` when the store has no prior batches. */
+    * with `schema` when the store has no prior COMMITTED batches (a dir
+    * holding only a crashed write's `_temporary` counts as missing — parquet
+    * schema inference would otherwise fail on it).
+    *
+    * Fails loud when the store holds batch ids STRICTLY GREATER than
+    * `before`: at-least-once replay can re-see its OWN batch id (publish
+    * happened, checkpoint commit did not), but a higher id only occurs when
+    * the checkpoint was reset against a surviving store — continuing would
+    * silently overwrite `batch=0...` and diverge from the documented
+    * batch-equivalence. */
   private def readStore(spark: org.apache.spark.sql.SparkSession,
                         root: String, before: Long,
                         schema: org.apache.spark.sql.types.StructType)
   : DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    val batchDirs =
+      if (!fs.exists(p)) Array.empty[(Long, org.apache.hadoop.fs.Path)]
+      else fs.listStatus(p).collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("batch=") =>
+          (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath)
+      }
+    val ahead = batchDirs.map(_._1).filter(_ > before)
+    if (ahead.nonEmpty) throw new IllegalStateException(
+      s"near-dup store $root already holds batch=${ahead.max} but the " +
+        s"stream is (re)starting at batch=$before: the checkpoint was reset " +
+        "against a surviving store. Point the query at a fresh storePath " +
+        "or restore the matching checkpoint — continuing would silently " +
+        "overwrite published batches and emit divergent pairs.")
+    val committed = batchDirs.filter { case (id, dir) =>
+      id < before && fs.listStatus(dir).exists { f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")
+      }
+    }
+    if (committed.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.parquet(root)
-        .filter(col("batch") < before)
+      // basePath keeps the batch partition column derivable even though we
+      // enumerate only the committed partition dirs
+      spark.read.option("basePath", root)
+        .parquet(committed.map(_._2.toString).toIndexedSeq: _*)
         .drop("batch")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 }

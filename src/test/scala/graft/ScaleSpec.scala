@@ -109,6 +109,22 @@ class ScaleSpec extends SparkSpecBase {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("heavyHittersExact semi-join path (survivors > 128) is still exact") {
+    // sketchK >= cardinality → the sketch never decrements and every item
+    // survives pass 1; 200 survivors forces the broadcast semi-join branch
+    // instead of the isin literal list
+    val items = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(f"item$i%03d"))
+    val ds = spark.createDataset(rnd42Shuffle(items))
+    val got = Scale.heavyHittersExact(ds, sketchK = 256, topN = 15)
+      .as[(String, Long)].collect().toSeq
+    val want = items.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(15)
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  private def rnd42Shuffle[T](xs: Seq[T]): Seq[T] =
+    new scala.util.Random(42).shuffle(xs)
+
   test("bounded top-K aggregator matches collect_list + sort + slice") {
     val scores = Seq(
       ("a", 3.0, "x"), ("a", 5.0, "y"), ("a", 4.0, "z"), ("a", 5.0, "w"),

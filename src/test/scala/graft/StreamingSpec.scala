@@ -268,6 +268,57 @@ class StreamingSpec extends SparkSpecBase {
         s"extra ${emitted.toSet -- batchPairs}")
   }
 
+  test("streaming minhash near-dup: checkpoint reset against a surviving " +
+    "store fails loud; a crashed write's _temporary-only batch dir reads " +
+    "as missing") {
+    implicit val s = spark
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_reset").toString
+    // (1) a crashed write leaves only _temporary under batch=0 — the stream
+    // must treat it as no prior store, not fail parquet schema inference
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store, "bands", "batch=0", "_temporary"))
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_mh_ck1").toString
+    val mem1 = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Set[(Long, Long)]()
+    val q1 = graft.streaming.StreamingDedup.minHashDedupStream(
+        mem1.toDF().toDF("doc_id", "text"), store, w = 3, tau = 0.5,
+        bands = 32, rowsPerBand = 2) { (pairs, _) =>
+      emitted ++= pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    }.option("checkpointLocation", ckpt1).start()
+    try {
+      mem1.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dogs"))
+      q1.processAllAvailable()
+      // a second micro-batch so the store's max batch id (1) exceeds a
+      // fresh checkpoint's restart id (0) — batch=0 alone is
+      // indistinguishable from a legitimate at-least-once replay
+      mem1.addData((10L, "a completely unrelated document about spark"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(emitted.contains((1L, 2L)),
+      s"planted near-dup pair must be emitted despite the stale _temporary dir: $emitted")
+    // (2) same store, FRESH checkpoint — batch ids restart at 0 while the
+    // store already holds batch=0: must fail loud, not silently overwrite
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_mh_ck2").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingDedup.minHashDedupStream(
+        mem2.toDF().toDF("doc_id", "text"), store, w = 3, tau = 0.5,
+        bands = 32, rowsPerBand = 2) { (pairs, _) => pairs.count(); () }
+      .option("checkpointLocation", ckpt2).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        mem2.addData((3L, "another document entirely"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists { c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint was reset")
+    }, s"expected the checkpoint-reset IllegalStateException, got $ex")
+  }
+
   test("SQL entry over the registered catalog joins across tables") {
     graft.core.Catalog.registerAll(spark, sfDir)
     val n = spark.sql(
