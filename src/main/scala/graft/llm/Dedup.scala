@@ -336,10 +336,10 @@ object Dedup {
                    idCol: String, sigCol: String): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
+    def bandBits(sig: Column, b: Int): Column =
+      shiftright(sig, b * width).bitwiseAND(lit((1L << width) - 1))
     val bandCols = array((0 until nBands).map(b => struct(
-      lit(b).as("band"),
-      shiftright(col(sigCol), b * width)
-        .bitwiseAND(lit((1L << width) - 1)).as("bits"))): _*)
+      lit(b).as("band"), bandBits(col(sigCol), b).as("bits"))): _*)
     val banded = sigs.select(col(idCol), col(sigCol),
         explode(bandCols).as("bb"))
       .select(col(idCol), col(sigCol),
@@ -348,22 +348,43 @@ object Dedup {
       col(sigCol).as("sig_a"))
     val b = banded.select(col("band"), col("bits"), col(idCol).as("id_b"),
       col(sigCol).as("sig_b"))
+    // A pair agreeing on k bands collides in k buckets; instead of a
+    // distinct() over every candidate (a multi-million-row shuffle when the
+    // corpus is near-dup-dense — q31 emits 2M pairs at sf0.1), emit each
+    // pair ONLY from its first agreeing band: at band b, require every
+    // earlier band to differ. Pure whole-stage-codegen filter on the join
+    // output, exactly-once per qualifying pair, no dedup exchange at all.
+    val firstAgreeingBand = (0 until nBands).map { j =>
+      col("band") <= j ||
+        bandBits(col("sig_a"), j) =!= bandBits(col("sig_b"), j)
+    }.reduce(_ && _)
     a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstAgreeingBand)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (pigeonhole
-    * banding, see [[hammingPairs]]). */
+    * banding, see [[hammingPairs]]).
+    *
+    * The signature frame is persisted (scope-tracked): both sides of the
+    * band self-join read it, and without the cache each side re-runs the
+    * token explode + 64-vote aggregate — measured 3.0 s vs 1.0 s at sf0.1.
+    * Released by the caller's [[graft.core.CacheScope]] after its action
+    * (or `clearCache` outside a scope).
+    */
   def simHashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id",
                    textCol: String = "text",
                    tokenHash: Column => Column = xxhash64(_),
-                   hashDistinctFirst: Boolean = false): DataFrame =
-    hammingPairs(
-      simHash(docs, idCol, textCol, tokenHash, hashDistinctFirst),
-      maxDist, idCol, "simhash")
+                   hashDistinctFirst: Boolean = false): DataFrame = {
+    val sigs = graft.core.CacheScope.track(
+      simHash(docs, idCol, textCol, tokenHash, hashDistinctFirst).persist())
+    // eager materialization: a lazy shared persist is computed once per
+    // branch of the first action (cache-population race)
+    sigs.count()
+    hammingPairs(sigs, maxDist, idCol, "simhash")
+  }
 }
