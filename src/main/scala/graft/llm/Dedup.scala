@@ -75,6 +75,29 @@ object Dedup {
     if (distinct) all.distinct() else all
   }
 
+  /** Cross-document repeated spans — the C4/RefinedWeb boilerplate
+    * primitive: w-gram shingles occurring in at least `minDocs` distinct
+    * documents, ranked by spread. Random text shares essentially no long
+    * shingles, so survivors are templates, licenses, navigation chrome —
+    * and near-duplicate pairs, whose shared spans rank them here too.
+    * Output (shingle, df, occurrences), ordered (df desc, occurrences
+    * desc, shingle) — a total order, so top-`topN` is deterministic.
+    *
+    * 100 TB posture: one hash aggregate on the shingle key (partial
+    * count/count-distinct map-side), then `orderBy.limit` plans as
+    * TakeOrderedAndProject — per-partition heaps, never a global sort.
+    */
+  def boilerplateGrams(docs: DataFrame, w: Int, minDocs: Int = 2,
+                       topN: Int = 100, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    shingles(docs, w, idCol, textCol, distinct = false)
+      .groupBy("shingle")
+      .agg(count_distinct(col(idCol)).as("df"),
+        count(lit(1)).as("occurrences"))
+      .filter(col("df") >= minDocs)
+      .orderBy(col("df").desc, col("occurrences").desc, col("shingle"))
+      .limit(topN)
+
   /** Exact n-gram Jaccard near-dup pairs: docs sharing ≥1 shingle are
     * candidates (inverted-index join on the shingle), then |∩| / |∪| ≥ τ.
     * The shingle join is the scale risk: at 100 TB, hot shingles explode the

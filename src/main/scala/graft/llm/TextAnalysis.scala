@@ -184,6 +184,50 @@ object TextAnalysis {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Train→eval n-gram contamination audit — the decontamination primitive
+    * of large-scale training pipelines (GPT-3-style n-gram overlap): for
+    * every NON-train document, count how many of its distinct w-gram
+    * shingles also occur anywhere in the train split, where the split is
+    * the deterministic content-hash [[dataSplit]]. A near-duplicate pair
+    * straddling the split boundary (content differs → different buckets)
+    * is exactly what this surfaces — the leakage [[dataSplit]]'s exact-dup
+    * guarantee cannot catch.
+    *
+    * Output: (doc_id, split, n_grams, n_hit, contamination) per val/test
+    * doc; `contamination` is one IEEE division of two exact integers
+    * (bit-identical across engines), 0.0 for docs shorter than w.
+    *
+    * 100 TB posture: the eval side joins the DISTINCT train-gram set on the
+    * shingle key — one shuffle each side, no driver-side set, and the train
+    * grams aggregate before the join so the probe build is the vocabulary,
+    * not the corpus. AQE covers hot boilerplate shingles (the skew keys).
+    */
+  def contamination(docs: DataFrame, w: Int = 5, trainPct: Int = 80,
+                    valPct: Int = 10, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val split = dataSplit(docs, trainPct, valPct, idCol, textCol)
+      .select(col(idCol), col("split"))
+    val sh = Dedup.shingles(docs, w, idCol, textCol)
+      .join(split, idCol)
+    val trainGrams = sh.filter(col("split") === "train")
+      .select("shingle").distinct().withColumn("__hit", lit(1L))
+    val hits = sh.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("shingle"), "left")
+      .groupBy(col(idCol), col("split"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    // left-anchor on the split so short/empty docs (no complete shingle)
+    // still appear, with zero grams and contamination 0.0
+    split.filter(col("split") =!= "train")
+      .join(hits, Seq(idCol, "split"), "left")
+      .select(col(idCol), col("split"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(0.0).as("contamination"))
+  }
+
   /** Token-budget sequence packing: documents in id order are laid out
     * contiguously and cut into bins of `budget` tokens — each doc is
     * assigned the bin its start offset falls in (contiguous chunking, the

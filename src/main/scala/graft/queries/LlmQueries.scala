@@ -244,6 +244,18 @@ object LlmQueries {
       .select(col("item").as("token"), col("cnt"))
   }
 
+  /** Train→eval 5-gram contamination over the q55 content-hash split —
+    * near-dup pairs straddling the split boundary surface as nonzero
+    * contamination (the leakage exact-dup-safe splitting can't catch). */
+  def contamination(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contamination(Tables.documents(s, dir), w = 5)
+
+  /** Cross-document repeated 5-gram spans (boilerplate/template discovery,
+    * df ≥ 2, top-100 by spread) — random text shares no long shingles, so
+    * survivors are the planted near-dup templates. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateGrams(Tables.documents(s, dir), w = 5)
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -268,7 +280,9 @@ object LlmQueries {
     "q56_seq_packing" -> seqPacking,
     "q57_quant_stats" -> quantStats,
     "q58_perceptual_hash" -> perceptualHashes,
-    "q59_heavy_hitters" -> heavyHitters)
+    "q59_heavy_hitters" -> heavyHitters,
+    "q61_contamination" -> contamination,
+    "q62_boilerplate" -> boilerplate)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -339,7 +353,55 @@ object LlmQueries {
       |                          ORDER BY dp / (nq * nc) DESC, neighbor_id) AS rnk
       |FROM dots QUALIFY rnk <= 5""".stripMargin
 
+  /** Shared 5-gram shingle CTE (q61/q62): w[i..i+4] over the token array,
+    * complete shingles only — matches Dedup.shingles(w = 5). */
+  private val sh5Ctes: String =
+    s"""toks5 AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |sh5 AS (SELECT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+      |  FROM toks5, UNNEST(range(1, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q61_contamination" ->
+      s"""WITH $sh5Ctes,
+        |fp AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(text, ''),
+        |                                ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 144115188075855872) % 100 AS bucket
+        |  FROM documents),
+        |spl AS (SELECT doc_id,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split FROM fp),
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh5),
+        |train AS (SELECT DISTINCT shingle
+        |          FROM dsh JOIN spl USING (doc_id) WHERE split = 'train'),
+        |ev AS (SELECT dsh.doc_id,
+        |         CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |       FROM dsh JOIN spl USING (doc_id)
+        |       LEFT JOIN train t USING (shingle)
+        |       WHERE spl.split <> 'train'),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |          CAST(SUM(hit) AS BIGINT) AS n_hit
+        |        FROM ev GROUP BY doc_id)
+        |SELECT s.doc_id, s.split,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.n_hit, 0) AS n_hit,
+        |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+        |       THEN CAST(a.n_hit AS DOUBLE) / a.n_grams
+        |       ELSE 0.0 END AS contamination
+        |FROM spl s LEFT JOIN agg a USING (doc_id)
+        |WHERE s.split <> 'train'""".stripMargin,
+    "q62_boilerplate" ->
+      s"""WITH $sh5Ctes
+        |SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(COUNT(*) AS BIGINT) AS occurrences
+        |FROM sh5 GROUP BY shingle
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, occurrences DESC, shingle LIMIT 100""".stripMargin,
     "q49_scrub" ->
       s"""SELECT doc_id,
         |  CAST(length(regexp_replace(

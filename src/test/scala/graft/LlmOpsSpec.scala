@@ -332,6 +332,70 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("boilerplate grams: planted shared phrase found with exact df and " +
+    "occurrence counts, unique text excluded") {
+    import spark.implicits._
+    val phrase = "terms of service apply here"
+    val other = "all rights reserved by us"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $phrase delta epsilon"),
+      (2L, s"zeta eta $phrase theta iota kappa"),
+      (3L, s"$phrase lambda mu nu xi omicron $phrase"),
+      (4L, s"pi rho sigma tau $other upsilon"),
+      (5L, s"phi chi $other psi omega aleph"),
+      (6L, "bet gimel dalet he vav zayin het")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.boilerplateGrams(docs, w = 5, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // the planted phrase: 3 docs, 4 occurrences (doc 3 repeats it)
+    assert(got.head == ((phrase, 3L, 4L)), s"head was ${got.head}")
+    assert(got.contains((other, 2L, 2L)))
+    // no shingle from the all-unique doc 6 survives
+    assert(!got.exists(_._1.contains("gimel")))
+    // df >= minDocs for every row, ordering is (df desc, occ desc, shingle)
+    assert(got.forall(_._2 >= 2))
+    assert(got == got.sortBy { case (s0, d, o) => (-d, -o, s0) })
+  }
+
+  test("contamination matches an independent Scala-collections oracle on " +
+    "the gate corpus and flags cross-split near-dup leakage") {
+    import spark.implicits._
+    val w = 5
+    val got = graft.llm.TextAnalysis.contamination(docs, w = w)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent re-derivation: split + shingle overlap in plain Scala
+    val byDoc = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def fp(s: String): Long =
+      s.foldLeft(0L)((a, c) => Math.floorMod(a * 31 + c.toLong, 1L << 57))
+    def split(t: String): String = {
+      val b = Math.floorMod(fp(t), 100L)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < w) Set.empty
+      else toks.sliding(w).map(_.mkString(" ")).toSet
+    }
+    val trainGrams = byDoc.filter(d => split(d._2) == "train")
+      .flatMap(d => grams(d._2)).toSet
+    val evalDocs = byDoc.filter(d => split(d._2) != "train")
+    assert(evalDocs.nonEmpty && got.size == evalDocs.length)
+    evalDocs.foreach { case (id, text) =>
+      val g = grams(text)
+      val hit = g.count(trainGrams.contains)
+      val (_, sp, nGrams, nHit, cont) = got(id)
+      assert(sp == split(text) && nGrams == g.size && nHit == hit,
+        s"doc $id: got ($sp,$nGrams,$nHit), want " +
+          s"(${split(text)},${g.size},$hit)")
+      val want = if (g.isEmpty) 0.0 else hit.toDouble / g.size
+      assert(cont == want, s"doc $id contamination $cont != $want")
+    }
+    // the sf0.001 fixture plants near-dups that straddle the split — the
+    // audit must surface at least one contaminated eval doc
+    assert(got.values.exists(_._4 > 0),
+      "expected nonzero contamination from cross-split near-dups")
+  }
+
   test("multimodal plumbing: decode/features/frames shapes") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs.limit(10))
