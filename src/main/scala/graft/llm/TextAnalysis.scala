@@ -228,6 +228,32 @@ object TextAnalysis {
           .otherwise(0.0).as("contamination"))
   }
 
+  /** Deterministic stratified mixture sampling — the corpus-rebalancing
+    * primitive of training-data pipelines (downweight the dominant
+    * language/domain, keep the tail): each document draws a uniform value
+    * from the salted content fingerprint and survives iff the draw falls
+    * under its stratum's target fraction. Content-hash sampling (vs
+    * `sampleBy`'s seeded Bernoulli) is stable across engines, partitionings,
+    * and re-ingests, keeps byte-identical duplicates together, and is
+    * SQL-oracle-reproducible. The salt decorrelates the draw from the
+    * [[dataSplit]] bucket (same hash family, different input) so sampling
+    * is independent of split assignment.
+    *
+    * `targets` maps stratum value → keep fraction in [0,1]; strata not
+    * listed keep everything (fraction 1.0). Pure narrow projection +
+    * filter — no shuffle, pushes through the scan at any scale.
+    */
+  def mixtureSample(docs: DataFrame, targets: Seq[(String, Double)],
+                    strataCol: String = "lang", salt: String = "|mixture",
+                    textCol: String = "text"): DataFrame = {
+    val res = 1000000L
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))), lit(res))
+    val thr = targets.foldLeft(lit(res): Column) { case (acc, (stratum, frac)) =>
+      when(col(strataCol) === stratum, lit(math.round(frac * res))).otherwise(acc)
+    }
+    docs.withColumn("draw", draw).filter(col("draw") < thr)
+  }
+
   /** Token-budget sequence packing: documents in id order are laid out
     * contiguously and cut into bins of `budget` tokens — each doc is
     * assigned the bin its start offset falls in (contiguous chunking, the

@@ -256,6 +256,13 @@ object LlmQueries {
   def boilerplate(s: SparkSession, dir: String): DataFrame =
     Dedup.boilerplateGrams(Tables.documents(s, dir), w = 5)
 
+  /** Deterministic stratified mixture sample: downweight en to 30%,
+    * es to 60%, keep the tail — content-hash draws, engine-stable. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureSample(Tables.documents(s, dir),
+        targets = Seq("en" -> 0.3, "es" -> 0.6))
+      .select("doc_id", "lang", "draw")
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -282,7 +289,8 @@ object LlmQueries {
     "q58_perceptual_hash" -> perceptualHashes,
     "q59_heavy_hitters" -> heavyHitters,
     "q61_contamination" -> contamination,
-    "q62_boilerplate" -> boilerplate)
+    "q62_boilerplate" -> boilerplate,
+    "q63_mixture_sample" -> mixtureSample)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -363,6 +371,18 @@ object LlmQueries {
       |  WHERE len(w) >= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q63_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(text || '|mixture', ''),
+        |                                ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 144115188075855872) % 1000000 AS draw
+        |  FROM documents)
+        |SELECT doc_id, lang, draw FROM d
+        |WHERE draw < CASE lang WHEN 'en' THEN 300000
+        |                       WHEN 'es' THEN 600000
+        |                       ELSE 1000000 END""".stripMargin,
     "q61_contamination" ->
       s"""WITH $sh5Ctes,
         |fp AS (SELECT doc_id,

@@ -396,6 +396,32 @@ class LlmOpsSpec extends SparkSpecBase {
       "expected nonzero contamination from cross-split near-dups")
   }
 
+  test("mixture sampling: deterministic, content-keyed, unlisted strata " +
+    "kept whole, rates near targets") {
+    import spark.implicits._
+    val fixture = (1 to 300).map { i =>
+      val lang = Seq("en", "es", "fr")(i % 3)
+      (i.toLong, lang, s"document number $i with some text body $i")
+    }.toDF("doc_id", "lang", "text")
+    def run() = graft.llm.TextAnalysis.mixtureSample(fixture,
+      Seq("en" -> 0.3, "es" -> 0.6)).select("doc_id", "lang")
+      .as[(Long, String)].collect().toSet
+    val a = run()
+    assert(a == run(), "sampling must be deterministic across runs")
+    val byLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    // unlisted stratum keeps every doc
+    assert(byLang("fr") == 100)
+    // 100 draws per stratum: expect ~30/~60 — generous binomial bounds
+    assert(byLang("en") >= 15 && byLang("en") <= 45, s"en=${byLang("en")}")
+    assert(byLang("es") >= 45 && byLang("es") <= 75, s"es=${byLang("es")}")
+    // content-keyed: identical text draws identically regardless of doc_id
+    val dup = Seq((900L, "en", "same text"), (901L, "en", "same text"))
+      .toDF("doc_id", "lang", "text")
+    val kept = graft.llm.TextAnalysis.mixtureSample(dup, Seq("en" -> 0.5))
+      .count()
+    assert(kept == 0L || kept == 2L, s"dup texts must decide together: $kept")
+  }
+
   test("multimodal plumbing: decode/features/frames shapes") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs.limit(10))
