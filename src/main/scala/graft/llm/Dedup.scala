@@ -75,6 +75,61 @@ object Dedup {
     if (distinct) all.distinct() else all
   }
 
+  /** Non-overlapping fixed-width token chunks of each document: chunk `i`
+    * covers tokens `[i·w, (i+1)·w)`; the last chunk may be shorter. The
+    * unit of span-level dedup ([[chunkDedup]]) — unlike [[shingles]] these
+    * tile the document instead of sliding, so a `slice` over the token
+    * array replaces the posexplode+lead window (no shuffle at all: chunking
+    * is a pure per-row projection).
+    */
+  def chunks(docs: DataFrame, w: Int, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // guard the empty-token case: Spark's sequence(0, -1) yields a
+    // DESCENDING [0, -1], not an empty array
+    docs.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, (size(__toks) + ${w - 1}) div $w - 1)," +
+          s" i -> array_join(slice(__toks, i * $w + 1, $w), ' '))"))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** Chunk-level exact dedup with per-document retention — the span-removal
+    * primitive of C4-style cleaning, at the granularity between whole-doc
+    * exact dedup and shingle overlap: a chunk occurrence is a duplicate iff
+    * an identical chunk occurs EARLIER in the corpus (first occurrence =
+    * min (doc, chunk_idx) in lexicographic order — that occurrence is the
+    * canonical survivor, everything after it is removable boilerplate).
+    *
+    * Output per document: (id, n_chunks, n_dup_chunks, retention) where
+    * retention = kept/total — one IEEE division of exact integers.
+    *
+    * 100 TB posture: one hash aggregate on the chunk text for the
+    * first-occurrence table (map-side combined), one shuffle join back on
+    * the chunk key (AQE covers boilerplate-chunk skew), one final per-doc
+    * aggregate. Grouping beats a window over chunk text: a hot chunk
+    * (site template repeated millions of times) becomes one aggregate row,
+    * never one window partition. At 100 TB hash the chunk to 16 bytes
+    * before the join ([[exactCanonicalByHash]]'s narrow-shuffle trick).
+    */
+  def chunkDedup(docs: DataFrame, w: Int = 16, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val ch = graft.core.CacheScope.track(
+      chunks(docs, w, idCol, textCol).persist())
+    ch.count() // eager: both the firsts aggregate and the join read it
+    val firsts = ch.groupBy("chunk")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
+    ch.join(firsts, "chunk")
+      .withColumn("__dup",
+        (struct(col(idCol), col("chunk_idx")) =!= col("__first")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("__dup")).as("n_dup_chunks"))
+      .withColumn("retention",
+        (col("n_chunks") - col("n_dup_chunks")).cast("double") /
+          col("n_chunks"))
+  }
+
   /** Cross-document repeated spans — the C4/RefinedWeb boilerplate
     * primitive: w-gram shingles occurring in at least `minDocs` distinct
     * documents, ranked by spread. Random text shares essentially no long
@@ -217,6 +272,112 @@ object Dedup {
         (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Write a corpus's banded minhash signatures as a persistent store —
+    * the amortization layer of INCREMENTAL dedup: a 100 TB corpus's
+    * signatures are computed once, and each daily batch then dedups
+    * against the store without touching the historical text
+    * ([[incrementalDedupPairs]]). Layout: (id, band, bucket) parquet.
+    * At warehouse scale, bucket the table by `bucket`
+    * ([[graft.ops.Scale]]'s bucketed writer) so the probe join is
+    * exchange-free on the store side.
+    */
+  def writeSignatureStore(docs: DataFrame, path: String, w: Int,
+                          bands: Int, rowsPerBand: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Unit =
+    bandedSignatures(
+        shingles(docs, w, idCol, textCol).filter(col("shingle").isNotNull),
+        bands, rowsPerBand, idCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's signatures to an existing store. Safe because
+    * banded-signature rows are add-only and deterministic (hash family is
+    * seed-free — the batch meets earlier batches in exactly the buckets a
+    * full rebuild would produce). Fails loud when the store's band layout
+    * does not match: mixed band widths would silently miss collisions.
+    */
+  def appendSignatureStore(newDocs: DataFrame, path: String, w: Int,
+                           bands: Int, rowsPerBand: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val existing = spark.read.parquet(path)
+    val storeBands = existing.agg(max("band")).head().getInt(0) + 1
+    require(storeBands == bands,
+      s"signature store at $path has $storeBands bands, append requested " +
+        s"$bands — rebuild the store, mixed band layouts miss collisions")
+    bandedSignatures(
+        shingles(newDocs, w, idCol, textCol).filter(col("shingle").isNotNull),
+        bands, rowsPerBand, idCol)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Incremental near-duplicate pairs: a new document batch against an
+    * already-signed corpus — the daily-ingest form of [[minHashDedupPairs]].
+    * `store` holds the corpus's banded signatures ((id, band, bucket) —
+    * [[writeSignatureStore]] output or [[bandedSignatures]] directly);
+    * `corpus` is the document table the store ids resolve in (used ONLY to
+    * re-shingle verification candidates). Only the NEW batch is signed;
+    * historical text is touched for candidate ids alone (a semi-join
+    * restriction, point-reads at warehouse scale — the 100 TB win over
+    * re-running the full self-join dedup per batch).
+    *
+    * Emits (corpus_id, new_id, jaccard) for exact Jaccard ≥ `tau`: pairs of
+    * a new doc with a stored doc (corpus_id = the stored id), plus pairs
+    * within the new batch (corpus_id = the smaller id). Identical banding
+    * parameters to the batch pipeline give identical recall — a pair
+    * qualifying under [[minHashDedupPairs]] collides in the same bands
+    * here, regardless of which side is stored.
+    */
+  def incrementalDedupPairs(newDocs: DataFrame, corpus: DataFrame,
+                            store: DataFrame, w: Int, tau: Double,
+                            bands: Int, rowsPerBand: Int,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val newSh = graft.core.CacheScope.track(
+      shingles(newDocs, w, idCol, textCol)
+        .filter(col("shingle").isNotNull).persist())
+    newSh.count() // eager: banding + both verify sides read it
+    val newBands = graft.core.CacheScope.track(
+      bandedSignatures(newSh, bands, rowsPerBand, idCol).persist())
+    newBands.count() // eager: store probe + self-join both read it
+    // new × stored: the batch's buckets probe the store (store side huge,
+    // probe side one batch — AQE broadcasts the probe when it fits)
+    val vsStore = newBands
+      .join(store
+          .select(col(idCol).as("corpus_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("corpus_id") =!= col(idCol)) // ids overlapping both sides
+      .select(col("corpus_id"), col(idCol).as("new_id"))
+    // new × new: same-batch self-join, canonical order (smaller id first)
+    val vsSelf = newBands.select(col("band"), col("bucket"),
+        col(idCol).as("corpus_id"))
+      .join(newBands.select(col("band"), col("bucket"),
+        col(idCol).as("new_id")), Seq("band", "bucket"))
+      .filter(col("corpus_id") < col("new_id"))
+      .select("corpus_id", "new_id")
+    val cand = vsStore.unionByName(vsSelf).distinct()
+    // exact-verify on candidates only: historical docs re-shingled iff
+    // they appear in a candidate pair (left-semi pushes the id restriction
+    // into the corpus scan)
+    val candIds = cand.select(col("corpus_id").as(idCol))
+      .union(cand.select(col("new_id").as(idCol))).distinct()
+    val sets = shingles(
+        corpus.join(candIds, Seq(idCol), "left_semi"), w, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shset"))
+    cand
+      .join(sets.select(col(idCol).as("corpus_id"),
+        col("shset").as("set_a")), "corpus_id")
+      .join(sets.select(col(idCol).as("new_id"),
+        col("shset").as("set_b")), "new_id")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("corpus_id", "new_id", "jaccard")
   }
 
   /** Connected components over a near-dup pair graph — the cluster-resolution

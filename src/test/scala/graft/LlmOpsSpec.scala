@@ -422,6 +422,141 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(kept == 0L || kept == 2L, s"dup texts must decide together: $kept")
   }
 
+  test("source cap: per-source counts bounded, deterministic, content-keyed") {
+    import spark.implicits._
+    val perSource = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    def run() = graft.llm.TextAnalysis.sourceCap(docs, cap = 10)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val kept = run()
+    assert(kept == run(), "survivor set must be deterministic across runs")
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    perSource.foreach { case (src, n) =>
+      assert(keptBySource.getOrElse(src, 0) == math.min(10L, n),
+        s"source $src: ${keptBySource.get(src)} kept of $n (cap 10)")
+    }
+    // rank is total and within [1, cap]
+    val ranks = graft.llm.TextAnalysis.sourceCap(docs, cap = 10)
+      .select("source", "src_rank").as[(String, Long)].collect()
+    assert(ranks.forall { case (_, r) => r >= 1 && r <= 10 })
+    assert(ranks.groupBy(_._1).values.forall(rs =>
+      rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq))
+  }
+
+  test("unigram LM surprisal matches an independent Scala-collections " +
+    "oracle; rare tokens score above common ones") {
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val toks = rows.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val counts = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    def bits(c: Long): Long =
+      63 - java.lang.Long.numberOfLeadingZeros(total / c)
+    val expected = toks.map { case (id, ts) =>
+      val sb = ts.map(t => bits(counts(t))).sum
+      (id, ts.size.toLong, sb, sb.toDouble / ts.size)
+    }.toSet
+    val got = graft.llm.TextAnalysis.lmSurprisal(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // a corpus-rare token must carry at least as many bits as a common one
+    val (rare, common) = (counts.minBy(_._2), counts.maxBy(_._2))
+    assert(bits(rare._2) >= bits(common._2))
+  }
+
+  test("incremental dedup equals the batch pair relation restricted to " +
+    "pairs with a non-stored member; parquet store + append round-trips") {
+    import spark.implicits._
+    val split = graft.llm.TextAnalysis.dataSplit(docs).select("doc_id", "split")
+    val trainIds = split.filter($"split" === "train")
+      .select("doc_id").as[Long].collect().toSet
+    // expected: q29's exact relation, canonicalized (stored, new)
+    val exact = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val expected = exact.flatMap { case (a, b, j) =>
+      (trainIds(a), trainIds(b)) match {
+        case (true, true)  => None
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case (false, false) => Some((a, b, j))
+      }
+    }.toSet
+    assert(expected.nonEmpty, "fixture should have cross-split near-dups")
+    val newDocs = docs.join(split.filter($"split" =!= "train")
+      .select("doc_id"), "doc_id")
+    val oldDocs = docs.join(split.filter($"split" === "train")
+      .select("doc_id"), "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val path = s"$dir/store"
+    // write half the train corpus, append the rest: the combined store must
+    // behave exactly like a one-shot build
+    val (h1, h2) = (oldDocs.filter($"doc_id" % 2 === 0),
+      oldDocs.filter($"doc_id" % 2 =!= 0))
+    Dedup.writeSignatureStore(h1, path, w = 3, bands = 32, rowsPerBand = 2)
+    Dedup.appendSignatureStore(h2, path, w = 3, bands = 32, rowsPerBand = 2)
+    val oneShot = Dedup.bandedSignatures(
+      Dedup.shingles(oldDocs, w = 3).filter(col("shingle").isNotNull),
+      bands = 32, rowsPerBand = 2)
+    assert(spark.read.parquet(path).as[(Long, Int, Long)].collect().toSet ==
+      oneShot.as[(Long, Int, Long)].collect().toSet)
+    // mismatched band layout fails loud
+    intercept[IllegalArgumentException] {
+      Dedup.appendSignatureStore(h2, path, w = 3, bands = 16, rowsPerBand = 4)
+    }
+    val got = Dedup.incrementalDedupPairs(newDocs, docs,
+        spark.read.parquet(path), w = 3, tau = 0.5,
+        bands = 32, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"missed ${expected -- got}, extra ${got -- expected}")
+  }
+
+  test("chunk dedup: planted duplicate chunks counted, first occurrence " +
+    "kept; tiling arithmetic exact") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f g h x y"),          // chunks: [a b c d] [e f g h] [x y]
+      (2L, "a b c d q r s t"),              // [a b c d] dup, [q r s t] new
+      (3L, "a b c d e f g h x y")           // exact dup of doc 1 → all dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(fixture, w = 4)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "retention")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 0L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((3L, 3L, 0.0)))
+    // corpus invariant: chunk count is the tiling of the token count
+    val counts = Dedup.chunkDedup(docs, w = 16)
+      .select("doc_id", "n_chunks").as[(Long, Long)].collect().toMap
+    val tokCounts = docs.select(col("doc_id"),
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(tokCounts.forall { case (id, n) =>
+      counts.get(id).contains((n + 15) / 16) })
+  }
+
+  test("PQ ANN at registry params (m=16, 32 codes, refine=160) recalls ALL " +
+    "of brute-force top-k — q68 shares q32's oracle on this guarantee") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq == brute, s"PQ missed ${brute -- pq}, extra ${pq -- brute}")
+    // codes are within the codebook range and one per subspace
+    val books = Similarity.trainPqCodebooks(emb, m = 16, k = 32)
+    val codes = Similarity.pqEncode(emb, books)
+      .as[(Long, Array[Int])].collect()
+    assert(codes.forall(c => c._2.length == 16 &&
+      c._2.forall(x => x >= 0 && x < 32)))
+  }
+
   test("multimodal plumbing: decode/features/frames shapes") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs.limit(10))

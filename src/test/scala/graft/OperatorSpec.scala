@@ -122,9 +122,16 @@ class OperatorSpec extends SparkSpecBase {
         catch { case e: Throwable => fail(s"$name failed: ${e.getMessage}") }
       }
       // per-query assertion: an untracked persist is attributed to the
-      // query that leaked it, not noticed 60 queries later
-      assert(spark.sharedState.cacheManager.isEmpty,
-        s"$name left cached plans behind its CacheScope")
+      // query that leaked it, not noticed 60 queries later. On failure,
+      // name the offending plans — a bare isEmpty=false cannot distinguish
+      // a genuine leak from async residue of an earlier suite in the
+      // shared-SparkContext test JVM.
+      if (!spark.sharedState.cacheManager.isEmpty) {
+        val rdds = spark.sparkContext.getPersistentRDDs.values
+          .map(r => s"${r.id}:${r.name}").mkString("[", ", ", "]")
+        fail(s"$name left cached plans behind its CacheScope; " +
+          s"persistent RDDs: $rdds")
+      }
     }
   }
 
