@@ -358,16 +358,28 @@ object Dedup {
         col(idCol).as("new_id")), Seq("band", "bucket"))
       .filter(col("corpus_id") < col("new_id"))
       .select("corpus_id", "new_id")
-    val cand = vsStore.unionByName(vsSelf).distinct()
-    // exact-verify on candidates only: historical docs re-shingled iff
-    // they appear in a candidate pair (left-semi pushes the id restriction
-    // into the corpus scan)
-    val candIds = cand.select(col("corpus_id").as(idCol))
-      .union(cand.select(col("new_id").as(idCol))).distinct()
-    val sets = shingles(
-        corpus.join(candIds, Seq(idCol), "left_semi"), w, idCol, textCol)
+    // persist + materialize: cand feeds three consumers (both verify joins
+    // + the id restriction) and its lineage contains the STORE's signature
+    // computation — without the cache that recomputes per consumer
+    val cand = graft.core.CacheScope.track(
+      vsStore.unionByName(vsSelf).distinct().persist())
+    cand.count()
+    // exact-verify on candidates only. The new batch's shingles are already
+    // cached (newSh) — only HISTORICAL candidate docs are re-shingled, via
+    // a left-semi that pushes the id restriction into the corpus scan
+    // (point-reads at warehouse scale)
+    val newIds = newDocs.select(col(idCol))
+    val oldCandIds = cand.select(col("corpus_id").as(idCol)).distinct()
+      .join(newIds, Seq(idCol), "left_anti")
+    val setsOld = shingles(
+        corpus.join(oldCandIds, Seq(idCol), "left_semi"), w, idCol, textCol)
       .groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("shset"))
+    val setsNew = newSh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shset"))
+    val sets = graft.core.CacheScope.track(
+      setsOld.unionByName(setsNew).persist()) // read by both verify joins
+    sets.count()
     cand
       .join(sets.select(col(idCol).as("corpus_id"),
         col("shset").as("set_a")), "corpus_id")

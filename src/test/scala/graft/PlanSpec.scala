@@ -100,4 +100,32 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("vec_dot") || p.contains("floatvecdot") ||
       p.toLowerCase.contains("floatvecdot"), s"codegen dot expected:\n$p")
   }
+
+  test("q64 source cap prunes the documents scan and shuffles once on the " +
+    "stratum key") {
+    val p = planOf("q64_source_cap")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-source rank must partition by source, never one task:\n$p")
+    // exactly one shuffle: the hashpartitioning(source) feeding the window
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle on source, got $shuffles:\n$p")
+  }
+
+  test("q67 chunking is a pure projection — no shuffle before the " +
+    "first-occurrence aggregate, no window over chunk keys") {
+    val p = planOf("q67_chunk_dedup")
+    assert(!p.contains("Window"),
+      s"first-occurrence must be an aggregate + join, not a window over " +
+        s"hot chunk keys:\n$p")
+    spark.sqlContext.clearCache() // chunkDedup's scope-tracked persist
+  }
+
+  test("q68 PQ search: corpus codes stay partitioned, LUTs broadcast, " +
+    "no cartesian") {
+    val p = planOf("q68_knn_pq")
+    assert(!p.contains("CartesianProduct"),
+      s"ADC pass must broadcast the per-query LUTs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }
