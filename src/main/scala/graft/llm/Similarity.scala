@@ -64,6 +64,33 @@ object Similarity {
     (java.lang.Math.floorMod(z, 1000000L).toDouble / 1e6) - 0.5
   }
 
+  /** The deterministic hyperplane family as materializable arrays — the
+    * same splitmix-derived components [[lshBucket]] uses, exposed so
+    * projections are reproducible outside the plan (oracle SQL, tests). */
+  def projectionPlanes(outDim: Int, seed: Int = 0,
+                       dim: Int = 64): Array[Array[Float]] =
+    Array.tabulate(outDim)(p =>
+      Array.tabulate(dim)(i => planeComponent(seed * 10007 + p, i).toFloat))
+
+  /** Johnson–Lindenstrauss-style random projection to `outDim` dimensions —
+    * the embedding-compression cousin of [[quantizeInt8]] (fewer dims
+    * instead of narrower cells): each output coordinate is one codegen'd
+    * [[graft.functions.FloatVecDot]] against a deterministic hyperplane
+    * literal, so the projection is seed-stable with no RNG state and runs
+    * at scan speed. Output long-form (id, dim, proj), proj rounded at 1e-6
+    * (the order-sensitive-sum rule — engines sum the 64 products in
+    * different orders). */
+  def randomProjection(embeddings: DataFrame, outDim: Int, seed: Int = 0,
+                       dim: Int = 64, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val planes = projectionPlanes(outDim, seed, dim)
+    embeddings.select(col(idCol),
+        posexplode(array(planes.indices.map(p =>
+          round(VectorFunctions.vec_dot(col(vecCol), lit(planes(p))), 6)): _*))
+          .as(Seq("dim", "proj")))
+      .withColumn("dim", col("dim").cast("long"))
+  }
+
   /** Random-hyperplane LSH bucket id from `nPlanes` sign bits; `seed` picks
     * an independent hyperplane family (one per hash table). The planes are
     * array<float> literals and each projection is one codegen'd

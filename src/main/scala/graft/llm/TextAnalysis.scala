@@ -325,6 +325,30 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_tokens"))
   }
 
+  /** Deterministic global training-order shuffle: every document gets a
+    * dense rank in a pseudo-random but reproducible order — the "shuffle
+    * the corpus once per epoch" primitive of training pipelines, where the
+    * order must be stable across re-runs, engines, and partitionings (a
+    * seeded `orderBy(rand())` is none of those). The order key is the
+    * salted content-hash draw (same family as [[mixtureSample]]; change
+    * the salt to get an independent epoch order), ties broken by id.
+    *
+    * The rank is a [[graft.ops.Scale.globalCumSumOrdered]] prefix count —
+    * the two-phase range-partitioned form, NOT `row_number` over an
+    * empty-partition window (which funnels the corpus through one task;
+    * the classic global-sort scale trap, same reasoning as q56/q60).
+    */
+  def shuffleOrder(docs: DataFrame, salt: String = "|shuffle",
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))),
+      lit(1000000L))
+    graft.ops.Scale.globalCumSumOrdered(
+        docs.select(col(idCol), draw.as("draw"), lit(1L).as("__one")),
+        Seq("draw", idCol), "__one", "shuffle_rank")
+      .drop("__one")
+  }
+
   /** Token-budget sequence packing: documents in id order are laid out
     * contiguously and cut into bins of `budget` tokens — each doc is
     * assigned the bin its start offset falls in (contiguous chunking, the

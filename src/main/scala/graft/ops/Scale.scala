@@ -207,10 +207,19 @@ object Scale {
     * by the caller's CacheScope after its action (or clearCache outside).
     */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
-                   outCol: String = "cum"): DataFrame = {
+                   outCol: String = "cum"): DataFrame =
+    globalCumSumOrdered(df, Seq(orderCol), valueCol, outCol)
+
+  /** [[globalCumSum]] over a composite order key (e.g. (draw, id) for a
+    * deterministic corpus shuffle: the draw orders, the unique id breaks
+    * ties). Same two-phase layout; determinism needs the composite key to
+    * be unique. */
+  def globalCumSumOrdered(df: DataFrame, orderCols: Seq[String],
+                          valueCol: String,
+                          outCol: String = "cum"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = graft.core.CacheScope.track(df
-      .repartitionByRange(col(orderCol))
+      .repartitionByRange(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .persist())
     val totals = parts.groupBy("__pid")
@@ -222,7 +231,7 @@ object Scale {
     }
     val offDf = parts.sparkSession.createDataFrame(offsets.toIndexedSeq)
       .toDF("__pid", "__offset")
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parts.join(broadcast(offDf), "__pid")
       .withColumn(outCol,

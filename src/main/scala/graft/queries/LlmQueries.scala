@@ -311,6 +311,26 @@ object LlmQueries {
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Deterministic epoch-shuffle rank over the two-phase prefix count —
+    * content-hash draw order, never a single-task global window. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shuffleOrder(Tables.documents(s, dir))
+
+  /** JL random projection 64 → 16 dims (deterministic hyperplane literals,
+    * one codegen'd dot per output coordinate). */
+  def randomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(Tables.embeddings(s, dir), outDim = 16)
+
+  /** Corpus mixture report: doc/token counts over CUBE(lang, source) —
+    * every rollup level in one pass (partial aggregation per level,
+    * map-side combined; the mixture dashboard of a curation pipeline). */
+  def corpusCube(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .cube("lang", "source")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -343,7 +363,10 @@ object LlmQueries {
     "q65_lm_surprisal" -> lmSurprisal,
     "q66_incremental_dedup" -> incrementalDedup,
     "q67_chunk_dedup" -> chunkDedup,
-    "q68_knn_pq" -> knnPq)
+    "q68_knn_pq" -> knnPq,
+    "q69_corpus_shuffle" -> corpusShuffle,
+    "q70_random_projection" -> randomProjection,
+    "q71_corpus_cube" -> corpusCube)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -441,7 +464,38 @@ object LlmQueries {
       |       WHEN bucket < 90 THEN 'val'
       |       ELSE 'test' END AS split FROM fp2)""".stripMargin
 
+  /** q70's plane constants, interpolated into the oracle as exact decimal
+    * round-trips of the float-valued literals the Spark plan uses (printed
+    * via Double.toString of the widened float, so DuckDB parses the
+    * identical double). */
+  private def planesValuesSql: String =
+    Similarity.projectionPlanes(16).zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.map(v => v.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n|    ")
+
   val oracles: Map[String, String] = Map(
+    "q69_corpus_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  ${fpSql("text || '|shuffle'")} % 1000000 AS draw
+        |  FROM documents)
+        |SELECT doc_id, draw,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY draw, doc_id) AS BIGINT)
+        |    AS shuffle_rank
+        |FROM d""".stripMargin,
+    "q70_random_projection" ->
+      s"""WITH p(dim, plane) AS (VALUES
+        |    $planesValuesSql)
+        |SELECT e.vec_id, CAST(p.dim AS BIGINT) AS dim,
+        |  ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * plane[i]), 6) AS proj
+        |FROM embeddings e, p,
+        |  UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        |GROUP BY e.vec_id, p.dim""".stripMargin,
+    "q71_corpus_cube" ->
+      s"""SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
     "q64_source_cap" ->
       s"""WITH d AS (SELECT doc_id, source,
         |  ${fpSql("text || '|srccap'")} % 1000000 AS draw

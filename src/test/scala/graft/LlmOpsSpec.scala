@@ -557,6 +557,60 @@ class LlmOpsSpec extends SparkSpecBase {
       c._2.forall(x => x >= 0 && x < 32)))
   }
 
+  test("shuffle order: a deterministic permutation that actually permutes") {
+    import spark.implicits._
+    def run() = graft.llm.TextAnalysis.shuffleOrder(docs)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val ranks = run()
+    assert(ranks == run(), "epoch order must be reproducible")
+    val n = ranks.size
+    assert(ranks.values.toSeq.sorted == (1L to n).toSeq,
+      "ranks must be a dense permutation")
+    // a hash order correlates with nothing: it cannot equal the id order
+    val idOrder = ranks.keys.toSeq.sorted.zip(1L to n).toMap
+    assert(ranks != idOrder, "shuffle must not be the identity order")
+    // a different salt gives an independent epoch order
+    val epoch2 = graft.llm.TextAnalysis.shuffleOrder(docs, salt = "|epoch2")
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(epoch2 != ranks)
+  }
+
+  test("random projection matches a driver-side dot against the exposed " +
+    "plane family") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 3)
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val planes = Similarity.projectionPlanes(16)
+    val got = Similarity.randomProjection(emb, outDim = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == vecs.size * 16)
+    got.foreach { case (id, j, proj) =>
+      val v = vecs(id)
+      val p = planes(j.toInt)
+      var acc = 0.0
+      for (i <- v.indices) acc += v(i).toDouble * p(i).toDouble
+      // proj is acc rounded at 1e-6 (HALF_UP); compare within the grid
+      assert(math.abs(proj - acc) < 6e-7, s"vec $id dim $j: $proj vs $acc")
+    }
+  }
+
+  test("corpus cube: the grand-total row equals corpus totals and levels " +
+    "are consistent") {
+    import spark.implicits._
+    val cube = graft.queries.LlmQueries.corpusCube(spark, sfDir)
+      .select(col("lang"), col("source"), col("gid"), col("n_docs"),
+        col("n_tokens"))
+      .as[(Option[String], Option[String], Long, Long, Long)].collect()
+    val total = docs.count()
+    val grand = cube.filter(_._3 == 3L)
+    assert(grand.length == 1 && grand.head._4 == total)
+    // per-lang level sums back to the grand total
+    val langLevel = cube.filter(_._3 == 1L) // source aggregated away
+    assert(langLevel.map(_._4).sum == total)
+    assert(langLevel.map(_._5).sum == grand.head._5)
+  }
+
   test("multimodal plumbing: decode/features/frames shapes") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs.limit(10))

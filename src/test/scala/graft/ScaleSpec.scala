@@ -41,6 +41,24 @@ class ScaleSpec extends SparkSpecBase {
     spark.sqlContext.clearCache()
   }
 
+  test("composite-key global cumsum equals the single-window form on a " +
+    "(draw, id) order with duplicate draws") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(7)).as("draw"),
+        col("n_chars"))
+    val naive = rows
+      .withColumn("cum", sum(col("n_chars")).over(
+        Window.orderBy("draw", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    val scaled = Scale.globalCumSumOrdered(rows, Seq("draw", "doc_id"),
+        "n_chars")
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(scaled == naive)
+    spark.sqlContext.clearCache()
+  }
+
   test("global cumsum on empty input returns empty; CC fails loud when " +
     "round budget is too small for the diameter") {
     import graft.llm.Dedup
