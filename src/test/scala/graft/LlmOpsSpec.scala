@@ -232,6 +232,27 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(skew.forall(s => s >= 1.0 && s.isFinite), s"skew $skew")
   }
 
+  test("compressed IVF+PQ stored index: search equals brute force, the " +
+    "postings scan is partition-pruned, and no full vector is stored") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(emb, dir)
+    // the storage contract: postings hold m int codes, never the vector
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(postings.columns.sorted.toSeq == Seq("centroid", "codes", "id", "tbl"))
+    val fromIndex = Similarity.searchIvfPqIndex(spark, dir, queries, emb, k = 5)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"postings scan must prune to the probed (tbl, centroid) dirs:\n$plan")
+    val got = fromIndex.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"compressed index missed ${brute -- got}, extra ${got -- brute}")
+  }
+
   test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
     import graft.llm.TextAnalysis
     val d = Seq(
