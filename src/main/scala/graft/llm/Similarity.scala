@@ -976,6 +976,55 @@ object Similarity {
     fs.delete(oldP, true)
   }
 
+  /** Read a stored index's PQ codebooks back as the m×k×sub array
+    * (bounded by construction — codebook sizes are index parameters). */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Float]]] = {
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "cw").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    Array.tabulate(m)(j => bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
+  /** Append a batch to an existing compressed index — the daily-ingest path
+    * of [[writeIvfPqIndex]], mirroring [[appendIvfIndex]]: the batch is
+    * assigned AND encoded under the STORED quantizers and codebooks (both
+    * immutable once written — appended codes stay comparable to every
+    * earlier batch's), then its posting files land in the existing
+    * (tbl, centroid) partition dirs. Fails loud before writing when the
+    * index is missing or the batch's vector dimension disagrees with
+    * either quantizer family. Same drift trade as the uncompressed append:
+    * rebuild when cell skew or codebook mismatch degrades recall.
+    */
+  def appendIvfPqIndex(batch: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val (cents, books) =
+      try (readCentroids(spark, path), readCodebooks(spark, path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"appendIvfPqIndex: no IVF+PQ index at $path (write one with " +
+              s"writeIvfPqIndex first): ${e.getMessage}")
+      }
+    val dim = cents.head.head.length
+    require(books.length * books.head.head.length == dim,
+      s"appendIvfPqIndex: corrupt index at $path — codebooks cover " +
+        s"${books.length}×${books.head.head.length} dims, centroids $dim")
+    val dims = batch.agg(
+      min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx")).head()
+    require(!dims.isNullAt(0) && dims.getInt(0) == dim && dims.getInt(1) == dim,
+      s"appendIvfPqIndex: batch vector dims [${dims.get(0)}, ${dims.get(1)}] " +
+        s"!= stored quantizer dim $dim at $path")
+    ivfPqPostingRows(batch, cents, books, idCol, vecCol)
+      .repartition(col("tbl"), col("centroid")) // one file per cell per batch
+      .write.partitionBy("tbl", "centroid")
+      .mode("append")
+      .parquet(s"$path/postings")
+  }
+
   /** Search the compressed index: queries probe their `probes` nearest
     * cells per table (dynamic partition pruning reads only those posting
     * dirs), candidates are ADC-scored against the stored PQ codes via
@@ -996,12 +1045,8 @@ object Similarity {
                        vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, path)
-    val bookRows = spark.read.parquet(s"$path/codebooks")
-      .select("sub", "code", "cw").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val m = bookRows.map(_._1).max + 1
-    val books = Array.tabulate(m)(j =>
-      bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    val books = readCodebooks(spark, path)
+    val m = books.length
     val kCodes = books(0).length
     val sub = books(0)(0).length
     val qAsg = ivfAssignments(queries, cents, probes, idCol, vecCol)

@@ -253,6 +253,36 @@ class LlmOpsSpec extends SparkSpecBase {
       s"compressed index missed ${brute -- got}, extra ${got -- brute}")
   }
 
+  test("incremental IVF+PQ append equals a full rebuild with the same " +
+    "training sample; dim mismatch fails loud before writing") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val mid = 250L
+    val first = emb.filter(col("vec_id") < mid)
+    val rest = emb.filter(col("vec_id") >= mid)
+    val queries = emb.filter(col("vec_id") < 10)
+    val incDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_inc").toString
+    Similarity.writeIvfPqIndex(first, incDir)
+    Similarity.appendIvfPqIndex(rest, incDir)
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_full").toString
+    Similarity.writeIvfPqIndex(emb, fullDir, trainOn = first)
+    val inc = Similarity.searchIvfPqIndex(spark, incDir, queries, emb, k = 5)
+    val full = Similarity.searchIvfPqIndex(spark, fullDir, queries, emb, k = 5)
+    val a = inc.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = full.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b, s"append diverged: missing ${b -- a}, extra ${a -- b}")
+    val bad = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(bad, incDir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(emb, incDir + "_nope")
+    }
+  }
+
   test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
     import graft.llm.TextAnalysis
     val d = Seq(

@@ -330,6 +330,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.sql("SELECT COUNT(*) FROM events").as[Long].head() > 0)
   }
 
+  test("streaming heavy hitters: the mergeable MG summary runs as a " +
+    "streaming aggregate with O(k) state and finds the dominant keys") {
+    implicit val s = spark
+    import graft.ops.Scale
+    val mem = MemoryStream[String]
+    // unbalanced token stream over three batches: "hot" dominates, the
+    // MG summary must retain it through per-batch reduce + cross-batch
+    // state merge (the mergeable-summary property, exercised by Spark's
+    // streaming-agg state path, with k counters of state — not the
+    // vocabulary)
+    val agg = mem.toDS().groupByKey(_ => 0)
+      .agg(Scale.topFreqColumn(4).name("top"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out").start()
+    try {
+      mem.addData(Seq.fill(30)("hot") ++ Seq("a", "b", "c"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(25)("hot") ++ Seq("d", "e", "f", "g"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(20)("warm") ++ Seq.fill(10)("hot"): _*)
+      q.processAllAvailable()
+      val top = spark.table("hh_out").select("top")
+        .as[Map[String, Long]].head()
+      assert(top.size <= 4, s"MG summary must stay bounded at k: $top")
+      assert(top.contains("hot") && top.contains("warm"),
+        s"dominant keys must survive the summary: $top")
+      // MG counts only undercount
+      assert(top("hot") <= 65 && top("warm") <= 20, s"overcount: $top")
+    } finally q.stop()
+  }
+
   test("T10/U3/U4: side-output split and reconnect") {
     val df = Seq(("a", 20.0), ("b", 60.0)).toDF("id", "temperature")
     val (alerts, main) = Alerts.freezingAlertSplit(df)
