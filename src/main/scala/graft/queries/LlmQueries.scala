@@ -331,6 +331,26 @@ object LlmQueries {
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
 
+  /** Cross-modal dedup audit: every exact-Jaccard near-dup pair (the q29
+    * relation) joined back to the embedding table on both members, emitting
+    * lexical overlap next to embedding cosine — the "does surface dedup
+    * agree with semantic similarity" check a curation pipeline runs before
+    * trusting either signal. The pair relation is tiny next to the feature
+    * table, so both fetch joins broadcast the pair side and the embedding
+    * table is only point-read (at warehouse scale: id-bucketed lookups).
+    * Cosine is ROUND(…,6) on both engines (order-sensitive-sum rule). */
+  def pairAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+      w = 3, tau = 0.5)
+    val emb = Tables.embeddings(s, dir)
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    ea.join(broadcast(pairs), "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
+  }
+
   /** One compressed index build per (process, sfDir): the driver's Verify
     * builds it once, and bench repeats measure the SEARCH (the first run's
     * time includes the build — visible in the per-run bench artifact). The
@@ -392,7 +412,8 @@ object LlmQueries {
     "q69_corpus_shuffle" -> corpusShuffle,
     "q70_random_projection" -> randomProjection,
     "q71_corpus_cube" -> corpusCube,
-    "q72_knn_ivfpq" -> knnIvfPq)
+    "q72_knn_ivfpq" -> knnIvfPq,
+    "q73_pair_audit" -> pairAudit)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -578,6 +599,19 @@ object LlmQueries {
         |FROM rx GROUP BY doc_id""".stripMargin,
     "q68_knn_pq" -> knnOracleSql,
     "q72_knn_ivfpq" -> knnOracleSql,
+    "q73_pair_audit" ->
+      s"""WITH $jaccardCtes
+        |SELECT jp.id_a, jp.id_b, ROUND(jp.jaccard, 6) AS jaccard,
+        |  ROUND(SUM(CAST(a.embedding[i] AS DOUBLE)
+        |            * CAST(b.embedding[i] AS DOUBLE))
+        |    / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE)
+        |               * CAST(a.embedding[i] AS DOUBLE)))
+        |       * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE)
+        |                 * CAST(b.embedding[i] AS DOUBLE)))), 6) AS cosine
+        |FROM jpairs jp, embeddings a, embeddings b,
+        |  UNNEST(range(1, len(a.embedding) + 1)) AS t(i)
+        |WHERE jp.id_a = a.vec_id AND jp.id_b = b.vec_id
+        |GROUP BY jp.id_a, jp.id_b, jp.jaccard""".stripMargin,
     "q63_mixture_sample" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_reduce(

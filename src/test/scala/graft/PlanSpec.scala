@@ -120,6 +120,14 @@ class PlanSpec extends SparkSpecBase {
     spark.sqlContext.clearCache() // chunkDedup's scope-tracked persist
   }
 
+  test("q69 shuffle rank avoids the single-partition global window") {
+    val p = planOf("q69_corpus_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"epoch rank must be the two-phase prefix count, not one window " +
+        s"task:\n$p")
+    spark.sqlContext.clearCache() // globalCumSumOrdered's tracked persist
+  }
+
   test("q68 PQ search: corpus codes stay partitioned, LUTs broadcast, " +
     "no cartesian") {
     val p = planOf("q68_knn_pq")
