@@ -228,6 +228,76 @@ object TextAnalysis {
           .otherwise(0.0).as("contamination"))
   }
 
+  /** Bloom-filter membership probe as a codegen'd Column — Spark registers
+    * the distributed builder (`bloom_filter_agg`) but not the probe
+    * expression; bridged via [[org.apache.spark.sql.GraftExpressionBridge]]
+    * (no UDF: the probe inlines into whole-stage codegen). `bloom` must be
+    * a literal/foldable binary (a collected `bloom_filter_agg` result). */
+  def mightContain(bloom: org.apache.spark.sql.Column,
+                   value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.GraftExpressionBridge.expression(bloom),
+        org.apache.spark.sql.GraftExpressionBridge.expression(value)))
+
+  /** Probabilistic contamination audit — [[contamination]]'s 100 TB form:
+    * the train-shingle set is summarized into ONE mergeable Bloom filter
+    * (`bloom_filter_agg`, distributed build, `numBits` total state) and the
+    * eval side probes it at scan speed — no shuffle join against the
+    * train-gram vocabulary at all, at the price of a bounded false-positive
+    * rate. One-sided error: a bloom hit may be false, a miss never is — so
+    * per-doc `n_hit` upper-bounds the exact audit's and `contamination` is
+    * a safe over-estimate (you quarantine slightly more than exact; you
+    * never miss leakage). Size `numBits` ≈ 10× the distinct train-gram
+    * count for ~1% FPR; LlmOpsSpec measures the realized excess against
+    * the exact join.
+    */
+  def contaminationBloom(docs: DataFrame, w: Int = 5, trainPct: Int = 80,
+                         valPct: Int = 10, numBits: Long = 1L << 22,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val bucket = pmod(fingerprint(col(textCol)), lit(100L))
+    val withSplit = graft.core.CacheScope.track(
+      docs.withColumn("__bucket", bucket)
+        .withColumn("split",
+          when(col("__bucket") < trainPct, "train")
+            .when(col("__bucket") < trainPct + valPct, "val")
+            .otherwise("test"))
+        .persist())
+    withSplit.count() // one fingerprint pass feeds both sides
+    // bloom_filter_agg lives in Spark's INTERNAL function registry (it
+    // backs runtime row-filtering), so the aggregate is constructed
+    // directly and bridged to a Column
+    val bloomAgg = org.apache.spark.sql.GraftExpressionBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("h")),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L << 20),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    val bloomBytes = Dedup.shingles(
+        withSplit.filter(col("split") === "train"), w, idCol, textCol)
+      .select(xxhash64(col("shingle")).as("h"))
+      .agg(bloomAgg)
+      .head().getAs[Array[Byte]](0)
+    val evalSh = Dedup.shingles(
+      withSplit.filter(col("split") =!= "train"), w, idCol, textCol)
+    val hits = evalSh
+      .withColumn("__hit",
+        mightContain(lit(bloomBytes), xxhash64(col("shingle"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__hit")).as("n_hit"))
+    withSplit.filter(col("split") =!= "train")
+      .select(col(idCol), col("split"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("split"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(0.0).as("contamination"))
+  }
+
   /** Deterministic stratified mixture sampling — the corpus-rebalancing
     * primitive of training-data pipelines (downweight the dominant
     * language/domain, keep the tail): each document draws a uniform value

@@ -608,6 +608,30 @@ class LlmOpsSpec extends SparkSpecBase {
       c._2.forall(x => x >= 0 && x < 32)))
   }
 
+  test("bloom contamination audit: one-sided error vs the exact join — " +
+    "never misses a hit, bounded false-positive excess") {
+    import spark.implicits._
+    val exact = graft.llm.TextAnalysis.contamination(docs)
+      .select("doc_id", "n_grams", "n_hit")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val bloom = graft.llm.TextAnalysis.contaminationBloom(docs)
+      .select("doc_id", "n_grams", "n_hit")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (ng, nh)) =>
+      val (bg, bh) = bloom(id)
+      assert(bg == ng, s"doc $id: gram counts must agree ($bg vs $ng)")
+      assert(bh >= nh, s"doc $id: bloom must never miss a hit ($bh < $nh)")
+    }
+    // realized FP excess stays near the sized-for FPR (~1% of probes)
+    val probes = exact.values.map(_._1).sum
+    val excess = bloom.values.map(_._2).sum - exact.values.map(_._2).sum
+    assert(excess <= math.max(5, probes / 20),
+      s"false-positive excess $excess over $probes probes")
+  }
+
   test("shuffle order: a deterministic permutation that actually permutes") {
     import spark.implicits._
     def run() = graft.llm.TextAnalysis.shuffleOrder(docs)
