@@ -9,8 +9,9 @@ import graft.sinks.Sinks
 /** End-to-end training-data curation pipeline (the north-star composition):
   * documents → PII/link scrub → exact dedup → MinHash-LSH near-dup cluster
   * resolution → repetition filter → quality filter → language ID →
-  * content-hash split + sequence packing → curated parquet + per-stage
-  * survival stats.
+  * per-source cap → language mixture sampling → content-hash split +
+  * contamination audit + sequence packing + epoch shuffle order → curated
+  * parquet + per-stage survival stats.
   *
   * Shape notes for 100 TB: every stage is a narrow transform or a
   * key-bucketed join (no driver state); near-dup removal resolves the
@@ -68,19 +69,35 @@ object CurationJob {
         "n_tokens", "quality_score")
     val nCurated = curated.count()
 
+    // 4b. domain balance: cap each source's share (content-hash draw order,
+    //     stable across re-runs), then rebalance the language mixture
+    //     (downweight the dominant language, keep the tail whole)
+    val capped = curated.join(
+      TextAnalysis.sourceCap(curated, cap = 20).select("doc_id"), "doc_id")
+    val mixed = TextAnalysis.mixtureSample(capped, targets = Seq("en" -> 0.7))
+      .drop("draw").persist()
+    val nMixed = mixed.count()
+
     // 5. training layout: content-hash 80/10/10 split (exact dups — already
-    //    removed here, but stable under re-runs — share a split) and
-    //    2048-token sequence packing bins over the curated set
-    val withLayout = curated
-      .join(TextAnalysis.dataSplit(curated).select("doc_id", "split"), "doc_id")
-      .join(TextAnalysis.packSequences(curated, budget = 2048)
+    //    removed here, but stable under re-runs — share a split),
+    //    2048-token sequence packing bins, and a deterministic epoch-0
+    //    shuffle order over the curated set
+    val withLayout = mixed
+      .join(TextAnalysis.dataSplit(mixed).select("doc_id", "split"), "doc_id")
+      .join(TextAnalysis.packSequences(mixed, budget = 2048)
         .select("doc_id", "bin"), "doc_id")
+      .join(TextAnalysis.shuffleOrder(mixed)
+        .select("doc_id", "shuffle_rank"), "doc_id")
 
     withLayout.write.mode("overwrite").parquet(s"$outDir/curated")
+    // 6. decontamination audit over the final split: per-eval-doc train
+    //    overlap (the report a release gate reads before shipping the set)
+    TextAnalysis.contamination(mixed)
+      .write.mode("overwrite").parquet(s"$outDir/contamination")
     val stats = Seq(
       ("input", total), ("after_exact_dedup", afterExact),
       ("after_near_dedup", nAfterNear), ("after_repetition", nAfterRep),
-      ("curated", nCurated))
+      ("curated", nCurated), ("after_cap_and_mixture", nMixed))
     import spark.implicits._
     Sinks.writeText(stats.toDF("stage", "docs")
       .select(concat_ws("=", col("stage"), col("docs"))), s"$outDir/stats")
