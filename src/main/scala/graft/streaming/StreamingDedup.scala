@@ -120,6 +120,95 @@ object StreamingDedup {
     }
   }
 
+  /** Streaming EMBEDDING near-dup detection — the IVF counterpart of
+    * [[minHashDedupStream]]: each micro-batch's vectors are assigned their
+    * `probes` nearest cells per table under quantizers TRAINED ON BATCH 0
+    * and FROZEN into the store (cell ids are only comparable under one
+    * quantizer family — the same reason [[graft.llm.Similarity
+    * .appendIvfIndex]] never retrains), cell-joined against the persisted
+    * assignments of every earlier batch plus itself, exact-cosine-verified
+    * at ≥ `tau`, and the surviving (id_a, id_b, cosine) pairs handed to
+    * `onPairs`. The union of emissions equals the batch IVF pipeline run
+    * under the same quantizers (StreamingSpec pins it); quantizer quality
+    * itself is the separately-tested concern (TuneIvf — a batch-0 sample
+    * stands in for the corpus sample, the standard streaming trade, and
+    * retraining means re-assigning the store, a batch job).
+    *
+    * Store layout mirrors the minhash stream (`asg,vecs/batch=<id>`,
+    * publish-last, replay-idempotent, checkpoint-reset fail-loud);
+    * `centroids` is written once by batch 0 — its training is
+    * deterministic, so an at-least-once replay of batch 0 rewrites
+    * identical bytes.
+    */
+  def embeddingDedupStream(vecs: DataFrame, storePath: String, tau: Double,
+                           k: Int = 64, tables: Int = 12, probes: Int = 1,
+                           sampleN: Int = 1024,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding")
+                          (onPairs: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] = {
+    import graft.llm.Similarity
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.core.CacheScope.scoped {
+        val centPath = s"$storePath/centroids"
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val haveCents = fs.exists(
+          new org.apache.hadoop.fs.Path(centPath + "/_SUCCESS"))
+        val cents: Array[Array[Array[Float]]] =
+          if (haveCents) {
+            val rows = spark.read.parquet(centPath)
+              .select("tbl", "centroid", "cvec").collect()
+              .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+            Array.tabulate(rows.map(_._1).max + 1)(t =>
+              rows.filter(_._1 == t).sortBy(_._2).map(_._3))
+          } else {
+            val c = Similarity.trainIvfCentroids(batch, k, tables,
+              sampleN = sampleN, idCol = idCol, vecCol = vecCol)
+            val centRows = for {
+              t <- c.indices; i <- c(t).indices
+            } yield (t, i, c(t)(i))
+            spark.createDataFrame(centRows).toDF("tbl", "centroid", "cvec")
+              .repartition(1).write.mode("overwrite").parquet(centPath)
+            c
+          }
+        val vB = graft.core.CacheScope.track(batch
+          .select(col(idCol).cast("long").as(idCol), col(vecCol)).persist())
+        vB.count()
+        val asgB = graft.core.CacheScope.track(
+          Similarity.ivfAssignments(vB, cents, probes, idCol, vecCol)
+            .toDF(idCol, "tbl", "centroid").persist())
+        asgB.count()
+        val storeAsg = readStore(spark, s"$storePath/asg", batchId,
+          asgB.schema)
+        val storeVecs = readStore(spark, s"$storePath/vecs", batchId,
+          vB.schema)
+        val newSide = asgB.select(col("tbl"), col("centroid"),
+          col(idCol).as("id_new"))
+        val allSide = storeAsg.unionByName(asgB).select(col("tbl"),
+          col("centroid"), col(idCol).as("id_other"))
+        val cand = newSide.join(allSide, Seq("tbl", "centroid"))
+          .filter(col("id_new") =!= col("id_other"))
+          .select(least(col("id_new"), col("id_other")).as("id_a"),
+            greatest(col("id_new"), col("id_other")).as("id_b"))
+          .distinct()
+        val allVecs = storeVecs.unionByName(vB)
+        val pairs = cand
+          .join(allVecs.select(col(idCol).as("id_a"),
+            col(vecCol).as("va")), "id_a")
+          .join(allVecs.select(col(idCol).as("id_b"),
+            col(vecCol).as("vb")), "id_b")
+          .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+          .filter(col("cosine") >= tau)
+          .select("id_a", "id_b", "cosine")
+        onPairs(pairs, batchId)
+        asgB.write.mode("overwrite").parquet(s"$storePath/asg/batch=$batchId")
+        vB.write.mode("overwrite").parquet(s"$storePath/vecs/batch=$batchId")
+      }
+    }
+  }
+
   /** Read every `batch=<id>` partition with id < `before`; empty frame
     * with `schema` when the store has no prior COMMITTED batches (a dir
     * holding only a crashed write's `_temporary` counts as missing — parquet

@@ -361,6 +361,49 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming embedding dedup: union of emissions equals the batch " +
+    "IVF pipeline under the same (batch-0-trained, frozen) quantizers") {
+    implicit val s = spark
+    import graft.llm.Similarity
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val batches = Seq(
+      emb.filter(_._1 % 3 == 0), emb.filter(_._1 % 3 == 1),
+      emb.filter(_._1 % 3 == 2))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val store = Files.createTempDirectory("graft_embstream").toString
+    val ckpt = Files.createTempDirectory("graft_embstream_ck").toString
+    val emitted = scala.collection.mutable.Set[(Long, Long)]()
+    val q = graft.streaming.StreamingDedup.embeddingDedupStream(
+        mem.toDF().toDF("vec_id", "embedding"), store, tau = 0.45) {
+        (pairs, _) =>
+          emitted ++= pairs.select("id_a", "id_b")
+            .as[(Long, Long)].collect()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // batch twin: candidates under centroids trained on the SAME batch-0
+    // rows the stream trained on, exact-verified at the same tau
+    val b0df = batches.head.toSeq.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(b0df, k = 64, tables = 12)
+    val allDf = emb.toSeq.toDF("vec_id", "embedding")
+    val expected = graft.core.CacheScope.scoped {
+      Similarity.ivfCandidatePairs(allDf, cents, probes = 1)
+        .join(allDf.select(col("vec_id").as("id_a"),
+          col("embedding").as("va")), "id_a")
+        .join(allDf.select(col("vec_id").as("id_b"),
+          col("embedding").as("vb")), "id_b")
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.45)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(expected.nonEmpty, "fixture should produce near-dup pairs")
+    assert(emitted.toSet == expected,
+      s"stream missed ${expected -- emitted}, extra ${emitted.toSet -- expected}")
+  }
+
   test("T10/U3/U4: side-output split and reconnect") {
     val df = Seq(("a", 20.0), ("b", 60.0)).toDF("id", "temperature")
     val (alerts, main) = Alerts.freezingAlertSplit(df)
