@@ -130,6 +130,40 @@ object Dedup {
           col("n_chunks"))
   }
 
+  /** Chunk-level dedup REWRITE — [[chunkDedup]]'s destructive form: the
+    * duplicate chunk occurrences are actually removed and each document's
+    * text is rebuilt from its surviving chunks in order (the C4 move:
+    * drop the repeated span, keep the document). Documents whose every
+    * chunk is a duplicate come back with empty text (the caller's length
+    * filter then drops them); documents shorter than one chunk pass
+    * through via the same tiling (one partial chunk).
+    *
+    * Output: (id, n_chunks, kept_chunks, text) — `text` is the rewrite.
+    * Plan shape matches [[chunkDedup]] (aggregate + join back, never a
+    * window over hot chunk text) plus one per-doc sort-and-join aggregate
+    * to reassemble: `sort_array(collect_list(struct(idx, chunk)))` is
+    * per-document state, bounded by document size.
+    */
+  def chunkDedupRewrite(docs: DataFrame, w: Int = 16,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val ch = graft.core.CacheScope.track(
+      chunks(docs, w, idCol, textCol).persist())
+    ch.count() // eager: firsts aggregate + join both read it
+    val firsts = ch.groupBy("chunk")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
+    ch.join(firsts, "chunk")
+      .withColumn("__keep",
+        struct(col(idCol), col("chunk_idx")) === col("__first"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__keep").cast("long")).as("kept_chunks"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as(textCol))
+  }
+
   /** Cross-document repeated spans — the C4/RefinedWeb boilerplate
     * primitive: w-gram shingles occurring in at least `minDocs` distinct
     * documents, ranked by spread. Random text shares essentially no long

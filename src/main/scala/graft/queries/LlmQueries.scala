@@ -300,6 +300,11 @@ object LlmQueries {
   def chunkDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.chunkDedup(Tables.documents(s, dir), w = 16)
 
+  /** Chunk-dedup rewrite: duplicate chunks actually removed, text rebuilt
+    * from surviving chunks in order (C4-style span removal). */
+  def chunkRewrite(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedupRewrite(Tables.documents(s, dir), w = 16)
+
   /** PQ-compressed ANN top-5 (ADC + exact refine). m=16/k=32/refine=160
     * is measured recall 1.0 at sf0.001, sf0.01 AND sf0.1 (TunePq: minimum
     * refine 91/95/114 — uniform random vectors are PQ's worst case), so it
@@ -413,7 +418,8 @@ object LlmQueries {
     "q70_random_projection" -> randomProjection,
     "q71_corpus_cube" -> corpusCube,
     "q72_knn_ivfpq" -> knnIvfPq,
-    "q73_pair_audit" -> pairAudit)
+    "q73_pair_audit" -> pairAudit,
+    "q74_chunk_rewrite" -> chunkRewrite)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -581,6 +587,22 @@ object LlmQueries {
         |JOIN spl2 sa ON jp.id_a = sa.doc_id
         |JOIN spl2 sb ON jp.id_b = sb.doc_id
         |WHERE NOT (sa.split = 'train' AND sb.split = 'train')""".stripMargin,
+    "q74_chunk_rewrite" ->
+      s"""WITH toksr AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |ckr AS (SELECT doc_id, i AS chunk_idx,
+        |          array_to_string(list_slice(w, i*16 + 1, i*16 + 16), ' ')
+        |            AS chunk
+        |        FROM toksr, UNNEST(range(0, (len(w) + 15) // 16)) AS t(i)),
+        |rr AS (SELECT doc_id, chunk_idx, chunk,
+        |         ROW_NUMBER() OVER (PARTITION BY chunk
+        |                            ORDER BY doc_id, chunk_idx) AS rn
+        |       FROM ckr)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_chunks,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                      ORDER BY chunk_idx), '') AS text
+        |FROM rr GROUP BY doc_id""".stripMargin,
     "q67_chunk_dedup" ->
       s"""WITH toksc AS (SELECT doc_id, $toksSql AS w FROM documents),
         |cks AS (SELECT doc_id, i AS chunk_idx,

@@ -581,6 +581,12 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got(1L) == ((3L, 0L, 1.0)))
     assert(got(2L) == ((2L, 1L, 0.5)))
     assert(got(3L) == ((3L, 3L, 0.0)))
+    // the rewrite removes exactly the duplicate chunks, keeping order
+    val rewritten = Dedup.chunkDedupRewrite(fixture, w = 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rewritten(1L) == "a b c d e f g h x y")
+    assert(rewritten(2L) == "q r s t")
+    assert(rewritten(3L) == "")
     // corpus invariant: chunk count is the tiling of the token count
     val counts = Dedup.chunkDedup(docs, w = 16)
       .select("doc_id", "n_chunks").as[(Long, Long)].collect().toMap
