@@ -113,22 +113,32 @@ object Dedup {
     * never one window partition. At 100 TB hash the chunk to 16 bytes
     * before the join ([[exactCanonicalByHash]]'s narrow-shuffle trick).
     */
-  def chunkDedup(docs: DataFrame, w: Int = 16, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+  /** Shared first-occurrence scaffold of [[chunkDedup]] and
+    * [[chunkDedupRewrite]]: every chunk occurrence flagged `__keep` iff it
+    * is its chunk text's canonical (min (doc, idx)) occurrence. The chunk
+    * frame is persisted (scope-tracked): the firsts aggregate and the join
+    * back both read it. */
+  private def chunkKeepFlags(docs: DataFrame, w: Int, idCol: String,
+                             textCol: String): DataFrame = {
     val ch = graft.core.CacheScope.track(
       chunks(docs, w, idCol, textCol).persist())
-    ch.count() // eager: both the firsts aggregate and the join read it
+    ch.count()
     val firsts = ch.groupBy("chunk")
       .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
     ch.join(firsts, "chunk")
-      .withColumn("__dup",
-        (struct(col(idCol), col("chunk_idx")) =!= col("__first")).cast("long"))
+      .withColumn("__keep",
+        struct(col(idCol), col("chunk_idx")) === col("__first"))
+  }
+
+  def chunkDedup(docs: DataFrame, w: Int = 16, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    chunkKeepFlags(docs, w, idCol, textCol)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_chunks"), sum(col("__dup")).as("n_dup_chunks"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((!col("__keep")).cast("long")).as("n_dup_chunks"))
       .withColumn("retention",
         (col("n_chunks") - col("n_dup_chunks")).cast("double") /
           col("n_chunks"))
-  }
 
   /** Chunk-level dedup REWRITE — [[chunkDedup]]'s destructive form: the
     * duplicate chunk occurrences are actually removed and each document's
@@ -146,15 +156,8 @@ object Dedup {
     */
   def chunkDedupRewrite(docs: DataFrame, w: Int = 16,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val ch = graft.core.CacheScope.track(
-      chunks(docs, w, idCol, textCol).persist())
-    ch.count() // eager: firsts aggregate + join both read it
-    val firsts = ch.groupBy("chunk")
-      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
-    ch.join(firsts, "chunk")
-      .withColumn("__keep",
-        struct(col(idCol), col("chunk_idx")) === col("__first"))
+                        textCol: String = "text"): DataFrame =
+    chunkKeepFlags(docs, w, idCol, textCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("__keep").cast("long")).as("kept_chunks"),
@@ -162,7 +165,6 @@ object Dedup {
           sort_array(collect_list(when(col("__keep"),
             struct(col("chunk_idx"), col("chunk"))))),
           s => s.getField("chunk")), " ").as(textCol))
-  }
 
   /** Cross-document repeated spans — the C4/RefinedWeb boilerplate
     * primitive: w-gram shingles occurring in at least `minDocs` distinct
