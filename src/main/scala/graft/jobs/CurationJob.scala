@@ -67,6 +67,7 @@ object CurationJob {
           .filter(col("quality_score") >= 0.5))
       .select("doc_id", "text", "lang", "pred_lang", "source",
         "n_tokens", "quality_score")
+      .persist() // three consumers: the count, sourceCap, and the cap join
     val nCurated = curated.count()
 
     // 4b. domain balance: cap each source's share (content-hash draw order,

@@ -322,28 +322,63 @@ object Dedup {
   def writeSignatureStore(docs: DataFrame, path: String, w: Int,
                           bands: Int, rowsPerBand: Int,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): Unit =
+                          textCol: String = "text"): Unit = {
     bandedSignatures(
         shingles(docs, w, idCol, textCol).filter(col("shingle").isNotNull),
         bands, rowsPerBand, idCol)
       .write.mode("overwrite").parquet(path)
+    // layout metadata, written AFTER the overwrite (which replaces the
+    // dir): append must validate the FULL hash layout — w and rowsPerBand
+    // change the bucket hashes without changing the band count, so they
+    // cannot be recovered (or checked) from the data rows themselves
+    writeLayout(docs.sparkSession, path, w, bands, rowsPerBand)
+  }
+
+  private def layoutFile(spark: org.apache.spark.sql.SparkSession,
+                         path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_layout")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeLayout(spark: org.apache.spark.sql.SparkSession,
+                          path: String, w: Int, bands: Int,
+                          rowsPerBand: Int): Unit = {
+    val (fs, p) = layoutFile(spark, path)
+    val out = fs.create(p, true)
+    try out.write(s"w=$w,bands=$bands,rowsPerBand=$rowsPerBand\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Append a new batch's signatures to an existing store. Safe because
     * banded-signature rows are add-only and deterministic (hash family is
     * seed-free — the batch meets earlier batches in exactly the buckets a
-    * full rebuild would produce). Fails loud when the store's band layout
-    * does not match: mixed band widths would silently miss collisions.
+    * full rebuild would produce). Fails loud when the store's recorded
+    * layout (w, bands, rowsPerBand — ALL THREE define the bucket hashes)
+    * does not match the append's, or when the store has no layout record:
+    * mixed layouts silently miss collisions.
     */
   def appendSignatureStore(newDocs: DataFrame, path: String, w: Int,
                            bands: Int, rowsPerBand: Int,
                            idCol: String = "doc_id",
                            textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
-    val existing = spark.read.parquet(path)
-    val storeBands = existing.agg(max("band")).head().getInt(0) + 1
-    require(storeBands == bands,
-      s"signature store at $path has $storeBands bands, append requested " +
-        s"$bands — rebuild the store, mixed band layouts miss collisions")
+    val (fs, p) = layoutFile(spark, path)
+    require(fs.exists(p),
+      s"signature store at $path has no layout record — only stores " +
+        "written by writeSignatureStore are appendable (the bucket hash " +
+        "layout cannot be recovered from the data rows)")
+    val recorded = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    val requested = s"w=$w,bands=$bands,rowsPerBand=$rowsPerBand"
+    require(recorded == requested,
+      s"signature store at $path was written with ($recorded), append " +
+        s"requested ($requested) — rebuild the store, mixed hash layouts " +
+        "silently miss collisions")
     bandedSignatures(
         shingles(newDocs, w, idCol, textCol).filter(col("shingle").isNotNull),
         bands, rowsPerBand, idCol)

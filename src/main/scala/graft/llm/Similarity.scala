@@ -518,12 +518,66 @@ object Similarity {
     out
   }
 
+  /** Nearest codeword per subspace for `v` (unit-normalized inside) — THE
+    * one definition of PQ encoding: the in-memory encode and the stored
+    * index's posting rows both call it, so their codes can never diverge
+    * (the q68/q72 shared-oracle guarantee rests on that). Ties take the
+    * lowest codeword index, matching the trainer's assignment rule. */
+  private[llm] def pqEncodeVector(v: Array[Float],
+                                  books: Array[Array[Array[Float]]])
+  : Array[Int] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0; var t = 0
+        while (t < sub) {
+          val e = v(j * sub + t).toDouble * inv - cw(t)
+          d += e * e; t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** Per-query ADC lookup table: lut(j)(c) = (unit-normalized query's j-th
+    * subvector) · codeword c — shared by the in-memory ADC pass and the
+    * stored-index search. */
+  private[llm] def pqQueryLut(qv: Array[Float],
+                              books: Array[Array[Array[Float]]])
+  : Array[Array[Double]] = {
+    val m = books.length
+    val kCodes = books(0).length
+    val sub = books(0)(0).length
+    val n = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+    val inv = if (n == 0) 0.0 else 1.0 / n
+    Array.tabulate(m, kCodes) { (j, c) =>
+      val cw = books(j)(c)
+      var d = 0.0; var t = 0
+      while (t < sub) { d += qv(j * sub + t).toDouble * inv * cw(t); t += 1 }
+      d
+    }
+  }
+
   /** PQ-encode the corpus: each unit-normalized vector → `m` codeword
     * indices. The same justified `mapPartitions` as [[ivfAssignments]]:
     * m·k subspace distances per row as column expressions would overflow
     * the codegen method budget; here the codebooks ride one broadcast and
-    * each row runs a tight JIT'd loop. Ties take the lowest codeword index
-    * (matching the trainer's assignment rule).
+    * each row runs a tight JIT'd loop ([[pqEncodeVector]]).
     */
   def pqEncode(embeddings: DataFrame,
                codebooks: Array[Array[Array[Float]]],
@@ -537,34 +591,7 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val books = bc.value
-        val m = books.length
-        val sub = books(0)(0).length
-        rows.map { case (id, v) =>
-          var n = 0.0
-          var i = 0
-          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-          val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-          val codes = new Array[Int](m)
-          var j = 0
-          while (j < m) {
-            val book = books(j)
-            var best = 0; var bestD = Double.PositiveInfinity
-            var c = 0
-            while (c < book.length) {
-              val cw = book(c)
-              var d = 0.0; var t = 0
-              while (t < sub) {
-                val e = v(j * sub + t).toDouble * inv - cw(t)
-                d += e * e; t += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            codes(j) = best
-            j += 1
-          }
-          (id, codes)
-        }
+        rows.map { case (id, v) => (id, pqEncodeVector(v, books)) }
       }
       .toDF("neighbor_id", "codes")
   }
@@ -624,21 +651,10 @@ object Similarity {
     import spark.implicits._
     val books = trainPqCodebooks(corpus, m, kCodes, iters, sampleN, idCol, vecCol)
     val enc = pqEncode(corpus, books, idCol, vecCol)
-    val sub = books(0)(0).length
-    val qRows = queries
+    val lutRows = queries
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .collect()
-    val lutRows = qRows.toSeq.map { case (qid, qv) =>
-      val n = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
-      val inv = if (n == 0) 0.0 else 1.0 / n
-      val lut = Array.tabulate(m, kCodes) { (j, c) =>
-        val cw = books(j)(c)
-        var d = 0.0; var t = 0
-        while (t < sub) { d += qv(j * sub + t).toDouble * inv * cw(t); t += 1 }
-        d
-      }
-      (qid, lut.map(_.toSeq).toSeq)
-    }
+      .collect().toSeq
+      .map { case (qid, qv) => (qid, pqQueryLut(qv, books).map(_.toSeq).toSeq) }
     val lutDf = lutRows.toDF("query_id", "lut")
     enc.join(broadcast(lutDf), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
@@ -762,9 +778,11 @@ object Similarity {
 
   /** Read a stored index's quantizers back as the in-memory
     * tables×k×dim array (bounded by construction — centroid counts are
-    * index parameters, never corpus-sized). */
-  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[Array[Array[Float]]] = {
+    * index parameters, never corpus-sized). `private[graft]`: the
+    * streaming embedding dedup reads its frozen quantizers through the
+    * same reconstruction. */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[Array[Array[Float]]] = {
     val centRows = spark.read.parquet(s"$path/centroids")
       .select("tbl", "centroid", "cvec")
       .collect()
@@ -892,32 +910,8 @@ object Similarity {
       .mapPartitions { rows =>
         val cs = bcC.value
         val bs = bcB.value
-        val m = bs.length
-        val sub = bs(0)(0).length
         rows.flatMap { case (id, v) =>
-          var n = 0.0
-          var i = 0
-          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-          val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-          val codes = new Array[Int](m)
-          var j = 0
-          while (j < m) {
-            val book = bs(j)
-            var best = 0; var bestD = Double.PositiveInfinity
-            var c = 0
-            while (c < book.length) {
-              val cw = book(c)
-              var d = 0.0; var t = 0
-              while (t < sub) {
-                val e = v(j * sub + t).toDouble * inv - cw(t)
-                d += e * e; t += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            codes(j) = best
-            j += 1
-          }
+          val codes = pqEncodeVector(v, bs)
           cs.indices.iterator.map(t => (id, codes, t, nearestCell(cs(t), v)))
         }
       }
@@ -1047,24 +1041,12 @@ object Similarity {
     val cents = readCentroids(spark, path)
     val books = readCodebooks(spark, path)
     val m = books.length
-    val kCodes = books(0).length
-    val sub = books(0)(0).length
     val qAsg = ivfAssignments(queries, cents, probes, idCol, vecCol)
       .toDF("query_id", "tbl", "centroid")
-    val qRows = queries
+    val lutRows = queries
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .collect()
-    val lutRows = qRows.toSeq.map { case (qid, qv) =>
-      val n = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
-      val inv = if (n == 0) 0.0 else 1.0 / n
-      val lut = Array.tabulate(m, kCodes) { (j, c) =>
-        val cw = books(j)(c)
-        var d = 0.0; var t = 0
-        while (t < sub) { d += qv(j * sub + t).toDouble * inv * cw(t); t += 1 }
-        d
-      }
-      (qid, lut.map(_.toSeq).toSeq)
-    }
+      .collect().toSeq
+      .map { case (qid, qv) => (qid, pqQueryLut(qv, books).map(_.toSeq).toSeq) }
     val lutDf = lutRows.toDF("query_id", "lut")
     val postings = spark.read.parquet(s"$path/postings")
       .select(col("id").as("neighbor_id"), col("codes"),

@@ -205,10 +205,17 @@ object TextAnalysis {
   def contamination(docs: DataFrame, w: Int = 5, trainPct: Int = 80,
                     valPct: Int = 10, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val split = dataSplit(docs, trainPct, valPct, idCol, textCol)
-      .select(col(idCol), col("split"))
-    val sh = Dedup.shingles(docs, w, idCol, textCol)
-      .join(split, idCol)
+    // both frames feed multiple branches of one action (split: train
+    // filter + eval filter + final left-anchor; sh: train grams + eval
+    // probes) — persist so the fingerprint pass and the window-based
+    // shingle pass each run ONCE, not per branch (scope-released)
+    val split = graft.core.CacheScope.track(
+      dataSplit(docs, trainPct, valPct, idCol, textCol)
+        .select(col(idCol), col("split")).persist())
+    split.count()
+    val sh = graft.core.CacheScope.track(
+      Dedup.shingles(docs, w, idCol, textCol).join(split, idCol).persist())
+    sh.count()
     val trainGrams = sh.filter(col("split") === "train")
       .select("shingle").distinct().withColumn("__hit", lit(1L))
     val hits = sh.filter(col("split") =!= "train")
@@ -248,12 +255,15 @@ object TextAnalysis {
     * rate. One-sided error: a bloom hit may be false, a miss never is — so
     * per-doc `n_hit` upper-bounds the exact audit's and `contamination` is
     * a safe over-estimate (you quarantine slightly more than exact; you
-    * never miss leakage). Size `numBits` ≈ 10× the distinct train-gram
-    * count for ~1% FPR; LlmOpsSpec measures the realized excess against
-    * the exact join.
+    * never miss leakage). Size BOTH knobs to the corpus: `estimatedItems`
+    * ≈ the distinct train-gram count (it sets the hash-function count — a
+    * wild overestimate makes each insert set far too many bits and
+    * saturates the filter into all-hits) and `numBits` ≈ 10× that for ~1%
+    * FPR. LlmOpsSpec measures the realized excess against the exact join.
     */
   def contaminationBloom(docs: DataFrame, w: Int = 5, trainPct: Int = 80,
                          valPct: Int = 10, numBits: Long = 1L << 22,
+                         estimatedItems: Long = 1L << 19,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     val bucket = pmod(fingerprint(col(textCol)), lit(100L))
@@ -272,7 +282,7 @@ object TextAnalysis {
       new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("h")),
-        org.apache.spark.sql.catalyst.expressions.Literal(1L << 20),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
     val bloomBytes = Dedup.shingles(

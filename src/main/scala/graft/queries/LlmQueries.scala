@@ -350,7 +350,10 @@ object LlmQueries {
     val emb = Tables.embeddings(s, dir)
     val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    ea.join(broadcast(pairs), "id_a").join(eb, "id_b")
+    // re-hint after the first join: its output is still pair-cardinality,
+    // but the hint does not propagate — without it the second join can
+    // plan a sort-merge that shuffles the whole embedding table
+    broadcast(ea.join(broadcast(pairs), "id_a")).join(eb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"),
         round(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))

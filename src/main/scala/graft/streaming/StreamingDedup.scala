@@ -158,11 +158,9 @@ object StreamingDedup {
           new org.apache.hadoop.fs.Path(centPath + "/_SUCCESS"))
         val cents: Array[Array[Array[Float]]] =
           if (haveCents) {
-            val rows = spark.read.parquet(centPath)
-              .select("tbl", "centroid", "cvec").collect()
-              .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-            Array.tabulate(rows.map(_._1).max + 1)(t =>
-              rows.filter(_._1 == t).sortBy(_._2).map(_._3))
+            // same (tbl, centroid, cvec) layout as the stored IVF index →
+            // same reconstruction (readCentroids expects path/centroids)
+            Similarity.readCentroids(spark, storePath)
           } else {
             val c = Similarity.trainIvfCentroids(batch, k, tables,
               sampleN = sampleN, idCol = idCol, vecCol = vecCol)
