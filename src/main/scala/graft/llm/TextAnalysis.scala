@@ -205,17 +205,18 @@ object TextAnalysis {
   def contamination(docs: DataFrame, w: Int = 5, trainPct: Int = 80,
                     valPct: Int = 10, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    // both frames feed multiple branches of one action (split: train
-    // filter + eval filter + final left-anchor; sh: train grams + eval
-    // probes) — persist so the fingerprint pass and the window-based
-    // shingle pass each run ONCE, not per branch (scope-released)
+    // the split frame feeds three branches of one action (train filter,
+    // eval filter, final left-anchor) — persist the TINY (id, split)
+    // projection so the interpreted per-char fingerprint fold runs once,
+    // not three times (scope-released). The corpus-sized shingle frame is
+    // deliberately NOT cached: materializing it costs more than the two
+    // scan-side recomputes it saves (measured 0.4 s → 1.0 s at sf0.1),
+    // and at warehouse scale caching a corpus-wide frame spills anyway.
     val split = graft.core.CacheScope.track(
       dataSplit(docs, trainPct, valPct, idCol, textCol)
         .select(col(idCol), col("split")).persist())
     split.count()
-    val sh = graft.core.CacheScope.track(
-      Dedup.shingles(docs, w, idCol, textCol).join(split, idCol).persist())
-    sh.count()
+    val sh = Dedup.shingles(docs, w, idCol, textCol).join(split, idCol)
     val trainGrams = sh.filter(col("split") === "train")
       .select("shingle").distinct().withColumn("__hit", lit(1L))
     val hits = sh.filter(col("split") =!= "train")
