@@ -625,18 +625,22 @@ object LlmQueries {
     "q68_knn_pq" -> knnOracleSql,
     "q72_knn_ivfpq" -> knnOracleSql,
     "q73_pair_audit" ->
+      // list_dot_product instead of the lateral-unnest + SUM form: same
+      // value after ROUND(…,6) (verified element-order equivalent), and
+      // the 64×-row blow-up the unnest join needed exhausted DuckDB's
+      // temp-disk at sf0.1
       s"""WITH $jaccardCtes
         |SELECT jp.id_a, jp.id_b, ROUND(jp.jaccard, 6) AS jaccard,
-        |  ROUND(SUM(CAST(a.embedding[i] AS DOUBLE)
-        |            * CAST(b.embedding[i] AS DOUBLE))
-        |    / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE)
-        |               * CAST(a.embedding[i] AS DOUBLE)))
-        |       * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE)
-        |                 * CAST(b.embedding[i] AS DOUBLE)))), 6) AS cosine
-        |FROM jpairs jp, embeddings a, embeddings b,
-        |  UNNEST(range(1, len(a.embedding) + 1)) AS t(i)
-        |WHERE jp.id_a = a.vec_id AND jp.id_b = b.vec_id
-        |GROUP BY jp.id_a, jp.id_b, jp.jaccard""".stripMargin,
+        |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |       * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])))), 6)
+        |    AS cosine
+        |FROM jpairs jp
+        |JOIN embeddings a ON jp.id_a = a.vec_id
+        |JOIN embeddings b ON jp.id_b = b.vec_id""".stripMargin,
     "q63_mixture_sample" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_reduce(
