@@ -335,6 +335,47 @@ object TextAnalysis {
     docs.withColumn("draw", draw).filter(col("draw") < thr)
   }
 
+  /** Bigram-LM conditional surprisal — [[lmSurprisal]]'s order-2 form: the
+    * document is scored under corpus bigram statistics, `bits(w2|w1) =
+    * floor(log2(c1(w1) div c2(w1 w2)))` per transition (c1 ≥ c2 by
+    * construction, so the argument is ≥ 1), with the document's FIRST
+    * token scored by its unigram surprisal — the standard sentence-start
+    * fallback. Repetitive text rides high-probability transitions and
+    * scores near zero even when its unigram mix looks normal; that
+    * contrast with q65 is the signal. Same exact-integer-bits
+    * quantization, so the whole row is oracle-deterministic.
+    *
+    * 100 TB posture: bigram counts aggregate on the shingle key (map-side
+    * combined; the bigram vocabulary ≪ the corpus), and both count joins
+    * ride the per-occurrence shingle stream — AQE covers hot-transition
+    * skew. No broadcast assumption on either vocabulary.
+    */
+  def lmBigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val c1 = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum("c1").as("n_total"))
+    val big = Dedup.shingles(docs, 2, idCol, textCol, distinct = false)
+      .withColumn("w1", element_at(split(col("shingle"), " "), 1))
+    val c2 = big.groupBy("shingle").agg(count(lit(1)).as("c2"))
+    val bigBits = big.join(c2, "shingle")
+      .join(c1.withColumnRenamed("token", "w1"), "w1")
+      .groupBy(col(idCol))
+      .agg(sum(length(bin(expr("c1 div c2"))) - 1).as("bg_bits"))
+    docs.select(col(idCol),
+        element_at(tokens(col(textCol)), 1).as("token"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("token").isNotNull)
+      .join(c1, "token")
+      .crossJoin(broadcast(total))
+      .join(bigBits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        ((length(bin(expr("n_total div c1"))) - 1).cast("long")
+          + coalesce(col("bg_bits"), lit(0L))).as("sum_bits"))
+      .withColumn("xent_bits",
+        col("sum_bits").cast("double") / col("n_tokens"))
+  }
+
   /** Per-source (domain) document cap — the domain-balancing primitive of
     * web-scale corpus curation (no single domain may dominate the mix):
     * within each stratum, documents are ordered by a salted content-hash

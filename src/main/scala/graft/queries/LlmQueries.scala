@@ -274,6 +274,11 @@ object LlmQueries {
   def lmSurprisal(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmSurprisal(Tables.documents(s, dir))
 
+  /** Bigram-LM conditional surprisal (order-2 twin of q65 — repetitive
+    * transitions score near zero where the unigram mix looks normal). */
+  def lmBigram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmBigramSurprisal(Tables.documents(s, dir))
+
   /** Incremental dedup of the val/test batch against the train-split
     * corpus's signature store + itself — the daily-ingest dedup layout.
     * Identical banding to q30 (recall-1.0-tuned, LlmOpsSpec), so the
@@ -422,7 +427,8 @@ object LlmQueries {
     "q71_corpus_cube" -> corpusCube,
     "q72_knn_ivfpq" -> knnIvfPq,
     "q73_pair_audit" -> pairAudit,
-    "q74_chunk_rewrite" -> chunkRewrite)
+    "q74_chunk_rewrite" -> chunkRewrite,
+    "q75_lm_bigram" -> lmBigram)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -576,6 +582,31 @@ object LlmQueries {
         |    AS DOUBLE) / SUM(tfx.tf) AS xent_bits
         |FROM tfx JOIN cx USING (token) CROSS JOIN nx
         |GROUP BY tfx.doc_id""".stripMargin,
+    "q75_lm_bigram" ->
+      s"""WITH tb AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |c1b AS (SELECT tok, COUNT(*) AS c1
+        |        FROM (SELECT unnest(w) AS tok FROM tb) GROUP BY 1),
+        |nb AS (SELECT SUM(c1) AS n_total FROM c1b),
+        |bigb AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+        |         FROM tb, UNNEST(range(1, len(w))) AS s(i)),
+        |c2b AS (SELECT bg, COUNT(*) AS c2 FROM bigb GROUP BY 1),
+        |bsum AS (SELECT bigb.doc_id,
+        |           SUM(length(bin(CAST(c1b.c1 // c2b.c2 AS BIGINT))) - 1)
+        |             AS bg_bits
+        |         FROM bigb JOIN c1b ON bigb.w1 = c1b.tok
+        |         JOIN c2b USING (bg)
+        |         GROUP BY bigb.doc_id),
+        |fstb AS (SELECT doc_id, w[1] AS w1,
+        |           CAST(len(w) AS BIGINT) AS n_tokens
+        |         FROM tb WHERE len(w) > 0)
+        |SELECT fstb.doc_id, fstb.n_tokens,
+        |  CAST((length(bin(CAST(n_total // c1b.c1 AS BIGINT))) - 1)
+        |    + COALESCE(bsum.bg_bits, 0) AS BIGINT) AS sum_bits,
+        |  CAST((length(bin(CAST(n_total // c1b.c1 AS BIGINT))) - 1)
+        |    + COALESCE(bsum.bg_bits, 0) AS DOUBLE) / fstb.n_tokens
+        |    AS xent_bits
+        |FROM fstb JOIN c1b ON fstb.w1 = c1b.tok
+        |CROSS JOIN nb LEFT JOIN bsum USING (doc_id)""".stripMargin,
     "q66_incremental_dedup" ->
       s"""WITH $jaccardCtes,
         |$splitCtes

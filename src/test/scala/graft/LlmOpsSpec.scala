@@ -518,6 +518,42 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(bits(rare._2) >= bits(common._2))
   }
 
+  test("bigram LM surprisal matches an independent Scala oracle; " +
+    "repetitive transitions score below varied ones") {
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val toks = rows.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val c1 = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = c1.values.sum
+    val c2 = toks.flatMap { case (_, ts) =>
+      ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bits(num: Long, den: Long): Long =
+      63 - java.lang.Long.numberOfLeadingZeros(num / den)
+    val expected = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+      val first = bits(total, c1(ts.head))
+      val bg = ts.sliding(2).filter(_.size == 2).map { p =>
+        bits(c1(p.head), c2(p.mkString(" ")))
+      }.sum
+      (id, ts.size.toLong, first + bg,
+        (first + bg).toDouble / ts.size)
+    }.toSet
+    val got = graft.llm.TextAnalysis.lmBigramSurprisal(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // a doc riding one repeated transition scores below one with varied
+    // transitions over the same unigram mix
+    val fixture = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a x b y a z b q")).toDF("doc_id", "text")
+    val f = graft.llm.TextAnalysis.lmBigramSurprisal(fixture)
+      .select("doc_id", "xent_bits").as[(Long, Double)].collect().toMap
+    assert(f(1L) < f(2L), s"repetitive doc must score lower: $f")
+  }
+
   test("incremental dedup equals the batch pair relation restricted to " +
     "pairs with a non-stored member; parquet store + append round-trips") {
     import spark.implicits._
