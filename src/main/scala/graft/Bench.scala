@@ -76,7 +76,18 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"sf":"$sfDir"}"""
+    // The driver captures only the tail of stdout; with 75+ queries the
+    // per-run arrays push the line past that window (BENCH_r06.json lost
+    // q01–q36). Persist the full line to a repo-local file (swept into the
+    // round commit) so the artifact is always recoverable, and still print
+    // it for the driver's parser.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

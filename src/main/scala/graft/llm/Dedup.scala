@@ -143,10 +143,12 @@ object Dedup {
   /** Chunk-level dedup REWRITE — [[chunkDedup]]'s destructive form: the
     * duplicate chunk occurrences are actually removed and each document's
     * text is rebuilt from its surviving chunks in order (the C4 move:
-    * drop the repeated span, keep the document). Documents whose every
-    * chunk is a duplicate come back with empty text (the caller's length
-    * filter then drops them); documents shorter than one chunk pass
-    * through via the same tiling (one partial chunk).
+    * drop the repeated span, keep the document). EVERY input document comes
+    * back exactly once: documents whose every chunk is a duplicate — and
+    * documents that were empty/whitespace-only on input, which emit no
+    * chunks at all — return (id, 0-or-n, 0, "") (the caller's length filter
+    * then drops them); documents shorter than one chunk pass through via
+    * the same tiling (one partial chunk).
     *
     * Output: (id, n_chunks, kept_chunks, text) — `text` is the rewrite.
     * Plan shape matches [[chunkDedup]] (aggregate + join back, never a
@@ -156,8 +158,8 @@ object Dedup {
     */
   def chunkDedupRewrite(docs: DataFrame, w: Int = 16,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame =
-    chunkKeepFlags(docs, w, idCol, textCol)
+                        textCol: String = "text"): DataFrame = {
+    val rewritten = chunkKeepFlags(docs, w, idCol, textCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("__keep").cast("long")).as("kept_chunks"),
@@ -165,6 +167,16 @@ object Dedup {
           sort_array(collect_list(when(col("__keep"),
             struct(col("chunk_idx"), col("chunk"))))),
           s => s.getField("chunk")), " ").as(textCol))
+    // left-anchor on the input: zero-token documents are filtered before
+    // tiling (chunks()'s empty-array guard) so they reach neither the
+    // aggregate nor the join back — without the anchor they would vanish
+    // from the rewrite instead of returning with empty text
+    docs.select(col(idCol)).join(rewritten, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
 
   /** Cross-document repeated spans — the C4/RefinedWeb boilerplate
     * primitive: w-gram shingles occurring in at least `minDocs` distinct
@@ -357,6 +369,14 @@ object Dedup {
     * layout (w, bands, rowsPerBand — ALL THREE define the bucket hashes)
     * does not match the append's, or when the store has no layout record:
     * mixed layouts silently miss collisions.
+    *
+    * Single-writer contract (matching the streaming store's batch-ownership
+    * note): the layout check-then-append is not concurrency-safe — an
+    * append racing a [[writeSignatureStore]] rebuild (which deletes the
+    * dir, layout file included) or a second appender can interleave into a
+    * store that passes the layout check but holds mixed or partial data.
+    * Serialize rebuilds and appends through one owner (the daily-ingest
+    * scheduler slot that owns the store).
     */
   def appendSignatureStore(newDocs: DataFrame, path: String, w: Int,
                            bands: Int, rowsPerBand: Int,
@@ -414,13 +434,20 @@ object Dedup {
     val newBands = graft.core.CacheScope.track(
       bandedSignatures(newSh, bands, rowsPerBand, idCol).persist())
     newBands.count() // eager: store probe + self-join both read it
+    // an id present in BOTH the store and the new batch would emit its
+    // pairs in two orientations — (a,b) from the store probe AND (b,a)
+    // from the self-join — which the distinct below cannot collapse.
+    // Anti-join the store down to genuinely-historical ids first (the new
+    // id set is one batch — a broadcast anti-join), so every pair has
+    // exactly one canonical orientation regardless of id overlap.
+    val storeOld = store.join(newDocs.select(col(idCol)), Seq(idCol),
+      "left_anti")
     // new × stored: the batch's buckets probe the store (store side huge,
     // probe side one batch — AQE broadcasts the probe when it fits)
     val vsStore = newBands
-      .join(store
+      .join(storeOld
           .select(col(idCol).as("corpus_id"), col("band"), col("bucket")),
         Seq("band", "bucket"))
-      .filter(col("corpus_id") =!= col(idCol)) // ids overlapping both sides
       .select(col("corpus_id"), col(idCol).as("new_id"))
     // new × new: same-batch self-join, canonical order (smaller id first)
     val vsSelf = newBands.select(col("band"), col("bucket"),
@@ -502,20 +529,23 @@ object Dedup {
     var last = labelSum(labels)
     var iter = 0
     var converged = false
-    while (iter < maxIters && !converged) {
-      val nbrMin = sym.join(labels, sym("__dst") === labels("id"))
-        .groupBy(col("__src").as("id")).agg(min(col("comp")).as("__nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      labels = next
-      converged = s.compareTo(last) == 0
-      last = s
-      iter += 1
-    }
-    sym.unpersist()
+    // finally, not straight-line code: a localCheckpoint failure mid-round
+    // must not strand the cached edge set in the executor block manager
+    try {
+      while (iter < maxIters && !converged) {
+        val nbrMin = sym.join(labels, sym("__dst") === labels("id"))
+          .groupBy(col("__src").as("id")).agg(min(col("comp")).as("__nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        val s = labelSum(next)
+        labels = next
+        converged = s.compareTo(last) == 0
+        last = s
+        iter += 1
+      }
+    } finally sym.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "component diameter exceeds the bound; raise maxIters")

@@ -364,6 +364,26 @@ object LlmQueries {
         round(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
   }
 
+  /** SEMANTIC dedup cluster resolution — the embedding-space twin of q51,
+    * completing the lexical/semantic symmetry of the curation pipeline:
+    * the q42 embedding near-dup pair relation (IVF path, recall 1.0 at
+    * registry params on the gate corpora — LlmOpsSpec) resolved into
+    * canonical clusters by the same hash-min connected components, so
+    * every vector is labeled with the min vec_id reachable through
+    * cosine-≥τ pairs. Singletons label themselves. At 100 TB both pieces
+    * keep their measured postures: the pair generator never goes
+    * all-pairs (IVF cells) and the component loop is one shuffle per
+    * round with lineage truncation. */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Dedup.connectedComponents(
+        emb.select(col("vec_id")),
+        Similarity.embeddingNearDupPairsIvf(emb, tau = 0.45)
+          .select("id_a", "id_b"),
+        idCol = "vec_id")
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+  }
+
   /** One compressed index build per (process, sfDir): the driver's Verify
     * builds it once, and bench repeats measure the SEARCH (the first run's
     * time includes the build — visible in the per-run bench artifact). The
@@ -428,7 +448,8 @@ object LlmQueries {
     "q72_knn_ivfpq" -> knnIvfPq,
     "q73_pair_audit" -> pairAudit,
     "q74_chunk_rewrite" -> chunkRewrite,
-    "q75_lm_bigram" -> lmBigram)
+    "q75_lm_bigram" -> lmBigram,
+    "q76_embedding_clusters" -> embeddingClusters)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -622,6 +643,8 @@ object LlmQueries {
         |JOIN spl2 sb ON jp.id_b = sb.doc_id
         |WHERE NOT (sa.split = 'train' AND sb.split = 'train')""".stripMargin,
     "q74_chunk_rewrite" ->
+      // left-anchored on documents: a zero-token doc emits no chunk rows
+      // (range(0,0) is empty) but the rewrite contract returns every doc
       s"""WITH toksr AS (SELECT doc_id, $toksSql AS w FROM documents),
         |ckr AS (SELECT doc_id, i AS chunk_idx,
         |          array_to_string(list_slice(w, i*16 + 1, i*16 + 16), ' ')
@@ -630,13 +653,17 @@ object LlmQueries {
         |rr AS (SELECT doc_id, chunk_idx, chunk,
         |         ROW_NUMBER() OVER (PARTITION BY chunk
         |                            ORDER BY doc_id, chunk_idx) AS rn
-        |       FROM ckr)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS kept_chunks,
-        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
-        |                      ORDER BY chunk_idx), '') AS text
-        |FROM rr GROUP BY doc_id""".stripMargin,
+        |       FROM ckr),
+        |agr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS kept_chunks,
+        |          COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                              ORDER BY chunk_idx), '') AS text
+        |        FROM rr GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(agr.n_chunks, 0) AS n_chunks,
+        |  COALESCE(agr.kept_chunks, 0) AS kept_chunks,
+        |  COALESCE(agr.text, '') AS text
+        |FROM documents d LEFT JOIN agr USING (doc_id)""".stripMargin,
     "q67_chunk_dedup" ->
       s"""WITH toksc AS (SELECT doc_id, $toksSql AS w FROM documents),
         |cks AS (SELECT doc_id, i AS chunk_idx,
@@ -833,6 +860,30 @@ object LlmQueries {
         |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))
         |       AS BIGINT) AS value_sum
         |FROM events""".stripMargin,
+    // q76: the q42 exact-cosine pair CTE feeding the q51 recursive
+    // reachability CTE — min vec_id reachable over the cosine-≥0.45 graph.
+    // The Spark side runs IVF-pruned pairs + hash-min components; both
+    // pieces are recall-1.0/equivalence-pinned (LlmOpsSpec), so the exact
+    // declarative composition is the oracle.
+    "q76_embedding_clusters" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |           SUM(CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)) AS dp,
+        |           SQRT(SUM(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))) AS na,
+        |           SQRT(SUM(CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) AS nb
+        |         FROM v a, v b, UNNEST(range(1, len(a.e) + 1)) AS t(i)
+        |         WHERE a.vec_id < b.vec_id
+        |         GROUP BY a.vec_id, b.vec_id),
+        |epairs AS (SELECT id_a, id_b FROM dots WHERE dp / (na * nb) >= 0.45),
+        |eedges AS (SELECT id_a AS src, id_b AS dst FROM epairs
+        |           UNION ALL
+        |           SELECT id_b AS src, id_a AS dst FROM epairs),
+        |ereach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |           UNION
+        |           SELECT e.dst AS id, ereach.r AS r
+        |           FROM eedges e JOIN ereach ON e.src = ereach.id)
+        |SELECT id AS vec_id, MIN(r) AS cluster_id
+        |FROM ereach GROUP BY id""".stripMargin,
     "q42_embedding_dedup" ->
       """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -145,6 +145,30 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("embedding clusters equal a driver-side union-find over the exact " +
+    "cosine pair relation — q76 composes IVF pairs + components on this") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = Similarity.embeddingNearDupPairs(emb, tau = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val ids = emb.select(col("vec_id")).as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.connectedComponents(
+        emb.select(col("vec_id")),
+        Similarity.embeddingNearDupPairsIvf(emb, tau = 0.45)
+          .select("id_a", "id_b"),
+        idCol = "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty, "gate corpus should contain embedding near-dups")
+    assert(got == expected)
+  }
+
   test("IVF ANN at registry params (12 tables × 64 cells, 16 probes) recalls " +
     "ALL of brute-force top-k — q52 shares q32's oracle on this guarantee") {
     val emb = Tables.embeddings(spark, sfDir)
@@ -608,7 +632,9 @@ class LlmOpsSpec extends SparkSpecBase {
     val fixture = Seq(
       (1L, "a b c d e f g h x y"),          // chunks: [a b c d] [e f g h] [x y]
       (2L, "a b c d q r s t"),              // [a b c d] dup, [q r s t] new
-      (3L, "a b c d e f g h x y")           // exact dup of doc 1 → all dup
+      (3L, "a b c d e f g h x y"),          // exact dup of doc 1 → all dup
+      (4L, ""),                             // empty on input
+      (5L, "   \t  ")                       // whitespace-only on input
     ).toDF("doc_id", "text")
     val got = Dedup.chunkDedup(fixture, w = 4)
       .select("doc_id", "n_chunks", "n_dup_chunks", "retention")
@@ -617,12 +643,19 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got(1L) == ((3L, 0L, 1.0)))
     assert(got(2L) == ((2L, 1L, 0.5)))
     assert(got(3L) == ((3L, 3L, 0.0)))
-    // the rewrite removes exactly the duplicate chunks, keeping order
-    val rewritten = Dedup.chunkDedupRewrite(fixture, w = 4)
-      .select("doc_id", "text").as[(Long, String)].collect().toMap
-    assert(rewritten(1L) == "a b c d e f g h x y")
-    assert(rewritten(2L) == "q r s t")
-    assert(rewritten(3L) == "")
+    // the rewrite removes exactly the duplicate chunks, keeping order —
+    // and returns EVERY input doc: empty/whitespace docs (which emit no
+    // chunks) come back as (id, 0, 0, "") instead of disappearing
+    val rw = Dedup.chunkDedupRewrite(fixture, w = 4)
+      .select("doc_id", "n_chunks", "kept_chunks", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rw.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rw(1L)._3 == "a b c d e f g h x y")
+    assert(rw(2L)._3 == "q r s t")
+    assert(rw(3L)._3 == "")
+    assert(rw(4L) == ((0L, 0L, "")))
+    assert(rw(5L) == ((0L, 0L, "")))
     // corpus invariant: chunk count is the tiling of the token count
     val counts = Dedup.chunkDedup(docs, w = 16)
       .select("doc_id", "n_chunks").as[(Long, Long)].collect().toMap

@@ -121,6 +121,11 @@ class OperatorSpec extends SparkSpecBase {
     // documented caller-releases contract), and suite order varies run to
     // run. Start from a clean slate; every leak DURING the iteration below
     // is still caught and attributed to the query that caused it.
+    // ASSUMES SEQUENTIAL SUITES (sbt's default in one forked JVM): this
+    // clearCache would silently unpersist a concurrently-running suite's
+    // live caches — if suites are ever parallelized, snapshot the
+    // pre-existing cached plans instead and assert only that no NEW
+    // entries remain after each query.
     spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries.foreach { case (name, fn) =>
       graft.core.CacheScope.scoped {
