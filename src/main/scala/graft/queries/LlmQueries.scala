@@ -384,6 +384,18 @@ object LlmQueries {
       .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
   }
 
+  /** q77's weight vector: 64 buckets of the deterministic stand-in family
+    * (a trained fastText-style model integer-quantizes into the same
+    * shape). One definition feeds BOTH the Spark plan and the interpolated
+    * oracle literal, so they cannot drift. */
+  private val classifierWeights: Array[Long] = TextAnalysis.hashedWeights(64)
+
+  /** Model-based quality score: hashed bag-of-tokens linear classifier
+    * (CCNet/fastText-shaped) over the portable fingerprint buckets —
+    * the trained-model counterpart of q36's heuristic. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(Tables.documents(s, dir), classifierWeights)
+
   /** One compressed index build per (process, sfDir): the driver's Verify
     * builds it once, and bench repeats measure the SEARCH (the first run's
     * time includes the build — visible in the per-run bench artifact). The
@@ -449,7 +461,8 @@ object LlmQueries {
     "q73_pair_audit" -> pairAudit,
     "q74_chunk_rewrite" -> chunkRewrite,
     "q75_lm_bigram" -> lmBigram,
-    "q76_embedding_clusters" -> embeddingClusters)
+    "q76_embedding_clusters" -> embeddingClusters,
+    "q77_quality_classifier" -> qualityClassifier)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -557,6 +570,25 @@ object LlmQueries {
     }.mkString(",\n|    ")
 
   val oracles: Map[String, String] = Map(
+    // q77: the weight list literal is interpolated from the SAME array the
+    // Spark plan looks up; bucket = portable fingerprint mod 64, raw = Σ
+    // bucket weights (exact ints), score = one IEEE division per doc
+    "q77_quality_classifier" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |vocab AS (SELECT DISTINCT tok FROM occ),
+        |wv AS (SELECT tok,
+        |         ${classifierWeights.mkString("[", ", ", "]")}
+        |           [CAST(${fpSql("tok")} % 64 AS INT) + 1] AS w
+        |       FROM vocab),
+        |aggq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |           CAST(SUM(w) AS BIGINT) AS raw_score
+        |         FROM occ JOIN wv USING (tok) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(raw_score, 0) AS raw_score,
+        |  CASE WHEN COALESCE(n_tokens, 0) > 0
+        |       THEN CAST(raw_score AS DOUBLE) / n_tokens
+        |       ELSE 0.0 END AS score
+        |FROM documents d LEFT JOIN aggq USING (doc_id)""".stripMargin,
     "q69_corpus_shuffle" ->
       s"""WITH d AS (SELECT doc_id,
         |  ${fpSql("text || '|shuffle'")} % 1000000 AS draw

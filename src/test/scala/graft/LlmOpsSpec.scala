@@ -707,6 +707,50 @@ class LlmOpsSpec extends SparkSpecBase {
       s"false-positive excess $excess over $probes probes")
   }
 
+  test("quality classifier: planted high/low weights rank docs as planted; " +
+    "corpus scores match an independent Scala oracle; empty doc scores 0") {
+    import graft.llm.TextAnalysis
+    // driver-side twin of the portable fingerprint fold
+    def fp(s: String): Long = s.foldLeft(0L)((a, c) =>
+      java.lang.Math.floorMod(a * 31 + c.toLong, 1L << 57))
+    val d = 64
+    val (good, bad) = ("excellent", "junk")
+    val (gb, bb) = ((fp(good) % d).toInt, (fp(bad) % d).toInt)
+    assert(gb != bb, "pick planted tokens with distinct buckets")
+    val planted = Array.fill(d)(0L)
+    planted(gb) = 8L
+    planted(bb) = -8L
+    val fixture = Seq(
+      (1L, s"$good $good $good"),
+      (2L, s"$bad $bad"),
+      (3L, s"$good $bad"), // mean of +8 and -8
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(fixture, planted)
+      .select("doc_id", "n_tokens", "raw_score", "score")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 24L, 8.0)))
+    assert(got(2L) == ((2L, -16L, -8.0)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // corpus cross-check against an independent Scala-collections oracle
+    // at the registry weights — what q77's DuckDB oracle re-derives in SQL
+    val ws = TextAnalysis.hashedWeights(d)
+    val expected = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val raw = toks.map(t => ws((fp(t) % d).toInt)).sum
+        id -> ((toks.length.toLong, raw,
+          if (toks.nonEmpty) raw.toDouble / toks.length else 0.0))
+      }.toMap
+    val gotCorpus = TextAnalysis.classifierScore(docs, ws)
+      .select("doc_id", "n_tokens", "raw_score", "score")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(gotCorpus == expected)
+  }
+
   test("shuffle order: a deterministic permutation that actually permutes") {
     import spark.implicits._
     def run() = graft.llm.TextAnalysis.shuffleOrder(docs)
