@@ -52,6 +52,28 @@ object Similarity {
           .orderBy(col("score").desc, col("neighbor_id"))))
       .filter(col("rnk") <= k)
 
+  /** Bounded refine-candidate selection: per query, the `k` best neighbor
+    * ids by (`scoreCol` desc, neighbor asc) via the O(k)-state
+    * [[graft.ops.Scale.TopKLongAgg]] — set-identical to `row_number ≤ k`
+    * over a per-query window (same order, same tie-break; LlmOpsSpec pins
+    * the equality), without the window's failure mode at scale: a window
+    * partition holds one query's ENTIRE candidate set, so one task sorts n
+    * rows per query (200k+ at 100× bench scale for the flat-PQ ADC pass),
+    * where the aggregate keeps `k` rows of state and combines map-side. */
+  private[graft] def boundedTopIds(scored: DataFrame, scoreCol: String,
+                                   k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id").cast("long"),
+        col(scoreCol).cast("double"), col("neighbor_id").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.ops.Scale.topKLongColumn(k).name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), explode(col("top")).as("neighbor_id"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * splitmix64-style integer mix → uniform in [−0.5, 0.5]. Computed
     * driver-side into plane literals — seed-stable, no RNG state.
@@ -625,10 +647,14 @@ object Similarity {
              iters: Int = 8, sampleN: Int = 1024,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val cand = pqAdcRanks(corpus, queries, m, kCodes, iters, sampleN,
-        idCol, vecCol)
-      .filter(col("adc_rank") <= refine)
-      .select("query_id", "neighbor_id")
+    // refine selection via the bounded top-K aggregate, NOT the rank
+    // window: flat ADC scores the whole corpus per query, and a window
+    // partition would sort those n rows in one task — O(refine) state
+    // instead (see boundedTopIds; TunePq still measures the full ordering
+    // through pqAdcRanks)
+    val cand = boundedTopIds(
+      pqAdcScores(corpus, queries, m, kCodes, iters, sampleN, idCol, vecCol),
+      "adc", refine)
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
@@ -639,14 +665,14 @@ object Similarity {
           cosine(col("qv"), col("cv")).as("score")), k)
   }
 
-  /** The ADC ordering underneath [[pqTopK]]: every (query, corpus) pair
-    * with its compressed-domain rank (adc desc, neighbor asc). Exposed so
-    * the refine boundary is measurable (TunePq) rather than asserted. */
-  def pqAdcRanks(corpus: DataFrame, queries: DataFrame,
-                 m: Int = 8, kCodes: Int = 16,
-                 iters: Int = 8, sampleN: Int = 1024,
-                 idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+  /** Every (query, corpus) pair with its asymmetric-distance score:
+    * codebooks trained, corpus PQ-encoded, per-query LUTs broadcast, ADC
+    * folded in one codegen-safe `aggregate` — the shared scan under
+    * [[pqAdcRanks]] (measurement) and [[pqTopK]] (bounded refine). */
+  private def pqAdcScores(corpus: DataFrame, queries: DataFrame,
+                          m: Int, kCodes: Int,
+                          iters: Int, sampleN: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val books = trainPqCodebooks(corpus, m, kCodes, iters, sampleN, idCol, vecCol)
@@ -661,11 +687,24 @@ object Similarity {
         (acc, j) => acc +
           element_at(element_at(col("lut"), j + 1),
             element_at(col("codes"), j + 1) + 1)))
+      .select("query_id", "neighbor_id", "adc")
+  }
+
+  /** The ADC ordering underneath [[pqTopK]]: every (query, corpus) pair
+    * with its compressed-domain rank (adc desc, neighbor asc). Exposed so
+    * the refine boundary is measurable (TunePq) rather than asserted —
+    * measurement needs the FULL ordering, so this is the one place the
+    * per-query rank window is the right tool. */
+  def pqAdcRanks(corpus: DataFrame, queries: DataFrame,
+                 m: Int = 8, kCodes: Int = 16,
+                 iters: Int = 8, sampleN: Int = 1024,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    pqAdcScores(corpus, queries, m, kCodes, iters, sampleN, idCol, vecCol)
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
       .select("query_id", "neighbor_id", "adc_rank")
-  }
 
   /** Per-label embedding centroids: per-dimension mean over each label's
     * vectors — the class-prototype statistic (nearest-centroid classifiers,
@@ -1060,11 +1099,11 @@ object Similarity {
             element_at(col("codes"), j + 1) + 1)))
       .select("query_id", "neighbor_id", "adc")
       .distinct() // same pair from several tables carries the same codes
-    val cand = adc.withColumn("__r", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("adc").desc, col("neighbor_id"))))
-      .filter(col("__r") <= refine)
-      .select("query_id", "neighbor_id")
+    // bounded top-K aggregate, not a rank window: post-pruning the ADC set
+    // is probes·tables posting lists per query, but a hot probed cell still
+    // lands one query's whole candidate set in one window partition —
+    // O(refine) aggregate state instead (same equality contract as pqTopK)
+    val cand = boundedTopIds(adc, "adc", refine)
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),

@@ -51,22 +51,25 @@ object Scale {
 
   /** Bounded top-K typed aggregator: keeps at most `k` (score, payload)
     * pairs in the aggregation buffer, so per-group state is O(k) instead of
-    * the O(group) `collect_list` + `sort_array` pattern — the SURVEY §4.2
-    * "optional custom piece" for exact ordered top-K at 100 TB. Descending
-    * by score, ascending payload tie-break.
+    * the O(group) `collect_list` + `sort_array` — or O(group) sort-per-
+    * window-partition — pattern: the SURVEY §4.2 "optional custom piece"
+    * for exact ordered top-K at 100 TB. Descending by score, ascending
+    * payload tie-break (exactly `row_number` over (score desc, payload) ≤
+    * k, with the ranking state bounded).
     *
     * The buffer invariant is "sorted, length ≤ k", so `reduce` never
     * re-sorts: a full buffer rejects a non-qualifying row in O(1) (the
     * common case once the group exceeds k) and otherwise binary-inserts in
     * O(log k) compares; `merge` is a linear merge of two sorted runs.
     */
-  class TopKAgg(k: Int)
-    extends Aggregator[(Double, String), Seq[(Double, String)], Seq[String]] {
-    private def order(a: (Double, String), b: (Double, String)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    override def zero: Seq[(Double, String)] = Seq.empty
-    override def reduce(buf: Seq[(Double, String)], in: (Double, String))
-    : Seq[(Double, String)] = {
+  class TopKPayloadAgg[P](k: Int)(implicit ord: Ordering[P],
+                                  tt: scala.reflect.runtime.universe.TypeTag[P])
+    extends Aggregator[(Double, P), Seq[(Double, P)], Seq[P]] {
+    private def order(a: (Double, P), b: (Double, P)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && ord.lt(a._2, b._2))
+    override def zero: Seq[(Double, P)] = Seq.empty
+    override def reduce(buf: Seq[(Double, P)], in: (Double, P))
+    : Seq[(Double, P)] = {
       if (k <= 0) buf
       else if (buf.length >= k && !order(in, buf(buf.length - 1))) buf
       else {
@@ -82,9 +85,9 @@ object Scale {
         out.toSeq
       }
     }
-    override def merge(a: Seq[(Double, String)], b: Seq[(Double, String)])
-    : Seq[(Double, String)] = {
-      val out = new scala.collection.mutable.ArrayBuffer[(Double, String)](k)
+    override def merge(a: Seq[(Double, P)], b: Seq[(Double, P)])
+    : Seq[(Double, P)] = {
+      val out = new scala.collection.mutable.ArrayBuffer[(Double, P)](k)
       var i = 0
       var j = 0
       while (out.length < k && (i < a.length || j < b.length)) {
@@ -96,16 +99,28 @@ object Scale {
       }
       out.toSeq
     }
-    override def finish(buf: Seq[(Double, String)]): Seq[String] =
+    override def finish(buf: Seq[(Double, P)]): Seq[P] =
       buf.map(_._2)
-    override def bufferEncoder: Encoder[Seq[(Double, String)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, String)]]()
-    override def outputEncoder: Encoder[Seq[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    override def bufferEncoder: Encoder[Seq[(Double, P)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, P)]]()
+    override def outputEncoder: Encoder[Seq[P]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[P]]()
   }
+
+  /** String-payload top-K (the q22 ordered-toplist shape). */
+  class TopKAgg(k: Int) extends TopKPayloadAgg[String](k)
+
+  /** Long-payload top-K — the ANN refine-rank shape: per query, the
+    * `refine` best neighbor ids by (score desc, id asc) with O(refine)
+    * aggregation state, replacing an n-row sort per query window
+    * partition. */
+  class TopKLongAgg(k: Int) extends TopKPayloadAgg[Long](k)
 
   def topKColumn(k: Int): TypedColumn[(Double, String), Seq[String]] =
     new TopKAgg(k).toColumn
+
+  def topKLongColumn(k: Int): TypedColumn[(Double, Long), Seq[Long]] =
+    new TopKLongAgg(k).toColumn
 
   /** Mergeable Misra-Gries heavy-hitters summary: at most `k` (item, count)
     * counters per aggregation buffer, so finding the frequent items of an

@@ -675,6 +675,24 @@ class LlmOpsSpec extends SparkSpecBase {
     val pq = Similarity.pqTopK(emb, queries, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(pq == brute, s"PQ missed ${brute -- pq}, extra ${pq -- brute}")
+    // the bounded top-K refine selection is SET-identical to the rank
+    // window it replaced (same order, same tie-break — exercised here on a
+    // tie-heavy frame, where a wrong tie-break would diverge) — pqTopK and
+    // the stored-index search rest on this equality
+    val rnd = new scala.util.Random(11)
+    val scored = (0L until 3L).flatMap(q => (0L until 300L).map(n =>
+        (q, n, rnd.nextInt(20).toDouble))) // 20 levels → dense score ties
+      .toDF("query_id", "neighbor_id", "adc")
+    val viaWindow = scored.withColumn("__r",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("__r") <= 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val viaAgg = Similarity.boundedTopIds(scored.repartition(8), "adc", 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow,
+      s"bounded refine diverged: +${viaAgg -- viaWindow} -${viaWindow -- viaAgg}")
     // codes are within the codebook range and one per subspace
     val books = Similarity.trainPqCodebooks(emb, m = 16, k = 32)
     val codes = Similarity.pqEncode(emb, books)

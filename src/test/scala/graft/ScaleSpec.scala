@@ -175,6 +175,34 @@ class ScaleSpec extends SparkSpecBase {
     assert(got("g") == expected)
   }
 
+  test("TopKLongAgg: buffer never exceeds k through reduce and merge; " +
+    "distributed result equals sort-and-take (the q68/q72 refine rank)") {
+    val agg = new Scale.TopKLongAgg(7)
+    val rnd = new scala.util.Random(7)
+    var buf = agg.zero
+    val rows = (1 to 400).map(i => (rnd.nextInt(50).toDouble, i.toLong))
+    rows.foreach { r =>
+      buf = agg.reduce(buf, r)
+      assert(buf.length <= 7, s"buffer grew to ${buf.length}")
+    }
+    var other = agg.zero
+    rows.reverse.foreach { r => other = agg.reduce(other, r) }
+    assert(agg.merge(buf, other).length <= 7)
+    // multi-partition distributed path vs driver-side sort-and-take
+    val expected = rows
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .take(7).map(_._2)
+    val got = rows.map { case (s, p) => (1L, s, p) }
+      .toDF("key", "score", "payload")
+      .repartition(8) // exercises merge() across partial buffers
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(Scale.topKLongColumn(7).name("top"))
+      .collect().toMap
+    assert(got(1L) == expected)
+  }
+
   test("pair-cap guards: identical under the cap, bounded on a hot key") {
     import java.sql.Timestamp
     import graft.jobs.{BoardStats, ItemCf}
