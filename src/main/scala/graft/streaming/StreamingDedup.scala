@@ -46,10 +46,16 @@ object StreamingDedup {
     * micro-batch (foreachBatch is at-least-once) rewrites the same rows
     * and, because candidates only pair the current batch against batches
     * STRICTLY OLDER plus itself, re-emits exactly its own pairs rather
-    * than duplicating them. The store is partitioned by batch on write and
-    * read back whole — at 100 TB ingest, re-layout by (band, bucket) with
-    * a compaction job to make the probe side partition-prunable; the
-    * within-batch plumbing is unchanged.
+    * than duplicating them. At ingest volume, run [[compactBandStore]]
+    * between stream runs: it re-lays the band side out by bucket group so
+    * the probe reads ONLY the partitions holding the batch's own buckets
+    * (partition-pruned) instead of the full history; the probe here unions
+    * the compacted layout with any raw batches published since the last
+    * compaction, so emissions are unchanged across a mid-stream compaction
+    * (StreamingSpec pins it). The shingle side stays batch-partitioned —
+    * its reader is the verify join, which restricts by candidate id, not
+    * bucket; re-laying it out by id range is the remaining (documented)
+    * step if the verify read ever dominates.
     *
     * State posture: unlike the watermark-bounded exact dedup, a near-dup
     * STORE is meant to remember the corpus (that is the product: dedup
@@ -80,9 +86,11 @@ object StreamingDedup {
           Dedup.bandedSignatures(shB, bands, rowsPerBand, idCol).persist())
         bandsB.count()
         // earlier batches only: a replayed batch must not meet its own
-        // half-written store rows as "other" docs
-        val storeBands = readStore(spark, s"$storePath/bands", batchId,
-          bandsB.schema)
+        // half-written store rows as "other" docs. The band side reads the
+        // compacted bucket-group layout (pruned to this batch's buckets)
+        // plus raw batches newer than the last compaction.
+        val storeBands = readBandStore(spark, storePath, batchId,
+          bandsB, bandsB.schema)
         val storeSh = readStore(spark, s"$storePath/shingles", batchId,
           shB.schema)
         // new-vs-(old ∪ new) bucket join; columns renamed per side so the
@@ -207,6 +215,146 @@ object StreamingDedup {
     }
   }
 
+  /** Re-layout the minhash stream store's BAND side by bucket group — the
+    * compaction step that keeps per-trigger probe cost bounded as history
+    * grows: raw `bands/batch=<id>` dirs are folded into
+    * `bands_compact/data/__bkt=<pmod(bucket, buckets)>/`, so a micro-batch
+    * probing B distinct buckets reads at most min(B, buckets) partition
+    * dirs instead of every batch ever published. Size `buckets` well above
+    * a typical batch's distinct-bucket count (bands · batch size) — that
+    * ratio IS the pruning factor; the default suits small streaming
+    * batches against a deep store, the 100 TB shape.
+    *
+    * Incremental and atomic: a re-run folds only raw batches newer than
+    * the recorded `upto` into the existing layout, swaps the three-file
+    * artifact under the store protocol (park old, rename new), then
+    * retires the folded raw dirs. SINGLE-WRITER: run while the stream is
+    * quiesced — compaction racing a publishing micro-batch could fold a
+    * batch the checkpoint has not committed (the same ownership contract
+    * as the batch signature store's append). A batch published-but-not-
+    * committed before a quiesce IS safely foldable: its replay re-reads
+    * its own rows from the compacted layout and re-emits exactly its own
+    * pairs, which at-least-once consumers already absorb.
+    */
+  def compactBandStore(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String, buckets: Int = 256): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val root = s"$storePath/bands"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compRoot = s"$storePath/bands_compact"
+    val compP = new org.apache.hadoop.fs.Path(compRoot)
+    val oldP = new org.apache.hadoop.fs.Path(compRoot + "__old")
+    graft.sinks.Sinks.recoverOld(fs, oldP, compP) // prior crash mid-swap
+    val prev = readCompactMeta(spark, compRoot)
+    val prevUpto = prev.map(_._1).getOrElse(-1L)
+    val fresh = committedBatchDirs(fs, rootP).filter(_._1 > prevUpto)
+    if (fresh.isEmpty && prev.exists(_._2 == buckets)) return // nothing new
+    val rawPart =
+      if (fresh.isEmpty) Seq.empty[DataFrame]
+      else Seq(spark.read.option("basePath", root)
+        .parquet(fresh.map(_._2.toString).toIndexedSeq: _*).drop("batch"))
+    // the old compacted data is read lazily but the tmp write below is the
+    // action — it completes while compRoot still exists, BEFORE the swap
+    val oldPart = prev.map(_ =>
+      spark.read.parquet(s"$compRoot/data").drop("__bkt")).toSeq
+    val all = (rawPart ++ oldPart).reduce(_ unionByName _)
+    val upto = (fresh.map(_._1) :+ prevUpto).max
+    val tmp = new org.apache.hadoop.fs.Path(compRoot + "__tmp")
+    fs.delete(tmp, true)
+    all.withColumn("__bkt", pmod(col("bucket"), lit(buckets.toLong)))
+      .repartition(col("__bkt")) // one file per group dir, not one sliver/task
+      .write.partitionBy("__bkt").parquet(s"$tmp/data")
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_compact"), true)
+    try out.write(s"upto=$upto,buckets=$buckets\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(compP)) graft.sinks.Sinks.renameOrThrow(fs, compP, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmp, compP)
+    fs.delete(oldP, true)
+    // retire every folded raw dir (≤ upto — including one a replayed batch
+    // republished after an earlier compaction already folded it)
+    committedBatchDirs(fs, rootP).filter(_._1 <= upto)
+      .foreach { case (_, dir) => fs.delete(dir, true) }
+  }
+
+  /** Compaction metadata: Some((upto, buckets)) when `root` holds a
+    * published compacted layout. */
+  private def readCompactMeta(spark: org.apache.spark.sql.SparkSession,
+                              root: String): Option[(Long, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(root, "_graft_compact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      val kv = s.split(",").map { t =>
+        val Array(k, v) = t.split("=", 2); k -> v
+      }.toMap
+      Some((kv("upto").toLong, kv("buckets").toInt))
+    }
+  }
+
+  /** `batch=<id>` dirs under `p` holding at least one committed parquet
+    * file (a crashed write's `_temporary`-only dir does not count). */
+  private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path)
+  : Array[(Long, org.apache.hadoop.fs.Path)] = {
+    val dirs =
+      if (!fs.exists(p)) Array.empty[(Long, org.apache.hadoop.fs.Path)]
+      else fs.listStatus(p).collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("batch=") =>
+          (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath)
+      }
+    dirs.filter { case (_, dir) =>
+      fs.listStatus(dir).exists { f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")
+      }
+    }
+  }
+
+  /** The band-store read under [[minHashDedupStream]]'s probe: the
+    * compacted bucket-group layout PRUNED to the current batch's own
+    * bucket groups (≤ `buckets` distinct values — a bounded driver
+    * collect feeding a partition filter), unioned with raw batches
+    * published since the last compaction. Without a compacted layout this
+    * is exactly the plain batch-partitioned read. */
+  private[graft] def readBandStore(spark: org.apache.spark.sql.SparkSession,
+                                   storePath: String, before: Long,
+                                   batchBands: DataFrame,
+                                   schema: org.apache.spark.sql.types.StructType)
+  : DataFrame = {
+    val compRoot = s"$storePath/bands_compact"
+    readCompactMeta(spark, compRoot) match {
+      case None => readStore(spark, s"$storePath/bands", before, schema)
+      case Some((upto, buckets)) =>
+        // the ahead check must also see COMPACTED ids: a fresh checkpoint
+        // against a compacted store has no batch= dirs left to trip on.
+        // upto == before is the legitimate replay-after-compaction case.
+        if (upto > before) throw new IllegalStateException(
+          s"near-dup store $compRoot already holds batches up to $upto but " +
+            s"the stream is (re)starting at batch=$before: the checkpoint " +
+            "was reset against a surviving store. Point the query at a " +
+            "fresh storePath or restore the matching checkpoint.")
+        val raw = readStore(spark, s"$storePath/bands", before, schema,
+          minExclusive = upto)
+        // int literals: the partition VALUE directory names read back as
+        // IntegerType, and a bare In on the partition column is the
+        // cleanest prunable filter (no cast in the way)
+        val groups = batchBands
+          .select(pmod(col("bucket"), lit(buckets.toLong)).as("g"))
+          .distinct().collect().map(_.getLong(0).toInt).toIndexedSeq
+        val data = spark.read.parquet(s"$compRoot/data")
+        val compacted =
+          (if (groups.isEmpty) data.filter(lit(false)) // empty isin is not a filter
+           else data.filter(col("__bkt").isin(groups: _*)))
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        raw.unionByName(compacted)
+    }
+  }
+
   /** Read every `batch=<id>` partition with id < `before`; empty frame
     * with `schema` when the store has no prior COMMITTED batches (a dir
     * holding only a crashed write's `_temporary` counts as missing — parquet
@@ -220,7 +368,8 @@ object StreamingDedup {
     * batch-equivalence. */
   private def readStore(spark: org.apache.spark.sql.SparkSession,
                         root: String, before: Long,
-                        schema: org.apache.spark.sql.types.StructType)
+                        schema: org.apache.spark.sql.types.StructType,
+                        minExclusive: Long = Long.MinValue)
   : DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -237,8 +386,10 @@ object StreamingDedup {
         "against a surviving store. Point the query at a fresh storePath " +
         "or restore the matching checkpoint — continuing would silently " +
         "overwrite published batches and emit divergent pairs.")
+    // minExclusive skips batches a compaction already folded (their rows
+    // arrive via the compacted layout — reading both would double them)
     val committed = batchDirs.filter { case (id, dir) =>
-      id < before && fs.listStatus(dir).exists { f =>
+      id < before && id > minExclusive && fs.listStatus(dir).exists { f =>
         f.isFile && f.getPath.getName.endsWith(".parquet")
       }
     }

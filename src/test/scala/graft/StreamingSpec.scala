@@ -268,6 +268,65 @@ class StreamingSpec extends SparkSpecBase {
         s"extra ${emitted.toSet -- batchPairs}")
   }
 
+  test("streaming minhash near-dup: a quiesced mid-stream compaction " +
+    "preserves the union of emissions, and the probe prunes the compacted " +
+    "scan to the batch's bucket groups") {
+    implicit val s = spark
+    import graft.llm.Dedup
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_comp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mh_cck").toString
+    val emitted = scala.collection.mutable.Set[(Long, Long)]()
+    // one MemoryStream + one checkpoint across both query incarnations:
+    // stop → compact → restart resumes from the committed offsets
+    val mem = MemoryStream[(Long, String)]
+    def runWaves(waves: Seq[Seq[(Long, String)]]): Unit = {
+      val q = graft.streaming.StreamingDedup.minHashDedupStream(
+          mem.toDF().toDF("doc_id", "text"), store, w = 3, tau = 0.5,
+          bands = 32, rowsPerBand = 2) { (pairs, _) =>
+        emitted ++= pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      }.option("checkpointLocation", ckpt).start()
+      try waves.foreach { g => mem.addData(g); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val waves = rows.grouped((rows.size + 3) / 4).toSeq
+    runWaves(waves.take(2))
+    graft.streaming.StreamingDedup.compactBandStore(spark, store,
+      buckets = 256)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/bands/batch=0")),
+      "folded raw batch dirs should be retired")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/bands_compact/_graft_compact")))
+    runWaves(waves.drop(2))
+    val batchPairs = graft.core.CacheScope.scoped {
+      Dedup.minHashDedupPairs(docs, w = 3, tau = 0.5, bands = 32,
+          rowsPerBand = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(batchPairs.nonEmpty, "fixture should contain planted near-dups")
+    assert(emitted.toSet == batchPairs,
+      s"compaction changed the stream: missing ${batchPairs -- emitted}, " +
+        s"extra ${emitted.toSet -- batchPairs}")
+    // an idempotent re-run with nothing new folds nothing and breaks nothing
+    graft.streaming.StreamingDedup.compactBandStore(spark, store,
+      buckets = 256)
+    // pruning: a one-doc probe batch touches ≤ 32 of the 256 bucket groups
+    // — the probe's compacted scan must carry a partition filter on __bkt
+    val oneBands = Dedup.bandedSignatures(
+      Dedup.shingles(docs.limit(1), 3).filter(col("shingle").isNotNull),
+      32, 2)
+    val probe = graft.streaming.StreamingDedup.readBandStore(
+      spark, store, before = waves.size.toLong, oneBands, oneBands.schema)
+    assert(probe.count() > 0, "probe should hit at least one bucket group")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*__bkt[^\\]]*\\].*"),
+      s"compacted probe scan must prune on __bkt:\n$plan")
+  }
+
   test("streaming minhash near-dup: checkpoint reset against a surviving " +
     "store fails loud; a crashed write's _temporary-only batch dir reads " +
     "as missing") {
