@@ -310,6 +310,12 @@ object Dedup {
       .filter(col("shingle").isNotNull).persist())
     sh.count() // eager, see ngramJaccardPairs
     val cand = minHashLshCandidatesFrom(sh, bands, rowsPerBand, idCol)
+    // sets are built for ALL docs, not semi-joined down to candidate
+    // members: measured at sf0.1 (candidate-dense corpus) the restriction
+    // costs ~20% — an extra persist + join against ids that cover most of
+    // the corpus. On sparse-dup data the restriction wins; that shape is
+    // served by incrementalDedupPairs (candidate-only re-shingling) and
+    // the streaming store probe (semi-joined there, where history ≫ batch)
     val setsById = sh.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("shset"))
     cand

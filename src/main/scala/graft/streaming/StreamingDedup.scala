@@ -102,12 +102,24 @@ object StreamingDedup {
           col(idCol).as("id_new"))
         val allSide = storeBands.unionByName(bandsB).select(col("band"),
           col("bucket"), col(idCol).as("id_other"))
-        val cand = newSide.join(allSide, Seq("band", "bucket"))
-          .filter(col("id_new") =!= col("id_other"))
-          .select(least(col("id_new"), col("id_other")).as("id_a"),
-            greatest(col("id_new"), col("id_other")).as("id_b"))
-          .distinct()
-        val setsById = storeSh.unionByName(shB).groupBy(col(idCol))
+        // persisted: the two verify joins and the id restriction below all
+        // read it, and its lineage carries the store probe join
+        val cand = graft.core.CacheScope.track(
+          newSide.join(allSide, Seq("band", "bucket"))
+            .filter(col("id_new") =!= col("id_other"))
+            .select(least(col("id_new"), col("id_other")).as("id_a"),
+              greatest(col("id_new"), col("id_other")).as("id_b"))
+            .distinct().persist())
+        cand.count()
+        // shingle sets only for candidate members — without the semi-join
+        // the verify re-aggregates EVERY earlier batch's sets each trigger
+        // (the full-history read the band compaction exists to avoid); the
+        // restriction pushes through the union into the store scan
+        val candIds = cand.select(col("id_a").as(idCol))
+          .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+        val setsById = storeSh.unionByName(shB)
+          .join(candIds, Seq(idCol), "left_semi")
+          .groupBy(col(idCol))
           .agg(collect_set(col("shingle")).as("shset"))
         val pairs = cand
           .join(setsById.select(col(idCol).as("id_a"), col("shset").as("set_a")), "id_a")
