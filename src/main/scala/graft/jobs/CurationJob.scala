@@ -3,12 +3,14 @@ package graft.jobs
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, TextAnalysis}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.sinks.Sinks
 
 /** End-to-end training-data curation pipeline (the north-star composition):
   * documents → PII/link scrub → exact dedup → MinHash-LSH near-dup cluster
-  * resolution → repetition filter → quality filter → language ID →
+  * resolution → chunk-level span rewrite (C4 move) → SEMANTIC near-dup
+  * cluster resolution over the embedding table → repetition filter →
+  * quality filter (+ the model-based classifier hook) → language ID →
   * per-source cap → language mixture sampling → content-hash split +
   * contamination audit + sequence packing + epoch shuffle order → curated
   * parquet + per-stage survival stats.
@@ -53,20 +55,57 @@ object CurationJob {
       .persist()
     val nAfterNear = afterNear.count()
 
+    // 2b. chunk-level span rewrite (the C4 move): spans already seen
+    //     earlier in the corpus are REMOVED from surviving docs rather
+    //     than dropping the whole doc; docs rewritten to nothing drop out.
+    //     Runs after whole-doc dedup so the first-occurrence table is over
+    //     survivors only
+    val rewritten = Dedup.chunkDedupRewrite(afterNear, w = 16)
+      .filter(length(col("text")) > 0)
+      .select("doc_id", "text")
+      .join(afterNear.drop("text"), "doc_id")
+      .persist()
+    val nAfterChunk = rewritten.count()
+    afterNear.unpersist()
+
+    // 2c. SEMANTIC near-dup removal — the embedding-space twin of stage 2:
+    //     cosine-near pairs over the aligned embedding table resolved into
+    //     clusters, keeping each cluster's canonical min id. Docs without
+    //     an embedding row pass through (can't be semantically deduped)
+    val emb = Tables.embeddings(spark, sfDir)
+      .join(rewritten.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val semPairs = Similarity.embeddingNearDupPairsIvf(emb, tau = 0.45)
+      .select("id_a", "id_b")
+    val semDropped = Dedup
+      .connectedComponents(emb.select(col("vec_id")), semPairs, "vec_id")
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val afterSem = rewritten.join(semDropped, Seq("doc_id"), "left_anti")
+      .persist()
+    val nAfterSem = afterSem.count()
+    rewritten.unpersist()
+
     // 3. repetition filter: drop boilerplate/spam-shaped docs whose top
     //    3-gram dominates (broadcast the tiny (id, ratio) side)
-    val repetitive = TextAnalysis.repetitionRatio(afterNear)
+    val repetitive = TextAnalysis.repetitionRatio(afterSem)
       .filter(col("rep_ratio") > 0.2).select("doc_id")
-    val afterRep = afterNear.join(repetitive, Seq("doc_id"), "left_anti")
+    val afterRep = afterSem.join(repetitive, Seq("doc_id"), "left_anti")
       .persist()
     val nAfterRep = afterRep.count()
 
-    // 4. quality filter + language ID
+    // 4. quality filter + language ID. The hashed-bag classifier score is
+    //    CARRIED, not filtered on: its stand-in weights are deterministic
+    //    placeholders — a production run swaps in trained weights and
+    //    moves the filter onto `clf_score` (the CCNet move); the heuristic
+    //    gate below is honest on any data
     val curated = TextAnalysis.langId(
         TextAnalysis.qualityScore(afterRep)
           .filter(col("quality_score") >= 0.5))
+      .join(TextAnalysis.classifierScore(afterRep,
+          TextAnalysis.hashedWeights(64))
+        .select(col("doc_id"), col("score").as("clf_score")), "doc_id")
       .select("doc_id", "text", "lang", "pred_lang", "source",
-        "n_tokens", "quality_score")
+        "n_tokens", "quality_score", "clf_score")
       .persist() // three consumers: the count, sourceCap, and the cap join
     val nCurated = curated.count()
 
@@ -97,7 +136,8 @@ object CurationJob {
       .write.mode("overwrite").parquet(s"$outDir/contamination")
     val stats = Seq(
       ("input", total), ("after_exact_dedup", afterExact),
-      ("after_near_dedup", nAfterNear), ("after_repetition", nAfterRep),
+      ("after_near_dedup", nAfterNear), ("after_chunk_rewrite", nAfterChunk),
+      ("after_semantic_dedup", nAfterSem), ("after_repetition", nAfterRep),
       ("curated", nCurated), ("after_cap_and_mixture", nMixed))
     import spark.implicits._
     Sinks.writeText(stats.toDF("stage", "docs")
