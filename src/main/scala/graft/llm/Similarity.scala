@@ -61,7 +61,9 @@ object Similarity {
     * rows per query (200k+ at 100× bench scale for the flat-PQ ADC pass),
     * where the aggregate keeps `k` rows of state and combines map-side. */
   private[graft] def boundedTopIds(scored: DataFrame, scoreCol: String,
-                                   k: Int): DataFrame = {
+                                   k: Int,
+                                   distinctPayloads: Boolean = false)
+  : DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.select(col("query_id").cast("long"),
@@ -69,7 +71,7 @@ object Similarity {
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
-      .agg(graft.ops.Scale.topKLongColumn(k).name("top"))
+      .agg(graft.ops.Scale.topKLongColumn(k, distinctPayloads).name("top"))
       .toDF("query_id", "top")
       .select(col("query_id"), explode(col("top")).as("neighbor_id"))
   }
@@ -1098,12 +1100,15 @@ object Similarity {
           element_at(element_at(col("lut"), j + 1),
             element_at(col("codes"), j + 1) + 1)))
       .select("query_id", "neighbor_id", "adc")
-      .distinct() // same pair from several tables carries the same codes
     // bounded top-K aggregate, not a rank window: post-pruning the ADC set
     // is probes·tables posting lists per query, but a hot probed cell still
     // lands one query's whole candidate set in one window partition —
-    // O(refine) aggregate state instead (same equality contract as pqTopK)
-    val cand = boundedTopIds(adc, "adc", refine)
+    // O(refine) aggregate state instead (same equality contract as pqTopK).
+    // The same pair arriving from several colliding tables carries the
+    // same codes → the same adc: distinctPayloads collapses it INSIDE the
+    // aggregation, deleting the `.distinct()` exchange this path used to
+    // pay over the full ADC set before refining.
+    val cand = boundedTopIds(adc, "adc", refine, distinctPayloads = true)
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),

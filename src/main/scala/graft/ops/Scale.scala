@@ -61,9 +61,20 @@ object Scale {
     * re-sorts: a full buffer rejects a non-qualifying row in O(1) (the
     * common case once the group exceeds k) and otherwise binary-inserts in
     * O(log k) compares; `merge` is a linear merge of two sorted runs.
+    *
+    * `distinctPayloads = true` additionally collapses EXACT (score,
+    * payload) duplicates inside the aggregation — the multi-table ANN
+    * candidate shape, where the same neighbor arrives once per colliding
+    * table with an identical score: absorbing duplicates here deletes the
+    * upstream `distinct()` exchange over the full candidate set (an exact
+    * duplicate occupies one slot instead of two, so top-k semantics match
+    * distinct-then-rank). Payload uniqueness is only guaranteed for rows
+    * whose duplicates agree on the score, which that shape does by
+    * construction.
     */
-  class TopKPayloadAgg[P](k: Int)(implicit ord: Ordering[P],
-                                  tt: scala.reflect.runtime.universe.TypeTag[P])
+  class TopKPayloadAgg[P](k: Int, distinctPayloads: Boolean = false)
+                         (implicit ord: Ordering[P],
+                          tt: scala.reflect.runtime.universe.TypeTag[P])
     extends Aggregator[(Double, P), Seq[(Double, P)], Seq[P]] {
     private def order(a: (Double, P), b: (Double, P)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && ord.lt(a._2, b._2))
@@ -79,10 +90,15 @@ object Scale {
           val mid = (lo + hi) >>> 1
           if (order(buf(mid), in)) lo = mid + 1 else hi = mid
         }
-        val out = scala.collection.mutable.ArrayBuffer.from(buf)
-        out.insert(lo, in)
-        if (out.length > k) out.remove(k)
-        out.toSeq
+        // the insertion point is the one place an exact duplicate can live
+        // (the order is total), so uniqueness is an O(1) check here
+        if (distinctPayloads && lo < buf.length && buf(lo) == in) buf
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.from(buf)
+          out.insert(lo, in)
+          if (out.length > k) out.remove(k)
+          out.toSeq
+        }
       }
     }
     override def merge(a: Seq[(Double, P)], b: Seq[(Double, P)])
@@ -91,7 +107,9 @@ object Scale {
       var i = 0
       var j = 0
       while (out.length < k && (i < a.length || j < b.length)) {
-        if (j >= b.length || (i < a.length && order(a(i), b(j)))) {
+        if (distinctPayloads && i < a.length && j < b.length && a(i) == b(j)) {
+          out += a(i); i += 1; j += 1 // one slot for an exact duplicate
+        } else if (j >= b.length || (i < a.length && order(a(i), b(j)))) {
           out += a(i); i += 1
         } else {
           out += b(j); j += 1
@@ -114,13 +132,15 @@ object Scale {
     * `refine` best neighbor ids by (score desc, id asc) with O(refine)
     * aggregation state, replacing an n-row sort per query window
     * partition. */
-  class TopKLongAgg(k: Int) extends TopKPayloadAgg[Long](k)
+  class TopKLongAgg(k: Int, distinctPayloads: Boolean = false)
+    extends TopKPayloadAgg[Long](k, distinctPayloads)
 
   def topKColumn(k: Int): TypedColumn[(Double, String), Seq[String]] =
     new TopKAgg(k).toColumn
 
-  def topKLongColumn(k: Int): TypedColumn[(Double, Long), Seq[Long]] =
-    new TopKLongAgg(k).toColumn
+  def topKLongColumn(k: Int, distinctPayloads: Boolean = false)
+  : TypedColumn[(Double, Long), Seq[Long]] =
+    new TopKLongAgg(k, distinctPayloads).toColumn
 
   /** Mergeable Misra-Gries heavy-hitters summary: at most `k` (item, count)
     * counters per aggregation buffer, so finding the frequent items of an

@@ -203,6 +203,37 @@ class ScaleSpec extends SparkSpecBase {
     assert(got(1L) == expected)
   }
 
+  test("TopKLongAgg distinctPayloads: exact duplicates occupy one slot — " +
+    "equals distinct-then-sort-take (the q72 multi-table ADC shape)") {
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 150).map(i => (rnd.nextInt(25).toDouble, i.toLong))
+    // every row duplicated 1-3× (tables colliding), shuffled across parts
+    val rows = rnd.shuffle(base.flatMap(r => Seq.fill(1 + rnd.nextInt(3))(r)))
+    val expected = base.distinct
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .take(10).map(_._2)
+    val got = rows.map { case (s, p) => (1L, s, p) }
+      .toDF("key", "score", "payload")
+      .repartition(8)
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(Scale.topKLongColumn(10, distinctPayloads = true).name("top"))
+      .collect().toMap
+    assert(got(1L) == expected)
+    // buffer stays duplicate-free and bounded through reduce and merge
+    val agg = new Scale.TopKLongAgg(10, distinctPayloads = true)
+    var buf = agg.zero
+    rows.foreach { r =>
+      buf = agg.reduce(buf, r)
+      assert(buf.length <= 10 && buf.distinct.length == buf.length)
+    }
+    var other = agg.zero
+    rows.reverse.foreach { r => other = agg.reduce(other, r) }
+    val m = agg.merge(buf, other)
+    assert(m.length <= 10 && m.distinct.length == m.length)
+  }
+
   test("pair-cap guards: identical under the cap, bounded on a hot key") {
     import java.sql.Timestamp
     import graft.jobs.{BoardStats, ItemCf}
