@@ -327,6 +327,39 @@ class StreamingSpec extends SparkSpecBase {
       s"compacted probe scan must prune on __bkt:\n$plan")
   }
 
+  test("band-store compaction: crash mid-swap (parked __old, no published " +
+    "dir) is repaired on the next run; incremental re-compaction folds " +
+    "only newer batches") {
+    implicit val s = spark
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_crash").toString
+    def bandRows(ids: Seq[Long]) =
+      ids.flatMap(i => (0 until 4).map(b => (i, b, i * 100 + b)))
+        .toDF("doc_id", "band", "bucket")
+    bandRows(Seq(1L, 2L)).write.parquet(s"$store/bands/batch=0")
+    bandRows(Seq(3L)).write.parquet(s"$store/bands/batch=1")
+    graft.streaming.StreamingDedup.compactBandStore(spark, store, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window of the NEXT compaction: the current
+    // layout was parked to __old but the replacement never published
+    graft.sinks.Sinks.renameOrThrow(fs,
+      new org.apache.hadoop.fs.Path(s"$store/bands_compact"),
+      new org.apache.hadoop.fs.Path(s"$store/bands_compact__old"))
+    // a new raw batch arrives, and the re-run must first repair the swap,
+    // then fold ONLY batch=2 (upto=1 is recorded in the repaired metadata)
+    bandRows(Seq(4L, 5L)).write.parquet(s"$store/bands/batch=2")
+    graft.streaming.StreamingDedup.compactBandStore(spark, store, buckets = 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/bands_compact__old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/bands/batch=2")),
+      "folded raw dir should be retired")
+    val schema = bandRows(Seq(1L)).schema
+    val got = graft.streaming.StreamingDedup.readBandStore(
+        spark, store, before = 3L, bandRows(1L to 5L), schema)
+      .as[(Long, Int, Long)].collect().toSet
+    val want = bandRows(1L to 5L).as[(Long, Int, Long)].collect().toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("streaming minhash near-dup: checkpoint reset against a surviving " +
     "store fails loud; a crashed write's _temporary-only batch dir reads " +
     "as missing") {
