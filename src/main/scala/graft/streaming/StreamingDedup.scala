@@ -158,7 +158,11 @@ object StreamingDedup {
     * publish-last, replay-idempotent, checkpoint-reset fail-loud);
     * `centroids` is written once by batch 0 — its training is
     * deterministic, so an at-least-once replay of batch 0 rewrites
-    * identical bytes.
+    * identical bytes. At ingest volume run [[compactCellStore]] between
+    * stream runs: the asg side re-lays out by exact (tbl, centroid) cell
+    * and the probe prunes to the batch's probed cells (the band
+    * compaction's twin; emissions unchanged across a mid-stream
+    * compaction — StreamingSpec pins it).
     */
   def embeddingDedupStream(vecs: DataFrame, storePath: String, tau: Double,
                            k: Int = 64, tables: Int = 12, probes: Int = 1,
@@ -198,8 +202,10 @@ object StreamingDedup {
           Similarity.ivfAssignments(vB, cents, probes, idCol, vecCol)
             .toDF(idCol, "tbl", "centroid").persist())
         asgB.count()
-        val storeAsg = readStore(spark, s"$storePath/asg", batchId,
-          asgB.schema)
+        // compacted cell layout (pruned to this batch's probed cells) plus
+        // raw batches newer than the last compaction — see compactCellStore
+        val storeAsg = readCellStore(spark, storePath, batchId,
+          asgB, asgB.schema)
         val storeVecs = readStore(spark, s"$storePath/vecs", batchId,
           vB.schema)
         val newSide = asgB.select(col("tbl"), col("centroid"),
@@ -251,10 +257,43 @@ object StreamingDedup {
   def compactBandStore(spark: org.apache.spark.sql.SparkSession,
                        storePath: String, buckets: Int = 256): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val root = s"$storePath/bands"
+    foldStore(spark, s"$storePath/bands", s"$storePath/bands_compact",
+      buckets)(_.withColumn("__bkt",
+        pmod(col("bucket"), lit(buckets.toLong)).cast("int")))
+  }
+
+  /** Group stride for the cell store's compacted layout: one partition per
+    * exact (tbl, centroid) cell, encoded as tbl·stride + centroid. Cells
+    * are bounded by construction (tables × k quantizer parameters), so the
+    * dir count is bounded without a modulo — and the probe prunes to
+    * EXACTLY its probed cells. */
+  private val CellGroupStride = 100000
+
+  /** The embedding stream's compaction twin — [[compactBandStore]] for
+    * [[embeddingDedupStream]]'s `asg` side: raw `asg/batch=<id>` dirs fold
+    * into `asg_compact/data/__bkt=<tbl·stride+centroid>/`, one partition
+    * per exact cell, so a micro-batch's probe reads only its probed cells'
+    * dirs instead of every batch ever published (the same layout argument
+    * as the stored IVF index's (tbl, centroid) partitioning). Same
+    * incremental/atomic/single-writer contract as the band compaction;
+    * the `vecs` side stays batch-partitioned — its reader is the verify
+    * join, restricted by candidate id. */
+  def compactCellStore(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String): Unit =
+    foldStore(spark, s"$storePath/asg", s"$storePath/asg_compact", 0)(
+      _.withColumn("__bkt",
+        (col("tbl") * lit(CellGroupStride) + col("centroid")).cast("int")))
+
+  /** Shared compaction fold: committed raw `batch=<id>` dirs newer than
+    * the recorded `upto`, plus any existing compacted data, rewritten as
+    * one layout partitioned by the Int `__bkt` column `addGroup` derives;
+    * three-file artifact swapped atomically (park old, rename new), folded
+    * raw dirs retired afterward. */
+  private def foldStore(spark: org.apache.spark.sql.SparkSession,
+                        root: String, compRoot: String, buckets: Int)
+                       (addGroup: DataFrame => DataFrame): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val compRoot = s"$storePath/bands_compact"
     val compP = new org.apache.hadoop.fs.Path(compRoot)
     val oldP = new org.apache.hadoop.fs.Path(compRoot + "__old")
     graft.sinks.Sinks.recoverOld(fs, oldP, compP) // prior crash mid-swap
@@ -274,7 +313,7 @@ object StreamingDedup {
     val upto = (fresh.map(_._1) :+ prevUpto).max
     val tmp = new org.apache.hadoop.fs.Path(compRoot + "__tmp")
     fs.delete(tmp, true)
-    all.withColumn("__bkt", pmod(col("bucket"), lit(buckets.toLong)))
+    addGroup(all)
       .repartition(col("__bkt")) // one file per group dir, not one sliver/task
       .write.partitionBy("__bkt").parquet(s"$tmp/data")
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_compact"), true)
@@ -337,10 +376,41 @@ object StreamingDedup {
                                    storePath: String, before: Long,
                                    batchBands: DataFrame,
                                    schema: org.apache.spark.sql.types.StructType)
-  : DataFrame = {
-    val compRoot = s"$storePath/bands_compact"
+  : DataFrame =
+    readStoreWithCompact(spark, s"$storePath/bands",
+      s"$storePath/bands_compact", before, schema,
+      buckets => batchBands
+        .select(pmod(col("bucket"), lit(buckets.toLong)).cast("int").as("g"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq)
+
+  /** [[readBandStore]]'s cell-store twin for the embedding stream's `asg`
+    * side: the probe prunes the compacted layout to exactly the batch's
+    * probed (tbl, centroid) cells. */
+  private[graft] def readCellStore(spark: org.apache.spark.sql.SparkSession,
+                                   storePath: String, before: Long,
+                                   batchAsg: DataFrame,
+                                   schema: org.apache.spark.sql.types.StructType)
+  : DataFrame =
+    readStoreWithCompact(spark, s"$storePath/asg",
+      s"$storePath/asg_compact", before, schema,
+      _ => batchAsg
+        .select((col("tbl") * lit(CellGroupStride) + col("centroid"))
+          .cast("int").as("g"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq)
+
+  /** Shared probe read: the compacted layout PRUNED to the groups the
+    * current batch touches (a bounded driver collect feeding a partition
+    * filter — int literals, since partition VALUE dir names read back as
+    * IntegerType and a bare In is the cleanest prunable filter), unioned
+    * with raw batches published since the last compaction. Without a
+    * compacted layout this is exactly the plain batch-partitioned read. */
+  private def readStoreWithCompact(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, compRoot: String,
+                                   before: Long,
+                                   schema: org.apache.spark.sql.types.StructType,
+                                   groupsOf: Int => Seq[Int]): DataFrame =
     readCompactMeta(spark, compRoot) match {
-      case None => readStore(spark, s"$storePath/bands", before, schema)
+      case None => readStore(spark, root, before, schema)
       case Some((upto, buckets)) =>
         // the ahead check must also see COMPACTED ids: a fresh checkpoint
         // against a compacted store has no batch= dirs left to trip on.
@@ -350,14 +420,9 @@ object StreamingDedup {
             s"the stream is (re)starting at batch=$before: the checkpoint " +
             "was reset against a surviving store. Point the query at a " +
             "fresh storePath or restore the matching checkpoint.")
-        val raw = readStore(spark, s"$storePath/bands", before, schema,
+        val raw = readStore(spark, root, before, schema,
           minExclusive = upto)
-        // int literals: the partition VALUE directory names read back as
-        // IntegerType, and a bare In on the partition column is the
-        // cleanest prunable filter (no cast in the way)
-        val groups = batchBands
-          .select(pmod(col("bucket"), lit(buckets.toLong)).as("g"))
-          .distinct().collect().map(_.getLong(0).toInt).toIndexedSeq
+        val groups = groupsOf(buckets)
         val data = spark.read.parquet(s"$compRoot/data")
         val compacted =
           (if (groups.isEmpty) data.filter(lit(false)) // empty isin is not a filter
@@ -365,7 +430,6 @@ object StreamingDedup {
             .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         raw.unionByName(compacted)
     }
-  }
 
   /** Read every `batch=<id>` partition with id < `before`; empty frame
     * with `schema` when the store has no prior COMMITTED batches (a dir

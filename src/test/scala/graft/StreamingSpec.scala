@@ -454,7 +454,9 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("streaming embedding dedup: union of emissions equals the batch " +
-    "IVF pipeline under the same (batch-0-trained, frozen) quantizers") {
+    "IVF pipeline under the same (batch-0-trained, frozen) quantizers — " +
+    "across a quiesced mid-stream cell-store compaction, whose probe " +
+    "prunes to the batch's cells") {
     implicit val s = spark
     import graft.llm.Similarity
     val emb = graft.core.Tables.embeddings(spark, sfDir)
@@ -467,16 +469,26 @@ class StreamingSpec extends SparkSpecBase {
     val store = Files.createTempDirectory("graft_embstream").toString
     val ckpt = Files.createTempDirectory("graft_embstream_ck").toString
     val emitted = scala.collection.mutable.Set[(Long, Long)]()
-    val q = graft.streaming.StreamingDedup.embeddingDedupStream(
-        mem.toDF().toDF("vec_id", "embedding"), store, tau = 0.45) {
-        (pairs, _) =>
-          emitted ++= pairs.select("id_a", "id_b")
-            .as[(Long, Long)].collect()
-      }
-      .option("checkpointLocation", ckpt).start()
-    try {
-      batches.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-    } finally q.stop()
+    def runWaves(ws: Seq[Array[(Long, Array[Float])]]): Unit = {
+      val q = graft.streaming.StreamingDedup.embeddingDedupStream(
+          mem.toDF().toDF("vec_id", "embedding"), store, tau = 0.45) {
+          (pairs, _) =>
+            emitted ++= pairs.select("id_a", "id_b")
+              .as[(Long, Long)].collect()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try ws.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runWaves(batches.take(2))
+    // quiesced compaction between incarnations: asg batch dirs fold into
+    // the exact-cell layout; emissions must be unchanged
+    graft.streaming.StreamingDedup.compactCellStore(spark, store)
+    val csFs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!csFs.exists(new org.apache.hadoop.fs.Path(s"$store/asg/batch=0")),
+      "folded raw asg dirs should be retired")
+    runWaves(batches.drop(2))
     // batch twin: candidates under centroids trained on the SAME batch-0
     // rows the stream trained on, exact-verified at the same tau
     val b0df = batches.head.toSeq.toDF("vec_id", "embedding")
@@ -494,6 +506,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(expected.nonEmpty, "fixture should produce near-dup pairs")
     assert(emitted.toSet == expected,
       s"stream missed ${expected -- emitted}, extra ${emitted.toSet -- expected}")
+    // pruning: a small probe batch's cell-store read carries a partition
+    // filter on __bkt (the exact probed cells)
+    val oneAsg = Similarity.ivfAssignments(
+        allDf.limit(1), cents, probes = 1)
+      .toDF("vec_id", "tbl", "centroid")
+    val probe = graft.streaming.StreamingDedup.readCellStore(
+      spark, store, before = batches.size.toLong, oneAsg, oneAsg.schema)
+    assert(probe.count() > 0, "probe should hit at least one stored cell")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*__bkt[^\\]]*\\].*"),
+      s"compacted cell probe must prune on __bkt:\n$plan")
   }
 
   test("T10/U3/U4: side-output split and reconnect") {
