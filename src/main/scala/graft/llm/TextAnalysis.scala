@@ -504,6 +504,46 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_tokens"))
   }
 
+  /** Subword-vocabulary induction — the tokenizer-training prep stage
+    * (BPE/WordPiece initialization): candidate subword units are every
+    * character n-gram (nMin ≤ n ≤ nMax) of every corpus token, scored by
+    * total corpus occurrences (substring occurrences weighted by the
+    * token's frequency — the statistic merge-based tokenizers rank merge
+    * candidates with) and by type spread (distinct tokens containing the
+    * gram). Output: top-`topV` (gram, occurrences, n_types), ordered
+    * (occurrences desc, gram) — a total order, so the cut is
+    * deterministic. All-integer statistics → oracle-exact.
+    *
+    * 100 TB posture: the n-gram explosion runs over the DISTINCT-token
+    * frequency table, not the occurrence stream — the vocabulary is orders
+    * of magnitude smaller than the corpus at every scale, so the expensive
+    * per-character substring fan-out (Σ (len−n+1) grams per token) costs
+    * O(vocabulary), and the occurrence weights arrive as one integer
+    * column. One hash aggregate on the gram key (map-side combined),
+    * then `orderBy.limit` plans as TakeOrderedAndProject — per-partition
+    * heaps, never a global sort.
+    */
+  def subwordVocab(docs: DataFrame, nMin: Int = 2, nMax: Int = 4,
+                   topV: Int = 200, textCol: String = "text"): DataFrame = {
+    val tf = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // explicit n-explode + length guard BEFORE the position range: a
+    // sequence(1, len−n+1) with len < n would be the DESCENDING [1, 0]
+    // (the q67 trap) and re-emit short tokens as oversized "grams"
+    tf.select(col("tok"), col("cnt"),
+        explode(sequence(lit(nMin), lit(nMax))).as("n"))
+      .filter(length(col("tok")) >= col("n"))
+      .select(col("tok"), col("cnt"),
+        explode(transform(
+          sequence(lit(1), length(col("tok")) - col("n") + 1),
+          i => col("tok").substr(i, col("n")))).as("gram"))
+      .groupBy("gram")
+      .agg(sum(col("cnt")).as("occurrences"),
+        count_distinct(col("tok")).as("n_types"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(topV)
+  }
+
   /** Deterministic global training-order shuffle: every document gets a
     * dense rank in a pseudo-random but reproducible order — the "shuffle
     * the corpus once per epoch" primitive of training pipelines, where the

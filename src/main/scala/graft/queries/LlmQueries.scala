@@ -384,6 +384,12 @@ object LlmQueries {
       .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
   }
 
+  /** Subword-vocabulary induction (tokenizer-training prep): top-200
+    * character 2-4-grams by corpus occurrences (token-frequency-weighted),
+    * with type spread — all-integer statistics over a total order. */
+  def subwordVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.subwordVocab(Tables.documents(s, dir))
+
   /** q77's weight vector: 64 buckets of the deterministic stand-in family
     * (a trained fastText-style model integer-quantizes into the same
     * shape). One definition feeds BOTH the Spark plan and the interpolated
@@ -462,7 +468,8 @@ object LlmQueries {
     "q74_chunk_rewrite" -> chunkRewrite,
     "q75_lm_bigram" -> lmBigram,
     "q76_embedding_clusters" -> embeddingClusters,
-    "q77_quality_classifier" -> qualityClassifier)
+    "q77_quality_classifier" -> qualityClassifier,
+    "q78_subword_vocab" -> subwordVocab)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -570,6 +577,19 @@ object LlmQueries {
     }.mkString(",\n|    ")
 
   val oracles: Map[String, String] = Map(
+    // q78: char n-grams of each DISTINCT token, occurrence-weighted by the
+    // token's corpus frequency; range(1, len-n+2) is empty when len < n,
+    // so DuckDB needs no length guard
+    "q78_subword_vocab" ->
+      s"""WITH tfv AS (SELECT tok, COUNT(*) AS cnt
+        |  FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+        |gr AS (SELECT tok, cnt, substring(tok, CAST(i AS INT), CAST(n AS INT)) AS gram
+        |       FROM tfv, UNNEST(range(2, 5)) AS s(n),
+        |            UNNEST(range(1, length(tok) - n + 2)) AS t(i))
+        |SELECT gram, CAST(SUM(cnt) AS BIGINT) AS occurrences,
+        |       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+        |FROM gr GROUP BY gram
+        |ORDER BY occurrences DESC, gram LIMIT 200""".stripMargin,
     // q77: the weight list literal is interpolated from the SAME array the
     // Spark plan looks up; bucket = portable fingerprint mod 64, raw = Σ
     // bucket weights (exact ints), score = one IEEE division per doc

@@ -769,6 +769,45 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(gotCorpus == expected)
   }
 
+  test("subword vocab: planted fixture counts exact (frequency-weighted, " +
+    "type spread, short-token guard); corpus matches a Scala oracle") {
+    import graft.llm.TextAnalysis
+    // "ab" appears in 3 tokens; token "abc" ×2 weights its grams ×2;
+    // single-char token "x" must emit nothing at nMin=2
+    val fixture = Seq((1L, "abc abc abd x"), (2L, "zab")).toDF("doc_id", "text")
+    val got = TextAnalysis.subwordVocab(fixture, nMin = 2, nMax = 3,
+        topV = 100)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("ab") == ((4L, 3L))) // abc(×2) + abd + zab
+    assert(got("abc") == ((2L, 1L)))
+    assert(got("zab") == ((1L, 1L)))
+    assert(!got.keySet.exists(_.length < 2), s"short grams leaked: $got")
+    // corpus cross-check vs a driver-side oracle (exact integers)
+    val toks = docs.select(explode(
+        graft.llm.TextAnalysis.tokens(col("text"))).as("t"))
+      .as[String].collect()
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val agg = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((tok, cnt) <- tf; n <- 2 to 4; if tok.length >= n;
+         i <- 0 to tok.length - n) {
+      val g = tok.substring(i, i + n)
+      val (o, _) = agg.getOrElse(g, (0L, 0L))
+      agg(g) = (o + cnt, 0L)
+    }
+    val types = scala.collection.mutable.Map[String, Set[String]]()
+    for ((tok, _) <- tf; n <- 2 to 4; if tok.length >= n;
+         i <- 0 to tok.length - n) {
+      val g = tok.substring(i, i + n)
+      types(g) = types.getOrElse(g, Set.empty) + tok
+    }
+    val expected = agg.map { case (g, (o, _)) => (g, o, types(g).size.toLong) }
+      .toSeq.sortBy { case (g, o, _) => (-o, g) }.take(200)
+    val gotCorpus = TextAnalysis.subwordVocab(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gotCorpus == expected)
+  }
+
   test("shuffle order: a deterministic permutation that actually permutes") {
     import spark.implicits._
     def run() = graft.llm.TextAnalysis.shuffleOrder(docs)
