@@ -587,6 +587,115 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) div ${budget}L"))
       .select(idCol, "n_tokens", "cum_tokens", "bin")
 
+  /** Learn a byte-pair-encoding merge list from the corpus — real
+    * tokenizer training, not the regex proxy of [[bpeishCount]]: the
+    * classic algorithm over the token-frequency table (count adjacent
+    * symbol pairs weighted by word frequency, merge the most frequent,
+    * repeat). The vocabulary collect is bounded — distinct tokens, not the
+    * corpus — exactly how production tokenizer trainers consume a
+    * distributed corpus (a word-count table feeds a driver-side merge
+    * loop), and the same bounded-collect contract as the IVF/PQ quantizer
+    * training. Deterministic: pair-count ties break on the
+    * lexicographically smallest pair, so re-runs and engines agree.
+    * Stops early when no pair occurs twice (merging singletons would just
+    * memorize the vocabulary).
+    */
+  def learnBpeMerges(docs: DataFrame, numMerges: Int,
+                     textCol: String = "text"): Seq[(String, String)] = {
+    val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .sortBy(r => r._1.mkString) // deterministic iteration order
+    var words: Array[(Array[String], Long)] = vocab
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (merges.length < numMerges && continue) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      val best = counts.filter(_._2 >= 2)
+        .toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case None => continue = false
+        case Some((pair, _)) =>
+          merges += pair
+          words = words.map { case (syms, cnt) =>
+            (mergePair(syms, pair), cnt)
+          }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right pass replacing every adjacent occurrence of `pair`
+    * with its concatenation (non-overlapping, leftmost-first — the
+    * standard BPE merge semantics). */
+  private def mergePair(syms: Array[String],
+                        pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Segment every document with a learned merge list and count the BPE
+    * pieces — the REAL token-budget statistic ([[tokenCount]] and
+    * [[bpeishCount]] are its cheap proxies): each whitespace token starts
+    * as characters and greedily applies the LOWEST-RANK applicable merge
+    * until none applies (the standard BPE inference loop, rank = training
+    * order). The merge table rides one broadcast; per-row work is an
+    * iterative string fold — genuine per-record imperative logic, so this
+    * is a typed Dataset map rather than a column expression (the same
+    * justification boundary as the ANN encode scans). Output:
+    * (id, n_tokens, n_pieces) — n_pieces = n_chars when `merges` is empty,
+    * and monotonically non-increasing in the merge count.
+    */
+  def bpePieceCounts(docs: DataFrame, merges: Seq[(String, String)],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, r) => (p, r) }.toMap)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ranks = bc.value
+        val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        var pieces = 0L
+        for (tok <- toks) pieces += segmentLength(tok, ranks)
+        (id, toks.length.toLong, pieces)
+      }
+      .toDF(idCol, "n_tokens", "n_pieces")
+  }
+
+  /** BPE inference for one token: repeatedly apply the applicable merge
+    * with the lowest training rank; return the surviving piece count. */
+  private def segmentLength(tok: String,
+                            ranks: Map[(String, String), Int]): Long = {
+    var syms = tok.map(_.toString).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else syms = mergePair(syms, bestPair)
+    }
+    syms.length.toLong
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 

@@ -808,6 +808,40 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(gotCorpus == expected)
   }
 
+  test("BPE: merges learn the classic low/lower/lowest fixture in order; " +
+    "segmentation counts match hand-derivation and the no-merge identity") {
+    import graft.llm.TextAnalysis
+    // the textbook fixture: "lo" then "low" dominate the pair counts
+    val fixture = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest"),
+      (3L, "widest newest newest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(fixture, numMerges = 4)
+    assert(merges.take(2) == Seq(("l", "o"), ("lo", "w")),
+      s"first merges should build 'low': $merges")
+    // apply: "low" → 1 piece under its own merges; unseen token → chars
+    val counts = TextAnalysis.bpePieceCounts(fixture, merges)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val handLow = { // doc 1: 5 × "low", fully merged → 5 pieces
+      counts(1L) == ((5L, 5L)) }
+    assert(handLow, s"doc 1 should segment to one piece per 'low': $counts")
+    // zero merges → piece count is exactly the character count
+    val identity = TextAnalysis.bpePieceCounts(fixture, Seq.empty)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(identity(1L) == 15L && identity(2L) == 16L)
+    // corpus: determinism + the compression monotonicity contract
+    val m1 = TextAnalysis.learnBpeMerges(docs, numMerges = 50)
+    val m2 = TextAnalysis.learnBpeMerges(docs, numMerges = 50)
+    assert(m1 == m2, "training must be deterministic")
+    val p0 = TextAnalysis.bpePieceCounts(docs, Seq.empty)
+      .agg(sum("n_pieces")).as[Long].head()
+    val p50 = TextAnalysis.bpePieceCounts(docs, m1)
+      .agg(sum("n_pieces")).as[Long].head()
+    assert(p50 < p0, s"50 merges must compress the corpus: $p50 !< $p0")
+  }
+
   test("shuffle order: a deterministic permutation that actually permutes") {
     import spark.implicits._
     def run() = graft.llm.TextAnalysis.shuffleOrder(docs)
