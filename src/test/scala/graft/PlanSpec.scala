@@ -135,5 +135,27 @@ class PlanSpec extends SparkSpecBase {
       s"ADC pass must broadcast the per-query LUTs:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("WindowGroupLimit") || p.contains("rnk"),
+      s"refine selection must be the bounded aggregate, not an ADC-wide " +
+        s"rank window (the final k=5 rnk window over refine rows is fine):\n$p")
+  }
+
+  test("q77 classifier prunes the occurrence scan to doc_id + text and " +
+    "hashes the vocabulary, not the occurrence stream") {
+    val p = planOf("q77_quality_classifier")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"q77 must not read unreferenced document columns:\n$p")
+    // the interpreted fingerprint fold must sit above a distinct-token
+    // aggregate — HashAggregate(keys=[__tok...]) — not on every occurrence
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q78 subword vocab lowers the top-V cut to TakeOrderedAndProject " +
+    "over the distinct-token table") {
+    val p = planOf("q78_subword_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must be per-partition bounded heaps, not a global sort:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task stage in the vocab fan-out:\n$p")
   }
 }
