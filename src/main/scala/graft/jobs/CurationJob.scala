@@ -120,12 +120,19 @@ object CurationJob {
 
     // 5. training layout: content-hash 80/10/10 split (exact dups — already
     //    removed here, but stable under re-runs — share a split),
-    //    2048-token sequence packing bins, and a deterministic epoch-0
-    //    shuffle order over the curated set
+    //    2048-PIECE sequence packing bins under a tokenizer TRAINED ON THE
+    //    CURATED SET ITSELF (the real token-budget statistic — whitespace
+    //    counts misprice long words; packSequences stays the whitespace
+    //    form for the oracle gate), and a deterministic epoch-0 shuffle
+    val merges = TextAnalysis.learnBpeMerges(mixed, numMerges = 200)
+    val bpeBins = graft.ops.Scale.globalCumSum(
+        TextAnalysis.bpePieceCounts(mixed, merges)
+          .select(col("doc_id"), col("n_pieces")),
+        "doc_id", "n_pieces", "cum_pieces")
+      .withColumn("bin", expr("(cum_pieces - n_pieces) div 2048L"))
     val withLayout = mixed
       .join(TextAnalysis.dataSplit(mixed).select("doc_id", "split"), "doc_id")
-      .join(TextAnalysis.packSequences(mixed, budget = 2048)
-        .select("doc_id", "bin"), "doc_id")
+      .join(bpeBins.select("doc_id", "n_pieces", "bin"), "doc_id")
       .join(TextAnalysis.shuffleOrder(mixed)
         .select("doc_id", "shuffle_rank"), "doc_id")
 
