@@ -1060,6 +1060,39 @@ object Similarity {
       .parquet(s"$path/postings")
   }
 
+  /** Compact a stored index's postings after incremental appends — the
+    * small-file maintenance step between [[ivfSkew]]'s monitor and a full
+    * retrain: every append lands one file per (tbl, centroid) cell per
+    * batch, so a daily-ingest index accumulates one file per cell per DAY
+    * and probe latency decays into file-open overhead. This job rewrites
+    * the postings tree with one file per cell again — rows unchanged, and
+    * the quantizer/codebook artifacts are untouched, so assignments and
+    * codes stay valid — then swaps the postings dir atomically under the
+    * store protocol. Works on both the full-vector ([[writeIvfIndex]]) and
+    * compressed ([[writeIvfPqIndex]]) layouts. Single-writer: do not run
+    * concurrently with appends (same ownership contract as the append).
+    */
+  def compactIndexPostings(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    val post = s"$path/postings"
+    val postP = new org.apache.hadoop.fs.Path(post)
+    val fs = postP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(post + "__old")
+    graft.sinks.Sinks.recoverOld(fs, oldP, postP) // prior crash mid-swap
+    require(fs.exists(postP),
+      s"compactIndexPostings: no postings at $post (write an index first)")
+    val tmp = new org.apache.hadoop.fs.Path(post + "__tmp")
+    fs.delete(tmp, true)
+    // lazy read + eager tmp write: the rewrite executes while the live
+    // postings dir still exists, BEFORE the swap
+    spark.read.parquet(post)
+      .repartition(col("tbl"), col("centroid"))
+      .write.partitionBy("tbl", "centroid").parquet(tmp.toString)
+    graft.sinks.Sinks.renameOrThrow(fs, postP, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmp, postP)
+    fs.delete(oldP, true)
+  }
+
   /** Search the compressed index: queries probe their `probes` nearest
     * cells per table (dynamic partition pruning reads only those posting
     * dirs), candidates are ADC-scored against the stored PQ codes via

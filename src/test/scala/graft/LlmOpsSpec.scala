@@ -305,6 +305,28 @@ class LlmOpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Similarity.appendIvfPqIndex(emb, incDir + "_nope")
     }
+    // maintenance: the append left one file per cell per batch; compaction
+    // folds each cell back to one file without changing a single result
+    def parquetFiles(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = parquetFiles(s"$incDir/postings")
+    Similarity.compactIndexPostings(spark, incDir)
+    val after = parquetFiles(s"$incDir/postings")
+    assert(after < before,
+      s"compaction should shrink the file count ($before -> $after)")
+    val compacted = Similarity
+      .searchIvfPqIndex(spark, incDir, queries, emb, k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(compacted == a, "compaction changed search results")
   }
 
   test("top terms rank corpus-rare, doc-frequent tokens first (rational IDF)") {
