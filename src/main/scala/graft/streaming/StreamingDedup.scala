@@ -46,16 +46,13 @@ object StreamingDedup {
     * micro-batch (foreachBatch is at-least-once) rewrites the same rows
     * and, because candidates only pair the current batch against batches
     * STRICTLY OLDER plus itself, re-emits exactly its own pairs rather
-    * than duplicating them. At ingest volume, run [[compactBandStore]]
-    * between stream runs: it re-lays the band side out by bucket group so
-    * the probe reads ONLY the partitions holding the batch's own buckets
-    * (partition-pruned) instead of the full history; the probe here unions
-    * the compacted layout with any raw batches published since the last
-    * compaction, so emissions are unchanged across a mid-stream compaction
-    * (StreamingSpec pins it). The shingle side stays batch-partitioned —
-    * its reader is the verify join, which restricts by candidate id, not
-    * bucket; re-laying it out by id range is the remaining (documented)
-    * step if the verify read ever dominates.
+    * than duplicating them. At ingest volume, run [[compactMinhashStore]]
+    * between stream runs: the band side re-lays out by bucket group so the
+    * probe reads ONLY the partitions holding the batch's own buckets, and
+    * the shingle side by id hash-group so the verify reads only the
+    * candidates' groups — both probes union the compacted layout with any
+    * raw batches published since the last compaction, so emissions are
+    * unchanged across a mid-stream compaction (StreamingSpec pins it).
     *
     * State posture: unlike the watermark-bounded exact dedup, a near-dup
     * STORE is meant to remember the corpus (that is the product: dedup
@@ -91,8 +88,6 @@ object StreamingDedup {
         // plus raw batches newer than the last compaction.
         val storeBands = readBandStore(spark, storePath, batchId,
           bandsB, bandsB.schema)
-        val storeSh = readStore(spark, s"$storePath/shingles", batchId,
-          shB.schema)
         // new-vs-(old ∪ new) bucket join; columns renamed per side so the
         // shared-lineage self-join keeps real join predicates
         // unionByName: the store side comes back from parquet, whose column
@@ -112,11 +107,14 @@ object StreamingDedup {
             .distinct().persist())
         cand.count()
         // shingle sets only for candidate members — without the semi-join
-        // the verify re-aggregates EVERY earlier batch's sets each trigger
-        // (the full-history read the band compaction exists to avoid); the
-        // restriction pushes through the union into the store scan
+        // the verify re-aggregates EVERY earlier batch's sets each trigger;
+        // the restriction pushes through the union into the store scan,
+        // and a compacted shingle store additionally PRUNES that scan to
+        // the candidates' id hash-groups (see compactShingleStore)
         val candIds = cand.select(col("id_a").as(idCol))
           .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+        val storeSh = readShingleStore(spark, storePath, batchId,
+          candIds, shB.schema, idCol)
         val setsById = storeSh.unionByName(shB)
           .join(candIds, Seq(idCol), "left_semi")
           .groupBy(col(idCol))
@@ -262,6 +260,34 @@ object StreamingDedup {
         pmod(col("bucket"), lit(buckets.toLong)).cast("int")))
   }
 
+  /** The shingle side's compaction — the verify read's counterpart of
+    * [[compactBandStore]]: raw `shingles/batch=<id>` dirs fold into
+    * `shingles_compact/data/__bkt=<pmod(xxhash64(id), buckets)>/` so the
+    * exact-Jaccard verify reads only the partitions holding its CANDIDATE
+    * ids' groups (the candidate set is trigger-bounded, so its group list
+    * is too) instead of every batch's shingles. The id is hash-grouped —
+    * works for any id type and spreads dense id ranges evenly. Same
+    * incremental/atomic/single-writer contract as the band fold.
+    */
+  def compactShingleStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, buckets: Int = 256,
+                          idCol: String = "doc_id"): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    foldStore(spark, s"$storePath/shingles", s"$storePath/shingles_compact",
+      buckets)(_.withColumn("__bkt",
+        pmod(xxhash64(col(idCol)), lit(buckets.toLong)).cast("int")))
+  }
+
+  /** Compact BOTH sides of a minhash stream store in one quiesced job —
+    * the maintenance entry point ([[compactBandStore]] for the probe,
+    * [[compactShingleStore]] for the verify). */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, buckets: Int = 256,
+                          idCol: String = "doc_id"): Unit = {
+    compactBandStore(spark, storePath, buckets)
+    compactShingleStore(spark, storePath, buckets, idCol)
+  }
+
   /** Group stride for the cell store's compacted layout: one partition per
     * exact (tbl, centroid) cell, encoded as tbl·stride + centroid. Cells
     * are bounded by construction (tables × k quantizer parameters), so the
@@ -381,6 +407,20 @@ object StreamingDedup {
       s"$storePath/bands_compact", before, schema,
       buckets => batchBands
         .select(pmod(col("bucket"), lit(buckets.toLong)).cast("int").as("g"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq)
+
+  /** [[readBandStore]]'s verify-side twin: the shingle store pruned to the
+    * id hash-groups of `candIds` (one id column, trigger-bounded). */
+  private[graft] def readShingleStore(spark: org.apache.spark.sql.SparkSession,
+                                      storePath: String, before: Long,
+                                      candIds: DataFrame,
+                                      schema: org.apache.spark.sql.types.StructType,
+                                      idCol: String): DataFrame =
+    readStoreWithCompact(spark, s"$storePath/shingles",
+      s"$storePath/shingles_compact", before, schema,
+      buckets => candIds
+        .select(pmod(xxhash64(col(idCol)), lit(buckets.toLong))
+          .cast("int").as("g"))
         .distinct().collect().map(_.getInt(0)).toIndexedSeq)
 
   /** [[readBandStore]]'s cell-store twin for the embedding stream's `asg`

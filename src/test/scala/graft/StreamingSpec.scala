@@ -293,14 +293,16 @@ class StreamingSpec extends SparkSpecBase {
     }
     val waves = rows.grouped((rows.size + 3) / 4).toSeq
     runWaves(waves.take(2))
-    graft.streaming.StreamingDedup.compactBandStore(spark, store,
+    graft.streaming.StreamingDedup.compactMinhashStore(spark, store,
       buckets = 256)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/bands/batch=0")),
-      "folded raw batch dirs should be retired")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(
-      s"$store/bands_compact/_graft_compact")))
+    for (side <- Seq("bands", "shingles")) {
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/$side/batch=0")),
+        s"folded raw $side dirs should be retired")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$store/${side}_compact/_graft_compact")))
+    }
     runWaves(waves.drop(2))
     val batchPairs = graft.core.CacheScope.scoped {
       Dedup.minHashDedupPairs(docs, w = 3, tau = 0.5, bands = 32,
@@ -325,6 +327,16 @@ class StreamingSpec extends SparkSpecBase {
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*__bkt[^\\]]*\\].*"),
       s"compacted probe scan must prune on __bkt:\n$plan")
+    // same for the verify side: a two-candidate id set prunes the
+    // compacted shingle scan to its id hash-groups
+    val oneIds = docs.limit(2).select(col("doc_id"))
+    val shSchema = Dedup.shingles(docs.limit(1), 3).schema
+    val shProbe = graft.streaming.StreamingDedup.readShingleStore(
+      spark, store, before = waves.size.toLong, oneIds, shSchema, "doc_id")
+    assert(shProbe.count() > 0, "verify probe should hit stored shingles")
+    val shPlan = shProbe.queryExecution.executedPlan.toString
+    assert(shPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*__bkt[^\\]]*\\].*"),
+      s"compacted shingle scan must prune on __bkt:\n$shPlan")
   }
 
   test("band-store compaction: crash mid-swap (parked __old, no published " +
