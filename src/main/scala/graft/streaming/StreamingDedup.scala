@@ -156,11 +156,12 @@ object StreamingDedup {
     * publish-last, replay-idempotent, checkpoint-reset fail-loud);
     * `centroids` is written once by batch 0 — its training is
     * deterministic, so an at-least-once replay of batch 0 rewrites
-    * identical bytes. At ingest volume run [[compactCellStore]] between
-    * stream runs: the asg side re-lays out by exact (tbl, centroid) cell
-    * and the probe prunes to the batch's probed cells (the band
-    * compaction's twin; emissions unchanged across a mid-stream
-    * compaction — StreamingSpec pins it).
+    * identical bytes. At ingest volume run [[compactEmbeddingStore]]
+    * between stream runs: the asg side re-lays out by exact (tbl,
+    * centroid) cell and the probe prunes to the batch's probed cells; the
+    * vecs side by id hash-group and the verify prunes to the candidates'
+    * groups (the minhash compaction's twin; emissions unchanged across a
+    * mid-stream compaction — StreamingSpec pins it).
     */
   def embeddingDedupStream(vecs: DataFrame, storePath: String, tau: Double,
                            k: Int = 64, tables: Int = 12, probes: Int = 1,
@@ -204,18 +205,27 @@ object StreamingDedup {
         // raw batches newer than the last compaction — see compactCellStore
         val storeAsg = readCellStore(spark, storePath, batchId,
           asgB, asgB.schema)
-        val storeVecs = readStore(spark, s"$storePath/vecs", batchId,
-          vB.schema)
         val newSide = asgB.select(col("tbl"), col("centroid"),
           col(idCol).as("id_new"))
         val allSide = storeAsg.unionByName(asgB).select(col("tbl"),
           col("centroid"), col(idCol).as("id_other"))
-        val cand = newSide.join(allSide, Seq("tbl", "centroid"))
-          .filter(col("id_new") =!= col("id_other"))
-          .select(least(col("id_new"), col("id_other")).as("id_a"),
-            greatest(col("id_new"), col("id_other")).as("id_b"))
-          .distinct()
+        // persisted: both verify joins and the id restriction below read
+        // it, and its lineage carries the store probe join
+        val cand = graft.core.CacheScope.track(
+          newSide.join(allSide, Seq("tbl", "centroid"))
+            .filter(col("id_new") =!= col("id_other"))
+            .select(least(col("id_new"), col("id_other")).as("id_a"),
+              greatest(col("id_new"), col("id_other")).as("id_b"))
+            .distinct().persist())
+        cand.count()
+        // vectors only for candidate members; a compacted vec store
+        // additionally prunes the scan to their id hash-groups
+        val candIds = cand.select(col("id_a").as(idCol))
+          .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+        val storeVecs = readVecStore(spark, storePath, batchId,
+          candIds, vB.schema, idCol)
         val allVecs = storeVecs.unionByName(vB)
+          .join(candIds, Seq(idCol), "left_semi")
         val pairs = cand
           .join(allVecs.select(col(idCol).as("id_a"),
             col(vecCol).as("va")), "id_a")
@@ -301,14 +311,35 @@ object StreamingDedup {
     * per exact cell, so a micro-batch's probe reads only its probed cells'
     * dirs instead of every batch ever published (the same layout argument
     * as the stored IVF index's (tbl, centroid) partitioning). Same
-    * incremental/atomic/single-writer contract as the band compaction;
-    * the `vecs` side stays batch-partitioned — its reader is the verify
-    * join, restricted by candidate id. */
+    * incremental/atomic/single-writer contract as the band compaction. */
   def compactCellStore(spark: org.apache.spark.sql.SparkSession,
                        storePath: String): Unit =
     foldStore(spark, s"$storePath/asg", s"$storePath/asg_compact", 0)(
       _.withColumn("__bkt",
         (col("tbl") * lit(CellGroupStride) + col("centroid")).cast("int")))
+
+  /** The `vecs` side's compaction — [[compactShingleStore]]'s embedding
+    * twin: the exact-cosine verify reads vectors only for candidate ids,
+    * so the store folds into id hash-groups and the read prunes to the
+    * candidates' groups. */
+  def compactVecStore(spark: org.apache.spark.sql.SparkSession,
+                      storePath: String, buckets: Int = 256,
+                      idCol: String = "vec_id"): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    foldStore(spark, s"$storePath/vecs", s"$storePath/vecs_compact",
+      buckets)(_.withColumn("__bkt",
+        pmod(xxhash64(col(idCol)), lit(buckets.toLong)).cast("int")))
+  }
+
+  /** Compact BOTH sides of an embedding stream store in one quiesced job
+    * ([[compactCellStore]] for the probe, [[compactVecStore]] for the
+    * verify). */
+  def compactEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String, buckets: Int = 256,
+                            idCol: String = "vec_id"): Unit = {
+    compactCellStore(spark, storePath)
+    compactVecStore(spark, storePath, buckets, idCol)
+  }
 
   /** Shared compaction fold: committed raw `batch=<id>` dirs newer than
     * the recorded `upto`, plus any existing compacted data, rewritten as
@@ -435,6 +466,20 @@ object StreamingDedup {
       s"$storePath/asg_compact", before, schema,
       _ => batchAsg
         .select((col("tbl") * lit(CellGroupStride) + col("centroid"))
+          .cast("int").as("g"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq)
+
+  /** [[readShingleStore]]'s embedding twin: the `vecs` store pruned to the
+    * candidate ids' hash-groups. */
+  private[graft] def readVecStore(spark: org.apache.spark.sql.SparkSession,
+                                  storePath: String, before: Long,
+                                  candIds: DataFrame,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  idCol: String): DataFrame =
+    readStoreWithCompact(spark, s"$storePath/vecs",
+      s"$storePath/vecs_compact", before, schema,
+      buckets => candIds
+        .select(pmod(xxhash64(col(idCol)), lit(buckets.toLong))
           .cast("int").as("g"))
         .distinct().collect().map(_.getInt(0)).toIndexedSeq)
 

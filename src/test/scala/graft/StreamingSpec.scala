@@ -493,13 +493,14 @@ class StreamingSpec extends SparkSpecBase {
       finally q.stop()
     }
     runWaves(batches.take(2))
-    // quiesced compaction between incarnations: asg batch dirs fold into
-    // the exact-cell layout; emissions must be unchanged
-    graft.streaming.StreamingDedup.compactCellStore(spark, store)
+    // quiesced compaction between incarnations: asg folds into the
+    // exact-cell layout, vecs into id hash-groups; emissions unchanged
+    graft.streaming.StreamingDedup.compactEmbeddingStore(spark, store)
     val csFs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!csFs.exists(new org.apache.hadoop.fs.Path(s"$store/asg/batch=0")),
-      "folded raw asg dirs should be retired")
+    for (side <- Seq("asg", "vecs"))
+      assert(!csFs.exists(new org.apache.hadoop.fs.Path(s"$store/$side/batch=0")),
+        s"folded raw $side dirs should be retired")
     runWaves(batches.drop(2))
     // batch twin: candidates under centroids trained on the SAME batch-0
     // rows the stream trained on, exact-verified at the same tau
