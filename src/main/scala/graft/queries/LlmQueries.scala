@@ -384,6 +384,21 @@ object LlmQueries {
       .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
   }
 
+  /** Data-quality audit over the documents table — the expectations gate
+    * before training (null/empty text, metadata-consistency, vocabulary of
+    * the lang column, id uniqueness), all rules in one aggregate pass.
+    * The gate corpus is clean, so violations are zero — the audit's SHAPE
+    * is what the oracle checks; LlmOpsSpec plants violations to verify the
+    * counting. */
+  def dataQuality(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.audit(Tables.documents(s, dir),
+      rowRules = Seq(
+        "null_text" -> col("text").isNull,
+        "empty_text" -> (length(col("text")) === 0),
+        "n_chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
+        "unknown_lang" -> !col("lang").isin("de", "en", "es", "fr", "zh")),
+      uniqueKeys = Seq("doc_id"))
+
   /** Subword-vocabulary induction (tokenizer-training prep): top-200
     * character 2-4-grams by corpus occurrences (token-frequency-weighted),
     * with type spread — all-integer statistics over a total order. */
@@ -469,7 +484,8 @@ object LlmQueries {
     "q75_lm_bigram" -> lmBigram,
     "q76_embedding_clusters" -> embeddingClusters,
     "q77_quality_classifier" -> qualityClassifier,
-    "q78_subword_vocab" -> subwordVocab)
+    "q78_subword_vocab" -> subwordVocab,
+    "q79_data_quality" -> dataQuality)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -577,6 +593,27 @@ object LlmQueries {
     }.mkString(",\n|    ")
 
   val oracles: Map[String, String] = Map(
+    // q79: every rule as a conditional sum over ONE scan, unpivoted — the
+    // NULL-counts-as-violation rule matches Audit.audit's coalesce(…, true)
+    "q79_data_quality" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v_null_text,
+        |  CAST(SUM(CASE WHEN COALESCE(length(text) = 0, TRUE) THEN 1
+        |           ELSE 0 END) AS BIGINT) AS v_empty_text,
+        |  CAST(SUM(CASE WHEN COALESCE(n_chars <> length(text), TRUE) THEN 1
+        |           ELSE 0 END) AS BIGINT) AS v_mismatch,
+        |  CAST(SUM(CASE WHEN COALESCE(lang NOT IN
+        |             ('de', 'en', 'es', 'fr', 'zh'), TRUE) THEN 1
+        |           ELSE 0 END) AS BIGINT) AS v_lang,
+        |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_dup
+        |  FROM documents)
+        |SELECT 'duplicate_doc_id' AS rule, v_dup AS violations,
+        |       total AS n_rows FROM t
+        |UNION ALL SELECT 'empty_text', v_empty_text, total FROM t
+        |UNION ALL SELECT 'n_chars_mismatch', v_mismatch, total FROM t
+        |UNION ALL SELECT 'null_text', v_null_text, total FROM t
+        |UNION ALL SELECT 'unknown_lang', v_lang, total FROM t""".stripMargin,
     // q78: char n-grams of each DISTINCT token, occurrence-weighted by the
     // token's corpus frequency; range(1, len-n+2) is empty when len < n,
     // so DuckDB needs no length guard

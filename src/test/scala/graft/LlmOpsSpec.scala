@@ -864,6 +864,39 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(p50 < p0, s"50 merges must compress the corpus: $p50 !< $p0")
   }
 
+  test("data-quality audit: planted violations counted in one pass; " +
+    "NULL predicate results count as violations") {
+    val fixture = Seq(
+      (1L, "good text", "en", 9L),
+      (1L, "dup id", "en", 6L), // duplicate_doc_id
+      (2L, null.asInstanceOf[String], "en", 0L), // null → trips 3 rules
+      (3L, "", "en", 0L), // empty_text
+      (4L, "abc", "en", 99L), // n_chars_mismatch
+      (5L, "hola", "xx", 4L) // unknown_lang
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.ops.Audit.audit(fixture,
+        rowRules = Seq(
+          "null_text" -> col("text").isNull,
+          "empty_text" -> (length(col("text")) === 0),
+          "n_chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
+          "unknown_lang" -> !col("lang").isin("de", "en", "es", "fr", "zh")),
+        uniqueKeys = Seq("doc_id"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the NULL-text row violates null_text AND (via NULL-result coercion)
+    // empty_text and n_chars_mismatch — an audit must not pass on NULL
+    assert(got("null_text") == ((1L, 6L)))
+    assert(got("empty_text") == ((2L, 6L)))
+    assert(got("n_chars_mismatch") == ((2L, 6L)))
+    assert(got("unknown_lang") == ((1L, 6L)))
+    assert(got("duplicate_doc_id") == ((1L, 6L)))
+    // clean corpus: zero violations everywhere, totals = row count
+    val clean = graft.queries.LlmQueries.dataQuality(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(clean.forall(_._2 == 0L), s"gate corpus should audit clean: ${clean.toSeq}")
+    assert(clean.map(_._3).distinct.toSeq == Seq(docs.count()))
+  }
+
   test("shuffle order: a deterministic permutation that actually permutes") {
     import spark.implicits._
     def run() = graft.llm.TextAnalysis.shuffleOrder(docs)
