@@ -137,10 +137,19 @@ object CurationJob {
         .select("doc_id", "shuffle_rank"), "doc_id")
 
     withLayout.write.mode("overwrite").parquet(s"$outDir/curated")
-    // 6. decontamination audit over the final split: per-eval-doc train
-    //    overlap (the report a release gate reads before shipping the set)
+    // 6. release gates: the decontamination report (per-eval-doc train
+    //    overlap) and the data-quality audit over the SHIPPED layout —
+    //    what a release reads before training starts
     TextAnalysis.contamination(mixed)
       .write.mode("overwrite").parquet(s"$outDir/contamination")
+    graft.ops.Audit.audit(withLayout,
+        rowRules = Seq(
+          "null_text" -> col("text").isNull,
+          "empty_text" -> (length(col("text")) === 0),
+          "bad_split" -> !col("split").isin("train", "val", "test"),
+          "negative_bin" -> (col("bin") < 0)),
+        uniqueKeys = Seq("doc_id", "shuffle_rank"))
+      .write.mode("overwrite").parquet(s"$outDir/audit")
     val stats = Seq(
       ("input", total), ("after_exact_dedup", afterExact),
       ("after_near_dedup", nAfterNear), ("after_chunk_rewrite", nAfterChunk),
