@@ -1,0 +1,211 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval — the BM25 complement of the dense ANN stack
+  * (brute/LSH/IVF/PQ in [[Similarity]]), plus reciprocal-rank fusion to
+  * combine the two. Retrieval is a first-class curation stage: targeted
+  * decontamination, quality probes ("find the docs that look like X"),
+  * and hybrid search over a corpus all start from a term-scored ranking.
+  *
+  * 100 TB posture: the corpus is scanned once per statistic with the
+  * query-term filter pushed into the scan (a literal IN over a handful of
+  * terms — tf rows exist only for matching occurrences), document
+  * frequencies of the query terms are a broadcast-sized relation by
+  * construction, and the final top-k per query runs through the O(k)-state
+  * bounded aggregate ([[graft.ops.Scale.TopKPayloadAgg]]), never a
+  * per-query window sort over the candidate set. Nothing is all-pairs;
+  * the heavy relation is (docs containing a query term) × (their matched
+  * terms), which is the inverted-index posting volume a dedicated engine
+  * would read — here produced by scan + hash aggregate.
+  *
+  * Scoring determinism (the oracle-gate constraint, see q80): BM25's only
+  * transcendental is the idf log. IEEE 754 requires exact rounding for
+  * `+ - * /` but not for `ln`, so a cross-engine float-equality gate
+  * cannot use libm. `OddsIdf` therefore scores with the raw
+  * Robertson–Spärck-Jones odds `(N − df + ½)/(df + ½)` — exact integers
+  * in, ONE division out (the q53 rational-score rule) — while `LogIdf`
+  * is the production Lucene-shaped `ln(1 + odds)`, verified in-JVM by
+  * RetrievalSpec instead of cross-engine. Per-term contributions are
+  * summed by an ORDERED fold (sort by term, then left fold) on both
+  * engines, so the order-sensitive double sum is bit-identical without
+  * any rounding.
+  */
+object Retrieval {
+
+  sealed trait IdfMode
+  /** `ln(1 + (N − df + ½)/(df + ½))` — production scoring (Lucene BM25). */
+  case object LogIdf extends IdfMode
+  /** `(N − df + ½)/(df + ½)` — log-free, cross-engine bit-deterministic. */
+  case object OddsIdf extends IdfMode
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** The gate's literal query set (q80/q81) — defined once here and
+    * interpolated into the DuckDB oracle by LlmQueries so plan and oracle
+    * cannot drift. Query 1 carries a term absent from the corpus
+    * ("latency"): unmatched terms must contribute nothing. Query 2 pairs
+    * the one rare corpus term ("dup", df ≈ 5%) with a saturated one —
+    * the idf contrast the ranking must reflect.
+    */
+  val DefaultQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join"),
+    1L -> Seq("stream", "window", "latency"),
+    2L -> Seq("dup", "scan"),
+    3L -> Seq("customer", "order", "line"),
+    4L -> Seq("slow", "query", "the"))
+
+  /** Per-(query, doc) BM25 score over every document matching ≥ 1 query
+    * term. Queries are (id, terms) literals — duplicate terms within one
+    * query are collapsed (unit query-term weight, the common engine
+    * default). Output: (query_id, doc_id, score).
+    *
+    * Plan shape: because the query terms are plan-time literals, per-term
+    * tf is a per-ROW array expression (no tf groupBy), the document
+    * frequencies collapse into the same single-row corpus-stats aggregate
+    * (one `sum(array_contains(...))` per term — no df shuffle either), and
+    * each query's score is a fixed-association literal expression chain.
+    * The whole relation is scan → broadcast 1-row stats → projection:
+    * zero data shuffles.
+    *
+    * Determinism: the score chain adds the per-term contributions in
+    * SORTED-term order, `when(tf > 0, contrib).otherwise(0.0)` per term.
+    * Adding literal 0.0 is the IEEE identity on the (strictly positive)
+    * partial sums, so the result is bit-identical to the oracle's fold
+    * over only the PRESENT terms in sorted order.
+    */
+  def bm25Scores(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                 k1: Double = DefaultK1, b: Double = DefaultB,
+                 idf: IdfMode = OddsIdf,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct.sorted
+
+    // ONE tokenize pass: per-doc length + the query-term occurrences (the
+    // posting payload an inverted index would store — a terms/vocabulary
+    // slice of the corpus: ids, lengths, matched tokens, never the text).
+    // Persisted because the stats aggregate and the scoring projection
+    // both read it; without the cache each consumer re-runs the regex
+    // tokenizer over the full corpus (measured 2× the query cost at sf0.1)
+    val toksOfText = TextAnalysis.tokens(col(textCol))
+    val base = graft.core.CacheScope.track(docs.select(
+      col(idCol).as("doc_id"),
+      coalesce(size(toksOfText), lit(0)).as("dl"),
+      filter(toksOfText, t => t.isin(terms.map(lit): _*)).as("qtoks"))
+      .persist())
+    base.count() // eager: stats + scoring both read it
+
+    // corpus scalars AND every term's document frequency in one 1-row
+    // aggregate (map-side partial, no shuffle of data rows)
+    val statCols = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("tot_tokens") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("qtoks"), t).cast("long")).as(s"df_$i")
+      }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+
+    // every float op below is an IEEE-exact +,-,*,/ (except LogIdf's ln);
+    // the expression TREE mirrors the oracle SQL literally — association
+    // order included — so each per-term contribution is bit-identical
+    val avgdl = col("tot_tokens").cast("double") / col("n_docs").cast("double")
+    def idfOf(i: Int): Column = {
+      val odds = (col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)
+      val oddsIdf = odds / (col(s"df_$i").cast("double") + lit(0.5))
+      idf match {
+        case OddsIdf => oddsIdf
+        case LogIdf  => log(lit(1.0) + oddsIdf)
+      }
+    }
+    def tfOf(t: String): Column =
+      size(filter(col("qtoks"), x => x === lit(t)))
+    def contribOf(t: String): Column = {
+      val i = terms.indexOf(t)
+      val tfD = tfOf(t).cast("double")
+      when(tfOf(t) > 0,
+        idfOf(i) * ((tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (col("dl").cast("double") / avgdl))))).otherwise(lit(0.0))
+    }
+    // one struct per query: (query_id, matched-term count, score chain in
+    // sorted-term order) — exploded into the (query, doc, score) relation,
+    // docs matching no term of the query dropped by the integer filter
+    val perQuery = queries.map { case (qid, ts) =>
+      val qts = ts.distinct.sorted
+      struct(
+        lit(qid).as("query_id"),
+        qts.map(tfOf).reduce(_ + _).as("matched"),
+        qts.map(contribOf).reduce(_ + _).as("score"))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .filter(col("q.matched") > 0)
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.score").as("score"))
+  }
+
+  /** BM25 top-k per query: (query_id, doc_id, score, rnk), rnk by
+    * (score desc, doc_id asc). One bounded O(k)-state aggregate carries
+    * (score, doc) pairs, so rank AND score come out of the aggregate's
+    * explode position — no per-query window sort over the candidate set,
+    * no rejoin (the q68/q72 refine lesson, one step further).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+               k: Int = 10,
+               k1: Double = DefaultK1, b: Double = DefaultB,
+               idf: IdfMode = OddsIdf,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val scored = bm25Scores(docs, queries, k1, b, idf, idCol, textCol)
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, (r._3, r._2)))
+      .agg(graft.ops.Scale.topKScoredLongColumn(k).name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p._2").as("doc_id"),
+        col("p._1").as("score"), (col("i") + 1).cast("long").as("rnk"))
+  }
+
+  /** Reciprocal-rank fusion over n rankings (Cormack et al.): fused(d) =
+    * Σᵢ 1/(c + rankᵢ(d)), items missing from a ranking contribute 0. The
+    * standard hybrid-retrieval combiner — rank-based, so the sparse and
+    * dense score scales never need calibrating against each other.
+    *
+    * Inputs: each (query_id, doc_id, rnk); ranks are exact integers, each
+    * term is ONE IEEE division, and the fold across rankings follows the
+    * given sequence order — deterministic, no rounding. Output:
+    * (query_id, doc_id, the per-source ranks (0 = absent), rrf, rnk).
+    *
+    * Scale: each input is already a top-k relation (≤ k·|queries| rows) —
+    * the fusion join is broadcast-sized no matter the corpus behind it.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], c: Double = 60.0,
+              k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val keyed = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("rnk").cast("long").as(s"rnk_$i"))
+    }
+    val joined = keyed.reduce(_.join(_, Seq("query_id", "doc_id"),
+      "full_outer"))
+    val rrf = keyed.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(c) + col(s"rnk_$i").cast("double")), lit(0.0)))
+      .reduce(_ + _) // left fold: fixed association order on both engines
+    val absent0 = keyed.indices.map(i =>
+      coalesce(col(s"rnk_$i"), lit(0L)).as(s"rnk_$i"))
+    joined
+      .select(col("query_id") +: col("doc_id") +: absent0 :+ rrf.as("rrf"): _*)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

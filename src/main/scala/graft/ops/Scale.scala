@@ -142,6 +142,15 @@ object Scale {
   : TypedColumn[(Double, Long), Seq[Long]] =
     new TopKLongAgg(k, distinctPayloads).toColumn
 
+  /** (score, id)-payload top-K — the retrieval shape: rank AND score come
+    * back from one bounded aggregate (posexplode position = rank), so a
+    * top-k that must emit its scores needs neither a rejoin to recover
+    * them nor a rank window. Tie order matches the id-only form: score
+    * desc, then id asc (the payload tuple's own ordering at equal score). */
+  def topKScoredLongColumn(k: Int)
+  : TypedColumn[(Double, (Double, Long)), Seq[(Double, Long)]] =
+    new TopKPayloadAgg[(Double, Long)](k).toColumn
+
   /** Mergeable Misra-Gries heavy-hitters summary: at most `k` (item, count)
     * counters per aggregation buffer, so finding the frequent items of an
     * unbounded stream costs O(k) state — the frequency counterpart of the

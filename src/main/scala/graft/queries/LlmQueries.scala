@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline operator queries (north-star surface):
   * dedup family, embedding similarity search, text analysis, multimodal
@@ -399,6 +399,26 @@ object LlmQueries {
         "unknown_lang" -> !col("lang").isin("de", "en", "es", "fr", "zh")),
       uniqueKeys = Seq("doc_id"))
 
+  /** BM25 sparse top-10 over the literal gate query set — odds-idf
+    * portable scoring (the cross-engine-deterministic variant; LogIdf is
+    * the production form, RetrievalSpec-verified in-JVM). */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, dir), Retrieval.DefaultQueries,
+      k = 10)
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with the
+    * exact-cosine dense ranking over the same query ids (the test corpus
+    * aligns doc_id ↔ vec_id, the q73 cross-modal convention). */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val sparse = Retrieval.bm25TopK(Tables.documents(s, dir),
+      Retrieval.DefaultQueries, k = 10)
+    val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), k = 10)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    Retrieval.rrfFuse(Seq(sparse, dense), c = 60.0, k = 10)
+  }
+
   /** Subword-vocabulary induction (tokenizer-training prep): top-200
     * character 2-4-grams by corpus occurrences (token-frequency-weighted),
     * with type spread — all-integer statistics over a total order. */
@@ -485,7 +505,9 @@ object LlmQueries {
     "q76_embedding_clusters" -> embeddingClusters,
     "q77_quality_classifier" -> qualityClassifier,
     "q78_subword_vocab" -> subwordVocab,
-    "q79_data_quality" -> dataQuality)
+    "q79_data_quality" -> dataQuality,
+    "q80_bm25_topk" -> bm25TopK,
+    "q81_rrf_fusion" -> rrfFusion)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -556,6 +578,56 @@ object LlmQueries {
       |                          ORDER BY dp / (nq * nc) DESC, neighbor_id) AS rnk
       |FROM dots QUALIFY rnk <= 5""".stripMargin
 
+  /** q80/q81's BM25 pipeline CTE chain — query terms, k1/b parameters, and
+    * the association order of every float operation interpolated from the
+    * SAME constants the Spark plan uses (Retrieval.DefaultQueries/K1/B), so
+    * plan and oracle cannot drift. Every float op is an IEEE-exact
+    * `+ - * /` (odds idf — no libm log), and the per-(query, doc) term sum
+    * mirrors Retrieval's ordered fold (sort the (term, contribution)
+    * structs, left-fold the sum) — bit-identical without rounding. */
+  private val bm25Ctes: String = {
+    val qvals = Retrieval.DefaultQueries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val terms = Retrieval.DefaultQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    // Double.toString round-trips exactly, so DuckDB parses the identical
+    // doubles the Spark literals hold (the q70 planes precedent)
+    val k1 = Retrieval.DefaultK1.toString
+    val k1p1 = (Retrieval.DefaultK1 + 1.0).toString
+    val bP = Retrieval.DefaultB.toString
+    val oneMb = (1.0 - Retrieval.DefaultB).toString
+    s"""qz(query_id, tok) AS (VALUES $qvals),
+      |tz AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |stz AS (SELECT COUNT(*) AS n_docs,
+      |          CAST(SUM(COALESCE(len(w), 0)) AS BIGINT) AS tot FROM tz),
+      |occz AS (SELECT doc_id, COALESCE(len(w), 0) AS dl, unnest(w) AS tok
+      |         FROM tz),
+      |tfz AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM occz
+      |        WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+      |dfz AS (SELECT tok, COUNT(*) AS df FROM tfz GROUP BY 1),
+      |scz AS (SELECT query_id, doc_id, tok,
+      |          ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |           (CAST(df AS DOUBLE) + 0.5)) *
+      |          ((CAST(tf AS DOUBLE) * $k1p1) /
+      |           (CAST(tf AS DOUBLE) + $k1 * ($oneMb + $bP *
+      |            (CAST(dl AS DOUBLE) /
+      |             (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+      |        FROM tfz JOIN dfz USING (tok) JOIN qz USING (tok)
+      |        CROSS JOIN stz),
+      |agz AS (SELECT query_id, doc_id,
+      |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |            list_transform(
+      |              list_sort(list(struct_pack(t := tok, c := contrib))),
+      |              s -> s.c)),
+      |            (a, b) -> a + b) AS score
+      |        FROM scz GROUP BY 1, 2),
+      |spz AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                 ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      |        FROM agz QUALIFY rnk <= 10)""".stripMargin
+  }
+
   /** Shared 5-gram shingle CTE (q61/q62): w[i..i+4] over the token array,
     * complete shingles only — matches Dedup.shingles(w = 5). */
   private val sh5Ctes: String =
@@ -593,6 +665,46 @@ object LlmQueries {
     }.mkString(",\n|    ")
 
   val oracles: Map[String, String] = Map(
+    "q80_bm25_topk" ->
+      s"""WITH $bm25Ctes
+        |SELECT query_id, doc_id, score, rnk FROM spz""".stripMargin,
+    // q81: the q80 sparse ranking fused with the q32-shaped exact-cosine
+    // dense ranking (vec_id < 5, k = 10) by reciprocal rank — each RRF
+    // term is ONE IEEE division on an exact integer rank, summed in fixed
+    // (sparse, dense) order
+    "q81_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+        |qdz AS (SELECT vec_id AS query_id, embedding AS qe
+        |        FROM embeddings WHERE vec_id < 5),
+        |cdz AS (SELECT vec_id AS neighbor_id, embedding AS ce
+        |        FROM embeddings),
+        |dotz AS (SELECT query_id, neighbor_id,
+        |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+        |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        |             AS nq,
+        |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+        |             AS nc
+        |         FROM qdz, cdz, UNNEST(range(1, len(qe) + 1)) AS t(i)
+        |         WHERE query_id <> neighbor_id
+        |         GROUP BY query_id, neighbor_id),
+        |dnz AS (SELECT query_id, neighbor_id AS doc_id,
+        |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                 ORDER BY dp / (nq * nc) DESC, neighbor_id)
+        |               AS BIGINT) AS rnk
+        |        FROM dotz QUALIFY rnk <= 10),
+        |fuz AS (SELECT COALESCE(spz.query_id, dnz.query_id) AS query_id,
+        |          COALESCE(spz.doc_id, dnz.doc_id) AS doc_id,
+        |          CAST(COALESCE(spz.rnk, 0) AS BIGINT) AS rnk_0,
+        |          CAST(COALESCE(dnz.rnk, 0) AS BIGINT) AS rnk_1,
+        |          COALESCE(1.0 / (60.0 + CAST(spz.rnk AS DOUBLE)), 0.0) +
+        |          COALESCE(1.0 / (60.0 + CAST(dnz.rnk AS DOUBLE)), 0.0)
+        |            AS rrf
+        |        FROM spz FULL OUTER JOIN dnz
+        |          ON spz.query_id = dnz.query_id AND spz.doc_id = dnz.doc_id)
+        |SELECT query_id, doc_id, rnk_0, rnk_1, rrf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+        |FROM fuz QUALIFY rnk <= 10""".stripMargin,
     // q79: every rule as a conditional sum over ONE scan, unpivoted — the
     // NULL-counts-as-violation rule matches Audit.audit's coalesce(…, true)
     "q79_data_quality" ->

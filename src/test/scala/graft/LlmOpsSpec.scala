@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity}
 
 /** LLM-operator behavior tests: LSH candidate recall vs exact ground truth,
   * SimHash near-dup detection, ANN recall vs brute force, multimodal
@@ -964,5 +964,85 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(frames.nonEmpty && frames.forall(_.frameBytes.length <= 1024))
     val resized = Multimodal.resize(media, targetW = 64, targetH = 64).collect()
     assert(resized.forall(_.content.length == 64 * 64 / 16))
+  }
+
+  test("BM25: tf raises, length penalizes, unmatched terms contribute " +
+    "nothing; production log-idf matches a from-first-principles reference") {
+    val fixture = Seq(
+      (1L, "dup dup dup x1 x2 x3"), // rare-term tf 3
+      (2L, "dup x1 x2 x3 x4 x5"), // rare-term tf 1, same length
+      (3L, "x1 x2 x3 x4 x5 x6"), // no rare term
+      (5L, "dup y1"), // short doc, tf 1
+      (6L, "dup y1 y2 y3 y4 y5 y6 y7"), // long doc, tf 1
+      (7L, "x1 x1 x2 x3 y1 y2"),
+      (8L, "x2 x3 x4 y1 y2 y3"))
+    val d = fixture.toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("dup"), 1L -> Seq("dup", "zzz_absent"),
+      2L -> Seq("x1"))
+    val out = Retrieval.bm25Scores(d, queries, idf = Retrieval.LogIdf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, id, sc) => (q, id) -> sc }.toMap
+    // tf monotone at equal length; docs without the term never appear
+    assert(out((0L, 1L)) > out((0L, 2L)))
+    assert(!out.contains((0L, 3L)))
+    // length normalization: same tf, shorter doc wins
+    assert(out((0L, 5L)) > out((0L, 6L)))
+    // a query term absent from the corpus changes no score
+    assert(queries.head._2.forall(_ => out.keys.filter(_._1 == 0L).forall(
+      k => out(k) == out((1L, k._2)))))
+    // from-first-principles reference (plain Scala collections — a
+    // different code path than the column expressions)
+    val toks = fixture.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length).sum / n
+    def ref(term: String, id: Long): Double = {
+      val tf = toks.find(_._1 == id).get._2.count(_ == term).toDouble
+      val df = toks.count(_._2.contains(term)).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val dl = toks.find(_._1 == id).get._2.length.toDouble
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    for (((q, id), sc) <- out if q == 0L)
+      assert(math.abs(sc - ref("dup", id)) < 1e-12,
+        s"doc $id: $sc vs ${ref("dup", id)}")
+  }
+
+  test("BM25 top-k bounded selection equals the full window rank on the " +
+    "gate corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Retrieval.bm25Scores(docs, Retrieval.DefaultQueries)
+    val windowed = scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val bounded = Retrieval.bm25TopK(docs, Retrieval.DefaultQueries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(bounded == windowed)
+    assert(bounded.groupBy(_._1).forall(_._2.size == 10))
+  }
+
+  test("RRF fusion: items on both lists outrank single-list items; absent " +
+    "ranks surface as 0; k truncates") {
+    val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val dense = Seq((0L, 11L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    val fused = Retrieval.rrfFuse(Seq(sparse, dense))
+      .select("query_id", "doc_id", "rnk_0", "rnk_1", "rrf", "rnk")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+      .sortBy(_._6)
+    // 11 is on both lists (1/62 + 1/61) and beats 10 (1/61), which beats
+    // 13 (1/62), which beats 12 (1/63)
+    assert(fused.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L))
+    val by = fused.map(r => r._2 -> r).toMap
+    assert(by(11L)._3 == 2L && by(11L)._4 == 1L)
+    assert(by(10L)._3 == 1L && by(10L)._4 == 0L) // absent from dense → 0
+    assert(by(13L)._3 == 0L && by(13L)._4 == 2L)
+    assert(math.abs(by(11L)._5 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    // k truncation keeps the best k per query
+    val top2 = Retrieval.rrfFuse(Seq(sparse, dense), k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top2 == Set(11L, 10L))
   }
 }

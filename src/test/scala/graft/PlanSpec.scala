@@ -158,4 +158,35 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"),
       s"no single-task stage in the vocab fan-out:\n$p")
   }
+
+  test("q80 BM25 scores with zero data shuffles: literal-term tf is a row " +
+    "expression, df folds into the broadcast 1-row stats, top-k is the " +
+    "bounded aggregate — no rank window, no sort, one exchange") {
+    val p = planOf("q80_bm25_topk")
+    assert(!p.contains("Window"),
+      s"top-k must be the bounded aggregate, not a rank window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Sort "),
+      s"BM25 must not sort anything:\n$p")
+    // the only data shuffle is the top-k aggregate's query_id exchange
+    // (the stats row reduces through a SinglePartition exchange of one
+    // partial row per task — scalar, not data)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"only the top-k aggregate may shuffle data rows:\n$p")
+    assert(!p.contains("lang#") && !p.contains("source#"),
+      s"scan must prune to doc_id + text:\n$p")
+  }
+
+  test("q81 RRF fusion: both join inputs are already top-k-bounded, the " +
+    "scans stay pruned, nothing goes cartesian") {
+    val p = planOf("q81_rrf_fusion")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must join on (query_id, doc_id):\n$p")
+    assert(!p.contains("lang#"),
+      s"document scan must prune to doc_id + text:\n$p")
+    // the fusion join itself is full-outer over two ≤ k·|Q|-row inputs —
+    // the merge join + rank window above it never see corpus-sized data,
+    // and the corpus-sized stages below are the q80/q32 shapes locked
+    // elsewhere
+    assert(p.contains("FullOuter"), s"rank lists must full-outer join:\n$p")
+  }
 }
