@@ -178,6 +178,70 @@ object Dedup {
         coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** OVERLAPPING-window exact-substring dedup rewrite — the span removal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (the ExactSubstr pass), at fixed window granularity. Where
+    * [[chunkDedupRewrite]] tiles documents into disjoint chunks (a repeated
+    * span straddling a tile boundary survives), here EVERY w-token window
+    * at every start position is a candidate: a window occurrence whose
+    * identical text occurs earlier in the corpus (first = min (doc, start),
+    * the same canonical rule as chunks) marks all w of its token positions,
+    * and the rewrite keeps each document's unmarked positions in order —
+    * so a duplicated span of any length ≥ w is removed wherever it sits.
+    *
+    * Contract (the q74 lesson, applied from the start): every input
+    * document returns exactly once — empty/whitespace-only docs and docs
+    * shorter than one window come back untouched with n_removed = 0.
+    * Output: (id, n_tokens, n_removed, text).
+    *
+    * 100 TB posture: the window fan-out is projection-only (stride-1 ×w
+    * rows instead of the tiling's ×1 — the price of span-granularity
+    * exactness; Lee et al. pay a suffix array for the same reason);
+    * first-occurrence is an aggregate on the window text, never a window
+    * function (a hot boilerplate span = one aggregate row); removal
+    * marking joins each doc's SORTED duplicate-start array back (bounded
+    * by document length) and evaluates as a per-row array expression — no
+    * per-position shuffle. At warehouse scale hash the window text to 16
+    * bytes for the shuffle key ([[exactCanonicalByHash]]'s narrow-shuffle
+    * trick).
+    */
+  def substringDedupRewrite(docs: DataFrame, w: Int = 8,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val base = graft.core.CacheScope.track(docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__w")).persist())
+    base.count() // eager: the window fan-out and the rewrite both read it
+    val wins = base
+      .filter(coalesce(size(col("__w")), lit(0)) >= w)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $w)," +
+          s" s -> array_join(slice(__w, s + 1, $w), ' '))"))
+        .as(Seq("s", "win")))
+    val firsts = wins.groupBy("win").agg(
+      min(struct(col(idCol), col("s"))).as("__first"),
+      count(lit(1)).as("__cnt"))
+    val dupStarts = wins.join(firsts, "win")
+      .filter(col("__cnt") > 1 &&
+        !(struct(col(idCol), col("s")) === col("__first")))
+      .select(col(idCol), col("s"))
+    val perDoc = dupStarts.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("s"))).as("__ds"))
+    val emptyInts = array().cast("array<int>")
+    base.join(perDoc, Seq(idCol), "left")
+      .withColumn("__dsn", coalesce(col("__ds"), emptyInts))
+      .withColumn("__kept", when(coalesce(size(col("__w")), lit(0)) > 0,
+        // position p is removed iff some duplicate window start covers it
+        expr(s"filter(sequence(0, size(__w) - 1)," +
+          s" p -> NOT exists(__dsn, s -> s <= p AND p <= s + ${w - 1}))"))
+        .otherwise(emptyInts))
+      .select(col(idCol),
+        coalesce(size(col("__w")), lit(0)).cast("long").as("n_tokens"),
+        (coalesce(size(col("__w")), lit(0)) - size(col("__kept")))
+          .cast("long").as("n_removed"),
+        array_join(transform(col("__kept"),
+          p => element_at(col("__w"), p + 1)), " ").as(textCol))
+  }
+
   /** Cross-document repeated spans — the C4/RefinedWeb boilerplate
     * primitive: w-gram shingles occurring in at least `minDocs` distinct
     * documents, ranked by spread. Random text shares essentially no long

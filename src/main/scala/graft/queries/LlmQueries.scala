@@ -399,6 +399,12 @@ object LlmQueries {
         "unknown_lang" -> !col("lang").isin("de", "en", "es", "fr", "zh")),
       uniqueKeys = Seq("doc_id"))
 
+  /** Overlapping-window exact-substring dedup rewrite (w = 8) — the
+    * Lee-et-al span removal at window granularity; left-anchored, every
+    * input document returns exactly once. */
+  def substringRewrite(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedupRewrite(Tables.documents(s, dir), w = 8)
+
   /** BM25 sparse top-10 over the literal gate query set — odds-idf
     * portable scoring (the cross-engine-deterministic variant; LogIdf is
     * the production form, RetrievalSpec-verified in-JVM). */
@@ -507,7 +513,8 @@ object LlmQueries {
     "q78_subword_vocab" -> subwordVocab,
     "q79_data_quality" -> dataQuality,
     "q80_bm25_topk" -> bm25TopK,
-    "q81_rrf_fusion" -> rrfFusion)
+    "q81_rrf_fusion" -> rrfFusion,
+    "q82_substring_rewrite" -> substringRewrite)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -665,6 +672,33 @@ object LlmQueries {
     }.mkString(",\n|    ")
 
   val oracles: Map[String, String] = Map(
+    // q82: stride-1 windows (i-1 = 0-based start), duplicate = rn > 1 in
+    // (doc, start) order (the q67 canonical rule), removal = any duplicate
+    // start covering the position — all-integer arithmetic end to end
+    "q82_substring_rewrite" ->
+      s"""WITH tb2 AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |wn2 AS (SELECT doc_id, i - 1 AS s,
+        |          array_to_string(list_slice(w, i, i + 7), ' ') AS win
+        |        FROM tb2, UNNEST(range(1, len(w) - 6)) AS t(i)),
+        |rx2 AS (SELECT doc_id, s,
+        |          ROW_NUMBER() OVER (PARTITION BY win
+        |                             ORDER BY doc_id, s) AS rn
+        |        FROM wn2),
+        |dsx2 AS (SELECT doc_id, list_sort(list(s)) AS ds
+        |         FROM rx2 WHERE rn > 1 GROUP BY doc_id),
+        |fin2 AS (SELECT tb2.doc_id, COALESCE(len(w), 0) AS n_tokens,
+        |           COALESCE(ds, []) AS dsn, COALESCE(w, []) AS wn
+        |         FROM tb2 LEFT JOIN dsx2 USING (doc_id)),
+        |kp2 AS (SELECT doc_id, n_tokens, wn,
+        |          list_filter(range(0, n_tokens), p ->
+        |            len(list_filter(dsn, s -> s <= p AND p <= s + 7)) = 0)
+        |            AS kept
+        |        FROM fin2)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(list_transform(kept, p -> wn[p + 1]),
+        |                           ' '), '') AS text
+        |FROM kp2""".stripMargin,
     "q80_bm25_topk" ->
       s"""WITH $bm25Ctes
         |SELECT query_id, doc_id, score, rnk FROM spz""".stripMargin,

@@ -966,6 +966,29 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(resized.forall(_.content.length == 64 * 64 / 16))
   }
 
+  test("substring rewrite: a shared 8-gram is cut from the later doc only; " +
+    "self-repetition collapses; short/empty docs return untouched") {
+    val span = "a b c d e f g h" // the duplicated 8-token span
+    val fixture = Seq(
+      (1L, s"$span tail1 tail2"), // first occurrence — keeps everything
+      (2L, s"x y $span z"), // later occurrence — span removed
+      (3L, "p q r s t u v"), // 7 tokens: below one window
+      (4L, ""), // empty
+      (5L, ("r1 r2 r3 r4 r5 r6 r7 r8 " * 2).trim)) // self-repeat
+    val out = Dedup.substringDedupRewrite(
+        fixture.toDF("doc_id", "text"), w = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 5, "every input doc returns exactly once")
+    assert(out(1L) == ((1L, 10L, 0L, s"$span tail1 tail2")))
+    assert(out(2L) == ((2L, 11L, 8L, "x y z")))
+    assert(out(3L) == ((3L, 7L, 0L, "p q r s t u v")))
+    assert(out(4L) == ((4L, 0L, 0L, "")))
+    // within-doc repeat: the second copy (starts 8..15) is removed; the
+    // seam windows (starts 1..7) are unique and mark nothing
+    assert(out(5L) == ((5L, 16L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8")))
+  }
+
   test("BM25: tf raises, length penalizes, unmatched terms contribute " +
     "nothing; production log-idf matches a from-first-principles reference") {
     val fixture = Seq(
