@@ -146,19 +146,12 @@ object Retrieval {
         col("q.score").as("score"))
   }
 
-  /** BM25 top-k per query: (query_id, doc_id, score, rnk), rnk by
-    * (score desc, doc_id asc). One bounded O(k)-state aggregate carries
-    * (score, doc) pairs, so rank AND score come out of the aggregate's
-    * explode position — no per-query window sort over the candidate set,
-    * no rejoin (the q68/q72 refine lesson, one step further).
-    */
-  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
-               k: Int = 10,
-               k1: Double = DefaultK1, b: Double = DefaultB,
-               idf: IdfMode = OddsIdf,
-               idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
-    val scored = bm25Scores(docs, queries, k1, b, idf, idCol, textCol)
+  /** Per-query bounded top-k over a (query_id, doc_id, score) relation:
+    * one O(k)-state aggregate carries (score, doc) pairs, so rank AND
+    * score come out of the explode position — no per-query window sort
+    * over the candidate set, no rejoin (the q68/q72 refine lesson, one
+    * step further). Order: score desc, doc_id asc. */
+  private def topKScored(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.select(col("query_id").cast("long"), col("doc_id").cast("long"),
@@ -171,6 +164,185 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
       .select(col("query_id"), col("p._2").as("doc_id"),
         col("p._1").as("score"), (col("i") + 1).cast("long").as("rnk"))
+  }
+
+  /** BM25 top-k per query: (query_id, doc_id, score, rnk), rnk by
+    * (score desc, doc_id asc), via the bounded scored aggregate.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+               k: Int = 10,
+               k1: Double = DefaultK1, b: Double = DefaultB,
+               idf: IdfMode = OddsIdf,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    topKScored(bm25Scores(docs, queries, k1, b, idf, idCol, textCol), k)
+
+  // ------------------- stored inverted index -------------------
+
+  /** Persist an inverted index over the corpus — the sparse twin of the
+    * stored ANN indexes ([[Similarity.writeIvfPqIndex]]): search any query
+    * set later without re-tokenizing the corpus. Layout under `path`:
+    *
+    *   stats/     one row: (n_docs, tot_tokens, groups) — the BM25 corpus
+    *              scalars plus the sharding parameter
+    *   postings/  (tok, doc_id, dl, tf) PARTITIONED BY grp =
+    *              fingerprint(tok) mod groups
+    *
+    * Term-GROUP sharding instead of one partition dir per term: a web-scale
+    * dictionary holds millions of distinct tokens (directory explosion),
+    * but a query still prunes to ≤ |query terms| of the `groups` dirs —
+    * the same bucket-group trade as the streaming band store's compaction
+    * layout. Document frequencies are NOT a separate artifact: df of a
+    * query term is a count over its (pruned) posting list, so appends keep
+    * df consistent for free. Group assignment hashes the DISTINCT-token
+    * table, not the posting stream (the q77 vocabulary-not-occurrences
+    * lesson). All artifacts swap atomically under the store protocol;
+    * single-writer, like every store in the repo.
+    */
+  def writeInvertedIndex(docs: DataFrame, path: String, groups: Int = 64,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val toksOfText = TextAnalysis.tokens(col(textCol))
+    val base = graft.core.CacheScope.track(docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(size(toksOfText), lit(0)).as("dl"),
+      toksOfText.as("toks")).persist())
+    base.count() // eager: stats and postings both read it
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    graft.sinks.Sinks.recoverOld(fs, oldP, hp)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    fs.delete(tmp, true)
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+      .withColumn("groups", lit(groups))
+      .repartition(1).write.parquet(s"$tmp/stats")
+    invPostingRows(base, groups)
+      .repartition(col("grp")) // one file per group dir, not one per task
+      .write.partitionBy("grp").parquet(s"$tmp/postings")
+    if (fs.exists(hp)) graft.sinks.Sinks.renameOrThrow(fs, hp, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmp, hp)
+    fs.delete(oldP, true)
+  }
+
+  /** Posting rows (tok, doc_id, dl, tf, grp) from a (doc_id, dl, toks)
+    * base: tf aggregate, then group assignment joined from the hashed
+    * DISTINCT-token table. */
+  private def invPostingRows(base: DataFrame, groups: Int): DataFrame = {
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val vocabGrp = tf.select("tok").distinct()
+      .withColumn("grp",
+        pmod(TextAnalysis.fingerprint(col("tok")), lit(groups.toLong))
+          .cast("int"))
+    tf.join(broadcast(vocabGrp), "tok")
+  }
+
+  /** Append a document batch to a stored inverted index — the daily-ingest
+    * path: the batch's postings land in the existing group dirs (same
+    * fingerprint sharding, read from stats), then the stats row is
+    * atomically rewritten with the batch's counts folded in. Fails loud
+    * when no index exists. Batch ids must be new to the index (same
+    * contract as the signature stores); a crash between the posting write
+    * and the stats swap leaves the index searchable with stale scalars —
+    * re-run the LAST append only after checking for duplicate ids.
+    */
+  def appendInvertedIndex(batch: DataFrame, path: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val st =
+      try spark.read.parquet(s"$path/stats").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"appendInvertedIndex: no index at $path (write one with " +
+              s"writeInvertedIndex first): ${e.getMessage}")
+      }
+    val groups = st.getAs[Int]("groups")
+    val toksOfText = TextAnalysis.tokens(col(textCol))
+    val base = graft.core.CacheScope.track(batch.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(size(toksOfText), lit(0)).as("dl"),
+      toksOfText.as("toks")).persist())
+    base.count()
+    invPostingRows(base, groups)
+      .repartition(col("grp"))
+      .write.partitionBy("grp").mode("append").parquet(s"$path/postings")
+    val add = base.agg(count(lit(1)), sum(col("dl"))).head()
+    val statsP = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/stats__old")
+    graft.sinks.Sinks.recoverOld(fs, oldP, statsP)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats__tmp")
+    fs.delete(tmp, true)
+    spark.range(1).select(
+        lit(st.getAs[Long]("n_docs") + add.getLong(0)).as("n_docs"),
+        lit(st.getAs[Long]("tot_tokens") + add.getLong(1)).as("tot_tokens"),
+        lit(groups).as("groups"))
+      .repartition(1).write.parquet(tmp.toString)
+    graft.sinks.Sinks.renameOrThrow(fs, statsP, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmp, statsP)
+    fs.delete(oldP, true)
+  }
+
+  /** BM25 top-k over a STORED index: the postings read prunes to the query
+    * terms' group partitions (≤ |terms| of the `groups` dirs — the scan
+    * never touches the rest of the dictionary), df comes from a count over
+    * those pruned lists, and scoring + the bounded top-k are the exact
+    * expression trees of the inline path — searching the store equals
+    * [[bm25TopK]] on the indexed corpus bit-for-bit (LlmOpsSpec pins it;
+    * q83 shares the q80 oracle under that equality).
+    */
+  def searchInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, queries: Seq[(Long, Seq[String])],
+                          k: Int = 10,
+                          k1: Double = DefaultK1, b: Double = DefaultB,
+                          idf: IdfMode = OddsIdf): DataFrame = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$path/stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val totTokens = st.getAs[Long]("tot_tokens")
+    val groups = st.getAs[Int]("groups")
+    val terms = queries.flatMap(_._2).distinct
+    val grps = terms
+      .map(t => (TextAnalysis.fingerprintOf(t) % groups).toInt).distinct
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    // partition pruning on grp, then the exact term filter within the dirs
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("grp").isin(grps.map(Integer.valueOf): _*) &&
+        col("tok").isin(terms.map(lit): _*))
+    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    // identical float expression trees to bm25Scores — stats arrive as
+    // literals instead of a broadcast row, same doubles either way
+    val odds = (lit(nDocs) - col("df")).cast("double") + lit(0.5)
+    val oddsIdf = odds / (col("df").cast("double") + lit(0.5))
+    val idfCol = idf match {
+      case OddsIdf => oddsIdf
+      case LogIdf  => log(lit(1.0) + oddsIdf)
+    }
+    val avgdl = lit(totTokens).cast("double") / lit(nDocs).cast("double")
+    val tfD = col("tf").cast("double")
+    val contrib = idfCol * ((tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) *
+        (col("dl").cast("double") / avgdl))))
+    // the ordered fold again: posting rows arrive per term, so the sum is
+    // pinned by sorting the (term, contribution) pairs — bit-identical to
+    // the inline path's sorted expression chain (+0.0 identity)
+    val scored = postings
+      .join(broadcast(dfreq), "tok")
+      .join(broadcast(qterms), "tok")
+      .withColumn("contrib", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("tok").as("t"),
+          col("contrib").as("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    topKScored(scored, k)
   }
 
   /** Reciprocal-rank fusion over n rankings (Cormack et al.): fused(d) =

@@ -1073,7 +1073,9 @@ object Similarity {
     * concurrently with appends (same ownership contract as the append).
     */
   def compactIndexPostings(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Unit = {
+                           path: String,
+                           partCols: Seq[String] = Seq("tbl", "centroid"))
+  : Unit = {
     val post = s"$path/postings"
     val postP = new org.apache.hadoop.fs.Path(post)
     val fs = postP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1084,10 +1086,11 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(post + "__tmp")
     fs.delete(tmp, true)
     // lazy read + eager tmp write: the rewrite executes while the live
-    // postings dir still exists, BEFORE the swap
+    // postings dir still exists, BEFORE the swap. partCols defaults to the
+    // ANN cell layout; the sparse inverted index compacts on Seq("grp")
     spark.read.parquet(post)
-      .repartition(col("tbl"), col("centroid"))
-      .write.partitionBy("tbl", "centroid").parquet(tmp.toString)
+      .repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(tmp.toString)
     graft.sinks.Sinks.renameOrThrow(fs, postP, oldP)
     graft.sinks.Sinks.renameOrThrow(fs, tmp, postP)
     fs.delete(oldP, true)

@@ -185,6 +185,15 @@ object TextAnalysis {
         acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
         lit(FingerprintMod)))
 
+  /** Driver-side twin of [[fingerprint]] — same fold, same modulus, for
+    * plan-time constants (e.g. the inverted index's term-group partition
+    * filters). Equality with the Column form is pinned where it matters:
+    * a drift would desync the stored postings' groups from the search's
+    * pruning filter, and the stored-vs-inline search equality test fails. */
+  def fingerprintOf(s: String): Long =
+    s.foldLeft(0L)((a, c) =>
+      java.lang.Math.floorMod(a * 31L + c.toLong, FingerprintMod))
+
   /** Per-(doc, token) term statistics: tf (occurrences in the doc), df
     * (docs containing the token), n_docs — the exact-integer core of TF-IDF
     * weighting. One explode of the token stream feeds both aggregations;

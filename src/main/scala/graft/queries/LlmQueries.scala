@@ -468,6 +468,22 @@ object LlmQueries {
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  private val invIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BM25 over the STORED inverted index (term-group-pruned posting reads;
+    * see Retrieval.writeInvertedIndex). Search equals the inline q80 path
+    * bit-for-bit (LlmOpsSpec pins it), so it shares the q80 oracle. */
+  def bm25Stored(s: SparkSession, dir: String): DataFrame = {
+    val path = invIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_inv")
+        .toString + "/index"
+      Retrieval.writeInvertedIndex(Tables.documents(s, dir), p)
+      p
+    })
+    Retrieval.searchInvertedIndex(s, path, Retrieval.DefaultQueries, k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -514,7 +530,8 @@ object LlmQueries {
     "q79_data_quality" -> dataQuality,
     "q80_bm25_topk" -> bm25TopK,
     "q81_rrf_fusion" -> rrfFusion,
-    "q82_substring_rewrite" -> substringRewrite)
+    "q82_substring_rewrite" -> substringRewrite,
+    "q83_bm25_stored" -> bm25Stored)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -635,6 +652,11 @@ object LlmQueries {
       |        FROM agz QUALIFY rnk <= 10)""".stripMargin
   }
 
+  /** The q80/q83 oracle: the BM25 CTE chain's final top-10 relation. */
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25Ctes
+      |SELECT query_id, doc_id, score, rnk FROM spz""".stripMargin
+
   /** Shared 5-gram shingle CTE (q61/q62): w[i..i+4] over the token array,
     * complete shingles only — matches Dedup.shingles(w = 5). */
   private val sh5Ctes: String =
@@ -699,9 +721,10 @@ object LlmQueries {
         |  COALESCE(array_to_string(list_transform(kept, p -> wn[p + 1]),
         |                           ' '), '') AS text
         |FROM kp2""".stripMargin,
-    "q80_bm25_topk" ->
-      s"""WITH $bm25Ctes
-        |SELECT query_id, doc_id, score, rnk FROM spz""".stripMargin,
+    "q80_bm25_topk" -> bm25OracleSql,
+    // q83 searches the stored inverted index; search == inline bm25TopK
+    // bit-for-bit (LlmOpsSpec pins the equality), so it shares q80's oracle
+    "q83_bm25_stored" -> bm25OracleSql,
     // q81: the q80 sparse ranking fused with the q32-shaped exact-cosine
     // dense ranking (vec_id < 5, k = 10) by reciprocal rank — each RRF
     // term is ONE IEEE division on an exact integer rank, summed in fixed

@@ -1045,6 +1045,56 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(bounded.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("stored inverted index: search equals inline BM25 bit-for-bit; " +
+    "append equals rebuild; posting read prunes to the query-term groups; " +
+    "compaction changes files, not results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_t")
+      .toString + "/index"
+    val inline = Retrieval.bm25TopK(docs, Retrieval.DefaultQueries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // half-then-append must equal the one-shot build (stats folded in,
+    // same group sharding) — and both must equal the inline path exactly
+    Retrieval.writeInvertedIndex(docs.filter(col("doc_id") < 250), dir)
+    Retrieval.appendInvertedIndex(docs.filter(col("doc_id") >= 250), dir)
+    val stored = Retrieval.searchInvertedIndex(spark, dir,
+        Retrieval.DefaultQueries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(stored == inline)
+    // pruning: the planned scan carries a grp partition filter — count the
+    // partition dirs the pruned read selects vs the full dictionary's
+    val grps = Retrieval.DefaultQueries.flatMap(_._2)
+      .map(t => (graft.llm.TextAnalysis.fingerprintOf(t) % 64).toInt)
+      .distinct.sorted
+    val planned = Retrieval.searchInvertedIndex(spark, dir,
+      Retrieval.DefaultQueries, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("grp"), planned)
+    val allDirs = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("grp="))
+    assert(grps.size < allDirs,
+      s"fixture degenerate: ${grps.size} query groups vs $allDirs dirs " +
+        "— pruning would be vacuous")
+    // append left a second file in appended group dirs; compaction folds
+    // them back to one per dir and results are unchanged
+    val filesBefore = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("grp="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(filesBefore > 1, "append should leave >1 file in some group dir")
+    Similarity.compactIndexPostings(spark, dir, Seq("grp"))
+    val filesAfter = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("grp="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(filesAfter == 1, s"compaction must leave one file per dir")
+    val compacted = Retrieval.searchInvertedIndex(spark, dir,
+        Retrieval.DefaultQueries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(compacted == inline)
+    // fail-loud contract: appending to a missing index throws
+    intercept[IllegalArgumentException] {
+      Retrieval.appendInvertedIndex(docs, dir + "_nope")
+    }
+  }
+
   test("RRF fusion: items on both lists outrank single-list items; absent " +
     "ranks surface as 0; k truncates") {
     val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
