@@ -24,6 +24,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      // plan strings are diagnostics — cap them. A pipeline of
+      // self-referencing stages (each join holds the full upstream tree
+      // TWICE) grows toString multiplicatively, and AQE stringifies the
+      // plan on every update: the uncapped default OOM'd the curation
+      // job's driver at sf0.01 before any data moved
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
     if (rocksDbState)
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -3,17 +3,19 @@ package graft.jobs
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Retrieval, Similarity, TextAnalysis}
 import graft.sinks.Sinks
 
 /** End-to-end training-data curation pipeline (the north-star composition):
   * documents → PII/link scrub → exact dedup → MinHash-LSH near-dup cluster
-  * resolution → chunk-level span rewrite (C4 move) → SEMANTIC near-dup
-  * cluster resolution over the embedding table → repetition filter →
-  * quality filter (+ the model-based classifier hook) → language ID →
-  * per-source cap → language mixture sampling → content-hash split +
-  * contamination audit + sequence packing + epoch shuffle order → curated
-  * parquet + per-stage survival stats.
+  * resolution → chunk-level span rewrite (C4 move) → overlapping-window
+  * substring rewrite (ExactSubstr move, catching tile-straddling spans) →
+  * SEMANTIC near-dup cluster resolution over the embedding table →
+  * repetition filter → quality filter (+ the model-based classifier hook)
+  * → language ID → per-source cap → language mixture sampling →
+  * content-hash split + contamination audit + BM25 probe screen +
+  * sequence packing + epoch shuffle order → curated parquet + per-stage
+  * survival stats.
   *
   * Shape notes for 100 TB: every stage is a narrow transform or a
   * key-bucketed join (no driver state); near-dup removal resolves the
@@ -68,22 +70,37 @@ object CurationJob {
     val nAfterChunk = rewritten.count()
     afterNear.unpersist()
 
+    // 2b-ii. OVERLAPPING-window pass (the ExactSubstr move): a repeated
+    //     span that straddles the tiling's chunk boundaries survives 2b —
+    //     the stride-1 window rewrite removes those too
+    // localCheckpoint, not persist: it materializes like the persist did
+    // AND truncates the logical plan (the connectedComponents lineage
+    // trick) — by this stage the accumulated DAG's toString is what blows
+    // the driver, not the data
+    val unstraddled = Dedup.substringDedupRewrite(rewritten, w = 8)
+      .filter(length(col("text")) > 0)
+      .select("doc_id", "text")
+      .join(rewritten.drop("text"), "doc_id")
+      .localCheckpoint()
+    val nAfterSub = unstraddled.count()
+    rewritten.unpersist()
+
     // 2c. SEMANTIC near-dup removal — the embedding-space twin of stage 2:
     //     cosine-near pairs over the aligned embedding table resolved into
     //     clusters, keeping each cluster's canonical min id. Docs without
     //     an embedding row pass through (can't be semantically deduped)
     val emb = Tables.embeddings(spark, sfDir)
-      .join(rewritten.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+      .join(unstraddled.select(col("doc_id").as("vec_id")), Seq("vec_id"),
         "left_semi")
     val semPairs = Similarity.embeddingNearDupPairsIvf(emb, tau = 0.45)
       .select("id_a", "id_b")
     val semDropped = Dedup
       .connectedComponents(emb.select(col("vec_id")), semPairs, "vec_id")
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
-    val afterSem = rewritten.join(semDropped, Seq("doc_id"), "left_anti")
+    val afterSem = unstraddled.join(semDropped, Seq("doc_id"), "left_anti")
       .persist()
     val nAfterSem = afterSem.count()
-    rewritten.unpersist()
+    unstraddled.unpersist()
 
     // 3. repetition filter: drop boilerplate/spam-shaped docs whose top
     //    3-gram dominates (broadcast the tiny (id, ratio) side)
@@ -150,9 +167,24 @@ object CurationJob {
           "negative_bin" -> (col("bin") < 0)),
         uniqueKeys = Seq("doc_id", "shuffle_rank"))
       .write.mode("overwrite").parquet(s"$outDir/audit")
+    // 6b. retrieval probe screen: BM25 top hits of the benchmark-shaped
+    //     probe queries over the shipped TRAIN split — the release report
+    //     a reviewer reads next to the n-gram contamination counts (a doc
+    //     ranking high for an eval probe is a leakage suspect even when no
+    //     exact n-gram overlaps). Reads the artifact just WRITTEN, like a
+    //     reviewer would — which also keeps the scorer's plan off the full
+    //     pipeline lineage (the typed top-k aggregate's encoder expressions
+    //     on top of the whole curation DAG OOM'd the driver's plan
+    //     stringification at sf0.01)
+    Retrieval.bm25TopK(
+        spark.read.parquet(s"$outDir/curated")
+          .filter(col("split") === "train"),
+        Retrieval.DefaultQueries, k = 5)
+      .write.mode("overwrite").parquet(s"$outDir/probe_hits")
     val stats = Seq(
       ("input", total), ("after_exact_dedup", afterExact),
       ("after_near_dedup", nAfterNear), ("after_chunk_rewrite", nAfterChunk),
+      ("after_substring_rewrite", nAfterSub),
       ("after_semantic_dedup", nAfterSem), ("after_repetition", nAfterRep),
       ("curated", nCurated), ("after_cap_and_mixture", nMixed))
     import spark.implicits._
