@@ -107,31 +107,75 @@ object Retrieval {
       }
     val stats = base.agg(statCols.head, statCols.tail: _*)
 
-    // every float op below is an IEEE-exact +,-,*,/ (except LogIdf's ln);
-    // the expression TREE mirrors the oracle SQL literally — association
-    // order included — so each per-term contribution is bit-identical
+    def idfOf(t: String): Column =
+      idfExpr(col("n_docs"), col(s"df_${terms.indexOf(t)}"), idf)
     val avgdl = col("tot_tokens").cast("double") / col("n_docs").cast("double")
-    def idfOf(i: Int): Column = {
-      val odds = (col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)
-      val oddsIdf = odds / (col(s"df_$i").cast("double") + lit(0.5))
-      idf match {
-        case OddsIdf => oddsIdf
-        case LogIdf  => log(lit(1.0) + oddsIdf)
-      }
+    scoreProjection(base.crossJoin(broadcast(stats)), queries, k1, b,
+      idfOf, avgdl)
+  }
+
+  /** BM25 scores against GIVEN corpus statistics — the frozen-stats form:
+    * n_docs/tot_tokens/per-term dfs arrive as literals (read from a stored
+    * index by the streaming companion), so the whole relation is one
+    * stateless narrow projection — no aggregate, no join, no persist. That
+    * makes it legal on a STREAMING DataFrame as-is: the ingest-time probe
+    * scorer is this exact function (graft.streaming.StreamingRetrieval).
+    * A term missing from `dfs` scores at df = 0 (maximum idf) — the
+    * never-seen-in-corpus case.
+    */
+  def bm25ScoresWithStats(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                          nDocs: Long, totTokens: Long,
+                          dfs: Map[String, Long],
+                          k1: Double = DefaultK1, b: Double = DefaultB,
+                          idf: IdfMode = OddsIdf,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val toksOfText = TextAnalysis.tokens(col(textCol))
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      coalesce(size(toksOfText), lit(0)).as("dl"),
+      filter(toksOfText, t => t.isin(terms.map(lit): _*)).as("qtoks"))
+    def idfOf(t: String): Column =
+      idfExpr(lit(nDocs), lit(dfs.getOrElse(t, 0L)), idf)
+    val avgdl = lit(totTokens).cast("double") / lit(nDocs).cast("double")
+    scoreProjection(base, queries, k1, b, idfOf, avgdl)
+  }
+
+  /** The idf expression shared by every scoring path — identical tree
+    * whether n/df arrive as columns or literals, so the produced doubles
+    * agree bit-for-bit when the values do. */
+  private def idfExpr(n: Column, df: Column, idf: IdfMode): Column = {
+    val odds = ((n - df).cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+    idf match {
+      case OddsIdf => odds
+      case LogIdf  => log(lit(1.0) + odds)
     }
+  }
+
+  /** The shared per-row scoring projection: from a (doc_id, dl, qtoks[+])
+    * frame, one struct per query — (query_id, matched-term count, score
+    * chain in sorted-term order) — exploded into the (query, doc, score)
+    * relation; docs matching no term of a query are dropped by the integer
+    * filter. Narrow (select/filter/explode only): streaming-legal. */
+  private def scoreProjection(base: DataFrame,
+                              queries: Seq[(Long, Seq[String])],
+                              k1: Double, b: Double,
+                              idfOf: String => Column,
+                              avgdl: Column): DataFrame = {
     def tfOf(t: String): Column =
       size(filter(col("qtoks"), x => x === lit(t)))
+    // every float op is an IEEE-exact +,-,*,/ (except LogIdf's ln); the
+    // expression TREE mirrors the oracle SQL literally — association order
+    // included — so each per-term contribution is bit-identical
     def contribOf(t: String): Column = {
-      val i = terms.indexOf(t)
       val tfD = tfOf(t).cast("double")
       when(tfOf(t) > 0,
-        idfOf(i) * ((tfD * lit(k1 + 1.0)) /
+        idfOf(t) * ((tfD * lit(k1 + 1.0)) /
           (tfD + lit(k1) * (lit(1.0 - b) + lit(b) *
             (col("dl").cast("double") / avgdl))))).otherwise(lit(0.0))
     }
-    // one struct per query: (query_id, matched-term count, score chain in
-    // sorted-term order) — exploded into the (query, doc, score) relation,
-    // docs matching no term of the query dropped by the integer filter
     val perQuery = queries.map { case (qid, ts) =>
       val qts = ts.distinct.sorted
       struct(
@@ -139,8 +183,7 @@ object Retrieval {
         qts.map(tfOf).reduce(_ + _).as("matched"),
         qts.map(contribOf).reduce(_ + _).as("score"))
     }
-    base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+    base.select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
       .filter(col("q.matched") > 0)
       .select(col("q.query_id").as("query_id"), col("doc_id"),
         col("q.score").as("score"))

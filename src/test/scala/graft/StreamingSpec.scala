@@ -541,4 +541,45 @@ class StreamingSpec extends SparkSpecBase {
       .as[(String, String, Double)].collect().sorted
     assert(merged.toSeq == Seq(("a", "low", 20.0), ("b", "high", 60.0)))
   }
+
+  test("streaming probe scorer: micro-batch emissions union to the batch " +
+    "scorer under the same frozen index stats; scores are bit-identical " +
+    "to the inline corpus-derived path") {
+    implicit val s = spark
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sr")
+      .toString + "/index"
+    graft.llm.Retrieval.writeInvertedIndex(corpus, dir)
+    // the stream carries a SUBSET of the indexed corpus in three batches
+    val streamDocs = corpus.filter(col("doc_id") < 90)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.streaming.StreamingRetrieval.probeScoreStream(
+      mem.toDF().toDF("doc_id", "text"), dir,
+      graft.llm.Retrieval.DefaultQueries)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("probe_out").start()
+    try {
+      streamDocs.grouped(30).foreach { g =>
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("probe_out")
+        .as[(Long, Long, Double)].collect().toSet
+      // frozen-stats batch twin on the same subset
+      val twin = graft.streaming.StreamingRetrieval.probeScoreStream(
+          corpus.filter(col("doc_id") < 90), dir,
+          graft.llm.Retrieval.DefaultQueries)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == twin)
+      // the store indexes exactly this corpus, so frozen stats == inline
+      // stats and the scores agree bit-for-bit with q80's scorer
+      val inline = graft.llm.Retrieval
+        .bm25Scores(corpus, graft.llm.Retrieval.DefaultQueries)
+        .filter(col("doc_id") < 90)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == inline)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
