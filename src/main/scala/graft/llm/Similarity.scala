@@ -724,6 +724,42 @@ object Similarity {
       .agg(round(sum(col("e").cast("double")) / count(lit(1)), 6).as("mu"),
         count(lit(1)).as("n"))
 
+  /** Nearest-centroid classification — the class-prototype assignment over
+    * [[labelCentroids]] (domain tagging, centroid-seeded labeling, drift
+    * checks): every vector gets the label of its max-cosine centroid. The
+    * centroids are the ROUNDED per-label means (cross-engine exact, the
+    * q54 contract), so the oracle scores the identical prototype values.
+    *
+    * Plan shape: the centroid table collapses to |labels| array rows
+    * (broadcast), scoring is a per-row fold, and rank-1 selection is one
+    * max-struct aggregate over the bounded label set — no window, and the
+    * only shuffle is the per-vector aggregate. Tie-break: equal scores go
+    * to the LARGER label (max-struct order), stated so the choice is a
+    * contract rather than an accident. Output: (vec_id, label,
+    * pred_label, score·1e-6-rounded).
+    */
+  def nearestCentroid(embeddings: DataFrame, labelCol: String = "label",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cents = labelCentroids(embeddings, labelCol, vecCol)
+      .groupBy(col(labelCol).as("cand_label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+      .select(col("cand_label"),
+        transform(col("dm"), s => s.getField("mu")).as("cvec"))
+    val dp = aggregate(zip_with(col(vecCol), col("cvec"),
+      (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
+    val nv = sqrt(aggregate(col(vecCol), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val nc = sqrt(aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
+    embeddings.select(col("vec_id"), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", dp / (nv * nc))
+      .groupBy(col("vec_id"), col(labelCol))
+      .agg(max(struct(col("score"), col("cand_label"))).as("best"))
+      .select(col("vec_id"), col(labelCol),
+        col("best.cand_label").as("pred_label"),
+        round(col("best.score"), 6).as("score"))
+  }
+
   /** IVF approximate top-k — the inverted-file ANN layout (train a coarse
     * quantizer, store each corpus vector in its nearest cell, probe only the
     * query's nearest `probes` cells per table): corpus assignments use

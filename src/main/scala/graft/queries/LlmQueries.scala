@@ -468,6 +468,11 @@ object LlmQueries {
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Nearest-centroid label assignment over the q54 prototypes — rank-1
+    * by cosine, larger label on ties (the max-struct contract). */
+  def nearestCentroid(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearestCentroid(Tables.embeddings(s, dir))
+
   private val invIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -531,7 +536,8 @@ object LlmQueries {
     "q80_bm25_topk" -> bm25TopK,
     "q81_rrf_fusion" -> rrfFusion,
     "q82_substring_rewrite" -> substringRewrite,
-    "q83_bm25_stored" -> bm25Stored)
+    "q83_bm25_stored" -> bm25Stored,
+    "q84_nearest_centroid" -> nearestCentroid)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -721,6 +727,32 @@ object LlmQueries {
         |  COALESCE(array_to_string(list_transform(kept, p -> wn[p + 1]),
         |                           ' '), '') AS text
         |FROM kp2""".stripMargin,
+    // q84: centroids = the q54 ROUNDED means (cross-engine exact), scores
+    // ranked unrounded then rounded on output (the q32 rule); ties to the
+    // larger label, matching the Spark side's max-struct selection
+    "q84_nearest_centroid" ->
+      """WITH cx AS (SELECT label AS cand_label, CAST(i - 1 AS BIGINT) AS dim,
+        |              ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6)
+        |                AS mu
+        |            FROM embeddings,
+        |                 UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        |            GROUP BY label, i),
+        |cnx AS (SELECT cand_label, SQRT(SUM(mu * mu)) AS nc
+        |        FROM cx GROUP BY 1),
+        |evx AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS e
+        |        FROM embeddings,
+        |             UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |vnx AS (SELECT vec_id, SQRT(SUM(e * e)) AS nv FROM evx GROUP BY 1),
+        |dpx AS (SELECT evx.vec_id, evx.label, cx.cand_label,
+        |          SUM(evx.e * cx.mu) AS d
+        |        FROM evx JOIN cx ON cx.dim = evx.i - 1 GROUP BY 1, 2, 3),
+        |scx AS (SELECT dpx.vec_id, dpx.label, dpx.cand_label,
+        |          dpx.d / (vnx.nv * cnx.nc) AS score
+        |        FROM dpx JOIN vnx USING (vec_id) JOIN cnx USING (cand_label))
+        |SELECT vec_id, label, cand_label AS pred_label,
+        |  ROUND(score, 6) AS score
+        |FROM scx QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |       ORDER BY score DESC, cand_label DESC) = 1""".stripMargin,
     "q80_bm25_topk" -> bm25OracleSql,
     // q83 searches the stored inverted index; search == inline bm25TopK
     // bit-for-bit (LlmOpsSpec pins the equality), so it shares q80's oracle

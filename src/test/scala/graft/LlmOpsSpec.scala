@@ -1045,6 +1045,29 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(bounded.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("nearest centroid: planted directions classify correctly; an exact " +
+    "tie goes to the larger label (the max-struct contract)") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val planted = Seq(
+      (1L, v(1f, 0f), 10), (2L, v(0.9f, 0.1f), 10), // x-direction, label 10
+      (3L, v(0f, 1f), 20), (4L, v(0.1f, 0.9f), 20), // y-direction, label 20
+      (5L, v(0.95f, 0.05f), 20)) // x-shaped but labeled 20: must predict 10
+    val out = Similarity.nearestCentroid(
+        planted.toDF("vec_id", "embedding", "label"))
+      .select("vec_id", "pred_label").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 10 && out(2L) == 10)
+    assert(out(3L) == 20 && out(4L) == 20)
+    // the mislabeled x-direction vector: prototypes pull it to label 10
+    // (label 20's centroid is dragged toward y by its two y-vectors)
+    assert(out(5L) == 10)
+    // identical centroids → identical scores → larger label wins
+    val tie = Seq((1L, v(1f, 0f), 7), (2L, v(1f, 0f), 9))
+    val tout = Similarity.nearestCentroid(
+        tie.toDF("vec_id", "embedding", "label"))
+      .select("vec_id", "pred_label").as[(Long, Int)].collect().toMap
+    assert(tout(1L) == 9 && tout(2L) == 9)
+  }
+
   test("stored inverted index: search equals inline BM25 bit-for-bit; " +
     "append equals rebuild; posting read prunes to the query-term groups; " +
     "compaction changes files, not results") {
