@@ -194,6 +194,34 @@ object TextAnalysis {
     s.foldLeft(0L)((a, c) =>
       java.lang.Math.floorMod(a * 31L + c.toLong, FingerprintMod))
 
+  /** Per-group token-length percentiles — the sequence-budget planning
+    * statistic (how long are documents per language → what packing budget
+    * / truncation length to set). Exact type-7 linear-interpolation
+    * percentiles (`percentile`, the same definition as DuckDB's
+    * quantile_cont), rounded at 1e-6 per the order-sensitive-float rule.
+    * Output: (group, p, n_tokens_p) — one row per (group, percentile).
+    *
+    * 100 TB posture: exact percentile state is per-group value counts of
+    * an INTEGER measure (token counts repeat heavily), so memory tracks
+    * the distinct-length histogram, not the row count; at petabyte group
+    * cardinalities switch to `percentile_approx` and drop the oracle bit —
+    * the trade is stated here rather than silently taken.
+    */
+  def tokenPercentiles(docs: DataFrame,
+                       probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                       groupCol: String = "lang",
+                       textCol: String = "text"): DataFrame = {
+    val probsSql = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    docs
+      .select(col(groupCol), tokenCount(col(textCol)).as("__nt"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(__nt, $probsSql)").as("__ps"))
+      .select(col(groupCol), posexplode(col("__ps")).as(Seq("__i", "__v")))
+      .select(col(groupCol),
+        element_at(array(probs.map(lit): _*), col("__i") + 1).as("p"),
+        round(col("__v"), 6).as("n_tokens_p"))
+  }
+
   /** Per-(doc, token) term statistics: tf (occurrences in the doc), df
     * (docs containing the token), n_docs — the exact-integer core of TF-IDF
     * weighting. One explode of the token stream feeds both aggregations;

@@ -468,6 +468,11 @@ object LlmQueries {
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Per-language exact token-length percentiles (p50/p90/p99) — the
+    * sequence-budget planning statistic. */
+  def tokenPercentiles(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenPercentiles(Tables.documents(s, dir))
+
   /** Nearest-centroid label assignment over the q54 prototypes — rank-1
     * by cosine, larger label on ties (the max-struct contract). */
   def nearestCentroid(s: SparkSession, dir: String): DataFrame =
@@ -537,7 +542,8 @@ object LlmQueries {
     "q81_rrf_fusion" -> rrfFusion,
     "q82_substring_rewrite" -> substringRewrite,
     "q83_bm25_stored" -> bm25Stored,
-    "q84_nearest_centroid" -> nearestCentroid)
+    "q84_nearest_centroid" -> nearestCentroid,
+    "q85_token_percentiles" -> tokenPercentiles)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -727,6 +733,15 @@ object LlmQueries {
         |  COALESCE(array_to_string(list_transform(kept, p -> wn[p + 1]),
         |                           ' '), '') AS text
         |FROM kp2""".stripMargin,
+    // q85: quantile_cont is the same type-7 linear interpolation as
+    // Spark's percentile; both sides round the interpolated value at 1e-6
+    "q85_token_percentiles" ->
+      s"""WITH ntx AS (SELECT lang, len($toksSql) AS nt FROM documents),
+        |qx AS (SELECT lang, quantile_cont(nt, [0.5, 0.9, 0.99]) AS ps
+        |       FROM ntx GROUP BY lang)
+        |SELECT lang, [0.5, 0.9, 0.99][CAST(i AS INT)] AS p,
+        |  ROUND(ps[CAST(i AS INT)], 6) AS n_tokens_p
+        |FROM qx, UNNEST(range(1, 4)) AS t(i)""".stripMargin,
     // q84: centroids = the q54 ROUNDED means (cross-engine exact), scores
     // ranked unrounded then rounded on output (the q32 rule); ties to the
     // larger label, matching the Spark side's max-struct selection

@@ -1045,6 +1045,19 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(bounded.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("token percentiles: hand-computed type-7 interpolation on a planted " +
+    "group") {
+    // lengths 1, 2, 2, 3, 10 → p50: h=2 → 2; p90: h=3.6 → 3+0.6·7=7.2;
+    // p99: h=3.96 → 3+0.96·7=9.72
+    val d = Seq("a", "a b", "a b", "a b c", "a b c d e f g h i j")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "xx") }
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.TextAnalysis.tokenPercentiles(d)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(out == Map(0.5 -> 2.0, 0.9 -> 7.2, 0.99 -> 9.72))
+  }
+
   test("nearest centroid: planted directions classify correctly; an exact " +
     "tie goes to the larger label (the max-struct contract)") {
     def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
