@@ -100,7 +100,8 @@ object CurationJob {
     val afterSem = unstraddled.join(semDropped, Seq("doc_id"), "left_anti")
       .persist()
     val nAfterSem = afterSem.count()
-    unstraddled.unpersist()
+    // (unstraddled is a localCheckpoint — its blocks free on GC/job end,
+    // there is no cache entry to unpersist)
 
     // 3. repetition filter: drop boilerplate/spam-shaped docs whose top
     //    3-gram dominates (broadcast the tiny (id, ratio) side)

@@ -290,12 +290,18 @@ object Retrieval {
     * when no index exists. Batch ids must be new to the index (same
     * contract as the signature stores); a crash between the posting write
     * and the stats swap leaves the index searchable with stale scalars —
-    * re-run the LAST append only after checking for duplicate ids.
+    * re-run the LAST append only after checking for duplicate ids. A crash
+    * INSIDE the swap window (stats parked at `stats__old`, replacement not
+    * yet published) is repaired on entry before anything is read.
     */
   def appendInvertedIndex(batch: DataFrame, path: String,
                           idCol: String = "doc_id",
                           textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
+    val statsP = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/stats__old")
+    graft.sinks.Sinks.recoverOld(fs, oldP, statsP)
     val st =
       try spark.read.parquet(s"$path/stats").head()
       catch {
@@ -315,10 +321,6 @@ object Retrieval {
       .repartition(col("grp"))
       .write.partitionBy("grp").mode("append").parquet(s"$path/postings")
     val add = base.agg(count(lit(1)), sum(col("dl"))).head()
-    val statsP = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldP = new org.apache.hadoop.fs.Path(s"$path/stats__old")
-    graft.sinks.Sinks.recoverOld(fs, oldP, statsP)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/stats__tmp")
     fs.delete(tmp, true)
     spark.range(1).select(

@@ -494,6 +494,36 @@ object LlmQueries {
     Retrieval.searchInvertedIndex(s, path, Retrieval.DefaultQueries, k = 10)
   }
 
+  /** Hybrid STORED search — the full production stack from persisted
+    * artifacts alone: the stored inverted index's BM25 ranking fused with
+    * the stored IVF+PQ index's dense ranking by reciprocal rank. Both
+    * stored paths equal their inline twins (q83 == q80 bit-for-bit; the
+    * IVF+PQ search recalls the exact top-k at registry parameters — the
+    * q72 contract, here driven at k = 10 with a deeper refine and pinned
+    * against the q81 relation in LlmOpsSpec), so the fusion shares q81's
+    * oracle. */
+  def hybridStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val sparsePath = invIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_inv")
+        .toString + "/index"
+      Retrieval.writeInvertedIndex(Tables.documents(s, dir), p)
+      p
+    })
+    val densePath = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+        .toString + "/index"
+      Similarity.writeIvfPqIndex(emb, p)
+      p
+    })
+    val sparse = Retrieval.searchInvertedIndex(s, sparsePath,
+      Retrieval.DefaultQueries, k = 10)
+    val dense = Similarity.searchIvfPqIndex(s, densePath,
+        emb.filter(col("vec_id") < 5), emb, k = 10, refine = 256)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    Retrieval.rrfFuse(Seq(sparse, dense), c = 60.0, k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -543,7 +573,8 @@ object LlmQueries {
     "q82_substring_rewrite" -> substringRewrite,
     "q83_bm25_stored" -> bm25Stored,
     "q84_nearest_centroid" -> nearestCentroid,
-    "q85_token_percentiles" -> tokenPercentiles)
+    "q85_token_percentiles" -> tokenPercentiles,
+    "q86_hybrid_stored" -> hybridStored)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -669,6 +700,42 @@ object LlmQueries {
     s"""WITH $bm25Ctes
       |SELECT query_id, doc_id, score, rnk FROM spz""".stripMargin
 
+  /** The q81/q86 oracle: BM25 CTEs + exact-cosine dense CTE + full-outer
+    * reciprocal-rank fusion. */
+  private lazy val rrfOracleSql: String =
+    s"""WITH $bm25Ctes,
+      |qdz AS (SELECT vec_id AS query_id, embedding AS qe
+      |        FROM embeddings WHERE vec_id < 5),
+      |cdz AS (SELECT vec_id AS neighbor_id, embedding AS ce
+      |        FROM embeddings),
+      |dotz AS (SELECT query_id, neighbor_id,
+      |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+      |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |             AS nq,
+      |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+      |             AS nc
+      |         FROM qdz, cdz, UNNEST(range(1, len(qe) + 1)) AS t(i)
+      |         WHERE query_id <> neighbor_id
+      |         GROUP BY query_id, neighbor_id),
+      |dnz AS (SELECT query_id, neighbor_id AS doc_id,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                 ORDER BY dp / (nq * nc) DESC, neighbor_id)
+      |               AS BIGINT) AS rnk
+      |        FROM dotz QUALIFY rnk <= 10),
+      |fuz AS (SELECT COALESCE(spz.query_id, dnz.query_id) AS query_id,
+      |          COALESCE(spz.doc_id, dnz.doc_id) AS doc_id,
+      |          CAST(COALESCE(spz.rnk, 0) AS BIGINT) AS rnk_0,
+      |          CAST(COALESCE(dnz.rnk, 0) AS BIGINT) AS rnk_1,
+      |          COALESCE(1.0 / (60.0 + CAST(spz.rnk AS DOUBLE)), 0.0) +
+      |          COALESCE(1.0 / (60.0 + CAST(dnz.rnk AS DOUBLE)), 0.0)
+      |            AS rrf
+      |        FROM spz FULL OUTER JOIN dnz
+      |          ON spz.query_id = dnz.query_id AND spz.doc_id = dnz.doc_id)
+      |SELECT query_id, doc_id, rnk_0, rnk_1, rrf,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |         ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+      |FROM fuz QUALIFY rnk <= 10""".stripMargin
+
   /** Shared 5-gram shingle CTE (q61/q62): w[i..i+4] over the token array,
     * complete shingles only — matches Dedup.shingles(w = 5). */
   private val sh5Ctes: String =
@@ -775,40 +842,10 @@ object LlmQueries {
     // q81: the q80 sparse ranking fused with the q32-shaped exact-cosine
     // dense ranking (vec_id < 5, k = 10) by reciprocal rank — each RRF
     // term is ONE IEEE division on an exact integer rank, summed in fixed
-    // (sparse, dense) order
-    "q81_rrf_fusion" ->
-      s"""WITH $bm25Ctes,
-        |qdz AS (SELECT vec_id AS query_id, embedding AS qe
-        |        FROM embeddings WHERE vec_id < 5),
-        |cdz AS (SELECT vec_id AS neighbor_id, embedding AS ce
-        |        FROM embeddings),
-        |dotz AS (SELECT query_id, neighbor_id,
-        |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
-        |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
-        |             AS nq,
-        |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-        |             AS nc
-        |         FROM qdz, cdz, UNNEST(range(1, len(qe) + 1)) AS t(i)
-        |         WHERE query_id <> neighbor_id
-        |         GROUP BY query_id, neighbor_id),
-        |dnz AS (SELECT query_id, neighbor_id AS doc_id,
-        |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |                 ORDER BY dp / (nq * nc) DESC, neighbor_id)
-        |               AS BIGINT) AS rnk
-        |        FROM dotz QUALIFY rnk <= 10),
-        |fuz AS (SELECT COALESCE(spz.query_id, dnz.query_id) AS query_id,
-        |          COALESCE(spz.doc_id, dnz.doc_id) AS doc_id,
-        |          CAST(COALESCE(spz.rnk, 0) AS BIGINT) AS rnk_0,
-        |          CAST(COALESCE(dnz.rnk, 0) AS BIGINT) AS rnk_1,
-        |          COALESCE(1.0 / (60.0 + CAST(spz.rnk AS DOUBLE)), 0.0) +
-        |          COALESCE(1.0 / (60.0 + CAST(dnz.rnk AS DOUBLE)), 0.0)
-        |            AS rrf
-        |        FROM spz FULL OUTER JOIN dnz
-        |          ON spz.query_id = dnz.query_id AND spz.doc_id = dnz.doc_id)
-        |SELECT query_id, doc_id, rnk_0, rnk_1, rrf,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |         ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-        |FROM fuz QUALIFY rnk <= 10""".stripMargin,
+    // (sparse, dense) order. q86 runs the same fusion from the STORED
+    // indexes (q83/q72 equality contracts) — same relation, same oracle
+    "q81_rrf_fusion" -> rrfOracleSql,
+    "q86_hybrid_stored" -> rrfOracleSql,
     // q79: every rule as a conditional sum over ONE scan, unpivoted — the
     // NULL-counts-as-violation rule matches Audit.audit's coalesce(…, true)
     "q79_data_quality" ->

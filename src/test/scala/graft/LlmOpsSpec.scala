@@ -1131,6 +1131,38 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("hybrid stored search equals the inline fusion relation (q86 == " +
+    "q81): both stored legs match their inline twins at k = 10") {
+    val a = graft.queries.LlmQueries.hybridStored(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSet
+    val b = graft.queries.LlmQueries.rrfFusion(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSet
+    assert(a == b, s"stored-only ${a -- b}; inline-only ${b -- a}")
+    assert(a.nonEmpty)
+  }
+
+  test("inverted index: a crash parked mid-swap (stats__old, no published " +
+    "stats) is repaired by the next append; search then sees both batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_crash")
+      .toString + "/index"
+    Retrieval.writeInvertedIndex(docs.filter(col("doc_id") < 250), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the append's crash window: stats parked to __old, the
+    // replacement never published
+    graft.sinks.Sinks.renameOrThrow(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/stats"),
+      new org.apache.hadoop.fs.Path(s"$dir/stats__old"))
+    Retrieval.appendInvertedIndex(docs.filter(col("doc_id") >= 250), dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats__old")))
+    val stored = Retrieval.searchInvertedIndex(spark, dir,
+        Retrieval.DefaultQueries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val inline = Retrieval.bm25TopK(docs, Retrieval.DefaultQueries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(stored == inline)
+  }
+
   test("RRF fusion: items on both lists outrank single-list items; absent " +
     "ranks surface as 0; k truncates") {
     val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
