@@ -636,6 +636,41 @@ object Dedup {
       ngramJaccardPairs(docs, w, tau, idCol, textCol).select("id_a", "id_b"),
       idCol)
 
+  /** Best-of-cluster canonical selection — the production dedup retention
+    * policy over a resolved cluster assignment: each duplicate cluster
+    * keeps its highest-scoring member and drops the rest. q51/q76 label
+    * clusters with the MIN id (a stable canonical name); a real curation
+    * pipeline retains the best-QUALITY copy of each near-dup group — this
+    * composes any (id, cluster) relation ([[nearDupClusters]], the q76
+    * embedding clusters) with any per-id scorer (q36's heuristic, q77's
+    * trained classifier).
+    *
+    * Tie-break: equal scores keep the LARGER id (the max-struct contract,
+    * stated like q84's) — a contract, not an accident.
+    *
+    * Plan: join the scores in (same key as the cluster relation, AQE
+    * picks broadcast when the scorer side is small), then ONE window
+    * max-struct per cluster partition. Cluster partitions are bounded by
+    * the largest duplicate group — at 100 TB this window never sees more
+    * rows than the worst near-dup cluster, and there is no join back.
+    *
+    * Output: (doc_id, cluster_id, kept_id, is_kept).
+    */
+  def keepBestInCluster(clusters: DataFrame, scores: DataFrame,
+                        idCol: String = "doc_id",
+                        scoreCol: String = "quality_score"): DataFrame = {
+    val cl = clusters.select(col(clusters.columns(0)).as("__id"),
+      col(clusters.columns(1)).as("cluster_id"))
+    val sc = scores.select(col(idCol).as("__id"), col(scoreCol).as("__s"))
+    val best = max(struct(col("__s"), col("__id")))
+      .over(Window.partitionBy(col("cluster_id")))
+    cl.join(sc, "__id")
+      .withColumn("__best", best)
+      .select(col("__id").as(idCol), col("cluster_id"),
+        col("__best.__id").as("kept_id"),
+        (col("__id") === col("__best.__id")).as("is_kept"))
+  }
+
   /** 64-bit SimHash of the token stream: sign-sum of per-token hash bits.
     * Bit i of the signature is 1 iff Σ_tokens (bit_i(hash) ? 1 : −1) > 0.
     *

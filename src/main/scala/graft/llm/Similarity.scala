@@ -760,6 +760,91 @@ object Similarity {
         round(col("best.score"), 6).as("score"))
   }
 
+  /** One Lloyd assignment pass against an explicit centroid table:
+    * centroids broadcast as |k| (cid, cvec-double-array) rows, per-row
+    * cosine fold, rank-1 via one max-struct aggregate (ties to the LARGER
+    * cid — the [[nearestCentroid]] contract). Emits (id, cid,
+    * score·1e-6-rounded). */
+  private def assignToCentroids(emb: DataFrame, cents: DataFrame)
+  : DataFrame = {
+    val dp = aggregate(zip_with(col("v"), col("cvec"),
+      (x, y) => x.cast("double") * y), lit(0.0), (a, x) => a + x)
+    val nv = sqrt(aggregate(col("v"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val nc = sqrt(aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("__score", dp / (nv * nc))
+      .groupBy(col("id"))
+      .agg(max(struct(col("__score"), col("cid"))).as("__b"))
+      .select(col("id"), col("__b.cid").as("cid"),
+        round(col("__b.__score"), 6).as("score"))
+  }
+
+  /** Distributed k-means (Lloyd) over the FULL corpus — corpus clustering
+    * for semantic dedup sharding, domain discovery, and index layout
+    * (where [[trainIvfCentroids]] trains quantizers on a bounded SAMPLE,
+    * this is the operator you run when the cluster assignment of every
+    * vector IS the product). Deterministic end to end: seeds are the `k`
+    * smallest-id vectors, each round assigns by max cosine (ties to the
+    * larger cid) and recomputes centroids as per-dimension means ROUNDED
+    * at 1e-6 (the q54/q84 cross-engine-exact contract — far above float
+    * sum-order drift, far below anything meaningful in a mean).
+    *
+    * Scale posture: model state is k·dim doubles — collected and
+    * broadcast each round (the bounded-model contract shared with the
+    * quantizer/codebook/BPE trainers), so each of the `iters`+1 rounds is
+    * ONE corpus scan (assignment = broadcast crossJoin + max-struct
+    * aggregate, no window) plus one map-side-combined (cid, dim) mean
+    * aggregate of bounded output (k·dim rows). Nothing driver-side ever
+    * holds corpus-sized state, and lineage resets at each collect.
+    * Clusters that lose all members drop out (standard Lloyd cell death;
+    * deterministic, both engines agree).
+    *
+    * Output: (vec_id, cluster_id, score) — the final assignment under the
+    * round-`iters` centroids, score = cosine to the winning centroid.
+    */
+  def kmeansLloyd(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    def centsDf(cents: Seq[(Long, Seq[Double])]): DataFrame =
+      cents.toDF("cid", "cvec")
+    // seeds: the k smallest ids, raw float dims widened (exact)
+    var cents: Seq[(Long, Seq[Double])] = emb.filter(col("id") < k)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (i, v) => (i, v.map(_.toDouble).toSeq) }.toSeq
+    require(cents.size == k,
+      s"kmeansLloyd seeds need ids 0..${k - 1} present, got ${cents.size}")
+    val dp = aggregate(zip_with(col("v"), col("cvec"),
+      (x, y) => x.cast("double") * y), lit(0.0), (a, x) => a + x)
+    val nv = sqrt(aggregate(col("v"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val nc = sqrt(aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
+    for (_ <- 0 until iters) {
+      // assignment carries the vector through the max-struct aggregate
+      // (first(v) is functionally dependent on the group key) — no join
+      // back onto the corpus to re-fetch it
+      cents = emb.crossJoin(broadcast(centsDf(cents)))
+        .withColumn("__score", dp / (nv * nc))
+        .groupBy(col("id"))
+        .agg(max(struct(col("__score"), col("cid"))).as("__b"),
+          first(col("v")).as("v"))
+        .select(col("__b.cid").as("cid"), posexplode(col("v")).as(Seq("dim", "e")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(sum(col("e").cast("double")) / count(lit(1)), 6).as("mu"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+        .select(col("cid"),
+          transform(col("dm"), s => s.getField("mu")).as("cvec"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    }
+    assignToCentroids(emb, centsDf(cents))
+      .select(col("id").as(idCol), col("cid").as("cluster_id"), col("score"))
+  }
+
   /** IVF approximate top-k — the inverted-file ANN layout (train a coarse
     * quantizer, store each corpus vector in its nearest cell, probe only the
     * query's nearest `probes` cells per table): corpus assignments use

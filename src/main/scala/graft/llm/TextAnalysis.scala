@@ -229,6 +229,33 @@ object TextAnalysis {
     * smaller than the corpus, and AQE handles the stopword-key skew — df
     * rows are one per token, so the build side stays narrow).
     */
+  /** Per-group token-length tail trim: keep documents whose token count is
+    * at or below the group's `p` quantile — sequence-budget outlier removal
+    * (a handful of pathological long docs otherwise dominate packing and
+    * truncation waste). The cutoff is the exact type-7 interpolated
+    * quantile (the [[tokenPercentiles]] definition), rounded at 1e-6 so it
+    * is cross-engine exact; the integer token count then compares against
+    * the identical double on both engines.
+    *
+    * Plan: the cutoff table is |groups| rows — broadcast back onto the
+    * scan, so the filter itself runs at scan speed; the only shuffle is
+    * the bounded per-group quantile aggregate.
+    *
+    * Output: (id, group, n_tokens, cutoff) for the KEPT documents.
+    */
+  def lengthTailFilter(docs: DataFrame, p: Double = 0.99,
+                       groupCol: String = "lang",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val nt = docs.select(col(idCol), col(groupCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val cuts = nt.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile(n_tokens, ${p}D)"), 6).as("cutoff"))
+    nt.join(broadcast(cuts), groupCol)
+      .filter(col("n_tokens") <= col("cutoff"))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("cutoff"))
+  }
+
   def termStats(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val toked = docs.select(col(idCol),

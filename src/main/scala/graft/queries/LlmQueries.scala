@@ -478,6 +478,53 @@ object LlmQueries {
   def nearestCentroid(s: SparkSession, dir: String): DataFrame =
     Similarity.nearestCentroid(Tables.embeddings(s, dir))
 
+  /** Distributed k-means corpus clustering (Lloyd, k = 8, 2 mean updates)
+    * — full-corpus assignment, not the bounded-sample quantizer training:
+    * see Similarity.kmeansLloyd. Deterministic seeds (ids 0..7), rounded
+    * means each round, final assignment with cosine score. */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansLloyd(Tables.embeddings(s, dir), k = 8, iters = 2)
+
+  /** Cross-source duplication matrix — the "who copies from whom" audit
+    * over the q29 near-dup pair relation: each pair fetches its members'
+    * `source`, undirected (source_lo ≤ source_hi), counted per source
+    * pair with the strongest overlap seen. Tells a curation pipeline
+    * which feeds mirror each other before it weights them independently.
+    * MAX is order-insensitive (unlike AVG), so the jaccard statistic is
+    * cross-engine exact. Pair side broadcast, re-hinted after the first
+    * join — the q73 plan shape; the output is |sources|² bounded. */
+  def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))
+        .join(broadcast(pairs), "id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
+  /** Best-of-cluster retention: the q51 duplicate clusters composed with
+    * the q36 quality scorer — every near-dup cluster keeps its highest-
+    * quality member (ties to the larger doc_id; see
+    * Dedup.keepBestInCluster). The policy step that turns a cluster
+    * relation into an actual curation decision. */
+  def bestOfCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.keepBestInCluster(
+      Dedup.nearDupClusters(docs, w = 3, tau = 0.5),
+      TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality_score")))
+  }
+
+  /** Per-language token-length tail trim at p99 — sequence-budget outlier
+    * removal (see TextAnalysis.lengthTailFilter). */
+  def lengthTailTrim(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthTailFilter(Tables.documents(s, dir), p = 0.99)
+
   private val invIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -574,7 +621,11 @@ object LlmQueries {
     "q83_bm25_stored" -> bm25Stored,
     "q84_nearest_centroid" -> nearestCentroid,
     "q85_token_percentiles" -> tokenPercentiles,
-    "q86_hybrid_stored" -> hybridStored)
+    "q86_hybrid_stored" -> hybridStored,
+    "q87_dup_source_matrix" -> dupSourceMatrix,
+    "q88_best_of_cluster" -> bestOfCluster,
+    "q89_length_tail_trim" -> lengthTailTrim,
+    "q90_kmeans" -> kmeansClusters)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -612,19 +663,50 @@ object LlmQueries {
     s"""WITH $jaccardCtes
       |SELECT id_a, id_b, jaccard FROM jpairs""".stripMargin
 
-  /** q51's oracle: min reachable doc_id over the jaccard pair graph via a
-    * recursive CTE (UNION dedup terminates the fixpoint) — the declarative
-    * twin of the hash-min label propagation. */
-  private val clusterOracleSql: String =
-    s"""WITH RECURSIVE $jaccardCtes,
+  /** The q51 cluster CTE chain (jaccard pairs → symmetric edges →
+    * recursive reachability → min-reachable label), shared by the q51
+    * oracle and the q88 best-of-cluster oracle. */
+  private val clusterCtes: String =
+    s"""$jaccardCtes,
       |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
       |          UNION ALL
       |          SELECT id_b AS src, id_a AS dst FROM jpairs),
       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
       |          UNION
       |          SELECT e.dst AS id, reach.r AS r
-      |          FROM edges e JOIN reach ON e.src = reach.id)
-      |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+      |          FROM edges e JOIN reach ON e.src = reach.id),
+      |clx AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+      |        FROM reach GROUP BY id)""".stripMargin
+
+  /** q51's oracle: min reachable doc_id over the jaccard pair graph via a
+    * recursive CTE (UNION dedup terminates the fixpoint) — the declarative
+    * twin of the hash-min label propagation. */
+  private val clusterOracleSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+      |SELECT doc_id, cluster_id FROM clx""".stripMargin
+
+  /** q36's quality-feature CTE chain (token features → composite score),
+    * shared by the q36 oracle and the q88 best-of-cluster oracle. The
+    * score is a sum of exact double literals gated by ratio comparisons
+    * whose operands are computed with the identical operations on both
+    * engines — cross-engine exact, so it can drive an argmax. */
+  private val qualityCtes: String =
+    s"""qf AS (SELECT doc_id, $toksSql AS w, text FROM documents),
+      |qfeat AS (SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+      |    / GREATEST(len(w), 1) AS mean_token_len,
+      |  CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
+      |    / GREATEST(length(text), 1) AS punct_ratio,
+      |  CAST(len(list_filter(w, x -> list_contains($stopSql, x))) AS DOUBLE)
+      |    / GREATEST(len(w), 1) AS stopword_ratio
+      |FROM qf),
+      |qsc AS (SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
+      |  stopword_ratio,
+      |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+      |   + CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END)
+      |   + CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END AS quality_score
+      |FROM qfeat)""".stripMargin
 
   /** q32's brute-force oracle, shared by q33: the LSH table/plane parameters
     * are recall-1.0-tuned (LlmOpsSpec), so approximate top-k equals exact
@@ -763,6 +845,38 @@ object LlmQueries {
       |       WHEN bucket < 90 THEN 'val'
       |       ELSE 'test' END AS split FROM fp2)""".stripMargin
 
+  /** The q90 k-means oracle, generated per round so the CTE chain IS the
+    * Spark loop: seeds = raw widened dims of ids 0..k−1; round r ranks
+    * each vector's cosine against the round's centroids (unrounded, ties
+    * to the larger cid — the max-struct order) and recomputes means
+    * ROUND(…, 6); the final select re-ranks under the last centroids and
+    * emits the rounded winning score. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val rounds = (0 until iters).map { r =>
+      s"""cn$r AS (SELECT cid, SQRT(SUM(mu * mu)) AS nc FROM c$r GROUP BY 1),
+        |dp$r AS (SELECT ev.vec_id, c$r.cid, SUM(ev.e * c$r.mu) AS d
+        |         FROM ev JOIN c$r USING (i) GROUP BY 1, 2),
+        |as$r AS (SELECT vec_id, cid FROM dp$r
+        |         JOIN vn USING (vec_id) JOIN cn$r USING (cid)
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY d / (nv * nc) DESC, cid DESC) = 1),
+        |c${r + 1} AS (SELECT cid, i, ROUND(SUM(e) / COUNT(*), 6) AS mu
+        |         FROM ev JOIN as$r USING (vec_id) GROUP BY cid, i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS e
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |vn AS (SELECT vec_id, SQRT(SUM(e * e)) AS nv FROM ev GROUP BY 1),
+      |c0 AS (SELECT vec_id AS cid, i, e AS mu FROM ev WHERE vec_id < $k),
+      |$rounds,
+      |cnF AS (SELECT cid, SQRT(SUM(mu * mu)) AS nc FROM c$iters GROUP BY 1),
+      |dpF AS (SELECT ev.vec_id, c$iters.cid, SUM(ev.e * c$iters.mu) AS d
+      |        FROM ev JOIN c$iters USING (i) GROUP BY 1, 2)
+      |SELECT vec_id, cid AS cluster_id, ROUND(d / (nv * nc), 6) AS score
+      |FROM dpF JOIN vn USING (vec_id) JOIN cnF USING (cid)
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+      |  ORDER BY d / (nv * nc) DESC, cid DESC) = 1""".stripMargin
+  }
+
   /** q70's plane constants, interpolated into the oracle as exact decimal
     * round-trips of the float-valued literals the Spark plan uses (printed
     * via Double.toString of the widened float, so DuckDB parses the
@@ -835,6 +949,44 @@ object LlmQueries {
         |  ROUND(score, 6) AS score
         |FROM scx QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
         |       ORDER BY score DESC, cand_label DESC) = 1""".stripMargin,
+    // q90: the Lloyd rounds as generated CTEs — each round re-derives the
+    // argmax assignment (score ranked unrounded, ties to the larger cid)
+    // and the 1e-6-rounded per-dimension means, exactly the Spark loop
+    "q90_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
+    // q87: the q29 pair relation + member sources, undirected count/max —
+    // MAX(jaccard) is order-insensitive, so no float-sum drift
+    "q87_dup_source_matrix" ->
+      s"""WITH $jaccardCtes,
+        |srcx AS (SELECT doc_id, source FROM documents)
+        |SELECT LEAST(a.source, b.source) AS source_lo,
+        |  GREATEST(a.source, b.source) AS source_hi,
+        |  COUNT(*) AS n_pairs, ROUND(MAX(jaccard), 6) AS max_jaccard
+        |FROM jpairs JOIN srcx a ON jpairs.id_a = a.doc_id
+        |            JOIN srcx b ON jpairs.id_b = b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    // q88: the q51 cluster CTEs + the q36 quality CTEs, kept member by
+    // (quality DESC, doc_id DESC) — the keepBestInCluster max-struct order
+    "q88_best_of_cluster" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |$qualityCtes,
+        |bjx AS (SELECT clx.doc_id, clx.cluster_id, qsc.quality_score
+        |        FROM clx JOIN qsc USING (doc_id)),
+        |bkx AS (SELECT doc_id, cluster_id,
+        |          FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+        |            ORDER BY quality_score DESC, doc_id DESC) AS kept_id
+        |        FROM bjx)
+        |SELECT doc_id, cluster_id, kept_id,
+        |  doc_id = kept_id AS is_kept
+        |FROM bkx""".stripMargin,
+    // q89: quantile_cont = Spark's percentile (type-7), cutoff rounded at
+    // 1e-6 on both engines, then an integer-vs-exact-double comparison
+    "q89_length_tail_trim" ->
+      s"""WITH ntl AS (SELECT doc_id, lang, COALESCE(len($toksSql), 0)
+        |               AS n_tokens FROM documents),
+        |ctl AS (SELECT lang, ROUND(quantile_cont(n_tokens, 0.99), 6)
+        |          AS cutoff FROM ntl GROUP BY lang)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, cutoff
+        |FROM ntl JOIN ctl USING (lang) WHERE n_tokens <= cutoff""".stripMargin,
     "q80_bm25_topk" -> bm25OracleSql,
     // q83 searches the stored inverted index; search == inline bm25TopK
     // bit-for-bit (LlmOpsSpec pins the equality), so it shares q80's oracle
@@ -1287,21 +1439,10 @@ object LlmQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "q36_quality_score" ->
-      s"""WITH f AS (SELECT doc_id, $toksSql AS w, text FROM documents),
-        |feat AS (SELECT doc_id,
-        |  len(w) AS n_tokens,
-        |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
-        |    / GREATEST(len(w), 1) AS mean_token_len,
-        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
-        |    / GREATEST(length(text), 1) AS punct_ratio,
-        |  CAST(len(list_filter(w, x -> list_contains($stopSql, x))) AS DOUBLE)
-        |    / GREATEST(len(w), 1) AS stopword_ratio
-        |FROM f)
-        |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
-        |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
-        |   + CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END)
-        |   + CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END AS quality_score
-        |FROM feat""".stripMargin,
+      s"""WITH $qualityCtes
+        |SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
+        |  stopword_ratio, quality_score
+        |FROM qsc""".stripMargin,
     "q37_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -1058,6 +1058,77 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(out == Map(0.5 -> 2.0, 0.9 -> 7.2, 0.99 -> 9.72))
   }
 
+  test("best-of-cluster: highest score kept per cluster, exact tie keeps " +
+    "the larger id; singletons keep themselves") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), // {1,2,3}, {4}
+      (5L, 5L), (6L, 5L)) // {5,6} — an exact score tie
+      .toDF("id", "comp")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.1),
+      (5L, 0.7), (6L, 0.7)).toDF("doc_id", "quality_score")
+    val out = Dedup.keepBestInCluster(clusters, scores)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (1L, 2L, false) && out(2L) == (1L, 2L, true) &&
+      out(3L) == (1L, 2L, false))
+    assert(out(4L) == (4L, 4L, true))
+    // tie at 0.7 → the larger id 6 is kept (max-struct order)
+    assert(out(5L) == (5L, 6L, false) && out(6L) == (5L, 6L, true))
+  }
+
+  test("length tail filter: planted group trims above the interpolated " +
+    "cutoff and keeps the boundary row") {
+    // lengths 1, 2, 3, 4, 100 → p50: h = 3 exactly → cutoff 3.0
+    val d = Seq("a", "a b", "a b c", "a b c d",
+        Seq.fill(100)("t").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "xx") }
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.TextAnalysis.lengthTailFilter(d, p = 0.5)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L)) // 4 and 100 trimmed
+    assert(out.forall(_._4 == 3.0))
+  }
+
+  test("kmeans: planted orthogonal directions separate, assignments are " +
+    "deterministic, and labels stay within the seed id set") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val planted = Seq( // seeds: 0 (x-direction), 1 (y-direction)
+      (0L, v(1f, 0f)), (2L, v(0.9f, 0.1f)), (4L, v(0.8f, 0.05f)),
+      (1L, v(0f, 1f)), (3L, v(0.1f, 0.9f)), (5L, v(0.02f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(planted, k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(Seq(0L, 2L, 4L).forall(out(_) == 0L))
+    assert(Seq(1L, 3L, 5L).forall(out(_) == 1L))
+    val again = Similarity.kmeansLloyd(planted, k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(again == out)
+    // cluster labels always come from the seed id set, and every input
+    // vector gets exactly one assignment — also at k = 3, where seed 2
+    // (an x-direction vector) splits the x cell with seed 0
+    val k3 = Similarity.kmeansLloyd(planted, k = 3, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(k3.length == 6 && k3.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L)))
+  }
+
+  test("dup source matrix: counts equal a driver-side recomputation from " +
+    "the exact pair relation") {
+    val pairs = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val src = docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val expect = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.queries.LlmQueries.dupSourceMatrix(spark, sfDir)
+      .select("source_lo", "source_hi", "n_pairs")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.nonEmpty && got == expect)
+  }
+
   test("nearest centroid: planted directions classify correctly; an exact " +
     "tie goes to the larger label (the max-struct contract)") {
     def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
