@@ -189,4 +189,39 @@ class PlanSpec extends SparkSpecBase {
     // elsewhere
     assert(p.contains("FullOuter"), s"rank lists must full-outer join:\n$p")
   }
+
+  test("q87 source matrix broadcasts the pair side into both source " +
+    "fetches — the document table is never shuffled") {
+    val p = planOf("q87_dup_source_matrix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q88 best-of-cluster ranks inside cluster partitions — one window, " +
+    "nothing cartesian") {
+    val p = planOf("q88_best_of_cluster")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q89 tail trim broadcasts the per-group cutoffs and prunes the " +
+    "documents scan to the referenced columns") {
+    val p = planOf("q89_length_tail_trim")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cutoff table must broadcast back onto the scan:\n$p")
+    assert(!p.contains("n_chars#") && !p.contains("source#"),
+      s"scan must prune to doc_id/lang/text:\n$p")
+  }
+
+  test("q90 kmeans assignment broadcasts the centroid table (nested-loop " +
+    "over |k| build rows is the intended shape) and prunes the label " +
+    "column; no corpus-side shuffle join") {
+    val p = planOf("q90_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast under the crossJoin:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("label#"),
+      s"embeddings scan must prune to vec_id + embedding:\n$p")
+  }
 }
