@@ -229,6 +229,65 @@ object TextAnalysis {
     * smaller than the corpus, and AQE handles the stopword-key skew — df
     * rows are one per token, so the build side stays narrow).
     */
+  /** CCNet-shaped quality bucketing: per group, documents split into
+    * head/middle/tail thirds by unigram LM surprisal ([[lmSurprisal]]'s
+    * integer-exact statistic — low surprisal = fluent/common text). The
+    * standard model-based curation gate: train on head+middle, downweight
+    * or drop the tail. Bucket boundaries are the exact type-7 tercile
+    * quantiles of `xent_bits`, 1e-6-rounded (cross-engine exact — the q85
+    * contract); `xent_bits` itself is one division of exact integers, so
+    * the boundary comparison is deterministic on both engines.
+    *
+    * Plan: the surprisal sub-plan is the q65 shape (vocabulary-sized
+    * joins, no broadcast-vocabulary assumption); the cutoff table is
+    * |groups|·2 values — broadcast back, filter at scan speed. No
+    * per-group window: a group holds n/|groups| rows, and ntile-style
+    * ranking would drag that through one task at 100 TB.
+    *
+    * Output: (id, group, xent_bits, bucket ∈ head|middle|tail).
+    */
+  def surprisalBuckets(docs: DataFrame, groupCol: String = "lang",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val p1 = 1.0 / 3
+    val p2 = 2.0 / 3
+    val sur = docs.select(col(idCol), col(groupCol))
+      .join(lmSurprisal(docs, idCol, textCol), idCol)
+      .select(col(idCol), col(groupCol), col("xent_bits"))
+    val cuts = sur.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile(xent_bits, ${p1}D)"), 6).as("__c1"),
+      round(expr(s"percentile(xent_bits, ${p2}D)"), 6).as("__c2"))
+    sur.join(broadcast(cuts), groupCol)
+      .select(col(idCol), col(groupCol), col("xent_bits"),
+        when(col("xent_bits") <= col("__c1"), "head")
+          .when(col("xent_bits") <= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Temperature-scaled source mixture weights — the statistic that FEEDS
+    * [[mixtureSample]]'s targets: sampling weight ∝ n_tokens^0.5 (α = 0.5
+    * temperature upsampling of small sources, the multilingual/multi-
+    * domain mixing rule), normalized to sum ≈ 1 over sources. α = 0.5 is
+    * deliberately √ (IEEE-correctly-rounded on every engine), not pow
+    * (libm, last-ulp divergent); each √ is rounded at 1e-6 and summed as
+    * DECIMAL, so the normalizer is EXACT and order-insensitive — no
+    * float-sum drift anywhere. One bounded aggregate (|sources| rows) +
+    * one 1-row broadcast; output is |sources| rows.
+    */
+  def mixtureWeights(docs: DataFrame, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val base = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("__s", round(sqrt(col("n_tokens").cast("double")), 6)
+        .cast("decimal(38,6)"))
+    val tot = base.agg(sum(col("__s")).as("__t"))
+    base.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("__s").cast("double") / col("__t").cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Per-group token-length tail trim: keep documents whose token count is
     * at or below the group's `p` quantile — sequence-budget outlier removal
     * (a handful of pathological long docs otherwise dominate packing and

@@ -485,6 +485,18 @@ object LlmQueries {
   def kmeansClusters(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansLloyd(Tables.embeddings(s, dir), k = 8, iters = 2)
 
+  /** CCNet-shaped per-language quality thirds by unigram LM surprisal —
+    * head/middle/tail buckets from exact tercile cutoffs (see
+    * TextAnalysis.surprisalBuckets). */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.surprisalBuckets(Tables.documents(s, dir))
+
+  /** Temperature-scaled (α = 0.5) source sampling weights — the computed
+    * targets that feed q63's mixture sampler (see
+    * TextAnalysis.mixtureWeights). */
+  def sourceMixtureWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureWeights(Tables.documents(s, dir))
+
   /** Cross-source duplication matrix — the "who copies from whom" audit
     * over the q29 near-dup pair relation: each pair fetches its members'
     * `source`, undirected (source_lo ≤ source_hi), counted per source
@@ -625,7 +637,9 @@ object LlmQueries {
     "q87_dup_source_matrix" -> dupSourceMatrix,
     "q88_best_of_cluster" -> bestOfCluster,
     "q89_length_tail_trim" -> lengthTailTrim,
-    "q90_kmeans" -> kmeansClusters)
+    "q90_kmeans" -> kmeansClusters,
+    "q91_quality_buckets" -> qualityBuckets,
+    "q92_mixture_weights" -> sourceMixtureWeights)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -845,6 +859,25 @@ object LlmQueries {
       |       WHEN bucket < 90 THEN 'val'
       |       ELSE 'test' END AS split FROM fp2)""".stripMargin
 
+  /** The q65 unigram-surprisal CTE chain (token occurrences → doc tf →
+    * corpus counts → whole-bit surprisal per doc), shared by the q65
+    * oracle and the q91 bucket oracle. `xent_bits` is ONE division of
+    * exact integers — cross-engine exact. */
+  private val surprisalCtes: String =
+    s"""occ AS (SELECT doc_id, unnest($toksSql) AS token
+      |             FROM documents),
+      |tfx AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+      |cx AS (SELECT token, SUM(tf) AS c FROM tfx GROUP BY 1),
+      |nx AS (SELECT SUM(c) AS n_total FROM cx),
+      |surx AS (SELECT tfx.doc_id,
+      |    CAST(SUM(tfx.tf) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(tfx.tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
+      |      AS BIGINT) AS sum_bits,
+      |    CAST(SUM(tfx.tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
+      |      AS DOUBLE) / SUM(tfx.tf) AS xent_bits
+      |  FROM tfx JOIN cx USING (token) CROSS JOIN nx
+      |  GROUP BY tfx.doc_id)""".stripMargin
+
   /** The q90 k-means oracle, generated per round so the CTE chain IS the
     * Spark loop: seeds = raw widened dims of ids 0..k−1; round r ranks
     * each vector's cosine against the round's centroids (unrounded, ties
@@ -949,6 +982,41 @@ object LlmQueries {
         |  ROUND(score, 6) AS score
         |FROM scx QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
         |       ORDER BY score DESC, cand_label DESC) = 1""".stripMargin,
+    // q91: the q65 surprisal CTEs + per-lang tercile cutoffs (the same
+    // 1e-6-rounded type-7 quantile contract as q85/q89); the tercile
+    // probabilities are interpolated from the SAME doubles the Spark plan
+    // uses, so the interpolation weights cannot drift
+    "q91_quality_buckets" ->
+      s"""WITH $surprisalCtes,
+        |sjx AS (SELECT d.doc_id, d.lang, surx.xent_bits
+        |        FROM documents d JOIN surx USING (doc_id)),
+        |cutx AS (SELECT lang,
+        |           ROUND(quantile_cont(xent_bits, ${(1.0 / 3).toString}), 6)
+        |             AS c1,
+        |           ROUND(quantile_cont(xent_bits, ${(2.0 / 3).toString}), 6)
+        |             AS c2
+        |         FROM sjx GROUP BY lang)
+        |SELECT doc_id, lang, xent_bits,
+        |  CASE WHEN xent_bits <= c1 THEN 'head'
+        |       WHEN xent_bits <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sjx JOIN cutx USING (lang)""".stripMargin,
+    // q92: √ is IEEE-correctly-rounded on both engines (pow is not — the
+    // α = 0.5 choice is deliberate); each √ rounds at 1e-6 and sums as
+    // DECIMAL, so the normalizer is exact and order-insensitive
+    "q92_mixture_weights" ->
+      s"""WITH tkx AS (SELECT source, $toksSql AS w FROM documents),
+        |bx AS (SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(COALESCE(len(w), 0)) AS BIGINT) AS n_tokens
+        |       FROM tkx GROUP BY source),
+        |sx AS (SELECT source, n_docs, n_tokens,
+        |         CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6)
+        |              AS DECIMAL(38,6)) AS s6
+        |       FROM bx),
+        |tx AS (SELECT SUM(s6) AS tt FROM sx)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(s6 AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
+        |FROM sx CROSS JOIN tx""".stripMargin,
     // q90: the Lloyd rounds as generated CTEs — each round re-derives the
     // argmax assignment (score ranked unrounded, ties to the larger cid)
     // and the 1e-6-rounded per-dimension means, exactly the Spark loop
@@ -1084,19 +1152,8 @@ object LlmQueries {
         |SELECT doc_id, source, draw, CAST(src_rank AS BIGINT) AS src_rank
         |FROM r WHERE src_rank <= 10""".stripMargin,
     "q65_lm_surprisal" ->
-      s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS token
-        |             FROM documents),
-        |tfx AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
-        |cx AS (SELECT token, SUM(tf) AS c FROM tfx GROUP BY 1),
-        |nx AS (SELECT SUM(c) AS n_total FROM cx)
-        |SELECT tfx.doc_id,
-        |  CAST(SUM(tfx.tf) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(tfx.tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
-        |    AS BIGINT) AS sum_bits,
-        |  CAST(SUM(tfx.tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
-        |    AS DOUBLE) / SUM(tfx.tf) AS xent_bits
-        |FROM tfx JOIN cx USING (token) CROSS JOIN nx
-        |GROUP BY tfx.doc_id""".stripMargin,
+      s"""WITH $surprisalCtes
+        |SELECT doc_id, n_tokens, sum_bits, xent_bits FROM surx""".stripMargin,
     "q75_lm_bigram" ->
       s"""WITH tb AS (SELECT doc_id, $toksSql AS w FROM documents),
         |c1b AS (SELECT tok, COUNT(*) AS c1

@@ -1129,6 +1129,42 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(pairs.nonEmpty && got == expect)
   }
 
+  test("surprisal buckets: each language splits into thirds ordered " +
+    "head ≤ middle ≤ tail by xent_bits") {
+    val out = graft.llm.TextAnalysis.surprisalBuckets(docs)
+      .as[(Long, String, Double, String)].collect()
+    assert(out.length == docs.count())
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val b = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(Set("head", "middle", "tail").subsetOf(b.keySet),
+        s"$lang missing a bucket: ${b.keySet}")
+      // near-thirds: boundary TIES bucket by value, not rank, so equal
+      // xent_bits straddling a cutoff all land on the ≤ side together
+      val sizes = b.view.mapValues(_.length).toMap
+      val third = rows.length / 3.0
+      assert(sizes.values.forall(s => s > third * 0.7 && s < third * 1.3),
+        s"$lang buckets far from thirds: $sizes")
+      // ordering: every head ≤ every middle ≤ every tail
+      assert(b("head").max <= b("middle").min &&
+        b("middle").max <= b("tail").min, s"$lang bucket overlap")
+    }
+  }
+
+  test("mixture weights: sqrt-temperature upweights small sources and " +
+    "normalizes to ~1") {
+    val out = graft.queries.LlmQueries.sourceMixtureWeights(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.length > 1)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4)
+    // temperature flattening: weight share of the smallest source exceeds
+    // its raw token share; the largest source's share shrinks
+    val tot = out.map(_._3).sum.toDouble
+    val small = out.minBy(_._3)
+    val big = out.maxBy(_._3)
+    assert(small._4 > small._3 / tot && big._4 < big._3 / tot)
+  }
+
   test("nearest centroid: planted directions classify correctly; an exact " +
     "tie goes to the larger label (the max-struct contract)") {
     def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
