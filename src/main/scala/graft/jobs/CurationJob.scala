@@ -8,14 +8,16 @@ import graft.sinks.Sinks
 
 /** End-to-end training-data curation pipeline (the north-star composition):
   * documents → PII/link scrub → exact dedup → MinHash-LSH near-dup cluster
-  * resolution → chunk-level span rewrite (C4 move) → overlapping-window
+  * resolution with best-of-quality retention (the q88 policy) →
+  * chunk-level span rewrite (C4 move) → overlapping-window
   * substring rewrite (ExactSubstr move, catching tile-straddling spans) →
   * SEMANTIC near-dup cluster resolution over the embedding table →
-  * repetition filter → quality filter (+ the model-based classifier hook)
-  * → language ID → per-source cap → language mixture sampling →
-  * content-hash split + contamination audit + BM25 probe screen +
-  * sequence packing + epoch shuffle order → curated parquet + per-stage
-  * survival stats.
+  * repetition filter → quality filter (+ the model-based classifier hook
+  * and the carried CCNet surprisal bucket) → language ID → per-language
+  * length-tail trim → per-source cap → language mixture sampling →
+  * content-hash split + contamination audit + mixture-weight targets +
+  * BM25 probe screen + sequence packing + epoch shuffle order → curated
+  * parquet + per-stage survival stats.
   *
   * Shape notes for 100 TB: every stage is a narrow transform or a
   * key-bucketed join (no driver state); near-dup removal resolves the
@@ -46,13 +48,18 @@ object CurationJob {
 
     // 2. near-dup removal: MinHash-LSH candidates verified at jaccard ≥ 0.8,
     //    resolved into clusters (transitive: A~B, B~C drops B AND C even
-    //    though A,C never pair — per-pair dropping would keep C), keeping
-    //    each cluster's canonical min id
+    //    though A,C never pair — per-pair dropping would keep C). Retention
+    //    is the q88 policy: each cluster keeps its highest-QUALITY member
+    //    (ties to the larger id), not blindly the min id — the production
+    //    choice when duplicate copies differ in boilerplate/truncation
     val nearPairs = Dedup.minHashDedupPairs(exact, w = 3, tau = 0.8)
       .select("id_a", "id_b")
-    val survivors = Dedup
-      .connectedComponents(exact.select(col("doc_id")), nearPairs, "doc_id")
-      .filter(col("id") === col("comp")).select(col("id").as("doc_id"))
+    val survivors = Dedup.keepBestInCluster(
+        Dedup.connectedComponents(exact.select(col("doc_id")), nearPairs,
+          "doc_id"),
+        TextAnalysis.qualityScore(exact)
+          .select(col("doc_id"), col("quality_score")))
+      .filter(col("is_kept")).select("doc_id")
     val afterNear = exact.join(survivors, Seq("doc_id"), "left_semi")
       .persist()
     val nAfterNear = afterNear.count()
@@ -122,16 +129,37 @@ object CurationJob {
       .join(TextAnalysis.classifierScore(afterRep,
           TextAnalysis.hashedWeights(64))
         .select(col("doc_id"), col("score").as("clf_score")), "doc_id")
+      .join(TextAnalysis.surprisalBuckets(afterRep)
+        .select(col("doc_id"), col("bucket").as("surprisal_bucket")),
+        "doc_id")
       .select("doc_id", "text", "lang", "pred_lang", "source",
-        "n_tokens", "quality_score", "clf_score")
-      .persist() // three consumers: the count, sourceCap, and the cap join
+        "n_tokens", "quality_score", "clf_score", "surprisal_bucket")
+      .persist() // three consumers: the count, the trim agg, the trim join
     val nCurated = curated.count()
+    // surprisal_bucket is CARRIED like clf_score, not filtered on: on
+    // uniform synthetic text the tail third is an arbitrary cut; a
+    // production run drops or downweights bucket = 'tail' (the CCNet
+    // move). Geometry note (ProfileBuckets, measured): this corpus's
+    // near-uniform vocabulary makes whole-bit surprisal knife-edge —
+    // at this pipeline position most docs share one xent value, so the
+    // carried column is mostly 'head' here; the raw-corpus terciles
+    // (q91's gate relation) are healthy thirds at every scale
+
+    // 4a. per-language token-length tail trim (q89): a handful of
+    //     pathological long docs otherwise dominate packing bins and
+    //     truncation waste downstream
+    val trimmed = curated.join(
+        TextAnalysis.lengthTailFilter(curated, p = 0.99).select("doc_id"),
+        "doc_id")
+      .persist() // two consumers: the count and sourceCap + cap join
+    val nTrimmed = trimmed.count()
+    curated.unpersist()
 
     // 4b. domain balance: cap each source's share (content-hash draw order,
     //     stable across re-runs), then rebalance the language mixture
     //     (downweight the dominant language, keep the tail whole)
-    val capped = curated.join(
-      TextAnalysis.sourceCap(curated, cap = 20).select("doc_id"), "doc_id")
+    val capped = trimmed.join(
+      TextAnalysis.sourceCap(trimmed, cap = 20).select("doc_id"), "doc_id")
     val mixed = TextAnalysis.mixtureSample(capped, targets = Seq("en" -> 0.7))
       .drop("draw").persist()
     val nMixed = mixed.count()
@@ -160,6 +188,10 @@ object CurationJob {
     //    what a release reads before training starts
     TextAnalysis.contamination(mixed)
       .write.mode("overwrite").parquet(s"$outDir/contamination")
+    // the shipped set's temperature-scaled sampling targets (q92): what a
+    // training loader reads to draw sources at alpha = 0.5
+    TextAnalysis.mixtureWeights(mixed)
+      .write.mode("overwrite").parquet(s"$outDir/mixture_weights")
     graft.ops.Audit.audit(withLayout,
         rowRules = Seq(
           "null_text" -> col("text").isNull,
@@ -187,7 +219,8 @@ object CurationJob {
       ("after_near_dedup", nAfterNear), ("after_chunk_rewrite", nAfterChunk),
       ("after_substring_rewrite", nAfterSub),
       ("after_semantic_dedup", nAfterSem), ("after_repetition", nAfterRep),
-      ("curated", nCurated), ("after_cap_and_mixture", nMixed))
+      ("curated", nCurated), ("after_length_trim", nTrimmed),
+      ("after_cap_and_mixture", nMixed))
     import spark.implicits._
     Sinks.writeText(stats.toDF("stage", "docs")
       .select(concat_ws("=", col("stage"), col("docs"))), s"$outDir/stats")
