@@ -249,20 +249,34 @@ object TextAnalysis {
   def surprisalBuckets(docs: DataFrame, groupCol: String = "lang",
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val p1 = 1.0 / 3
-    val p2 = 2.0 / 3
     val sur = docs.select(col(idCol), col(groupCol))
       .join(lmSurprisal(docs, idCol, textCol), idCol)
       .select(col(idCol), col(groupCol), col("xent_bits"))
-    val cuts = sur.groupBy(col(groupCol)).agg(
+    bucketJoin(sur, tercileCutoffs(sur, groupCol), groupCol, idCol)
+  }
+
+  /** Per-group (1/3, 2/3) surprisal cutoffs of a (id, group, xent_bits)
+    * frame — the FROZEN half of [[surprisalBuckets]], exposed so the
+    * ingest-time gate scores arrivals against a reference corpus's
+    * cutoffs (graft.streaming.StreamingQuality). */
+  private[graft] def tercileCutoffs(sur: DataFrame,
+                                    groupCol: String): DataFrame = {
+    val p1 = 1.0 / 3
+    val p2 = 2.0 / 3
+    sur.groupBy(col(groupCol)).agg(
       round(expr(s"percentile(xent_bits, ${p1}D)"), 6).as("__c1"),
       round(expr(s"percentile(xent_bits, ${p2}D)"), 6).as("__c2"))
+  }
+
+  /** Bucket assignment of a (id, group, xent_bits) frame under explicit
+    * cutoffs — the scoring half of [[surprisalBuckets]]. */
+  private[graft] def bucketJoin(sur: DataFrame, cuts: DataFrame,
+                                groupCol: String, idCol: String): DataFrame =
     sur.join(broadcast(cuts), groupCol)
       .select(col(idCol), col(groupCol), col("xent_bits"),
         when(col("xent_bits") <= col("__c1"), "head")
           .when(col("xent_bits") <= col("__c2"), "middle")
           .otherwise("tail").as("bucket"))
-  }
 
   /** Temperature-scaled source mixture weights — the statistic that FEEDS
     * [[mixtureSample]]'s targets: sampling weight ∝ n_tokens^0.5 (α = 0.5
@@ -609,6 +623,44 @@ object TextAnalysis {
     * corpus; AQE handles stopword-key skew). No broadcast assumption on the
     * vocabulary: a web-scale unigram table can exceed driver memory.
     */
+  /** The reference-LM statistics under [[lmSurprisal]], exposed as frozen
+    * artifacts for scoring OTHER frames (the ingest-time gate): `counts` =
+    * (token, c) — vocabulary-sized, a join side, never driver state — and
+    * `totals` = one row (n_total). Direct token counting equals
+    * [[lmSurprisal]]'s sum-of-tf by construction (same integers), so
+    * scoring a corpus against its own stats is bit-identical to the
+    * inline form (StreamingSpec pins it). */
+  def lmStats(docs: DataFrame, textCol: String = "text")
+  : (DataFrame, DataFrame) = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    (counts, counts.agg(sum("c").as("n_total")))
+  }
+
+  /** Per-doc unigram surprisal against FROZEN statistics — the scoring
+    * half of [[lmSurprisal]], same whole-bit formula, but `counts`/`totals`
+    * come from a reference corpus instead of the scored frame. Tokens the
+    * reference has never seen score at the maximum (c treated as 1 →
+    * floor(log2 n_total) bits) — the out-of-vocabulary contract, stated.
+    */
+  def lmSurprisalWithStats(docs: DataFrame, counts: DataFrame,
+                           totals: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val bits = (length(bin(expr("n_total div c"))) - 1).cast("long")
+    tf.join(counts, Seq("token"), "left")
+      .withColumn("c", coalesce(col("c"), lit(1L)))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * bits).as("sum_bits"))
+      .withColumn("xent_bits",
+        col("sum_bits").cast("double") / col("n_tokens"))
+  }
+
   def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val tf = docs.select(col(idCol),

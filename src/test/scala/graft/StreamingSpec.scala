@@ -542,6 +542,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(merged.toSeq == Seq(("a", "low", 20.0), ("b", "high", 60.0)))
   }
 
+  test("streaming quality gate: micro-batch buckets union to the batch " +
+    "twin under the same frozen LM; bit-identical to the inline q91 path " +
+    "when the reference is the scored corpus; OOV scores at max bits") {
+    implicit val s = spark
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("text"))
+    val frozen = graft.streaming.StreamingQuality.freeze(corpus)
+    try {
+      val streamDocs = corpus.filter(col("doc_id") < 90)
+        .as[(Long, String, String)].collect()
+      val mem = MemoryStream[(Long, String, String)]
+      val emitted = scala.collection.mutable.Set[(Long, String, Double, String)]()
+      val q = graft.streaming.StreamingQuality.surprisalGateStream(
+          mem.toDF().toDF("doc_id", "lang", "text"), frozen) { (b, _) =>
+        emitted ++= b.as[(Long, String, Double, String)].collect()
+      }.option("checkpointLocation",
+        Files.createTempDirectory("graft_sq_ckpt").toString).start()
+      try {
+        streamDocs.grouped(30).foreach { g =>
+          mem.addData(g.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // batch twin on the same rows, same frozen reference
+      val twin = graft.streaming.StreamingQuality.bucketBatch(
+          corpus.filter(col("doc_id") < 90), frozen)
+        .as[(Long, String, Double, String)].collect().toSet
+      assert(emitted.toSet == twin)
+      // reference == scored corpus → bit-identical to the inline q91 path
+      val inline = graft.llm.TextAnalysis.surprisalBuckets(corpus)
+        .filter(col("doc_id") < 90)
+        .as[(Long, String, Double, String)].collect().toSet
+      assert(emitted.toSet == inline && emitted.nonEmpty)
+      // an arrival made ONLY of tokens the reference never saw scores at
+      // the maximum: every token at c = 1 → floor(log2 n_total) bits
+      val nTotal = frozen.totals.head().getLong(0)
+      val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(nTotal)
+      val oov = graft.streaming.StreamingQuality.bucketBatch(
+          Seq((999999L, "en", "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "lang", "text"),
+          frozen)
+        .as[(Long, String, Double, String)].collect()
+      assert(oov.length == 1 && oov.head._3 == maxBits.toDouble &&
+        oov.head._4 == "tail")
+    } finally frozen.release()
+  }
+
   test("streaming probe scorer: micro-batch emissions union to the batch " +
     "scorer under the same frozen index stats; scores are bit-identical " +
     "to the inline corpus-derived path") {
