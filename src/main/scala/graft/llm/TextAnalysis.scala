@@ -249,9 +249,16 @@ object TextAnalysis {
   def surprisalBuckets(docs: DataFrame, groupCol: String = "lang",
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val sur = docs.select(col(idCol), col(groupCol))
-      .join(lmSurprisal(docs, idCol, textCol), idCol)
-      .select(col(idCol), col(groupCol), col("xent_bits"))
+    // persist + materialize: the surprisal frame feeds BOTH the cutoff
+    // aggregate and the bucket join — without the cache the vocabulary
+    // joins under lmSurprisal run twice (PLANS.md showed the doubled
+    // sub-plan). Released by the caller's CacheScope after its action.
+    val sur = graft.core.CacheScope.track(
+      docs.select(col(idCol), col(groupCol))
+        .join(lmSurprisal(docs, idCol, textCol), idCol)
+        .select(col(idCol), col(groupCol), col("xent_bits"))
+        .persist())
+    sur.count()
     bucketJoin(sur, tercileCutoffs(sur, groupCol), groupCol, idCol)
   }
 
@@ -290,11 +297,17 @@ object TextAnalysis {
     */
   def mixtureWeights(docs: DataFrame, groupCol: String = "source",
                      textCol: String = "text"): DataFrame = {
-    val base = docs.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
-      .withColumn("__s", round(sqrt(col("n_tokens").cast("double")), 6)
-        .cast("decimal(38,6)"))
+    // persist + materialize the |groups|-row aggregate: it feeds both the
+    // normalizer and the output — without the cache the corpus scan runs
+    // twice. Released by the caller's CacheScope after its action.
+    val base = graft.core.CacheScope.track(
+      docs.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+        .withColumn("__s", round(sqrt(col("n_tokens").cast("double")), 6)
+          .cast("decimal(38,6)"))
+        .persist())
+    base.count()
     val tot = base.agg(sum(col("__s")).as("__t"))
     base.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
@@ -320,8 +333,13 @@ object TextAnalysis {
                        groupCol: String = "lang",
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val nt = docs.select(col(idCol), col(groupCol),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // persist + materialize: the narrow (id, group, count) frame feeds
+    // both the quantile aggregate and the filter join — cached, the
+    // tokenizing scan runs once. Released by the caller's CacheScope.
+    val nt = graft.core.CacheScope.track(
+      docs.select(col(idCol), col(groupCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens")).persist())
+    nt.count()
     val cuts = nt.groupBy(col(groupCol))
       .agg(round(expr(s"percentile(n_tokens, ${p}D)"), 6).as("cutoff"))
     nt.join(broadcast(cuts), groupCol)

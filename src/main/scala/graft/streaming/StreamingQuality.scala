@@ -84,4 +84,56 @@ object StreamingQuality {
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       emit(bucketBatch(batch, frozen), id)
     }
+
+  /** Persist a frozen reference as a store: `path/counts` holds per-batch
+    * (token, c) rows (folded by token at freeze time — the derive-from-
+    * postings trick, so appends keep the totals consistent for free) and
+    * `path/cuts` the write-time tercile cutoffs. Single-writer, like
+    * every store in the repo. A gate then starts from the artifact alone
+    * — no reference-corpus rescan. */
+  def writeLmStore(ref: DataFrame, path: String,
+                   groupCol: String = "lang", idCol: String = "doc_id",
+                   textCol: String = "text"): Unit = {
+    val frozen = freeze(ref, groupCol, idCol, textCol)
+    try {
+      frozen.counts.write.mode("overwrite").parquet(s"$path/counts")
+      frozen.cuts.write.mode("overwrite").parquet(s"$path/cuts")
+    } finally frozen.release()
+  }
+
+  /** Fold a new batch's token counts into the store — the incremental
+    * vocabulary update (one aggregate over the batch, appended; the
+    * freeze-time fold sums per token across batch files). The CUTOFFS
+    * stay write-time: appends shift every document's xent, so refreshed
+    * terciles need a [[writeLmStore]] rebuild — the same
+    * rewrite-to-retrain contract as the frozen-quantizer stream. */
+  def appendLmStore(batch: DataFrame, path: String,
+                    textCol: String = "text"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/counts")),
+      s"LM store at $path has no counts artifact — only stores written " +
+        "by writeLmStore are appendable")
+    TextAnalysis.lmStats(batch, textCol)._1
+      .write.mode("append").parquet(s"$path/counts")
+  }
+
+  /** Rehydrate a frozen reference from a store: counts folded by token
+    * across appended batches (totals derived from the fold), cutoffs as
+    * written. Scoring against a just-written store equals scoring against
+    * the in-memory [[freeze]] bit-for-bit (StreamingSpec pins it). */
+  def freezeFromStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String, groupCol: String = "lang",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): FrozenLm = {
+    val counts = spark.read.parquet(s"$path/counts")
+      .groupBy("token").agg(sum("c").as("c")).persist()
+    counts.count()
+    val cuts = spark.read.parquet(s"$path/cuts")
+      .select(col(groupCol), col("__c1"), col("__c2"))
+      .persist()
+    cuts.count()
+    FrozenLm(counts, counts.agg(sum("c").as("n_total")), cuts, groupCol,
+      idCol, textCol)
+  }
 }

@@ -588,6 +588,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally frozen.release()
   }
 
+  test("LM store: freeze-from-store equals in-memory freeze bit-for-bit; " +
+    "append folds new batch counts; cutoffs stay write-time") {
+    implicit val s = spark
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("text"))
+    val part1 = corpus.filter(col("doc_id") < 400)
+    val part2 = corpus.filter(col("doc_id") >= 400)
+    val store = Files.createTempDirectory("graft_lm_store").toString
+    graft.streaming.StreamingQuality.writeLmStore(part1, store)
+    val mem = graft.streaming.StreamingQuality.freeze(part1)
+    val hyd = graft.streaming.StreamingQuality.freezeFromStore(spark, store)
+    try {
+      val probe = corpus.filter(col("doc_id") < 50)
+      val a = graft.streaming.StreamingQuality.bucketBatch(probe, mem)
+        .as[(Long, String, Double, String)].collect().toSet
+      val b = graft.streaming.StreamingQuality.bucketBatch(probe, hyd)
+        .as[(Long, String, Double, String)].collect().toSet
+      assert(a == b && a.nonEmpty)
+    } finally { mem.release(); hyd.release() }
+    // append part2: folded counts equal a fresh lmStats over the union;
+    // the cuts artifact is untouched (write-time terciles)
+    graft.streaming.StreamingQuality.appendLmStore(part2, store)
+    val hyd2 = graft.streaming.StreamingQuality.freezeFromStore(spark, store)
+    try {
+      val unionCounts = graft.llm.TextAnalysis.lmStats(corpus)._1
+        .as[(String, Long)].collect().toMap
+      val folded = hyd2.counts.as[(String, Long)].collect().toMap
+      assert(folded == unionCounts)
+      val memCuts = graft.streaming.StreamingQuality.freeze(part1)
+      try assert(hyd2.cuts.collect().toSet == memCuts.cuts.collect().toSet)
+      finally memCuts.release()
+    } finally hyd2.release()
+    // fail-loud on a path that was never written
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingQuality.appendLmStore(part2,
+        Files.createTempDirectory("graft_lm_empty").toString)
+    }
+  }
+
   test("streaming probe scorer: micro-batch emissions union to the batch " +
     "scorer under the same frozen index stats; scores are bit-identical " +
     "to the inline corpus-derived path") {
