@@ -537,6 +537,30 @@ object LlmQueries {
   def lengthTailTrim(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthTailFilter(Tables.documents(s, dir), p = 0.99)
 
+  /** Duplicate-cluster size histogram — the audit that tells a curation
+    * run whether near-dup structure is a few giant templates or many
+    * small pairs (and what best-of-cluster retention will discard):
+    * (cluster_size, n_clusters) over the q51 relation. Both aggregates
+    * hash-combine map-side; output is bounded by the largest cluster. */
+  def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(Tables.documents(s, dir), w = 3, tau = 0.5)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  /** Pair-similarity histogram at a LOW floor (τ = 0.1) — the
+    * threshold-tuning curve: how many candidate pairs a dedup run would
+    * admit at each jaccard decile. Low-floor pair enumeration is
+    * inherently the quadratic tail of the shingle join (every pair
+    * sharing ≥ 1 shingle is scored before the floor filter — same cost
+    * shape as q29's exact relation); at 100 TB this statistic runs on a
+    * corpus sample, stated rather than hidden. Bucket = floor(j·10):
+    * identical double ops on both engines, so decile edges cannot
+    * straddle. */
+  def pairScoreHistogram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), w = 3, tau = 0.1)
+      .select(floor(col("jaccard") * 10).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+
   private val invIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -639,7 +663,9 @@ object LlmQueries {
     "q89_length_tail_trim" -> lengthTailTrim,
     "q90_kmeans" -> kmeansClusters,
     "q91_quality_buckets" -> qualityBuckets,
-    "q92_mixture_weights" -> sourceMixtureWeights)
+    "q92_mixture_weights" -> sourceMixtureWeights,
+    "q93_cluster_sizes" -> clusterSizeHistogram,
+    "q94_pair_histogram" -> pairScoreHistogram)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -648,10 +674,12 @@ object LlmQueries {
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
   private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
 
-  /** Shared CTE chain computing the exact 3-gram Jaccard pair relation —
-    * body of the q29/q30 oracle and the pair generator inside the q51
-    * cluster oracle. */
-  private val jaccardCtes: String =
+  /** Shared CTE chain computing the exact 3-gram Jaccard pair relation at
+    * threshold `tau` — body of the q29/q30 oracle, the pair generator
+    * inside the q51 cluster oracle, and (at τ = 0.1) the q94 tuning
+    * histogram. The literal interpolates via Double.toString, the same
+    * round-trip as the Spark filter's. */
+  private def jaccardCtesTau(tau: Double): String =
     s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -667,7 +695,9 @@ object LlmQueries {
       |           FROM inter
       |           JOIN sizes sa ON id_a = sa.doc_id
       |           JOIN sizes sb ON id_b = sb.doc_id
-      |           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin
+      |           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= ${tau.toString})""".stripMargin
+
+  private val jaccardCtes: String = jaccardCtesTau(0.5)
 
   /** q29's exact-Jaccard oracle, shared by q30: the MinHash-LSH path
     * verifies every candidate with the same exact jaccard expression, and
@@ -982,6 +1012,20 @@ object LlmQueries {
         |  ROUND(score, 6) AS score
         |FROM scx QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
         |       ORDER BY score DESC, cand_label DESC) = 1""".stripMargin,
+    // q93: cluster CTEs → per-cluster size → size histogram
+    "q93_cluster_sizes" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |szx AS (SELECT cluster_id, COUNT(*) AS cluster_size
+        |        FROM clx GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM szx GROUP BY 1""".stripMargin,
+    // q94: the jaccard CTEs at the τ = 0.1 floor, bucketed by decile —
+    // floor(j·10) is the identical double op on both engines
+    "q94_pair_histogram" ->
+      s"""WITH ${jaccardCtesTau(0.1)}
+        |SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_pairs
+        |FROM jpairs GROUP BY 1""".stripMargin,
     // q91: the q65 surprisal CTEs + per-lang tercile cutoffs (the same
     // 1e-6-rounded type-7 quantile contract as q85/q89); the tercile
     // probabilities are interpolated from the SAME doubles the Spark plan

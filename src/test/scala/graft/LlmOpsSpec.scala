@@ -1129,6 +1129,22 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(pairs.nonEmpty && got == expect)
   }
 
+  test("cluster size histogram sums back to the doc count; pair histogram " +
+    "covers the q29 relation at its deciles") {
+    val n = docs.count()
+    val hist = graft.queries.LlmQueries.clusterSizeHistogram(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(hist.map(t => t._1 * t._2).sum == n)
+    assert(hist.exists(_._1 > 1), "fixture should contain non-singleton clusters")
+    val ph = graft.queries.LlmQueries.pairScoreHistogram(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(ph.forall(t => t._1 >= 1 && t._1 <= 10))
+    // the ≥ 0.5 deciles of the histogram must account for exactly the
+    // q29 pair relation
+    val q29 = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5).count()
+    assert(ph.filter(_._1 >= 5).map(_._2).sum == q29)
+  }
+
   test("surprisal buckets: each language splits into thirds ordered " +
     "head ≤ middle ≤ tail by xent_bits") {
     val out = graft.llm.TextAnalysis.surprisalBuckets(docs)
