@@ -537,6 +537,18 @@ object LlmQueries {
   def lengthTailTrim(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthTailFilter(Tables.documents(s, dir), p = 0.99)
 
+  /** SEMANTIC best-of-cluster retention — the q88 policy applied to the
+    * q76 embedding clusters (doc_id ↔ vec_id alignment, the q73
+    * convention): each embedding near-dup cluster keeps the member whose
+    * DOCUMENT has the highest quality score. Completes the lexical/
+    * semantic retention symmetry. */
+  def semanticBestOfCluster(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestInCluster(
+      embeddingClusters(s, dir),
+      TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id").as("vec_id"), col("quality_score")),
+      idCol = "vec_id")
+
   /** Duplicate-cluster size histogram — the audit that tells a curation
     * run whether near-dup structure is a few giant templates or many
     * small pairs (and what best-of-cluster retention will discard):
@@ -665,7 +677,8 @@ object LlmQueries {
     "q91_quality_buckets" -> qualityBuckets,
     "q92_mixture_weights" -> sourceMixtureWeights,
     "q93_cluster_sizes" -> clusterSizeHistogram,
-    "q94_pair_histogram" -> pairScoreHistogram)
+    "q94_pair_histogram" -> pairScoreHistogram,
+    "q95_semantic_keep" -> semanticBestOfCluster)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -888,6 +901,29 @@ object LlmQueries {
       |  CASE WHEN bucket < 80 THEN 'train'
       |       WHEN bucket < 90 THEN 'val'
       |       ELSE 'test' END AS split FROM fp2)""".stripMargin
+
+  /** The q76 embedding-cluster CTE chain (exact cosine pairs at τ = 0.45 →
+    * symmetric edges → recursive reachability → min-reachable label),
+    * shared by the q76 oracle and the q95 semantic-retention oracle. */
+  private val embClusterCtes: String =
+    """v AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |           SUM(CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)) AS dp,
+      |           SQRT(SUM(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))) AS na,
+      |           SQRT(SUM(CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) AS nb
+      |         FROM v a, v b, UNNEST(range(1, len(a.e) + 1)) AS t(i)
+      |         WHERE a.vec_id < b.vec_id
+      |         GROUP BY a.vec_id, b.vec_id),
+      |epairs AS (SELECT id_a, id_b FROM dots WHERE dp / (na * nb) >= 0.45),
+      |eedges AS (SELECT id_a AS src, id_b AS dst FROM epairs
+      |           UNION ALL
+      |           SELECT id_b AS src, id_a AS dst FROM epairs),
+      |ereach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings
+      |           UNION
+      |           SELECT e.dst AS id, ereach.r AS r
+      |           FROM eedges e JOIN ereach ON e.src = ereach.id),
+      |eclx AS (SELECT id AS vec_id, MIN(r) AS cluster_id
+      |         FROM ereach GROUP BY id)""".stripMargin
 
   /** The q65 unigram-surprisal CTE chain (token occurrences → doc tf →
     * corpus counts → whole-bit surprisal per doc), shared by the q65
@@ -1461,24 +1497,23 @@ object LlmQueries {
     // pieces are recall-1.0/equivalence-pinned (LlmOpsSpec), so the exact
     // declarative composition is the oracle.
     "q76_embedding_clusters" ->
-      """WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
-        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |           SUM(CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)) AS dp,
-        |           SQRT(SUM(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))) AS na,
-        |           SQRT(SUM(CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) AS nb
-        |         FROM v a, v b, UNNEST(range(1, len(a.e) + 1)) AS t(i)
-        |         WHERE a.vec_id < b.vec_id
-        |         GROUP BY a.vec_id, b.vec_id),
-        |epairs AS (SELECT id_a, id_b FROM dots WHERE dp / (na * nb) >= 0.45),
-        |eedges AS (SELECT id_a AS src, id_b AS dst FROM epairs
-        |           UNION ALL
-        |           SELECT id_b AS src, id_a AS dst FROM epairs),
-        |ereach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings
-        |           UNION
-        |           SELECT e.dst AS id, ereach.r AS r
-        |           FROM eedges e JOIN ereach ON e.src = ereach.id)
-        |SELECT id AS vec_id, MIN(r) AS cluster_id
-        |FROM ereach GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE $embClusterCtes
+        |SELECT vec_id, cluster_id FROM eclx""".stripMargin,
+    // q95: the q76 cluster CTEs + the q36 quality CTEs, kept member by
+    // (quality DESC, vec_id DESC) — the q88 retention policy on the
+    // SEMANTIC cluster relation (doc_id ↔ vec_id, the q73 alignment)
+    "q95_semantic_keep" ->
+      s"""WITH RECURSIVE $embClusterCtes,
+        |$qualityCtes,
+        |sbj AS (SELECT eclx.vec_id, eclx.cluster_id, qsc.quality_score
+        |        FROM eclx JOIN qsc ON qsc.doc_id = eclx.vec_id),
+        |sbk AS (SELECT vec_id, cluster_id,
+        |          FIRST_VALUE(vec_id) OVER (PARTITION BY cluster_id
+        |            ORDER BY quality_score DESC, vec_id DESC) AS kept_id
+        |        FROM sbj)
+        |SELECT vec_id, cluster_id, kept_id,
+        |  vec_id = kept_id AS is_kept
+        |FROM sbk""".stripMargin,
     "q42_embedding_dedup" ->
       """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1129,6 +1129,22 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(pairs.nonEmpty && got == expect)
   }
 
+  test("semantic best-of-cluster: exactly one keeper per embedding " +
+    "cluster, and it carries the cluster's max quality score") {
+    val out = graft.queries.LlmQueries.semanticBestOfCluster(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val qual = graft.llm.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .as[(Long, Double)].collect().toMap
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.count(_._4) == 1)
+      val kept = members.find(_._4).get._1
+      assert(members.forall(m => m._3 == kept))
+      assert(qual(kept) == members.map(m => qual(m._1)).max)
+    }
+    assert(out.exists(r => r._2 != r._1), "fixture should cluster something")
+  }
+
   test("cluster size histogram sums back to the doc count; pair histogram " +
     "covers the q29 relation at its deciles") {
     val n = docs.count()
