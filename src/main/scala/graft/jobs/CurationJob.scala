@@ -21,9 +21,11 @@ import graft.sinks.Sinks
   *
   * Shape notes for 100 TB: every stage is a narrow transform or a
   * key-bucketed join (no driver state); near-dup removal resolves the
-  * verified pairs into connected-component clusters and keeps each
-  * cluster's min id (transitive, deterministic survivor choice); stats
-  * come from one pass per stage boundary.
+  * verified pairs into connected-component clusters, then LEXICAL
+  * retention keeps each cluster's highest-quality member (ties to the
+  * larger id — the keepBestInCluster / q88 policy) while SEMANTIC
+  * retention (stage 2c) keeps the canonical min id; both transitive and
+  * deterministic; stats come from one pass per stage boundary.
   *
   * Usage: runMain graft.jobs.CurationJob [sfDir] [outDir]
   */
@@ -32,7 +34,15 @@ object CurationJob {
     val (sfDir, outDir) = JobMains.args2(args)
     val spark = JobMains.session("curation")
     spark.sparkContext.setLogLevel("WARN")
+    // library stages (surprisalBuckets, lengthTailFilter, mixtureWeights)
+    // persist internals under the caller-releases CacheScope contract —
+    // scope the whole run so every tracked cache frees at job end
+    try graft.core.CacheScope.scoped { run(spark, sfDir, outDir) }
+    finally spark.stop()
+  }
 
+  private def run(spark: org.apache.spark.sql.SparkSession,
+                  sfDir: String, outDir: String): Unit = {
     val raw = Tables.documents(spark, sfDir)
     val total = raw.count()
 
@@ -129,9 +139,12 @@ object CurationJob {
       .join(TextAnalysis.classifierScore(afterRep,
           TextAnalysis.hashedWeights(64))
         .select(col("doc_id"), col("score").as("clf_score")), "doc_id")
+      // LEFT join, mirroring clf_score's full-coverage contract: a doc
+      // that tokenizes to zero tokens has no surprisal row, and a carried
+      // column must carry (null = "no tokens to score"), never filter
       .join(TextAnalysis.surprisalBuckets(afterRep)
         .select(col("doc_id"), col("bucket").as("surprisal_bucket")),
-        "doc_id")
+        Seq("doc_id"), "left")
       .select("doc_id", "text", "lang", "pred_lang", "source",
         "n_tokens", "quality_score", "clf_score", "surprisal_bucket")
       .persist() // three consumers: the count, the trim agg, the trim join
@@ -225,6 +238,5 @@ object CurationJob {
     Sinks.writeText(stats.toDF("stage", "docs")
       .select(concat_ws("=", col("stage"), col("docs"))), s"$outDir/stats")
     println(s"[curation] $stats -> $outDir")
-    spark.stop()
   }
 }

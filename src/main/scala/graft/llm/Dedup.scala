@@ -648,8 +648,9 @@ object Dedup {
     * Tie-break: equal scores keep the LARGER id (the max-struct contract,
     * stated like q84's) — a contract, not an accident.
     *
-    * Plan: join the scores in (same key as the cluster relation, AQE
-    * picks broadcast when the scorer side is small), then ONE window
+    * Plan: LEFT-join the scores in (same key as the cluster relation, AQE
+    * picks broadcast when the scorer side is small; members the scorer
+    * missed coalesce to -∞ rather than vanish), then ONE window
     * max-struct per cluster partition. Cluster partitions are bounded by
     * the largest duplicate group — at 100 TB this window never sees more
     * rows than the worst near-dup cluster, and there is no join back.
@@ -664,7 +665,13 @@ object Dedup {
     val sc = scores.select(col(idCol).as("__id"), col(scoreCol).as("__s"))
     val best = max(struct(col("__s"), col("__id")))
       .over(Window.partitionBy(col("cluster_id")))
-    cl.join(sc, "__id")
+    // LEFT join: a cluster member the scorer missed must still get a row
+    // (is_kept = false unless it wins) — an inner join would silently
+    // delete it from consumers that filter on is_kept. Unscored members
+    // rank at -∞ (ties among unscored keep the larger id, the max-struct
+    // contract), so they can win only when the whole cluster is unscored.
+    cl.join(sc, Seq("__id"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(Double.NegativeInfinity)))
       .withColumn("__best", best)
       .select(col("__id").as(idCol), col("cluster_id"),
         col("__best.__id").as("kept_id"),

@@ -750,14 +750,17 @@ object Similarity {
     val nv = sqrt(aggregate(col(vecCol), lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
     val nc = sqrt(aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
+    // the argmax operand is the 1e-6-ROUNDED cosine — the cross-engine-
+    // exact value — so sub-rounding float-sum drift can never flip which
+    // label wins (scores within 1e-6 tie and resolve by the label order)
     embeddings.select(col("vec_id"), col(labelCol), col(vecCol))
       .crossJoin(broadcast(cents))
-      .withColumn("score", dp / (nv * nc))
+      .withColumn("score", round(dp / (nv * nc), 6))
       .groupBy(col("vec_id"), col(labelCol))
       .agg(max(struct(col("score"), col("cand_label"))).as("best"))
       .select(col("vec_id"), col(labelCol),
         col("best.cand_label").as("pred_label"),
-        round(col("best.score"), 6).as("score"))
+        col("best.score").as("score"))
   }
 
   /** One Lloyd assignment pass against an explicit centroid table:
@@ -773,11 +776,11 @@ object Similarity {
       (a, x) => a + x.cast("double") * x.cast("double")))
     val nc = sqrt(aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
     emb.crossJoin(broadcast(cents))
-      .withColumn("__score", dp / (nv * nc))
+      .withColumn("__score", round(dp / (nv * nc), 6))
       .groupBy(col("id"))
       .agg(max(struct(col("__score"), col("cid"))).as("__b"))
       .select(col("id"), col("__b.cid").as("cid"),
-        round(col("__b.__score"), 6).as("score"))
+        col("__b.__score").as("score"))
   }
 
   /** Distributed k-means (Lloyd) over the FULL corpus — corpus clustering
@@ -785,8 +788,11 @@ object Similarity {
     * (where [[trainIvfCentroids]] trains quantizers on a bounded SAMPLE,
     * this is the operator you run when the cluster assignment of every
     * vector IS the product). Deterministic end to end: seeds are the `k`
-    * smallest-id vectors, each round assigns by max cosine (ties to the
-    * larger cid) and recomputes centroids as per-dimension means ROUNDED
+    * smallest-id vectors, each round assigns by max 1e-6-ROUNDED cosine
+    * (ties to the larger cid — ranking the rounded score makes the argmax
+    * operand cross-engine exact, so float-sum drift cannot flip an
+    * assignment and compound through later rounds)
+    * and recomputes centroids as per-dimension means ROUNDED
     * at 1e-6 (the q54/q84 cross-engine-exact contract — far above float
     * sum-order drift, far below anything meaningful in a mean).
     *
@@ -826,9 +832,12 @@ object Similarity {
     for (_ <- 0 until iters) {
       // assignment carries the vector through the max-struct aggregate
       // (first(v) is functionally dependent on the group key) — no join
-      // back onto the corpus to re-fetch it
+      // back onto the corpus to re-fetch it. The argmax ranks the 1e-6-
+      // ROUNDED cosine (the cross-engine-exact value): with the raw
+      // float-sum-dependent score, sub-rounding drift could flip ONE
+      // round-r assignment and then compound through every later round
       cents = emb.crossJoin(broadcast(centsDf(cents)))
-        .withColumn("__score", dp / (nv * nc))
+        .withColumn("__score", round(dp / (nv * nc), 6))
         .groupBy(col("id"))
         .agg(max(struct(col("__score"), col("cid"))).as("__b"),
           first(col("v")).as("v"))

@@ -509,8 +509,13 @@ object LlmQueries {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5)
     val src = docs.select(col("doc_id"), col("source"))
-    broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))
-        .join(broadcast(pairs), "id_a"))
+    // two hints, one per join, each building the pair-bounded side: join 1
+    // streams the corpus-sized source fetch and broadcasts the pair
+    // relation; join 2 broadcasts the (pairs × source_a) result — still
+    // pair-bounded — into the second corpus-sized source fetch
+    val withA = src.select(col("doc_id").as("id_a"), col("source").as("sa"))
+      .join(broadcast(pairs), "id_a")
+    broadcast(withA)
       .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
         "id_b")
       .groupBy(least(col("sa"), col("sb")).as("source_lo"),
@@ -958,7 +963,7 @@ object LlmQueries {
         |as$r AS (SELECT vec_id, cid FROM dp$r
         |         JOIN vn USING (vec_id) JOIN cn$r USING (cid)
         |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-        |           ORDER BY d / (nv * nc) DESC, cid DESC) = 1),
+        |           ORDER BY ROUND(d / (nv * nc), 6) DESC, cid DESC) = 1),
         |c${r + 1} AS (SELECT cid, i, ROUND(SUM(e) / COUNT(*), 6) AS mu
         |         FROM ev JOIN as$r USING (vec_id) GROUP BY cid, i)""".stripMargin
     }.mkString(",\n")
@@ -973,7 +978,7 @@ object LlmQueries {
       |SELECT vec_id, cid AS cluster_id, ROUND(d / (nv * nc), 6) AS score
       |FROM dpF JOIN vn USING (vec_id) JOIN cnF USING (cid)
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-      |  ORDER BY d / (nv * nc) DESC, cid DESC) = 1""".stripMargin
+      |  ORDER BY ROUND(d / (nv * nc), 6) DESC, cid DESC) = 1""".stripMargin
   }
 
   /** q70's plane constants, interpolated into the oracle as exact decimal
@@ -1022,9 +1027,10 @@ object LlmQueries {
         |SELECT lang, [0.5, 0.9, 0.99][CAST(i AS INT)] AS p,
         |  ROUND(ps[CAST(i AS INT)], 6) AS n_tokens_p
         |FROM qx, UNNEST(range(1, 4)) AS t(i)""".stripMargin,
-    // q84: centroids = the q54 ROUNDED means (cross-engine exact), scores
-    // ranked unrounded then rounded on output (the q32 rule); ties to the
-    // larger label, matching the Spark side's max-struct selection
+    // q84: centroids = the q54 ROUNDED means (cross-engine exact); scores
+    // ROUNDED at 1e-6 BEFORE the rank so the argmax operand is itself
+    // cross-engine exact (scores within 1e-6 tie → larger label wins,
+    // matching the Spark side's max-struct selection)
     "q84_nearest_centroid" ->
       """WITH cx AS (SELECT label AS cand_label, CAST(i - 1 AS BIGINT) AS dim,
         |              ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6)
@@ -1042,10 +1048,9 @@ object LlmQueries {
         |          SUM(evx.e * cx.mu) AS d
         |        FROM evx JOIN cx ON cx.dim = evx.i - 1 GROUP BY 1, 2, 3),
         |scx AS (SELECT dpx.vec_id, dpx.label, dpx.cand_label,
-        |          dpx.d / (vnx.nv * cnx.nc) AS score
+        |          ROUND(dpx.d / (vnx.nv * cnx.nc), 6) AS score
         |        FROM dpx JOIN vnx USING (vec_id) JOIN cnx USING (cand_label))
-        |SELECT vec_id, label, cand_label AS pred_label,
-        |  ROUND(score, 6) AS score
+        |SELECT vec_id, label, cand_label AS pred_label, score
         |FROM scx QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
         |       ORDER BY score DESC, cand_label DESC) = 1""".stripMargin,
     // q93: cluster CTEs → per-cluster size → size histogram
