@@ -624,6 +624,17 @@ object LlmQueries {
     Retrieval.rrfFuse(Seq(sparse, dense), c = 60.0, k = 10)
   }
 
+  /** The COMPOSED curation pipeline's per-document verdict — every stage
+    * of CurationJob's keep/drop chain (shared via CurationPipeline, so the
+    * gate certifies the actual job path) run end to end: (doc_id,
+    * final_keep, drop_stage) for every input document. Individually green
+    * stages can still compose wrong (statistics over the wrong relation,
+    * trim-before-retention ordering bugs); this row pins the composition.
+    * Oracle: the per-stage DuckDB CTEs chained in CurationOracle.sql. */
+  def curationE2E(s: SparkSession, dir: String): DataFrame =
+    graft.jobs.CurationPipeline.verdict(Tables.documents(s, dir),
+      Tables.embeddings(s, dir))
+
   val queries: Map[String, Q] = Map(
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
@@ -683,14 +694,15 @@ object LlmQueries {
     "q92_mixture_weights" -> sourceMixtureWeights,
     "q93_cluster_sizes" -> clusterSizeHistogram,
     "q94_pair_histogram" -> pairScoreHistogram,
-    "q95_semantic_keep" -> semanticBestOfCluster)
+    "q95_semantic_keep" -> semanticBestOfCluster,
+    "q96_curation_e2e" -> curationE2E)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
   // tabs/newlines would silently diverge with the narrower split
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
-  private val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
+  private[queries] val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
 
   /** Shared CTE chain computing the exact 3-gram Jaccard pair relation at
     * threshold `tau` — body of the q29/q30 oracle, the pair generator
@@ -891,7 +903,7 @@ object LlmQueries {
 
   /** The portable mod-2^57 rolling-hash fold over `input`'s chars — DuckDB
     * twin of TextAnalysis.fingerprint (q37/q55/q61/q63-proven). */
-  private def fpSql(input: String): String =
+  private[queries] def fpSql(input: String): String =
     s"""list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
       |                 list_transform(string_split($input, ''),
@@ -991,6 +1003,8 @@ object LlmQueries {
     }.mkString(",\n|    ")
 
   val oracles: Map[String, String] = Map(
+    // q96: the whole curation chain composed — see CurationOracle
+    "q96_curation_e2e" -> CurationOracle.sql,
     // q82: stride-1 windows (i-1 = 0-based start), duplicate = rn > 1 in
     // (doc, start) order (the q67 canonical rule), removal = any duplicate
     // start covering the position — all-integer arithmetic end to end
