@@ -547,6 +547,58 @@ object TextAnalysis {
     docs.withColumn("draw", draw).filter(col("draw") < thr)
   }
 
+  /** WEIGHT-driven mixture sampling — closes the [[mixtureWeights]] →
+    * [[mixtureSample]] loop: instead of caller-given keep fractions, the
+    * per-stratum threshold is DERIVED from a computed weights relation
+    * (the q92 output: `(strataCol, n_docs, n_tokens, weight)`). The target
+    * share is in TOKENS (that is what `weight` normalizes), and uniform
+    * per-document sampling scales a stratum's token mass proportionally,
+    * so the per-document keep rate is the per-token rate `weight /
+    * n_tokens`, normalized so the scarcest stratum (max rate) keeps
+    * everything and every other stratum downsamples toward the
+    * temperature target — the standard "sample to a mixture" move.
+    *
+    * Determinism: `weight` is the 1e-6-rounded q92 value (oracle-proven
+    * bit-identical cross-engine); the rate and its normalization are
+    * single IEEE divisions of those exact values, and the integer
+    * threshold is a `floor` (unambiguous in both engines, unlike
+    * round-half at the boundary). The draw is the same salted content
+    * fingerprint as [[mixtureSample]], so a stratum at rate 1 keeps every
+    * document (threshold = resolution) and identical texts decide
+    * together.
+    *
+    * Plan/100 TB: the weights relation is |strata| rows → the threshold
+    * table broadcasts onto the scan; the sample itself stays a narrow
+    * projection + filter, zero data shuffles. Strata absent from
+    * `weights` keep everything (LEFT join + coalesce to the resolution —
+    * the carried-not-filtered contract; an inner join would silently
+    * delete such docs).
+    *
+    * Output: the input rows that survive, with `draw` and the stratum's
+    * `keep_threshold` attached.
+    */
+  def mixtureSampleWeighted(docs: DataFrame, weights: DataFrame,
+                            strataCol: String = "source",
+                            salt: String = "|mixture",
+                            textCol: String = "text"): DataFrame = {
+    val res = 1000000L
+    val rates = weights.select(col(strataCol),
+      when(col("n_tokens") > 0,
+        col("weight") / col("n_tokens").cast("double"))
+        .otherwise(lit(0.0)).as("__rate"))
+    val norm = rates.agg(max(col("__rate")).as("__max_rate"))
+    val thr = rates.crossJoin(broadcast(norm))
+      .select(col(strataCol),
+        floor(col("__rate") / col("__max_rate") * lit(res.toDouble))
+          .cast("long").as("keep_threshold"))
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))), lit(res))
+    docs.join(broadcast(thr), Seq(strataCol), "left")
+      .withColumn("keep_threshold",
+        coalesce(col("keep_threshold"), lit(res)))
+      .withColumn("draw", draw)
+      .filter(col("draw") < col("keep_threshold"))
+  }
+
   /** Bigram-LM conditional surprisal — [[lmSurprisal]]'s order-2 form: the
     * document is scored under corpus bigram statistics, `bits(w2|w1) =
     * floor(log2(c1(w1) div c2(w1 w2)))` per transition (c1 ≥ c2 by

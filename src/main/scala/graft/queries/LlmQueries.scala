@@ -624,6 +624,21 @@ object LlmQueries {
     Retrieval.rrfFuse(Seq(sparse, dense), c = 60.0, k = 10)
   }
 
+  /** WEIGHT-driven mixture sample — the q92 temperature targets actually
+    * applied, closing the q92 → q63 loop: per-source keep thresholds are
+    * DERIVED from the computed weights relation (keep rate ∝ weight /
+    * n_tokens, normalized so the scarcest source keeps everything), then
+    * the q63 salted content-hash draw decides per document (see
+    * TextAnalysis.mixtureSampleWeighted). Emits the surviving rows with
+    * their draw and threshold so the oracle pins BOTH the derivation and
+    * the sampling predicate. */
+  def mixtureWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.mixtureSampleWeighted(docs,
+        TextAnalysis.mixtureWeights(docs))
+      .select("doc_id", "source", "draw", "keep_threshold")
+  }
+
   /** The COMPOSED curation pipeline's per-document verdict — every stage
     * of CurationJob's keep/drop chain (shared via CurationPipeline, so the
     * gate certifies the actual job path) run end to end: (doc_id,
@@ -695,7 +710,8 @@ object LlmQueries {
     "q93_cluster_sizes" -> clusterSizeHistogram,
     "q94_pair_histogram" -> pairScoreHistogram,
     "q95_semantic_keep" -> semanticBestOfCluster,
-    "q96_curation_e2e" -> curationE2E)
+    "q96_curation_e2e" -> curationE2E,
+    "q97_mixture_weighted" -> mixtureWeighted)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1103,6 +1119,39 @@ object LlmQueries {
     // q92: √ is IEEE-correctly-rounded on both engines (pow is not — the
     // α = 0.5 choice is deliberate); each √ rounds at 1e-6 and sums as
     // DECIMAL, so the normalizer is exact and order-insensitive
+    // q97: the q92 weight CTE chained into the q63 sampling predicate —
+    // rate = weight / n_tokens (per-token target rate), normalized by the
+    // max rate, FLOORed to the integer threshold (unambiguous cross-engine,
+    // unlike round-half), then the salted content-hash draw decides
+    "q97_mixture_weighted" ->
+      s"""WITH tkx AS (SELECT source, $toksSql AS w FROM documents),
+        |bx AS (SELECT source,
+        |         CAST(SUM(COALESCE(len(w), 0)) AS BIGINT) AS n_tokens
+        |       FROM tkx GROUP BY source),
+        |sx AS (SELECT source, n_tokens,
+        |         CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6)
+        |              AS DECIMAL(38,6)) AS s6
+        |       FROM bx),
+        |tx AS (SELECT SUM(s6) AS tt FROM sx),
+        |wx AS (SELECT source, n_tokens,
+        |         ROUND(CAST(s6 AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight
+        |       FROM sx CROSS JOIN tx),
+        |rx AS (SELECT source,
+        |         CASE WHEN n_tokens > 0
+        |              THEN weight / CAST(n_tokens AS DOUBLE)
+        |              ELSE 0.0 END AS rate
+        |       FROM wx),
+        |mx AS (SELECT MAX(rate) AS mr FROM rx),
+        |thx AS (SELECT source,
+        |          CAST(FLOOR(rate / mr * 1000000) AS BIGINT)
+        |            AS keep_threshold
+        |        FROM rx CROSS JOIN mx),
+        |d AS (SELECT doc_id, source,
+        |        ${fpSql("text || '|mixture'")} % 1000000 AS draw
+        |      FROM documents)
+        |SELECT d.doc_id, d.source, d.draw, t.keep_threshold
+        |FROM d JOIN thx t USING (source)
+        |WHERE d.draw < t.keep_threshold""".stripMargin,
     "q92_mixture_weights" ->
       s"""WITH tkx AS (SELECT source, $toksSql AS w FROM documents),
         |bx AS (SELECT source, COUNT(*) AS n_docs,

@@ -519,6 +519,61 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(kept == 0L || kept == 2L, s"dup texts must decide together: $kept")
   }
 
+  test("weighted mixture sampling: thresholds derived from the computed " +
+    "weights, scarcest source keeps all, achieved rates track targets") {
+    import graft.llm.TextAnalysis
+    // skewed fixture: token mass 8:3:1 across sources, ~20 tokens/doc
+    val fixture = (
+      (1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 550).map(i => (i.toLong, "mid")) ++
+      (551 to 600).map(i => (i.toLong, "small"))
+    ).map { case (id, src) =>
+      (id, src, s"$src document number $id " +
+        Seq.tabulate(16)(j => s"w${id}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def run() = TextAnalysis.mixtureSampleWeighted(fixture,
+        TextAnalysis.mixtureWeights(fixture))
+      .select("doc_id", "source", "keep_threshold")
+      .as[(Long, String, Long)].collect()
+    val kept = run()
+    assert(kept.toSet == run().toSet, "survivor set must be deterministic")
+    val thr = kept.map(t => t._2 -> t._3).toMap
+    // scarcest source: rate is max → threshold = full resolution, keeps ALL
+    assert(thr("small") == 1000000L, s"small thr=${thr.get("small")}")
+    assert(kept.count(_._2 == "small") == 50)
+    // thresholds fall with token mass (temperature downsampling direction)
+    assert(thr("big") < thr("mid") && thr("mid") < thr("small"))
+    // closed form: rate ∝ 1/sqrt(T_s), so thr ≈ floor(sqrt(T_min/T_s)·1e6);
+    // the only slack is the 1e-6 weight rounding (≤ ~50 threshold units)
+    def want(tMin: Double, t: Double) = math.floor(math.sqrt(tMin / t) * 1e6)
+    assert(math.abs(thr("big") - want(50.0 * 20, 400.0 * 20)) < 60,
+      s"big thr=${thr("big")}")
+    assert(math.abs(thr("mid") - want(50.0 * 20, 150.0 * 20)) < 60,
+      s"mid thr=${thr("mid")}")
+    // achieved per-source keep rate ≈ threshold/1e6 (generous binomial band)
+    val nBig = kept.count(_._2 == "big")
+    val nMid = kept.count(_._2 == "mid")
+    assert(math.abs(nBig - 400.0 * thr("big") / 1e6) < 45, s"big kept $nBig")
+    assert(math.abs(nMid - 150.0 * thr("mid") / 1e6) < 35, s"mid kept $nMid")
+    // achieved TOKEN share tracks the q92 weight target (uniform doc
+    // lengths: doc share == token share)
+    val weights = TextAnalysis.mixtureWeights(fixture)
+      .select("source", "weight").as[(String, Double)].collect().toMap
+    val tot = kept.length.toDouble
+    Seq("big", "mid", "small").foreach { s =>
+      val achieved = kept.count(_._2 == s) / tot
+      assert(math.abs(achieved - weights(s)) < 0.08,
+        s"source $s: achieved share $achieved vs target ${weights(s)}")
+    }
+    // a source ABSENT from the weights relation keeps everything (LEFT
+    // join + coalesce — the carried-not-filtered contract)
+    val partial = TextAnalysis.mixtureWeights(
+      fixture.filter(col("source") =!= "small"))
+    val keptPartial = TextAnalysis.mixtureSampleWeighted(fixture, partial)
+    assert(keptPartial.filter(col("source") === "small").count() == 50L,
+      "unlisted source must keep every doc")
+  }
+
   test("source cap: per-source counts bounded, deterministic, content-keyed") {
     import spark.implicits._
     val perSource = docs.groupBy("source").count()
