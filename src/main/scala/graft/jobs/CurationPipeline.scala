@@ -129,10 +129,13 @@ object CurationPipeline {
         TextAnalysis.lengthTailFilter(afterQuality, p = 0.99)
           .select("doc_id"), "doc_id").persist())
 
-    // 9. per-source cap (content-hash draw order, re-run stable)
+    // 9. per-source cap (content-hash draw order, re-run stable) — the
+    //    TWO-PHASE form: row-identical to the single window
+    //    (ScaleSpec-proven) but a hot domain enters the ranking ~2·cap
+    //    rows strong instead of whole, which is what survives 100 TB
     val capped = CacheScope.track(trimmed.join(
-      TextAnalysis.sourceCap(trimmed, cap = 20).select("doc_id"), "doc_id")
-      .persist())
+      TextAnalysis.sourceCapTwoPhase(trimmed, cap = 20).select("doc_id"),
+      "doc_id").persist())
 
     // 10. language mixture downsample (content-hash draws)
     val mixed = TextAnalysis.mixtureSample(capped, targets = Seq("en" -> 0.7))

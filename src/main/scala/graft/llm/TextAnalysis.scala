@@ -654,11 +654,11 @@ object TextAnalysis {
     *
     * 100 TB posture: one shuffle on the stratum key, per-stratum
     * `row_number` (no global sort). A pathologically hot domain (billions
-    * of docs) lands on one partition; the scale path is a two-phase cap —
-    * pre-filter `draw < t` with t sized from the stratum's count so ~2·cap
-    * survive (draws are uniform), then exact-rank the survivors; falls back
-    * to the exact window when the pre-filter under-fills. The gate corpus
-    * is uniform across sources, so the single-window form is the plan here.
+    * of docs) lands on one partition; [[sourceCapTwoPhase]] is the built
+    * scale path (pre-filter `draw < t` sized from stratum counts, exact
+    * window over ~2·cap survivors, fallback when under-filled) and is
+    * ScaleSpec-proven row-identical to this form. The gate corpus is
+    * uniform across sources, so the single-window form is the plan here.
     */
   def sourceCap(docs: DataFrame, cap: Int, strataCol: String = "source",
                 salt: String = "|srccap", idCol: String = "doc_id",
@@ -670,6 +670,68 @@ object TextAnalysis {
         Window.partitionBy(col(strataCol))
           .orderBy(col("draw"), col(idCol))).cast("long"))
       .filter(col("src_rank") <= cap)
+  }
+
+  /** [[sourceCap]]'s hot-domain scale path — EXACTLY the same survivor set
+    * and ranks, without ever ranking a whole stratum: because draws are
+    * uniform on [0, res), a stratum of `n` docs expects `n·t/res` below
+    * threshold `t`, so pre-filtering `draw < t` with `t = res·overSample·
+    * cap / n` leaves ~overSample·cap rows — and the exact `row_number`
+    * window then runs over THAT bounded set. The pre-filter is provably
+    * lossless whenever it keeps ≥ cap rows: every pre-filtered row's draw
+    * is strictly below every excluded row's, so the global (draw, id)
+    * top-cap is contained in it. Strata where the pre-filter under-fills
+    * (< min(cap, n) survivors — requires a pathologically skewed draw
+    * distribution) fall back to ranking all their rows; the check and the
+    * fallback are both in-plan, per stratum, no driver decision.
+    *
+    * Plan: the (id, stratum, draw) projection is persisted (caller's
+    * CacheScope releases it) and scanned by the |strata|-row count
+    * aggregate, the pre-filter, and — only for under-filled strata — the
+    * fallback leg; thresholds and the under-filled stratum list broadcast.
+    * At 100 TB the window input shrinks from the corpus to
+    * ~|strata|·overSample·cap rows; the billion-doc domain that stalls the
+    * single-window form contributes ~overSample·cap rows here.
+    */
+  def sourceCapTwoPhase(docs: DataFrame, cap: Int,
+                        strataCol: String = "source",
+                        salt: String = "|srccap", idCol: String = "doc_id",
+                        textCol: String = "text",
+                        overSample: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(overSample > 0, "overSample must be positive")
+    val res = 1000000L
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))), lit(res))
+    val base = graft.core.CacheScope.track(
+      docs.select(col(idCol), col(strataCol), draw.as("draw")).persist())
+    val counts = base.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // strata at or under overSample·cap docs keep everything (t = res):
+    // tiny strata must not round down to an under-filled threshold
+    val thr = counts.select(col(strataCol), col("__n"),
+      when(col("__n") <= lit(math.ceil(overSample * cap).toLong), lit(res))
+        .otherwise(least(lit(res),
+          ceil(lit(res.toDouble * overSample * cap) / col("__n"))
+            .cast("long"))).as("__t"))
+    val pre = base.join(broadcast(thr), strataCol)
+      .filter(col("draw") < col("__t"))
+    // under-fill check: the pre-filter must keep at least min(cap, n) rows
+    // for its top-cap to provably equal the stratum's top-cap. Anchored on
+    // `counts` (LEFT join, __k coalesced to 0) so a stratum whose
+    // pre-filter kept NOTHING is still flagged, not silently dropped
+    val under = counts
+      .join(pre.groupBy(col(strataCol)).agg(count(lit(1)).as("__k")),
+        Seq(strataCol), "left")
+      .filter(coalesce(col("__k"), lit(0L)) < least(col("__n"), lit(cap.toLong)))
+      .select(col(strataCol))
+    val candidates = pre.select(col(idCol), col(strataCol), col("draw"))
+      .join(broadcast(under), Seq(strataCol), "left_anti")
+      .unionByName(base.join(broadcast(under), Seq(strataCol), "left_semi"))
+    candidates
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("draw"), col(idCol))).cast("long"))
+      .filter(col("src_rank") <= cap)
+      .select(col(idCol), col(strataCol), col("draw"), col("src_rank"))
   }
 
   /** Corpus-trained unigram LM surprisal — the perplexity-style quality

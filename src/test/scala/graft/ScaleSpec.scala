@@ -279,6 +279,52 @@ class ScaleSpec extends SparkSpecBase {
       s"IVF candidates $cand ≥ 0.3 × $totalPairs — bucketing stopped pruning")
   }
 
+  test("two-phase source cap equals the single-window form on the uniform " +
+    "corpus, a planted hot domain, and under forced fallback") {
+    import graft.core.CacheScope
+    import graft.llm.TextAnalysis
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "draw", "src_rank")
+        .as[(Long, String, Long, Long)].collect().toSet
+    val docsT = Tables.documents(spark, sfDir)
+    // (a) the gate corpus (uniform source sizes)
+    CacheScope.scoped {
+      assert(canon(TextAnalysis.sourceCapTwoPhase(docsT, cap = 10)) ==
+        canon(TextAnalysis.sourceCap(docsT, cap = 10)))
+    }
+    // (b) planted hot domain: one source 100× the others — the case the
+    // single window serializes on and the pre-filter bounds
+    val hot = (
+      (1 to 4000).map(i => (i.toLong, "hot")) ++
+      (4001 to 4040).map(i => (i.toLong, "tail_a")) ++
+      (4041 to 4075).map(i => (i.toLong, "tail_b"))
+    ).map { case (id, src) =>
+      (id, src, s"$src document body $id " + s"filler${id % 97} end")
+    }.toDF("doc_id", "source", "text")
+    val exact = CacheScope.scoped {
+      canon(TextAnalysis.sourceCap(hot, cap = 10))
+    }
+    CacheScope.scoped {
+      assert(canon(TextAnalysis.sourceCapTwoPhase(hot, cap = 10)) == exact)
+    }
+    // the ranking window consumes the PRE-FILTERED relation: the threshold
+    // filter must sit in the plan (the hot stratum enters the window
+    // ~2·cap rows strong, not 4000)
+    CacheScope.scoped {
+      val p = TextAnalysis.sourceCapTwoPhase(hot, cap = 10)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("__t"),
+        s"pre-filter threshold must gate the window input:\n$p")
+      assert(p.contains("Window"), p)
+    }
+    // (c) a pathologically small overSample starves every stratum's
+    // pre-filter → the in-plan fallback must engage and stay exact
+    CacheScope.scoped {
+      assert(canon(TextAnalysis.sourceCapTwoPhase(hot, cap = 10,
+        overSample = 1e-5)) == exact)
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     for (t <- Seq("g_bucket_l", "g_bucket_r")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
