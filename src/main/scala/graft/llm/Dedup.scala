@@ -297,6 +297,45 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Pair-similarity decile histogram at floor `tau` — the
+    * threshold-tuning curve (how many candidate pairs a dedup run would
+    * admit at each jaccard decile), with the SAMPLE mode a 100 TB run
+    * needs built in rather than left to the caller: low-floor pair
+    * enumeration is inherently the quadratic tail of the shingle join
+    * (every pair sharing ≥ 1 shingle is scored before the floor filter),
+    * so at scale the statistic runs over a document sample.
+    *
+    * `sampleFrac` subsamples DOCUMENTS by the salted content-hash draw
+    * (deterministic, engine- and partitioning-stable, byte-identical dups
+    * decide together — the [[TextAnalysis.mixtureSample]] family);
+    * `sampleFrac = 1` is the exact full-corpus form, the plan carrying no
+    * sample filter at all. Error statement: a document sample at rate f
+    * keeps each pair with probability ~f² independently of its score, so
+    * the decile SHAPE (bucket shares) is unbiased while absolute counts
+    * scale by f²; the per-bucket relative error is ~1/√(f²·n_bucket) —
+    * size f so the rarest decile of interest still expects ≳10⁴ pairs.
+    *
+    * Output: (bucket, n_pairs), bucket = floor(jaccard·10) — identical
+    * double ops on both engines, so decile edges cannot straddle.
+    */
+  def pairScoreHistogram(docs: DataFrame, w: Int, tau: Double,
+                         sampleFrac: Double = 1.0,
+                         salt: String = "|pairhist",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(sampleFrac > 0 && sampleFrac <= 1,
+      s"sampleFrac must be in (0, 1]: $sampleFrac")
+    val res = 1000000L
+    val in =
+      if (sampleFrac >= 1.0) docs
+      else docs.filter(
+        pmod(TextAnalysis.fingerprint(concat(col(textCol), lit(salt))),
+          lit(res)) < lit(math.round(sampleFrac * res)))
+    ngramJaccardPairs(in, w, tau, idCol, textCol)
+      .select(floor(col("jaccard") * 10).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** MinHash signature column: `numHashes` independent permutations. The
     * shingle string is hashed ONCE (`g = xxhash64(shingle)`), then each
     * permutation re-scrambles the 8-byte value with an outer

@@ -565,18 +565,13 @@ object LlmQueries {
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
   /** Pair-similarity histogram at a LOW floor (τ = 0.1) — the
-    * threshold-tuning curve: how many candidate pairs a dedup run would
-    * admit at each jaccard decile. Low-floor pair enumeration is
-    * inherently the quadratic tail of the shingle join (every pair
-    * sharing ≥ 1 shingle is scored before the floor filter — same cost
-    * shape as q29's exact relation); at 100 TB this statistic runs on a
-    * corpus sample, stated rather than hidden. Bucket = floor(j·10):
-    * identical double ops on both engines, so decile edges cannot
-    * straddle. */
+    * threshold-tuning curve at the gate scale, i.e.
+    * Dedup.pairScoreHistogram's exact sampleFrac = 1 form; at 100 TB the
+    * same operator runs with a sampleFrac sized to the rarest decile of
+    * interest (see its error statement). */
   def pairScoreHistogram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), w = 3, tau = 0.1)
-      .select(floor(col("jaccard") * 10).cast("long").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    Dedup.pairScoreHistogram(Tables.documents(s, dir), w = 3, tau = 0.1,
+      sampleFrac = 1.0)
 
   private val invIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

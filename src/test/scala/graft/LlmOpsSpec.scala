@@ -574,6 +574,63 @@ class LlmOpsSpec extends SparkSpecBase {
       "unlisted source must keep every doc")
   }
 
+  test("pair-score histogram sample mode: sampleFrac=1 is the exact form, " +
+    "the draw is content-keyed, sampled decile shares track the full curve") {
+    import graft.core.CacheScope
+    import graft.llm.{Dedup => D}
+    import graft.llm.TextAnalysis
+    // 40 families × 5 docs, mutation depth grows within a family → the
+    // pair jaccards spread across several deciles; families share nothing
+    val fixture = (0 until 40).flatMap { fam =>
+      val base = Seq.tabulate(20)(t => s"fam${fam}_tok$t")
+      (0 until 5).map { j =>
+        val toks = base.zipWithIndex.map { case (tok, idx) =>
+          if (idx < j * 2) s"mut${fam}_${j}_$idx" else tok }
+        ((fam * 5 + j).toLong, toks.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    def hist(df: org.apache.spark.sql.DataFrame, frac: Double) =
+      CacheScope.scoped {
+        D.pairScoreHistogram(df, w = 3, tau = 0.1, sampleFrac = frac)
+          .as[(Long, Long)].collect().toMap
+      }
+    val full = hist(fixture, 1.0)
+    assert(full.values.sum >= 200, s"fixture should yield many pairs: $full")
+    assert(full.size >= 3, s"fixture should span several deciles: $full")
+    // sampleFrac = 1 carries no sample filter: equals the plain bucketing
+    val direct = CacheScope.scoped {
+      D.ngramJaccardPairs(fixture, w = 3, tau = 0.1)
+        .select(floor(col("jaccard") * 10).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(full == direct)
+    // the sampled run == the full operator over the independently-derived
+    // survivor docs (pins the draw predicate: salt, modulus, rounding)
+    val frac = 0.6
+    val keptDocs = fixture.as[(Long, String)].collect().filter {
+      case (_, t) =>
+        TextAnalysis.fingerprintOf(t + "|pairhist") % 1000000L <
+          math.round(frac * 1000000L)
+    }
+    val manual = hist(keptDocs.toSeq.toDF("doc_id", "text"), 1.0)
+    val sampled = hist(fixture, frac)
+    assert(sampled == manual,
+      s"sampled run must equal full op over the drawn docs")
+    assert(sampled == hist(fixture, frac), "sampling must be deterministic")
+    // decile SHAPE: each bucket's share within a generous band of the full
+    // curve (doc sampling keeps pairs at ~frac² independent of score)
+    val fTot = full.values.sum.toDouble
+    val sTot = sampled.values.sum.toDouble
+    assert(sTot > 0, "sample must retain pairs at frac=0.6")
+    full.keys.foreach { b =>
+      val fs = full(b) / fTot
+      val ss = sampled.getOrElse(b, 0L) / sTot
+      assert(math.abs(fs - ss) < 0.2,
+        s"bucket $b share: full=$fs sampled=$ss")
+    }
+  }
+
   test("source cap: per-source counts bounded, deterministic, content-keyed") {
     import spark.implicits._
     val perSource = docs.groupBy("source").count()
