@@ -27,6 +27,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // serial driver-side partition listing — see Sessions.builder
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // serial driver-side partition listing — see Sessions.builder
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -30,6 +30,15 @@ object Sessions {
       // plan on every update: the uncapped default OOM'd the curation
       // job's driver at sf0.01 before any data moved
       .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
+      // list partitioned stores (the 768-dir IVF/PQ postings tree, the
+      // inverted index's term groups) serially on the driver: above the
+      // 32-dir default Spark launches a listing JOB whose scheduling
+      // overhead is ~2 s against a local filesystem where the serial walk
+      // is ~10 ms (measured: every stored-index open paid it). A cluster
+      // deployment against S3/HDFS lowers this back so listing
+      // parallelizes across executors — it is a per-deployment knob
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "8192")
     if (rocksDbState)
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
