@@ -16,10 +16,13 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`: the
-    * `events` table carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * otherwise rejects. [[events]] converts the raw nanos back to a proper
-    * (microsecond) TimestampType column.
+  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`: older
+    * generations of the `events` table carry TIMESTAMP(NANOS), which
+    * Spark's vectorized reader otherwise rejects; under the flag they read
+    * as raw nano longs and [[events]] converts them back to a proper
+    * (microsecond) TimestampType column. Newer generations write
+    * timestamp[us] directly — [[events]] detects which shape it got and
+    * only converts the long form, so both vintages load identically.
     */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -30,10 +33,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] parquet reads as NTZ; downstream (windows, UTC+8
+        // day math) expects TimestampType — identical wall-clock under the
+        // UTC session, so the cast is a type change, not a value change
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

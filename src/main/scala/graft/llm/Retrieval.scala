@@ -425,4 +425,82 @@ object Retrieval {
           .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell–Goldstein) of a top-n
+    * candidate relation: greedily select k results trading relevance
+    * against redundancy — pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s),
+    * ties to the smaller neighbor_id. The diversified-retrieval tail every
+    * RAG/eval-set builder wants after q32/q52/q83: without it, a near-dup
+    * cluster monopolizes the top slots the near-dup pipeline exists to
+    * break up.
+    *
+    * Inputs: `candidates` = any (query_id, neighbor_id, score) top-n
+    * relation (brute q32, IVF q52, stored-index — the operator composes);
+    * `embeddings` supplies candidate vectors for the pairwise sims.
+    *
+    * Determinism: rel and the pairwise sims are 1e-6-rounded BEFORE the
+    * greedy loop, so every argmax operand is cross-engine exact (the
+    * kmeans/q84 contract); λ·rel − (1−λ)·maxsim over rounded operands is
+    * then pure IEEE, identical in the DuckDB oracle's unrolled CTE chain.
+    *
+    * Scale: the greedy selection is genuinely sequential, but its state is
+    * ONE query's candidate set (n ≤ top-n bound, n² rounded sims) — so the
+    * pairwise sims are a bounded self-join and the loop runs per-query in
+    * flatMapGroups with O(n²) rows per group, embarrassingly parallel
+    * across queries. Nothing touches the corpus; the candidate generator
+    * already bounded it.
+    */
+  def mmrRerank(candidates: DataFrame, embeddings: DataFrame, k: Int,
+                lambda: Double = 0.7, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val mu = 1.0 - lambda
+    val cand = candidates.select(col("query_id").cast("long"),
+      col("neighbor_id").cast("long"), round(col("score"), 6).as("rel"))
+    val emb = embeddings.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).as("v"))
+    val cv = cand.join(emb, col("neighbor_id") === col("nid")).drop("nid")
+    val a = cv.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("rel").as("rel_a"), col("v").as("va"))
+    val b = cv.select(col("query_id"), col("neighbor_id").as("id_b"),
+      col("v").as("vb"))
+    // full n×n grid per query (self rows carry a null sim) so rel survives
+    // even for single-candidate queries
+    val grid = a.join(b, Seq("query_id"))
+      .select(col("query_id"), col("id_a"), col("rel_a"), col("id_b"),
+        when(col("id_a") =!= col("id_b"),
+          round(graft.llm.Similarity.cosine(col("va"), col("vb")), 6))
+          .as("sim"))
+    grid.as[(Long, Long, Double, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        val sim = rows.collect { case (_, ia, _, ib, Some(s)) => (ia, ib) -> s }
+          .toMap
+        val remaining = scala.collection.mutable.SortedSet(rel.keys.toSeq: _*)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Long)]
+        var i = 1
+        while (i <= k && remaining.nonEmpty) {
+          var bestId = -1L
+          var bestScore = Double.NegativeInfinity
+          // ascending iteration + strict '>' = smaller-id tie-break
+          remaining.foreach { id =>
+            val ms = if (selected.isEmpty) 0.0
+              else selected.map(s => sim.getOrElse((id, s), 0.0)).max
+            val sc = lambda * rel(id) - mu * ms
+            if (sc > bestScore) { bestScore = sc; bestId = id }
+          }
+          remaining.remove(bestId)
+          selected += bestId
+          out += ((qid, bestId, bestScore, i.toLong))
+          i += 1
+        }
+        out
+      }
+      .toDF("query_id", "neighbor_id", "mmr_score", "rnk")
+  }
 }

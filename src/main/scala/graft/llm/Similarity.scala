@@ -879,7 +879,18 @@ object Similarity {
               kCentroids: Int = 64, tables: Int = 12, probes: Int = 16,
               iters: Int = 8, sampleN: Int = 1024,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding"): DataFrame =
+    rankTopK(ivfScored(corpus, queries, kCentroids, tables, probes, iters,
+      sampleN, idCol, vecCol), k)
+
+  /** The IVF-pruned exactly-scored candidate relation ivfTopK ranks:
+    * multi-table k-means cells, query probes joined to single-probe corpus
+    * assignments, candidates scored by true cosine. Shared so variants can
+    * filter the score BEFORE the bounded rank (hard-negative mining). */
+  private def ivfScored(corpus: DataFrame, queries: DataFrame,
+                        kCentroids: Int, tables: Int, probes: Int,
+                        iters: Int, sampleN: Int,
+                        idCol: String, vecCol: String): DataFrame = {
     val cents = trainIvfCentroids(corpus, kCentroids, tables, iters, sampleN,
       idCol, vecCol)
     val c = ivfAssignments(corpus, cents, probes = 1, idCol, vecCol)
@@ -893,10 +904,46 @@ object Similarity {
       col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("cv"))
+    cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+  }
+
+  /** Contrastive hard-negative mining: per query, the top-k HIGHEST-cosine
+    * neighbors STRICTLY BELOW the near-duplicate threshold `tau`. An
+    * embedding-model trainer pairs each anchor with these — high-similarity
+    * non-duplicates teach the margin, while true near-dups at cos ≥ τ are
+    * positives (the q42 relation), not negatives, and must not occupy
+    * slots. The τ exclusion therefore applies BEFORE the rank, so each
+    * excluded near-dup frees its slot for the next-deeper candidate —
+    * filter-then-top-k, not top-k-then-filter. Runs on the IVF-pruned
+    * exactly-scored candidates (the q52 machinery): hard negatives sit
+    * just below the near-dup band, i.e. in the same probed cells as the
+    * top neighbors, so a probe budget that recalls top-(k + #near-dups)
+    * ranks recalls the top-k below τ (LlmOpsSpec pins equality with the
+    * brute-force form at registry parameters). 100 TB: candidate volume is
+    * the q52 bound; the filter only shrinks what reaches the rank. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    tau: Double, kCentroids: Int = 64, tables: Int = 12,
+                    probes: Int = 16, iters: Int = 8, sampleN: Int = 1024,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    rankTopK(ivfScored(corpus, queries, kCentroids, tables, probes, iters,
+        sampleN, idCol, vecCol)
+      .filter(col("score") < lit(tau)), k)
+
+  /** Exact twin of [[hardNegatives]] (brute-force scan, same τ-then-rank
+    * order) — the spec's equality anchor, and the small-corpus form. */
+  def hardNegativesExact(corpus: DataFrame, queries: DataFrame, k: Int,
+                         tau: Double, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     rankTopK(
-      cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(col("qv"), col("cv")).as("score")), k)
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", cosine(col("qv"), col("cv")))
+        .filter(col("score") < lit(tau)), k)
+      .select("query_id", "neighbor_id", "score", "rnk")
   }
 
   /** Persist an IVF index: `path/centroids` holds the tables·k quantizer

@@ -396,6 +396,47 @@ object TextAnalysis {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Leakage-safe train/val/test split — [[dataSplit]] hardened against
+    * NEAR-duplicate leakage: [[dataSplit]] guarantees exact duplicates
+    * land together (same content → same fingerprint bucket), but a
+    * near-dup pair differs in content, hashes to independent buckets, and
+    * straddles the boundary with probability 1 − Σp² — precisely the
+    * train→eval leakage q61 keeps detecting. Here the WHOLE near-dup
+    * cluster is assigned as one unit: every member inherits the bucket of
+    * its cluster's canonical (min-id) member's text, so no edge of the
+    * similarity graph can cross a split boundary. Singletons degrade to
+    * exactly [[dataSplit]]'s assignment.
+    *
+    * Input: any (id, cluster_id) relation (q51 lexical, q76 semantic).
+    * Output: (doc_id, cluster_id, bucket, split).
+    *
+    * 100 TB posture: one join of the cluster relation to the docs on the
+    * canonical id to fetch the canonical text's fingerprint (the cluster
+    * relation is corpus-sized but the canonical side collapses to
+    * |clusters| rows first — aggregate-before-join), then the split is a
+    * projection. The cluster resolution itself is q51's hash-min
+    * fixpoint, already the scale path.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val cl = clusters.select(col(clusters.columns(0)).as(idCol),
+      col(clusters.columns(1)).as("cluster_id"))
+    // bucket of each DISTINCT canonical doc's text — |clusters| rows, not
+    // corpus rows, before the join back
+    val canonBuckets = cl.select(col("cluster_id")).distinct()
+      .join(docs.select(col(idCol).as("cluster_id"),
+        pmod(fingerprint(col(textCol)), lit(100L)).as("bucket")),
+        Seq("cluster_id"))
+    cl.join(canonBuckets, Seq("cluster_id"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("cluster_id"), col("bucket"), col("split"))
+  }
+
   /** Train→eval n-gram contamination audit — the decontamination primitive
     * of large-scale training pipelines (GPT-3-style n-gram overlap): for
     * every NON-train document, count how many of its distinct w-gram
@@ -762,6 +803,51 @@ object TextAnalysis {
     * [[lmSurprisal]]'s sum-of-tf by construction (same integers), so
     * scoring a corpus against its own stats is bit-identical to the
     * inline form (StreamingSpec pins it). */
+  /** Per-source token-distribution divergence from the corpus — the
+    * drift/homogeneity audit of a multi-source training mix: how many more
+    * bits per token the corpus-wide unigram LM spends on a source's tokens
+    * than the source's OWN unigram LM, i.e. a KL(source ‖ corpus) proxy in
+    * [[lmSurprisal]]'s exact whole-bit arithmetic (floor-log2 via binary
+    * string length — no libm anywhere, so the gate hash is cross-engine
+    * stable). Flooring makes each per-token term a lower log2 bound, so
+    * `kl_bits` can dip slightly negative for near-identical distributions;
+    * the operative signal is the ORDERING across sources (which source's
+    * token mix strays furthest from the blend), stated not hidden.
+    * Production callers wanting continuous nats swap the two `bits`
+    * expressions for `log(...)` — plan shape unchanged.
+    *
+    * 100 TB posture: the occurrence stream collapses to (source, token,
+    * tf) map-side; corpus counts are a second token-key aggregate of that
+    * same table (vocabulary ≪ corpus) joined back on the token key; the
+    * per-source totals (|sources| rows) and the one-row corpus total are
+    * broadcast. No window, no driver state.
+    */
+  def sourceDivergence(docs: DataFrame, groupCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(groupCol),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy("token").agg(sum("tf").as("c"))
+    val nTot = corpus.agg(sum("c").as("n_total"))
+    val nSrc = tf.groupBy(groupCol).agg(sum("tf").as("n_src"))
+    val corpusBits = (length(bin(expr("n_total div c"))) - 1).cast("long")
+    val sourceBits = (length(bin(expr("n_src div tf"))) - 1).cast("long")
+    tf.join(corpus, "token")
+      .join(broadcast(nSrc), Seq(groupCol))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col(groupCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * corpusBits).as("sum_corpus_bits"),
+        sum(col("tf") * sourceBits).as("sum_source_bits"))
+      .withColumn("xent_corpus_bits",
+        col("sum_corpus_bits").cast("double") / col("n_tokens"))
+      .withColumn("ent_source_bits",
+        col("sum_source_bits").cast("double") / col("n_tokens"))
+      .withColumn("kl_bits",
+        col("xent_corpus_bits") - col("ent_source_bits"))
+  }
+
   def lmStats(docs: DataFrame, textCol: String = "text")
   : (DataFrame, DataFrame) = {
     val counts = docs.select(explode(tokens(col(textCol))).as("token"))

@@ -145,6 +145,20 @@ object LlmQueries {
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Contrastive hard-negative mining: per query (vec_id < 10), the 5
+    * HIGHEST-cosine neighbors strictly below the q42 near-dup threshold
+    * (τ = 0.45). Near-dups are positives, not negatives — the exclusion
+    * applies BEFORE the rank so each excluded near-dup frees its slot for
+    * the next-deeper candidate. IVF-pruned scoring (the q52 machinery);
+    * LlmOpsSpec pins equality with the exact brute-force form. */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5,
+        tau = 0.45)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Top-3 distinctive terms per document — TF-IDF with rational IDF
     * (tf·n_docs/df: one exact-integer division is bit-deterministic across
     * engines where ln-based weights are only ulp-close; see
@@ -164,6 +178,18 @@ object LlmQueries {
     * engines via the portable mod-2^57 fingerprint. */
   def dataSplit(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.dataSplit(Tables.documents(s, dir))
+
+  /** Leakage-safe 80/10/10 split: q55's content-hash assignment applied
+    * per near-dup CLUSTER (the q51 relation) rather than per doc — every
+    * member inherits the canonical member's bucket, so whole clusters
+    * land in one split and no similarity edge crosses train/eval (the
+    * leakage q61 detects). Singletons degrade to exactly q55. */
+  def leakageSafeSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.leakageSafeSplit(docs,
+      Dedup.nearDupClusters(docs, w = 3, tau = 0.5)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id")))
+  }
 
   /** Token-budget sequence packing (2048/bin) over the two-phase prefix
     * sum — the single-task global-window form is the anti-pattern
@@ -273,6 +299,14 @@ object LlmQueries {
     * see TextAnalysis.lmSurprisal. */
   def lmSurprisal(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmSurprisal(Tables.documents(s, dir))
+
+  /** Per-source token-distribution divergence from the corpus blend — the
+    * mix-drift audit in q65's exact whole-bit arithmetic (KL proxy =
+    * corpus-model cross entropy − own-model entropy, floor-bits). */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceDivergence(Tables.documents(s, dir))
+      .select("source", "n_tokens", "sum_corpus_bits", "sum_source_bits",
+        "xent_corpus_bits", "ent_source_bits", "kl_bits")
 
   /** Bigram-LM conditional surprisal (order-2 twin of q65 — repetitive
     * transitions score near zero where the unigram mix looks normal). */
@@ -619,6 +653,30 @@ object LlmQueries {
     Retrieval.rrfFuse(Seq(sparse, dense), c = 60.0, k = 10)
   }
 
+  /** MMR-diversified rerank: greedy maximal-marginal-relevance selection
+    * (λ = 0.7, k = 5) over the dense top-20 candidates for queries
+    * vec_id < 5 — the diversified-retrieval tail after any ANN/BM25 path
+    * (candidates are an input; production swaps the brute generator for
+    * q52/q72/q83). Rel and pairwise sims 1e-6-rounded before the greedy
+    * loop, so every argmax is cross-engine exact; the oracle unrolls the
+    * same k selection steps as chained CTEs. */
+  def mmrRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cand = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 20)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+    // NOT round(): λ·rel − μ·maxsim lands near the 1e-7 grid, so the 6th
+    // decimal ties constantly and Spark (HALF_UP on Double.toString) and
+    // DuckDB (on the binary double) disagree on ties. floor(x·1e6 + .5)/1e6
+    // is the same IEEE ops on the same bit-identical double in both engines.
+    Retrieval.mmrRerank(cand, emb, k = 5, lambda = 0.7)
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(col("mmr_score") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mmr_score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** WEIGHT-driven mixture sample — the q92 temperature targets actually
     * applied, closing the q92 → q63 loop: per-source keep thresholds are
     * DERIVED from the computed weights relation (keep rate ∝ weight /
@@ -706,7 +764,11 @@ object LlmQueries {
     "q94_pair_histogram" -> pairScoreHistogram,
     "q95_semantic_keep" -> semanticBestOfCluster,
     "q96_curation_e2e" -> curationE2E,
-    "q97_mixture_weighted" -> mixtureWeighted)
+    "q97_mixture_weighted" -> mixtureWeighted,
+    "q98_hard_negatives" -> hardNegativesQ,
+    "q99_source_divergence" -> sourceDivergence,
+    "q100_mmr_rerank" -> mmrRerankQ,
+    "q101_leakage_safe_split" -> leakageSafeSplitQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -811,6 +873,106 @@ object LlmQueries {
       |       ROW_NUMBER() OVER (PARTITION BY query_id
       |                          ORDER BY dp / (nq * nc) DESC, neighbor_id) AS rnk
       |FROM dots QUALIFY rnk <= 5""".stripMargin
+
+  /** The q98 oracle: the knn CTE chain with the τ exclusion applied
+    * BEFORE the rank — near-dup rows (cos ≥ 0.45, the q42 relation) never
+    * occupy negative slots, exactly the Spark filter-then-top-k order. */
+  private val hardNegOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      |dots AS (SELECT query_id, neighbor_id,
+      |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+      |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+      |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nc
+      |         FROM q, c, UNNEST(range(1, len(qe) + 1)) AS t(i)
+      |         WHERE query_id <> neighbor_id
+      |         GROUP BY query_id, neighbor_id),
+      |neg AS (SELECT query_id, neighbor_id, dp / (nq * nc) AS cos
+      |        FROM dots WHERE dp / (nq * nc) < 0.45)
+      |SELECT query_id, neighbor_id, ROUND(cos, 6) AS score,
+      |       ROW_NUMBER() OVER (PARTITION BY query_id
+      |                          ORDER BY cos DESC, neighbor_id) AS rnk
+      |FROM neg QUALIFY rnk <= 5""".stripMargin
+
+  /** The q100 oracle: the brute top-20 candidate CTE (rel = 1e-6-rounded
+    * cosine, the Spark side's exact operand), the rounded pairwise-sim
+    * grid, then the k greedy MMR selection steps UNROLLED as chained CTEs
+    * — each step ranks λ·rel − μ·maxsim (μ interpolated from the same
+    * `1.0 - λ` double the Spark loop computes, Double.toString
+    * round-trip) and picks rnk = 1 with ties to the smaller id. */
+  private def mmrOracleSql(k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val mu = (1.0 - lambda).toString
+    val base =
+      """qm AS (SELECT vec_id AS query_id, embedding AS qe
+        |       FROM embeddings WHERE vec_id < 5),
+        |cm AS (SELECT vec_id AS neighbor_id, embedding AS ce
+        |       FROM embeddings),
+        |dotm AS (SELECT query_id, neighbor_id,
+        |           SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+        |           SQRT(SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |           SQRT(SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nc
+        |         FROM qm, cm, UNNEST(range(1, len(qe) + 1)) AS t(i)
+        |         WHERE query_id <> neighbor_id
+        |         GROUP BY query_id, neighbor_id),
+        |candm AS (SELECT query_id, neighbor_id, ROUND(dp / (nq * nc), 6) AS rel
+        |          FROM (SELECT query_id, neighbor_id, dp, nq, nc,
+        |                  ROW_NUMBER() OVER (PARTITION BY query_id
+        |                    ORDER BY dp / (nq * nc) DESC, neighbor_id) AS r
+        |                FROM dotm) WHERE r <= 20),
+        |cvm AS (SELECT c.query_id, c.neighbor_id, c.rel, e.embedding AS v
+        |        FROM candm c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+        |simm AS (SELECT a.query_id, a.neighbor_id AS id_a,
+        |           b.neighbor_id AS id_b,
+        |           ROUND(SUM(CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)) /
+        |             (SQRT(SUM(CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))) *
+        |              SQRT(SUM(CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))),
+        |             6) AS sim
+        |         FROM cvm a JOIN cvm b
+        |           ON a.query_id = b.query_id
+        |          AND a.neighbor_id <> b.neighbor_id,
+        |           UNNEST(range(1, len(a.v) + 1)) AS t(i)
+        |         GROUP BY a.query_id, a.neighbor_id, b.neighbor_id),
+        |sel1 AS (SELECT query_id, neighbor_id, $LAM * rel AS mmr, 1 AS rnk
+        |         FROM (SELECT query_id, neighbor_id, rel,
+        |                 ROW_NUMBER() OVER (PARTITION BY query_id
+        |                   ORDER BY rel DESC, neighbor_id) AS rr
+        |               FROM candm) WHERE rr = 1),
+        |rem1 AS (SELECT c.query_id, c.neighbor_id, c.rel FROM candm c
+        |         LEFT JOIN sel1 s ON s.query_id = c.query_id
+        |           AND s.neighbor_id = c.neighbor_id
+        |         WHERE s.neighbor_id IS NULL)""".stripMargin
+        .replace("$LAM", lam)
+    val steps = (2 to k).map { i =>
+      val p = i - 1
+      s"""ms$i AS (SELECT r.query_id, r.neighbor_id, r.rel,
+        |          MAX(m.sim) AS maxsim
+        |        FROM rem$p r JOIN simm m ON m.query_id = r.query_id
+        |          AND m.id_a = r.neighbor_id
+        |          JOIN sel$p s ON s.query_id = m.query_id
+        |          AND s.neighbor_id = m.id_b
+        |        GROUP BY r.query_id, r.neighbor_id, r.rel),
+        |pick$i AS (SELECT query_id, neighbor_id,
+        |            $lam * rel - $mu * maxsim AS mmr, $i AS rnk
+        |          FROM (SELECT query_id, neighbor_id, rel, maxsim,
+        |                  ROW_NUMBER() OVER (PARTITION BY query_id
+        |                    ORDER BY $lam * rel - $mu * maxsim DESC,
+        |                      neighbor_id) AS rr
+        |                FROM ms$i) WHERE rr = 1),
+        |sel$i AS (SELECT * FROM sel$p UNION ALL SELECT * FROM pick$i),
+        |rem$i AS (SELECT r.query_id, r.neighbor_id, r.rel FROM rem$p r
+        |          LEFT JOIN pick$i p ON p.query_id = r.query_id
+        |            AND p.neighbor_id = r.neighbor_id
+        |          WHERE p.neighbor_id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+      |$steps
+      |SELECT query_id, neighbor_id,
+      |  FLOOR(mmr * 1000000.0 + 0.5) / 1000000.0 AS mmr_score,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM sel$k""".stripMargin
+  }
 
   /** q80/q81's BM25 pipeline CTE chain — query terms, k1/b parameters, and
     * the association order of every float operation interpolated from the
@@ -1297,6 +1459,33 @@ object LlmQueries {
     "q65_lm_surprisal" ->
       s"""WITH $surprisalCtes
         |SELECT doc_id, n_tokens, sum_bits, xent_bits FROM surx""".stripMargin,
+    // q99: per-source floor-bits KL proxy — the q65 integer-exact bit
+    // construction applied twice (corpus model and the source's own model)
+    // over the shared (source, token, tf) table; kl_bits is a subtraction
+    // of two exact-integer divisions, cross-engine exact.
+    "q99_source_divergence" ->
+      s"""WITH occ9 AS (SELECT source, unnest($toksSql) AS token
+        |              FROM documents),
+        |tfs9 AS (SELECT source, token, COUNT(*) AS tf FROM occ9
+        |         GROUP BY 1, 2),
+        |cx9 AS (SELECT token, SUM(tf) AS c FROM tfs9 GROUP BY 1),
+        |nx9 AS (SELECT SUM(c) AS n_total FROM cx9),
+        |ns9 AS (SELECT source, SUM(tf) AS n_src FROM tfs9 GROUP BY 1),
+        |ag9 AS (SELECT tfs9.source,
+        |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
+        |      AS BIGINT) AS sum_corpus_bits,
+        |    CAST(SUM(tf * (length(bin(CAST(n_src // tf AS BIGINT))) - 1))
+        |      AS BIGINT) AS sum_source_bits
+        |  FROM tfs9 JOIN cx9 USING (token) JOIN ns9 USING (source)
+        |  CROSS JOIN nx9
+        |  GROUP BY tfs9.source)
+        |SELECT source, n_tokens, sum_corpus_bits, sum_source_bits,
+        |  CAST(sum_corpus_bits AS DOUBLE) / n_tokens AS xent_corpus_bits,
+        |  CAST(sum_source_bits AS DOUBLE) / n_tokens AS ent_source_bits,
+        |  CAST(sum_corpus_bits AS DOUBLE) / n_tokens -
+        |  CAST(sum_source_bits AS DOUBLE) / n_tokens AS kl_bits
+        |FROM ag9""".stripMargin,
     "q75_lm_bigram" ->
       s"""WITH tb AS (SELECT doc_id, $toksSql AS w FROM documents),
         |c1b AS (SELECT tok, COUNT(*) AS c1
@@ -1467,6 +1656,19 @@ object LlmQueries {
     "q30_minhash_dedup" -> jaccardOracleSql,
     "q33_knn_lsh" -> knnOracleSql,
     "q51_dedup_clusters" -> clusterOracleSql,
+    // q101: the q51 cluster CTEs + the q55 fingerprint-bucket split keyed
+    // on the CANONICAL member's text — whole clusters share one bucket
+    "q101_leakage_safe_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |cb AS (SELECT DISTINCT cluster_id FROM clx),
+        |cbk AS (SELECT cb.cluster_id,
+        |          ${fpSql("d.text")} % 100 AS bucket
+        |        FROM cb JOIN documents d ON d.doc_id = cb.cluster_id)
+        |SELECT clx.doc_id, clx.cluster_id, cbk.bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clx JOIN cbk USING (cluster_id)""".stripMargin,
     "q52_knn_ivf" -> knnOracleSql,
     "q58_perceptual_hash" ->
       """WITH chars AS (
@@ -1593,6 +1795,8 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     "q29_jaccard_pairs" -> jaccardOracleSql,
     "q32_knn_brute" -> knnOracleSql,
+    "q98_hard_negatives" -> hardNegOracleSql,
+    "q100_mmr_rerank" -> mmrOracleSql(5, 0.7),
     "q34_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,

@@ -224,4 +224,35 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("label#"),
       s"embeddings scan must prune to vec_id + embedding:\n$p")
   }
+
+  test("q98 hard negatives take the q52 IVF shape: query side broadcast, " +
+    "τ-filter before the bounded rank, never all-pairs") {
+    val p = planOf("q98_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-side assignments must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay IVF-pruned:\n$p")
+  }
+
+  test("q100 MMR: the pairwise grid joins candidate relations on the " +
+    "query key (bounded n per group) — the corpus is never self-joined") {
+    val p = planOf("q100_mmr_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"pairwise sims must join per-query bounded candidates:\n$p")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      s"greedy selection must run per-query in flatMapGroups:\n$p")
+  }
+
+  test("q101 leakage-safe split fetches canonical buckets per CLUSTER " +
+    "(aggregate-before-join) and broadcasts them back; documents scan " +
+    "prunes to id + text") {
+    val p = planOf("q101_leakage_safe_split")
+    assert(p.contains("HashAggregate"),
+      s"cluster ids must collapse before the bucket fetch:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("n_chars#") && !p.contains("lang#"),
+      s"documents scan must prune to doc_id/text:\n$p")
+  }
 }

@@ -628,6 +628,64 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming drift monitor: each micro-batch's per-source divergence " +
+    "equals the batch twin on the same rows; reference == scored frame is " +
+    "bit-identical to the inline q99 path; an OOV source maxes kl_bits") {
+    implicit val s = spark
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("text"))
+    val frozen = graft.streaming.StreamingQuality.freeze(corpus,
+      groupCol = "source")
+    try {
+      val streamDocs = corpus.filter(col("doc_id") < 90)
+        .as[(Long, String, String)].collect()
+      val mem = MemoryStream[(Long, String, String)]
+      val emitted = scala.collection.mutable.Map[Long,
+        Set[(String, Long, Long, Long, Double, Double, Double)]]()
+      val q = graft.streaming.StreamingDrift.driftMonitorStream(
+          mem.toDF().toDF("doc_id", "source", "text"), frozen) { (b, id) =>
+        emitted(id) = b.as[(String, Long, Long, Long, Double, Double, Double)]
+          .collect().toSet
+      }.option("checkpointLocation",
+        Files.createTempDirectory("graft_drift_ckpt").toString).start()
+      val chunks = streamDocs.grouped(30).toSeq
+      try {
+        chunks.foreach { g => mem.addData(g.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+      // drift is PER-TRIGGER by design: each batch id's emission equals
+      // the batch twin on exactly that chunk's rows
+      assert(emitted.size == chunks.size)
+      chunks.zipWithIndex.foreach { case (g, i) =>
+        val twin = graft.streaming.StreamingDrift.driftBatch(
+            g.toSeq.toDF("doc_id", "source", "text"), frozen)
+          .as[(String, Long, Long, Long, Double, Double, Double)]
+          .collect().toSet
+        assert(emitted(i.toLong) == twin, s"batch $i drifted from its twin")
+      }
+      // reference IS the scored frame → no OOV possible → bit-identical
+      // to the inline q99 relation
+      val inline = graft.llm.TextAnalysis.sourceDivergence(corpus)
+        .as[(String, Long, Long, Long, Double, Double, Double)]
+        .collect().toSet
+      val monitor = graft.streaming.StreamingDrift.driftBatch(corpus, frozen)
+        .as[(String, Long, Long, Long, Double, Double, Double)]
+        .collect().toSet
+      assert(monitor == inline && monitor.nonEmpty)
+      // a source made ONLY of tokens the reference never saw: corpus side
+      // scores every token at c = 1 → floor(log2 n_total) bits, its own
+      // batch model at floor(log2 3) = 1 bit → kl = max − 1
+      val nTotal = frozen.totals.head().getLong(0)
+      val maxBits = (63 - java.lang.Long.numberOfLeadingZeros(nTotal)).toDouble
+      val oov = graft.streaming.StreamingDrift.driftBatch(
+          Seq((999999L, "rogue_feed", "zzqx1 zzqx2 zzqx3"))
+            .toDF("doc_id", "source", "text"), frozen)
+        .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      assert(oov.length == 1 && oov.head._5 == maxBits &&
+        oov.head._7 == maxBits - 1.0)
+    } finally frozen.release()
+  }
+
   test("streaming probe scorer: micro-batch emissions union to the batch " +
     "scorer under the same frozen index stats; scores are bit-identical " +
     "to the inline corpus-derived path") {
