@@ -489,6 +489,47 @@ object TextAnalysis {
           .otherwise(0.0).as("contamination"))
   }
 
+  /** Decontamination rewrite — the ACTION for [[contamination]]'s audit
+    * (closing the audit→action loop the way q97 closed q92→q63): where
+    * q61 measures how much eval leaked into train, this drops the leak.
+    * Direction follows standard practice (GPT-3/PaLM decontamination):
+    * TRAIN documents sharing at least `minHits` complete w-grams with ANY
+    * val/test document are flagged is_kept = false — train data is
+    * plentiful, eval sets are the measurement instrument, so train pays.
+    * Output is the retention-audit shape over every TRAIN doc: (id,
+    * n_grams, n_hit, is_kept) — a flag relation, not a silent filter, so
+    * the drop rate is inspectable before anything is deleted. Docs too
+    * short for a complete shingle carry zero grams and are kept.
+    *
+    * 100 TB posture: the [[contamination]] join mirrored — the DISTINCT
+    * eval-gram set (the vocabulary of the 20% split, aggregated before
+    * the join) probes the train shingles on the shingle key; one shuffle
+    * each side, no driver state, AQE covers hot boilerplate shingles.
+    */
+  def decontaminate(docs: DataFrame, w: Int = 5, trainPct: Int = 80,
+                    valPct: Int = 10, minHits: Long = 1L,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val split = graft.core.CacheScope.track(
+      dataSplit(docs, trainPct, valPct, idCol, textCol)
+        .select(col(idCol), col("split")).persist())
+    split.count()
+    val sh = Dedup.shingles(docs, w, idCol, textCol).join(split, idCol)
+    val evalGrams = sh.filter(col("split") =!= "train")
+      .select("shingle").distinct().withColumn("__hit", lit(1L))
+    val hits = sh.filter(col("split") === "train")
+      .join(evalGrams, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    split.filter(col("split") === "train")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) < lit(minHits)).as("is_kept"))
+  }
+
   /** Bloom-filter membership probe as a codegen'd Column — Spark registers
     * the distributed builder (`bloom_filter_agg`) but not the probe
     * expression; bridged via [[org.apache.spark.sql.GraftExpressionBridge]]

@@ -276,6 +276,12 @@ object LlmQueries {
   def contamination(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.contamination(Tables.documents(s, dir), w = 5)
 
+  /** Decontamination rewrite — q61's audit turned into the action: TRAIN
+    * docs sharing ≥ 1 complete 5-gram with any val/test doc are flagged
+    * is_kept = false (train pays; eval is the measurement instrument). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.decontaminate(Tables.documents(s, dir), w = 5)
+
   /** Cross-document repeated 5-gram spans (boilerplate/template discovery,
     * df ≥ 2, top-100 by spread) — random text shares no long shingles, so
     * survivors are the planted near-dup templates. */
@@ -768,7 +774,8 @@ object LlmQueries {
     "q98_hard_negatives" -> hardNegativesQ,
     "q99_source_divergence" -> sourceDivergence,
     "q100_mmr_rerank" -> mmrRerankQ,
-    "q101_leakage_safe_split" -> leakageSafeSplitQ)
+    "q101_leakage_safe_split" -> leakageSafeSplitQ,
+    "q102_decontaminate" -> decontaminate)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1626,6 +1633,28 @@ object LlmQueries {
         |       ELSE 0.0 END AS contamination
         |FROM spl s LEFT JOIN agg a USING (doc_id)
         |WHERE s.split <> 'train'""".stripMargin,
+    // q102: the q61 construction with the sides swapped — DISTINCT eval
+    // grams probe the train shingles; is_kept = zero hits
+    "q102_decontaminate" ->
+      s"""WITH $sh5Ctes,
+        |$splitCtes,
+        |dshd AS (SELECT DISTINCT doc_id, shingle FROM sh5),
+        |eg AS (SELECT DISTINCT shingle
+        |       FROM dshd JOIN spl2 USING (doc_id) WHERE split <> 'train'),
+        |tr AS (SELECT dshd.doc_id,
+        |         CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |       FROM dshd JOIN spl2 USING (doc_id)
+        |       LEFT JOIN eg e USING (shingle)
+        |       WHERE spl2.split = 'train'),
+        |agd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |          CAST(SUM(hit) AS BIGINT) AS n_hit
+        |        FROM tr GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.n_hit, 0) AS n_hit,
+        |  COALESCE(a.n_hit, 0) < 1 AS is_kept
+        |FROM spl2 s LEFT JOIN agd a USING (doc_id)
+        |WHERE s.split = 'train'""".stripMargin,
     "q62_boilerplate" ->
       s"""WITH $sh5Ctes
         |SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,

@@ -602,6 +602,46 @@ class LlmOpsSpec extends SparkSpecBase {
       "expected nonzero contamination from cross-split near-dups")
   }
 
+  test("decontamination (q102): flags match an independent Scala-collections " +
+    "oracle, every flagged doc shares a gram with eval, and the planted " +
+    "cross-split near-dups actually cost train docs") {
+    import spark.implicits._
+    val w = 5
+    val got = graft.llm.TextAnalysis.decontaminate(docs, w = w)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val byDoc = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def fp(s: String): Long =
+      s.foldLeft(0L)((a, c) => Math.floorMod(a * 31 + c.toLong, 1L << 57))
+    def split(t: String): String = {
+      val b = Math.floorMod(fp(t), 100L)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < w) Set.empty
+      else toks.sliding(w).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = byDoc.filter(d => split(d._2) != "train")
+      .flatMap(d => grams(d._2)).toSet
+    val trainDocs = byDoc.filter(d => split(d._2) == "train")
+    assert(trainDocs.nonEmpty && got.size == trainDocs.length)
+    trainDocs.foreach { case (id, text) =>
+      val g = grams(text)
+      val hit = g.count(evalGrams.contains)
+      val (_, nGrams, nHit, kept) = got(id)
+      assert(nGrams == g.size && nHit == hit && kept == (hit < 1),
+        s"doc $id: got ($nGrams,$nHit,$kept), want (${g.size},$hit,${hit < 1})")
+    }
+    // the fixture's cross-split near-dups must cost at least one train doc
+    assert(got.values.exists(!_._4),
+      "expected the planted cross-split near-dups to flag a train doc")
+    // and the action is consistent with the q61 audit: if any eval doc is
+    // contaminated, some train doc must be flagged (the same shared gram)
+    val audit = graft.llm.TextAnalysis.contamination(docs, w = w)
+      .as[(Long, String, Long, Long, Double)].collect()
+    if (audit.exists(_._4 > 0)) assert(got.values.exists(!_._4))
+  }
+
   test("mixture sampling: deterministic, content-keyed, unlisted strata " +
     "kept whole, rates near targets") {
     import spark.implicits._
