@@ -686,6 +686,62 @@ class StreamingSpec extends SparkSpecBase {
     } finally frozen.release()
   }
 
+  test("streaming contamination gate: micro-batch flags union to the batch " +
+    "twin; never misses an exact hit (one-sided error); store roundtrip " +
+    "probes identically") {
+    implicit val s = spark
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val split = graft.llm.TextAnalysis.dataSplit(corpus, idCol = "doc_id")
+      .select(col("doc_id"), col("split"))
+    val evalDocs = corpus.join(split.filter(col("split") =!= "train"),
+      Seq("doc_id"))
+    val trainDocs = corpus.join(split.filter(col("split") === "train"),
+      Seq("doc_id")).select("doc_id", "text")
+    val frozen = graft.streaming.StreamingContamination.freeze(evalDocs)
+    val streamDocs = trainDocs.as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Set[(Long, Long, Long, Boolean)]()
+    val q = graft.streaming.StreamingContamination.contaminationGateStream(
+        mem.toDF().toDF("doc_id", "text"), frozen) { (b, _) =>
+      emitted ++= b.as[(Long, Long, Long, Boolean)].collect()
+    }.option("checkpointLocation",
+      Files.createTempDirectory("graft_sc_ckpt").toString).start()
+    try {
+      streamDocs.grouped(150).foreach { g =>
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // stateless → the union of micro-batch flags equals the batch twin
+    val twin = graft.streaming.StreamingContamination.screenBatch(
+        trainDocs, frozen)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(emitted.toSet == twin && twin.nonEmpty)
+    // one-sided error vs the exact q102 relation: the gate never misses a
+    // true hit — per doc, bloom n_hit >= exact n_hit, and every exactly-
+    // contaminated doc is flagged
+    val exact = graft.llm.TextAnalysis.decontaminate(corpus)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val got = twin.map(r => r._1 -> r).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (id, (_, nGrams, nHit, kept)) =>
+      val (_, gGrams, gHit, gKept) = got(id)
+      assert(gGrams == nGrams, s"doc $id gram count drifted")
+      assert(gHit >= nHit, s"doc $id: bloom missed hits ($gHit < $nHit)")
+      if (!kept) assert(!gKept, s"doc $id: exact contamination missed")
+    }
+    // the fixture's cross-split near-dups must flag at least one arrival
+    assert(twin.exists(!_._4))
+    // store roundtrip: rehydrated filter probes bit-identically
+    val store = Files.createTempDirectory("graft_bloom_store").toString
+    graft.streaming.StreamingContamination.writeBloomStore(frozen, store,
+      spark)
+    val hyd = graft.streaming.StreamingContamination.freezeFromStore(
+      spark, store)
+    assert(java.util.Arrays.equals(hyd.bloom, frozen.bloom) &&
+      hyd.w == frozen.w)
+  }
+
   test("streaming probe scorer: micro-batch emissions union to the batch " +
     "scorer under the same frozen index stats; scores are bit-identical " +
     "to the inline corpus-derived path") {
