@@ -1021,6 +1021,117 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) div ${budget}L"))
       .select(idCol, "n_tokens", "cum_tokens", "bin")
 
+  /** Token-budget corpus selection — "keep the best docs until the budget
+    * is spent": documents are laid out in quality order ([[qualityScore]]
+    * descending, ties to the smaller id) and kept while the cumulative
+    * token count stays within `budgetNum/budgetDen` of the corpus total
+    * (an exact-integer fraction — `cum·den ≤ total·num` — so the boundary
+    * is cross-engine exact; no float budget drifts the cut point). The
+    * data-selection stage of a budgeted training run: a 2-trillion-token
+    * budget against a 5-trillion-token lake is this operator with a
+    * better scorer (swap [[qualityScore]] for the q77 classifier — the
+    * orderCol is a parameter of the layout, not the mechanism).
+    *
+    * Output: (id, n_tokens, quality_score, cum_tokens, is_kept) — a flag
+    * relation over EVERY doc, kept and cut, so the spend curve is
+    * inspectable.
+    *
+    * 100 TB posture: the global running total is
+    * [[graft.ops.Scale.globalCumSumOrdered]] — range-partition on the
+    * order key, per-partition sums collected (one row per partition, the
+    * only driver state), offsets broadcast back — NOT a single-task
+    * `Window.orderBy`. The corpus total is one more row broadcast.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetNum: Long = 2L,
+                        budgetDen: Long = 5L, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget must be a fraction")
+    val scored = graft.core.CacheScope.track(
+      qualityScore(docs, textCol)
+        .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality_score"))
+        .withColumn("__negq", -col("quality_score")).persist())
+    val total = scored.agg(sum(col("n_tokens")).as("__total"))
+    graft.ops.Scale.globalCumSumOrdered(scored, Seq("__negq", idCol),
+        "n_tokens", "cum_tokens")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"), col("quality_score"),
+        col("cum_tokens"),
+        (col("cum_tokens") * lit(budgetDen) <=
+          col("__total") * lit(budgetNum)).as("is_kept"))
+  }
+
+  /** DSIR-shaped importance selection (Xie et al., data selection via
+    * importance resampling): score every document by how much more a
+    * TARGET-distribution unigram LM likes its tokens than the raw-corpus
+    * LM does — `logw_bits = raw_bits − target_bits`, both sides in
+    * [[lmSurprisal]]'s exact whole-bit arithmetic (floor-log2 via binary
+    * string length, no libm), so the importance weight is an exact
+    * integer and the ranking is cross-engine exact. Tokens the target has
+    * never seen score at the target's max bits (c = 1 — the OOV
+    * contract), pushing un-target-like text to the bottom: exactly the
+    * direction selection wants. The deterministic variant ranks by
+    * weight (ties to the smaller id) and keeps the top `keepNum/keepDen`
+    * fraction — `rnk·den ≤ n·num`, again exact integers; the published
+    * method's Gumbel resampling is one salted-draw swap away and trades
+    * the oracle for variance.
+    *
+    * Output: (id, n_tokens, raw_bits, target_bits, logw_bits, rnk,
+    * is_kept) over EVERY doc. Zero-token docs carry zero bits (logw 0 —
+    * ranked by the tie rule, stated).
+    *
+    * 100 TB posture: both LMs are vocabulary-sized join sides aggregated
+    * before the probe (the raw counts fold from the SAME per-doc tf
+    * relation that scores — one explode, not two); totals are 1-row
+    * broadcasts; the global rank is the two-phase prefix count, never a
+    * single-task window. The target corpus is small by construction
+    * (it's the thing you WANT more of).
+    */
+  def dsirSelect(docs: DataFrame, target: DataFrame, keepNum: Long = 1L,
+                 keepDen: Long = 4L, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(keepNum >= 0 && keepDen > 0, "keep rate must be a fraction")
+    val tf = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val rawCounts = tf.groupBy("token").agg(sum("tf").as("c"))
+    val rawTotal = rawCounts.agg(sum("c").as("n_total"))
+    val tgtCounts = target.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ct"))
+    val tgtTotal = tgtCounts.agg(sum("ct").as("nt_total"))
+    require(tgtTotal.head().get(0) != null,
+      "dsirSelect target corpus has no tokens — the target LM is undefined")
+    val rawBits = (length(bin(expr("n_total div c"))) - 1).cast("long")
+    val tgtBits = (length(bin(expr("nt_total div ct"))) - 1).cast("long")
+    val perDoc = tf.join(rawCounts, Seq("token"))
+      .join(tgtCounts, Seq("token"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(1L)))
+      .crossJoin(broadcast(rawTotal))
+      .crossJoin(broadcast(tgtTotal))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * rawBits).as("raw_bits"),
+        sum(col("tf") * tgtBits).as("target_bits"))
+    val anchored = docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("raw_bits"), lit(0L)).as("raw_bits"),
+        coalesce(col("target_bits"), lit(0L)).as("target_bits"))
+      .withColumn("logw_bits", col("raw_bits") - col("target_bits"))
+      .withColumn("__neg", -col("logw_bits"))
+      .withColumn("__one", lit(1L))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    graft.ops.Scale.globalCumSumOrdered(anchored, Seq("__neg", idCol),
+        "__one", "rnk")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("n_tokens"), col("raw_bits"),
+        col("target_bits"), col("logw_bits"), col("rnk"),
+        (col("rnk") * lit(keepDen) <= col("__n") * lit(keepNum))
+          .as("is_kept"))
+  }
+
   /** Learn a byte-pair-encoding merge list from the corpus — real
     * tokenizer training, not the regex proxy of [[bpeishCount]]: the
     * classic algorithm over the token-frequency table (count adjacent

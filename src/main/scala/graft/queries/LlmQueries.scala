@@ -282,6 +282,21 @@ object LlmQueries {
   def decontaminate(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.decontaminate(Tables.documents(s, dir), w = 5)
 
+  /** Token-budget selection: best docs by the q36 quality order until 40%
+    * (2/5, exact integers) of the corpus tokens are spent. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBudgetSelect(Tables.documents(s, dir),
+      budgetNum = 2L, budgetDen = 5L)
+
+  /** DSIR-shaped importance selection: the en subset as the target
+    * distribution, keep the top quarter (1/4, exact integers) by
+    * integer-bit importance weight. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.dsirSelect(docs, docs.filter(col("lang") === "en"),
+      keepNum = 1L, keepDen = 4L)
+  }
+
   /** Cross-document repeated 5-gram spans (boilerplate/template discovery,
     * df ≥ 2, top-100 by spread) — random text shares no long shingles, so
     * survivors are the planted near-dup templates. */
@@ -775,7 +790,9 @@ object LlmQueries {
     "q99_source_divergence" -> sourceDivergence,
     "q100_mmr_rerank" -> mmrRerankQ,
     "q101_leakage_safe_split" -> leakageSafeSplitQ,
-    "q102_decontaminate" -> decontaminate)
+    "q102_decontaminate" -> decontaminate,
+    "q103_token_budget" -> tokenBudget,
+    "q104_dsir_select" -> dsirSelect)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1875,6 +1892,57 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
         |  stopword_ratio, quality_score
         |FROM qsc""".stripMargin,
+    // q103: the q36 quality CTEs + a cumulative token spend in quality-desc
+    // order; the 40% budget boundary is the exact-integer cum*5 <= total*2
+    "q103_token_budget" ->
+      s"""WITH $qualityCtes,
+        |sel3 AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    quality_score,
+        |    SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |      ORDER BY quality_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM qsc),
+        |tot3 AS (SELECT SUM(n_tokens) AS total FROM sel3)
+        |SELECT doc_id, n_tokens, quality_score, cum_tokens,
+        |  cum_tokens * 5 <= total * 2 AS is_kept
+        |FROM sel3 CROSS JOIN tot3""".stripMargin,
+    // q104: two unigram LMs in the exact whole-bit arithmetic (raw corpus
+    // vs the en target subset, OOV at ct = 1), importance = the integer
+    // bit difference, keep rank*4 <= n*1
+    "q104_dsir_select" ->
+      s"""WITH tb4 AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |occ4 AS (SELECT doc_id, unnest(w) AS token FROM tb4),
+        |tf4 AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ4
+        |        GROUP BY 1, 2),
+        |cr4 AS (SELECT token, SUM(tf) AS c FROM tf4 GROUP BY 1),
+        |nr4 AS (SELECT SUM(c) AS n_total FROM cr4),
+        |tg4 AS (SELECT $toksSql AS w FROM documents WHERE lang = 'en'),
+        |toc4 AS (SELECT unnest(w) AS token FROM tg4),
+        |ct4 AS (SELECT token, COUNT(*) AS ct FROM toc4 GROUP BY 1),
+        |nt4 AS (SELECT SUM(ct) AS nt_total FROM ct4),
+        |per4 AS (SELECT tf4.doc_id,
+        |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * (length(bin(CAST(n_total // c AS BIGINT))) - 1))
+        |      AS BIGINT) AS raw_bits,
+        |    CAST(SUM(tf * (length(bin(CAST(nt_total // COALESCE(ct, 1)
+        |      AS BIGINT))) - 1)) AS BIGINT) AS target_bits
+        |  FROM tf4 JOIN cr4 USING (token) LEFT JOIN ct4 USING (token)
+        |  CROSS JOIN nr4 CROSS JOIN nt4
+        |  GROUP BY tf4.doc_id),
+        |anc4 AS (SELECT d.doc_id,
+        |    COALESCE(n_tokens, 0) AS n_tokens,
+        |    COALESCE(raw_bits, 0) AS raw_bits,
+        |    COALESCE(target_bits, 0) AS target_bits,
+        |    COALESCE(raw_bits, 0) - COALESCE(target_bits, 0) AS logw_bits
+        |  FROM documents d LEFT JOIN per4 USING (doc_id)),
+        |rk4 AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY logw_bits DESC, doc_id) AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM anc4)
+        |SELECT doc_id, n_tokens, raw_bits, target_bits, logw_bits,
+        |  CAST(rnk AS BIGINT) AS rnk, rnk * 4 <= n * 1 AS is_kept
+        |FROM rk4""".stripMargin,
     "q37_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

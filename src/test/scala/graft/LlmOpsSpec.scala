@@ -642,6 +642,71 @@ class LlmOpsSpec extends SparkSpecBase {
     if (audit.exists(_._4 > 0)) assert(got.values.exists(!_._4))
   }
 
+  test("token-budget selection (q103): kept set is a prefix of the quality " +
+    "order, spend stays within budget, and the next doc would exceed it") {
+    import spark.implicits._
+    val out = graft.llm.TextAnalysis.tokenBudgetSelect(docs)
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+    val total = out.map(_._2).sum
+    val budget = total * 2 / 5 // the exact-integer 40% boundary
+    val kept = out.filter(_._5)
+    assert(kept.nonEmpty && kept.length < out.length)
+    // spend within budget (inclusive boundary rule: cum*5 <= total*2)
+    assert(kept.map(_._2).sum * 5 <= total * 2)
+    // kept is a PREFIX of the (quality desc, id asc) total order
+    val ordered = out.sortBy(r => (-r._3, r._1))
+    assert(ordered.takeWhile(_._5).length == kept.length &&
+      ordered.drop(kept.length).forall(!_._5),
+      "kept docs must form a prefix of the quality order")
+    // the first dropped doc's cumulative spend exceeds the budget
+    val firstDropped = ordered.drop(kept.length).head
+    assert(firstDropped._4 * 5 > total * 2)
+    // cum_tokens is the running sum in that order
+    var run = 0L
+    ordered.foreach { r => run += r._2; assert(r._4 == run) }
+  }
+
+  test("DSIR selection (q104): weights match an independent integer-bit " +
+    "oracle, target-like docs outrank un-target-like ones, and the keep " +
+    "count is the exact quarter") {
+    import spark.implicits._
+    // planted fixture: target = docs about 'alpha'; rogue docs share no
+    // vocabulary with the target and must rank below every target-like doc
+    val fixture = ((1 to 40).map(i => (i.toLong, "alpha beta gamma delta", "en"))
+      ++ (41 to 60).map(i => (i.toLong, "zet yot qof xi", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.TextAnalysis.dsirSelect(fixture,
+        fixture.filter(col("lang") === "en"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val alphaW = out.filter(_._1 <= 40).values.map(_._5).toSet
+    val rogueW = out.filter(_._1 > 40).values.map(_._5).toSet
+    assert(alphaW.size == 1 && rogueW.size == 1 &&
+      alphaW.head > rogueW.head,
+      s"target-like weight ${alphaW} must exceed rogue ${rogueW}")
+    assert(out.values.count(_._7) == 60 / 4)
+    // independent integer-bit oracle on the planted fixture
+    val byDoc = fixture.select("doc_id", "text").as[(Long, String)].collect()
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val rawTf = byDoc.flatMap(d => toks(d._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val nRaw = rawTf.values.sum
+    val tgtTf = byDoc.filter(_._1 <= 40).flatMap(d => toks(d._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTgt = tgtTf.values.sum
+    def bits(n: Long, c: Long): Long =
+      63 - java.lang.Long.numberOfLeadingZeros(n / c)
+    byDoc.foreach { case (id, text) =>
+      val tf = toks(text).groupBy(identity).view.mapValues(_.length.toLong)
+      val raw = tf.map { case (t, f) => f * bits(nRaw, rawTf(t)) }.sum
+      val tgt = tf.map { case (t, f) =>
+        f * bits(nTgt, tgtTf.getOrElse(t, 1L)) }.sum
+      val (_, _, rawGot, tgtGot, logw, _, _) = out(id)
+      assert(rawGot == raw && tgtGot == tgt && logw == raw - tgt,
+        s"doc $id: got ($rawGot,$tgtGot,$logw), want ($raw,$tgt,${raw - tgt})")
+    }
+  }
+
   test("mixture sampling: deterministic, content-keyed, unlisted strata " +
     "kept whole, rates near targets") {
     import spark.implicits._

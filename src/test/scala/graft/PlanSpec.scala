@@ -244,6 +244,38 @@ class PlanSpec extends SparkSpecBase {
       s"greedy selection must run per-query in flatMapGroups:\n$p")
   }
 
+  // note the lock shape: scalar totals legitimately finish on an
+  // Exchange SinglePartition over per-partition partials (bounded rows =
+  // #partitions — every agg(sum) in the repo has it); the scale killer is
+  // a GLOBAL window, i.e. a windowspecdefinition with no __pid partition
+  // column. Lock the window spec, not the exchange.
+  test("q103 token budget lays out the spend curve with the two-phase " +
+    "prefix sum — the running-sum window is partition-local, never global") {
+    val p = planOf("q103_token_budget")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"cumulative spend must window inside __pid partitions:\n$p")
+    assert(!p.contains("windowspecdefinition(__negq"),
+      s"a window ordered straight on the quality key is the global " +
+        s"single-task form:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row corpus total must broadcast:\n$p")
+    spark.sqlContext.clearCache() // globalCumSumOrdered's tracked persist
+  }
+
+  test("q104 DSIR rank is the two-phase prefix count; nothing cartesian " +
+    "beyond the broadcast 1-row totals") {
+    val p = planOf("q104_dsir_select")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"importance rank must window inside __pid partitions:\n$p")
+    assert(!p.contains("windowspecdefinition(__neg#") &&
+      !p.contains("windowspecdefinition(__neg,"),
+      s"a window ordered straight on the weight is the global form:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row totals may cross-join (as broadcast NLJ):\n$p")
+    spark.sqlContext.clearCache()
+  }
+
   test("q101 leakage-safe split fetches canonical buckets per CLUSTER " +
     "(aggregate-before-join) and broadcasts them back; documents scan " +
     "prunes to id + text") {
