@@ -1002,6 +1002,38 @@ object TextAnalysis {
       .drop("__one")
   }
 
+  /** Curriculum ordering — the q91 → q69 loop closed: the epoch layout a
+    * curriculum-trained run wants is "easy (head-bucket) documents first,
+    * deterministically shuffled WITHIN each difficulty tier". Priority is
+    * the [[surprisalBuckets]] tercile (head = 0, middle = 1, tail = 2 —
+    * low per-token surprisal reads as easy/typical text); the intra-tier
+    * order is [[shuffleOrder]]'s salted content-hash draw, so the layout
+    * is engine- and partitioning-stable and re-salts per epoch like q69.
+    * The global rank is the two-phase prefix count over (priority, draw,
+    * id) — never a single-task window.
+    *
+    * Output: (id, bucket, priority, draw, curriculum_rank) over every doc.
+    */
+  def curriculumOrder(docs: DataFrame, salt: String = "|curriculum",
+                      groupCol: String = "lang",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val buckets = surprisalBuckets(docs, groupCol, idCol, textCol)
+      .select(col(idCol), col("bucket"))
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))),
+      lit(1000000L))
+    val keyed = docs.select(col(idCol), draw.as("draw"))
+      .join(buckets, Seq(idCol))
+      .withColumn("priority",
+        when(col("bucket") === "head", 0L)
+          .when(col("bucket") === "middle", 1L).otherwise(2L))
+      .withColumn("__one", lit(1L))
+    graft.ops.Scale.globalCumSumOrdered(keyed,
+        Seq("priority", "draw", idCol), "__one", "curriculum_rank")
+      .select(col(idCol), col("bucket"), col("priority"), col("draw"),
+        col("curriculum_rank"))
+  }
+
   /** Token-budget sequence packing: documents in id order are laid out
     * contiguously and cut into bins of `budget` tokens — each doc is
     * assigned the bin its start offset falls in (contiguous chunking, the

@@ -381,6 +381,11 @@ object LlmQueries {
   def corpusShuffle(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.shuffleOrder(Tables.documents(s, dir))
 
+  /** Curriculum epoch layout: q91 difficulty terciles as the major order
+    * (head first), q69's salted content-hash shuffle within each tier. */
+  def curriculumOrderQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curriculumOrder(Tables.documents(s, dir))
+
   /** JL random projection 64 → 16 dims (deterministic hyperplane literals,
     * one codegen'd dot per output coordinate). */
   def randomProjection(s: SparkSession, dir: String): DataFrame =
@@ -792,7 +797,8 @@ object LlmQueries {
     "q101_leakage_safe_split" -> leakageSafeSplitQ,
     "q102_decontaminate" -> decontaminate,
     "q103_token_budget" -> tokenBudget,
-    "q104_dsir_select" -> dsirSelect)
+    "q104_dsir_select" -> dsirSelect,
+    "q105_curriculum_order" -> curriculumOrderQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1297,6 +1303,35 @@ object LlmQueries {
         |       WHEN xent_bits <= c2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM sjx JOIN cutx USING (lang)""".stripMargin,
+    // q105: the q91 tercile CTEs as the major order + the q69 salted draw
+    // within each tier; rank over (priority, draw, doc_id)
+    "q105_curriculum_order" ->
+      s"""WITH $surprisalCtes,
+        |sjc AS (SELECT d.doc_id, d.lang, surx.xent_bits
+        |        FROM documents d JOIN surx USING (doc_id)),
+        |cutc AS (SELECT lang,
+        |           ROUND(quantile_cont(xent_bits, ${(1.0 / 3).toString}), 6)
+        |             AS c1,
+        |           ROUND(quantile_cont(xent_bits, ${(2.0 / 3).toString}), 6)
+        |             AS c2
+        |         FROM sjc GROUP BY lang),
+        |buc AS (SELECT doc_id,
+        |          CASE WHEN xent_bits <= c1 THEN 'head'
+        |               WHEN xent_bits <= c2 THEN 'middle'
+        |               ELSE 'tail' END AS bucket
+        |        FROM sjc JOIN cutc USING (lang)),
+        |drc AS (SELECT doc_id,
+        |          ${fpSql("text || '|curriculum'")} % 1000000 AS draw
+        |        FROM documents)
+        |SELECT buc.doc_id, buc.bucket,
+        |  CAST(CASE buc.bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+        |       ELSE 2 END AS BIGINT) AS priority,
+        |  drc.draw,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY
+        |    CASE buc.bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+        |         ELSE 2 END, drc.draw, buc.doc_id) AS BIGINT)
+        |    AS curriculum_rank
+        |FROM buc JOIN drc USING (doc_id)""".stripMargin,
     // q92: √ is IEEE-correctly-rounded on both engines (pow is not — the
     // α = 0.5 choice is deliberate); each √ rounds at 1e-6 and sums as
     // DECIMAL, so the normalizer is exact and order-insensitive

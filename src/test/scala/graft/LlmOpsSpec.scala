@@ -707,6 +707,32 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("curriculum ordering (q105): a permutation with all head docs " +
+    "before middle before tail, draw-shuffled within tiers, re-salted " +
+    "epochs permute tiers internally only") {
+    import spark.implicits._
+    val out = graft.llm.TextAnalysis.curriculumOrder(docs)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.map(_._5).sorted.toSeq == (1L to out.length).toSeq)
+    // tier blocks: every head rank < every middle rank < every tail rank
+    def ranks(b: String) = out.filter(_._2 == b).map(_._5)
+    assert(Seq("head", "middle", "tail").forall(b => ranks(b).nonEmpty))
+    assert(ranks("head").max < ranks("middle").min &&
+      ranks("middle").max < ranks("tail").min)
+    // within a tier the order IS the (draw, id) order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._5).map(r => (r._4, r._1)).toSeq
+      assert(byRank == byRank.sorted, "intra-tier order must be (draw, id)")
+    }
+    // a re-salted epoch keeps tier membership, permutes within tiers
+    val epoch2 = graft.llm.TextAnalysis.curriculumOrder(docs, salt = "|ep2")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(epoch2.map(r => r._1 -> r._2).toMap ==
+      out.map(r => r._1 -> r._2).toMap, "tier membership must be salt-free")
+    assert(epoch2.map(r => r._1 -> r._5).toMap !=
+      out.map(r => r._1 -> r._5).toMap, "re-salting must permute the order")
+  }
+
   test("mixture sampling: deterministic, content-keyed, unlisted strata " +
     "kept whole, rates near targets") {
     import spark.implicits._
