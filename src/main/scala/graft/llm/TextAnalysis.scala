@@ -204,8 +204,9 @@ object TextAnalysis {
     * 100 TB posture: exact percentile state is per-group value counts of
     * an INTEGER measure (token counts repeat heavily), so memory tracks
     * the distinct-length histogram, not the row count; at petabyte group
-    * cardinalities switch to `percentile_approx` and drop the oracle bit —
-    * the trade is stated here rather than silently taken.
+    * cardinalities switch to [[tokenPercentilesApprox]] — the sketch
+    * form with bounded state and a tested rank-error bound — and drop
+    * the oracle bit.
     */
   def tokenPercentiles(docs: DataFrame,
                        probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
@@ -220,6 +221,35 @@ object TextAnalysis {
       .select(col(groupCol),
         element_at(array(probs.map(lit): _*), col("__i") + 1).as("p"),
         round(col("__v"), 6).as("n_tokens_p"))
+  }
+
+  /** The petabyte path [[tokenPercentiles]]'s doc promises: the same
+    * (group, p, n_tokens_p) relation from Spark's `percentile_approx`
+    * sketch — bounded mergeable state per group regardless of how many
+    * DISTINCT lengths a group accumulates (the exact form's state is the
+    * distinct-length histogram, which a petabyte free-text group can grow
+    * past memory). `accuracy` is the built-in's 1/ε knob: rank error ≤
+    * n/accuracy, so at the default 10⁴ the p99 of a billion-row group is
+    * off by at most 10⁻⁴·n ranks. Returned values are OBSERVED group
+    * values (the sketch keeps real elements, no interpolation), so this
+    * deliberately differs from the exact form's type-7 interpolation even
+    * on tiny groups. Approximate ⇒ no DuckDB-oracle bit: LlmOpsSpec pins
+    * the rank-error bound and the observed-value property instead.
+    */
+  def tokenPercentilesApprox(docs: DataFrame,
+                             probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                             accuracy: Int = 10000,
+                             groupCol: String = "lang",
+                             textCol: String = "text"): DataFrame = {
+    val probsSql = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    docs
+      .select(col(groupCol), tokenCount(col(textCol)).as("__nt"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile_approx(__nt, $probsSql, $accuracy)").as("__ps"))
+      .select(col(groupCol), posexplode(col("__ps")).as(Seq("__i", "__v")))
+      .select(col(groupCol),
+        element_at(array(probs.map(lit): _*), col("__i") + 1).as("p"),
+        col("__v").cast("double").as("n_tokens_p"))
   }
 
   /** Per-(doc, token) term statistics: tf (occurrences in the doc), df

@@ -707,6 +707,35 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("approx token percentiles: every returned value is an observed " +
+    "group value within the sketch's rank-error bound of the target rank") {
+    import spark.implicits._
+    val accuracy = 10000
+    val approx = graft.llm.TextAnalysis.tokenPercentilesApprox(docs,
+        accuracy = accuracy)
+      .as[(String, Double, Double)].collect()
+    val byGroup = docs.select(col("lang"),
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.nonEmpty &&
+      approx.map(_._1).toSet == byGroup.keySet)
+    approx.foreach { case (g, p, v) =>
+      val vals = byGroup(g)
+      val n = vals.length
+      assert(vals.contains(v.toLong),
+        s"$g p$p: $v must be an observed token count")
+      // rank of v brackets p·n within the n/accuracy bound (+1 slack for
+      // the discrete rank floor)
+      val below = vals.count(_ < v.toLong)
+      val atMost = vals.count(_ <= v.toLong)
+      val target = p * n
+      val slack = n.toDouble / accuracy + 1
+      assert(below - slack <= target && target <= atMost + slack,
+        s"$g p$p: value $v rank [$below,$atMost] misses target $target")
+    }
+  }
+
   test("curriculum ordering (q105): a permutation with all head docs " +
     "before middle before tail, draw-shuffled within tiers, re-salted " +
     "epochs permute tiers internally only") {
