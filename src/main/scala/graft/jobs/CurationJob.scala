@@ -66,7 +66,13 @@ object CurationJob {
     // Both scores are computed over afterRep — the same relation position
     // the carried columns always came from — while pred_lang/n_tokens/
     // quality_score are per-doc recomputations on the identical text.
-    val mixed = graft.core.CacheScope.track(TextAnalysis.langId(
+    // localCheckpoint, not persist: `mixed` is the hub every release
+    // artifact consumes, and a persisted frame's InMemoryRelation
+    // stringifies its WHOLE cached subtree (the full pipeline) again per
+    // consumer plan — measured ~100 MB plan strings walked per stage
+    // event. The checkpoint materializes the same data AND cuts the
+    // lineage, so downstream plans print (and analyze) a leaf.
+    val mixed = TextAnalysis.langId(
         TextAnalysis.qualityScore(mixedBase))
       .join(TextAnalysis.classifierScore(afterRep,
           TextAnalysis.hashedWeights(64))
@@ -76,7 +82,7 @@ object CurationJob {
         Seq("doc_id"), "left")
       .select("doc_id", "text", "lang", "pred_lang", "source",
         "n_tokens", "quality_score", "clf_score", "surprisal_bucket")
-      .persist()) // consumers: write + split/pack/shuffle + release gates
+      .localCheckpoint() // consumers: write + split/pack/shuffle + gates
     // surprisal geometry note (ProfileBuckets, measured): this corpus's
     // near-uniform vocabulary makes whole-bit surprisal knife-edge — at
     // this pipeline position most docs share one xent value, so the
@@ -90,11 +96,17 @@ object CurationJob {
     //    counts misprice long words; packSequences stays the whitespace
     //    form for the oracle gate), and a deterministic epoch-0 shuffle
     val merges = TextAnalysis.learnBpeMerges(mixed, numMerges = 200)
+    // localCheckpoint: the greedy BPE apply is a ~200-deep nested column
+    // expression — correct, but its lineage leaking into every layout join
+    // makes each downstream plan stringification walk a 100 MB tree (the
+    // driver-side DAG-toString cost, not a data cost). The bins relation
+    // is 4 narrow columns; cut the lineage here.
     val bpeBins = graft.ops.Scale.globalCumSum(
         TextAnalysis.bpePieceCounts(mixed, merges)
           .select(col("doc_id"), col("n_pieces")),
         "doc_id", "n_pieces", "cum_pieces")
       .withColumn("bin", expr("(cum_pieces - n_pieces) div 2048L"))
+      .localCheckpoint()
     val withLayout = mixed
       .join(TextAnalysis.dataSplit(mixed).select("doc_id", "split"), "doc_id")
       .join(bpeBins.select("doc_id", "n_pieces", "bin"), "doc_id")
