@@ -40,9 +40,15 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
   *
   * 100 TB posture: inherited stage by stage from the underlying operators
   * (nothing here is all-pairs or driver-state); the chain materializes at
-  * the same points the job always did (persist under [[CacheScope]];
-  * `localCheckpoint` after the rewrites, where the accumulated DAG — not
-  * the data — is what would blow the driver's plan stringification).
+  * the same points the job always did. Post-rewrite stages use
+  * `localCheckpoint` rather than persist: a persisted stage's
+  * InMemoryRelation re-prints (and re-analyzes) its whole cached subtree
+  * in every consumer plan — and the verdict consumes all ten stages — so
+  * the accumulated DAG, not the data, is what would blow the driver.
+  * Checkpoints materialize the same rows and cut the lineage (verdict
+  * build+count measured 3.1 s -> 0.7 s at sf0.1). The pre-rewrite
+  * persists stay persists under [[CacheScope]]: they feed the
+  * connected-components fixpoint, which checkpoints internally anyway.
   */
 object CurationPipeline {
 
@@ -106,23 +112,24 @@ object CurationPipeline {
       .connectedComponents(embAligned.select(col("vec_id")), semPairs,
         "vec_id")
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
-    val afterSem = CacheScope.track(
-      unstraddled.join(semDropped, Seq("doc_id"), "left_anti").persist())
+    val afterSem =
+      unstraddled.join(semDropped, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
 
     // 6. repetition filter: top-3-gram dominance; docs too short to
     //    shingle have no ratio row and pass through
     val repetitive = TextAnalysis.repetitionRatio(afterSem)
       .filter(col("rep_ratio") > 0.2).select("doc_id")
-    val afterRep = CacheScope.track(
-      afterSem.join(repetitive, Seq("doc_id"), "left_anti").persist())
+    val afterRep =
+      afterSem.join(repetitive, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // 7. heuristic quality gate on the REWRITTEN text (the carried
     //    classifier/surprisal columns are a job concern, not a keep/drop
     //    one — CurationJob re-attaches them to the final survivors)
     val baseCols = afterRep.columns.map(col).toSeq
-    val afterQuality = CacheScope.track(TextAnalysis.qualityScore(afterRep)
+    val afterQuality = TextAnalysis.qualityScore(afterRep)
       .filter(col("quality_score") >= 0.5)
-      .select(baseCols: _*).persist())
+      .select(baseCols: _*).localCheckpoint()
 
     // 8. per-language token-length p99 tail trim on the current text
     val trimmed = CacheScope.track(afterQuality.join(
