@@ -1194,6 +1194,47 @@ object TextAnalysis {
           .as("is_kept"))
   }
 
+  /** Collocation / phrase mining — the word2vec-phrases prep stage: rank
+    * adjacent token pairs by the PMI RATIO `c(ab)·N / (c(a)·c(b))` (how
+    * much more often the pair occurs than independence predicts; the log
+    * is monotone, so ranking on the ratio needs no libm and stays
+    * cross-engine exact). Score = ONE IEEE division of two exact double
+    * products — exact while `c(ab)·N` and `c(a)·c(b)` stay below 2^53; at
+    * corpus scales beyond that, switch the products to DECIMAL(38,0) and
+    * keep the single division (stated, the q85 pattern). `minCount`
+    * filters the unstable low-frequency tail (classic PMI failure mode:
+    * two hapaxes adjacent once score maximal); survivors are the
+    * templates/named phrases a tokenizer wants as single units.
+    *
+    * 100 TB posture: pair counts collapse map-side to the distinct-bigram
+    * table (vocabulary², but HAVING ≥ minCount prunes it to the repeated
+    * head); unigram counts join on the token key twice; the 1-row total
+    * broadcasts; top-N lowers to TakeOrderedAndProject — no global sort.
+    */
+  def phraseMining(docs: DataFrame, minCount: Long = 5L, topN: Int = 100,
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n"))
+    val pairs = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= lit(minCount))
+    pairs
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"), col("c_a"), col("c_b"),
+        ((col("cab").cast("double") * col("n")) /
+          (col("c_a").cast("double") * col("c_b"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Learn a byte-pair-encoding merge list from the corpus — real
     * tokenizer training, not the regex proxy of [[bpeishCount]]: the
     * classic algorithm over the token-frequency table (count adjacent

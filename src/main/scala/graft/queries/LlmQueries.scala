@@ -386,6 +386,11 @@ object LlmQueries {
   def curriculumOrderQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.curriculumOrder(Tables.documents(s, dir))
 
+  /** Collocation mining: top-100 adjacent pairs by PMI ratio, count ≥ 5 —
+    * the planted boilerplate templates dominate on this corpus. */
+  def phraseMiningQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseMining(Tables.documents(s, dir))
+
   /** JL random projection 64 → 16 dims (deterministic hyperplane literals,
     * one codegen'd dot per output coordinate). */
   def randomProjection(s: SparkSession, dir: String): DataFrame =
@@ -798,7 +803,8 @@ object LlmQueries {
     "q102_decontaminate" -> decontaminate,
     "q103_token_budget" -> tokenBudget,
     "q104_dsir_select" -> dsirSelect,
-    "q105_curriculum_order" -> curriculumOrderQ)
+    "q105_curriculum_order" -> curriculumOrderQ,
+    "q106_phrase_mining" -> phraseMiningQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1303,6 +1309,24 @@ object LlmQueries {
         |       WHEN xent_bits <= c2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM sjx JOIN cutx USING (lang)""".stripMargin,
+    // q106: PMI-ratio collocations — exact integer counts, one IEEE
+    // division of two exact double products, rank on the monotone ratio
+    "q106_phrase_mining" ->
+      s"""WITH tb6 AS (SELECT $toksSql AS w FROM documents),
+        |up6 AS (SELECT unnest(w) AS tok FROM tb6),
+        |c16 AS (SELECT tok, COUNT(*) AS c FROM up6 GROUP BY 1),
+        |n6 AS (SELECT SUM(c) AS n FROM c16),
+        |bp6 AS (SELECT w[i] AS a, w[i+1] AS b
+        |        FROM tb6, UNNEST(range(1, len(w))) AS t(i)
+        |        WHERE len(w) >= 2),
+        |c26 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bp6
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT a, b, cab, ca.c AS c_a, cb.c AS c_b,
+        |  (CAST(cab AS DOUBLE) * n) / (CAST(ca.c AS DOUBLE) * cb.c)
+        |    AS pmi_ratio
+        |FROM c26 JOIN c16 ca ON ca.tok = a JOIN c16 cb ON cb.tok = b
+        |CROSS JOIN n6
+        |ORDER BY pmi_ratio DESC, a, b LIMIT 100""".stripMargin,
     // q105: the q91 tercile CTEs as the major order + the q69 salted draw
     // within each tier; rank over (priority, draw, doc_id)
     "q105_curriculum_order" ->

@@ -736,6 +736,36 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("phrase mining (q106): a planted collocation outranks an equally " +
+    "frequent pair of independently common words; ratios match the " +
+    "driver-side formula") {
+    import spark.implicits._
+    // 'new york' always adjacent (perfect collocation); 'the'/'cat' both
+    // common but paired only sometimes (low ratio)
+    val fixture = ((1 to 10).map(i => (i.toLong, "new york is big"))
+      ++ (11 to 20).map(i => (i.toLong, "the cat saw the dog run fast"))
+      ++ (21 to 30).map(i => (i.toLong, "the bird and the fish the end")))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.phraseMining(fixture, minCount = 5L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair.contains(("new", "york")))
+    val ny = byPair(("new", "york"))
+    // driver-side recomputation of every emitted ratio
+    val n = out.headOption.map(_ => fixture.as[(Long, String)].collect()
+      .flatMap(_._2.split("\\s+")).length.toLong).getOrElse(0L)
+    out.foreach { case (a, b, cab, ca, cb, ratio) =>
+      assert(ratio == cab.toDouble * n / (ca.toDouble * cb),
+        s"($a,$b): ratio drifted")
+    }
+    // the perfect collocation beats any 'the *' pair present
+    out.filter(_._1 == "the").foreach { r =>
+      assert(ny._6 > r._6, s"'new york' must outrank 'the ${r._2}'")
+    }
+    // top-1 on the ranked output IS the max ratio (ordering preserved)
+    assert(out.head._6 == out.map(_._6).max)
+  }
+
   test("curriculum ordering (q105): a permutation with all head docs " +
     "before middle before tail, draw-shuffled within tiers, re-salted " +
     "epochs permute tiers internally only") {
