@@ -1194,6 +1194,40 @@ object TextAnalysis {
           .as("is_kept"))
   }
 
+  /** Per-document n-gram novelty — the corpus-contribution audit: how
+    * much of each document's content is FIRST SEEN at that document (in
+    * id order), i.e. the marginal value a crawler's next fetch actually
+    * added. Each distinct w-gram is owned by the minimum doc id containing
+    * it; a doc's novelty is the share of its distinct grams it owns.
+    * Plotting novelty against corpus position is the dedup-ROI curve
+    * (when new data stops being new, more crawl buys nothing); near-1
+    * docs are fresh content, near-0 docs are recombinations of text the
+    * corpus already had — the continuous cousin of the binary q28/q67
+    * dedup verdicts. `novelty` is ONE division of exact integers.
+    *
+    * 100 TB posture: one distinct-(id, gram) relation feeds both the
+    * min-owner aggregate (map-side combinable on the gram key) and the
+    * per-doc count — one shuffle on the gram key, one id-key aggregate,
+    * no window, no driver state. Docs with no complete gram carry zeros.
+    */
+  def ngramNovelty(docs: DataFrame, w: Int = 5, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingles(docs, w, idCol, textCol)
+    val owner = sh.groupBy("shingle").agg(min(col(idCol)).as("__owner"))
+    val perDoc = sh.join(owner, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(idCol) === col("__owner"), 1L).otherwise(0L))
+          .as("n_new"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_new"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(0.0).as("novelty"))
+  }
+
   /** Collocation / phrase mining — the word2vec-phrases prep stage: rank
     * adjacent token pairs by the PMI RATIO `c(ab)·N / (c(a)·c(b))` (how
     * much more often the pair occurs than independence predicts; the log

@@ -391,6 +391,11 @@ object LlmQueries {
   def phraseMiningQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.phraseMining(Tables.documents(s, dir))
 
+  /** Per-doc 5-gram novelty: the share of each doc's distinct grams first
+    * seen at that doc (min-id ownership) — the dedup-ROI curve. */
+  def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(Tables.documents(s, dir), w = 5)
+
   /** JL random projection 64 → 16 dims (deterministic hyperplane literals,
     * one codegen'd dot per output coordinate). */
   def randomProjection(s: SparkSession, dir: String): DataFrame =
@@ -804,7 +809,8 @@ object LlmQueries {
     "q103_token_budget" -> tokenBudget,
     "q104_dsir_select" -> dsirSelect,
     "q105_curriculum_order" -> curriculumOrderQ,
-    "q106_phrase_mining" -> phraseMiningQ)
+    "q106_phrase_mining" -> phraseMiningQ,
+    "q107_ngram_novelty" -> ngramNoveltyQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1309,6 +1315,25 @@ object LlmQueries {
         |       WHEN xent_bits <= c2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM sjx JOIN cutx USING (lang)""".stripMargin,
+    // q107: min-id gram ownership over the shared distinct-shingle CTE;
+    // novelty is one division of exact integers, zero-gram docs anchored
+    "q107_ngram_novelty" ->
+      s"""WITH $sh5Ctes,
+        |dsh7 AS (SELECT DISTINCT doc_id, shingle FROM sh5),
+        |own7 AS (SELECT shingle, MIN(doc_id) AS owner FROM dsh7
+        |         GROUP BY 1),
+        |pd7 AS (SELECT dsh7.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN dsh7.doc_id = own7.owner THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM dsh7 JOIN own7 USING (shingle)
+        |  GROUP BY dsh7.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  CASE WHEN COALESCE(n_grams, 0) > 0
+        |       THEN CAST(n_new AS DOUBLE) / n_grams ELSE 0.0 END AS novelty
+        |FROM documents d LEFT JOIN pd7 USING (doc_id)""".stripMargin,
     // q106: PMI-ratio collocations — exact integer counts, one IEEE
     // division of two exact double products, rank on the monotone ratio
     "q106_phrase_mining" ->

@@ -736,6 +736,33 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ngram novelty (q107): originals score 1, copies 0, partial reuse " +
+    "in between; ownership conserves the distinct-gram total") {
+    import spark.implicits._
+    val a = "t1 t2 t3 t4 t5 t6"                      // 2 distinct 5-grams
+    val fixture = Seq(
+      (1L, a),                                       // original -> 1.0
+      (2L, a),                                       // exact copy -> 0.0
+      (3L, "t2 t3 t4 t5 t6 u1"),                     // 1 old + 1 new -> 0.5
+      (4L, "v1 v2 v3"),                              // too short -> 0 grams
+      (5L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text") // fresh -> 1.0
+    val out = graft.llm.TextAnalysis.ngramNovelty(fixture, w = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 2L, 1L, 0.5)))
+    assert(out(4L) == ((4L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((5L, 1L, 1L, 1.0)))
+    // every distinct gram is owned exactly once: Σ n_new == |distinct grams|
+    val gate = graft.llm.TextAnalysis.ngramNovelty(docs, w = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val distinctGrams = graft.llm.Dedup.shingles(docs, 5)
+      .select("shingle").distinct().count()
+    assert(gate.map(_._3).sum == distinctGrams)
+    // the fixture's planted near-dups must push some docs well below 1
+    assert(gate.exists(r => r._2 > 0 && r._4 < 0.5))
+  }
+
   test("phrase mining (q106): a planted collocation outranks an equally " +
     "frequent pair of independently common words; ratios match the " +
     "driver-side formula") {
