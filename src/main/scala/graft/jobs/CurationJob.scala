@@ -96,6 +96,9 @@ object CurationJob {
     //    counts misprice long words; packSequences stays the whitespace
     //    form for the oracle gate), and a deterministic epoch-0 shuffle
     val merges = TextAnalysis.learnBpeMerges(mixed, numMerges = 200)
+    // the tokenizer IS part of the release: a training run must segment
+    // with the merges the layout's bins were computed under
+    TextAnalysis.writeBpeStore(merges, s"$outDir/bpe_merges", spark)
     // localCheckpoint: the greedy BPE apply is a ~200-deep nested column
     // expression — correct, but its lineage leaking into every layout join
     // makes each downstream plan stringification walk a 100 MB tree (the

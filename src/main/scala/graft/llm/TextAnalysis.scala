@@ -1311,6 +1311,33 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Persist a trained merge list as a tokenizer artifact — the store
+    * every other model state in the repo already has (quantizers, LM
+    * counts, Bloom bits): rank-ordered rows, so a rehydrated tokenizer
+    * segments identically. Single-writer, overwrite-to-retrain (merges
+    * are a total order — appending is meaningless). */
+  def writeBpeStore(merges: Seq[(String, String)], path: String,
+                    spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Rehydrate a merge list in training order — [[bpePieceCounts]] under
+    * the loaded list is bit-identical to the in-memory form (LlmOpsSpec
+    * pins it). Fail-loud on an empty/missing artifact. */
+  def readBpeStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    require(rows.nonEmpty, s"BPE store at $path is empty — only stores " +
+      "written by writeBpeStore are readable")
+    rows
+  }
+
   /** One left-to-right pass replacing every adjacent occurrence of `pair`
     * with its concatenation (non-overlapping, leftmost-first — the
     * standard BPE merge semantics). */

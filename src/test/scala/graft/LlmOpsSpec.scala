@@ -1300,6 +1300,19 @@ class LlmOpsSpec extends SparkSpecBase {
     val p50 = TextAnalysis.bpePieceCounts(docs, m1)
       .agg(sum("n_pieces")).as[Long].head()
     assert(p50 < p0, s"50 merges must compress the corpus: $p50 !< $p0")
+    // store roundtrip: the rehydrated merge list is the trained one, in
+    // order, and segments identically; empty store fails loud
+    val store = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    TextAnalysis.writeBpeStore(m1, s"$store/m", spark)
+    val m3 = TextAnalysis.readBpeStore(spark, s"$store/m")
+    assert(m3 == m1, "rehydrated merges must equal the trained list")
+    val viaStore = TextAnalysis.bpePieceCounts(docs, m3)
+      .agg(sum("n_pieces")).as[Long].head()
+    assert(viaStore == p50)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.writeBpeStore(Seq.empty, s"$store/empty", spark)
+      TextAnalysis.readBpeStore(spark, s"$store/empty")
+    }
   }
 
   test("data-quality audit: planted violations counted in one pass; " +
