@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON artifacts (files or git revs).
+
+Usage:
+  python3 tools/benchdiff.py BENCH_r07.json BENCH.json
+  python3 tools/benchdiff.py HEAD:BENCH.json BENCH.json   # git rev:path OK
+
+Prints the like-for-like total, per-query regressions (>1.3x and >0.3s)
+and improvements (<0.75x from >0.3s), and queries present on one side
+only. A regression on a query the diff never touched usually means the
+machine was loaded during the run — re-measure that query in isolation
+(sbt "runMain graft.Verify <sf> /tmp/x <name>") before believing it.
+"""
+import json
+import subprocess
+import sys
+
+
+def load(spec: str) -> dict:
+    if ":" in spec and not spec.endswith(".json") or (
+            ":" in spec and not spec.split(":", 1)[0].endswith(".json")
+            and "/" not in spec.split(":", 1)[0]):
+        rev, path = spec.split(":", 1)
+        out = subprocess.run(["git", "show", f"{rev}:{path}"],
+                             capture_output=True, text=True, check=True)
+        doc = json.loads(out.stdout)
+    else:
+        with open(spec) as f:
+            doc = json.load(f)
+    return doc["queries"] if "queries" in doc else doc
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    common = sorted(set(old) & set(new))
+    t_old = sum(old[q] for q in common)
+    t_new = sum(new[q] for q in common)
+    print(f"like-for-like over {len(common)} queries: "
+          f"{t_old:.1f}s -> {t_new:.1f}s (ratio {t_new / t_old:.3f})")
+    regs = [(new[q] / old[q], q) for q in common
+            if new[q] > old[q] * 1.3 and new[q] > 0.3]
+    for r, q in sorted(regs, reverse=True):
+        print(f"  REG {q}: {old[q]:.2f} -> {new[q]:.2f}  ({r:.2f}x)")
+    imps = [(new[q] / old[q], q) for q in common
+            if new[q] < old[q] * 0.75 and old[q] > 0.3]
+    for r, q in sorted(imps):
+        print(f"  IMP {q}: {old[q]:.2f} -> {new[q]:.2f}  ({r:.2f}x)")
+    gone = sorted(set(old) - set(new))
+    added = sorted(set(new) - set(old))
+    if gone:
+        print("  only in OLD:", ", ".join(gone))
+    if added:
+        print("  only in NEW:",
+              ", ".join(f"{q}={new[q]:.2f}s" for q in added))
+    return 1 if regs else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
