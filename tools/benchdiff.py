@@ -12,8 +12,11 @@ machine was loaded during the run — re-measure that query in isolation
 (sbt "runMain graft.Verify <sf> /tmp/x <name>") before believing it.
 """
 import json
+import signal
 import subprocess
 import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 
 
 def load(spec: str) -> dict:
