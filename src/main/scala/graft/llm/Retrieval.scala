@@ -456,8 +456,13 @@ object Retrieval {
     val spark = candidates.sparkSession
     import spark.implicits._
     val mu = 1.0 - lambda
+    // fused/unioned candidate inputs (e.g. RRF legs) can repeat a
+    // (query, neighbor) pair with different scores — collapse to the max
+    // rel HERE so the grid and the greedy loop see one deterministic row
+    // per pair instead of toMap's arbitrary winner
     val cand = candidates.select(col("query_id").cast("long"),
-      col("neighbor_id").cast("long"), round(col("score"), 6).as("rel"))
+        col("neighbor_id").cast("long"), round(col("score"), 6).as("rel"))
+      .groupBy("query_id", "neighbor_id").agg(max("rel").as("rel"))
     val emb = embeddings.select(col(idCol).cast("long").as("nid"),
       col(vecCol).as("v"))
     val cv = cand.join(emb, col("neighbor_id") === col("nid")).drop("nid")

@@ -437,7 +437,11 @@ object TextAnalysis {
     * similarity graph can cross a split boundary. Singletons degrade to
     * exactly [[dataSplit]]'s assignment.
     *
-    * Input: any (id, cluster_id) relation (q51 lexical, q76 semantic).
+    * Input: an (id, cluster_id) relation (q51 lexical, q76 semantic)
+    * whose cluster_id IS a member doc id (the hash-min canonical — both
+    * producers guarantee it). The contract is enforced, not assumed: a
+    * cluster_id with no matching doc row raises in-plan rather than
+    * silently dropping the whole cluster from every split.
     * Output: (doc_id, cluster_id, bucket, split).
     *
     * 100 TB posture: one join of the cluster relation to the docs on the
@@ -458,7 +462,14 @@ object TextAnalysis {
     val canonBuckets = cl.select(col("cluster_id")).distinct()
       .join(docs.select(col(idCol).as("cluster_id"),
         pmod(fingerprint(col(textCol)), lit(100L)).as("bucket")),
-        Seq("cluster_id"))
+        Seq("cluster_id"), "left")
+      // contract check: canonical must be a doc — fail loud in-plan, no
+      // driver-side action, instead of dropping the cluster silently
+      .select(col("cluster_id"),
+        coalesce(col("bucket"), raise_error(concat(
+          lit("leakageSafeSplit: cluster_id "), col("cluster_id"),
+          lit(" is not a doc id — canonical must be a member"))))
+          .as("bucket"))
     cl.join(canonBuckets, Seq("cluster_id"))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")

@@ -1977,15 +1977,20 @@ object LlmQueries {
         |  stopword_ratio, quality_score
         |FROM qsc""".stripMargin,
     // q103: the q36 quality CTEs + a cumulative token spend in quality-desc
-    // order; the 40% budget boundary is the exact-integer cum*5 <= total*2
+    // order; the 40% budget boundary is the exact-integer cum*5 <= total*2.
+    // The window SUM MUST be cast back to BIGINT: DuckDB widens SUM(BIGINT)
+    // to HUGEINT, which pandas renders as float64 — Spark's int64 column
+    // then hash-mismatches in the driver's value canonicalization even
+    // though every value is numerically equal (the r8 red cell; the only
+    // un-cast aggregate among all 107 oracles)
     "q103_token_budget" ->
       s"""WITH $qualityCtes,
         |sel3 AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |    quality_score,
-        |    SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (
         |      ORDER BY quality_score DESC, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS cum_tokens
+        |      AS BIGINT) AS cum_tokens
         |  FROM qsc),
         |tot3 AS (SELECT SUM(n_tokens) AS total FROM sel3)
         |SELECT doc_id, n_tokens, quality_score, cum_tokens,

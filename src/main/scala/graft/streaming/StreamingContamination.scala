@@ -44,8 +44,13 @@ object StreamingContamination {
 
   /** Freeze the eval sets' distinct complete w-grams into a Bloom filter.
     * Size `estimatedItems` ≈ the distinct eval-gram count and `numBits` ≈
-    * 10× that for ~1% FPR (the [[TextAnalysis.contaminationBloom]]
-    * sizing rule — a wild overestimate saturates the filter). */
+    * 8–10× that (the defaults here are 2^22 bits over 2^19 items = 8
+    * bits/item ≈ 2% FPR; 10× gives ~1% — the
+    * [[TextAnalysis.contaminationBloom]] sizing rule; a wild
+    * overestimate saturates the filter). Fails loud on an eval corpus
+    * with no complete w-gram: a null Bloom would otherwise make
+    * [[screenBatch]] keep every document silently — a contamination
+    * gate that screens nothing must not look like one that passed. */
   def freeze(evalDocs: DataFrame, w: Int = 5,
              numBits: Long = 1L << 22, estimatedItems: Long = 1L << 19,
              idCol: String = "doc_id",
@@ -61,6 +66,10 @@ object StreamingContamination {
       .select(xxhash64(col("shingle")).as("h"))
       .agg(bloomAgg)
       .head().getAs[Array[Byte]](0)
+    require(bytes != null,
+      s"freeze: eval corpus has no complete $w-gram — an empty Bloom " +
+        "gate would silently keep every document; pass a smaller w or " +
+        "a non-empty eval set")
     FrozenGrams(bytes, w, textCol)
   }
 

@@ -61,6 +61,21 @@ def main():
         else:
             for c in s.columns:
                 sc, oc = s[c], o[c]
+                # driver-hash parity: an int column on one side vs a
+                # float on the other (DuckDB widens SUM(BIGINT) to
+                # HUGEINT, which pandas renders float64) hashes
+                # differently in the driver even when every value is
+                # numerically equal — fail it here too, unless the float
+                # side carries NaN (genuine nullable-int widening, which
+                # pandas applies to BOTH sides identically)
+                if ({sc.dtype.kind, oc.dtype.kind} == {'i', 'f'}):
+                    fside = sc if sc.dtype.kind == 'f' else oc
+                    if not fside.isna().any():
+                        print(f"FAIL {name}: col {c} type skew "
+                              f"spark={sc.dtype} oracle={oc.dtype} "
+                              f"(un-cast HUGEINT aggregate?)")
+                        ok = False
+                        break
                 try:
                     if sc.dtype.kind == 'f' or oc.dtype.kind == 'f':
                         eq = (sc.astype('float64').fillna(-1e308)
