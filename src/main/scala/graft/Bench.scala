@@ -33,9 +33,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q93_cluster_sizes,… runs a subset in isolation —
+    // the re-measurement protocol for a query flagged slow in a full run
+    // (tools/benchdiff.py's caveat: shared-host load and 107-query session
+    // history both inflate individual numbers)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (_, fn) =>
         graft.core.CacheScope.scoped {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
@@ -46,7 +55,9 @@ object Bench {
     // timed on its own plan (no cross-query cache pollination) and
     // re-persists never hit "already cached" warnings
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
         // the elapsed time is read INSIDE the scope, right after the action
         // returns — the scope's exit unpersist is bookkeeping, not query

@@ -110,6 +110,15 @@ object CurationJob {
         "doc_id", "n_pieces", "cum_pieces")
       .withColumn("bin", expr("(cum_pieces - n_pieces) div 2048L"))
       .localCheckpoint()
+    // split policy: plain content-hash dataSplit, DELIBERATELY not the
+    // cluster-aware leakageSafeSplit (q101) — the near-dup stages already
+    // collapsed every similarity cluster to one survivor, so q101 would
+    // be assigning singletons; the residual risk (sub-threshold
+    // similarity, which no cluster relation captures either) is measured
+    // at ~0 by the post-retention cross-split contamination audit below
+    // (CurationSpec pins it: 0 eval docs >20% 5-gram overlap at sf0.001
+    // and sf0.01). If the audit artifact ever shows otherwise, wire the
+    // semantic clusters into leakageSafeSplit here.
     val withLayout = mixed
       .join(TextAnalysis.dataSplit(mixed).select("doc_id", "split"), "doc_id")
       .join(bpeBins.select("doc_id", "n_pieces", "bin"), "doc_id")
@@ -117,6 +126,19 @@ object CurationJob {
         .select("doc_id", "shuffle_rank"), "doc_id")
 
     withLayout.write.mode("overwrite").parquet(s"$outDir/curated")
+    // 5b. the budgeted curriculum layout (q108's composition on the job
+    //     path): spend a 2/5 token budget over the shipped set in
+    //     CARRIED-classifier-score order — the score the pipeline
+    //     computed once at its scoring position, not a re-score of the
+    //     rewritten text — then curriculum-order the kept docs with
+    //     tercile cutoffs from the kept set itself. This is the epoch-0
+    //     read order of a budgeted curriculum run; docs outside the
+    //     budget stay in the artifact (rank −1) so the spend curve ships
+    //     with the release. n_tokens is the shipped text's count (the
+    //     same statistic the split/pack layout uses).
+    TextAnalysis.trainingLayoutBy(mixed,
+        mixed.select(col("doc_id"), col("n_tokens"), col("clf_score")))
+      .write.mode("overwrite").parquet(s"$outDir/training_layout")
     // 6. release gates: the decontamination report (per-eval-doc train
     //    overlap) and the data-quality audit over the SHIPPED layout —
     //    what a release reads before training starts

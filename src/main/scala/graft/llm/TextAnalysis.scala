@@ -1117,21 +1117,94 @@ object TextAnalysis {
     */
   def tokenBudgetSelect(docs: DataFrame, budgetNum: Long = 2L,
                         budgetDen: Long = 5L, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    require(budgetNum >= 0 && budgetDen > 0, "budget must be a fraction")
-    val scored = graft.core.CacheScope.track(
+                        textCol: String = "text"): DataFrame =
+    tokenBudgetSelectBy(
       qualityScore(docs, textCol)
         .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
-          col("quality_score"))
-        .withColumn("__negq", -col("quality_score")).persist())
-    val total = scored.agg(sum(col("n_tokens")).as("__total"))
-    graft.ops.Scale.globalCumSumOrdered(scored, Seq("__negq", idCol),
+          col("quality_score")),
+      "quality_score", budgetNum, budgetDen, idCol)
+
+  /** [[tokenBudgetSelect]] under a caller-supplied scorer — the promised
+    * "swap [[qualityScore]] for the q77 classifier" form. `scored` is any
+    * (id, n_tokens, scoreCol) relation; the layout keeps docs in
+    * scoreCol-descending order (ties to the smaller id) while the
+    * cumulative token spend stays within `budgetNum/budgetDen` of the
+    * total. Same exact-integer boundary and two-phase prefix sum as the
+    * heuristic form; [[jobs.CurationJob]] drives it with the carried
+    * classifier score (the q108 gate relation).
+    */
+  def tokenBudgetSelectBy(scored: DataFrame, scoreCol: String,
+                          budgetNum: Long = 2L, budgetDen: Long = 5L,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget must be a fraction")
+    val sc = graft.core.CacheScope.track(
+      scored.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+          col(scoreCol))
+        .withColumn("__negq", -col(scoreCol)).persist())
+    val total = sc.agg(sum(col("n_tokens")).as("__total"))
+    graft.ops.Scale.globalCumSumOrdered(sc, Seq("__negq", idCol),
         "n_tokens", "cum_tokens")
       .crossJoin(broadcast(total))
-      .select(col(idCol), col("n_tokens"), col("quality_score"),
+      .select(col(idCol), col("n_tokens"), col(scoreCol),
         col("cum_tokens"),
         (col("cum_tokens") * lit(budgetDen) <=
           col("__total") * lit(budgetNum)).as("is_kept"))
+  }
+
+  /** The composed training layout — the selection loop closed into one
+    * relation (q108): score every document with the model-based
+    * [[classifierScore]] (the q77 relation), spend the token budget in
+    * classifier-score order ([[tokenBudgetSelectBy]] — exact-integer
+    * boundary), then lay the KEPT set out in curriculum order
+    * ([[curriculumOrder]] — easy terciles first, salted shuffle within a
+    * tier, with the tercile cutoffs computed over the kept set itself:
+    * the shipped corpus's own difficulty distribution, not the lake's).
+    * This is the relation a budgeted curriculum-trained run reads as its
+    * epoch-0 layout; [[jobs.CurationJob]] emits it as a release artifact
+    * over the curated survivors with the carried classifier score.
+    *
+    * Output: (id, n_tokens, clf_score, cum_tokens, is_kept, priority,
+    * curriculum_rank) over EVERY doc — the spend curve stays inspectable.
+    * Docs outside the budget, and kept docs that tokenize to zero tokens
+    * (no surprisal row — nothing to rank), carry priority = −1 and
+    * curriculum_rank = −1: exact integers rather than nullable columns,
+    * so the relation is hash-stable across engines (a nullable BIGINT
+    * widens to float in some readers — the q103 lesson).
+    *
+    * 100 TB posture: inherited — one vocabulary-sized classifier join,
+    * two two-phase prefix passes (budget spend, curriculum rank), tercile
+    * cutoffs broadcast. Nothing new materializes beyond the |kept| rank.
+    */
+  def trainingLayout(docs: DataFrame, weights: Array[Long],
+                     budgetNum: Long = 2L, budgetDen: Long = 5L,
+                     groupCol: String = "lang", idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    trainingLayoutBy(docs,
+      classifierScore(docs, weights, idCol, textCol)
+        .select(col(idCol), col("n_tokens"), col("score").as("clf_score")),
+      budgetNum, budgetDen, groupCol, idCol, textCol)
+
+  /** [[trainingLayout]] under a caller-supplied (id, n_tokens, clf_score)
+    * relation — [[jobs.CurationJob]] drives this with its CARRIED
+    * classifier score (computed once at the pipeline's scoring position)
+    * rather than re-scoring the rewritten text. */
+  def trainingLayoutBy(docs: DataFrame, clfScored: DataFrame,
+                       budgetNum: Long = 2L, budgetDen: Long = 5L,
+                       groupCol: String = "lang", idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val budget = graft.core.CacheScope.track(
+      tokenBudgetSelectBy(clfScored, "clf_score", budgetNum, budgetDen,
+        idCol).persist())
+    val kept = docs.join(budget.filter(col("is_kept")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val cur = curriculumOrder(kept, groupCol = groupCol, idCol = idCol,
+      textCol = textCol)
+    budget.join(cur.select(col(idCol), col("priority"),
+        col("curriculum_rank")), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("clf_score"),
+        col("cum_tokens"), col("is_kept"),
+        coalesce(col("priority"), lit(-1L)).as("priority"),
+        coalesce(col("curriculum_rank"), lit(-1L)).as("curriculum_rank"))
   }
 
   /** DSIR-shaped importance selection (Xie et al., data selection via

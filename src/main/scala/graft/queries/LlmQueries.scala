@@ -391,6 +391,13 @@ object LlmQueries {
   def phraseMiningQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.phraseMining(Tables.documents(s, dir))
 
+  /** The composed training layout (the selection loop closed): q77
+    * classifier score → q103 token budget in score order → q105
+    * curriculum order over the kept set, whose tercile cutoffs come from
+    * the kept set itself. One relation per doc; unranked docs carry −1. */
+  def trainingLayoutQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainingLayout(Tables.documents(s, dir), classifierWeights)
+
   /** Per-doc 5-gram novelty: the share of each doc's distinct grams first
     * seen at that doc (min-id ownership) — the dedup-ROI curve. */
   def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
@@ -810,7 +817,8 @@ object LlmQueries {
     "q104_dsir_select" -> dsirSelect,
     "q105_curriculum_order" -> curriculumOrderQ,
     "q106_phrase_mining" -> phraseMiningQ,
-    "q107_ngram_novelty" -> ngramNoveltyQ)
+    "q107_ngram_novelty" -> ngramNoveltyQ,
+    "q108_training_layout" -> trainingLayoutQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1381,6 +1389,74 @@ object LlmQueries {
         |         ELSE 2 END, drc.draw, buc.doc_id) AS BIGINT)
         |    AS curriculum_rank
         |FROM buc JOIN drc USING (doc_id)""".stripMargin,
+    // q108: the q77 classifier CTEs → cumulative spend in clf-score order
+    // (every aggregate cast back to BIGINT — the q103 HUGEINT lesson) →
+    // the q105 curriculum CTEs computed over the KEPT subset only (its
+    // own surprisal LM and tercile cutoffs); unranked docs carry −1, not
+    // NULL, so no reader widens the integer columns to float
+    "q108_training_layout" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($toksSql) AS tok
+        |             FROM documents),
+        |vocab AS (SELECT DISTINCT tok FROM occ),
+        |wv AS (SELECT tok,
+        |         ${classifierWeights.mkString("[", ", ", "]")}
+        |           [CAST(${fpSql("tok")} % 64 AS INT) + 1] AS w
+        |       FROM vocab),
+        |aggq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |           CAST(SUM(w) AS BIGINT) AS raw_score
+        |         FROM occ JOIN wv USING (tok) GROUP BY doc_id),
+        |clf8 AS (SELECT d.doc_id,
+        |    COALESCE(n_tokens, 0) AS n_tokens,
+        |    CASE WHEN COALESCE(n_tokens, 0) > 0
+        |         THEN CAST(raw_score AS DOUBLE) / n_tokens
+        |         ELSE 0.0 END AS clf_score
+        |  FROM documents d LEFT JOIN aggq USING (doc_id)),
+        |cum8 AS (SELECT doc_id, n_tokens, clf_score,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY clf_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM clf8),
+        |tot8 AS (SELECT SUM(n_tokens) AS total FROM clf8),
+        |flag8 AS (SELECT doc_id, n_tokens, clf_score, cum_tokens,
+        |    cum_tokens * 5 <= total * 2 AS is_kept
+        |  FROM cum8 CROSS JOIN tot8),
+        |kd8 AS (SELECT d.* FROM documents d
+        |        JOIN flag8 USING (doc_id) WHERE flag8.is_kept),
+        |occ8 AS (SELECT doc_id, unnest($toksSql) AS token FROM kd8),
+        |tf8 AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ8
+        |        GROUP BY 1, 2),
+        |c8 AS (SELECT token, SUM(tf) AS c FROM tf8 GROUP BY 1),
+        |n8 AS (SELECT SUM(c) AS n_total FROM c8),
+        |sur8 AS (SELECT tf8.doc_id,
+        |    CAST(SUM(tf8.tf * (length(bin(CAST(n_total // c AS BIGINT)))
+        |      - 1)) AS DOUBLE) / SUM(tf8.tf) AS xent_bits
+        |  FROM tf8 JOIN c8 USING (token) CROSS JOIN n8
+        |  GROUP BY tf8.doc_id),
+        |sj8 AS (SELECT kd8.doc_id, kd8.lang, sur8.xent_bits
+        |        FROM kd8 JOIN sur8 USING (doc_id)),
+        |cut8 AS (SELECT lang,
+        |           ROUND(quantile_cont(xent_bits, ${(1.0 / 3).toString}), 6)
+        |             AS c1,
+        |           ROUND(quantile_cont(xent_bits, ${(2.0 / 3).toString}), 6)
+        |             AS c2
+        |         FROM sj8 GROUP BY lang),
+        |buc8 AS (SELECT doc_id,
+        |           CASE WHEN xent_bits <= c1 THEN 0
+        |                WHEN xent_bits <= c2 THEN 1
+        |                ELSE 2 END AS priority
+        |         FROM sj8 JOIN cut8 USING (lang)),
+        |dr8 AS (SELECT doc_id,
+        |          ${fpSql("text || '|curriculum'")} % 1000000 AS draw
+        |        FROM kd8),
+        |rk8 AS (SELECT buc8.doc_id, buc8.priority,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY buc8.priority, dr8.draw,
+        |      buc8.doc_id) AS BIGINT) AS curriculum_rank
+        |  FROM buc8 JOIN dr8 USING (doc_id))
+        |SELECT f.doc_id, f.n_tokens, f.clf_score, f.cum_tokens, f.is_kept,
+        |  CAST(COALESCE(r.priority, -1) AS BIGINT) AS priority,
+        |  CAST(COALESCE(r.curriculum_rank, -1) AS BIGINT)
+        |    AS curriculum_rank
+        |FROM flag8 f LEFT JOIN rk8 r USING (doc_id)""".stripMargin,
     // q92: √ is IEEE-correctly-rounded on both engines (pow is not — the
     // α = 0.5 choice is deliberate); each √ rounds at 1e-6 and sums as
     // DECIMAL, so the normalizer is exact and order-insensitive
