@@ -63,12 +63,25 @@ object CurationPipeline {
     * Persisted intermediates register with the caller's [[CacheScope]].
     */
   def stages(docs: DataFrame, emb: DataFrame): Seq[(String, DataFrame)] = {
+    // construction-phase wall-clock attribution (the eager fixpoints and
+    // checkpoints run HERE, not at the consumer's first action) — enable
+    // with GRAFT_CURATION_TIMING=1; ProfileCuration reads these lines
+    var __t = System.nanoTime()
+    def tick(what: String): Unit = {
+      if (sys.env.contains("GRAFT_CURATION_TIMING")) {
+        val now = System.nanoTime()
+        println(f"[construct] $what%-22s ${(now - __t) / 1e9}%7.2f s")
+        __t = now
+      }
+    }
     // 1. scrub BEFORE dedup (two docs differing only in masked spans
     //    dedup together), then keep each text's canonical min-id copy
     val scrubbed = docs.withColumn("text", TextAnalysis.scrub(col("text")))
     val exact = CacheScope.track(Dedup.exactCanonical(scrubbed)
       .filter(col("doc_id") === col("canonical_id"))
       .drop("canonical_id").persist())
+
+    tick("exact")
 
     // 2. lexical near-dup clusters with best-of-quality retention:
     //    transitive (A~B, B~C drops B AND C), quality computed on the
@@ -84,12 +97,16 @@ object CurationPipeline {
     val afterNear = CacheScope.track(
       exact.join(keepNear, Seq("doc_id"), "left_semi").persist())
 
+    tick("near_dup(cc+keep)")
+
     // 3. chunk-level rewrite (C4 move): first-occurrence table over the
     //    near-dup SURVIVORS only; docs rewritten to nothing drop out
     val rewritten = CacheScope.track(Dedup.chunkDedupRewrite(afterNear, w = 16)
       .filter(length(col("text")) > 0)
       .select("doc_id", "text")
       .join(afterNear.drop("text"), "doc_id").persist())
+
+    tick("chunk_rewrite")
 
     // 4. overlapping-window pass (ExactSubstr move) for tile-straddling
     //    spans. localCheckpoint: materializes AND truncates the logical
@@ -100,6 +117,8 @@ object CurationPipeline {
       .select("doc_id", "text")
       .join(rewritten.drop("text"), "doc_id")
       .localCheckpoint()
+
+    tick("substring_rewrite")
 
     // 5. semantic near-dup clusters over the aligned embedding table,
     //    canonical min id kept; docs without an embedding row pass through
@@ -116,12 +135,16 @@ object CurationPipeline {
       unstraddled.join(semDropped, Seq("doc_id"), "left_anti")
         .localCheckpoint()
 
+    tick("semantic(ivf+cc)")
+
     // 6. repetition filter: top-3-gram dominance; docs too short to
     //    shingle have no ratio row and pass through
     val repetitive = TextAnalysis.repetitionRatio(afterSem)
       .filter(col("rep_ratio") > 0.2).select("doc_id")
     val afterRep =
       afterSem.join(repetitive, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    tick("repetition")
 
     // 7. heuristic quality gate on the REWRITTEN text (the carried
     //    classifier/surprisal columns are a job concern, not a keep/drop
@@ -131,10 +154,14 @@ object CurationPipeline {
       .filter(col("quality_score") >= 0.5)
       .select(baseCols: _*).localCheckpoint()
 
+    tick("quality")
+
     // 8. per-language token-length p99 tail trim on the current text
     val trimmed = CacheScope.track(afterQuality.join(
         TextAnalysis.lengthTailFilter(afterQuality, p = 0.99)
           .select("doc_id"), "doc_id").persist())
+
+    tick("length_trim")
 
     // 9. per-source cap (content-hash draw order, re-run stable) — the
     //    TWO-PHASE form: row-identical to the single window
@@ -144,9 +171,13 @@ object CurationPipeline {
       TextAnalysis.sourceCapTwoPhase(trimmed, cap = 20).select("doc_id"),
       "doc_id").persist())
 
+    tick("source_cap")
+
     // 10. language mixture downsample (content-hash draws)
     val mixed = TextAnalysis.mixtureSample(capped, targets = Seq("en" -> 0.7))
       .drop("draw")
+
+    tick("mixture")
 
     Seq("exact" -> exact, "near_dup" -> afterNear,
       "chunk_rewrite" -> rewritten, "substring_rewrite" -> unstraddled,
