@@ -140,6 +140,82 @@ object Dedup {
         (col("n_chunks") - col("n_dup_chunks")).cast("double") /
           col("n_chunks"))
 
+  /** Content-defined chunking dedup — [[chunkDedup]] with CDC boundaries
+    * instead of fixed `w`-token tiles (the Rabin/FastCDC device from
+    * storage dedup, applied at token granularity): a chunk boundary falls
+    * AFTER token `i` iff the rolling hash of the `w`-gram ending at `i`
+    * is ≡ 0 (mod `m`), so the expected chunk length is `m` tokens but the
+    * boundary POSITIONS are functions of local content alone. That is the
+    * property fixed tiles lack: insert one token near the head of a
+    * near-duplicate and every later tile shifts (q67 sees 0% overlap),
+    * while CDC boundaries re-synchronize `w` tokens after the edit and
+    * every following chunk dedups again. The complement of q82's
+    * overlapping-window rewrite: cheaper (no per-position first-occurrence
+    * state — chunk count ≈ n/m, not n), coarser (a duplicate shorter than
+    * its chunk is invisible).
+    *
+    * Hashing: per-token [[TextAnalysis.fingerprint]] folded over the gram
+    * with the same ·31 mod-2^57 polynomial — exact integer arithmetic,
+    * oracle-portable. Duplicate = any chunk occurrence whose text has an
+    * earlier (doc, idx) occurrence, exactly q67's canonical rule, so the
+    * two relations differ only in where the knife falls.
+    *
+    * Output per document: (id, n_chunks, n_dup_chunks, retention) —
+    * matches [[chunkDedup]] so callers can A/B the chunking policies.
+    *
+    * 100 TB posture: boundary computation is a per-row array expression
+    * (one scan, no shuffle); the per-token prefix sum that numbers chunks
+    * is a window PARTITIONED BY document — bounded by document length,
+    * never corpus-global; then the same aggregate + join-back shape as
+    * [[chunkKeepFlags]] (hot chunks become one aggregate row, never one
+    * window partition).
+    */
+  def cdcDedup(docs: DataFrame, w: Int = 4, m: Int = 8,
+               idCol: String = "doc_id", textCol: String = "text"):
+      DataFrame = {
+    require(w >= 1 && m >= 1, "gram window and target chunk size >= 1")
+    val mod = lit(TextAnalysis.FingerprintMod)
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .filter(coalesce(size(col("__w")), lit(0)) >= 1)
+      .withColumn("__th",
+        transform(col("__w"), t => TextAnalysis.fingerprint(t)))
+      // __cut(i) = 1 iff a boundary falls after 1-based position i; the
+      // i >= w guard short-circuits the slice on both engines
+      .withColumn("__cut",
+        transform(sequence(lit(1), size(col("__w"))), i =>
+          when(i >= w &&
+            pmod(aggregate(slice(col("__th"), i - lit(w - 1), lit(w)),
+              lit(0L), (a, x) => pmod(a * lit(31L) + x, mod)),
+              lit(m.toLong)) === 0L, lit(1L)).otherwise(lit(0L))))
+    val pos = base
+      .select(col(idCol),
+        posexplode(arrays_zip(col("__w"), col("__cut"))).as(Seq("__p", "__z")))
+      .select(col(idCol), col("__p"),
+        col("__z.__w").as("__tok"), col("__z.__cut").as("__cut"))
+    val segWin = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ch = graft.core.CacheScope.track(pos
+      .withColumn("chunk_idx", coalesce(sum(col("__cut")).over(segWin), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__p"), col("__tok")))),
+        s => s.getField("__tok")), " ").as("chunk"))
+      .persist())
+    ch.count() // eager: firsts aggregate and join back both read it
+    val firsts = ch.groupBy("chunk")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
+    ch.join(firsts, "chunk")
+      .withColumn("__keep",
+        struct(col(idCol), col("chunk_idx")) === col("__first"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((!col("__keep")).cast("long")).as("n_dup_chunks"))
+      .withColumn("retention",
+        (col("n_chunks") - col("n_dup_chunks")).cast("double") /
+          col("n_chunks"))
+  }
+
   /** Chunk-level dedup REWRITE — [[chunkDedup]]'s destructive form: the
     * duplicate chunk occurrences are actually removed and each document's
     * text is rebuilt from its surviving chunks in order (the C4 move:

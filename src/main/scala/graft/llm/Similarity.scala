@@ -946,6 +946,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rnk")
   }
 
+  /** ANN recall evaluation — the tuning instrument behind every "recall
+    * 1.0 at registry parameters" claim in this file: per-query recall of a
+    * `candidate` top-k relation against a `truth` relation (both any
+    * (query_id, neighbor_id) frame — brute vs IVF, IVF vs stored, exact vs
+    * PQ-refined). recall = |candidate ∩ truth| / |truth|, one division of
+    * exact integers; queries absent from `candidate` surface as recall 0,
+    * not as missing rows — an ANN path that silently drops a query must
+    * show up as a zero, never as a shorter report.
+    *
+    * 100 TB posture: both inputs are top-k bounded (|Q|·k rows), so every
+    * join side is tiny relative to the corpus that produced them; the
+    * semi join on (query, neighbor) never touches vectors.
+    */
+  def annRecall(candidate: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val c = candidate.select(col("query_id"), col("neighbor_id"))
+    val hits = t.join(c, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth"))
+  }
+
   /** Persist an IVF index: `path/centroids` holds the tables·k quantizer
     * vectors (bounded, broadcastable), `path/postings` holds one row per
     * (vector, table) stored under its nearest cell — PARTITIONED BY

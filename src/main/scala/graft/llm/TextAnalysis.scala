@@ -1489,6 +1489,96 @@ object TextAnalysis {
     syms.length.toLong
   }
 
+  /** Contrastive crop-pair generation (the Contriever / SimCSE-style
+    * "independent cropping" positive-pair builder for embedding-model
+    * training, made deterministic): per document, two `w`-token spans are
+    * cut at offsets drawn by the salted content-hash [[fingerprint]] —
+    * the same derandomized-draw device as q63's sampler and q69's shuffle,
+    * so the pair set is reproducible across runs AND engines, yet offsets
+    * are corpus-wide uniform. Crops may overlap (they do in the published
+    * method); in-batch negatives are the training loop's concern, not the
+    * data layout's. Documents shorter than `w` tokens have no valid span
+    * and are dropped — the length precondition, not a quality judgment.
+    *
+    * Output: (id, n_tokens, a_off, b_off, anchor, positive) — offsets are
+    * emitted so the draw itself is oracle-pinned, not just the strings.
+    * Pure column expressions over one scan; the explode-free slice keeps
+    * the row count at |docs|, not |docs|·w.
+    */
+  def cropPairs(docs: DataFrame, w: Int = 8, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nSpans = col("n_tokens") - lit(w.toLong) + lit(1L)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") >= w.toLong)
+      .withColumn("a_off", pmod(fingerprint(concat(t, lit("|cropA"))), nSpans))
+      .withColumn("b_off", pmod(fingerprint(concat(t, lit("|cropB"))), nSpans))
+      .select(col(idCol), col("n_tokens"), col("a_off"), col("b_off"),
+        array_join(slice(toks, (col("a_off") + 1L).cast("int"), lit(w)), " ")
+          .as("anchor"),
+        array_join(slice(toks, (col("b_off") + 1L).cast("int"), lit(w)), " ")
+          .as("positive"))
+  }
+
+  /** Gopher-style rule-battery document filter (Rae et al. 2021, §A1.1 —
+    * the standard hand-written pre-training gate that runs BEFORE any
+    * model-based scorer): per-document structural counts plus one boolean
+    * verdict per rule family, `keep` = every rule passes. Distinct from
+    * [[qualityScore]] (a soft score for ranking/budgeting) — this is the
+    * hard drop battery. Rules, each as EXACT INTEGER arithmetic (ratio
+    * thresholds cross-multiplied, so no float ever enters a verdict and
+    * Spark/DuckDB agree bit-for-bit):
+    *
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [3, 10]    (3·n ≤ Σlen ≤ 10·n)
+    *  - ≥ 80% of words contain a letter    (10·n_alpha ≥ 8·n)
+    *  - symbol-to-word ratio ≤ 0.1         ('#'/'…'/'...' hits; 10·sym ≤ n)
+    *  - ≤ 90% of lines start with a bullet (10·bullet ≤ 9·lines)
+    *  - ≤ 30% of lines end with an ellipsis(10·ell ≤ 3·lines)
+    *  - ≥ 2 distinct stop words present    (membership, not frequency)
+    *
+    * Counts are emitted alongside the verdict so threshold tuning reads
+    * the same relation the gate does. Defaults are the paper's; gate-scale
+    * callers narrow the word window to the corpus' register. Pure column
+    * expressions over one scan of `textCol` — scan-speed, codegen'd,
+    * `ReadSchema` stays two columns.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    // empty lines dropped on BOTH sides of the oracle: a trailing '\n'
+    // must not manufacture a non-bullet line
+    val lines = filter(split(t, "\n"), x => x =!= "")
+    docs
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_alpha_words",
+        size(filter(toks, x => x.rlike("\\p{L}"))).cast("long"))
+      .withColumn("n_symbolish", countMatches(t, "#|\\.\\.\\.|…").cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, x => x.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, x => x.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long"))
+      .withColumn("n_stop_present",
+        size(filter(lit(stopwords.toArray),
+          s => array_contains(toks, s))).cast("long"))
+      .withColumn("keep",
+        col("n_words").between(minWords.toLong, maxWords.toLong) &&
+        (lit(3L) * col("n_words") <= col("sum_word_len")) &&
+        (col("sum_word_len") <= lit(10L) * col("n_words")) &&
+        (lit(10L) * col("n_alpha_words") >= lit(8L) * col("n_words")) &&
+        (lit(10L) * col("n_symbolish") <= col("n_words")) &&
+        (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines")) &&
+        (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines")) &&
+        (col("n_stop_present") >= 2L))
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 

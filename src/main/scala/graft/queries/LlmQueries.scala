@@ -403,6 +403,28 @@ object LlmQueries {
   def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ngramNovelty(Tables.documents(s, dir), w = 5)
 
+  /** Gopher rule-battery verdicts (word-count window narrowed to the gate
+    * corpus' register, the operator's other thresholds at the paper's
+    * values) — counts AND per-rule-family boolean so the oracle pins both
+    * the arithmetic and the verdict. */
+  def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, dir),
+      minWords = 10, maxWords = 1000)
+      .select("doc_id", "n_words", "sum_word_len", "n_alpha_words",
+        "n_symbolish", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+        "n_stop_present", "keep")
+
+  /** Deterministic contrastive crop pairs (w = 8): the salted content-hash
+    * offsets AND the cropped strings, so the oracle pins the draw, the
+    * slice arithmetic, and the reassembly. */
+  def cropPairsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cropPairs(Tables.documents(s, dir), w = 8)
+
+  /** Content-defined-chunking dedup (gram window 4, target chunk ~8
+    * tokens) — q67's relation with the CDC knife, same output shape. */
+  def cdcDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDedup(Tables.documents(s, dir), w = 4, m = 8)
+
   /** JL random projection 64 → 16 dims (deterministic hyperplane literals,
     * one codegen'd dot per output coordinate). */
   def randomProjection(s: SparkSession, dir: String): DataFrame =
@@ -818,7 +840,10 @@ object LlmQueries {
     "q105_curriculum_order" -> curriculumOrderQ,
     "q106_phrase_mining" -> phraseMiningQ,
     "q107_ngram_novelty" -> ngramNoveltyQ,
-    "q108_training_layout" -> trainingLayoutQ)
+    "q108_training_layout" -> trainingLayoutQ,
+    "q109_gopher_rules" -> gopherRulesQ,
+    "q110_crop_pairs" -> cropPairsQ,
+    "q111_cdc_dedup" -> cdcDedupQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1342,6 +1367,93 @@ object LlmQueries {
         |  CASE WHEN COALESCE(n_grams, 0) > 0
         |       THEN CAST(n_new AS DOUBLE) / n_grams ELSE 0.0 END AS novelty
         |FROM documents d LEFT JOIN pd7 USING (doc_id)""".stripMargin,
+    // q109: Gopher battery — every verdict is cross-multiplied integer
+    // arithmetic, so the boolean column can't float-drift
+    "q109_gopher_rules" ->
+      s"""WITH g1 AS (SELECT doc_id, $toksSql AS w,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+        |    text FROM documents),
+        |g2 AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(w, x -> CAST(length(x) AS BIGINT))),
+        |      (a, b) -> a + b) AS sum_word_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '\\p{L}')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT)
+        |      AS n_symbolish,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls,
+        |        x -> regexp_matches(x, '^\\s*[-*•]'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(ls,
+        |        x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT)
+        |      AS n_ellipsis_lines,
+        |    CAST(len(list_filter($stopSql, s -> list_contains(w, s)))
+        |      AS BIGINT) AS n_stop_present
+        |  FROM g1)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbolish,
+        |  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_present,
+        |  (n_words BETWEEN 10 AND 1000
+        |    AND 3 * n_words <= sum_word_len
+        |    AND sum_word_len <= 10 * n_words
+        |    AND 10 * n_alpha_words >= 8 * n_words
+        |    AND 10 * n_symbolish <= n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |    AND n_stop_present >= 2) AS keep
+        |FROM g2""".stripMargin,
+    // q110: the crop offsets are the q63/q69 salted content-hash draw mod
+    // the span count; slices are 1-based inclusive on both engines
+    "q110_crop_pairs" ->
+      s"""WITH tcp AS (SELECT doc_id, $toksSql AS w, text FROM documents),
+        |fcp AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    ${fpSql("text || '|cropA'")} % (len(w) - 7) AS a_off,
+        |    ${fpSql("text || '|cropB'")} % (len(w) - 7) AS b_off
+        |  FROM tcp WHERE len(w) >= 8)
+        |SELECT doc_id, n_tokens, a_off, b_off,
+        |  array_to_string(list_slice(w, a_off + 1, a_off + 8), ' ')
+        |    AS anchor,
+        |  array_to_string(list_slice(w, b_off + 1, b_off + 8), ' ')
+        |    AS positive
+        |FROM fcp""".stripMargin,
+    // q111: CDC dedup — token fingerprints folded over the 4-gram ending
+    // at each position, boundary where the fold ≡ 0 (mod 8); then q67's
+    // first-occurrence rule over the content-defined chunks
+    "q111_cdc_dedup" ->
+      s"""WITH tcd AS (SELECT doc_id, $toksSql AS w FROM documents
+        |  WHERE len($toksSql) >= 1),
+        |thd AS (SELECT doc_id, w,
+        |    list_transform(w, t -> ${fpSql("t")}) AS th FROM tcd),
+        |cutd AS (SELECT doc_id, w,
+        |    list_transform(range(1, len(w) + 1), i ->
+        |      CASE WHEN i >= 4 AND
+        |          list_reduce(
+        |            list_prepend(CAST(0 AS BIGINT),
+        |                         list_slice(th, i - 3, i)),
+        |            (a, b) -> (a * 31 + b) % 144115188075855872) % 8 = 0
+        |        THEN 1 ELSE 0 END) AS cut
+        |  FROM thd),
+        |posd AS (SELECT doc_id, i AS p, w[i] AS tok, cut[i] AS c
+        |         FROM cutd, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |segd AS (SELECT doc_id, p, tok,
+        |    COALESCE(SUM(c) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_idx
+        |  FROM posd),
+        |ckd AS (SELECT doc_id, chunk_idx,
+        |    string_agg(tok, ' ' ORDER BY p) AS chunk
+        |  FROM segd GROUP BY 1, 2),
+        |rxd AS (SELECT doc_id, chunk_idx,
+        |    ROW_NUMBER() OVER (PARTITION BY chunk
+        |                       ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ckd)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS retention
+        |FROM rxd GROUP BY doc_id""".stripMargin,
     // q106: PMI-ratio collocations — exact integer counts, one IEEE
     // division of two exact double products, rank on the monotone ratio
     "q106_phrase_mining" ->

@@ -1776,4 +1776,112 @@ class LlmOpsSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(top2 == Set(11L, 10L))
   }
+
+  test("gopher rules: clean doc passes, each planted violation trips " +
+    "exactly its own rule family") {
+    val clean = "the quick brown fox and the lazy dog run to the old barn " +
+      "in a field of tall grass where it is warm and dry all day long"
+    val d = Seq(
+      1L -> clean,                                   // passes everything
+      2L -> "the a of",                              // too few words
+      3L -> clean.replace("quick", "q#ck # # # # # # # # # # # # # #"),
+      4L -> ("- the cat\n- the dog\n- the bird\n- the fish\n- the ant " +
+        "is in a tree"),                             // >90% bullet lines
+      5L -> ("the cat sat...\nthe dog ran...\nthe bird flew...\n" +
+        "a fish swam in it"),                        // >30% ellipsis lines
+      6L -> "zz qq ww rr tt yy uu ii oo pp ss dd ff gg hh jj kk ll",
+      7L -> clean.split(" ").map(w => "1" + w.map(_ => '2')).mkString(" "))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, minWords = 10, maxWords = 1000)
+      .select("doc_id", "keep", "n_lines", "n_bullet_lines",
+        "n_ellipsis_lines", "n_stop_present")
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2, "clean doc must pass")
+    assert(!r(2L)._2, "word-count floor")
+    assert(!r(3L)._2, "symbol ratio")
+    assert(!r(4L)._2 && r(4L)._4 == 5L, "bullet lines counted and tripped")
+    assert(!r(5L)._2 && r(5L)._5 == 3L, "ellipsis lines counted and tripped")
+    assert(!r(6L)._2 && r(6L)._6 < 2L, "stop-word presence")
+    assert(!r(7L)._2, "alphabetic-word fraction")
+    assert(r(4L)._3 == 5L && r(5L)._3 == 4L, "line counts")
+  }
+
+  test("crop pairs: offsets are the salted draw, slices are real spans, " +
+    "short docs drop, output is deterministic") {
+    val toks = (1 to 40).map(i => s"w${(i * 2654435761L) % 97}")
+    val d = Seq(1L -> toks.mkString(" "), 2L -> "only three tokens")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cropPairs(d, w = 8)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L), "short doc must drop")
+    val (_, n, aOff, bOff, anchor, positive) = out.head
+    assert(n == 40L)
+    val expA = TextAnalysis.fingerprintOf(toks.mkString(" ") + "|cropA") %
+      (40 - 8 + 1)
+    val expB = TextAnalysis.fingerprintOf(toks.mkString(" ") + "|cropB") %
+      (40 - 8 + 1)
+    assert(aOff == expA && bOff == expB, "offsets must equal the driver twin")
+    assert(anchor == toks.slice(aOff.toInt, aOff.toInt + 8).mkString(" "))
+    assert(positive == toks.slice(bOff.toInt, bOff.toInt + 8).mkString(" "))
+    val again = TextAnalysis.cropPairs(d, w = 8)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(again.toSeq == out.toSeq, "derandomized draw must be stable")
+  }
+
+  test("annRecall: identity is 1.0, dropped queries surface as zero, " +
+    "partial overlap counts exactly; IVF at registry parameters == brute") {
+    val truth = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 9L)).toDF("query_id", "neighbor_id")
+    val cand = Seq((0L, 1L), (0L, 3L), (0L, 7L), (1L, 4L), (1L, 5L))
+      .toDF("query_id", "neighbor_id") // query 2 entirely absent
+    val r = Similarity.annRecall(cand, truth)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L)._3 == 2L && r(0L)._4 == 2.0 / 3)
+    assert(r(1L)._4 == 1.0)
+    assert(r(2L)._3 == 0L && r(2L)._4 == 0.0,
+      "a dropped query must report 0, not vanish")
+    assert(Similarity.annRecall(truth, truth)
+      .select("recall").as[Double].collect().forall(_ == 1.0))
+    // the instrument on the real table: IVF at the registry parameters
+    // recalls the brute top-10 exactly (the q52 claim, now measured by
+    // the operator that exists to measure it)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val rec = Similarity.annRecall(
+        Similarity.ivfTopK(emb, qs, k = 10),
+        Similarity.bruteForceTopK(emb, qs, k = 10))
+      .select("recall").as[Double].collect()
+    assert(rec.length == 5 && rec.forall(_ == 1.0))
+  }
+
+  test("cdc dedup: exact copies fully dup; an insert-shifted near-dup " +
+    "re-synchronizes where fixed tiles cannot") {
+    // i -> i·m mod p is injective for i < p, so all 240 tokens are
+    // DISTINCT — doc 1 must not dedup against its own tail
+    val toks = (1 to 240).map(i => s"t${(i * 2654435761L) % 1000003}")
+    val d = Seq(
+      1L -> toks.mkString(" "),
+      2L -> toks.mkString(" "),                       // exact copy
+      3L -> ("zzz " + toks.mkString(" ")))            // 1 token inserted
+      .toDF("doc_id", "text")
+    val cdc = Dedup.cdcDedup(d, w = 4, m = 8)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(cdc(1L)._3 == 0L, "first occurrence owns every chunk")
+    assert(cdc(2L)._3 == cdc(2L)._2, "exact copy dups every chunk")
+    // the CDC property: boundaries re-synchronize a few tokens after the
+    // insertion, so most of doc 3's chunks dedup against doc 1
+    assert(cdc(3L)._2 > 10L, "fixture must produce many chunks")
+    assert(cdc(3L)._3 * 10L >= cdc(3L)._2 * 7L,
+      s"insert-shifted copy should dup >=70% of chunks, got ${cdc(3L)}")
+    // the fixed-tile twin CANNOT dedup the shifted body: every 16-token
+    // tile of doc 3 is offset by one from doc 1's
+    val tiles = Dedup.chunkDedup(d, w = 16)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(tiles(3L)._3 * 10L < tiles(3L)._2 * 2L,
+      "fixed tiles must miss the shifted duplication (<20%)")
+    // retention is one division of the two integer counts
+    assert(cdc(2L)._4 == 0.0 &&
+      cdc(1L)._4 == 1.0)
+  }
 }

@@ -782,4 +782,31 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("gopher battery is a pure stateless projection: runs unchanged on " +
+    "a stream, union of micro-batches == batch twin") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 90)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.llm.TextAnalysis
+      .gopherRules(mem.toDF().toDF("doc_id", "text"),
+        minWords = 10, maxWords = 1000)
+      .select("doc_id", "n_words", "n_stop_present", "keep")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("gopher_out").start()
+    try {
+      rows.grouped(30).foreach { g =>
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("gopher_out")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      val twin = graft.llm.TextAnalysis
+        .gopherRules(docs, minWords = 10, maxWords = 1000)
+        .select("doc_id", "n_words", "n_stop_present", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed == twin)
+      assert(streamed.size == rows.length)
+    } finally q.stop()
+  }
 }
