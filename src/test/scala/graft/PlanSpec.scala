@@ -287,4 +287,39 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("n_chars#") && !p.contains("lang#"),
       s"documents scan must prune to doc_id/text:\n$p")
   }
+
+  test("q109 gopher battery is shuffle-free: every verdict a row " +
+    "expression over one pruned scan") {
+    val p = planOf("q109_gopher_rules")
+    assert(!p.contains("Exchange"),
+      s"the rule battery must not shuffle:\n$p")
+    assert(!p.contains("n_chars#") && !p.contains("lang#"),
+      s"documents scan must prune to doc_id/text:\n$p")
+  }
+
+  test("q110 crop pairs is shuffle-free and explode-free: offsets and " +
+    "slices as row expressions, row count stays |docs|") {
+    val p = planOf("q110_crop_pairs")
+    assert(!p.contains("Exchange"), s"crop pairs must not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"crop pairs must slice arrays in place, never explode:\n$p")
+  }
+
+  test("q111 cdc dedup: chunk numbering is a doc-partitioned window " +
+    "(never a global sort) and first-occurrence is an aggregate + join " +
+    "back, not a window over chunk text") {
+    val p = planOf("q111_cdc_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // every Window node (the plan text repeats the cached subplan) must
+    // be PARTITIONED BY doc_id — never a global single-task window — and
+    // hot-chunk handling must stay an aggregate, not a window over chunk
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("[doc_id#")),
+      s"chunk numbering must be a doc-partitioned window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing in the plan may funnel to one task:\n$p")
+    assert(!p.contains("first_value"),
+      s"first occurrence must be the aggregate + join-back shape:\n$p")
+  }
 }
