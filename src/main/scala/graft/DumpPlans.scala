@@ -44,7 +44,8 @@ object DumpPlans {
     "q105_curriculum_order" -> "q91 tercile sub-plan + broadcast cutoffs, q69 salted draw, rank via the __pid-partitioned prefix count",
     "q109_gopher_rules" -> "every rule verdict is a row expression over one pruned scan — no shuffle anywhere in the plan",
     "q110_crop_pairs" -> "salted-draw offsets and both slices as row expressions on the scan; no explode, row count stays |docs|",
-    "q111_cdc_dedup" -> "boundary cuts are array expressions on the scan; chunk numbering is a doc-partitioned window (bounded by doc length); then q67's aggregate + join-back — hot chunks become one aggregate row, never one window partition")
+    "q111_cdc_dedup" -> "boundary cuts are array expressions on the scan; chunk numbering is a doc-partitioned window (bounded by doc length); then q67's aggregate + join-back — hot chunks become one aggregate row, never one window partition",
+    "q112_winnow_pairs" -> "explode first, scalar work after: per-token fingerprint, lead()-chain gram fold and winnow argmin share ONE doc-partitioned sort; sketch join is ~2/(win+1) the size of a full shingle join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -222,6 +222,78 @@ object Dedup {
           col("n_chunks"))
   }
 
+  /** Winnowing document fingerprints + match pairs (Schleimer, Wilkerson
+    * & Aiken 2003 — the MOSS plagiarism-detection scheme, the third
+    * near-dup family next to MinHash (set-similarity) and SimHash
+    * (vector-similarity)): position-aware SELECTED fingerprints with the
+    * guarantee that any shared token run of length ≥ k + win − 1 is
+    * caught by at least one shared fingerprint — MinHash gives a
+    * whole-document similarity estimate and can miss a single long quote;
+    * winnowing cannot. Per document: k-gram rolling hashes (the
+    * [[TextAnalysis.fingerprint]] token fold, reduced mod 2^36), then in
+    * every window of `win` consecutive gram hashes select the minimum,
+    * ties to the RIGHTMOST position (the paper's robust rule — encoded as
+    * one integer key h·2^21 + (2^21−1−pos) so the two-part argmin is a
+    * plain MIN, portable to any engine; docs are capped at 2^21 grams by
+    * the encoding, far beyond any sane document). The distinct selected
+    * hashes are the document's fingerprint sketch; docs sharing ≥
+    * `minShared` fingerprints emit a pair.
+    *
+    * Output: (id_a, id_b, n_shared), id_a < id_b.
+    *
+    * 100 TB posture: fingerprint density is ~2/(win+1) of the gram count
+    * (the paper's bound), so the join input is a small fraction of the
+    * shingle relation a full-gram join would shuffle; the single shuffle
+    * key is the selected hash (boilerplate-hot keys are the q29 class —
+    * AQE skew handling applies); the per-doc window is doc-partitioned.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, win: Int = 4,
+                  minShared: Int = 2, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 1 && win >= 1, "gram and window sizes must be >= 1")
+    val M36 = 1L << 36
+    val P21 = 1L << 21
+    // explode FIRST, then everything is scalar per row: one token
+    // fingerprint per exploded row, the k-gram fold as a lead() chain,
+    // the winnow argmin as a sliding window — both windows share one
+    // (doc, pos) sort. The array-expression form (gram hashes as a
+    // transform over positions under the Generate) measured 54 s of a
+    // 66 s query at sf0.1: the generator child's nested-HOF tree is the
+    // one plan shape that must never carry expensive per-element work.
+    val ord = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .filter(coalesce(size(col("__w")), lit(0)) >= k + win - 1)
+      .select(col(idCol), size(col("__w")).as("__n"),
+        posexplode(col("__w")).as(Seq("__p", "__tok")))
+      .withColumn("__th", TextAnalysis.fingerprint(col("__tok")))
+    val gram = base
+      // fold th[p..p+k-1] mod 2^36 — gram STARTING at 0-based __p, the
+      // same fold as the oracle's list_reduce over the slice
+      .withColumn("__h",
+        (1 until k).foldLeft(pmod(col("__th"), lit(M36)))((acc, j) =>
+          pmod(acc * lit(31L) + lead(col("__th"), j).over(ord), lit(M36))))
+      .filter(col("__p") <= col("__n") - k) // complete grams only
+    val selWin = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, win - 1)
+    val fps = gram
+      .withColumn("__key", min(col("__h") * lit(P21) +
+        (lit(P21 - 1) - col("__p"))).over(selWin))
+      // complete windows only: starts 0 .. n_grams - win
+      .filter(col("__p") <= col("__n") - k - (win - 1))
+      // decode via shift, NOT division: long / long is a double divide in
+      // Spark and keys exceed 2^53
+      .select(col(idCol), shiftright(col("__key"), 21).as("__h"))
+      .distinct()
+    val a = fps.toDF("id_a", "__h")
+    val b = fps.toDF("id_b", "__h")
+    a.join(b, Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Chunk-level dedup REWRITE — [[chunkDedup]]'s destructive form: the
     * duplicate chunk occurrences are actually removed and each document's
     * text is rebuilt from its surviving chunks in order (the C4 move:

@@ -425,6 +425,13 @@ object LlmQueries {
   def cdcDedupQ(s: SparkSession, dir: String): DataFrame =
     Dedup.cdcDedup(Tables.documents(s, dir), w = 4, m = 8)
 
+  /** Winnowing match pairs (k = 4, win = 4 → guarantee threshold t = 7
+    * tokens, ≥ 2 shared fingerprints) — the MOSS sketch next to
+    * MinHash/SimHash. */
+  def winnowPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, dir), k = 4, win = 4,
+      minShared = 2)
+
   /** JL random projection 64 → 16 dims (deterministic hyperplane literals,
     * one codegen'd dot per output coordinate). */
   def randomProjection(s: SparkSession, dir: String): DataFrame =
@@ -843,7 +850,8 @@ object LlmQueries {
     "q108_training_layout" -> trainingLayoutQ,
     "q109_gopher_rules" -> gopherRulesQ,
     "q110_crop_pairs" -> cropPairsQ,
-    "q111_cdc_dedup" -> cdcDedupQ)
+    "q111_cdc_dedup" -> cdcDedupQ,
+    "q112_winnow_pairs" -> winnowPairsQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1454,6 +1462,30 @@ object LlmQueries {
         |  CAST(COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) AS retention
         |FROM rxd GROUP BY doc_id""".stripMargin,
+    // q112: winnowing — gram hashes mod 2^36, window argmin encoded as
+    // one integer key (h·2^21 + (2^21−1−pos), rightmost-min), decoded by
+    // integer division; pair count over the distinct selected hashes
+    "q112_winnow_pairs" ->
+      s"""WITH tw AS (SELECT doc_id, $toksSql AS w FROM documents
+        |  WHERE len($toksSql) >= 7),
+        |thw AS (SELECT doc_id, w,
+        |    list_transform(w, t -> ${fpSql("t")}) AS th FROM tw),
+        |gr AS (SELECT doc_id, g - 1 AS g0, len(w) - 3 AS n,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list_slice(th, g, g + 3)),
+        |      (a, b) -> (a * 31 + b) % 68719476736) AS h
+        |  FROM thw, UNNEST(range(1, len(w) - 2)) AS t(g)),
+        |sel AS (SELECT doc_id, g0, n,
+        |    MIN(h * 2097152 + (2097151 - g0))
+        |      OVER (PARTITION BY doc_id ORDER BY g0
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+        |  FROM gr),
+        |fpw AS (SELECT DISTINCT doc_id, selkey // 2097152 AS h
+        |        FROM sel WHERE g0 <= n - 4)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM fpw a JOIN fpw b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     // q106: PMI-ratio collocations — exact integer counts, one IEEE
     // division of two exact double products, rank on the monotone ratio
     "q106_phrase_mining" ->

@@ -1829,6 +1829,37 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(again.toSeq == out.toSeq, "derandomized draw must be stable")
   }
 
+  test("winnowing: a shared run >= t is ALWAYS caught, exact copies " +
+    "share everything, unrelated docs share nothing") {
+    // distinct token streams (injective mod-prime mixing)
+    def stream(seed: Long, n: Int) =
+      (1 to n).map(i => s"s$seed-${(i * 2654435761L + seed) % 1000003}")
+    val a = stream(1, 60)
+    val quote = a.slice(20, 30) // 10 tokens >= t = 7: must be caught
+    val c = stream(3, 25) ++ quote ++ stream(4, 25)
+    val d = Seq(
+      1L -> a.mkString(" "),
+      2L -> a.mkString(" "),            // exact copy
+      3L -> c.mkString(" "),            // carries the quote
+      4L -> stream(9, 60).mkString(" ") // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, k = 4, win = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.contains((1L, 2L)), "exact copies must pair")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "the winnowing guarantee: a shared 10-token run must share >= 1 " +
+        "selected fingerprint")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated docs must not pair")
+    // exact copies share their entire sketch, and the sketch is sparse:
+    // ~2/(win+1) of the grams, never the full gram set
+    val nGrams = 60 - 4 + 1
+    assert(pairs((1L, 2L)) < nGrams,
+      "the sketch must be a selection, not every gram")
+    assert(pairs((1L, 2L)) > pairs.getOrElse((1L, 3L), 0L),
+      "a full copy shares more than a quote")
+  }
+
   test("annRecall: identity is 1.0, dropped queries surface as zero, " +
     "partial overlap counts exactly; IVF at registry parameters == brute") {
     val truth = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L),

@@ -322,4 +322,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("first_value"),
       s"first occurrence must be the aggregate + join-back shape:\n$p")
   }
+
+  test("q112 winnowing: every window doc-partitioned, no cartesian, and " +
+    "the generator child is the bare token array (scalar work AFTER the " +
+    "explode, never under it)") {
+    val p = planOf("q112_winnow_pairs")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("[doc_id#")), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the 54s-at-sf0.1 regression shape: an expensive nested-HOF tree as
+    // the Generate's child. The generator must explode a filter/split of
+    // text only — no aggregate() lambda fold may appear under Generate
+    val genLines = p.linesIterator.filter(_.contains("Generate ")).toSeq
+    assert(genLines.nonEmpty && genLines.forall(l =>
+      !l.contains("aggregate(") && !l.contains("lambdafunction(pmod")),
+      s"generator child must stay cheap:\n$p")
+  }
 }
