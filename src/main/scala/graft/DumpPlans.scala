@@ -45,7 +45,11 @@ object DumpPlans {
     "q109_gopher_rules" -> "every rule verdict is a row expression over one pruned scan — no shuffle anywhere in the plan",
     "q110_crop_pairs" -> "salted-draw offsets and both slices as row expressions on the scan; no explode, row count stays |docs|",
     "q111_cdc_dedup" -> "boundary cuts are array expressions on the scan; chunk numbering is a doc-partitioned window (bounded by doc length); then q67's aggregate + join-back — hot chunks become one aggregate row, never one window partition",
-    "q112_winnow_pairs" -> "explode first, scalar work after: per-token fingerprint, lead()-chain gram fold and winnow argmin share ONE doc-partitioned sort; sketch join is ~2/(win+1) the size of a full shingle join")
+    "q112_winnow_pairs" -> "explode first, scalar work after: per-token fingerprint, lead()-chain gram fold and winnow argmin share ONE doc-partitioned sort; sketch join is ~2/(win+1) the size of a full shingle join",
+    "q113_bpe_segment" -> "frozen merge table rides the closure — map-only plan, zero exchanges; the scan is the plan",
+    "q114_vocab_coverage" -> "top-K vocabulary as TakeOrderedAndProject over the term counts, broadcast back onto the explode — the occurrence table never shuffles for the join",
+    "q116_stratified_split" -> "range-partitioned grouped rank: __pid-partitioned windows, per-(partition,stratum) offsets and stratum sizes broadcast — no per-stratum single task",
+    "q118_bpe_packing" -> "map-side segmentation feeding the two-phase prefix sum — the running total never funnels to one task")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

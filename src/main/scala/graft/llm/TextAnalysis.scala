@@ -1489,6 +1489,269 @@ object TextAnalysis {
     syms.length.toLong
   }
 
+  /** A trained merge list FROZEN as a code literal — the tokenizer-artifact
+    * analog of the q77 classifier's weight vector: [[learnBpeMerges]] run
+    * once over the sf0.001 corpus (numMerges = 40) and pinned, so every
+    * engine and every scale segments with the SAME tokenizer rather than
+    * each re-training its own (retraining per-corpus would make token
+    * counts incomparable across runs — the whole point of freezing a
+    * tokenizer). LlmOpsSpec pins provenance: re-learning on sf0.001
+    * reproduces this literal exactly.
+    */
+  val FrozenBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"))
+
+  /** Segment every document by applying a merge list IN TRAINING ORDER
+    * (Sennrich's original apply-BPE: one leftmost non-overlapping
+    * [[mergePair]] pass per merge, rank 0 first) and count the surviving
+    * pieces — the oracle-checkable twin of [[bpePieceCounts]]'s
+    * lowest-rank-greedy inference loop. The two disagree only on symbol
+    * sequences whose merges were never co-observed in training (OOV corner
+    * cases); on the corpus the list was trained on they coincide
+    * (LlmOpsSpec compares them corpus-wide).
+    *
+    * Why this form gates: a single leftmost pass is reproducible in ANSI
+    * SQL as "replace the FIRST ` l r ` occurrence, repeat until none" over
+    * a space-delimited piece string — equivalent because a merged piece is
+    * inert for its own pair (`lr` can never equal `l` or `r`: it is
+    * strictly longer), so re-scanning from the head after each single
+    * replacement finds exactly the occurrences the array pass would. The
+    * greedy-rank loop has no such SQL twin (it needs an argmin over
+    * adjacent pairs per step).
+    *
+    * Output: (id, n_tokens, n_pieces) — exact integers; n_pieces is the
+    * REAL token-budget statistic under the frozen tokenizer. 100 TB
+    * posture: merge table rides one broadcast, per-row imperative fold
+    * (same typed-map justification as [[bpePieceCounts]]); no shuffle at
+    * all — the scan IS the plan.
+    */
+  def bpePieceCountsInOrder(docs: DataFrame,
+                            merges: Seq[(String, String)] = FrozenBpeMerges,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ms = bc.value
+        val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        var pieces = 0L
+        for (tok <- toks) {
+          var syms = tok.map(_.toString).toArray
+          for (p <- ms) syms = mergePair(syms, p)
+          pieces += syms.length.toLong
+        }
+        (id, toks.length.toLong, pieces)
+      }
+      .toDF(idCol, "n_tokens", "n_pieces")
+  }
+
+  /** Per-document vocabulary coverage against the corpus top-K vocabulary —
+    * the OOV-rate audit run before committing to a tokenizer or embedding
+    * table: how much of each document falls outside the K most frequent
+    * terms (count desc, term asc tie-break — a total order, so the
+    * vocabulary is deterministic). High-OOV documents are the ones a
+    * fixed-vocab model sees as noise; the per-doc flag relation feeds the
+    * same keep/drop machinery as the quality scores.
+    *
+    * Output: (id, n_tokens, n_in_vocab, n_oov) — exact integers over every
+    * document (empty docs carry zeros).
+    *
+    * 100 TB posture: the vocabulary is a TakeOrderedAndProject over the
+    * term-count aggregate (bounded K, never a global sort) broadcast back
+    * onto one explode — one shuffle for the term counts, one for the
+    * per-doc re-aggregate, the vocabulary itself never leaves the driver's
+    * bounded K rows.
+    */
+  def vocabCoverage(docs: DataFrame, topK: Int = 20,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = occ.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topK)
+      .select("tok")
+    val perDoc = occ
+      .join(broadcast(vocab).withColumn("__in", lit(1L)), Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("n_in_vocab"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_in_vocab"), lit(0L))).as("n_oov"))
+  }
+
+  /** The corpus blocklist the q115 gate filters on — stand-ins for a
+    * bad-word / spam-term list (C4 dropped any document containing a
+    * listed term; Gopher-style filters use density). Chosen from the
+    * corpus vocabulary so the density rule actually discriminates at gate
+    * scale (~10% of all tokens land on the list). */
+  val BlocklistTerms: Seq[String] = Seq("big", "slow", "small")
+
+  /** Blocklist-density filter — the bad-word curation stage: count listed
+    * tokens per document and keep documents whose hit density stays under
+    * `denom`⁻¹ of the token count (hits·denom < n_tokens; the C4 any-hit
+    * rule is the degenerate denom → ∞). Density, not any-hit, because at
+    * corpus scale single incidental hits would drop nearly everything —
+    * the published web-scale filters moved to density for exactly this
+    * reason.
+    *
+    * Output: (id, n_tokens, n_hits, n_distinct_hits, is_kept) — exact
+    * integers + the flag, over every document.
+    *
+    * 100 TB posture: the list is a plan-time literal folded into one
+    * per-row higher-order-function expression — no shuffle, no join, no
+    * broadcast even; the scan is the plan and the filter is codegen'd.
+    */
+  def blocklistFilter(docs: DataFrame,
+                      terms: Seq[String] = BlocklistTerms,
+                      denom: Long = 10L,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val termArr = array(terms.sorted.map(lit): _*)
+    val toks = tokens(col(textCol))
+    val hits = filter(toks, t => array_contains(termArr, t))
+    docs.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(hits).cast("long").as("n_hits"),
+        size(array_distinct(hits)).cast("long").as("n_distinct_hits"))
+      .withColumn("is_kept", col("n_hits") * lit(denom) < col("n_tokens"))
+  }
+
+  /** Stratified split with EXACT per-stratum counts — the eval-set
+    * constructor [[dataSplit]] can't be: the content-hash bucket split is
+    * proportional only in expectation, so a small stratum (a rare
+    * language × source cell) can land all of its rows in train by chance.
+    * Here every (groupCols) stratum is laid out by the salted content-hash
+    * draw (ties to the id) and exactly ⌊n/evalDen⌋ of its rows — the
+    * lowest-draw prefix — become eval: deterministic, engine-stable, and
+    * guaranteed representation for every stratum with ≥ evalDen rows.
+    *
+    * Output: (id, group..., draw, strat_rank, strat_n, split) over every
+    * document.
+    *
+    * 100 TB posture: the per-stratum rank is
+    * [[graft.ops.Scale.groupedRankOrdered]] — range-partitioned two-phase,
+    * NOT `row_number over (partition by stratum)`, which would put all of
+    * a 100 TB lake's `en` stratum through one task. Stratum sizes are a
+    * groupBy aggregate broadcast back (|strata| rows).
+    */
+  def stratifiedSplit(docs: DataFrame,
+                      groupCols: Seq[String] = Seq("lang", "source"),
+                      evalDen: Long = 10L, salt: String = "|strat",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(evalDen > 0, "evalDen must be positive")
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))),
+      lit(1000000L))
+    val d = docs.select(
+      (col(idCol) +: groupCols.map(col)) :+ draw.as("draw"): _*)
+    val sizes = d.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("strat_n"))
+    graft.ops.Scale.groupedRankOrdered(d, groupCols, Seq("draw", idCol),
+        "strat_rank")
+      .join(broadcast(sizes), groupCols)
+      .select((col(idCol) +: groupCols.map(col)) ++ Seq(col("draw"),
+        col("strat_rank"), col("strat_n"),
+        when(col("strat_rank") * lit(evalDen) <= col("strat_n"),
+          lit("eval")).otherwise(lit("train")).as("split")): _*)
+  }
+
+  /** Tokenizer-fertility audit per (lang, source) stratum under the frozen
+    * tokenizer — the metric tokenizer evaluations actually report:
+    * pieces-per-word (fertility; how many BPE pieces a whitespace token
+    * fragments into) and chars-per-piece (compression), per corpus cell.
+    * A stratum whose fertility is far above the corpus norm is one the
+    * tokenizer serves badly — its documents pay more sequence budget per
+    * word, which skews any token-denominated mixture or cost model (the
+    * q97/q103 denominators). All counts exact integers; each ratio is ONE
+    * IEEE division of two exact integers (the q77 contract).
+    *
+    * Output: (lang, source, n_docs, n_tokens, n_pieces, n_chars,
+    * pieces_per_token, chars_per_piece).
+    *
+    * 100 TB posture: per-row imperative fold (broadcast merge table, same
+    * justification as [[bpePieceCountsInOrder]]) feeding a partial-agg
+    * groupBy on the |strata|-sized key — map-side combine leaves one
+    * bounded shuffle of partial rows.
+    */
+  def bpeFertility(docs: DataFrame,
+                   merges: Seq[(String, String)] = FrozenBpeMerges,
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    docs.select(col("lang"), col("source"), col(textCol))
+      .as[(String, String, String)]
+      .map { case (lang, source, text) =>
+        val ms = bc.value
+        val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        var pieces = 0L
+        var chars = 0L
+        for (tok <- toks) {
+          var syms = tok.map(_.toString).toArray
+          for (p <- ms) syms = mergePair(syms, p)
+          pieces += syms.length.toLong
+          chars += tok.length.toLong
+        }
+        (lang, source, toks.length.toLong, pieces, chars)
+      }
+      .toDF("lang", "source", "n_tokens", "n_pieces", "n_chars")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_pieces").as("n_pieces"),
+        sum("n_chars").as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_pieces"), col("n_chars"),
+        when(col("n_tokens") > 0,
+          col("n_pieces").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("pieces_per_token"),
+        when(col("n_pieces") > 0,
+          col("n_chars").cast("double") / col("n_pieces"))
+          .otherwise(lit(0.0)).as("chars_per_piece"))
+  }
+
+  /** Sequence packing in REAL model tokens — [[packSequences]] with the
+    * frozen tokenizer's piece counts as the budget currency instead of the
+    * whitespace proxy: bins of `budget` BPE pieces, assigned by the
+    * running piece total in id order. This is the layout a training run
+    * actually consumes (sequence length is denominated in model tokens,
+    * not words); q56 and this relation differ exactly where fertility
+    * differs from 1.
+    *
+    * Output: (id, n_pieces, cum_pieces, bin).
+    *
+    * 100 TB posture: the segmentation pass is shuffle-free; the running
+    * total is the two-phase [[graft.ops.Scale.globalCumSum]], never a
+    * single-task window.
+    */
+  def packSequencesBpe(docs: DataFrame, budget: Int = 2048,
+                       merges: Seq[(String, String)] = FrozenBpeMerges,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    graft.ops.Scale.globalCumSum(
+        bpePieceCountsInOrder(docs, merges, idCol, textCol)
+          .select(col(idCol), col("n_pieces")),
+        idCol, "n_pieces", "cum_pieces")
+      .withColumn("bin",
+        expr(s"(cum_pieces - n_pieces) div ${budget}L"))
+      .select(idCol, "n_pieces", "cum_pieces", "bin")
+
   /** Contrastive crop-pair generation (the Contriever / SimCSE-style
     * "independent cropping" positive-pair builder for embedding-model
     * training, made deterministic): per document, two `w`-token spans are

@@ -283,6 +283,58 @@ object Scale {
       .drop("__pid", "__offset")
   }
 
+  /** Per-group rank under a total order — the grouped twin of
+    * [[globalCumSumOrdered]], for "rank within stratum" layouts whose
+    * strata can individually dwarf an executor (a per-language rank over a
+    * 100 TB lake: `row_number over (partition by lang order by ...)` puts
+    * ALL of `en` through one task). Range-partition on (group ++ order)
+    * keys so each partition holds contiguous runs of at most a few groups,
+    * count rows per (partition, group) — a bounded collect: ≤ partitions +
+    * distinct-groups rows, because contiguous ranges mean each group spans
+    * a prefix-closed set of partitions — and broadcast each group's
+    * exclusive prefix back as that partition's offset. Within a partition a
+    * group's rows are ranked by an ordinary window (safe: the partition is
+    * executor-sized by construction). Deterministic when (group ++ order)
+    * is unique. Group columns must be string-typed (the driver-side offset
+    * fold sorts them as strings).
+    */
+  def groupedRankOrdered(df: DataFrame, groupCols: Seq[String],
+                         orderCols: Seq[String],
+                         outCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols ++ orderCols
+    val parts = graft.core.CacheScope.track(df
+      .repartitionByRange(keys.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist())
+    val counts = parts
+      .groupBy(col("__pid") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), groupCols.indices.map(i =>
+        String.valueOf(r.get(i + 1))).toIndexedSeq, r.getLong(groupCols.length + 1)))
+      .sortBy { case (pid, g, _) => (g.mkString("\u0001"), pid) }
+    val offsets = scala.collection.mutable.ArrayBuffer[(Int, Seq[String], Long)]()
+    var curGroup: Seq[String] = null
+    var running = 0L
+    for ((pid, g, c) <- counts) {
+      if (g != curGroup) { curGroup = g; running = 0L }
+      offsets += ((pid, g, running)); running += c
+    }
+    val spark = parts.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq
+      .map { case (pid, g, o) => (pid, g.mkString("\u0001"), o) }
+      .toDF("__pid", "__gkey", "__offset")
+    val gkey = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
+    val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    parts.withColumn("__gkey", gkey)
+      .join(broadcast(offDf), Seq("__pid", "__gkey"))
+      .withColumn(outCol, row_number().over(w).cast("long") + col("__offset"))
+      .drop("__pid", "__gkey", "__offset")
+  }
+
   /** Bucketed-table layout for co-located joins: write both sides bucketed
     * by the join key → the sort-merge join reads pre-bucketed files with no
     * Exchange (checked in BucketingSpec). At 100 TB this is the difference

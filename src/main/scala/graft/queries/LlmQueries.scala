@@ -432,6 +432,33 @@ object LlmQueries {
     Dedup.winnowPairs(Tables.documents(s, dir), k = 4, win = 4,
       minShared = 2)
 
+  /** Frozen-tokenizer segmentation (apply-in-order BPE) — per-doc piece
+    * counts under TextAnalysis.FrozenBpeMerges; the oracle replays the
+    * same 40 merges as a recursive first-occurrence-replace CTE. */
+  def bpeSegment(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePieceCountsInOrder(Tables.documents(s, dir))
+
+  /** Top-K-vocabulary OOV audit (K = 20 over the corpus term counts). */
+  def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), topK = 20)
+
+  /** Blocklist-density filter (hits·10 < n_tokens keeps the doc). */
+  def blocklistFilterQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistFilter(Tables.documents(s, dir))
+
+  /** Exact-count stratified split over (lang, source): the lowest-draw
+    * ⌊n/10⌋ of every stratum is eval. */
+  def stratifiedSplitQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSplit(Tables.documents(s, dir))
+
+  /** Tokenizer fertility per (lang, source) under the frozen tokenizer. */
+  def bpeFertilityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeFertility(Tables.documents(s, dir))
+
+  /** Sequence packing denominated in frozen-tokenizer pieces (2048/bin). */
+  def bpePackingQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequencesBpe(Tables.documents(s, dir))
+
   /** JL random projection 64 → 16 dims (deterministic hyperplane literals,
     * one codegen'd dot per output coordinate). */
   def randomProjection(s: SparkSession, dir: String): DataFrame =
@@ -851,7 +878,13 @@ object LlmQueries {
     "q109_gopher_rules" -> gopherRulesQ,
     "q110_crop_pairs" -> cropPairsQ,
     "q111_cdc_dedup" -> cdcDedupQ,
-    "q112_winnow_pairs" -> winnowPairsQ)
+    "q112_winnow_pairs" -> winnowPairsQ,
+    "q113_bpe_segment" -> bpeSegment,
+    "q114_vocab_coverage" -> vocabCoverageQ,
+    "q115_blocklist_filter" -> blocklistFilterQ,
+    "q116_stratified_split" -> stratifiedSplitQ,
+    "q117_bpe_fertility" -> bpeFertilityQ,
+    "q118_bpe_packing" -> bpePackingQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -859,6 +892,14 @@ object LlmQueries {
   private[queries] val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
   private[queries] val stopSql = "['the','a','an','and','or','of','to','in','is','it']"
+
+  // q113/q115 literals interpolated from the SAME Scala values the Spark
+  // plans broadcast/fold, so query and oracle cannot drift
+  private val bpeMergesSql = TextAnalysis.FrozenBpeMerges.zipWithIndex
+    .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(", ")
+  private val bpeNumMerges = TextAnalysis.FrozenBpeMerges.length
+  private val blocklistSql = TextAnalysis.BlocklistTerms.sorted
+    .map(t => s"'$t'").mkString("[", ", ", "]")
 
   /** Shared CTE chain computing the exact 3-gram Jaccard pair relation at
     * threshold `tau` — body of the q29/q30 oracle, the pair generator
@@ -1486,6 +1527,162 @@ object LlmQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM fpw a JOIN fpw b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // q113: the frozen merge table (the SAME literal the Spark plan
+    // broadcasts) replayed over the distinct vocabulary as a recursive
+    // first-occurrence-replace — provably the leftmost single-pass merge
+    // (a merged piece is strictly longer than either part, so it is inert
+    // for its own pair and a head-restart finds exactly the array pass's
+    // occurrences); per-word piece counts then join back to occurrences
+    "q113_bpe_segment" ->
+      s"""WITH RECURSIVE
+        |mg(rank, l, r) AS (VALUES $bpeMergesSql),
+        |occ13 AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+        |voc13 AS (SELECT DISTINCT w FROM occ13),
+        |seg13 AS (
+        |  SELECT w, ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s,
+        |         0 AS idx
+        |  FROM voc13
+        |  UNION ALL
+        |  SELECT w, CASE WHEN rep <> s THEN rep ELSE s END,
+        |         CASE WHEN rep <> s THEN idx ELSE idx + 1 END
+        |  FROM (SELECT seg13.w, seg13.s, seg13.idx,
+        |               regexp_replace(seg13.s,
+        |                 ' ' || mg.l || ' ' || mg.r || ' ',
+        |                 ' ' || mg.l || mg.r || ' ') AS rep
+        |        FROM seg13 JOIN mg ON mg.rank = seg13.idx)
+        |  WHERE idx < $bpeNumMerges),
+        |pieces13 AS (SELECT w, len(split(s, ' ')) - 2 AS np
+        |             FROM seg13 WHERE idx = $bpeNumMerges),
+        |pd13 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |                CAST(SUM(np) AS BIGINT) AS n_pieces
+        |         FROM occ13 JOIN pieces13 USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  COALESCE(n_pieces, CAST(0 AS BIGINT)) AS n_pieces
+        |FROM documents d LEFT JOIN pd13 USING (doc_id)""".stripMargin,
+    // q114: the top-K vocabulary is a total order (count desc, term asc),
+    // coverage = left-join flag summed per doc, every count exact BIGINT
+    "q114_vocab_coverage" ->
+      s"""WITH occ14 AS (SELECT doc_id, unnest($toksSql) AS tok
+        |               FROM documents),
+        |tc14 AS (SELECT tok, COUNT(*) AS cnt FROM occ14 GROUP BY 1),
+        |voc14 AS (SELECT tok FROM tc14 ORDER BY cnt DESC, tok LIMIT 20),
+        |pd14 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_in_vocab
+        |         FROM occ14 LEFT JOIN voc14 v USING (tok)
+        |         GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  COALESCE(n_in_vocab, CAST(0 AS BIGINT)) AS n_in_vocab,
+        |  COALESCE(n_tokens - n_in_vocab, CAST(0 AS BIGINT)) AS n_oov
+        |FROM documents d LEFT JOIN pd14 USING (doc_id)""".stripMargin,
+    // q115: list literal interpolated from the SAME Seq the Spark
+    // expression folds in; density rule hits·10 < n_tokens
+    "q115_blocklist_filter" ->
+      s"""WITH h15 AS (SELECT doc_id, $toksSql AS w,
+        |    list_filter($toksSql,
+        |                x -> list_contains($blocklistSql, x)) AS hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(hits) AS BIGINT) AS n_hits,
+        |  CAST(len(list_distinct(hits)) AS BIGINT) AS n_distinct_hits,
+        |  len(hits) * 10 < len(w) AS is_kept
+        |FROM h15""".stripMargin,
+    // q117: the q113 recursion over the vocabulary, grouped to strata;
+    // n_docs counts every document (zero-token docs included), ratios are
+    // single divisions of exact integers
+    "q117_bpe_fertility" ->
+      s"""WITH RECURSIVE
+        |mg(rank, l, r) AS (VALUES $bpeMergesSql),
+        |occ17 AS (SELECT doc_id, lang, source, unnest($toksSql) AS w
+        |          FROM documents),
+        |voc17 AS (SELECT DISTINCT w FROM occ17),
+        |seg17 AS (
+        |  SELECT w, ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s,
+        |         0 AS idx
+        |  FROM voc17
+        |  UNION ALL
+        |  SELECT w, CASE WHEN rep <> s THEN rep ELSE s END,
+        |         CASE WHEN rep <> s THEN idx ELSE idx + 1 END
+        |  FROM (SELECT seg17.w, seg17.s, seg17.idx,
+        |               regexp_replace(seg17.s,
+        |                 ' ' || mg.l || ' ' || mg.r || ' ',
+        |                 ' ' || mg.l || mg.r || ' ') AS rep
+        |        FROM seg17 JOIN mg ON mg.rank = seg17.idx)
+        |  WHERE idx < $bpeNumMerges),
+        |p17 AS (SELECT w, len(split(s, ' ')) - 2 AS np
+        |        FROM seg17 WHERE idx = $bpeNumMerges),
+        |g17 AS (SELECT lang, source,
+        |          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(np) AS BIGINT) AS n_pieces,
+        |          CAST(SUM(length(w)) AS BIGINT) AS n_chars
+        |        FROM occ17 JOIN p17 USING (w) GROUP BY 1, 2),
+        |d17 AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |        FROM documents GROUP BY 1, 2)
+        |SELECT d17.lang, d17.source, n_docs,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  COALESCE(n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+        |  COALESCE(n_chars, CAST(0 AS BIGINT)) AS n_chars,
+        |  CASE WHEN COALESCE(n_tokens, 0) > 0
+        |       THEN CAST(n_pieces AS DOUBLE) / n_tokens
+        |       ELSE 0.0 END AS pieces_per_token,
+        |  CASE WHEN COALESCE(n_pieces, 0) > 0
+        |       THEN CAST(n_chars AS DOUBLE) / n_pieces
+        |       ELSE 0.0 END AS chars_per_piece
+        |FROM d17 LEFT JOIN g17 USING (lang, source)""".stripMargin,
+    // q118: q56's packing arithmetic with the q113 piece counts as the
+    // budget currency — BIGINT cast on the running sum (the q103 lesson)
+    "q118_bpe_packing" ->
+      s"""WITH RECURSIVE
+        |mg(rank, l, r) AS (VALUES $bpeMergesSql),
+        |occ18 AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+        |voc18 AS (SELECT DISTINCT w FROM occ18),
+        |seg18 AS (
+        |  SELECT w, ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s,
+        |         0 AS idx
+        |  FROM voc18
+        |  UNION ALL
+        |  SELECT w, CASE WHEN rep <> s THEN rep ELSE s END,
+        |         CASE WHEN rep <> s THEN idx ELSE idx + 1 END
+        |  FROM (SELECT seg18.w, seg18.s, seg18.idx,
+        |               regexp_replace(seg18.s,
+        |                 ' ' || mg.l || ' ' || mg.r || ' ',
+        |                 ' ' || mg.l || mg.r || ' ') AS rep
+        |        FROM seg18 JOIN mg ON mg.rank = seg18.idx)
+        |  WHERE idx < $bpeNumMerges),
+        |p18 AS (SELECT w, len(split(s, ' ')) - 2 AS np
+        |        FROM seg18 WHERE idx = $bpeNumMerges),
+        |pd18 AS (SELECT d.doc_id,
+        |           COALESCE(nps, CAST(0 AS BIGINT)) AS n_pieces
+        |         FROM documents d LEFT JOIN
+        |           (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS nps
+        |            FROM occ18 JOIN p18 USING (w) GROUP BY 1) s18
+        |           USING (doc_id)),
+        |c18 AS (SELECT doc_id, n_pieces,
+        |          CAST(SUM(n_pieces) OVER (ORDER BY doc_id) AS BIGINT)
+        |            AS cum_pieces
+        |        FROM pd18)
+        |SELECT doc_id, n_pieces, cum_pieces,
+        |       (cum_pieces - n_pieces) // 2048 AS bin
+        |FROM c18""".stripMargin,
+    // q116: per-stratum rank under the q64/q69 salted draw; the oracle's
+    // partitioned window is the semantic spec of the two-phase grouped rank
+    "q116_stratified_split" ->
+      s"""WITH d16 AS (SELECT doc_id, lang, source,
+        |    ${fpSql("text || '|strat'")} % 1000000 AS draw
+        |  FROM documents),
+        |r16 AS (SELECT doc_id, lang, source, draw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                            ORDER BY draw, doc_id) AS BIGINT)
+        |      AS strat_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+        |      AS strat_n
+        |  FROM d16)
+        |SELECT doc_id, lang, source, draw, strat_rank, strat_n,
+        |  CASE WHEN strat_rank * 10 <= strat_n THEN 'eval'
+        |       ELSE 'train' END AS split
+        |FROM r16""".stripMargin,
     // q106: PMI-ratio collocations — exact integer counts, one IEEE
     // division of two exact double products, rank on the monotone ratio
     "q106_phrase_mining" ->

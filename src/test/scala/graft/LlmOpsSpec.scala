@@ -1915,4 +1915,160 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(cdc(2L)._4 == 0.0 &&
       cdc(1L)._4 == 1.0)
   }
+
+  test("frozen BPE merges: re-learning on sf0.001 reproduces the literal; " +
+    "in-order apply equals first-occurrence-replace and the greedy loop " +
+    "agrees corpus-wide") {
+    import graft.llm.TextAnalysis
+    // provenance pin: the artifact IS learnBpeMerges(sf0.001, 40)
+    val relearned = TextAnalysis.learnBpeMerges(docs, numMerges = 40)
+    assert(relearned == TextAnalysis.FrozenBpeMerges,
+      "FrozenBpeMerges must be exactly the sf0.001-trained list")
+    // the oracle-equivalence argument, pinned empirically: one leftmost
+    // non-overlapping array pass per merge == repeated first-occurrence
+    // string replacement with head restart (merged pieces are inert)
+    def firstOccApply(word: String, merges: Seq[(String, String)]): Int = {
+      var s = " " + word.map(_.toString).mkString(" ") + " "
+      for ((l, r) <- merges) {
+        val pat = " " + l + " " + r + " "
+        val rep = " " + l + r + " "
+        var i = s.indexOf(pat)
+        while (i >= 0) {
+          s = s.substring(0, i) + rep + s.substring(i + pat.length)
+          i = s.indexOf(pat)
+        }
+      }
+      s.trim.split(" ").length
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val word = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val ms = (1 to 6).map { _ =>
+        val mk = () => (1 to (1 + rnd.nextInt(2)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (mk(), mk())
+      }
+      val viaOp = TextAnalysis
+        .bpePieceCountsInOrder(Seq((1L, word)).toDF("doc_id", "text"), ms)
+        .select("n_pieces").as[Long].head()
+      assert(viaOp == firstOccApply(word, ms).toLong,
+        s"array pass != first-occurrence replace for '$word' under $ms")
+    }
+    // on the corpus the tokenizer was trained on, apply-in-order and the
+    // greedy lowest-rank loop segment identically (the classic property;
+    // they may differ only on merges never co-observed in training)
+    val inOrder = TextAnalysis
+      .bpePieceCountsInOrder(docs, TextAnalysis.FrozenBpeMerges)
+      .as[(Long, Long, Long)].collect().toSet
+    val greedy = TextAnalysis
+      .bpePieceCounts(docs, TextAnalysis.FrozenBpeMerges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inOrder == greedy,
+      "in-order and greedy BPE inference must agree on the training corpus")
+  }
+
+  test("vocab coverage: counts add up, the top-K vocabulary is the total " +
+    "order's prefix, and a hand fixture lands where expected") {
+    import graft.llm.TextAnalysis
+    val fix = Seq(
+      (1L, "aa aa aa bb bb cc"), // aa×3 bb×2 cc×1
+      (2L, "aa bb zz zz"), // zz×2 but ties break AFTER bb on count
+      (3L, "")).toDF("doc_id", "text")
+    // K=2 vocabulary: counts aa=4, bb=3, zz=2, cc=1 → {aa, bb}
+    val got = TextAnalysis.vocabCoverage(fix, topK = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((6L, 5L, 1L)), s"doc1: $got")
+    assert(got(2L) == ((4L, 2L, 2L)), s"doc2: $got")
+    assert(got(3L) == ((0L, 0L, 0L)), "empty doc carries zeros")
+    // corpus: invariant n_in_vocab + n_oov == n_tokens, every doc present
+    val cov = TextAnalysis.vocabCoverage(docs, topK = 20)
+    assert(cov.count() == docs.count())
+    assert(cov.filter(col("n_in_vocab") + col("n_oov") =!= col("n_tokens"))
+      .count() == 0L)
+    assert(cov.agg(sum("n_oov")).as[Long].head() > 0L,
+      "K=20 over a 31-term vocabulary must leave some OOV mass")
+  }
+
+  test("blocklist filter: hand-counted hits, density keep rule, and the " +
+    "empty doc is kept with zeros") {
+    import graft.llm.TextAnalysis
+    val fix = Seq(
+      (1L, "big slow small big x y z a b c"), // 4 hits / 10 → dropped
+      (2L, "big a b c d e f g h i j"), // 1 hit / 11 → kept (10 < 11)
+      (3L, "x y z"), // 0 hits → kept
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistFilter(fix)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((10L, 4L, 3L, false)))
+    assert(got(2L) == ((11L, 1L, 1L, true)))
+    assert(got(3L) == ((3L, 0L, 0L, true)))
+    assert(got(4L) == ((0L, 0L, 0L, false)),
+      "empty doc: 0·10 < 0 is false — the degenerate row is flagged, " +
+        "matching the oracle's arithmetic exactly")
+  }
+
+  test("BPE fertility: strata partition the corpus, pieces are bounded by " +
+    "chars and below by tokens, and totals tie out to the per-doc relation") {
+    import graft.llm.TextAnalysis
+    val fert = TextAnalysis.bpeFertility(docs)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect()
+    assert(fert.map(_._3).sum == docs.count(), "n_docs must partition")
+    for ((lang, src, _, nt, np, nc, ppt, cpp) <- fert) {
+      assert(nt <= np && np <= nc,
+        s"($lang,$src): tokens $nt <= pieces $np <= chars $nc must hold")
+      assert(ppt == (if (nt > 0) np.toDouble / nt else 0.0))
+      assert(cpp == (if (np > 0) nc.toDouble / np else 0.0))
+    }
+    // totals tie out to the per-doc segmentation relation
+    val perDoc = TextAnalysis.bpePieceCountsInOrder(docs)
+      .agg(sum("n_tokens"), sum("n_pieces")).as[(Long, Long)].head()
+    assert((fert.map(_._4).sum, fert.map(_._5).sum) == perDoc)
+    // merges must compress: corpus fertility strictly below chars/word
+    assert(fert.map(_._5).sum < fert.map(_._6).sum)
+  }
+
+  test("BPE packing: cum is the exact prefix sum in id order, bins are " +
+    "the 2048-piece blocks, and the currency differs from q56 exactly " +
+    "where fertility does") {
+    import graft.llm.TextAnalysis
+    val packed = TextAnalysis.packSequencesBpe(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    var cum = 0L
+    for ((_, np, cp, bin) <- packed) {
+      cum += np
+      assert(cp == cum, "cum_pieces must be the exact running total")
+      assert(bin == (cp - np) / 2048L)
+    }
+    assert(packed.map(_._4).distinct.length > 1, "corpus spans >1 bin")
+    // piece-denominated packing must not equal the whitespace-token form
+    // (fertility > 1 on this corpus shifts every boundary)
+    val q56bins = TextAnalysis.packSequences(docs, budget = 2048)
+      .orderBy("doc_id").select("bin").as[Long].collect()
+    assert(packed.map(_._4).toSeq != q56bins.toSeq)
+  }
+
+  test("stratified split: every stratum gets exactly ⌊n/10⌋ eval rows, " +
+    "ranks are a per-stratum permutation, and the draw is content-stable") {
+    import graft.llm.TextAnalysis
+    val split = TextAnalysis.stratifiedSplit(docs)
+    val perStratum = split.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval"),
+        max("strat_rank").as("max_rank"),
+        countDistinct("strat_rank").as("n_ranks"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(perStratum.nonEmpty)
+    for ((lang, src, n, nEval, maxRank, nRanks) <- perStratum) {
+      assert(nEval == n / 10L, s"stratum ($lang,$src): $nEval != ${n / 10}")
+      assert(maxRank == n && nRanks == n,
+        s"stratum ($lang,$src) ranks must be a 1..n permutation")
+    }
+    // determinism: a second run is bit-identical (content-hash draw)
+    val again = TextAnalysis.stratifiedSplit(docs)
+    assert(split.collect().toSet == again.collect().toSet)
+  }
 }

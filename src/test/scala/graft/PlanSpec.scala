@@ -339,4 +339,67 @@ class PlanSpec extends SparkSpecBase {
       !l.contains("aggregate(") && !l.contains("lambdafunction(pmod")),
       s"generator child must stay cheap:\n$p")
   }
+
+  test("q113 BPE segment: the merge table rides the closure, not a join — " +
+    "no shuffle, no broadcast exchange, scan pruned to id + text") {
+    val p = planOf("q113_bpe_segment")
+    assert(!p.contains("Exchange"),
+      s"frozen-tokenizer segmentation must be map-only:\n$p")
+    assert(!p.contains("Join"), s"no join may appear:\n$p")
+    assert(!p.contains("lang#") && !p.contains("n_chars#"),
+      s"documents scan must prune to doc_id/text:\n$p")
+  }
+
+  test("q114 vocab coverage: the top-K vocabulary is a bounded " +
+    "TakeOrdered broadcast back onto the explode — never a global sort, " +
+    "never a shuffled join with the occurrence table") {
+    val p = planOf("q114_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K vocab must lower to TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast onto the occurrences:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the K-row vocabulary must never shuffle the occurrence table:\n$p")
+  }
+
+  test("q115 blocklist: literal folded into row expressions — zero " +
+    "exchanges, zero joins, the scan is the plan") {
+    val p = planOf("q115_blocklist_filter")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"blocklist density filter must be map-only:\n$p")
+  }
+
+  test("q117 fertility: one bounded-key aggregate over the map-side " +
+    "segmentation — exactly one shuffle, no join") {
+    val p = planOf("q117_bpe_fertility")
+    assert(!p.contains("Join"), s"no join may appear:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"exactly the strata-key aggregate shuffle, found $exchanges:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q118 BPE packing: segmentation feeds the two-phase prefix sum — " +
+    "__pid-partitioned windows only, nothing funnels to one task") {
+    val p = planOf("q118_bpe_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task funnel:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      s"running sum must be partition-local:\n$p")
+  }
+
+  test("q116 stratified split: per-stratum rank is the range-partitioned " +
+    "two-phase form — windows partition on (__pid, lang, source), sizes " +
+    "and offsets broadcast, nothing funnels to one task") {
+    val p = planOf("q116_stratified_split")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task funnel:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      s"rank windows must be partition-local:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets and stratum sizes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing may shuffle-join:\n$p")
+  }
 }

@@ -351,4 +351,34 @@ class ScaleSpec extends SparkSpecBase {
       s"bucketed SMJ should have no shuffle:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("grouped two-phase rank equals the partitioned window, across " +
+    "range-partition boundaries and multi-column groups") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // enough rows per group that groups straddle the 4 range partitions
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, s"g${rnd.nextInt(3)}", s"h${rnd.nextInt(2)}",
+        rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("id", "ga", "gb", "v")
+    val twoPhase = graft.core.CacheScope.scoped {
+      Scale.groupedRankOrdered(df, Seq("ga", "gb"), Seq("v", "id"), "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+    }
+    val w = Window.partitionBy("ga", "gb").orderBy(col("v"), col("id"))
+    val viaWindow = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(twoPhase == viaWindow)
+    // single group degenerates to the global rank
+    val one = graft.core.CacheScope.scoped {
+      Scale.groupedRankOrdered(df.withColumn("ga", lit("x")),
+          Seq("ga"), Seq("v", "id"), "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+    }
+    val wg = Window.orderBy(col("v"), col("id"))
+    val globalR = df.withColumn("r", row_number().over(wg).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(one == globalR)
+  }
 }
