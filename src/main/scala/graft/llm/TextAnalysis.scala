@@ -180,6 +180,14 @@ object TextAnalysis {
   val FingerprintMod: Long = 1L << 57
 
   def fingerprint(text: Column): Column =
+    graft.functions.StringFunctions.rolling_fp(text, FingerprintMod)
+
+  /** The composed higher-order-function form [[fingerprint]] replaced (an
+    * interpreted per-char lambda over a materialized one-char-string
+    * array) — kept as the semantic spec: FingerprintSpec pins value
+    * equality of the native expression against this form corpus-wide and
+    * on the unicode/empty edge cases. */
+  private[graft] def fingerprintHof(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => pmod(
         acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
@@ -1542,18 +1550,41 @@ object TextAnalysis {
     val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val ms = bc.value
-        val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
-        var pieces = 0L
-        for (tok <- toks) {
-          var syms = tok.map(_.toString).toArray
-          for (p <- ms) syms = mergePair(syms, p)
-          pieces += syms.length.toLong
+      .mapPartitions { it =>
+        val segLen = memoizedSegmenter(bc.value)
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("")
+            .split("\\s+").filter(_.nonEmpty)
+          var pieces = 0L
+          for (tok <- toks) pieces += segLen(tok)
+          (id, toks.length.toLong, pieces)
         }
-        (id, toks.length.toLong, pieces)
       }
       .toDF(idCol, "n_tokens", "n_pieces")
+  }
+
+  /** Per-partition memoized apply-in-order segmenter: segmentation is a
+    * pure function of the token, and token distributions are Zipfian, so
+    * a task-local memo turns the per-occurrence merge loop into a map
+    * lookup for all but the first sighting of each type. Capped at 2^16
+    * entries (insertion stops, computation continues) so executor memory
+    * stays bounded on adversarial vocabularies. */
+  private def memoizedSegmenter(ms: IndexedSeq[(String, String)])
+  : String => Long = {
+    val memo = scala.collection.mutable.HashMap[String, Long]()
+    def compute(tok: String): Long = {
+      var syms = tok.map(_.toString).toArray
+      for (p <- ms) syms = mergePair(syms, p)
+      syms.length.toLong
+    }
+    tok =>
+      memo.get(tok) match {
+        case Some(n) => n
+        case None =>
+          val n = compute(tok)
+          if (memo.size < 65536) memo.update(tok, n)
+          n
+      }
   }
 
   /** Per-document vocabulary coverage against the corpus top-K vocabulary —
@@ -1697,18 +1728,19 @@ object TextAnalysis {
     val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
     docs.select(col("lang"), col("source"), col(textCol))
       .as[(String, String, String)]
-      .map { case (lang, source, text) =>
-        val ms = bc.value
-        val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
-        var pieces = 0L
-        var chars = 0L
-        for (tok <- toks) {
-          var syms = tok.map(_.toString).toArray
-          for (p <- ms) syms = mergePair(syms, p)
-          pieces += syms.length.toLong
-          chars += tok.length.toLong
+      .mapPartitions { it =>
+        val segLen = memoizedSegmenter(bc.value)
+        it.map { case (lang, source, text) =>
+          val toks = Option(text).getOrElse("")
+            .split("\\s+").filter(_.nonEmpty)
+          var pieces = 0L
+          var chars = 0L
+          for (tok <- toks) {
+            pieces += segLen(tok)
+            chars += tok.length.toLong
+          }
+          (lang, source, toks.length.toLong, pieces, chars)
         }
-        (lang, source, toks.length.toLong, pieces, chars)
       }
       .toDF("lang", "source", "n_tokens", "n_pieces", "n_chars")
       .groupBy("lang", "source")
