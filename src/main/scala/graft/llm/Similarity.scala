@@ -854,6 +854,32 @@ object Similarity {
       .select(col("id").as(idCol), col("cid").as("cluster_id"), col("score"))
   }
 
+  /** Cluster-balanced subsampling — the q90 → selection loop closed: cap
+    * how many vectors any one SEMANTIC cluster contributes, the
+    * diversity-preserving analog of the per-source cap (a topically
+    * redundant corpus region — near-identical embeddings, one dominant
+    * topic — contributes at most `cap` exemplars instead of drowning the
+    * mix). Assignment is [[kmeansLloyd]] (same k/iters/seeds as q90);
+    * within a cluster the survivors are the lowest `cap` by the salted
+    * id-hash draw (ties to the id) — the [[TextAnalysis.sourceCap]]
+    * machinery with the cluster id as the stratum, so the hot-stratum
+    * scale path (two-phase pre-filter) applies unchanged if a cluster
+    * grows pathological.
+    *
+    * Output: surviving (id, cluster_id, draw, src_rank), rank ∈ [1, cap].
+    */
+  def clusterBalancedCap(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                         cap: Int = 30, salt: String = "|ccap",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansLloyd(embeddings, k, iters, idCol, vecCol)
+      .select(col(idCol), col("cluster_id"))
+      .withColumn("__key", col(idCol).cast("string"))
+    graft.llm.TextAnalysis.sourceCap(assigned, cap,
+        strataCol = "cluster_id", salt = salt, idCol = idCol,
+        textCol = "__key")
+  }
+
   /** IVF approximate top-k — the inverted-file ANN layout (train a coarse
     * quantizer, store each corpus vector in its nearest cell, probe only the
     * query's nearest `probes` cells per table): corpus assignments use

@@ -451,6 +451,11 @@ object LlmQueries {
   def stratifiedSplitQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSplit(Tables.documents(s, dir))
 
+  /** Cluster-balanced subsample: ≤ 30 exemplars per q90 semantic cluster,
+    * chosen by the salted id-hash draw. */
+  def clusterCapQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedCap(Tables.embeddings(s, dir), cap = 30)
+
   /** Tokenizer fertility per (lang, source) under the frozen tokenizer. */
   def bpeFertilityQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeFertility(Tables.documents(s, dir))
@@ -884,7 +889,8 @@ object LlmQueries {
     "q115_blocklist_filter" -> blocklistFilterQ,
     "q116_stratified_split" -> stratifiedSplitQ,
     "q117_bpe_fertility" -> bpeFertilityQ,
-    "q118_bpe_packing" -> bpePackingQ)
+    "q118_bpe_packing" -> bpePackingQ,
+    "q119_cluster_cap" -> clusterCapQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1666,6 +1672,20 @@ object LlmQueries {
         |SELECT doc_id, n_pieces, cum_pieces,
         |       (cum_pieces - n_pieces) // 2048 AS bin
         |FROM c18""".stripMargin,
+    // q119: the q90 assignment wrapped as a CTE, then the q64 cap
+    // machinery with the cluster id as the stratum and the id-hash draw
+    "q119_cluster_cap" ->
+      s"""WITH km19 AS (${kmeansOracleSql(k = 8, iters = 2)}),
+        |d19 AS (SELECT vec_id, cluster_id,
+        |    ${fpSql("CAST(vec_id AS VARCHAR) || '|ccap'")} % 1000000
+        |      AS draw
+        |  FROM km19),
+        |r19 AS (SELECT vec_id, cluster_id, draw,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                       ORDER BY draw, vec_id) AS rn
+        |  FROM d19)
+        |SELECT vec_id, cluster_id, draw, CAST(rn AS BIGINT) AS src_rank
+        |FROM r19 WHERE rn <= 30""".stripMargin,
     // q116: per-stratum rank under the q64/q69 salted draw; the oracle's
     // partitioned window is the semantic spec of the two-phase grouped rank
     "q116_stratified_split" ->

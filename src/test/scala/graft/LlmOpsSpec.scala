@@ -1916,6 +1916,43 @@ class LlmOpsSpec extends SparkSpecBase {
       cdc(1L)._4 == 1.0)
   }
 
+  test("cluster-balanced cap: every semantic cluster contributes at most " +
+    "cap exemplars with contiguous ranks, survivors are the lowest draws, " +
+    "and the selection is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cap = 5
+    val got = Similarity.clusterBalancedCap(emb, cap = cap)
+    val sizes = Similarity.kmeansLloyd(emb)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val perCluster = got.groupBy("cluster_id")
+      .agg(count(lit(1)).as("k"), max("src_rank").as("mx"),
+        max("draw").as("maxDraw"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perCluster.nonEmpty && perCluster.length == sizes.size)
+    for ((cid, k, mx, _) <- perCluster) {
+      assert(k == math.min(cap.toLong, sizes(cid)), s"cluster $cid")
+      assert(mx == k, s"ranks must be contiguous 1..k in cluster $cid")
+    }
+    // survivors are the bottom-cap of the (draw, id) order: no excluded
+    // row of the same cluster may have a strictly smaller draw
+    val all = Similarity.kmeansLloyd(emb)
+      .select(col("vec_id"), col("cluster_id"),
+        pmod(graft.llm.TextAnalysis.fingerprint(
+          concat(col("vec_id").cast("string"), lit("|ccap"))),
+          lit(1000000L)).as("draw"))
+    val worstKept = got.groupBy("cluster_id").agg(max("draw").as("kd"))
+    val violations = all.join(got.select("vec_id")
+        .withColumn("__kept", lit(1)), Seq("vec_id"), "left")
+      .filter(col("__kept").isNull)
+      .join(worstKept, "cluster_id")
+      .filter(col("draw") < col("kd"))
+      .count()
+    assert(violations == 0L)
+    assert(got.collect().toSet ==
+      Similarity.clusterBalancedCap(emb, cap = cap).collect().toSet)
+  }
+
   test("frozen BPE merges: re-learning on sf0.001 reproduces the literal; " +
     "in-order apply equals first-occurrence-replace and the greedy loop " +
     "agrees corpus-wide") {
