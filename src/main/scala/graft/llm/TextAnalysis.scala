@@ -1784,6 +1784,53 @@ object TextAnalysis {
         expr(s"(cum_pieces - n_pieces) div ${budget}L"))
       .select(idCol, "n_pieces", "cum_pieces", "bin")
 
+  /** Per-source corpus health report — the curation dashboard relation: one
+    * row per source with the counts an operator actually watches before
+    * admitting a source into the mix (volume, exact-duplicate load,
+    * blocklist-density drops, low-quality share, OOV mass). Everything is
+    * an exact integer — rates are the consumer's division — so the report
+    * is engine-deterministic; the quality threshold (score < 0.65) sits
+    * strictly between the score lattice's reachable sums, never ON a
+    * float boundary.
+    *
+    * Output: (source, n_docs, n_tokens, n_exact_dup, n_blocklist_drop,
+    * n_quality_low, n_oov).
+    *
+    * 100 TB posture: four per-doc relations ([[blocklistFilter]] — pure
+    * row expressions; exact-dup via aggregate-join on the content, the
+    * q28 shape; [[qualityScore]] row expressions; [[vocabCoverage]]'s
+    * bounded-vocab broadcast) joined on the id key, then one
+    * |sources|-key aggregate with map-side combine. Nothing materializes
+    * beyond the per-doc flags.
+    */
+  def sourceHealthReport(docs: DataFrame, topK: Int = 20,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), col("source"), col(textCol))
+    val canon = base.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("__canon"))
+    val dup = base.join(canon, Seq(textCol))
+      .select(col(idCol),
+        (col(idCol) =!= col("__canon")).cast("long").as("__is_dup"))
+    val bl = blocklistFilter(docs, idCol = idCol, textCol = textCol)
+      .select(col(idCol), col("n_tokens"),
+        (!col("is_kept")).cast("long").as("__bl_drop"))
+    val q = qualityScore(docs, textCol)
+      .select(col(idCol),
+        (col("quality_score") < lit(0.65)).cast("long").as("__q_low"))
+    val cov = vocabCoverage(docs, topK, idCol, textCol)
+      .select(col(idCol), col("n_oov"))
+    base.select(col(idCol), col("source"))
+      .join(bl, idCol).join(dup, idCol).join(q, idCol).join(cov, idCol)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("__is_dup").as("n_exact_dup"),
+        sum("__bl_drop").as("n_blocklist_drop"),
+        sum("__q_low").as("n_quality_low"),
+        sum("n_oov").as("n_oov"))
+  }
+
   /** Contrastive crop-pair generation (the Contriever / SimCSE-style
     * "independent cropping" positive-pair builder for embedding-model
     * training, made deterministic): per document, two `w`-token spans are

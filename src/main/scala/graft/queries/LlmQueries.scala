@@ -456,6 +456,11 @@ object LlmQueries {
   def clusterCapQ(s: SparkSession, dir: String): DataFrame =
     Similarity.clusterBalancedCap(Tables.embeddings(s, dir), cap = 30)
 
+  /** Per-source corpus health report: volume, exact-dup load, blocklist
+    * drops, low-quality share, OOV mass — all exact integers. */
+  def sourceHealthQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceHealthReport(Tables.documents(s, dir))
+
   /** Tokenizer fertility per (lang, source) under the frozen tokenizer. */
   def bpeFertilityQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeFertility(Tables.documents(s, dir))
@@ -890,7 +895,8 @@ object LlmQueries {
     "q116_stratified_split" -> stratifiedSplitQ,
     "q117_bpe_fertility" -> bpeFertilityQ,
     "q118_bpe_packing" -> bpePackingQ,
-    "q119_cluster_cap" -> clusterCapQ)
+    "q119_cluster_cap" -> clusterCapQ,
+    "q120_source_health" -> sourceHealthQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1672,6 +1678,38 @@ object LlmQueries {
         |SELECT doc_id, n_pieces, cum_pieces,
         |       (cum_pieces - n_pieces) // 2048 AS bin
         |FROM c18""".stripMargin,
+    // q120: four per-doc flag relations (q28 dup, q115 blocklist, q36
+    // quality at the lattice-safe 0.65 cut, q114 OOV) grouped to sources —
+    // every emitted count an exact BIGINT
+    "q120_source_health" ->
+      s"""WITH $qualityCtes,
+        |b20 AS (SELECT doc_id, len($toksSql) AS n_toks,
+        |    len(list_filter($toksSql,
+        |        x -> list_contains($blocklistSql, x))) AS n_hits
+        |  FROM documents),
+        |dup20 AS (SELECT doc_id,
+        |    CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text)
+        |         THEN 1 ELSE 0 END AS is_dup
+        |  FROM documents),
+        |occ20 AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |tc20 AS (SELECT tok, COUNT(*) AS cnt FROM occ20 GROUP BY 1),
+        |voc20 AS (SELECT tok FROM tc20 ORDER BY cnt DESC, tok LIMIT 20),
+        |pd20 AS (SELECT doc_id,
+        |           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |         FROM occ20 LEFT JOIN voc20 v USING (tok)
+        |         GROUP BY doc_id)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(b20.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(dup20.is_dup) AS BIGINT) AS n_exact_dup,
+        |  CAST(SUM(CASE WHEN b20.n_hits * 10 >= b20.n_toks
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocklist_drop,
+        |  CAST(SUM(CASE WHEN qsc.quality_score < 0.65
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_low,
+        |  CAST(SUM(COALESCE(pd20.n_oov, 0)) AS BIGINT) AS n_oov
+        |FROM documents d
+        |JOIN b20 USING (doc_id) JOIN dup20 USING (doc_id)
+        |JOIN qsc USING (doc_id) LEFT JOIN pd20 USING (doc_id)
+        |GROUP BY d.source""".stripMargin,
     // q119: the q90 assignment wrapped as a CTE, then the q64 cap
     // machinery with the cluster id as the stratum and the id-hash draw
     "q119_cluster_cap" ->

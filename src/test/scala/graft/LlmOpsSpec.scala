@@ -1916,6 +1916,38 @@ class LlmOpsSpec extends SparkSpecBase {
       cdc(1L)._4 == 1.0)
   }
 
+  test("source health report: counts tie out to the constituent per-doc " +
+    "relations, and a cross-source duplicate is charged to the copy's " +
+    "source, not the canonical's") {
+    import graft.llm.TextAnalysis
+    val rep = TextAnalysis.sourceHealthReport(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._2).sum == docs.count())
+    assert(rep.map(_._4).sum ==
+      docs.count() - docs.select("text").distinct().count(),
+      "corpus-wide exact-dup count is rows minus distinct texts")
+    assert(rep.map(_._5).sum ==
+      TextAnalysis.blocklistFilter(docs).filter(!col("is_kept")).count())
+    assert(rep.map(_._6).sum ==
+      TextAnalysis.qualityScore(docs)
+        .filter(col("quality_score") < 0.65).count())
+    assert(rep.map(_._7).sum ==
+      TextAnalysis.vocabCoverage(docs, topK = 20)
+        .agg(sum("n_oov")).as[Long].head())
+    // attribution fixture: the copy's source carries the dup, and the
+    // blocklist-dense doc is charged where it lives
+    val fix = Seq(
+      (1L, "srcA", "the same text here x"),
+      (2L, "srcB", "the same text here x"), // dup of 1 → charged to srcB
+      (3L, "srcB", "big slow small a")) // 3 hits / 4 tokens → dropped
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceHealthReport(fix)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("srcA")._4 == 0L && got("srcB")._4 == 1L)
+    assert(got("srcA")._5 == 0L && got("srcB")._5 == 1L)
+  }
+
   test("cluster-balanced cap: every semantic cluster contributes at most " +
     "cap exemplars with contiguous ranks, survivors are the lowest draws, " +
     "and the selection is deterministic") {

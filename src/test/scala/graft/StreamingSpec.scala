@@ -809,4 +809,27 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.size == rows.length)
     } finally q.stop()
   }
+
+  test("blocklist-density filter is a pure stateless projection: runs " +
+    "unchanged on a stream, union of micro-batches == batch twin") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 90)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.llm.TextAnalysis
+      .blocklistFilter(mem.toDF().toDF("doc_id", "text"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("blocklist_out").start()
+    try {
+      rows.grouped(30).foreach { g =>
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("blocklist_out")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      val twin = graft.llm.TextAnalysis.blocklistFilter(docs)
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed == twin)
+      assert(streamed.size == rows.length)
+    } finally q.stop()
+  }
 }
