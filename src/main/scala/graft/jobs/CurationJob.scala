@@ -148,6 +148,17 @@ object CurationJob {
     // training loader reads to draw sources at alpha = 0.5
     TextAnalysis.mixtureWeights(mixed)
       .write.mode("overwrite").parquet(s"$outDir/mixture_weights")
+    // the corpus health dashboard, before and after (q120's relation):
+    // the at-a-glance release report — per-source volume, exact-dup load,
+    // blocklist density, low-quality share, OOV mass — over the raw lake
+    // and over the shipped set, so a reviewer reads what the chain
+    // changed without re-deriving it. Observability, not a gate: the
+    // chain doesn't filter on these columns (CurationSpec pins the
+    // per-source monotonicity invariants instead).
+    TextAnalysis.sourceHealthReport(raw)
+      .write.mode("overwrite").parquet(s"$outDir/health_raw")
+    TextAnalysis.sourceHealthReport(mixed)
+      .write.mode("overwrite").parquet(s"$outDir/health_shipped")
     graft.ops.Audit.audit(withLayout,
         rowRules = Seq(
           "null_text" -> col("text").isNull,

@@ -126,4 +126,31 @@ class CurationSpec extends SparkSpecBase {
         "post-retention leakage is supposed to be gone; if the corpus " +
         "changed, re-evaluate wiring leakageSafeSplit into the job")
   }
+
+  test("health dashboard across the chain: shipped volumes and token mass " +
+    "are per-source monotone under raw, and the shipped set carries no " +
+    "exact duplicates (rewrites must not collapse survivors to identical " +
+    "text)") {
+    def report(df: org.apache.spark.sql.DataFrame)
+    : Map[String, (String, Long, Long, Long, Long, Long, Long)] =
+      graft.llm.TextAnalysis.sourceHealthReport(df)
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> r).toMap
+    val (rawRep, shipRep) = CacheScope.scoped {
+      (report(Tables.documents(spark, sfDir)), report(shipped))
+    }
+    assert(shipRep.nonEmpty)
+    assert(shipRep.values.map(_._2).sum ==
+      stages.toMap.apply("mixture").size.toLong)
+    for ((src, s) <- shipRep) {
+      val r = rawRep(src) // every shipped source must exist in the lake
+      assert(s._2 <= r._2, s"$src: shipped docs exceed raw")
+      assert(s._3 <= r._3,
+        s"$src: shipped tokens exceed raw — rewrites only shrink text")
+    }
+    // the chain dedups BEFORE the span rewrites; if two survivors were
+    // ever rewritten down to identical text, this is where it surfaces
+    assert(shipRep.values.map(_._4).sum == 0L,
+      "shipped set contains exact duplicates")
+  }
 }
