@@ -49,7 +49,8 @@ object DumpPlans {
     "q113_bpe_segment" -> "frozen merge table rides the closure — map-only plan, zero exchanges; the scan is the plan",
     "q114_vocab_coverage" -> "top-K vocabulary as TakeOrderedAndProject over the term counts, broadcast back onto the explode — the occurrence table never shuffles for the join",
     "q116_stratified_split" -> "range-partitioned grouped rank: __pid-partitioned windows, per-(partition,stratum) offsets and stratum sizes broadcast — no per-stratum single task",
-    "q118_bpe_packing" -> "map-side segmentation feeding the two-phase prefix sum — the running total never funnels to one task")
+    "q118_bpe_packing" -> "map-side segmentation feeding the two-phase prefix sum — the running total never funnels to one task",
+    "q120_source_health" -> "four per-doc flag relations joined on the id key (vocab broadcast, dup via aggregate-join), one |sources|-key aggregate — the dashboard costs one pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -389,6 +389,31 @@ class PlanSpec extends SparkSpecBase {
       s"running sum must be partition-local:\n$p")
   }
 
+  test("q119 cluster cap: assignment broadcasts the k-row centroid table " +
+    "(never shuffles the corpus against it) and the cap window partitions " +
+    "on the cluster id") {
+    val p = planOf("q119_cluster_cap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task funnel:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("cluster_id#")),
+      s"the cap rank must partition on the cluster id:\n$p")
+  }
+
+  test("q120 source health: flag relations join on the id key with no " +
+    "cartesian, the top-K vocabulary broadcasts, and nothing funnels to " +
+    "one task before the |sources| aggregate") {
+    val p = planOf("q120_source_health")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocabulary must stay a bounded top-K:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-row vocabulary must broadcast:\n$p")
+  }
+
   test("q116 stratified split: per-stratum rank is the range-partitioned " +
     "two-phase form — windows partition on (__pid, lang, source), sizes " +
     "and offsets broadcast, nothing funnels to one task") {
