@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
   * cross-check: every frozen-artifact gate in the repo composed over ONE
   * stream the way a production ingest would run them —
   *
-  *  - a reference corpus is frozen once into TWO stored artifacts: the
+  *  - a reference corpus is frozen once into THREE stored artifacts: the
   *    LM store ([[StreamingQuality.writeLmStore]] — token counts +
-  *    tercile cutoffs) and the eval-gram Bloom store
-  *    ([[StreamingContamination.writeBloomStore]]);
+  *    tercile cutoffs), the eval-gram Bloom store
+  *    ([[StreamingContamination.writeBloomStore]]) and the top-K
+  *    vocabulary ([[StreamingHealth.writeVocabStore]]);
   *  - the documents table then replays as a file-source stream in four
-  *    micro-batches, and ONE `foreachBatch` runs all three gates per
+  *    micro-batches, and ONE `foreachBatch` runs all four gates per
   *    trigger: quality bucketing ([[StreamingQuality.bucketBatch]]),
-  *    per-source mix drift ([[StreamingDrift.driftBatch]]) and the
-  *    decontamination screen ([[StreamingContamination.screenBatch]]),
-  *    the per-doc legs joined into one verdict row;
+  *    per-source mix drift ([[StreamingDrift.driftBatch]]), the
+  *    decontamination screen ([[StreamingContamination.screenBatch]]) —
+  *    the per-doc legs joined into one verdict row — and the per-source
+  *    health ledger ([[StreamingHealth.healthBatch]], batch-additive
+  *    exact integers against the frozen vocabulary);
   *  - the SAME rehydrated LM store serves both the quality gate and the
   *    drift monitor — the one-store-two-monitors contract stated in
   *    [[StreamingDrift]], here actually exercised.
@@ -57,9 +60,12 @@ object StreamingFrontDoor {
     StreamingContamination.writeBloomStore(
       StreamingContamination.freeze(evalDocs), s"$work/bloom", spark)
 
+    StreamingHealth.writeVocabStore(docs, s"$work/vocab")
+
     // gates start from the stores alone — no reference-corpus rescan
     val lm = StreamingQuality.freezeFromStore(spark, s"$work/lm")
     val bloom = StreamingContamination.freezeFromStore(spark, s"$work/bloom")
+    val vocab = StreamingHealth.readVocabStore(spark, s"$work/vocab")
 
     // ---- replay the corpus as four in-order micro-batches ----
     for (i <- 0 until 4)
@@ -72,6 +78,8 @@ object StreamingFrontDoor {
     val verdicts = scala.collection.mutable.Set[
       (Long, String, Double, String, Long, Long, Boolean)]()
     val driftRows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val healthRows = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long, Long, Long)]()
     val q = stream.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
@@ -85,6 +93,8 @@ object StreamingFrontDoor {
         val nSources = drift.count()
         driftRows += ((id, nSources,
           batch.select("source").distinct().count()))
+        healthRows ++= StreamingHealth.healthBatch(batch, vocab)
+          .as[(String, Long, Long, Long, Long, Long)].collect()
         println(s"[front-door] batch $id: ${batch.count()} docs, " +
           s"$nSources sources scored for drift")
       }
@@ -113,11 +123,26 @@ object StreamingFrontDoor {
       println("[front-door] FAIL: no arrival was flagged by the screen")
       ok = false
     }
+    // the health leg's columns are batch-additive by design: the
+    // per-source SUM of the micro-batch rows must equal the whole-corpus
+    // relation bit-for-bit
+    val healthSum = healthRows.groupBy(_._1).map { case (src, rows) =>
+      (src, rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum,
+        rows.map(_._5).sum, rows.map(_._6).sum)
+    }.toSet
+    val healthTwin = StreamingHealth.healthBatch(docs, vocab)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    if (healthSum != healthTwin) {
+      println(s"[front-door] FAIL: summed health rows (${healthSum.size} " +
+        s"sources) != batch twin (${healthTwin.size})")
+      ok = false
+    }
     val flagged = verdicts.count(!_._7)
     val tail = verdicts.count(_._4 == "tail")
     println(s"[front-door] ${if (ok) "OK" else "FAILED"}: " +
       s"${verdicts.size} verdicts, $flagged screened, $tail tail-bucketed, " +
-      s"${driftRows.size} drift batches")
+      s"${driftRows.size} drift batches, ${healthSum.size} sources in " +
+      "the health ledger")
     lm.release()
     spark.stop()
     if (!ok) sys.exit(1)

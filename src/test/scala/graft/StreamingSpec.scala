@@ -810,6 +810,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming health ledger: per-source sums over micro-batches equal " +
+    "the batch twin (additive columns, frozen vocabulary), and an empty " +
+    "vocab store fails loud") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 120)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_health").toString
+    graft.streaming.StreamingHealth.writeVocabStore(docs, s"$work/vocab")
+    val vocab = graft.streaming.StreamingHealth
+      .readVocabStore(spark, s"$work/vocab")
+    assert(vocab.length == vocab.distinct.length && vocab.nonEmpty)
+    // partition the corpus into 3 "micro-batches"; sums must equal twin
+    val parts = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val rows = parts.flatMap(b =>
+      graft.streaming.StreamingHealth.healthBatch(b, vocab)
+        .as[(String, Long, Long, Long, Long, Long)].collect())
+    val summed = rows.groupBy(_._1).map { case (s, rs) =>
+      (s, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum,
+        rs.map(_._5).sum, rs.map(_._6).sum)
+    }.toSet
+    val twin = graft.streaming.StreamingHealth.healthBatch(docs, vocab)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(summed == twin)
+    // OOV against the frozen vocab agrees with the batch q114 operator
+    // when the vocab is the same corpus's top-20
+    val oovTwin = graft.llm.TextAnalysis.vocabCoverage(docs, topK = 20)
+      .agg(sum("n_oov")).as[Long].head()
+    assert(twin.toSeq.map(_._6).sum == oovTwin)
+    intercept[IllegalArgumentException] {
+      spark.emptyDataFrame
+      graft.streaming.StreamingHealth.writeVocabStore(
+        Seq((1L, "")).toDF("doc_id", "text"), s"$work/empty")
+      graft.streaming.StreamingHealth.readVocabStore(spark, s"$work/empty")
+    }
+  }
+
   test("blocklist-density filter is a pure stateless projection: runs " +
     "unchanged on a stream, union of micro-batches == batch twin") {
     val docs = graft.core.Tables.documents(spark, sfDir)
