@@ -1569,22 +1569,82 @@ object TextAnalysis {
     * lookup for all but the first sighting of each type. Capped at 2^16
     * entries (insertion stops, computation continues) so executor memory
     * stays bounded on adversarial vocabularies. */
-  private def memoizedSegmenter(ms: IndexedSeq[(String, String)])
-  : String => Long = {
-    val memo = scala.collection.mutable.HashMap[String, Long]()
-    def compute(tok: String): Long = {
+  private def memoizedPieces(ms: IndexedSeq[(String, String)])
+  : String => Array[String] = {
+    val memo = scala.collection.mutable.HashMap[String, Array[String]]()
+    def compute(tok: String): Array[String] = {
       var syms = tok.map(_.toString).toArray
       for (p <- ms) syms = mergePair(syms, p)
-      syms.length.toLong
+      syms
     }
     tok =>
       memo.get(tok) match {
-        case Some(n) => n
+        case Some(a) => a
         case None =>
-          val n = compute(tok)
-          if (memo.size < 65536) memo.update(tok, n)
-          n
+          val a = compute(tok)
+          if (memo.size < 65536) memo.update(tok, a)
+          a
       }
+  }
+
+  /** Piece-count form of [[memoizedPieces]]. */
+  private def memoizedSegmenter(ms: IndexedSeq[(String, String)])
+  : String => Long = {
+    val f = memoizedPieces(ms)
+    tok => f(tok).length.toLong
+  }
+
+  /** The CLOSED piece vocabulary of a merge list: every piece a segmenter
+    * can emit is either a base character or some merge's output, so the
+    * id table is `base ++ merges.map(l+r)` in that order — 66 pieces for
+    * the frozen tokenizer. Duplicate outputs (two merges producing the
+    * same string — possible in general, absent from the frozen list, spec
+    * asserted) keep their FIRST id so ids stay dense and stable. */
+  def bpePieceVocab(merges: Seq[(String, String)] = FrozenBpeMerges,
+                    base: Seq[String] = ('a' to 'z').map(_.toString))
+  : Seq[String] =
+    (base ++ merges.map { case (l, r) => l + r }).distinct
+
+  /** Frozen-tokenizer ENCODE — the loop's last mile: the actual piece-id
+    * sequence a training run feeds the model, not just the counts. Every
+    * document becomes (pos, piece, piece_id) rows, pos 1-based over the
+    * doc's full piece sequence in word order; ids come from
+    * [[bpePieceVocab]]'s closed table, and a piece outside it (an apply-
+    * time character the tokenizer never saw — impossible on the training
+    * alphabet, spec-pinned on a unicode fixture) encodes as −1 rather
+    * than silently vanishing.
+    *
+    * 100 TB posture: the merge table and the 66-row id map ride the
+    * closure; per-partition memoized segmentation; the flatMap is the
+    * whole plan — no shuffle, output rows ≈ corpus piece count.
+    */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(String, String)] = FrozenBpeMerges,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      (merges.toIndexedSeq,
+        bpePieceVocab(merges).zipWithIndex.toMap))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (ms, ids) = bc.value
+        val pieces = memoizedPieces(ms)
+        it.flatMap { case (id, text) =>
+          val toks = Option(text).getOrElse("")
+            .split("\\s+").filter(_.nonEmpty)
+          var pos = 0L
+          toks.iterator.flatMap { tok =>
+            pieces(tok).iterator.map { p =>
+              pos += 1
+              (id, pos, p, ids.get(p).map(_.toLong).getOrElse(-1L))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "pos", "piece", "piece_id")
   }
 
   /** Per-document vocabulary coverage against the corpus top-K vocabulary —

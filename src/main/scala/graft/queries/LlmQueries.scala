@@ -461,6 +461,11 @@ object LlmQueries {
   def sourceHealthQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceHealthReport(Tables.documents(s, dir))
 
+  /** Frozen-tokenizer encode: the per-doc piece-id sequence (pos, piece,
+    * piece_id) a training run actually consumes. */
+  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(Tables.documents(s, dir))
+
   /** Tokenizer fertility per (lang, source) under the frozen tokenizer. */
   def bpeFertilityQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeFertility(Tables.documents(s, dir))
@@ -896,7 +901,8 @@ object LlmQueries {
     "q117_bpe_fertility" -> bpeFertilityQ,
     "q118_bpe_packing" -> bpePackingQ,
     "q119_cluster_cap" -> clusterCapQ,
-    "q120_source_health" -> sourceHealthQ)
+    "q120_source_health" -> sourceHealthQ,
+    "q121_bpe_encode" -> bpeEncodeQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -910,8 +916,36 @@ object LlmQueries {
   private val bpeMergesSql = TextAnalysis.FrozenBpeMerges.zipWithIndex
     .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(", ")
   private val bpeNumMerges = TextAnalysis.FrozenBpeMerges.length
+
+  /** The shared q113-family segmentation recursion: distinct vocabulary →
+    * apply-in-order via repeated FIRST-occurrence replace (provably the
+    * leftmost single-pass merge; see q113's note). Emits CTEs
+    * `occ$tag (doc_id[, extra cols], w)`, `seg$tag`, and
+    * `p$tag (w, np)`; callers append their own aggregation. */
+  private def bpeSegCtes(tag: String, occExtra: String = ""): String =
+    s"""mg(rank, l, r) AS (VALUES $bpeMergesSql),
+      |occ$tag AS (SELECT doc_id,$occExtra unnest($toksSql) AS w
+      |            FROM documents),
+      |voc$tag AS (SELECT DISTINCT w FROM occ$tag),
+      |seg$tag AS (
+      |  SELECT w, ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s,
+      |         0 AS idx
+      |  FROM voc$tag
+      |  UNION ALL
+      |  SELECT w, CASE WHEN rep <> s THEN rep ELSE s END,
+      |         CASE WHEN rep <> s THEN idx ELSE idx + 1 END
+      |  FROM (SELECT seg$tag.w, seg$tag.s, seg$tag.idx,
+      |               regexp_replace(seg$tag.s,
+      |                 ' ' || mg.l || ' ' || mg.r || ' ',
+      |                 ' ' || mg.l || mg.r || ' ') AS rep
+      |        FROM seg$tag JOIN mg ON mg.rank = seg$tag.idx)
+      |  WHERE idx < $bpeNumMerges),
+      |p$tag AS (SELECT w, len(split(s, ' ')) - 2 AS np
+      |          FROM seg$tag WHERE idx = $bpeNumMerges)""".stripMargin
   private val blocklistSql = TextAnalysis.BlocklistTerms.sorted
     .map(t => s"'$t'").mkString("[", ", ", "]")
+  private val bpePieceVocabSql = TextAnalysis.bpePieceVocab().zipWithIndex
+    .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
 
   /** Shared CTE chain computing the exact 3-gram Jaccard pair relation at
     * threshold `tau` — body of the q29/q30 oracle, the pair generator
@@ -1547,27 +1581,10 @@ object LlmQueries {
     // occurrences); per-word piece counts then join back to occurrences
     "q113_bpe_segment" ->
       s"""WITH RECURSIVE
-        |mg(rank, l, r) AS (VALUES $bpeMergesSql),
-        |occ13 AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-        |voc13 AS (SELECT DISTINCT w FROM occ13),
-        |seg13 AS (
-        |  SELECT w, ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s,
-        |         0 AS idx
-        |  FROM voc13
-        |  UNION ALL
-        |  SELECT w, CASE WHEN rep <> s THEN rep ELSE s END,
-        |         CASE WHEN rep <> s THEN idx ELSE idx + 1 END
-        |  FROM (SELECT seg13.w, seg13.s, seg13.idx,
-        |               regexp_replace(seg13.s,
-        |                 ' ' || mg.l || ' ' || mg.r || ' ',
-        |                 ' ' || mg.l || mg.r || ' ') AS rep
-        |        FROM seg13 JOIN mg ON mg.rank = seg13.idx)
-        |  WHERE idx < $bpeNumMerges),
-        |pieces13 AS (SELECT w, len(split(s, ' ')) - 2 AS np
-        |             FROM seg13 WHERE idx = $bpeNumMerges),
+        |${bpeSegCtes("13")},
         |pd13 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |                CAST(SUM(np) AS BIGINT) AS n_pieces
-        |         FROM occ13 JOIN pieces13 USING (w) GROUP BY doc_id)
+        |         FROM occ13 JOIN p13 USING (w) GROUP BY doc_id)
         |SELECT d.doc_id,
         |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
         |  COALESCE(n_pieces, CAST(0 AS BIGINT)) AS n_pieces
@@ -1606,25 +1623,7 @@ object LlmQueries {
     // single divisions of exact integers
     "q117_bpe_fertility" ->
       s"""WITH RECURSIVE
-        |mg(rank, l, r) AS (VALUES $bpeMergesSql),
-        |occ17 AS (SELECT doc_id, lang, source, unnest($toksSql) AS w
-        |          FROM documents),
-        |voc17 AS (SELECT DISTINCT w FROM occ17),
-        |seg17 AS (
-        |  SELECT w, ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s,
-        |         0 AS idx
-        |  FROM voc17
-        |  UNION ALL
-        |  SELECT w, CASE WHEN rep <> s THEN rep ELSE s END,
-        |         CASE WHEN rep <> s THEN idx ELSE idx + 1 END
-        |  FROM (SELECT seg17.w, seg17.s, seg17.idx,
-        |               regexp_replace(seg17.s,
-        |                 ' ' || mg.l || ' ' || mg.r || ' ',
-        |                 ' ' || mg.l || mg.r || ' ') AS rep
-        |        FROM seg17 JOIN mg ON mg.rank = seg17.idx)
-        |  WHERE idx < $bpeNumMerges),
-        |p17 AS (SELECT w, len(split(s, ' ')) - 2 AS np
-        |        FROM seg17 WHERE idx = $bpeNumMerges),
+        |${bpeSegCtes("17", " lang, source,")},
         |g17 AS (SELECT lang, source,
         |          CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |          CAST(SUM(np) AS BIGINT) AS n_pieces,
@@ -1647,24 +1646,7 @@ object LlmQueries {
     // budget currency — BIGINT cast on the running sum (the q103 lesson)
     "q118_bpe_packing" ->
       s"""WITH RECURSIVE
-        |mg(rank, l, r) AS (VALUES $bpeMergesSql),
-        |occ18 AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-        |voc18 AS (SELECT DISTINCT w FROM occ18),
-        |seg18 AS (
-        |  SELECT w, ' ' || array_to_string(split(w, ''), ' ') || ' ' AS s,
-        |         0 AS idx
-        |  FROM voc18
-        |  UNION ALL
-        |  SELECT w, CASE WHEN rep <> s THEN rep ELSE s END,
-        |         CASE WHEN rep <> s THEN idx ELSE idx + 1 END
-        |  FROM (SELECT seg18.w, seg18.s, seg18.idx,
-        |               regexp_replace(seg18.s,
-        |                 ' ' || mg.l || ' ' || mg.r || ' ',
-        |                 ' ' || mg.l || mg.r || ' ') AS rep
-        |        FROM seg18 JOIN mg ON mg.rank = seg18.idx)
-        |  WHERE idx < $bpeNumMerges),
-        |p18 AS (SELECT w, len(split(s, ' ')) - 2 AS np
-        |        FROM seg18 WHERE idx = $bpeNumMerges),
+        |${bpeSegCtes("18")},
         |pd18 AS (SELECT d.doc_id,
         |           COALESCE(nps, CAST(0 AS BIGINT)) AS n_pieces
         |         FROM documents d LEFT JOIN
@@ -1678,6 +1660,31 @@ object LlmQueries {
         |SELECT doc_id, n_pieces, cum_pieces,
         |       (cum_pieces - n_pieces) // 2048 AS bin
         |FROM c18""".stripMargin,
+    // q121: the q113 segmentation recursion + word ordinality + a
+    // per-doc piece-offset window (doc-partitioned, bounded by doc
+    // length) + the closed 66-piece id table as a literal join
+    "q121_bpe_encode" ->
+      s"""WITH RECURSIVE
+        |${bpeSegCtes("21")},
+        |wp21 AS (SELECT w, list_filter(split(s, ' '), x -> x <> '') AS pl
+        |         FROM seg21 WHERE idx = $bpeNumMerges),
+        |tb21 AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |wo21 AS (SELECT doc_id, i AS widx, w[i] AS w
+        |         FROM tb21, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |wc21 AS (SELECT doc_id, widx, pl, len(pl) AS np
+        |         FROM wo21 JOIN wp21 USING (w)),
+        |off21 AS (SELECT doc_id, widx, pl,
+        |            COALESCE(CAST(SUM(np) OVER (PARTITION BY doc_id
+        |              ORDER BY widx ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND 1 PRECEDING) AS BIGINT), 0) AS woff
+        |          FROM wc21),
+        |pv21(piece_id, piece) AS (VALUES $bpePieceVocabSql),
+        |px21 AS (SELECT doc_id, CAST(woff + j AS BIGINT) AS pos,
+        |                pl[j] AS piece
+        |         FROM off21, UNNEST(range(1, len(pl) + 1)) AS t(j))
+        |SELECT doc_id, pos, piece,
+        |  CAST(COALESCE(pv21.piece_id, -1) AS BIGINT) AS piece_id
+        |FROM px21 LEFT JOIN pv21 USING (piece)""".stripMargin,
     // q120: four per-doc flag relations (q28 dup, q115 blocklist, q36
     // quality at the lattice-safe 0.65 cut, q114 OOV) grouped to sources —
     // every emitted count an exact BIGINT

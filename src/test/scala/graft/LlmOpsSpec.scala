@@ -2037,6 +2037,45 @@ class LlmOpsSpec extends SparkSpecBase {
       "in-order and greedy BPE inference must agree on the training corpus")
   }
 
+  test("BPE encode: dense 1..n positions matching the count relation, a " +
+    "lossless character round trip, no OOV ids on the training alphabet, " +
+    "and -1 (never silence) off it") {
+    import graft.llm.TextAnalysis
+    val vocab = TextAnalysis.bpePieceVocab()
+    assert(vocab.length == 26 + TextAnalysis.FrozenBpeMerges.length,
+      "frozen merge outputs must be collision-free so ids stay dense")
+    val enc = TextAnalysis.bpeEncode(docs)
+    val perDoc = enc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        min(col("piece_id")).as("minId"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val counts = TextAnalysis.bpePieceCountsInOrder(docs)
+      .as[(Long, Long, Long)].collect()
+    for ((id, _, np) <- counts if np > 0) {
+      val (_, n, mx, minId) = perDoc(id)
+      assert(n == np && mx == np, s"doc $id: positions must be dense 1..$np")
+      assert(minId >= 0L, s"doc $id: no piece may fall outside the vocab")
+    }
+    // lossless: pieces concatenated in pos order == the doc's tokens
+    // concatenated in order (segmentation never drops or reorders a char)
+    val joined = enc.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        x => x.getField("piece")), "").as("s"))
+      .as[(Long, String)].collect().toMap
+    docs.select(col("doc_id"),
+        concat_ws("", TextAnalysis.tokens(col("text"))).as("t"))
+      .as[(Long, String)].collect()
+      .foreach { case (id, t) =>
+        assert(joined.getOrElse(id, "") == t, s"doc $id round trip")
+      }
+    // off-alphabet pieces encode as -1, never vanish
+    val odd = TextAnalysis.bpeEncode(
+        Seq((1L, "héllo")).toDF("doc_id", "text"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(odd.exists(_._4 == -1L) && odd.map(_._3).mkString == "héllo")
+  }
+
   test("vocab coverage: counts add up, the top-K vocabulary is the total " +
     "order's prefix, and a hand fixture lands where expected") {
     import graft.llm.TextAnalysis

@@ -389,6 +389,13 @@ class PlanSpec extends SparkSpecBase {
       s"running sum must be partition-local:\n$p")
   }
 
+  test("q121 BPE encode: merge table and id map ride the closure — " +
+    "map-only plan, no shuffle, no join") {
+    val p = planOf("q121_bpe_encode")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"encode must be the scan plus a flatMap:\n$p")
+  }
+
   test("q119 cluster cap: assignment broadcasts the k-row centroid table " +
     "(never shuffles the corpus against it) and the cap window partitions " +
     "on the cluster id") {
