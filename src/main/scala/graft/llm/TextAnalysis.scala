@@ -1891,6 +1891,31 @@ object TextAnalysis {
         sum("n_oov").as("n_oov"))
   }
 
+  /** The packed-batch relation — what a dataloader actually reads:
+    * [[packSequencesBpe]]'s bins rolled up to one row per training
+    * sequence, with the member documents in id order. total_pieces ≈ the
+    * 2048 budget (the last doc of a bin may straddle the boundary — the
+    * standard greedy-packing slack; a bin is never empty and bins are
+    * contiguous). Output: (bin, n_docs, total_pieces, doc_ids).
+    *
+    * 100 TB posture: one |bins|-key aggregate over the two-phase packing
+    * relation; the per-bin member list is bounded by the piece budget
+    * (a bin holds at most `budget` one-piece docs), so the collect_list
+    * state is capped by construction, not by luck. doc_ids ships as a
+    * comma-joined string — the gate's value canonicalization (and most
+    * table viewers) sort on the column, which a raw list type breaks.
+    */
+  def packedBatches(docs: DataFrame, budget: Int = 2048,
+                    merges: Seq[(String, String)] = FrozenBpeMerges,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    packSequencesBpe(docs, budget, merges, idCol, textCol)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pieces").as("total_pieces"),
+        array_join(transform(sort_array(collect_list(col(idCol))),
+          x => x.cast("string")), ",").as("doc_ids"))
+
   /** Contrastive crop-pair generation (the Contriever / SimCSE-style
     * "independent cropping" positive-pair builder for embedding-model
     * training, made deterministic): per document, two `w`-token spans are

