@@ -162,6 +162,67 @@ object RankQueries {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"))
 
+  /** Cohort retention triangle — the classic product-analytics relation
+    * (users bucketed by first-seen day; how many are active k days
+    * later). Day arithmetic is exact integer epoch-days (the q25
+    * `epoch_ms // 86400000` idiom), so the triangle is
+    * engine-deterministic with no calendar functions in sight.
+    *
+    * Output: (cohort_day, day_offset, n_users).
+    *
+    * 100 TB posture: one per-user min aggregate, the activity join
+    * shuffles on the SAME user key (co-partitioned — AQE reuses the
+    * exchange), final aggregate on the small (cohort, offset) key. The
+    * exact per-cell distinct is the gate form; at extreme user
+    * cardinality the distinct swaps for approx_count_distinct the same
+    * way q13's UV does.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** Ordered conversion funnel over the event stream: a user reaches
+    * step k only via an event of that type STRICTLY after their step-k−1
+    * time, with min-ts semantics at every step (the earliest possible
+    * completion — deterministic, and the standard product-analytics
+    * definition). Steps: signup → view → click → purchase.
+    *
+    * Output: (stage_idx, stage, n_users) — one row per step.
+    *
+    * 100 TB posture: each step is a filter + user-keyed min aggregate
+    * joined to the previous step on the SAME user key — k co-partitioned
+    * shuffles for a k-step funnel, never a per-user event sort or a
+    * sessionized collect.
+    */
+  def funnel(s: SparkSession, dir: String,
+             steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+  : DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    var stage = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val frames = scala.collection.mutable.ArrayBuffer(steps.head -> stage)
+    for (st <- steps.tail) {
+      stage = ev.filter(col("event_type") === st).alias("e")
+        .join(stage.alias("p"),
+          col("e.user_id") === col("p.user_id") && col("e.ts") > col("p.t"))
+        .select(col("e.user_id").as("user_id"), col("e.ts").as("ts"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      frames += (st -> stage)
+    }
+    frames.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage_idx"), lit(name).as("stage"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** AUC per (scene, channel) after the reference's dimension explode
     * (`AucCalcVersion5.java:276-299`): every row contributes to the "full"
     * slice plus its event-type slice. */
@@ -190,7 +251,9 @@ object RankQueries {
     "q24_window_hourly" -> windowHourly,
     "q25_day_utc8" -> dayUtc8,
     "q26_multires_rollup" -> multiresRollup,
-    "q27_alert_lag" -> alertLag)
+    "q27_alert_lag" -> alertLag,
+    "q123_cohort_retention" -> cohortRetention,
+    "q124_funnel" -> ((s, d) => funnel(s, d)))
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -373,5 +436,35 @@ object RankQueries {
         |           FROM events)
         |SELECT user_id, COUNT(*) AS n_jumps FROM l
         |WHERE prev IS NOT NULL AND value - prev > 50
-        |GROUP BY user_id""".stripMargin)
+        |GROUP BY user_id""".stripMargin,
+    // q123: integer epoch-day arithmetic (the q25 idiom) — no calendar
+    // functions, so the triangle is engine-exact
+    "q123_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // q124: min-ts-per-step with a strict ts ordering constraint — each
+    // step joins the previous step's times on the user key
+    "q124_funnel" ->
+      """WITH f1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |f3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |f4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN f3 ON e.user_id = f3.user_id AND e.ts > f3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |       CAST((SELECT COUNT(*) FROM f1) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM f2)
+        |UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM f3)
+        |UNION ALL SELECT 4, 'purchase',
+        |  (SELECT COUNT(*) FROM f4)""".stripMargin)
 }

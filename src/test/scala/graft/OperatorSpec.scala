@@ -272,4 +272,50 @@ class OperatorSpec extends SparkSpecBase {
       .select("score", "frank").as[(Double, Double)].collect().sorted
     assert(got.toSeq == Seq((1.0, 1.0), (2.0, 2.5), (2.0, 2.5), (3.0, 4.0)))
   }
+
+  test("cohort retention: offset-0 cells cover every user exactly once " +
+    "and offsets are non-negative") {
+    val tri = graft.queries.RankQueries.cohortRetention(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(tri.nonEmpty && tri.forall(_._2 >= 0L))
+    val users = graft.core.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(tri.filter(_._2 == 0L).map(_._3).sum == users,
+      "every user is active on their own cohort day")
+    // no cell may exceed its cohort's size (the offset-0 cell)
+    val size = tri.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    tri.foreach { case (c, o, n) =>
+      assert(n <= size(c), s"cohort $c offset $o exceeds cohort size")
+    }
+  }
+
+  test("funnel: stage counts are monotone non-increasing, stage 1 is the " +
+    "distinct first-step population, and a hand fixture orders strictly") {
+    val stages = graft.queries.RankQueries.funnel(spark, sfDir)
+      .orderBy("stage_idx").as[(Long, String, Long)].collect()
+    assert(stages.map(_._2).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+    assert(stages.map(_._3).toSeq ==
+      stages.map(_._3).sorted.reverse.toSeq, "funnel must narrow")
+    val signups = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(stages.head._3 == signups)
+    // strict ordering: a user whose 'view' precedes their 'signup' must
+    // NOT advance past stage 1
+    import java.sql.Timestamp
+    val fix = Seq(
+      (1L, "view", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "signup", Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, "signup", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "view", Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel")
+    fix.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.RankQueries
+      .funnel(spark, dir.toString, Seq("signup", "view"))
+      .orderBy("stage_idx").as[(Long, String, Long)].collect()
+    assert(got.map(_._3).toSeq == Seq(2L, 1L),
+      "only the in-order user advances")
+  }
 }

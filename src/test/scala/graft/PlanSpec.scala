@@ -396,6 +396,16 @@ class PlanSpec extends SparkSpecBase {
       s"encode must be the scan plus a flatMap:\n$p")
   }
 
+  test("q122 packed batches: the bin rollup is one bounded-key aggregate " +
+    "over the two-phase packing — no single-task funnel anywhere") {
+    val p = planOf("q122_packed_batches")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task funnel:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      s"running sum must be partition-local:\n$p")
+  }
+
   test("q119 cluster cap: assignment broadcasts the k-row centroid table " +
     "(never shuffles the corpus against it) and the cap window partitions " +
     "on the cluster id") {
