@@ -223,6 +223,58 @@ object RankQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-user event-type transition matrix — the user-journey relation
+    * behind "what do users do after X": consecutive events per user in
+    * (ts, event_id) order (the unique composite key, so ties can't flip
+    * the sequence) counted as (from_type, to_type) pairs.
+    *
+    * Output: (from_type, to_type, n).
+    *
+    * 100 TB posture: ONE user-partitioned lag window (bounded by a
+    * user's history, never a global sort) and a |types|²-key aggregate.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** RFM segmentation inputs per user — recency (days since last
+    * purchase, integer epoch-day arithmetic against the corpus max),
+    * frequency (purchase count), monetary (value sum through the
+    * DECIMAL(18,2) path, the q24 device: decimal addition is associative
+    * so the sum is partitioning- and engine-stable where a double sum is
+    * neither).
+    *
+    * Output: (user_id, recency_days, frequency, monetary) over users with
+    * ≥ 1 purchase.
+    *
+    * 100 TB posture: one user-keyed aggregate; the corpus max is a 1-row
+    * broadcast.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        col("value"))
+    val maxDay = p.agg(max("day").as("__max_day"))
+    p.groupBy("user_id")
+      .agg(max("day").as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        (col("__max_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary"))
+  }
+
   /** AUC per (scene, channel) after the reference's dimension explode
     * (`AucCalcVersion5.java:276-299`): every row contributes to the "full"
     * slice plus its event-type slice. */
@@ -253,7 +305,9 @@ object RankQueries {
     "q26_multires_rollup" -> multiresRollup,
     "q27_alert_lag" -> alertLag,
     "q123_cohort_retention" -> cohortRetention,
-    "q124_funnel" -> ((s, d) => funnel(s, d)))
+    "q124_funnel" -> ((s, d) => funnel(s, d)),
+    "q125_event_transitions" -> eventTransitions,
+    "q126_rfm" -> rfm)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -466,5 +520,26 @@ object RankQueries {
         |UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM f2)
         |UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM f3)
         |UNION ALL SELECT 4, 'purchase',
-        |  (SELECT COUNT(*) FROM f4)""".stripMargin)
+        |  (SELECT COUNT(*) FROM f4)""".stripMargin,
+    // q125: LEAD over the unique (ts, event_id) composite per user
+    "q125_event_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |             LEAD(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id)
+        |               AS next_type
+        |           FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM l WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // q126: integer epoch-day recency + the q24 DECIMAL sum device
+    "q126_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT MAX(day) AS max_day FROM p)
+        |SELECT user_id, max_day - MAX(day) AS recency_days,
+        |  CAST(COUNT(*) AS BIGINT) AS frequency,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |FROM p CROSS JOIN m
+        |GROUP BY user_id, max_day""".stripMargin)
 }

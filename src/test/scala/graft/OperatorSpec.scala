@@ -273,6 +273,28 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((1.0, 1.0), (2.0, 2.5), (2.0, 2.5), (3.0, 4.0)))
   }
 
+  test("event transitions: every user contributes exactly events−1 " +
+    "pairs, and the matrix stays on the type vocabulary") {
+    val m = graft.queries.RankQueries.eventTransitions(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    val ev = graft.core.Tables.events(spark, sfDir)
+    assert(m.map(_._3).sum ==
+      ev.count() - ev.select("user_id").distinct().count())
+    val types = ev.select("event_type").distinct().as[String].collect().toSet
+    assert(m.forall(t => types(t._1) && types(t._2)))
+  }
+
+  test("RFM: one row per purchasing user, frequencies tie out, at least " +
+    "one user has recency zero") {
+    val r = graft.queries.RankQueries.rfm(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val p = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    assert(r.length.toLong == p.select("user_id").distinct().count())
+    assert(r.map(_._3).sum == p.count())
+    assert(r.forall(_._2 >= 0L) && r.exists(_._2 == 0L))
+  }
+
   test("cohort retention: offset-0 cells cover every user exactly once " +
     "and offsets are non-negative") {
     val tri = graft.queries.RankQueries.cohortRetention(spark, sfDir)
