@@ -847,6 +847,45 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming journey monitor: cross-batch transition state emits " +
+    "boundary-straddling pairs exactly once — union of emissions " +
+    "aggregates to the batch q125 relation") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    // three batches split by GLOBAL time terciles: per-user event-time
+    // order across batches holds by construction (the replay contract)
+    val sorted = ev.sortBy(_._3)
+    val batches = Seq(
+      sorted.slice(0, ev.length / 3),
+      sorted.slice(ev.length / 3, 2 * ev.length / 3),
+      sorted.slice(2 * ev.length / 3, ev.length))
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val stream = graft.streaming.StreamingJourney.transitions(
+      mem.toDF().toDF("user_id", "event_type", "tsu", "event_id")
+        .withColumn("ts", expr("timestamp_micros(tsu)")))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("journey_out").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("journey_out")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      val twin = graft.queries.RankQueries
+        .eventTransitions(spark, sfDir)
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == twin,
+        "streamed transition counts must equal the batch matrix")
+      // the claim that makes the state real: boundary-straddling pairs
+      // exist (some user's consecutive events land in different batches)
+      val straddlers = batches.sliding(2).count { case Seq(a, b) =>
+        a.map(_._1).toSet.intersect(b.map(_._1).toSet).nonEmpty }
+      assert(straddlers > 0, "fixture must exercise the cross-batch state")
+    } finally q.stop()
+  }
+
   test("blocklist-density filter is a pure stateless projection: runs " +
     "unchanged on a stream, union of micro-batches == batch twin") {
     val docs = graft.core.Tables.documents(spark, sfDir)
