@@ -55,4 +55,54 @@ object StreamingJourney {
       .flatMapGroupsWithState[LastEvent, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(journeyFn)
   }
+
+  // ---- streaming funnel -------------------------------------------------
+
+  case class FunnelState(stage: Int, tMicros: Long)
+  case class Advance(user_id: Long, stage_idx: Long)
+
+  /** Streaming form of the q124 ordered funnel: per-user state is
+    * (reached stage, its event time); an arriving event advances the user
+    * iff it is the NEXT step's type with a strictly later timestamp.
+    * Processing a user's events in ascending (ts, event_id) order makes
+    * the greedy advance provably equal to the batch min-ts chain: at
+    * stage k−1 with time t, the first qualifying step-k event the scan
+    * meets IS min{ts > t} — exactly q124's `MIN(ts) WHERE ts > t` — so
+    * under the replay contract (per-user event-time order across
+    * batches) the emitted advances aggregate to the batch funnel
+    * bit-for-bit (StreamingSpec pins it).
+    *
+    * Emits one (user_id, stage_idx) row per advance, 1-based; the stage-k
+    * population is COUNT(user) WHERE stage_idx = k over all emissions.
+    */
+  def funnelFn(steps: IndexedSeq[String])(
+      userId: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: GroupState[FunnelState]): Iterator[Advance] = {
+    var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+    val out = scala.collection.mutable.ArrayBuffer[Advance]()
+    rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, tpe, ts, _) =>
+      if (st.stage < steps.length && tpe == steps(st.stage) &&
+          (st.stage == 0 || ts > st.tMicros)) {
+        st = FunnelState(st.stage + 1, ts)
+        out += Advance(userId, st.stage.toLong)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Wire the funnel onto any (user_id, event_type, ts, event_id)
+    * stream. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+            (implicit s: SparkSession): Dataset[Advance] = {
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, Advance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        funnelFn(steps.toIndexedSeq))
+  }
 }

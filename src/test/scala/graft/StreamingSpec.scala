@@ -886,6 +886,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming funnel: greedy per-user advance in ts order equals the " +
+    "batch min-ts chain across micro-batch boundaries") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    val sorted = ev.sortBy(_._3)
+    val batches = Seq(
+      sorted.slice(0, ev.length / 3),
+      sorted.slice(ev.length / 3, 2 * ev.length / 3),
+      sorted.slice(2 * ev.length / 3, ev.length))
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val stream = graft.streaming.StreamingJourney.funnel(
+      mem.toDF().toDF("user_id", "event_type", "tsu", "event_id")
+        .withColumn("ts", expr("timestamp_micros(tsu)")))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      // each advance is emitted once (a user reaches a stage once, ever)
+      val adv = spark.table("funnel_out")
+        .as[(Long, Long)].collect()
+      assert(adv.distinct.length == adv.length)
+      val streamedCounts = adv.groupBy(_._2).map { case (k, v) =>
+        k -> v.length.toLong }
+      val twin = graft.queries.RankQueries.funnel(spark, sfDir)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert((1L to 4L).map(k => streamedCounts.getOrElse(k, 0L)) ==
+        (1L to 4L).map(twin), "streamed stage populations == batch funnel")
+    } finally q.stop()
+  }
+
   test("blocklist-density filter is a pure stateless projection: runs " +
     "unchanged on a stream, union of micro-batches == batch twin") {
     val docs = graft.core.Tables.documents(spark, sfDir)
