@@ -406,6 +406,40 @@ class PlanSpec extends SparkSpecBase {
       s"running sum must be partition-local:\n$p")
   }
 
+  test("q123 cohort: the activity join reuses the user-key partitioning " +
+    "(no cartesian, no single-task funnel) and the scan prunes to " +
+    "user_id + ts") {
+    val p = planOf("q123_cohort_retention")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("props") && !p.contains("value#"),
+      s"events scan must prune to user_id/ts:\n$p")
+  }
+
+  test("q124 funnel: four user-key hash joins, nothing cartesian, " +
+    "nothing single-task before the 1-row stage counts") {
+    val p = planOf("q124_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q125 transitions: ONE user-partitioned lead window — never a " +
+    "global sort — feeding the bounded type-pair aggregate") {
+    val p = planOf("q125_event_transitions")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id#")),
+      s"the lead window must partition on the user:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q126 RFM: one user-keyed aggregate, the corpus max broadcast") {
+    val p = planOf("q126_rfm")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row max must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q119 cluster cap: assignment broadcasts the k-row centroid table " +
     "(never shuffles the corpus against it) and the cap window partitions " +
     "on the cluster id") {
