@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+import graft.llm.TextAnalysis
+import graft.ops.Scale
+
+/** Randomized algebraic properties of the pure-JVM primitives the
+  * distributed operators are built on — the laws the shuffle relies on
+  * (mergeability, split-invariance, the rolling-hash composition) checked
+  * over arbitrary inputs rather than fixtures. Pure JVM: no SparkSession,
+  * so hundreds of cases cost milliseconds.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val params = Parameters.default
+    .withMinSuccessfulTests(300)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def holds(p: Prop, label: String): Unit = {
+    val r = check(params, p)
+    assert(r.passed, s"$label: $r")
+  }
+
+  private val asciiStr: Gen[String] =
+    Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  test("fingerprint composition law: fp(a ++ b) == fp(a)·31^|b| + fp(b) " +
+    "(mod 2^57) — the identity the gram folds and incremental hashing " +
+    "lean on") {
+    val m = BigInt(TextAnalysis.FingerprintMod)
+    holds(Prop.forAll(asciiStr, asciiStr) { (a: String, b: String) =>
+      val lhs = BigInt(TextAnalysis.fingerprintOf(a + b))
+      val rhs = (BigInt(TextAnalysis.fingerprintOf(a)) *
+        BigInt(31).modPow(b.length, m) +
+        BigInt(TextAnalysis.fingerprintOf(b))).mod(m)
+      lhs == rhs
+    }, "fp composition")
+  }
+
+  test("fingerprint range and overflow safety: 0 <= fp < 2^57 for every " +
+    "input, so acc·31 + c stays below 2^62 — the no-silent-wrap claim") {
+    holds(Prop.forAll(asciiStr) { (s: String) =>
+      val f = TextAnalysis.fingerprintOf(s)
+      f >= 0L && f < TextAnalysis.FingerprintMod
+    }, "fp range")
+  }
+
+  test("TopKPayloadAgg is a mergeable summary: any split of the input " +
+    "into reduced parts, merged in any grouping, equals sort-and-take") {
+    val agg = new Scale.TopKPayloadAgg[Long](5)
+    val rows = Gen.listOf(Gen.zip(
+      Gen.choose(0.0, 10.0), Gen.choose(0L, 50L)))
+    holds(Prop.forAll(rows, Gen.choose(1, 7)) { (xs, nParts) =>
+      val parts = xs.grouped(math.max(1, xs.length / nParts)).toList
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val expected = xs
+        .sortBy { case (s, p) => (-s, p) }.take(5).map(_._2)
+      agg.finish(merged) == expected
+    }, "topK mergeability")
+  }
+
+  test("TopKPayloadAgg distinctPayloads: exact duplicates occupy one " +
+    "slot under every split, matching distinct-then-rank") {
+    val agg = new Scale.TopKPayloadAgg[Long](4, distinctPayloads = true)
+    val rows = Gen.listOf(Gen.zip(
+      Gen.choose(0.0, 3.0).map(d => math.rint(d)), // coarse: forces dups
+      Gen.choose(0L, 5L)))
+    holds(Prop.forAll(rows, Gen.choose(1, 5)) { (xs, nParts) =>
+      val parts = xs.grouped(math.max(1, xs.length / nParts)).toList
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val expected = xs.distinct
+        .sortBy { case (s, p) => (-s, p) }.take(4).map(_._2)
+      agg.finish(merged) == expected
+    }, "topK distinct")
+  }
+
+  test("Misra-Gries guarantee under arbitrary splits: every item with " +
+    "true count > n/(k+1) survives the merged summary, and no reported " +
+    "count overcounts") {
+    val k = 4
+    val agg = new Scale.TopFreqAgg(k)
+    val streams = Gen.listOf(Gen.choose(0, 7).map(i => s"i$i"))
+    holds(Prop.forAll(streams, Gen.choose(1, 6)) { (xs, nParts) =>
+      val parts = xs.grouped(math.max(1, xs.length / nParts)).toList
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val heavy = truth.filter(_._2 > xs.length.toLong / (k + 1))
+      heavy.keySet.subsetOf(merged.keySet) &&
+        merged.forall { case (i, c) => c <= truth.getOrElse(i, 0L) }
+    }, "misra-gries")
+  }
+
+  test("BPE piece vocabulary: colliding merge outputs (two different " +
+    "splits of the same string) share ONE first-wins id, and ids stay " +
+    "dense and stable under permutation of the tail") {
+    val wordGen = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'd')).map(_.mkString))
+    holds(Prop.forAll(wordGen, Gen.choose(1, 6)) { (w, cut2raw) =>
+      val cut1 = 1
+      val cut2 = 1 + (cut2raw % math.max(1, w.length - 1))
+      // two (usually different) splits of the SAME output string
+      val m1 = (w.substring(0, cut1), w.substring(cut1))
+      val m2 = (w.substring(0, cut2), w.substring(cut2))
+      val vocab = TextAnalysis.bpePieceVocab(Seq(m1, m2))
+      // both merges output w, so exactly ONE id exists for it and the
+      // table stays duplicate-free (dense ids)
+      vocab.count(_ == w) == 1 &&
+        vocab.distinct.length == vocab.length &&
+        vocab.indexOf(w) == 26 // first-wins: the first merge's slot
+    }, "bpe vocab collision")
+  }
+}
