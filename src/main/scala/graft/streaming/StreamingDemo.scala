@@ -120,6 +120,49 @@ object StreamingDemo {
     })
     println(f"[demo] PASS sketch uv within HLL tolerance (worst rel err " +
       f"$worst%.4f over ${uvErr.count()} windows)")
+
+    // ---- stateful monitors on the same ordered replay: the journey
+    // transition matrix and the conversion funnel, cross-batch state in
+    // flatMapGroupsWithState; under this replay (per-user event-time
+    // order across the four micro-batches) both must aggregate to their
+    // batch relations (q125/q124) bit-for-bit ----
+    val evFull = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    for (i <- 0 until 4)
+      evFull.filter(unix_millis(col("ts")).between(lo + i * step,
+          lo + (i + 1) * step - 1))
+        .repartition(2)
+        .write.mode("append").parquet(s"$work/in2")
+    val schema2 = spark.read.parquet(s"$work/in2").schema
+    def stream2 = spark.readStream.schema(schema2)
+      .option("maxFilesPerTrigger", "2").parquet(s"$work/in2")
+    implicit val s: SparkSession = spark
+    StreamingJourney.transitions(stream2).writeStream
+      .outputMode("append").format("memory").queryName("demo_journey")
+      .option("checkpointLocation", s"$work/ckptJ")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    StreamingJourney.funnel(stream2).writeStream
+      .outputMode("append").format("memory").queryName("demo_funnel")
+      .option("checkpointLocation", s"$work/ckptF")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val jGot = spark.table("demo_journey")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val jWant = graft.queries.RankQueries.eventTransitions(spark, sfDir)
+      .as[(String, String, Long)].collect().toSet
+    require(jGot == jWant,
+      s"journey monitor diverged from batch q125: ${jGot.size} vs ${jWant.size} cells")
+    println(s"[demo] PASS journey monitor == batch transition matrix " +
+      s"(${jWant.size} cells)")
+    val fGot = spark.table("demo_funnel").groupBy("stage_idx")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    val fWant = graft.queries.RankQueries.funnel(spark, sfDir)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    require((1L to 4L).map(k => fGot.getOrElse(k, 0L)) ==
+      (1L to 4L).map(fWant),
+      s"funnel monitor diverged from batch q124: $fGot vs $fWant")
+    println(s"[demo] PASS funnel monitor == batch funnel " +
+      s"(${fWant.values.sum} advances)")
     spark.stop()
   }
 }
