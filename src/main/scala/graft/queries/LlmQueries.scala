@@ -552,6 +552,22 @@ object LlmQueries {
         "unknown_lang" -> !col("lang").isin("de", "en", "es", "fr", "zh")),
       uniqueKeys = Seq("doc_id"))
 
+  /** The q79 audit machinery applied to the SECOND modality — the
+    * embeddings table's integrity gate (null/wrong-dim/non-finite/
+    * all-zero vectors, label domain, key uniqueness), every rule one
+    * conditional sum in the same single-scan aggregate. */
+  def embeddingAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.audit(Tables.embeddings(s, dir),
+      rowRules = Seq(
+        "null_embedding" -> col("embedding").isNull,
+        "wrong_dim" -> (size(col("embedding")) =!= 64),
+        "has_nonfinite" -> exists(col("embedding"),
+          x => isnan(x) || abs(x) === lit(Float.PositiveInfinity)),
+        "zero_vector" ->
+          (size(filter(col("embedding"), x => x =!= lit(0.0f))) === 0),
+        "unknown_label" -> (col("label").isNull || col("label") < 0)),
+      uniqueKeys = Seq("vec_id"))
+
   /** Overlapping-window exact-substring dedup rewrite (w = 8) — the
     * Lee-et-al span removal at window granularity; left-anchored, every
     * input document returns exactly once. */
@@ -908,7 +924,8 @@ object LlmQueries {
     "q119_cluster_cap" -> clusterCapQ,
     "q120_source_health" -> sourceHealthQ,
     "q121_bpe_encode" -> bpeEncodeQ,
-    "q122_packed_batches" -> packedBatchesQ)
+    "q122_packed_batches" -> packedBatchesQ,
+    "q127_embedding_audit" -> embeddingAudit)
 
   // must match TextAnalysis.tokens (split on \s+, not just ' ') — the gate
   // corpus is single-space text so both agree today, but a fixture with
@@ -1666,6 +1683,31 @@ object LlmQueries {
         |SELECT doc_id, n_pieces, cum_pieces,
         |       (cum_pieces - n_pieces) // 2048 AS bin
         |FROM c18""".stripMargin,
+    // q127: q79's audit shape over the embeddings table — every rule one
+    // conditional sum; NULL predicate results count as violations
+    "q127_embedding_audit" ->
+      """WITH t27 AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_null,
+        |  CAST(SUM(CASE WHEN COALESCE(len(embedding) <> 64, TRUE) THEN 1
+        |           ELSE 0 END) AS BIGINT) AS v_dim,
+        |  CAST(SUM(CASE WHEN COALESCE(len(list_filter(embedding,
+        |             x -> isnan(x) OR isinf(x))) > 0, TRUE) THEN 1
+        |           ELSE 0 END) AS BIGINT) AS v_nonfinite,
+        |  CAST(SUM(CASE WHEN COALESCE(len(list_filter(embedding,
+        |             x -> x <> 0)) = 0, TRUE) THEN 1
+        |           ELSE 0 END) AS BIGINT) AS v_zero,
+        |  CAST(SUM(CASE WHEN COALESCE(label < 0, TRUE) THEN 1
+        |           ELSE 0 END) AS BIGINT) AS v_label,
+        |  CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) AS v_dup
+        |  FROM embeddings)
+        |SELECT 'duplicate_vec_id' AS rule, v_dup AS violations,
+        |       total AS n_rows FROM t27
+        |UNION ALL SELECT 'has_nonfinite', v_nonfinite, total FROM t27
+        |UNION ALL SELECT 'null_embedding', v_null, total FROM t27
+        |UNION ALL SELECT 'unknown_label', v_label, total FROM t27
+        |UNION ALL SELECT 'wrong_dim', v_dim, total FROM t27
+        |UNION ALL SELECT 'zero_vector', v_zero, total FROM t27""".stripMargin,
     // q122: q118's packing CTEs grouped to bins; the member list is an
     // ordered list() aggregate (the q82 sorted-list device)
     "q122_packed_batches" ->

@@ -2037,6 +2037,45 @@ class LlmOpsSpec extends SparkSpecBase {
       "in-order and greedy BPE inference must agree on the training corpus")
   }
 
+  test("embedding audit: one planted violation per rule is caught, the " +
+    "clean corpus reports zeros everywhere") {
+    val clean = graft.queries.LlmQueries
+      .embeddingAudit(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(clean.length == 6 && clean.forall(_._2 == 0L),
+      s"gate corpus must audit clean: ${clean.mkString(", ")}")
+    val ok = Array.fill(64)(0.5f)
+    val fix = Seq(
+      (1L, ok, 0), // clean
+      (1L, ok, 1), // duplicate vec_id
+      (2L, null.asInstanceOf[Array[Float]], 0), // null embedding
+      (3L, Array.fill(16)(0.5f), 0), // wrong dim
+      (4L, Array.fill(64)(Float.NaN), 0), // non-finite
+      (5L, Array.fill(64)(0.0f), 0), // zero vector
+      (6L, ok, -2)) // unknown label
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Audit.audit(fix,
+        rowRules = Seq(
+          "null_embedding" -> col("embedding").isNull,
+          "wrong_dim" -> (size(col("embedding")) =!= 64),
+          "has_nonfinite" -> exists(col("embedding"),
+            x => isnan(x) || abs(x) === lit(Float.PositiveInfinity)),
+          "zero_vector" ->
+            (size(filter(col("embedding"), x => x =!= lit(0.0f))) === 0),
+          "unknown_label" -> (col("label").isNull || col("label") < 0)),
+        uniqueKeys = Seq("vec_id"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got("null_embedding") == 1L && got("wrong_dim") == 2L,
+      s"null embedding also has no dim (NULL counts as violation): $got")
+    assert(got("has_nonfinite") == 2L,
+      "the NaN plant + the null row's NULL predicate")
+    // the all-NaN vector is NOT a zero vector: NaN <> 0 holds in both
+    // engines (Spark's NaN semantics and DuckDB's total float order
+    // agree here), so only the zero plant and the null row count
+    assert(got("zero_vector") == 2L && got("unknown_label") == 1L)
+    assert(got("duplicate_vec_id") == 1L)
+  }
+
   test("BPE encode: dense 1..n positions matching the count relation, a " +
     "lossless character round trip, no OOV ids on the training alphabet, " +
     "and -1 (never silence) off it") {
