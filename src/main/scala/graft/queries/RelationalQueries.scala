@@ -28,6 +28,38 @@ object RelationalQueries {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q5-shaped "local supplier volume" — the registry's deepest
+    * relational plan: lineitem → orders → customer → supplier (with the
+    * same-nation condition making the supplier join TWO-key) → nation →
+    * region, revenue per (region, nation). Revenue is exact DECIMAL
+    * arithmetic end to end — price DECIMAL(18,2) × (1 − discount) at
+    * DECIMAL(5,4) — summed exactly and cast to double once, so the float
+    * is identical however the shuffle reorders the sum (the q01 device).
+    *
+    * 100 TB posture: the fact table shuffles ONCE per key it joins on;
+    * nation/region are broadcast hints (they are always tiny), while
+    * customer/supplier are left to AQE — at these SFs it broadcasts
+    * them, at warehouse scale they co-partition with the fact keys.
+    */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE).cast("decimal(5,4)")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (one - col("l_discount").cast("decimal(5,4)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** A3 count-distinct (the reference's double-groupBy UV pattern,
     * `OfflineJob.java:267-272,304-307`). */
   def countDistinctUv(s: SparkSession, dir: String): DataFrame =
@@ -249,6 +281,7 @@ object RelationalQueries {
     "q41_offline_metrics_long" -> offlineMetricsLong,
     "q39_count_distinct_2phase" -> countDistinctTwoPhase,
     "q01_agg_sum" -> aggSum,
+    "q128_local_supplier_volume" -> localSupplierVolume,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -312,6 +345,21 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // q128: exact DECIMAL revenue end to end, one double cast at the end
+    "q128_local_supplier_volume" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
     "q02_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
         |FROM events GROUP BY event_type""".stripMargin,

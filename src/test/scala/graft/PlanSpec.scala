@@ -406,6 +406,16 @@ class PlanSpec extends SparkSpecBase {
       s"running sum must be partition-local:\n$p")
   }
 
+  test("q128 Q5-shape: the deepest relational plan broadcasts every " +
+    "dimension (AQE included), never cartesian, fact shuffled at most " +
+    "once per join key") {
+    val p = planOf("q128_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q123 cohort: the activity join reuses the user-key partitioning " +
     "(no cartesian, no single-task funnel) and the scan prunes to " +
     "user_id + ts") {
