@@ -60,6 +60,29 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q3-shaped "shipping priority" — the other classic relational
+    * silhouette: segment-filtered customer → orders → lineitem, revenue
+    * per order, top 10 by (revenue desc, order date, order key). The
+    * filter pushes into the customer scan, the top-10 lowers to
+    * TakeOrderedAndProject (never a global sort), and revenue rides the
+    * same exact-DECIMAL path as q128 so the ranking keys are
+    * engine-identical floats.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE).cast("decimal(5,4)")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (one - col("l_discount").cast("decimal(5,4)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_date_ms"), col("o_orderkey"))
+      .limit(10)
+  }
+
   /** A3 count-distinct (the reference's double-groupBy UV pattern,
     * `OfflineJob.java:267-272,304-307`). */
   def countDistinctUv(s: SparkSession, dir: String): DataFrame =
@@ -282,6 +305,7 @@ object RelationalQueries {
     "q39_count_distinct_2phase" -> countDistinctTwoPhase,
     "q01_agg_sum" -> aggSum,
     "q128_local_supplier_volume" -> localSupplierVolume,
+    "q129_shipping_priority" -> shippingPriority,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -360,6 +384,20 @@ object RelationalQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+    // q129: segment filter pushed to the customer scan; top-10 on the
+    // exact-DECIMAL revenue; order-date carried as epoch millis
+    "q129_shipping_priority" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_date_ms, o_orderkey LIMIT 10""".stripMargin,
     "q02_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
         |FROM events GROUP BY event_type""".stripMargin,

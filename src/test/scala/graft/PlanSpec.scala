@@ -416,6 +416,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q129 Q3-shape: segment filter pushed to the customer scan and " +
+    "the top-10 lowered to TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q129_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n$p")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"the segment filter must reach the customer scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q123 cohort: the activity join reuses the user-key partitioning " +
     "(no cartesian, no single-task funnel) and the scan prunes to " +
     "user_id + ts") {
