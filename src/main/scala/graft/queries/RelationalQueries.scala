@@ -83,6 +83,26 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q6-shaped "forecasting revenue change" — the pure
+    * filter-pushdown silhouette: a single scan whose THREE predicates
+    * (ship-year window, discount band, quantity cap) all reach the
+    * parquet reader, then one exact-DECIMAL sum. The query every
+    * storage-pruning claim is demonstrated on: at 100 TB this reads the
+    * row groups the date range selects, nothing else.
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dt = li.schema("l_shipdate").dataType
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast(dt) &&
+        col("l_shipdate") < lit("1997-01-01").cast(dt) &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(5,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** A3 count-distinct (the reference's double-groupBy UV pattern,
     * `OfflineJob.java:267-272,304-307`). */
   def countDistinctUv(s: SparkSession, dir: String): DataFrame =
@@ -306,6 +326,7 @@ object RelationalQueries {
     "q01_agg_sum" -> aggSum,
     "q128_local_supplier_volume" -> localSupplierVolume,
     "q129_shipping_priority" -> shippingPriority,
+    "q130_forecast_revenue" -> forecastRevenue,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -398,6 +419,16 @@ object RelationalQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_date_ms, o_orderkey LIMIT 10""".stripMargin,
+    // q130: all three predicates prune the scan; exact-DECIMAL sum
+    "q130_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
     "q02_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
         |FROM events GROUP BY event_type""".stripMargin,

@@ -427,6 +427,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q130 Q6-shape: all three predicates reach the parquet scan and " +
+    "the read schema prunes to the referenced columns") {
+    val p = planOf("q130_forecast_revenue")
+    // the PushedFilters list is truncated in plan text; assert the date
+    // range made it in and all three columns are filter-referenced at
+    // the reader (IsNotNull entries precede the truncation point)
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipda") &&
+      p.contains("IsNotNull(l_discount)") &&
+      p.contains("IsNotNull(l_quantity)"),
+      s"every predicate must push to the reader:\n$p")
+    assert(!p.contains("l_partkey") && !p.contains("l_returnflag"),
+      s"scan must prune to the four referenced columns:\n$p")
+  }
+
   test("q123 cohort: the activity join reuses the user-key partitioning " +
     "(no cartesian, no single-task funnel) and the scan prunes to " +
     "user_id + ts") {
