@@ -1379,7 +1379,7 @@ object TextAnalysis {
     val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .map(r => (codePointSymbols(r.getString(0)), r.getLong(1)))
       .sortBy(r => r._1.mkString) // deterministic iteration order
     var words: Array[(Array[String], Long)] = vocab
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -1476,11 +1476,18 @@ object TextAnalysis {
       .toDF(idCol, "n_tokens", "n_pieces")
   }
 
+  /** One string per Unicode code point — the base-symbol split every BPE
+    * path shares, matching DuckDB's split(w,'') and the rolling-fingerprint
+    * expression (an astral character is ONE symbol, not a surrogate pair).
+    */
+  private def codePointSymbols(s: String): Array[String] =
+    s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** BPE inference for one token: repeatedly apply the applicable merge
     * with the lowest training rank; return the surviving piece count. */
   private def segmentLength(tok: String,
                             ranks: Map[(String, String), Int]): Long = {
-    var syms = tok.map(_.toString).toArray
+    var syms = codePointSymbols(tok)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -1573,7 +1580,7 @@ object TextAnalysis {
   : String => Array[String] = {
     val memo = scala.collection.mutable.HashMap[String, Array[String]]()
     def compute(tok: String): Array[String] = {
-      var syms = tok.map(_.toString).toArray
+      var syms = codePointSymbols(tok)
       for (p <- ms) syms = mergePair(syms, p)
       syms
     }
@@ -1867,9 +1874,14 @@ object TextAnalysis {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol), col("source"), col(textCol))
+    // Null-safe join on content: NULL-text docs form one dup group (the
+    // oracle's window PARTITION BY text semantics) instead of silently
+    // dropping out of every dashboard count through a null-rejecting
+    // equi-join.
     val canon = base.groupBy(col(textCol))
       .agg(min(col(idCol)).as("__canon"))
-    val dup = base.join(canon, Seq(textCol))
+      .withColumnRenamed(textCol, "__ctext")
+    val dup = base.join(canon, col(textCol) <=> col("__ctext"))
       .select(col(idCol),
         (col(idCol) =!= col("__canon")).cast("long").as("__is_dup"))
     val bl = blocklistFilter(docs, idCol = idCol, textCol = textCol)

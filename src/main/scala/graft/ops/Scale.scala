@@ -289,14 +289,17 @@ object Scale {
     * 100 TB lake: `row_number over (partition by lang order by ...)` puts
     * ALL of `en` through one task). Range-partition on (group ++ order)
     * keys so each partition holds contiguous runs of at most a few groups,
-    * count rows per (partition, group) — a bounded collect: ≤ partitions +
+    * count rows per (partition, group) — a tiny relation: ≤ partitions +
     * distinct-groups rows, because contiguous ranges mean each group spans
-    * a prefix-closed set of partitions — and broadcast each group's
-    * exclusive prefix back as that partition's offset. Within a partition a
-    * group's rows are ranked by an ordinary window (safe: the partition is
-    * executor-sized by construction). Deterministic when (group ++ order)
-    * is unique. Group columns must be string-typed (the driver-side offset
-    * fold sorts them as strings).
+    * a prefix-closed set of partitions — derive each (partition, group)'s
+    * exclusive prefix with a window over that counts relation (partition by
+    * group, order by partition id), and broadcast it back. Within a
+    * partition a group's rows are ranked by an ordinary window (safe: the
+    * partition is executor-sized by construction). The offsets join uses
+    * null-safe equality on the actual group columns — no string-encoded
+    * composite key — so NULL group values and values containing any
+    * delimiter rank correctly, and nothing round-trips through the driver.
+    * Deterministic when (group ++ order) is unique.
     */
   def groupedRankOrdered(df: DataFrame, groupCols: Seq[String],
                          orderCols: Seq[String],
@@ -309,30 +312,25 @@ object Scale {
       .persist())
     val counts = parts
       .groupBy(col("__pid") +: groupCols.map(col): _*)
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getInt(0), groupCols.indices.map(i =>
-        String.valueOf(r.get(i + 1))).toIndexedSeq, r.getLong(groupCols.length + 1)))
-      .sortBy { case (pid, g, _) => (g.mkString("\u0001"), pid) }
-    val offsets = scala.collection.mutable.ArrayBuffer[(Int, Seq[String], Long)]()
-    var curGroup: Seq[String] = null
-    var running = 0L
-    for ((pid, g, c) <- counts) {
-      if (g != curGroup) { curGroup = g; running = 0L }
-      offsets += ((pid, g, running)); running += c
-    }
-    val spark = parts.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toSeq
-      .map { case (pid, g, o) => (pid, g.mkString("\u0001"), o) }
-      .toDF("__pid", "__gkey", "__offset")
-    val gkey = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
+      .agg(count(lit(1)).as("__c"))
+    // Exclusive per-group prefix over partition ids: range partitioning on
+    // (group ++ order) makes lower pid = lower order range within a group,
+    // so the running count over pid IS the group's rank offset.
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = counts
+      .withColumn("__offset", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__pid").as("__opid") +:
+        groupCols.map(c => col(c).as(s"__og_$c")) :+ col("__offset"): _*)
+    val joinCond = groupCols
+      .map(c => col(c) <=> col(s"__og_$c"))
+      .foldLeft(col("__pid") === col("__opid"))(_ && _)
     val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    parts.withColumn("__gkey", gkey)
-      .join(broadcast(offDf), Seq("__pid", "__gkey"))
+    parts.join(broadcast(offDf), joinCond)
       .withColumn(outCol, row_number().over(w).cast("long") + col("__offset"))
-      .drop("__pid", "__gkey", "__offset")
+      .drop("__pid" +: "__opid" +: "__offset" +: groupCols.map(c => s"__og_$c"): _*)
   }
 
   /** Bucketed-table layout for co-located joins: write both sides bucketed

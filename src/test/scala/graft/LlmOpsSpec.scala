@@ -2115,6 +2115,53 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(odd.exists(_._4 == -1L) && odd.map(_._3).mkString == "héllo")
   }
 
+  test("BPE base symbols are code points, not UTF-16 units: an astral " +
+    "character is ONE piece on every inference path") {
+    import graft.llm.TextAnalysis
+    // U+1D41A (mathematical bold small a) is outside the BMP: a UTF-16
+    // split would produce two surrogate half-symbols
+    val astral = new String(Character.toChars(0x1D41A))
+    val doc = Seq((1L, s"${astral}b c$astral")).toDF("doc_id", "text")
+    val inOrder = TextAnalysis.bpePieceCountsInOrder(doc)
+      .as[(Long, Long, Long)].head()
+    val greedy = TextAnalysis.bpePieceCounts(doc,
+        TextAnalysis.FrozenBpeMerges)
+      .as[(Long, Long, Long)].head()
+    // tokens: "(astral)b" -> 2 pieces, "c(astral)" -> 2 pieces
+    assert(inOrder == ((1L, 2L, 4L)), s"in-order: $inOrder")
+    assert(greedy == ((1L, 2L, 4L)), s"greedy: $greedy")
+    // encode: the astral piece survives whole (no lone surrogates) and is
+    // off-vocab (-1), and the round trip reassembles the original text
+    val enc = TextAnalysis.bpeEncode(doc)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(enc.length == 4)
+    assert(enc.count(e => e._3 == astral && e._4 == -1L) == 2)
+    assert(enc.forall(e => !e._3.exists(Character.isSurrogate)
+      || e._3.codePointCount(0, e._3.length) < e._3.length),
+      "no piece may be a lone surrogate half")
+    assert(enc.map(_._3).mkString == s"${astral}bc$astral")
+  }
+
+  test("source health report keeps NULL-text documents: they form one " +
+    "exact-dup group and stay in every per-source count") {
+    import graft.llm.TextAnalysis
+    val fix = Seq(
+      (1L, "srcA", null.asInstanceOf[String]),
+      (2L, "srcA", null.asInstanceOf[String]), // dup of 1 (NULL group)
+      (3L, "srcB", null.asInstanceOf[String]), // dup of 1 (NULL group)
+      (4L, "srcB", "some ordinary words here j"))
+      .toDF("doc_id", "source", "text")
+    // collect as Rows: n_tokens is legitimately NULL for an all-NULL-text
+    // source (SQL sum semantics, matching the oracle)
+    val got = TextAnalysis.sourceHealthReport(fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("srcA").getLong(1) == 2L && got("srcB").getLong(1) == 2L,
+      s"NULL-text docs must stay in n_docs: $got")
+    // min doc_id (1) is canonical; 2 and 3 are charged to their sources
+    assert(got("srcA").getLong(3) == 1L && got("srcB").getLong(3) == 1L,
+      s"NULL texts form one dup group: $got")
+  }
+
   test("packed batches: bins partition the corpus contiguously, totals " +
     "tie out to the piece relation, and member lists match their counts") {
     import graft.llm.TextAnalysis

@@ -381,4 +381,29 @@ class ScaleSpec extends SparkSpecBase {
       .select("id", "r").as[(Long, Long)].collect().toMap
     assert(one == globalR)
   }
+
+  test("grouped two-phase rank keeps NULL-group rows and delimiter-laden " +
+    "group values (no string-encoded composite key)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // group values: NULL, a value containing the u0001 delimiter the
+    // old string key used, and a pair a naive concat would collide
+    // ("ab"+"c" vs "a"+"bc")
+    val gs = Seq(null, "ab", "a", "x\u0001y")
+    val hs = Seq("c", "b\u0001c", null)
+    val rows = (1 to 1200).map { i =>
+      (i.toLong, gs(rnd.nextInt(gs.length)), hs(rnd.nextInt(hs.length)),
+        rnd.nextInt(40).toLong)
+    }
+    val df = rows.toDF("id", "ga", "gb", "v")
+    val twoPhase = graft.core.CacheScope.scoped {
+      Scale.groupedRankOrdered(df, Seq("ga", "gb"), Seq("v", "id"), "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+    }
+    assert(twoPhase.size == rows.size, "no rows may vanish")
+    val w = Window.partitionBy("ga", "gb").orderBy(col("v"), col("id"))
+    val viaWindow = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(twoPhase == viaWindow)
+  }
 }
