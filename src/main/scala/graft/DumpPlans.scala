@@ -19,14 +19,14 @@ object DumpPlans {
     "q09_anti_join_sql" -> "NOT IN rewritten to broadcast null-aware anti join",
     "q22_itemcf_toplist" -> "bounded top-K aggregation, no full-group collect",
     "q30_minhash_dedup" -> "shingle->signature->band join, never all-pairs",
-    "q42_embedding_dedup" -> "IVF cells: assignment scan + bucket join, no cartesian",
+    "q42_embedding_dedup" -> "recall-certified: IVF cells above the size cutover (assignment scan + bucket join, sampled certificate, exact escalation), exact scan below it",
     "q46_asof_join" -> "join-free single-shuffle tagged-union window",
     "q52_knn_ivf" -> "probe side broadcast, corpus stays partitioned",
     "q56_seq_packing" -> "two-phase prefix sum, no SinglePartition exchange",
     "q60_top_events" -> "global top-100 as TakeOrderedAndProject, no full sort",
     "q66_incremental_dedup" -> "batch signatures probe the store; history re-shingled only for candidate ids (semi-join pushdown)",
     "q68_knn_pq" -> "ADC over broadcast LUTs + bounded top-K refine (O(refine) state, no per-query sort), corpus codes stay partitioned",
-    "q76_embedding_clusters" -> "IVF pair generation feeding hash-min components; pairs bucket-joined, never all-pairs, lineage truncated per round",
+    "q76_embedding_clusters" -> "recall-certified pair generation feeding hash-min components; lineage truncated per round",
     "q77_quality_classifier" -> "fingerprint once per distinct token, literal weight lookup, left-anchored on the pruned doc scan",
     "q80_bm25_topk" -> "literal-term tf as row expressions, df folded into one broadcast stats row, bounded scored top-K — zero data shuffles before the aggregate",
     "q83_bm25_stored" -> "postings read pruned to the query terms' group partitions; df from the pruned lists; same scoring trees as inline",

@@ -125,7 +125,8 @@ object CurationPipeline {
     val embAligned = emb.join(
       unstraddled.select(col("doc_id").as("vec_id")), Seq("vec_id"),
       "left_semi")
-    val semPairs = Similarity.embeddingNearDupPairsIvf(embAligned, tau = 0.45)
+    val semPairs = Similarity
+      .embeddingNearDupPairsCertified(embAligned, tau = 0.45)
       .select("id_a", "id_b")
     val semDropped = Dedup
       .connectedComponents(embAligned.select(col("vec_id")), semPairs,

@@ -112,18 +112,19 @@ object LlmQueries {
 
   /** Embedding-cosine near-dup pairs (τ = 0.45 — the corpus has no planted
     * embedding dups, so the threshold sits just inside the natural tail).
-    * Runs the IVF path (data-dependent k-means cells — at this low τ random
-    * hyperplanes stop pruning, so the LSH variant is reserved for τ ≳ 0.8):
-    * no cartesian in the plan (PlanSpec-locked), candidate volume bounded
-    * (ScaleSpec pins < 0.3·C(n,2) at sf0.01), recall 1.0 on the gate corpora
-    * (LlmOpsSpec pins equality with the exact all-pairs form — a property of
-    * these fixtures at the TuneIvf-chosen parameters, not of IVF itself;
-    * re-run TuneIvf if fixtures or gate scales change). At bench scale
-    * (sf0.1, uniform random vectors) recall is 125/144 — the measured
-    * low-τ applicability boundary documented on
-    * Similarity.embeddingNearDupPairsIvf. */
+    * Runs the recall-CERTIFIED IVF path: measure the candidate generator's
+    * recall on a deterministic held-out sample first, use the IVF cells
+    * when the certificate passes (the gate corpora — recall 1.0 at rung 1,
+    * LlmOpsSpec pins equality with the exact all-pairs form), and escalate
+    * to the exact scan when the measurement says the cells cannot prune
+    * (sf0.1's uniform random vectors at this low τ — the boundary
+    * TuneIvfSf01 measured, now handled by escalation instead of
+    * documentation: exact there costs LESS than a ≥0.5-candidate-fraction
+    * IVF). No cartesian outside the measured fallback; recall is exact at
+    * every scale by construction. */
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupPairsIvf(Tables.embeddings(s, dir), tau = 0.45)
+    Similarity.embeddingNearDupPairsCertified(Tables.embeddings(s, dir),
+      tau = 0.45)
 
   /** Near-dup cluster resolution: exact jaccard pairs (the q29 relation) →
     * connected components → every doc labeled with its cluster's canonical
@@ -519,19 +520,19 @@ object LlmQueries {
 
   /** SEMANTIC dedup cluster resolution — the embedding-space twin of q51,
     * completing the lexical/semantic symmetry of the curation pipeline:
-    * the q42 embedding near-dup pair relation (IVF path, recall 1.0 at
-    * registry params on the gate corpora — LlmOpsSpec) resolved into
+    * the q42 embedding near-dup pair relation (recall-certified IVF —
+    * exact at every scale by measurement-gated escalation) resolved into
     * canonical clusters by the same hash-min connected components, so
     * every vector is labeled with the min vec_id reachable through
     * cosine-≥τ pairs. Singletons label themselves. At 100 TB both pieces
-    * keep their measured postures: the pair generator never goes
-    * all-pairs (IVF cells) and the component loop is one shuffle per
-    * round with lineage truncation. */
+    * keep their measured postures: the pair generator goes all-pairs only
+    * when the sampled certificate proves the cells cannot prune, and the
+    * component loop is one shuffle per round with lineage truncation. */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Dedup.connectedComponents(
         emb.select(col("vec_id")),
-        Similarity.embeddingNearDupPairsIvf(emb, tau = 0.45)
+        Similarity.embeddingNearDupPairsCertified(emb, tau = 0.45)
           .select("id_a", "id_b"),
         idCol = "vec_id")
       .select(col("id").as("vec_id"), col("comp").as("cluster_id"))

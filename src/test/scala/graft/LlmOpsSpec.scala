@@ -114,6 +114,76 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}")
   }
 
+  test("certified near-dup: the gate corpus certifies at rung 1 (sampled " +
+    "recall 1.0) and the certified output IS the exact relation") {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.core.CacheScope.scoped {
+      val curve = Similarity.nearDupCertCurve(emb, tau = 0.45,
+          probeLadder = Seq(1))
+        .select("rung", "sample_recall", "n_cand")
+        .as[(String, Double, Long)].collect()
+        .map { case (r, rec, c) => r -> ((rec, c)) }.toMap
+      assert(curve("1")._1 == 1.0, s"rung 1 must certify here: $curve")
+      // and the cells genuinely prune: IVF candidates ≪ all-pairs
+      assert(curve("1")._2 < curve("exact")._2,
+        s"rung 1 must cost less than exact: $curve")
+    }
+    val exact = graft.core.CacheScope.scoped {
+      Similarity.embeddingNearDupPairs(emb, tau = 0.45)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    // registry defaults: this corpus sits under the exactBelow cutover,
+    // so the certain path runs
+    val cert = graft.core.CacheScope.scoped {
+      Similarity.embeddingNearDupPairsCertified(emb, tau = 0.45)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(exact.nonEmpty && cert == exact,
+      s"certified missed ${exact -- cert}, extra ${cert -- exact}")
+    // cutover disabled: the IVF-certified branch itself is also exact here
+    // (rung 1 genuinely certifies on this corpus, per the curve above)
+    val certIvf = graft.core.CacheScope.scoped {
+      Similarity.embeddingNearDupPairsCertified(emb, tau = 0.45,
+          exactBelow = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(certIvf == exact,
+      s"IVF branch missed ${exact -- certIvf}, extra ${certIvf -- exact}")
+  }
+
+  test("certified near-dup: on uniform random vectors at low τ the sampled " +
+    "certificate FAILS every rung and escalation returns the exact " +
+    "relation — the sf0.1 boundary, retired by measurement") {
+    val rnd = new scala.util.Random(7)
+    val uni = (0 until 300).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val exact = graft.core.CacheScope.scoped {
+      Similarity.embeddingNearDupPairs(uni, tau = 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(exact.nonEmpty, "τ must sit inside the random-cosine bulk")
+    graft.core.CacheScope.scoped {
+      val curve = Similarity.nearDupCertCurve(uni, tau = 0.3,
+          probeLadder = Seq(1, 2), k = 16, tables = 4)
+        .select("rung", "sample_recall").as[(String, Double)].collect().toMap
+      assert(curve("1") < 1.0 && curve("2") < 1.0,
+        s"unclustered data must fail the certificate: $curve")
+    }
+    val cert = graft.core.CacheScope.scoped {
+      Similarity.embeddingNearDupPairsCertified(uni, tau = 0.3,
+          k = 16, tables = 4, probeLadder = Seq(1, 2), exactBelow = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(cert == exact,
+      s"escalated form missed ${exact -- cert}, extra ${cert -- exact}")
+    // rung order is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupPairsCertified(uni, tau = 0.3,
+        probeLadder = Seq(4, 1))
+    }
+  }
+
   test("connected components: chain graph needs multiple rounds; labels = " +
     "min reachable id; singletons keep their own id") {
     // chain 10-11-12-13-14-15 (diameter 5) + pair (20,21) + singleton 30

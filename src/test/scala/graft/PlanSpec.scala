@@ -39,11 +39,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("props"), s"window agg should not read props:\n$p")
   }
 
-  test("q42 bucketed near-dup has no cartesian anywhere in the plan") {
-    val p = planOf("q42_embedding_dedup")
+  test("q42 certified near-dup: the scale branch (above the exactBelow " +
+    "cutover) joins on IVF cells — no cartesian, no nested-loop") {
+    // the registry call at gate scale deliberately takes the exact scan
+    // (below the cutover certainty is cheaper than the quantizer); the
+    // 100 TB posture to lock is the IVF-certified branch itself
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val p = graft.core.CacheScope.scoped {
+      graft.llm.Similarity
+        .embeddingNearDupPairsCertified(emb, tau = 0.45, exactBelow = 0L)
+        .queryExecution.executedPlan.toString
+    }
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      s"near-dup must join on (table, bucket), never all-pairs:\n$p")
+      s"near-dup scale path must join on (table, cell), never all-pairs:\n$p")
   }
 
   test("q52 IVF ANN joins probe assignments via broadcast — the corpus side " +
