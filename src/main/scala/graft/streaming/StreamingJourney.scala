@@ -17,7 +17,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * monitor assumes replay/ingest order respects per-user event time — the
   * file-replay and Kafka-partition-per-key shapes guarantee it. Under
   * that contract the union of per-batch emissions aggregates EXACTLY to
-  * the batch q125 relation (StreamingSpec pins it).
+  * the batch q125 relation (StreamingSpec pins it). When arrival order
+  * can NOT be trusted (Kafka repartitioning, late data), use the
+  * watermark-buffered [[transitionsBuffered]]/[[funnelBuffered]] variants
+  * below — same emissions, no order contract, late data dropped at the
+  * watermark.
   *
   * Output per emission: (from_type, to_type) — one row per observed
   * transition; the consumer aggregates (a streaming groupBy/count or the
@@ -104,5 +108,111 @@ object StreamingJourney {
       .flatMapGroupsWithState[FunnelState, Advance](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         funnelFn(steps.toIndexedSeq))
+  }
+
+  // ---- order-robust (watermark-buffered) variants -----------------------
+  //
+  // The plain monitors above are exact only under the replay contract:
+  // arrival order respects per-user EVENT time across batches. Real Kafka
+  // repartitioning or late data breaks that silently — wrong transitions,
+  // not missing rows. These variants drop the contract: arrivals are held
+  // in per-user state and folded ONLY once the event-time watermark passes
+  // them (the T9 event-time-timer machinery), so any arrival order whose
+  // disorder stays inside the watermark delay converges to the exact batch
+  // relation. Arrivals older than the watermark at the previous flush are
+  // LATE — already overtaken by emissions — and are dropped, the same
+  // policy as the T4 windowed aggregates. Per-user state is bounded by the
+  // delay window (buffered events ≤ one delay's worth), not the history.
+
+  case class JourneyBuf(buf: Seq[(String, Long, Long)],
+                        last: Option[LastEvent], frontier: Long)
+
+  /** Buffered transition fold: flush the ≤-watermark prefix of the buffer
+    * in (ts, event_id) order through the [[journeyFn]] chain; keep the
+    * rest; re-arm an event-time timer at the earliest pending event so the
+    * flush happens even if the user never sends another row. */
+  def journeyBufFn(userId: Long, rows: Iterator[(Long, String, Long, Long)],
+                   state: GroupState[JourneyBuf]): Iterator[Transition] = {
+    val st = state.getOption.getOrElse(JourneyBuf(Nil, None, Long.MinValue))
+    val wm = state.getCurrentWatermarkMs() * 1000L
+    val fresh = rows.map(r => (r._2, r._3, r._4))
+      .filter(_._2 > st.frontier).toList // ≤ frontier: late, already passed
+    val (flush, keep) = (st.buf ++ fresh).partition(_._2 <= wm)
+    var last = st.last
+    val out = scala.collection.mutable.ArrayBuffer[Transition]()
+    flush.sortBy(e => (e._2, e._3)).foreach { case (tpe, ts, id) =>
+      last.foreach(p => out += Transition(p.eventType, tpe))
+      last = Some(LastEvent(tpe, ts, id))
+    }
+    state.update(JourneyBuf(keep, last, wm))
+    if (keep.nonEmpty)
+      state.setTimeoutTimestamp(keep.map(_._2).min / 1000L + 1)
+    out.iterator
+  }
+
+  /** Order-robust [[transitions]]: `delay` is the watermark the stream is
+    * allowed to be disordered within (e.g. "1 hour"). The watermarked
+    * timestamp column rides along to the stateful operator (the
+    * event-time-timeout checker requires it in scope). */
+  def transitionsBuffered(events: DataFrame, delay: String)
+                         (implicit s: SparkSession): Dataset[Transition] = {
+    import s.implicits._
+    events.withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")), col("event_id").cast("long"), col("ts"))
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[JourneyBuf, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k, rows, st) =>
+          journeyBufFn(k, rows.map(r => (r._1, r._2, r._3, r._4)), st))
+  }
+
+  case class FunnelBuf(buf: Seq[(String, Long, Long)], stage: Int,
+                       tMicros: Long, frontier: Long)
+
+  /** Buffered funnel fold — same flush discipline over the greedy advance
+    * chain (which equals the batch min-ts chain once events fold in event
+    * time, the [[funnelFn]] proof). */
+  def funnelBufFn(steps: IndexedSeq[String])(
+      userId: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: GroupState[FunnelBuf]): Iterator[Advance] = {
+    val st = state.getOption.getOrElse(
+      FunnelBuf(Nil, 0, Long.MinValue, Long.MinValue))
+    val wm = state.getCurrentWatermarkMs() * 1000L
+    val fresh = rows.map(r => (r._2, r._3, r._4))
+      .filter(_._2 > st.frontier).toList
+    val (flush, keep) = (st.buf ++ fresh).partition(_._2 <= wm)
+    var stage = st.stage
+    var t = st.tMicros
+    val out = scala.collection.mutable.ArrayBuffer[Advance]()
+    flush.sortBy(e => (e._2, e._3)).foreach { case (tpe, ts, _) =>
+      if (stage < steps.length && tpe == steps(stage) &&
+          (stage == 0 || ts > t)) {
+        stage += 1; t = ts
+        out += Advance(userId, stage.toLong)
+      }
+    }
+    state.update(FunnelBuf(keep, stage, t, wm))
+    if (keep.nonEmpty)
+      state.setTimeoutTimestamp(keep.map(_._2).min / 1000L + 1)
+    out.iterator
+  }
+
+  /** Order-robust [[funnel]]. */
+  def funnelBuffered(events: DataFrame, delay: String,
+                     steps: Seq[String] =
+                       Seq("signup", "view", "click", "purchase"))
+                    (implicit s: SparkSession): Dataset[Advance] = {
+    import s.implicits._
+    val fn = funnelBufFn(steps.toIndexedSeq) _
+    events.withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")), col("event_id").cast("long"), col("ts"))
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, Advance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k, rows, st) => fn(k, rows.map(r => (r._1, r._2, r._3, r._4)), st))
   }
 }

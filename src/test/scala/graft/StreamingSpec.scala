@@ -920,6 +920,120 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  /** Shared fixture for the order-robust monitor tests: the events table
+    * split into three batches with SEEDED DISORDER — events within R/8 of
+    * a time-tercile boundary hop to the adjacent batch, so some users'
+    * events arrive out of event-time order across batches (the exact
+    * condition that breaks the plain monitors' replay contract), while
+    * every event stays within the R/2 watermark delay of its arrival
+    * batch (nothing is genuinely late). Returns (batches, delayString,
+    * sentinel timestamps) plus asserts the disorder is real. */
+  private def disorderedEventBatches()
+  : (Seq[Seq[(Long, String, Long, Long)]], String, Long) = {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    val sorted = ev.sortBy(_._3)
+    val minTs = sorted.head._3
+    val maxTs = sorted.last._3
+    val range = maxTs - minTs
+    val (cut1, cut2, hop) =
+      (minTs + range / 3, minTs + 2 * range / 3, range / 8)
+    val rnd = new scala.util.Random(5)
+    val batches = Array.fill(3)(
+      scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]())
+    sorted.foreach { e =>
+      val home = if (e._3 < cut1) 0 else if (e._3 < cut2) 1 else 2
+      val b = home match {
+        case 0 if e._3 > cut1 - hop && rnd.nextBoolean() => 1
+        case 1 if e._3 < cut1 + hop && rnd.nextBoolean() => 0
+        case 1 if e._3 > cut2 - hop && rnd.nextBoolean() => 2
+        case 2 if e._3 < cut2 + hop && rnd.nextBoolean() => 1
+        case h => h
+      }
+      batches(b) += e
+    }
+    // the disorder is real: some user has a later-batch event that is
+    // EARLIER in event time than one of their earlier-batch events —
+    // exactly what the unbuffered monitors mis-fold
+    val inversions = (for {
+      i <- 0 until 2; j <- (i + 1) until 3
+      (u, tsI) <- batches(i).map(e => (e._1, e._3))
+      if batches(j).exists(e => e._1 == u && e._3 < tsI)
+    } yield 1).size
+    assert(inversions > 0, "fixture must contain cross-batch disorder")
+    val delaySec = range / 2 / 1000000L + 1
+    (batches.map(b => rnd.shuffle(b.toSeq)).toSeq,
+      s"$delaySec seconds", maxTs + (delaySec + 10) * 1000000L)
+  }
+
+  test("order-robust journey monitor: watermark-buffered state converges " +
+    "to the batch q125 matrix under cross-batch disorder, and drops a " +
+    "genuinely late event instead of mis-folding it") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (batches, delay, tFar) = disorderedEventBatches()
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val stream = graft.streaming.StreamingJourney.transitionsBuffered(
+      mem.toDF().toDF("user_id", "event_type", "tsu", "event_id")
+        .withColumn("ts", expr("timestamp_micros(tsu)")), delay)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("journey_buf_out").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // two far-future sentinel users advance the watermark past every
+      // buffered event and trigger the event-time timers that drain it
+      mem.addData(Seq((-1L, "zz", tFar, -1L))); q.processAllAvailable()
+      mem.addData(Seq((-2L, "zz", tFar + 1000000L, -2L)))
+      q.processAllAvailable()
+      val twin = graft.queries.RankQueries.eventTransitions(spark, sfDir)
+        .as[(String, String, Long)].collect().toSet
+      def streamed(): Set[(String, String, Long)] = spark
+        .table("journey_buf_out")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed() == twin,
+        "buffered monitor must converge to the batch matrix under disorder")
+      // a genuinely late event — older than the drained users' flush
+      // frontier — is dropped, not folded out of order
+      val u = batches.head.head._1
+      mem.addData(Seq((u, "view", batches.head.head._3 - 1L, -3L)))
+      q.processAllAvailable()
+      mem.addData(Seq((-4L, "zz", tFar + 2000000L, -4L)))
+      q.processAllAvailable()
+      assert(streamed() == twin, "late event must be dropped at the frontier")
+    } finally q.stop()
+  }
+
+  test("order-robust funnel: watermark-buffered greedy advance equals the " +
+    "batch min-ts chain under cross-batch disorder") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (batches, delay, tFar) = disorderedEventBatches()
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val stream = graft.streaming.StreamingJourney.funnelBuffered(
+      mem.toDF().toDF("user_id", "event_type", "tsu", "event_id")
+        .withColumn("ts", expr("timestamp_micros(tsu)")), delay)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_buf_out").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      mem.addData(Seq((-1L, "zz", tFar, -1L))); q.processAllAvailable()
+      mem.addData(Seq((-2L, "zz", tFar + 1000000L, -2L)))
+      q.processAllAvailable()
+      val adv = spark.table("funnel_buf_out").as[(Long, Long)].collect()
+      assert(adv.distinct.length == adv.length,
+        "each (user, stage) advance must be emitted exactly once")
+      val streamedCounts = adv.groupBy(_._2)
+        .map { case (k, v) => k -> v.length.toLong }
+      val twin = graft.queries.RankQueries.funnel(spark, sfDir)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert((1L to 4L).map(k => streamedCounts.getOrElse(k, 0L)) ==
+        (1L to 4L).map(twin),
+        "streamed stage populations == batch funnel under disorder")
+    } finally q.stop()
+  }
+
   test("blocklist-density filter is a pure stateless projection: runs " +
     "unchanged on a stream, union of micro-batches == batch twin") {
     val docs = graft.core.Tables.documents(spark, sfDir)

@@ -12,11 +12,28 @@ machine was loaded during the run — re-measure that query in isolation
 (sbt "runMain graft.Verify <sf> /tmp/x <name>") before believing it.
 """
 import json
+import re
 import signal
 import subprocess
 import sys
 
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
+
+
+def from_tail(tail: str) -> dict:
+    """Recover per-query seconds from a driver round artifact's `tail` —
+    the LAST chunk of Bench stdout, i.e. a truncated JSON line whose
+    head (and possibly its first query entry) is cut off. Entries are
+    either "q..":[run1,run2,..] (min wins, the Bench rule) or "q..":sec.
+    The first entry after the cut may be partial; the regex only accepts
+    complete `"name":...` entries so a clipped one simply drops out."""
+    out = {}
+    for name, runs, single in re.findall(
+            r'"(q\w+)":(?:\[([\d.,\s]+)\]|([\d.]+))', tail):
+        vals = [float(v) for v in (runs or single).split(",") if v]
+        if vals:
+            out[name] = min(vals)
+    return out
 
 
 def load(spec: str) -> dict:
@@ -30,7 +47,14 @@ def load(spec: str) -> dict:
     else:
         with open(spec) as f:
             doc = json.load(f)
-    return doc["queries"] if "queries" in doc else doc
+    if "queries" in doc:
+        return doc["queries"]
+    if "tail" in doc:  # driver round artifact (BENCH_r0N.json)
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return parsed["queries"]
+        return from_tail(doc["tail"])
+    return doc
 
 
 def main() -> int:
