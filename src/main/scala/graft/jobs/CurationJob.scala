@@ -27,22 +27,54 @@ import graft.sinks.Sinks
   * narrow transform or a key-bucketed join (no driver state); stats come
   * from one pass per stage boundary.
   *
-  * Usage: runMain graft.jobs.CurationJob [sfDir] [outDir]
+  * Usage: runMain graft.jobs.CurationJob [sfDir] [outDir] [diversityCap]
+  * `diversityCap` > 0 switches on the cluster-balanced semantic
+  * diversity cap (the q119 stage): at most that many shipped docs per
+  * k-means embedding cluster.
   */
 object CurationJob {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = JobMains.args2(args)
+    val diversityCap = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = JobMains.session("curation")
     spark.sparkContext.setLogLevel("WARN")
     // library stages (surprisalBuckets, lengthTailFilter, mixtureWeights)
     // persist internals under the caller-releases CacheScope contract —
     // scope the whole run so every tracked cache frees at job end
-    try graft.core.CacheScope.scoped { run(spark, sfDir, outDir) }
+    try graft.core.CacheScope.scoped {
+      run(spark, sfDir, outDir, diversityCap)
+    }
     finally spark.stop()
   }
 
-  private def run(spark: org.apache.spark.sql.SparkSession,
-                  sfDir: String, outDir: String): Unit = {
+  /** The q119 keep relation for [[run]]'s diversity flag: the
+    * cluster-balanced cap over the embeddings of the shipped docs
+    * (surviving (vec_id, cluster_id, draw, src_rank), rank ≤ cap). */
+  private[graft] def diversityKeep(scored: org.apache.spark.sql.DataFrame,
+                                   emb: org.apache.spark.sql.DataFrame,
+                                   cap: Int): org.apache.spark.sql.DataFrame =
+    graft.llm.Similarity.clusterBalancedCap(
+      emb.join(scored.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      cap = cap)
+
+  /** Survivor filter under a [[diversityKeep]] relation: capped embedded
+    * docs plus embedding-less pass-through (the semantic-stage
+    * convention — a doc with no vector cannot be topically redundant in
+    * a space it is absent from). */
+  private[graft] def applyDiversityKeep(
+      scored: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame,
+      kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keptIds = kept.select(col("vec_id").as("doc_id"))
+    val noEmb = scored.select("doc_id").join(
+      emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    scored.join(keptIds.union(noEmb), Seq("doc_id"), "left_semi")
+  }
+
+  private[jobs] def run(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String, outDir: String,
+                        diversityCap: Int = 0): Unit = {
     val raw = Tables.documents(spark, sfDir)
     val total = raw.count()
 
@@ -72,7 +104,7 @@ object CurationJob {
     // consumer plan — measured ~100 MB plan strings walked per stage
     // event. The checkpoint materializes the same data AND cuts the
     // lineage, so downstream plans print (and analyze) a leaf.
-    val mixed = TextAnalysis.langId(
+    val scored = TextAnalysis.langId(
         TextAnalysis.qualityScore(mixedBase))
       .join(TextAnalysis.classifierScore(afterRep,
           TextAnalysis.hashedWeights(64))
@@ -82,6 +114,24 @@ object CurationJob {
         Seq("doc_id"), "left")
       .select("doc_id", "text", "lang", "pred_lang", "source",
         "n_tokens", "quality_score", "clf_score", "surprisal_bucket")
+
+    // optional semantic diversity cap (the q119 stage, behind the flag):
+    // at most `diversityCap` shipped docs per k-means embedding cluster —
+    // the topical analog of the per-source cap (a redundant corpus region
+    // contributes `cap` exemplars instead of drowning the mixture). Docs
+    // without an embedding row pass through, the semantic-stage
+    // convention. The kept (vec_id, cluster_id, src_rank) relation ships
+    // as an artifact so the release records WHICH exemplars represent
+    // each cluster, and the survivor frame feeds every artifact below.
+    val mixed = (if (diversityCap > 0) {
+      val emb = Tables.embeddings(spark, sfDir)
+      diversityKeep(scored, emb, diversityCap)
+        .write.mode("overwrite").parquet(s"$outDir/diversity_keep")
+      // read the just-written artifact back (Lloyd ran once, for the
+      // write; the survivor join must not recompute it)
+      applyDiversityKeep(scored, emb,
+        spark.read.parquet(s"$outDir/diversity_keep"))
+    } else scored)
       .localCheckpoint() // consumers: write + split/pack/shuffle + gates
     // surprisal geometry note (ProfileBuckets, measured): this corpus's
     // near-uniform vocabulary makes whole-bit surprisal knife-edge — at
@@ -126,6 +176,18 @@ object CurationJob {
         .select("doc_id", "shuffle_rank"), "doc_id")
 
     withLayout.write.mode("overwrite").parquet(s"$outDir/curated")
+    // the exact-count stratified eval draw (q116's constructor) over the
+    // SHIPPED set: every (lang, source) stratum contributes exactly
+    // ⌊n/10⌋ eval docs by per-stratum content-stable rank — the
+    // per-stratum eval-suite constructor the content-hash `split` column
+    // cannot be (hashing gives an in-expectation 10%, so a rare stratum
+    // can land zero eval docs; the draw here cannot drift). The two
+    // constructors ship side by side on purpose: `split` stays the
+    // STABLE release split (re-runs and incremental corpus changes keep
+    // assignments — rank-based splits reshuffle under any change), and
+    // this artifact is what a per-stratum eval harness reads.
+    TextAnalysis.stratifiedSplit(mixed)
+      .write.mode("overwrite").parquet(s"$outDir/stratified_eval")
     // 5b. the budgeted curriculum layout (q108's composition on the job
     //     path): spend a 2/5 token budget over the shipped set in
     //     CARRIED-classifier-score order — the score the pipeline
@@ -181,8 +243,10 @@ object CurationJob {
           .filter(col("split") === "train"),
         Retrieval.DefaultQueries, k = 5)
       .write.mode("overwrite").parquet(s"$outDir/probe_hits")
-    val stats = ("input", total) +:
-      stageCounts.map { case (n, c) => (s"after_$n", c) }
+    val stats = (("input", total) +:
+      stageCounts.map { case (n, c) => (s"after_$n", c) }) ++
+      (if (diversityCap > 0) Seq(("after_diversity_cap", mixed.count()))
+       else Nil)
     import spark.implicits._
     Sinks.writeText(stats.toDF("stage", "docs")
       .select(concat_ws("=", col("stage"), col("docs"))), s"$outDir/stats")

@@ -1014,12 +1014,17 @@ object Similarity {
       col(vecCol).as("v"))
     def centsDf(cents: Seq[(Long, Seq[Double])]): DataFrame =
       cents.toDF("cid", "cvec")
-    // seeds: the k smallest ids, raw float dims widened (exact)
-    var cents: Seq[(Long, Seq[Double])] = emb.filter(col("id") < k)
+    // seeds: the k SMALLEST PRESENT ids, raw float dims widened (exact);
+    // cid = the seed's id. On a dense-id corpus this is ids 0..k−1 (what
+    // the q90 oracle's `WHERE vec_id < k` seeds encode); on a filtered
+    // subset — e.g. the curation job's shipped set feeding the diversity
+    // cap — the seeds are whatever k ids survive, so the operator
+    // composes after upstream filters instead of demanding id density.
+    // orderBy.limit lowers to TakeOrdered: bounded, never a full sort.
+    var cents: Seq[(Long, Seq[Double])] = emb.orderBy(col("id")).limit(k)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
       .map { case (i, v) => (i, v.map(_.toDouble).toSeq) }.toSeq
-    require(cents.size == k,
-      s"kmeansLloyd seeds need ids 0..${k - 1} present, got ${cents.size}")
+    require(cents.nonEmpty, "kmeansLloyd needs a non-empty corpus")
     val dp = aggregate(zip_with(col("v"), col("cvec"),
       (x, y) => x.cast("double") * y), lit(0.0), (a, x) => a + x)
     val nv = sqrt(aggregate(col("v"), lit(0.0),

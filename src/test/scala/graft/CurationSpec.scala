@@ -153,4 +153,66 @@ class CurationSpec extends SparkSpecBase {
     assert(shipRep.values.map(_._4).sum == 0L,
       "shipped set contains exact duplicates")
   }
+
+  test("stratified eval artifact on the job path: the q116 constructor " +
+    "over the SHIPPED set draws exactly ⌊n/10⌋ eval docs per (lang, " +
+    "source) stratum, content-stably") {
+    import graft.llm.TextAnalysis
+    val (rows, again) = CacheScope.scoped {
+      def draw() = TextAnalysis.stratifiedSplit(shipped)
+        .select("doc_id", "lang", "source", "split")
+        .as[(Long, String, String, String)].collect()
+      (draw(), draw())
+    }
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "the draw must be deterministic")
+    val shippedIds = shipped.select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == shippedIds,
+      "the artifact must cover exactly the shipped set")
+    rows.groupBy(r => (r._2, r._3)).foreach { case (stratum, rs) =>
+      val nEval = rs.count(_._4 == "eval")
+      assert(nEval == rs.length / 10,
+        s"stratum $stratum: $nEval eval of ${rs.length} — " +
+          "exact-count contract broken")
+    }
+  }
+
+  test("diversity cap on the job path (q119 behind the flag): per-cluster " +
+    "survivor counts respect the cap, embedding-less docs pass through, " +
+    "and a loose cap is the identity") {
+    import graft.jobs.CurationJob
+    val emb = Tables.embeddings(spark, sfDir)
+    // every shipped doc has an embedding row at this scale, so plant one
+    // without — the pass-through leg must be exercised, not assumed
+    val scored = shipped.unionByName(
+      shipped.limit(1).withColumn("doc_id", lit(-99L)))
+    val cap = 3
+    CacheScope.scoped {
+      val keep = CurationJob.diversityKeep(scored, emb, cap)
+        .select("vec_id", "cluster_id").as[(Long, Long)].collect()
+      keep.groupBy(_._2).foreach { case (c, vs) =>
+        assert(vs.length <= cap, s"cluster $c ships ${vs.length} > $cap")
+      }
+      val survivors = CurationJob.applyDiversityKeep(scored, emb,
+          keep.map(_._1).toSeq.toDF("vec_id"))
+        .select("doc_id").as[Long].collect().toSet
+      val scoredIds = scored.select("doc_id").as[Long].collect().toSet
+      val embedded = emb.select("vec_id").as[Long].collect().toSet
+      // exact set algebra: kept ∪ (scored \ embedded), nothing else
+      assert(survivors ==
+        (keep.map(_._1).toSet ++ (scoredIds -- embedded)))
+      assert(survivors.subsetOf(scoredIds))
+      assert(survivors.size < scoredIds.size,
+        "cap=3 must actually drop something here")
+      assert(survivors.contains(-99L),
+        "an embedding-less doc must pass the cap untouched")
+      // a cap no cluster reaches keeps everything — flag-on with a loose
+      // cap degenerates to flag-off
+      val loose = CurationJob.applyDiversityKeep(scored, emb,
+          CurationJob.diversityKeep(scored, emb, cap = 1000000)
+            .select("vec_id"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(loose == scoredIds)
+    }
+  }
 }
