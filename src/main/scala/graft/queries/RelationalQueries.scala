@@ -103,6 +103,98 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q17-shaped "small-quantity-order revenue" — the correlated
+    * scalar subquery silhouette, decorrelated the way every engine's
+    * optimizer does it: the per-part quantity statistics become an
+    * aggregate relation joined back on the correlation key, so "quantity
+    * below a fifth of the part's average" is one equi join instead of a
+    * per-row subquery. The comparison is EXACT integer-free decimal
+    * algebra — `5·q·n < Σq` instead of `q < 0.2·(Σq/n)` — because the
+    * rewritten predicate has no division, hence no float whose value
+    * depends on sum order. The part filter broadcasts.
+    *
+    * 100 TB posture: both sides of the decorrelation shuffle on the SAME
+    * key (l_partkey), so the stats join co-partitions with the stats
+    * build; nothing crosses except the bounded per-brand aggregate.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val stats = li.groupBy(col("l_partkey").as("sp_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qsum"),
+        count(lit(1)).as("qn"))
+    li.join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 10)
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(stats, col("l_partkey") === col("sp_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("qn") <
+        col("qsum"))
+      .groupBy("p_brand")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18-shaped "large-volume customers" — the having-filtered
+    * self-aggregation silhouette: orders whose lineitems sum past a
+    * quantity threshold (the heavy-order relation is the fact table's own
+    * aggregate), joined back to orders + customer, top-100 by
+    * (totalprice desc, date, key) → TakeOrderedAndProject. The ranking
+    * keys are raw stored columns (no arithmetic), so cross-engine order
+    * is exact; the quantity sum is DECIMAL for the same reason.
+    */
+  def largeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(s, dir).groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qdec"))
+      .filter(col("qdec") > 300)
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+        col("o_totalprice"), col("qdec").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_date_ms"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q13-shaped "order count distribution" — the two-level
+    * aggregate over an outer join: per-customer order counts (customers
+    * with none count 0 through the left join's null key), then the
+    * distribution of those counts. Both aggregates hash-combine
+    * map-side; the second one's key domain is tiny (distinct counts).
+    */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q22-shaped "idle rich customers" — the global-scalar-subquery
+    * + anti-join silhouette: customers above the positive-balance
+    * average with no order since 2000, per market segment. The average
+    * comparison is the division-free exact form (`bal·n > Σbal` in
+    * DECIMAL); the one-row aggregate broadcasts (a scalar subquery IS a
+    * broadcast nested-loop of a 1-row relation); the recency filter
+    * pushes into the orders scan BEFORE the anti join.
+    */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val bal = c.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("bsum"),
+        count(lit(1)).as("bn"))
+    val o = Tables.orders(s, dir)
+    val dt = o.schema("o_orderdate").dataType
+    c.crossJoin(broadcast(bal))
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("bn") >
+        col("bsum"))
+      .join(o.filter(col("o_orderdate") >= lit("2000-01-01").cast(dt)),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)"))
+          .cast("double").as("total_bal"))
+  }
+
   /** A3 count-distinct (the reference's double-groupBy UV pattern,
     * `OfflineJob.java:267-272,304-307`). */
   def countDistinctUv(s: SparkSession, dir: String): DataFrame =
@@ -327,6 +419,10 @@ object RelationalQueries {
     "q128_local_supplier_volume" -> localSupplierVolume,
     "q129_shipping_priority" -> shippingPriority,
     "q130_forecast_revenue" -> forecastRevenue,
+    "q131_small_qty_revenue" -> smallQtyRevenue,
+    "q132_large_volume_customers" -> largeVolumeCustomers,
+    "q133_order_count_distribution" -> orderCountDistribution,
+    "q134_idle_rich_customers" -> idleRichCustomers,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -419,6 +515,58 @@ object RelationalQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_date_ms, o_orderkey LIMIT 10""".stripMargin,
+    // q131: the correlated avg subquery decorrelated to an agg join; the
+    // predicate is the division-free exact form (5·q·n < Σq in DECIMAL)
+    "q131_small_qty_revenue" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS sp_partkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+        |        COUNT(*) AS qn
+        |      FROM lineitem GROUP BY 1) s ON l_partkey = sp_partkey
+        |WHERE p_size <= 10
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qn < qsum
+        |GROUP BY p_brand""".stripMargin,
+    // q132: heavy orders by exact-DECIMAL quantity sum; top-100 on raw
+    // stored columns (no derived floats in the ranking keys)
+    "q132_large_volume_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) AS o_date_ms, o_totalprice,
+        |  CAST(qdec AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qdec
+        |      FROM lineitem GROUP BY 1 HAVING qdec > 300) h
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_date_ms, o_orderkey
+        |LIMIT 100""".stripMargin,
+    // q133: two-level aggregate over the outer join (zero-order
+    // customers count through the null key)
+    "q133_order_count_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM
+        |  (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |   FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |   GROUP BY 1) t
+        |GROUP BY c_count""".stripMargin,
+    // q134: division-free above-average predicate + recency anti join
+    "q134_idle_rich_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer c
+        |JOIN (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bsum,
+        |        COUNT(*) AS bn
+        |      FROM customer WHERE c_acctbal > 0) s ON TRUE
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bn > bsum
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
     // q130: all three predicates prune the scan; exact-DECIMAL sum
     "q130_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

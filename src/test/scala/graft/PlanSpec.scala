@@ -55,6 +55,34 @@ class PlanSpec extends SparkSpecBase {
       s"near-dup scale path must join on (table, cell), never all-pairs:\n$p")
   }
 
+  test("q131 decorrelated subquery: the part filter broadcasts, nothing " +
+    "goes cartesian or nested-loop") {
+    val p = planOf("q131_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must stay equi joins:\n$p")
+  }
+
+  test("q132 heavy-order top-100 lowers to TakeOrderedAndProject") {
+    val p = planOf("q132_large_volume_customers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must lower to bounded per-partition heaps:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("TakeOrderedAndProject"),
+      s"top-k must never materialize a global sort:\n$p")
+  }
+
+  test("q134 idle-rich: the balance aggregate broadcasts, the recency " +
+    "filter pushes into the orders scan, and the anti join is hash-based") {
+    val p = planOf("q134_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters") &&
+      p.contains("o_orderdate"),
+      s"the date predicate must reach the orders parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q52 IVF ANN joins probe assignments via broadcast — the corpus side " +
     "stays partitioned") {
     val p = planOf("q52_knn_ivf")
