@@ -55,6 +55,35 @@ object Dedup {
       .drop("__canon_text")
   }
 
+  /** N-gram novelty score — the selection signal dedup-aware curation
+    * orders by: of a document's DISTINCT w-grams, the fraction whose
+    * corpus-wide FIRST occurrence (min doc_id) is this document. A doc
+    * made of already-seen phrasing scores near 0 even when no pair
+    * crosses a dedup threshold; a doc contributing fresh content scores
+    * near 1 — the per-document form of the "how much does this add"
+    * question the pairwise relations (q29/q30/q67) answer only in
+    * aggregate. Docs too short to shingle emit no row (the shingle
+    * convention).
+    *
+    * 100 TB posture: one shuffle on the gram key for the corpus-wide min
+    * (map-side combined), the join back is on the same key, then one
+    * per-doc aggregate; counts are exact integers and the ratio is a
+    * single division, so the score is engine- and partitioning-exact.
+    */
+  def noveltyScore(docs: DataFrame, w: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, w, idCol, textCol)
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col(idCol)).as("__first"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** w-token shingles of the whitespace token stream, distinct per doc by
     * default (`distinct = false` keeps every occurrence — repetition
     * analysis needs the multiplicities). Built with `posexplode` + `lead`

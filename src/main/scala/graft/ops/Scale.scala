@@ -343,4 +343,30 @@ object Scale {
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Z-order (Morton) interleave of two non-negative integer columns,
+    * `bits` bits each — the multi-dimension data-skipping sort key: rows
+    * sorted (and range-partitioned into files) by this key cluster
+    * locality in BOTH dimensions at once, so min/max file statistics
+    * prune selective predicates on EITHER column, where a plain
+    * lexicographic (x, y) sort key skips only on x. This is the layout
+    * move behind every "Z-ORDER BY" table optimizer; here it is a pure
+    * codegen'd integer expression (shift-free: division and modulo by
+    * powers of two, exact in any engine), so the key costs one projection
+    * at write time and composes with `repartitionByRange(zkey)` +
+    * per-file sort for the actual 100 TB layout write. Inputs are clamped
+    * to the `bits`-bit range (a value past the grid lands in the last
+    * cell, never corrupts the interleave).
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    val max = (1L << bits) - 1
+    val cx = least(greatest(x.cast("long"), lit(0L)), lit(max))
+    val cy = least(greatest(y.cast("long"), lit(0L)), lit(max))
+    (0 until bits).map { b =>
+      val p = lit(1L << b)
+      (cx.divide(p).cast("long") % 2L) * lit(1L << (2 * b)) +
+        (cy.divide(p).cast("long") % 2L) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+  }
 }

@@ -839,7 +839,33 @@ object LlmQueries {
     graft.jobs.CurationPipeline.verdict(Tables.documents(s, dir),
       Tables.embeddings(s, dir))
 
+  /** Per-document n-gram novelty (q135): of each doc's distinct 3-grams,
+    * the fraction first contributed by THIS doc (corpus-wide min doc_id)
+    * — the dedup-aware "how much new content does this add" selection
+    * signal. Rides the q29 shingle machinery; one gram-key shuffle + one
+    * per-doc aggregate; exact integer counts, one division. */
+  def noveltyScoreQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyScore(Tables.documents(s, dir), w = 3)
+
+  /** Z-order layout key (q136): Morton interleave of the byte-length and
+    * token-count buckets — the multi-dimension data-skipping sort key
+    * (sorting files by it clusters locality in both dimensions, so
+    * min/max file stats prune predicates on EITHER). The key is pure
+    * integer arithmetic (division/modulo by powers of two), engine-exact
+    * by construction; at 100 TB it feeds
+    * `repartitionByRange(zkey) + sortWithinPartitions` at write time. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val xb = least(expr("n_chars div 16"), lit(255L))
+    val yb = least(TextAnalysis.tokenCount(col("text")).cast("long"),
+      lit(255L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), xb.as("x_bucket"), yb.as("y_bucket"),
+        graft.ops.Scale.zOrderKey(xb, yb).as("zkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_novelty_score" -> noveltyScoreQ,
+    "q136_zorder_key" -> zorderLayout,
     "q49_scrub" -> scrubStats,
     "q50_repetition" -> repetition,
     "q44_props_map" -> propsMap,
@@ -1369,7 +1395,40 @@ object LlmQueries {
       s"($j, [${p.map(v => v.toDouble.toString).mkString(", ")}])"
     }.mkString(",\n|    ")
 
+  /** The q136 interleave, generated from the same bit arithmetic the
+    * Spark expression folds (powers of two interpolated as integer
+    * literals, so query and oracle cannot drift). */
+  private val zorderTermsSql: String = (0 until 8).map { b =>
+    s"((xb // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+      s"((yb // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // q135: first-occurrence novelty over the q29 gram CTEs; exact
+    // integer counts (HUGEINT sums cast back), one division
+    "q135_novelty_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 3),
+        |f AS (SELECT shingle, MIN(doc_id) AS fdoc FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(CAST(SUM(CASE WHEN doc_id = fdoc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY doc_id""".stripMargin,
+    // q136: the Morton interleave in plain integer div/mod arithmetic
+    "q136_zorder_key" ->
+      s"""WITH base AS (SELECT doc_id,
+        |    LEAST(n_chars // 16, 255) AS xb,
+        |    LEAST(len($toksSql), 255) AS yb
+        |  FROM documents)
+        |SELECT doc_id, xb AS x_bucket, yb AS y_bucket,
+        |  CAST($zorderTermsSql AS BIGINT) AS zkey
+        |FROM base""".stripMargin,
     // q96: the whole curation chain composed — see CurationOracle
     "q96_curation_e2e" -> CurationOracle.sql,
     // q82: stride-1 windows (i-1 = 0-based start), duplicate = rn > 1 in

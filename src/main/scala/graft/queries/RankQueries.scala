@@ -244,6 +244,42 @@ object RankQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Gap-sessionized SESSION DETAIL (q137) — the per-session complement
+    * of q43's per-user rollup: q43 counts sessions per user through the
+    * native `session_window`; this relation materializes each session
+    * construction: a session opens where a user's inter-event gap
+    * exceeds `gapMinutes`; the session index is the running boundary
+    * count, and each session reports its start, size, and duration. Gap
+    * arithmetic is exact integer millis, so boundaries are
+    * engine-identical.
+    *
+    * Output: (user_id, session_idx, session_start_ms, n_events,
+    * duration_ms).
+    *
+    * 100 TB posture: ONE shuffle on user_id serves everything — the lag
+    * window, the running-sum window (same sort), and the final
+    * (user, session) aggregate, whose clustering requirement the
+    * user-hash partitioning already satisfies. Nothing ever sorts
+    * globally; a user's history bounds every window frame.
+    */
+  def sessionDetail(s: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+    val gapMs = gapMinutes * 60000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tsm"))
+      .withColumn("__prev", lag(col("tsm"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("tsm") - col("__prev") >= gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("tsm")).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        (max(col("tsm")) - min(col("tsm"))).as("duration_ms"))
+  }
+
   /** RFM segmentation inputs per user — recency (days since last
     * purchase, integer epoch-day arithmetic against the corpus max),
     * frequency (purchase count), monetary (value sum through the
@@ -307,7 +343,8 @@ object RankQueries {
     "q123_cohort_retention" -> cohortRetention,
     "q124_funnel" -> ((s, d) => funnel(s, d)),
     "q125_event_transitions" -> eventTransitions,
-    "q126_rfm" -> rfm)
+    "q126_rfm" -> rfm,
+    "q137_session_detail" -> ((s, d) => sessionDetail(s, d)))
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -541,5 +578,27 @@ object RankQueries {
         |  CAST(COUNT(*) AS BIGINT) AS frequency,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
         |FROM p CROSS JOIN m
-        |GROUP BY user_id, max_day""".stripMargin)
+        |GROUP BY user_id, max_day""".stripMargin,
+    // q137: 30-min gap boundaries over the unique (ts, event_id) order;
+    // exact integer millis throughout (HUGEINT window sum cast back)
+    "q137_session_detail" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm
+        |            FROM events),
+        |l AS (SELECT user_id, event_id, tsm,
+        |        LAG(tsm) OVER (PARTITION BY user_id
+        |                       ORDER BY tsm, event_id) AS prev
+        |      FROM ev),
+        |g AS (SELECT user_id, event_id, tsm,
+        |        CASE WHEN prev IS NULL OR tsm - prev >= 1800000
+        |             THEN 1 ELSE 0 END AS nb
+        |      FROM l),
+        |sx AS (SELECT user_id, tsm,
+        |         CAST(SUM(nb) OVER (PARTITION BY user_id
+        |           ORDER BY tsm, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS session_idx
+        |       FROM g)
+        |SELECT user_id, session_idx, MIN(tsm) AS session_start_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MAX(tsm) - MIN(tsm) AS duration_ms
+        |FROM sx GROUP BY 1, 2""".stripMargin)
 }

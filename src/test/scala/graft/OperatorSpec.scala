@@ -340,4 +340,73 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.map(_._3).toSeq == Seq(2L, 1L),
       "only the in-order user advances")
   }
+
+  test("session detail (q137) ties out to the session_window rollup " +
+    "(q43): same per-user session and event counts, durations bounded " +
+    "by the span") {
+    val detail = graft.queries.RankQueries.sessionDetail(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // session indexes are a contiguous 1..n per user
+    detail.groupBy(_._1).foreach { case (u, ss) =>
+      assert(ss.map(_._2).sorted.toSeq == (1L to ss.length).toSeq,
+        s"user $u: session_idx must be contiguous from 1")
+    }
+    val fromDetail = detail.groupBy(_._1)
+      .map { case (u, ss) => u -> ((ss.length.toLong, ss.map(_._4).sum)) }
+    val rollup = graft.queries.RankQueries.sessionize(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fromDetail == rollup,
+      "per-user (n_sessions, n_events) must equal the q43 relation")
+    // every session's duration fits inside the gap-bounded construction:
+    // n_events-1 gaps, each strictly under 30 min
+    detail.foreach { case (u, i, _, n, dur) =>
+      assert(dur < (n - 1).max(0L) * 1800000L + 1800000L,
+        s"user $u session $i: duration $dur too long for $n events")
+    }
+  }
+
+  test("z-order key interleaves bits exactly (driver-reference equality) " +
+    "and clamps out-of-grid values") {
+    def morton(x: Long, y: Long, bits: Int): Long = {
+      val max = (1L << bits) - 1
+      val cx = math.min(math.max(x, 0L), max)
+      val cy = math.min(math.max(y, 0L), max)
+      (0 until bits).map(b =>
+        (((cx >> b) & 1L) << (2 * b)) | (((cy >> b) & 1L) << (2 * b + 1)))
+        .sum
+    }
+    val fix = (for (x <- -2L to 17L; y <- -2L to 17L) yield (x, y))
+      .toDF("x", "y")
+    val got = fix.select(col("x"), col("y"),
+        graft.ops.Scale.zOrderKey(col("x"), col("y"), bits = 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == morton(x, y, 4), s"($x, $y): $z != ${morton(x, y, 4)}")
+    }
+    // the interleave is a bijection on the in-grid domain
+    val inGrid = got.filter { case (x, y, _) =>
+      x >= 0 && x < 16 && y >= 0 && y < 16 }
+    assert(inGrid.map(_._3).distinct.length == 256)
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.zOrderKey(col("x"), col("y"), bits = 40)
+    }
+  }
+
+  test("novelty score: first contributor owns shared grams, later docs " +
+    "score the fresh remainder, short docs emit nothing") {
+    val fix = Seq(
+      (10L, "a b c d"),      // grams "a b c","b c d" — both first here
+      (20L, "a b c x"),      // "a b c" seen; "b c x" fresh -> 1/2
+      (30L, "a b"),          // too short to shingle
+      (40L, "b c x q r"))    // "b c x" seen; "c x q","x q r" fresh -> 2/3
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.noveltyScore(fix, w = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!got.contains(30L), "short docs emit no row")
+    assert(got(10L) == ((2L, 2L, 1.0)))
+    assert(got(20L) == ((2L, 1L, 0.5)))
+    assert(got(40L) == ((3L, 2L, 2.0 / 3.0)))
+  }
 }

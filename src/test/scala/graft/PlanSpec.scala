@@ -83,6 +83,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q137 sessionization runs on ONE user-key shuffle: lag window, " +
+    "running-sum window, and the (user, session) aggregate all reuse it") {
+    val p = planOf("q137_session_detail")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly one user-key exchange, got $exchanges:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sessionization must never funnel through one task:\n$p")
+  }
+
   test("q52 IVF ANN joins probe assignments via broadcast — the corpus side " +
     "stays partitioned") {
     val p = planOf("q52_knn_ivf")
