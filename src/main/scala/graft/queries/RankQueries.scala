@@ -280,6 +280,30 @@ object RankQueries {
         (max(col("tsm")) - min(col("tsm"))).as("duration_ms"))
   }
 
+  /** Item-graph PageRank (q138) — the iterative rank-propagation class
+    * beyond the CC fixpoint, on the co-click item graph (items sharing a
+    * clicking user, both directions). Integer-arithmetic fixed point
+    * ([[graft.ops.Graph.pageRank]]): ranks in micro-units, every step
+    * integer multiply/divide, so the result is bit-identical under any
+    * shuffle order or engine — which is what lets an ORACLE check an
+    * iterative graph algorithm at all (float PageRank sums doubles in
+    * partition order; no SQL twin can reproduce that). 3 rounds, the
+    * oracle's CTE chain generated round-for-round from the same
+    * constants.
+    */
+  def itemPageRank(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val a = ui.select(col("item").as("src"), col("user_id"))
+    val b = ui.select(col("item").as("dst"), col("user_id"))
+    val edges = a.join(b, Seq("user_id")).filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    graft.ops.Graph.pageRank(ui.select(col("item").as("id")), edges)
+      .select(col("id").as("item"), col("rank_micro"))
+  }
+
   /** RFM segmentation inputs per user — recency (days since last
     * purchase, integer epoch-day arithmetic against the corpus max),
     * frequency (purchase count), monetary (value sum through the
@@ -344,9 +368,35 @@ object RankQueries {
     "q124_funnel" -> ((s, d) => funnel(s, d)),
     "q125_event_transitions" -> eventTransitions,
     "q126_rfm" -> rfm,
-    "q137_session_detail" -> ((s, d) => sessionDetail(s, d)))
+    "q137_session_detail" -> ((s, d) => sessionDetail(s, d)),
+    "q138_pagerank" -> itemPageRank)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
+
+  /** The q138 oracle: the integer PageRank fixed point as a generated CTE
+    * chain, one round per CTE pair, from the SAME constants the Spark
+    * loop uses (unit 10¹², base 0.15·unit, 85/100 damping) — query and
+    * oracle cannot drift. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""c$i AS (SELECT dst AS id, SUM((r * 85) // (100 * d)) AS s
+        |      FROM edges JOIN r$i ON src = id JOIN deg USING (src)
+        |      GROUP BY dst),
+        |r${i + 1} AS (SELECT v.id,
+        |        CAST(150000000000 + COALESCE(s, 0) AS BIGINT) AS r
+        |      FROM verts v LEFT JOIN c$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ui AS (SELECT DISTINCT user_id, $item AS item FROM events
+      |            WHERE event_type = 'click'),
+      |verts AS (SELECT DISTINCT item AS id FROM ui),
+      |edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+      |          FROM ui a JOIN ui b ON a.user_id = b.user_id
+      |                             AND a.item <> b.item),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+      |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM verts),
+      |$rounds
+      |SELECT id AS item, r AS rank_micro FROM r$iters""".stripMargin
+  }
 
   private val clickViewSql =
     """SELECT user_id % 5 AS scene, user_id, value AS score,
@@ -600,5 +650,8 @@ object RankQueries {
         |SELECT user_id, session_idx, MIN(tsm) AS session_start_ms,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  MAX(tsm) - MIN(tsm) AS duration_ms
-        |FROM sx GROUP BY 1, 2""".stripMargin)
+        |FROM sx GROUP BY 1, 2""".stripMargin,
+    // q138: the integer fixed point reproduced round-for-round; // is
+    // floor division == Spark's `div` on the non-negative ranks
+    "q138_pagerank" -> pageRankOracleSql(3))
 }

@@ -393,6 +393,25 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("integer PageRank equals the hand-computed fixed point and is " +
+    "bit-identical under any partitioning") {
+    // A→B, B→A, A→C; C dangles (receives, never redistributes)
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    // round-by-round integer arithmetic, worked by hand:
+    // r1 = (1e12, 575e9, 575e9); r2 = (638.75e9, 575e9, 575e9);
+    // r3 = (638.75e9, 421.46875e9, 421.46875e9)
+    val expected = Map(1L -> 638750000000L,
+      2L -> 421468750000L, 3L -> 421468750000L)
+    val got = graft.ops.Graph.pageRank(verts, edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got $got")
+    val scrambled = graft.ops.Graph.pageRank(
+        verts.repartition(7), edges.repartition(5, col("dst")), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(scrambled == expected, "partitioning must not change one bit")
+  }
+
   test("novelty score: first contributor owns shared grams, later docs " +
     "score the fresh remainder, short docs emit nothing") {
     val fix = Seq(
