@@ -50,7 +50,12 @@ object DumpPlans {
     "q114_vocab_coverage" -> "top-K vocabulary as TakeOrderedAndProject over the term counts, broadcast back onto the explode — the occurrence table never shuffles for the join",
     "q116_stratified_split" -> "range-partitioned grouped rank: __pid-partitioned windows, per-(partition,stratum) offsets and stratum sizes broadcast — no per-stratum single task",
     "q118_bpe_packing" -> "map-side segmentation feeding the two-phase prefix sum — the running total never funnels to one task",
-    "q120_source_health" -> "four per-doc flag relations joined on the id key (vocab broadcast, dup via aggregate-join), one |sources|-key aggregate — the dashboard costs one pass")
+    "q120_source_health" -> "four per-doc flag relations joined on the id key (vocab broadcast, dup via aggregate-join), one |sources|-key aggregate — the dashboard costs one pass",
+    "q131_small_qty_revenue" -> "correlated avg subquery decorrelated to an agg join; both decorrelation sides shuffle on the same key; part filter broadcast",
+    "q134_idle_rich_customers" -> "1-row balance aggregate broadcast, recency predicate pushed into the orders scan, hash LeftAnti",
+    "q136_zorder_key" -> "Morton interleave as pure integer row expressions — the scan is the plan",
+    "q137_session_detail" -> "ONE user-key exchange serves the lag window, the running-sum window, and the (user, session) aggregate",
+    "q138_pagerank" -> "per-round edge-vs-ranks key join + map-side dst sum + vertex left join; lineage truncated per round (checkpoint leaves in the plan)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
