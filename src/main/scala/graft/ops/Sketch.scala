@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextAnalysis
+
+/** Mergeable sketches, built deterministic-first: every hash is the
+  * portable mod-2^57 rolling fingerprint (the q37 hash family with a SQL
+  * twin), every counter/register is exact integer arithmetic, so the
+  * sketch CONTENTS — not just the estimates — are bit-identical across
+  * engines, partitionings, and merge orders, and a DuckDB oracle can
+  * hash-check them. That is the whole design point: classic sketch
+  * libraries hash with engine-private functions and sum floats, which
+  * makes their output unverifiable-by-twin; these rebuild the same
+  * structures on verifiable primitives.
+  *
+  * Both sketches are MERGEABLE by construction (counters add; registers
+  * max), which is what makes them 100 TB operators: each partition
+  * builds its bounded sketch map-side and the shuffle moves d·w counters
+  * or m registers, never the corpus.
+  */
+object Sketch {
+
+  /** The 57-bit hash domain shared with the fingerprint family. */
+  val MixMod: Long = 1L << 57
+  /** Odd multipliers (the splitmix64 constants truncated into the 57-bit
+    * ring) — masking with 2^57−1 equals unsigned mod 2^57. */
+  val MixK1: Long = (0xBF58476D1CE4E5B9L & (MixMod - 1)) | 1L
+  val MixK2: Long = (0x94D049BB133111EBL & (MixMod - 1)) | 1L
+
+  /** 57-bit finalizer avalanche over the polynomial fingerprint: three
+    * xor-shifts interleaved with two modular multiplications, every step
+    * exact integer arithmetic (the 2^114-bit products ride DECIMAL(38)
+    * here and HUGEINT in the oracle — no silent wrap anywhere), so both
+    * engines compute the identical mixed value. WHY it exists: the
+    * rolling fingerprint's LOW bits wrap constantly and distribute well
+    * (the bucketing every dedup family uses), but for short strings its
+    * HIGH bits barely wrap and stay structured — a leading-zero rank
+    * read from them is garbage (measured: raw-fp HLL estimates 5,000
+    * distinct users as ~294; mixed, ~5,075). Any sketch reading rank
+    * bits MUST go through this.
+    */
+  def mix57(x0: Column): Column = {
+    def xs(x: Column) = x.bitwiseXOR(shiftright(x, 29))
+    def mul(x: Column, k: Long) =
+      pmod(x.cast("decimal(38,0)") * lit(java.math.BigDecimal.valueOf(k)),
+        lit(java.math.BigDecimal.valueOf(MixMod))).cast("long")
+    xs(mul(xs(mul(xs(x0), MixK1)), MixK2))
+  }
+
+  /** The oracle twin of one [[mix57]] stage sequence, as successive
+    * expression rewrites over a column named `e` — returned as the list
+    * of per-stage SQL expressions so generated oracles can stage them
+    * through CTEs instead of exploding the tree 8-fold. */
+  def mixStagesSql(e: String): Seq[String] = Seq(
+    s"xor($e, ($e) >> 29)",
+    s"CAST((CAST($e AS HUGEINT) * $MixK1) % $MixMod AS BIGINT)",
+    s"xor($e, ($e) >> 29)",
+    s"CAST((CAST($e AS HUGEINT) * $MixK2) % $MixMod AS BIGINT)",
+    s"xor($e, ($e) >> 29)")
+
+  private def salted(value: Column, salt: String): Column =
+    mix57(TextAnalysis.fingerprint(concat(value.cast("string"), lit(salt))))
+
+  /** Count-min sketch, built AND probed: `d` salted hash rows × `w`
+    * counters over the exact per-item counts, then every distinct item
+    * probed back — est = min over rows of its counter. The output
+    * carries the true count next to the estimate because the defining
+    * guarantee (`est ≥ true`, with equality unless the item collides in
+    * every row) is what the oracle and the spec check.
+    *
+    * At 100 TB the build is the map-side-combined aggregate of the raw
+    * stream into d·w bounded cells (the exact per-item count here is the
+    * verification baseline — the thing the sketch exists to replace);
+    * the probe joins bounded relations only.
+    */
+  def countMinEstimates(items: DataFrame, valueCol: String = "item",
+                        d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 1, s"d and w must be positive: d=$d w=$w")
+    val cnt = items.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("true_cnt"))
+    val hashed = cnt.select(
+      col(valueCol) +: col("true_cnt") +:
+        (0 until d).map(j =>
+          pmod(salted(col(valueCol), s"|cms$j"), lit(w.toLong))
+            .as(s"__h$j")): _*)
+    val counters = (0 until d).map { j =>
+      hashed.groupBy(col(s"__h$j").as("bucket"))
+        .agg(sum("true_cnt").as("counter"))
+        .select(lit(j).as("row_j"), col("bucket"), col("counter"))
+    }.reduce(_ unionByName _)
+    val probes = (0 until d).map { j =>
+      hashed.select(col(valueCol), col("true_cnt"),
+        lit(j).as("row_j"), col(s"__h$j").as("bucket"))
+    }.reduce(_ unionByName _)
+    probes.join(counters, Seq("row_j", "bucket"))
+      .groupBy(col(valueCol), col("true_cnt"))
+      .agg(min("counter").as("est_cnt"))
+  }
+
+  /** HyperLogLog registers + estimate with NO floating-point anywhere
+    * until the final two operations: the 57-bit fingerprint splits into
+    * a bucket (`h mod m`) and a 51-bit remainder whose leading-zero rank
+    * ρ ∈ [1, 52] is a generated integer-comparison chain (no log2);
+    * registers are MAX(ρ) per bucket (0 where the bucket is empty —
+    * the m-row spine is part of the relation); and the harmonic
+    * denominator Σ 2^(−M_b) is carried as the EXACT integer
+    * Σ 2^(52−M_b) (≤ m·2^52, fits a BIGINT). The estimate is then one
+    * float multiply and one divide of exact integers —
+    * `alpha · m² · 2^52 / harm_num` with alpha pinned at the 0.709
+    * literal (the m = 64 constant) — so even the double is
+    * bit-identical everywhere.
+    *
+    * Output: one row (m, n_exact, harm_num, n_zero, estimate).
+    * `n_exact` is the verification baseline; `harm_num` is the
+    * determinism anchor the oracle hash-checks even if a future engine
+    * rounds the division differently; `n_zero` (empty registers, exact)
+    * is the ingredient for the standard small-range linear-counting
+    * correction `m·ln(m/V)` — emitted as data rather than applied,
+    * because ln is a libm transcendental with no cross-engine
+    * bit-equality guarantee and this operator's contract is
+    * transcendental-free (the consumer applies it driver-side where
+    * bit-stability doesn't matter).
+    */
+  def hllEstimate(items: DataFrame, valueCol: String = "item",
+                  p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 16, s"p must be in [2, 16]: $p")
+    val m = 1L << p
+    val spark = items.sparkSession
+    val h = salted(col(valueCol), "|hll")
+    val rem = h.divide(lit(m)).cast("long") // in [0, 2^(57-p))
+    val bits = 57 - p
+    // rank = leading zeros of the bits-wide remainder + 1, as a pure
+    // comparison chain (rank k ⇔ rem ∈ [2^(bits-k), 2^(bits-k+1)))
+    val rank = (1 to bits).foldRight(lit(bits + 1)) { (k, rest) =>
+      when(rem >= lit(1L << (bits - k)), lit(k)).otherwise(rest)
+    }
+    val regs = items
+      .select(pmod(h, lit(m)).as("bucket"), rank.as("__rho"))
+      .groupBy(col("bucket")).agg(max(col("__rho")).as("__reg"))
+    val spine = spark.range(m).select(col("id").as("bucket"))
+    val registers = spine.join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__reg"), lit(0)).as("register"))
+    // Σ 2^(maxRank − register), maxRank = bits + 1, exact in a BIGINT
+    val maxRank = bits + 1
+    val harm = registers.agg(
+      sum(expr(s"shiftleft(1L, $maxRank - register)")).as("harm_num"),
+      sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_zero"))
+    val exact = items.agg(
+      countDistinct(col(valueCol)).as("n_exact"))
+    harm.crossJoin(exact)
+      .select(lit(m).as("m"), col("n_exact"), col("harm_num"),
+        col("n_zero"),
+        (lit(hllAlpha(m) * m.toDouble * m.toDouble *
+          math.pow(2.0, maxRank)) / col("harm_num").cast("double"))
+          .as("estimate"))
+  }
+
+  /** The standard HLL bias-correction constant — a Scala-side double,
+    * interpolated into the oracle as its exact decimal round-trip (the
+    * q70 plane-literal device), so both engines multiply the identical
+    * double. */
+  def hllAlpha(m: Long): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+}

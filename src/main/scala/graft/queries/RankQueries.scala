@@ -304,6 +304,29 @@ object RankQueries {
       .select(col("id").as("item"), col("rank_micro"))
   }
 
+  /** Count-min sketch over the view-event item stream (q139) — built
+    * AND probed: 4 portable-fingerprint hash rows × 64 counters, every
+    * distinct item probed back with est = min over rows. The output
+    * carries (true_cnt, est_cnt) so the defining `est ≥ true` guarantee
+    * is itself what the oracle hash-checks — possible only because the
+    * hashes are the mod-2^57 fingerprint with a SQL twin and every
+    * counter is an exact integer ([[graft.ops.Sketch]]'s design point).
+    */
+  def countMinItems(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.countMinEstimates(
+      Tables.events(s, dir).filter(col("event_type") === "view")
+        .select(get_json_object(col("props"), "$.k").cast("long")
+          .as("item"))
+        .filter(col("item").isNotNull))
+
+  /** HyperLogLog UV estimate over event users (q140) — registers, exact
+    * integer harmonic numerator, and the one-float-operation estimate,
+    * all bit-identical across engines (the T13 streaming HLL's
+    * oracle-checkable batch twin). */
+  def hllUv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.hllEstimate(
+      Tables.events(s, dir).select(col("user_id").as("item")))
+
   /** RFM segmentation inputs per user — recency (days since last
     * purchase, integer epoch-day arithmetic against the corpus max),
     * frequency (purchase count), monetary (value sum through the
@@ -369,7 +392,9 @@ object RankQueries {
     "q125_event_transitions" -> eventTransitions,
     "q126_rfm" -> rfm,
     "q137_session_detail" -> ((s, d) => sessionDetail(s, d)),
-    "q138_pagerank" -> itemPageRank)
+    "q138_pagerank" -> itemPageRank,
+    "q139_countmin" -> countMinItems,
+    "q140_hll_uv" -> hllUv)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -416,6 +441,90 @@ object RankQueries {
       |FROM pairs p
       |JOIN counts ca ON p.a = ca.item
       |JOIN counts cb ON p.b = cb.item""".stripMargin
+
+  /** q139 oracle: the same d×w sketch in SQL — hashes via the shared
+    * fingerprint twin plus the staged mix57 avalanche, counters exact
+    * integers. The mix stages rewrite all d hash columns through one
+    * CTE per stage (no 8-fold tree duplication). */
+  private def countMinOracleSql(d: Int, w: Int): String = {
+    def fp(j: Int) = LlmQueries.fpSql(s"CAST(item AS VARCHAR) || '|cms$j'")
+    val raw = (0 until d)
+      .map(j => s"${fp(j)} AS x$j").mkString(",\n    ")
+    val mixCtes = graft.ops.Sketch.mixStagesSql("__E__").zipWithIndex
+      .map { case (stage, i) =>
+        val cols = (0 until d)
+          .map(j => s"${stage.replace("__E__", s"x$j")} AS x$j")
+          .mkString(",\n    ")
+        val src = if (i == 0) "mx0" else s"mx$i"
+        s"""mx${i + 1} AS (SELECT item, true_cnt,
+          |    $cols
+          |  FROM $src)""".stripMargin
+      }.mkString(",\n")
+    val nStages = graft.ops.Sketch.mixStagesSql("x").length
+    val buckets = (0 until d)
+      .map(j => s"x$j % $w AS h$j").mkString(", ")
+    val counters = (0 until d).map(j =>
+      s"SELECT $j AS row_j, h$j AS bucket, " +
+        s"CAST(SUM(true_cnt) AS BIGINT) AS counter FROM h GROUP BY 2")
+      .mkString("\n  UNION ALL\n  ")
+    val probes = (0 until d).map(j =>
+      s"SELECT item, true_cnt, $j AS row_j, h$j AS bucket FROM h")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH it AS (SELECT $item AS item FROM events
+      |            WHERE event_type = 'view'),
+      |cnt AS (SELECT item, COUNT(*) AS true_cnt FROM it GROUP BY 1),
+      |mx0 AS (SELECT item, true_cnt,
+      |    $raw
+      |  FROM cnt),
+      |$mixCtes,
+      |h AS (SELECT item, true_cnt, $buckets FROM mx$nStages),
+      |counters AS (
+      |  $counters),
+      |probes AS (
+      |  $probes)
+      |SELECT item, true_cnt, CAST(MIN(counter) AS BIGINT) AS est_cnt
+      |FROM probes JOIN counters USING (row_j, bucket)
+      |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q140 oracle: registers via the same integer-comparison rank chain,
+    * the exact-integer harmonic numerator, and the one folded float
+    * constant interpolated as its exact decimal round-trip. */
+  private def hllOracleSql(p: Int): String = {
+    val m = 1L << p
+    val bits = 57 - p
+    val maxRank = bits + 1
+    val cases = (1 to bits)
+      .map(k => s"WHEN rem >= ${1L << (bits - k)} THEN $k")
+      .mkString("\n           ")
+    val c = graft.ops.Sketch.hllAlpha(m) * m.toDouble * m.toDouble *
+      math.pow(2.0, maxRank)
+    val mixCtes = graft.ops.Sketch.mixStagesSql("h").zipWithIndex
+      .map { case (stage, i) =>
+        s"mh${i + 1} AS (SELECT $stage AS h FROM ${if (i == 0) "hh" else s"mh$i"})"
+      }.mkString(",\n|")
+    val nStages = graft.ops.Sketch.mixStagesSql("h").length
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+      |hh AS (SELECT ${LlmQueries.fpSql("CAST(user_id AS VARCHAR) || '|hll'")}
+      |         AS h FROM u),
+      |$mixCtes,
+      |b AS (SELECT h % $m AS bucket, h // $m AS rem FROM mh$nStages),
+      |r AS (SELECT bucket,
+      |         CASE $cases
+      |           ELSE $maxRank END AS rho FROM b),
+      |regs AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY 1),
+      |spine AS (SELECT i AS bucket FROM range(0, $m) t(i)),
+      |reg2 AS (SELECT spine.bucket, COALESCE(reg, 0) AS register
+      |         FROM spine LEFT JOIN regs USING (bucket)),
+      |harm AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << ($maxRank - register))
+      |           AS BIGINT) AS harm_num,
+      |         CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_zero FROM reg2),
+      |ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+      |SELECT CAST($m AS BIGINT) AS m, n_exact, harm_num, n_zero,
+      |  ${c.toString} / CAST(harm_num AS DOUBLE) AS estimate
+      |FROM harm, ex""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q45_auc_by_channel" ->
@@ -653,5 +762,7 @@ object RankQueries {
         |FROM sx GROUP BY 1, 2""".stripMargin,
     // q138: the integer fixed point reproduced round-for-round; // is
     // floor division == Spark's `div` on the non-negative ranks
-    "q138_pagerank" -> pageRankOracleSql(3))
+    "q138_pagerank" -> pageRankOracleSql(3),
+    "q139_countmin" -> countMinOracleSql(4, 64),
+    "q140_hll_uv" -> hllOracleSql(6))
 }

@@ -412,6 +412,43 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == expected, "partitioning must not change one bit")
   }
 
+  test("count-min sketch: estimates never undercount, collide upward " +
+    "when the grid is tight, and are exact when it is loose") {
+    val items = (1 to 400).map(i => (i % 37).toString).toDF("item")
+    // tight grid (w = 4): collisions guaranteed -> some overestimates,
+    // but NEVER an undercount (the defining guarantee)
+    val tight = graft.ops.Sketch.countMinEstimates(items, d = 2, w = 4)
+      .as[(String, Long, Long)].collect()
+    assert(tight.forall { case (_, t, e) => e >= t },
+      s"CMS must never undercount: ${tight.filter(r => r._3 < r._2).toSeq}")
+    assert(tight.exists { case (_, t, e) => e > t },
+      "a 37-item stream through 4 counters must collide somewhere")
+    // loose grid: no row collides -> every estimate exact
+    val loose = graft.ops.Sketch.countMinEstimates(items, d = 4, w = 4096)
+      .as[(String, Long, Long)].collect()
+    assert(loose.forall { case (_, t, e) => e == t },
+      s"loose grid must be exact: ${loose.filter(r => r._3 != r._2).toSeq}")
+    // true counts are the ground truth
+    assert(loose.map(r => r._1 -> r._2).toMap ==
+      (0 until 37).map(k => k.toString ->
+        (1 to 400).count(_ % 37 == k).toLong).toMap)
+  }
+
+  test("HLL: estimate lands within the m=64 error envelope, duplicates " +
+    "change nothing, and the register relation is duplicate-insensitive") {
+    val base = (1 to 5000).map(i => s"user$i").toDF("item")
+    val one = graft.ops.Sketch.hllEstimate(base)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(one._1 == 64 && one._2 == 5000)
+    // standard error 1.04/sqrt(64) = 13%; allow 4 sigma
+    assert(math.abs(one._5 - 5000) / 5000.0 < 0.52,
+      s"estimate ${one._5} implausibly far from 5000")
+    // inserting every element again changes NOTHING (registers are max)
+    val dup = graft.ops.Sketch.hllEstimate(base.union(base))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(dup == one, "HLL must be duplicate-insensitive")
+  }
+
   test("novelty score: first contributor owns shared grams, later docs " +
     "score the fresh remainder, short docs emit nothing") {
     val fix = Seq(
