@@ -199,6 +199,62 @@ object StreamingJourney {
     out.iterator
   }
 
+  case class SessionBuf(buf: Seq[(Long, Long)], startMs: Long,
+                        lastMs: Long, n: Long, frontier: Long)
+  case class ClosedSession(user_id: Long, session_start_ms: Long,
+                           n_events: Long, duration_ms: Long)
+
+  /** Streaming gap sessionization — the q137 relation maintained at
+    * ingest: per user the open session rides state, a ≥`gapMs`
+    * event-time gap closes it (emitted exactly once), and the
+    * watermark-buffered flush makes the boundaries exact under
+    * disorder — a session can only close once the watermark proves no
+    * earlier event can still arrive inside it. Emits CLOSED sessions;
+    * the open tail per user stays in state by definition (it could
+    * still grow), so on a replayed prefix the emissions equal the batch
+    * q137 relation minus each user's final session (StreamingSpec pins
+    * exactly that equality).
+    */
+  def sessionsBufFn(gapMs: Long)(
+      userId: Long, rows: Iterator[(Long, Long, Long)],
+      state: GroupState[SessionBuf]): Iterator[ClosedSession] = {
+    // everything in event-time MILLIS — the q137 batch twin's unit
+    val st = state.getOption.getOrElse(
+      SessionBuf(Nil, -1L, -1L, 0L, Long.MinValue))
+    val wm = state.getCurrentWatermarkMs()
+    val fresh = rows.map(r => (r._2, r._3)).filter(_._1 > st.frontier).toList
+    val (flush, keep) = (st.buf ++ fresh).partition(_._1 <= wm)
+    var (start, last, n) = (st.startMs, st.lastMs, st.n)
+    val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+    flush.sortBy(identity).foreach { case (ts, _) =>
+      if (n == 0L) { start = ts; last = ts; n = 1L }
+      else if (ts - last >= gapMs) {
+        out += ClosedSession(userId, start, n, last - start)
+        start = ts; last = ts; n = 1L
+      } else { last = ts; n += 1L }
+    }
+    state.update(SessionBuf(keep, start, last, n, wm))
+    if (keep.nonEmpty)
+      state.setTimeoutTimestamp(keep.map(_._1).min + 1)
+    out.iterator
+  }
+
+  /** Wire the streaming sessionizer; `delay` is the disorder watermark,
+    * `gapMinutes` the session gap (q137's 30-minute default). */
+  def sessions(events: DataFrame, delay: String, gapMinutes: Int = 30)
+              (implicit s: SparkSession): Dataset[ClosedSession] = {
+    import s.implicits._
+    val fn = sessionsBufFn(gapMinutes * 60000L) _
+    events.withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), unix_millis(col("ts")),
+        col("event_id").cast("long"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k, rows, st) => fn(k, rows.map(r => (r._1, r._2, r._3)), st))
+  }
+
   /** Order-robust [[funnel]]. */
   def funnelBuffered(events: DataFrame, delay: String,
                      steps: Seq[String] =

@@ -1034,6 +1034,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sessionizer: closed sessions under cross-batch " +
+    "disorder equal the batch q137 relation minus each user's open tail") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (batches, delay, tFar) = disorderedEventBatches()
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val stream = graft.streaming.StreamingJourney.sessions(
+      mem.toDF().toDF("user_id", "event_type", "tsu", "event_id")
+        .withColumn("ts", expr("timestamp_micros(tsu)")), delay)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      mem.addData(Seq((-1L, "zz", tFar, -1L))); q.processAllAvailable()
+      mem.addData(Seq((-2L, "zz", tFar + 1000000L, -2L)))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // batch twin: every session except each user's LAST (still open on
+      // the stream — it could grow; the sentinels' own 1-event sessions
+      // are open tails too, so they emit nothing)
+      val expected = graft.queries.RankQueries.sessionDetail(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+          val open = ss.map(_._2).max
+          ss.filter(_._2 != open).toSeq
+        }.map(r => (r._1, r._3, r._4, r._5)).toSet
+      assert(expected.nonEmpty, "fixture must close sessions")
+      assert(closed == expected,
+        s"missing ${(expected -- closed).take(3)}, " +
+          s"extra ${(closed -- expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("blocklist-density filter is a pure stateless projection: runs " +
     "unchanged on a stream, union of micro-batches == batch twin") {
     val docs = graft.core.Tables.documents(spark, sfDir)
