@@ -356,7 +356,11 @@ object Scale {
     * at write time and composes with `repartitionByRange(zkey)` +
     * per-file sort for the actual 100 TB layout write. Inputs are clamped
     * to the `bits`-bit range (a value past the grid lands in the last
-    * cell, never corrupts the interleave).
+    * cell, never corrupts the interleave). Bit extraction is
+    * `shiftright` + modulo — genuinely integer end to end, exact on the
+    * full long domain rather than only on the clamped one (Column.divide
+    * is double division in Spark; it was exact here only because the
+    * clamp kept inputs under 2^53).
     */
   def zOrderKey(x: Column, y: Column, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
@@ -364,9 +368,8 @@ object Scale {
     val cx = least(greatest(x.cast("long"), lit(0L)), lit(max))
     val cy = least(greatest(y.cast("long"), lit(0L)), lit(max))
     (0 until bits).map { b =>
-      val p = lit(1L << b)
-      (cx.divide(p).cast("long") % 2L) * lit(1L << (2 * b)) +
-        (cy.divide(p).cast("long") % 2L) * lit(1L << (2 * b + 1))
+      (shiftright(cx, b) % 2L) * lit(1L << (2 * b)) +
+        (shiftright(cy, b) % 2L) * lit(1L << (2 * b + 1))
     }.reduce(_ + _)
   }
 }

@@ -129,7 +129,10 @@ object Sketch {
     val m = 1L << p
     val spark = items.sparkSession
     val h = salted(col(valueCol), "|hll")
-    val rem = h.divide(lit(m)).cast("long") // in [0, 2^(57-p))
+    // h is non-negative and m = 2^p, so the bucket-stripping division is
+    // an exact right shift — Column.divide would route through doubles,
+    // and h spans [0, 2^57), past the 53-bit exact-double range.
+    val rem = shiftright(h, p) // in [0, 2^(57-p))
     val bits = 57 - p
     // rank = leading zeros of the bits-wide remainder + 1, as a pure
     // comparison chain (rank k ⇔ rem ∈ [2^(bits-k), 2^(bits-k+1)))

@@ -412,6 +412,57 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == expected, "partitioning must not change one bit")
   }
 
+  test("PageRank redistributeDangling conserves total mass up to integer " +
+    "truncation and stays bit-identical under partitioning") {
+    // A→B, B→A, A→C; C dangles. With redistribution, C's damped mass is
+    // split over all 3 vertices each round.
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val unit = 1000000000000L
+    val iters = 4
+    val got = graft.ops.Graph.pageRank(verts, edges, iters = iters,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    val total = got.values.sum
+    // exact conservation would be 3·unit; each round loses at most one
+    // truncated micro-unit per contribution edge (3) plus one per vertex
+    // for the dangling share (3)
+    val full = 3L * unit
+    assert(total <= full, s"mass must never grow: $total > $full")
+    assert(full - total <= iters.toLong * 6L,
+      s"mass loss ${full - total} exceeds the truncation bound")
+    // the default (no redistribution) strictly loses more mass here
+    val decayed = graft.ops.Graph.pageRank(verts, edges, iters = iters)
+      .as[(Long, Long)].collect().toMap.values.sum
+    assert(decayed < total, "redistribution must retain more mass")
+    // still engine-exact: partitioning changes nothing
+    val scrambled = graft.ops.Graph.pageRank(
+        verts.repartition(7), edges.repartition(5, col("dst")),
+        iters = iters, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(scrambled == got, "partitioning must not change one bit")
+  }
+
+  test("PageRank auto-scales an overflowing unit down to a safe power of " +
+    "ten instead of silently wrapping") {
+    val verts = (1L to 200L).toDF("id")
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    // 200 vertices at unit = Long.Max/100 would wrap r·85 immediately
+    val reckless = Long.MaxValue / 100L
+    val got = graft.ops.Graph.pageRank(verts, edges, iters = 2,
+        unit = reckless)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 > 0L), "no rank may wrap negative")
+    val maxSafe = Long.MaxValue / 85L / 200L
+    var expectUnit = 1L
+    while (expectUnit * 10L <= maxSafe) expectUnit *= 10L
+    // round 0 seeds every vertex with the effective unit; vertex 1 has no
+    // in-edges so its final rank is exactly 0.15·unit (+0 contributions)
+    val v1 = got.find(_._1 == 1L).get._2
+    assert(v1 == expectUnit * 15L / 100L,
+      s"vertex 1 rank $v1 betrays a unit other than $expectUnit")
+  }
+
   test("count-min sketch: estimates never undercount, collide upward " +
     "when the grid is tight, and are exact when it is loose") {
     val items = (1 to 400).map(i => (i % 37).toString).toDF("item")
