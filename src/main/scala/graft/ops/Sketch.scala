@@ -125,6 +125,22 @@ object Sketch {
     */
   def hllEstimate(items: DataFrame, valueCol: String = "item",
                   p: Int = 6): DataFrame = {
+    val exact = items.agg(
+      countDistinct(col(valueCol)).as("n_exact"))
+    estimateFromRegisters(hllRegisters(items, valueCol, p), p)
+      .crossJoin(exact)
+      .select(col("m"), col("n_exact"), col("harm_num"), col("n_zero"),
+        col("estimate"))
+  }
+
+  /** The full m-row HLL register relation for one batch of items:
+    * (bucket ∈ [0, m), register = max rank, 0 where the bucket is empty —
+    * the spine is part of the relation so two register relations merge by
+    * a plain bucket-key MAX with no outer-join fiddling). This is the
+    * mergeable unit [[writeHllStore]] persists per epoch.
+    */
+  def hllRegisters(items: DataFrame, valueCol: String = "item",
+                   p: Int = 6): DataFrame = {
     require(p >= 2 && p <= 16, s"p must be in [2, 16]: $p")
     val m = 1L << p
     val spark = items.sparkSession
@@ -143,21 +159,112 @@ object Sketch {
       .select(pmod(h, lit(m)).as("bucket"), rank.as("__rho"))
       .groupBy(col("bucket")).agg(max(col("__rho")).as("__reg"))
     val spine = spark.range(m).select(col("id").as("bucket"))
-    val registers = spine.join(regs, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("__reg"), lit(0)).as("register"))
+    spine.join(regs, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__reg"), lit(0)).cast("int").as("register"))
+  }
+
+  /** One-row (m, harm_num, n_zero, estimate) from an m-row register
+    * relation — the estimator stage shared by the one-shot
+    * [[hllEstimate]] and the store-merged [[mergedHllEstimate]]. */
+  def estimateFromRegisters(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
     // Σ 2^(maxRank − register), maxRank = bits + 1, exact in a BIGINT
-    val maxRank = bits + 1
-    val harm = registers.agg(
-      sum(expr(s"shiftleft(1L, $maxRank - register)")).as("harm_num"),
-      sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_zero"))
-    val exact = items.agg(
-      countDistinct(col(valueCol)).as("n_exact"))
-    harm.crossJoin(exact)
-      .select(lit(m).as("m"), col("n_exact"), col("harm_num"),
-        col("n_zero"),
+    val maxRank = 57 - p + 1
+    registers.agg(
+        sum(expr(s"shiftleft(1L, $maxRank - register)")).as("harm_num"),
+        sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(lit(m).as("m"), col("harm_num"), col("n_zero"),
         (lit(hllAlpha(m) * m.toDouble * m.toDouble *
           math.pow(2.0, maxRank)) / col("harm_num").cast("double"))
           .as("estimate"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persistent register store: the incremental-UV layer. The reference
+  // kept a per-day user SET in HBase and counted it per dashboard refresh
+  // (flink-statistics ActionLogJobSecond.java:359-376) — exact but
+  // corpus-sized state. Here each epoch (a day, a batch) persists its m
+  // bounded registers; any span of epochs merges with a bucket-key MAX
+  // (registers are max-mergeable by construction) into one estimate —
+  // state is m rows per epoch regardless of corpus size, and the merged
+  // result is bit-identical to recomputing over the union of the epochs'
+  // items, which is what the parity test pins.
+  // ---------------------------------------------------------------------
+
+  private def layoutFile(spark: org.apache.spark.sql.SparkSession,
+                         path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_layout")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Create/replace an HLL register store at `path` with one epoch.
+    * Layout: (epoch, bucket, register) parquet rows — the full m-row
+    * spine per epoch — plus a layout record pinning `p` (the precision
+    * defines both the bucket split and the rank width; epochs sketched at
+    * different p cannot be merged and the mismatch is not recoverable
+    * from the rows). Epoch ids are caller-assigned (a date, a batch id);
+    * re-appending an epoch id is harmless for the ESTIMATE (max of a max)
+    * but duplicates rows — the single-writer contract from the signature
+    * store applies.
+    */
+  def writeHllStore(items: DataFrame, path: String, epoch: Long,
+                    valueCol: String = "item", p: Int = 6): Unit = {
+    val spark = items.sparkSession
+    hllRegisters(items, valueCol, p)
+      .select(lit(epoch).as("epoch"), col("bucket"), col("register"))
+      .write.mode("overwrite").parquet(path)
+    val (fs, lp) = layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"p=$p\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Append one epoch's registers to an existing store. Fails loud when
+    * the store has no layout record or was written at a different
+    * precision — mixed-p registers silently estimate garbage. */
+  def appendHllStore(items: DataFrame, path: String, epoch: Long,
+                     valueCol: String = "item", p: Int = 6): Unit = {
+    val spark = items.sparkSession
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp),
+      s"HLL store at $path has no layout record — only stores written by " +
+        "writeHllStore are appendable (p cannot be recovered from rows)")
+    val recorded = {
+      val in = fs.open(lp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    require(recorded == s"p=$p",
+      s"HLL store at $path was written with ($recorded), append requested " +
+        s"(p=$p) — rebuild the store, mixed precisions cannot merge")
+    hllRegisters(items, valueCol, p)
+      .select(lit(epoch).as("epoch"), col("bucket"), col("register"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Merge a store's epochs (all, or the ones `epochFilter` keeps — e.g.
+    * a date range for a "UV over the last 7 days" ask) into one
+    * (m, harm_num, n_zero, estimate) row: MAX register per bucket across
+    * epochs, then the shared estimator. The merge reads m rows per epoch
+    * and shuffles m buckets — never anything corpus-sized. */
+  def mergedHllEstimate(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        epochFilter: Column = lit(true)): DataFrame = {
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp), s"HLL store at $path has no layout record")
+    val recorded = {
+      val in = fs.open(lp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    val p = recorded.stripPrefix("p=").toInt
+    val merged = spark.read.parquet(path)
+      .filter(epochFilter)
+      .groupBy(col("bucket")).agg(max(col("register")).as("register"))
+    estimateFromRegisters(merged, p)
   }
 
   /** The standard HLL bias-correction constant — a Scala-side double,

@@ -500,6 +500,44 @@ class OperatorSpec extends SparkSpecBase {
     assert(dup == one, "HLL must be duplicate-insensitive")
   }
 
+  test("HLL register store: merged epochs are bit-identical to a " +
+    "recompute over the union, and mixed precision fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll")
+      .toString + "/store"
+    // three disjoint-ish epochs with overlap (users 1..3000, 2000..6000,
+    // 5500..7000) — overlap is where max-merge vs sum-merge differ
+    val e1 = (1 to 3000).map(i => s"user$i").toDF("item")
+    val e2 = (2000 to 6000).map(i => s"user$i").toDF("item")
+    val e3 = (5500 to 7000).map(i => s"user$i").toDF("item")
+    graft.ops.Sketch.writeHllStore(e1, dir, epoch = 1L)
+    graft.ops.Sketch.appendHllStore(e2, dir, epoch = 2L)
+    graft.ops.Sketch.appendHllStore(e3, dir, epoch = 3L)
+    val merged = graft.ops.Sketch.mergedHllEstimate(spark, dir)
+      .as[(Long, Long, Long, Double)].head()
+    val recomputed = graft.ops.Sketch
+      .hllEstimate(e1.union(e2).union(e3))
+      .as[(Long, Long, Long, Long, Double)].head()
+    // (m, harm_num, n_zero, estimate) must match the one-shot sketch of
+    // the union EXACTLY — registers are max-mergeable by construction
+    assert((merged._1, merged._2, merged._3, merged._4) ==
+      (recomputed._1, recomputed._3, recomputed._4, recomputed._5),
+      s"store-merge $merged != recompute $recomputed")
+    // an epoch-range merge equals the sketch of just those epochs
+    val lastTwo = graft.ops.Sketch.mergedHllEstimate(spark, dir,
+        col("epoch") >= 2L).as[(Long, Long, Long, Double)].head()
+    val lastTwoDirect = graft.ops.Sketch.hllEstimate(e2.union(e3))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert((lastTwo._2, lastTwo._4) == (lastTwoDirect._3, lastTwoDirect._5))
+    // precision drift must fail loud, not silently estimate garbage
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendHllStore(e1, dir, epoch = 4L, p = 8)
+    }
+    // appending to a path with no layout record must fail loud too
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendHllStore(e1, dir + "_nowhere", epoch = 1L)
+    }
+  }
+
   test("novelty score: first contributor owns shared grams, later docs " +
     "score the fresh remainder, short docs emit nothing") {
     val fix = Seq(
