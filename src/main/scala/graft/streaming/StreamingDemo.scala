@@ -163,6 +163,64 @@ object StreamingDemo {
       s"funnel monitor diverged from batch q124: $fGot vs $fWant")
     println(s"[demo] PASS funnel monitor == batch funnel " +
       s"(${fWant.values.sum} advances)")
+
+    // ---- gap sessionizer on a DISORDERED replay (q137 maintained at
+    // ingest): events near slice boundaries hop one slice (deterministic
+    // event_id jitter, hop ≤ step/4), the watermark delay covers the
+    // disorder (3·hop > 2·hop bound), and a far-future sentinel file
+    // flushes every buffer. Closed sessions must equal the batch q137
+    // relation minus each user's open tail EXACTLY — the sessionizer's
+    // whole contract is that arrival order inside the watermark cannot
+    // change a boundary ----
+    val hop = step / 4
+    val tsm = unix_millis(col("ts"))
+    val home = least(floor((tsm - lit(lo)) / lit(step)), lit(3L))
+    val jit = pmod(col("event_id").cast("long"), lit(7L))
+    val hopped = when(
+        tsm >= (lit(lo) + (home + 1) * lit(step) - lit(hop)) &&
+          jit === 0L && home < 3L, home + 1)
+      .when(tsm < (lit(lo) + home * lit(step) + lit(hop)) &&
+          jit === 1L && home > 0L, home - 1)
+      .otherwise(home)
+    val evS = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        hopped.as("__slice"), (hopped =!= home).as("__moved"))
+    val nMoved = evS.filter(col("__moved")).count()
+    require(nMoved > 0, "replay must contain real cross-batch disorder")
+    for (i <- 0 until 4)
+      evS.filter(col("__slice") === i)
+        .select("user_id", "ts", "event_id")
+        .repartition(1)
+        .write.mode("append").parquet(s"$work/in3")
+    val tFar = hi + 10 * step
+    Seq((-1L, new java.sql.Timestamp(tFar), -1L),
+        (-2L, new java.sql.Timestamp(tFar + 1000L), -2L))
+      .toDF("user_id", "ts", "event_id")
+      .repartition(1).write.mode("append").parquet(s"$work/in3")
+    val schema3 = spark.read.parquet(s"$work/in3").schema
+    val stream3 = spark.readStream.schema(schema3)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in3")
+    StreamingJourney.sessions(stream3, s"${3 * hop} milliseconds")
+      .writeStream
+      .outputMode("append").format("memory").queryName("demo_sessions")
+      .option("checkpointLocation", s"$work/ckptS")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val sGot = spark.table("demo_sessions")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch twin minus each user's open tail (the stream's last session
+    // could still grow; the sentinels' own 1-event sessions likewise)
+    val sWant = graft.queries.RankQueries.sessionDetail(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+        val open = ss.map(_._2).max
+        ss.filter(_._2 != open).toSeq
+      }.map(r => (r._1, r._3, r._4, r._5)).toSet
+    require(sWant.nonEmpty, "fixture must close sessions")
+    require(sGot == sWant,
+      s"sessionizer diverged from batch q137: missing " +
+        s"${(sWant -- sGot).take(3)}, extra ${(sGot -- sWant).take(3)}")
+    println(s"[demo] PASS gap sessionizer == batch q137 minus open tails " +
+      s"(${sWant.size} closed sessions, $nMoved events displaced)")
     spark.stop()
   }
 }
