@@ -195,6 +195,219 @@ object RelationalQueries {
           .cast("double").as("total_bal"))
   }
 
+  /** TPC-H Q2-shaped "cheapest supplier per part" — the min-per-group
+    * decorrelation silhouette: the correlated `price = (SELECT MIN ...)`
+    * subquery becomes two stacked aggregates (per-(part, supplier) min,
+    * then per-part min-of-mins) joined back on (key, min). The ONLY
+    * fact-sized shuffle is the first one, map-side-combined on the pair
+    * key; everything after (the min-of-mins re-aggregate and the
+    * join-back exchange on l_partkey) moves the bounded pair relation —
+    * at most one row per observed (part, supplier), orders of magnitude
+    * under the fact table. Part and supplier broadcast. MIN of raw
+    * stored doubles (no sum) is order-independent, so the double
+    * equality in the join-back is engine-exact; ties keep every
+    * achieving supplier (a set, not an arbitrary pick).
+    */
+  def cheapestSupplier(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("minp"))
+    val best = sp.groupBy(col("l_partkey").as("bk"))
+      .agg(min(col("minp")).as("best_price"))
+    sp.join(best, col("l_partkey") === col("bk") &&
+        col("minp") === col("best_price"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 5)
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("p_partkey", "p_brand", "s_suppkey", "s_name", "best_price")
+  }
+
+  /** TPC-H Q15-shaped "top supplier by revenue" — the global-max scalar
+    * silhouette: per-supplier DECIMAL revenue over a ship quarter, then
+    * the suppliers whose revenue EQUALS the 1-row max (broadcast; a
+    * scalar subquery is a broadcast nested-loop of a 1-row relation —
+    * never a sort). The equality is exact because both sides are the
+    * same DECIMAL aggregate; ties all surface.
+    */
+  def topSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dt = li.schema("l_shipdate").dataType
+    val rev = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(dt) &&
+        col("l_shipdate") < lit("1996-04-01").cast(dt))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
+        .as("r"))
+    val mx = rev.agg(max(col("r")).as("mr"))
+    rev.crossJoin(broadcast(mx)).filter(col("r") === col("mr"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("r").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q14-shaped "promo revenue share" — the conditional-aggregate
+    * ratio silhouette: one scan month, one broadcast part join, both
+    * branch sums in DECIMAL, and the percentage as a SINGLE double
+    * division of two exact values (the ratio device every CTR query here
+    * uses — a ratio of float sums would depend on reduction order).
+    */
+  def promoRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dt = li.schema("l_shipdate").dataType
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast(dt) &&
+        col("l_shipdate") < lit("1996-02-01").cast(dt))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(rev).cast("double")).as("promo_pct"))
+  }
+
+  /** TPC-H Q16-shaped "supplier counts per part class" — the anti-join +
+    * multi-key count-distinct silhouette: the observed (part, supplier)
+    * relation deduped FIRST (one shuffle on the pair key collapses the
+    * fact table to its distinct pairs before anything joins), negative-
+    * balance suppliers removed by a broadcast anti join, then
+    * count-distinct suppliers per (brand, type, size). The size filter
+    * prunes through the broadcast part join.
+    */
+  def supplierCountsByPart(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_size").isin(1, 14, 23, 45, 9, 19, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q19-shaped "bracketed disjunction revenue" — the disjunctive-
+    * predicate join silhouette: three (brand, size, quantity) brackets
+    * OR'd together over the lineitem-part equi join. The equi key still
+    * drives the join (the disjunction is a residual filter, not a
+    * cartesian); the part side broadcasts pre-filtered to the union of
+    * bracket brands, so the scan-side pruning survives the OR.
+    */
+  def bracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(5,4)") -
+            col("l_discount").cast("decimal(5,4)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21-shaped "sole-fault supplier" — the EXISTS + NOT EXISTS
+    * composition, rewritten the way a 100 TB plan wants it: instead of
+    * two correlated self-joins of the fact table (the literal form the
+    * oracle runs), ONE aggregate per order computes the distinct
+    * supplier count and the distinct RETURNED-supplier count, and the
+    * returned lines join that bounded per-order relation once —
+    * `n_supp > 1` IS the EXISTS (another supplier in the order) and
+    * `n_fault_supp = 1` IS the NOT EXISTS (no OTHER supplier returned:
+    * the returned line's own supplier is in the fault set, so sole
+    * membership means exactly it). Two shuffles on one key replace
+    * three. Provably equivalent; the DuckDB twin keeps the textbook
+    * correlated form precisely so the gate checks the rewrite.
+    */
+  def soleFaultSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_fault_supp"))
+    li.filter(col("l_returnflag") === "R")
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") > 1 && col("n_fault_supp") === 1)
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q11-shaped "important parts" — the group-share-vs-global
+    * silhouette: per-part DECIMAL value from the fact table, kept where
+    * `value > 4/3 × mean` — written division-free as
+    * `3·value·n_parts > 4·total` (all-exact DECIMAL/integer products;
+    * a mean with division would put a float on the comparison path).
+    * The (total, n) pair is a broadcast 1-row aggregate; the threshold
+    * is RELATIVE to the mean, so the predicate is scale-invariant —
+    * a fixed `value > total/K` floor silently empties or floods as the
+    * corpus grows. Values are re-bounded into DECIMAL(18,2) before the
+    * products so the multiply stays inside Spark's 38-digit exactness.
+    */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("val"))
+    val tot = v.agg(sum(col("val")).cast("decimal(18,2)").as("t"),
+      count(lit(1)).cast("decimal(10,0)").as("np"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val") * col("np") * lit(3) > col("t") * lit(4))
+      .select(col("l_partkey"), col("val").cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q7-shaped "volume shipping between two nations" — the
+    * two-sided dimension-mapping silhouette: the SAME nation table joins
+    * twice under different roles (supplier's vs customer's), the pair
+    * disjunction filters AFTER both mappings, and volume groups by
+    * (nation pair, ship year). Both nation joins and the supplier join
+    * broadcast; orders⋈lineitem is the only data shuffle. The year
+    * bucket is integer extraction, exact everywhere.
+    */
+  def nationVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter(
+        (col("supp_nation") === "NATION_18" &&
+          col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" &&
+          col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(5,4)") -
+            col("l_discount").cast("decimal(5,4)")))
+          .cast("double").as("volume"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** A3 count-distinct (the reference's double-groupBy UV pattern,
     * `OfflineJob.java:267-272,304-307`). */
   def countDistinctUv(s: SparkSession, dir: String): DataFrame =
@@ -423,6 +636,14 @@ object RelationalQueries {
     "q132_large_volume_customers" -> largeVolumeCustomers,
     "q133_order_count_distribution" -> orderCountDistribution,
     "q134_idle_rich_customers" -> idleRichCustomers,
+    "q141_cheapest_supplier" -> cheapestSupplier,
+    "q142_top_supplier" -> topSupplierRevenue,
+    "q143_promo_share" -> promoRevenueShare,
+    "q144_supplier_part_counts" -> supplierCountsByPart,
+    "q145_bracket_revenue" -> bracketRevenue,
+    "q146_sole_fault_supplier" -> soleFaultSuppliers,
+    "q147_important_parts" -> importantParts,
+    "q148_nation_volume" -> nationVolumeShipping,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -567,6 +788,116 @@ object RelationalQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    // q141: min-per-group decorrelation — MIN of raw stored doubles on
+    // both levels, so the (key, min) join-back equality is engine-exact
+    "q141_cheapest_supplier" ->
+      """WITH sp AS (SELECT l_partkey, l_suppkey,
+        |              MIN(l_extendedprice) AS minp
+        |            FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS bk, MIN(minp) AS best_price
+        |         FROM sp GROUP BY 1)
+        |SELECT p_partkey, p_brand, s_suppkey, s_name, best_price
+        |FROM sp
+        |JOIN best ON sp.l_partkey = bk AND sp.minp = best_price
+        |JOIN part ON p_partkey = sp.l_partkey
+        |JOIN supplier ON s_suppkey = sp.l_suppkey
+        |WHERE p_size <= 5""".stripMargin,
+    // q142: global-max scalar equality on the exact DECIMAL aggregate
+    "q142_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(5,4)) -
+        |         CAST(l_discount AS DECIMAL(5,4)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev
+        |JOIN (SELECT MAX(r) AS mr FROM rev) mx ON r = mr
+        |JOIN supplier ON s_suppkey = l_suppkey""".stripMargin,
+    // q143: conditional DECIMAL sums, ONE double division at the end
+    "q143_promo_share" ->
+      """SELECT CAST(100.0 AS DOUBLE) *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(5,4)) -
+        |          CAST(l_discount AS DECIMAL(5,4)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) -
+        |        CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
+    // q144: distinct pair relation first, anti join, multi-key
+    // count-distinct
+    "q144_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 14, 23, 45, 9, 19, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q145: bracketed disjunction as a residual over the equi join
+    "q145_bracket_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (CAST(1 AS DECIMAL(5,4)) -
+        |      CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    // q146: the oracle runs the TEXTBOOK correlated EXISTS/NOT-EXISTS;
+    // the Spark side runs the per-order aggregate rewrite — the gate
+    // checks the equivalence proof
+    "q146_sole_fault_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
+    // q147: division-free share-vs-mean, every product exact DECIMAL
+    "q147_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS val
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(val) AS DECIMAL(18,2)) AS t,
+        |          CAST(COUNT(*) AS DECIMAL(10,0)) AS np FROM v)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+        |FROM v JOIN tot ON val * np * 3 > t * 4""".stripMargin,
+    // q148: the nation table mapped twice under different roles; year
+    // bucket as BIGINT on both engines
+    "q148_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(5,4)) -
+        |       CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS volume,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3""".stripMargin,
     // q130: all three predicates prune the scan; exact-DECIMAL sum
     "q130_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
