@@ -220,6 +220,15 @@ object Sketch {
     finally out.close()
   }
 
+  /** Whether an HLL store (with its layout record) exists at `path` —
+    * the create-vs-append decision for incremental writers (the
+    * streaming register sink uses it per first batch). */
+  def hllStoreExists(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean = {
+    val (fs, lp) = layoutFile(spark, path)
+    fs.exists(lp)
+  }
+
   /** Append one epoch's registers to an existing store. Fails loud when
     * the store has no layout record or was written at a different
     * precision — mixed-p registers silently estimate garbage. */

@@ -208,6 +208,41 @@ object StreamingDashboard {
         incrementalFlush(batch, storePath, rollupSketch)
       }
 
+  /** Deterministic-HLL UV maintained at ingest: each micro-batch appends
+    * its m-row register spine to a [[graft.ops.Sketch]] register store
+    * (epoch = batchId), so the running UV over any epoch span is
+    * `Sketch.mergedHllEstimate` — BIT-IDENTICAL to the one-shot sketch of
+    * the union of everything ingested (registers are max-mergeable;
+    * StreamingSpec pins the equality). Complements [[runSketch]]: that
+    * path is the per-window production answer on DataSketches binaries;
+    * this one is the oracle-checkable register relation (q140's twin)
+    * kept incrementally, the way the reference's per-day HBase user sets
+    * were (`ActionLogJobSecond.java:359-376`) at m rows per epoch instead
+    * of corpus-sized state.
+    *
+    * Replay safety: a re-run batchId appends duplicate epoch rows, which
+    * MAX-merge to the identical registers — the estimate cannot drift
+    * (the store doc's re-append note); the first batch creates the store
+    * only when no layout record exists, so a restart never clobbers
+    * accumulated epochs.
+    */
+  def runHllRegisterStore(events: DataFrame, storePath: String,
+                          checkpoint: String, userCol: String = "user_id",
+                          p: Int = 6,
+                          trigger: Trigger = Trigger.AvailableNow())
+  : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val items = batch.select(col(userCol).as("item"))
+        if (!graft.ops.Sketch.hllStoreExists(batch.sparkSession, storePath))
+          graft.ops.Sketch.writeHllStore(items, storePath, epoch = id, p = p)
+        else
+          graft.ops.Sketch.appendHllStore(items, storePath, epoch = id, p = p)
+      }
+
   /** Full pipeline: 5-min update-mode aggregation → per-trigger foreachBatch
     * that (a) upserts the changed 5-min partials into the metric store and
     * (b) recomputes + upserts only the coarse windows those partials touch —

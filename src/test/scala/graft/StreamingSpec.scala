@@ -195,6 +195,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(hour == ((4L, 3L)), s"pv/uv: $hour") // 4 events, 3 distinct users
   }
 
+  test("T13 deterministic registers: streamed per-batch HLL store merges " +
+    "bit-identically to the one-shot sketch of everything ingested") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_hllstream").toString
+    val mem = MemoryStream[Long]
+    val events = mem.toDF().toDF("user_id")
+    // continuous trigger: each addData below becomes its own micro-batch
+    // (AvailableNow would terminate at start — no data pending yet)
+    val q = StreamingDashboard.runHllRegisterStore(
+      events, s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds")).start()
+    val batches = Seq((1L to 2000L), (1500L to 4500L), (4000L to 6000L))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // one epoch per micro-batch landed
+    val epochs = spark.read.parquet(s"$dir/store")
+      .select("epoch").distinct().as[Long].collect().sorted
+    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    val merged = graft.ops.Sketch.mergedHllEstimate(spark, s"$dir/store")
+      .as[(Long, Long, Long, Double)].head()
+    val oneShot = graft.ops.Sketch.hllEstimate(
+        batches.flatten.toDF("user_id"), valueCol = "user_id")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert((merged._1, merged._2, merged._3, merged._4) ==
+      (oneShot._1, oneShot._3, oneShot._4, oneShot._5),
+      s"streamed store $merged != one-shot $oneShot")
+    // a duplicate epoch append (the replayed-batch case) changes nothing
+    graft.ops.Sketch.appendHllStore(
+      (1500L to 4500L).toDF("user_id"), s"$dir/store", epoch = 1L,
+      valueCol = "user_id")
+    val replayed = graft.ops.Sketch.mergedHllEstimate(spark, s"$dir/store")
+      .as[(Long, Long, Long, Double)].head()
+    assert(replayed == merged, "replayed epoch must not drift the estimate")
+  }
+
   test("streaming word count keeps running per-word totals across batches") {
     implicit val s = spark
     val mem = MemoryStream[String]
