@@ -276,6 +276,145 @@ object Sketch {
     estimateFromRegisters(merged, p)
   }
 
+  // ---------------------------------------------------------------------
+  // Fixed-bin histogram quantiles: the add-mergeable companion to the
+  // max-mergeable HLL registers. One map-side-combined pass collapses the
+  // stream into `bins` bounded counters; quantiles read off the cumulative
+  // with a DIVISION-FREE probe (cum·100 ≥ pct·total — no float ratio on
+  // the comparison path), so the whole relation is oracle-checkable.
+  // Exactness statement: the estimate is the upper edge of the bin the
+  // true quantile falls in — error ≤ one bin width by construction,
+  // chosen at declaration time, not data-dependent. Mergeable because
+  // counters ADD (epochs union by summing), which is what the store
+  // below exploits.
+  // ---------------------------------------------------------------------
+
+  /** The full bins-row histogram relation (bin ∈ [0, bins), cnt — zero
+    * rows included via the spine, so two histograms merge with a plain
+    * bucket-key SUM). Bin = floor((v − lo)/width) clamped to the grid;
+    * the one double division per row is a single deterministic op. */
+  def histogramBins(items: DataFrame, valueCol: String,
+                    lo: Double, width: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && width > 0, s"bad grid: bins=$bins width=$width")
+    val spark = items.sparkSession
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val h = items.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    spark.range(bins).select(col("id").as("bin"))
+      .join(h, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Quantile probe over a histogram relation: for each integer percent,
+    * the smallest bin whose cumulative covers it (cum·100 ≥ pct·total —
+    * all-integer), with the estimate as that bin's upper edge. The
+    * cumulative window runs over the BINS-row sketch relation — bounded
+    * at declaration time, which is why a global-ordered window is fine
+    * here and nowhere else. */
+  def quantilesFromBins(binsDf: DataFrame, lo: Double, width: Double,
+                        pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percents in [1, 100]: $pcts")
+    val spark = binsDf.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = binsDf.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(w).as("cum"),
+      sum(col("cnt")).over(wAll).as("total"))
+    val p = spark.createDataFrame(pcts.map(Tuple1(_))).toDF("pct")
+    p.join(c, col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct")).agg(min(col("bin")).as("bin"))
+      .join(c, Seq("bin"))
+      .select(col("pct").cast("long").as("pct"), col("bin"),
+        col("cum").as("cum_cnt"), col("total").as("total_cnt"),
+        ((col("bin") + 1).cast("double") * lit(width) + lit(lo)).as("est"))
+  }
+
+  /** One-pass histogram quantiles: build + probe. */
+  def histogramQuantiles(items: DataFrame, valueCol: String,
+                         lo: Double, width: Double, bins: Int,
+                         pcts: Seq[Int]): DataFrame =
+    quantilesFromBins(histogramBins(items, valueCol, lo, width, bins),
+      lo, width, pcts)
+
+  /** Create/replace a histogram store: (epoch, bin, cnt) parquet with a
+    * layout record pinning (lo, width, bins) — mixed grids sum garbage
+    * and the grid is not recoverable from rows. Same single-writer and
+    * epoch conventions as the HLL store; NOTE the merge discipline
+    * differs (counters ADD, so a replayed epoch id WOULD double-count —
+    * epoch ids must be exactly-once here, e.g. the idempotent batchId
+    * dedup below). */
+  def writeHistStore(items: DataFrame, path: String, epoch: Long,
+                     valueCol: String, lo: Double, width: Double,
+                     bins: Int): Unit = {
+    val spark = items.sparkSession
+    histogramBins(items, valueCol, lo, width, bins)
+      .select(lit(epoch).as("epoch"), col("bin"), col("cnt"))
+      .write.mode("overwrite").parquet(path)
+    val (fs, lp) = layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"lo=$lo,width=$width,bins=$bins\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Append one epoch's histogram; fails loud on grid mismatch or a
+    * reused epoch id (ADD-merged counters double-count on replay, unlike
+    * the HLL registers — the store enforces what the algebra cannot
+    * forgive). */
+  def appendHistStore(items: DataFrame, path: String, epoch: Long,
+                      valueCol: String, lo: Double, width: Double,
+                      bins: Int): Unit = {
+    val spark = items.sparkSession
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp),
+      s"histogram store at $path has no layout record")
+    val recorded = {
+      val in = fs.open(lp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    val requested = s"lo=$lo,width=$width,bins=$bins"
+    require(recorded == requested,
+      s"histogram store at $path was written with ($recorded), append " +
+        s"requested ($requested) — rebuild, mixed grids sum garbage")
+    val dup = spark.read.parquet(path)
+      .filter(col("epoch") === epoch).limit(1).count()
+    require(dup == 0L,
+      s"epoch $epoch already present in $path — ADD-merged counters " +
+        "double-count on replay; use a fresh epoch id")
+    histogramBins(items, valueCol, lo, width, bins)
+      .select(lit(epoch).as("epoch"), col("bin"), col("cnt"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Merge a store's epochs (optionally filtered) by bucket-key SUM and
+    * probe the quantiles — reads bins rows per epoch, never the data. */
+  def mergedHistQuantiles(spark: org.apache.spark.sql.SparkSession,
+                          path: String, pcts: Seq[Int],
+                          epochFilter: Column = lit(true)): DataFrame = {
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp), s"histogram store at $path has no layout record")
+    val recorded = {
+      val in = fs.open(lp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    val kv = recorded.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    val (lo, width) = (kv("lo").toDouble, kv("width").toDouble)
+    val merged = spark.read.parquet(path)
+      .filter(epochFilter)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    quantilesFromBins(merged, lo, width, pcts)
+  }
+
   /** The standard HLL bias-correction constant — a Scala-side double,
     * interpolated into the oracle as its exact decimal round-trip (the
     * q70 plane-literal device), so both engines multiply the identical

@@ -370,7 +370,54 @@ object RankQueries {
       .withColumn("auc", round(col("auc"), 9))
   }
 
+  /** Fixed-bin histogram quantiles over event values (q149) — the
+    * one-pass add-mergeable quantile sketch
+    * ([[graft.ops.Sketch.histogramQuantiles]]): 256 bounded counters
+    * cross the shuffle (map-side combined), the probe is division-free
+    * integer comparison, the estimate's error bound (≤ one bin width) is
+    * declared, not data-dependent. The exact `quantile_cont` path (q48)
+    * is the verification baseline this sketch exists to replace at
+    * 100 TB, where an exact quantile needs a global sort.
+    */
+  def valueHistogramQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.histogramQuantiles(
+      Tables.events(s, dir), "value",
+      lo = 0.0, width = 2.0, bins = 256, pcts = Seq(50, 95, 99))
+
+  /** Per-user rolling-frame anomaly flags (q150) — the ROWS-frame window
+    * shape (trailing 20 events per user, ordered by the unique
+    * (ts, event_id)): a value is flagged when it sits more than 3σ from
+    * its own trailing window, with the z-test done ENTIRELY in integer
+    * cents — `(n·v − Σx)² > 9·(n·Σx² − (Σx)²)` — so there is no float
+    * mean/stddev whose rounding could flip a boundary row between
+    * engines. Bounds: cents ≤ ~5·10⁴, frame ≤ 20 ⇒ every product
+    * ≤ ~10¹⁴, exact in BIGINT.
+    *
+    * 100 TB posture: the window partitions on the HIGH-cardinality user
+    * key (never on a 5-value type column — that is the single-partition
+    * window trap) and the frame bounds per-row state at 20.
+    */
+  def rollingAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("ts"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val fr = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    v.select(col("event_id"), col("user_id"), col("event_type"),
+        col("cents"),
+        count(lit(1)).over(fr).as("n"),
+        sum(col("cents")).over(fr).as("s"),
+        sum(col("cents") * col("cents")).over(fr).as("s2"))
+      .filter(col("n") >= 10 &&
+        (col("n") * col("cents") - col("s")) *
+          (col("n") * col("cents") - col("s")) >
+          lit(9L) * (col("n") * col("s2") - col("s") * col("s")))
+      .select("event_id", "user_id", "event_type", "cents", "n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q149_value_quantile_hist" -> valueHistogramQuantiles,
+    "q150_rolling_anomaly" -> rollingAnomalies,
     "q45_auc_by_channel" -> aucByChannel,
     "q43_sessionize" -> sessionize,
     "q40_boardstats_pairs" -> boardstatsPairs,
@@ -764,5 +811,42 @@ object RankQueries {
     // floor division == Spark's `div` on the non-negative ranks
     "q138_pagerank" -> pageRankOracleSql(3),
     "q139_countmin" -> countMinOracleSql(4, 64),
-    "q140_hll_uv" -> hllOracleSql(6))
+    "q140_hll_uv" -> hllOracleSql(6),
+    // q149: the identical grid + division-free probe; cum/total cast
+    // back to BIGINT (DuckDB window SUM yields HUGEINT → float in pandas)
+    "q149_value_quantile_hist" ->
+      """WITH h AS (SELECT LEAST(GREATEST(
+        |             CAST(FLOOR(value / 2.0) AS BIGINT), 0), 255) AS bin,
+        |             COUNT(*) AS cnt FROM events GROUP BY 1),
+        |spine AS (SELECT range AS bin FROM range(256)),
+        |hb AS (SELECT spine.bin AS bin, COALESCE(cnt, 0) AS cnt
+        |       FROM spine LEFT JOIN h ON spine.bin = h.bin),
+        |c AS (SELECT bin, cnt,
+        |        CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS total FROM hb),
+        |q AS (SELECT pct, MIN(bin) AS qbin
+        |      FROM (VALUES (50), (95), (99)) p(pct)
+        |      JOIN c ON cum * 100 >= pct * total GROUP BY pct)
+        |SELECT CAST(q.pct AS BIGINT) AS pct, q.qbin AS bin,
+        |  c.cum AS cum_cnt, c.total AS total_cnt,
+        |  CAST((q.qbin + 1) * 2.0 AS DOUBLE) AS est
+        |FROM q JOIN c ON c.bin = q.qbin""".stripMargin,
+    // q150: identical integer-cents z-test over the same unique frame
+    // order — no float mean/stddev anywhere
+    "q150_rolling_anomaly" ->
+      """WITH v AS (SELECT event_id, user_id, event_type, ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, event_type, cents,
+        |    CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+        |    CAST(SUM(cents) OVER fr AS BIGINT) AS s,
+        |    CAST(SUM(cents * cents) OVER fr AS BIGINT) AS s2
+        |  FROM v
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, event_type, cents, n
+        |FROM w
+        |WHERE n >= 10
+        |  AND (n * cents - s) * (n * cents - s) > 9 * (n * s2 - s * s)"""
+        .stripMargin)
 }

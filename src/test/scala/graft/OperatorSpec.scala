@@ -538,6 +538,45 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("histogram store: summed epochs are bit-identical to a recompute " +
+    "over the union; duplicate epochs and grid drift fail loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist")
+      .toString + "/store"
+    val e1 = (1 to 4000).map(i => (i % 97).toDouble / 3.0).toDF("v")
+    val e2 = (1 to 3000).map(i => (i % 53).toDouble / 2.0).toDF("v")
+    graft.ops.Sketch.writeHistStore(e1, dir, epoch = 1L, "v",
+      lo = 0.0, width = 1.0, bins = 64)
+    graft.ops.Sketch.appendHistStore(e2, dir, epoch = 2L, "v",
+      lo = 0.0, width = 1.0, bins = 64)
+    val merged = graft.ops.Sketch
+      .mergedHistQuantiles(spark, dir, Seq(50, 95, 99))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val oneShot = graft.ops.Sketch
+      .histogramQuantiles(e1.union(e2), "v", 0.0, 1.0, 64, Seq(50, 95, 99))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(merged == oneShot, s"store-merge $merged != recompute $oneShot")
+    assert(merged.size == 3)
+    // sanity: the p50 estimate brackets the true median within one bin
+    val true50 = {
+      val all = ((1 to 4000).map(i => (i % 97).toDouble / 3.0) ++
+        (1 to 3000).map(i => (i % 53).toDouble / 2.0)).sorted
+      all(all.length / 2)
+    }
+    val est50 = merged.find(_._1 == 50L).get._5
+    assert(math.abs(est50 - true50) <= 1.0,
+      s"p50 estimate $est50 vs true $true50 exceeds the one-bin bound")
+    // counters ADD: a replayed epoch would double-count — must fail loud
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendHistStore(e2, dir, epoch = 2L, "v",
+        0.0, 1.0, 64)
+    }
+    // and so must a different grid
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendHistStore(e2, dir, epoch = 3L, "v",
+        0.0, 2.0, 64)
+    }
+  }
+
   test("novelty score: first contributor owns shared grams, later docs " +
     "score the fresh remainder, short docs emit nothing") {
     val fix = Seq(
