@@ -323,9 +323,16 @@ object Sketch {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val c = binsDf.select(col("bin"), col("cnt"),
+    // persist + eager materialize: `c` feeds BOTH the probe and the
+    // join-back; without it Spark recomputes the whole subtree — the
+    // fact-table histogram build included — under each branch (a lazy
+    // persist is also computed once per branch, the Dedup lesson). The
+    // cached relation is the bins-row sketch, trivially small; released
+    // by the caller's CacheScope.
+    val c = graft.core.CacheScope.track(binsDf.select(col("bin"), col("cnt"),
       sum(col("cnt")).over(w).as("cum"),
-      sum(col("cnt")).over(wAll).as("total"))
+      sum(col("cnt")).over(wAll).as("total")).persist())
+    c.count()
     val p = spark.createDataFrame(pcts.map(Tuple1(_))).toDF("pct")
     p.join(c, col("cum") * 100 >= col("pct") * col("total"))
       .groupBy(col("pct")).agg(min(col("bin")).as("bin"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -197,25 +198,27 @@ object RelationalQueries {
 
   /** TPC-H Q2-shaped "cheapest supplier per part" — the min-per-group
     * decorrelation silhouette: the correlated `price = (SELECT MIN ...)`
-    * subquery becomes two stacked aggregates (per-(part, supplier) min,
-    * then per-part min-of-mins) joined back on (key, min). The ONLY
-    * fact-sized shuffle is the first one, map-side-combined on the pair
-    * key; everything after (the min-of-mins re-aggregate and the
-    * join-back exchange on l_partkey) moves the bounded pair relation —
-    * at most one row per observed (part, supplier), orders of magnitude
-    * under the fact table. Part and supplier broadcast. MIN of raw
-    * stored doubles (no sum) is order-independent, so the double
-    * equality in the join-back is engine-exact; ties keep every
-    * achieving supplier (a set, not an arbitrary pick).
+    * subquery becomes a per-(part, supplier) min aggregate, then a
+    * min-over-the-part WINDOW on that bounded pair relation with an
+    * equality filter — the self-join-free form of min-per-group: the
+    * naive agg-join-back reads the FACT TABLE twice (Spark recomputes
+    * the shared pair aggregate under both join branches — verified in
+    * the plan), where this shape scans it once, map-side-combines on
+    * the pair key, and every later exchange moves only the pair
+    * relation (≤ one row per observed (part, supplier)). The window
+    * partitions on l_partkey — high-cardinality, never a single
+    * partition. Part and supplier broadcast. MIN of raw stored doubles
+    * (no sum) is order-independent, so the equality filter is
+    * engine-exact; ties keep every achieving supplier (a set, not an
+    * arbitrary pick).
     */
   def cheapestSupplier(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(s, dir)
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("minp"))
-    val best = sp.groupBy(col("l_partkey").as("bk"))
-      .agg(min(col("minp")).as("best_price"))
-    sp.join(best, col("l_partkey") === col("bk") &&
-        col("minp") === col("best_price"))
+      .withColumn("best_price", min(col("minp")).over(byPart))
+      .filter(col("minp") === col("best_price"))
       .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 5)
         .select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
