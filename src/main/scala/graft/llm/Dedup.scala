@@ -480,6 +480,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact-Jaccard pair mining via PREFIX FILTERING (the SSJoin/PPJoin
+    * family) — the EXACT alternative to MinHash-LSH candidate
+    * generation: order every document's shingles by global rarity
+    * (ascending document frequency, shingle as the tie-break — one
+    * deterministic total order both sides share), keep only each
+    * document's first `|s| − ⌈τ·|s|⌉ + 1` shingles, and join on THOSE.
+    * The prefix-filter lemma guarantees zero false negatives: a pair
+    * with Jaccard ≥ τ has overlap ≥ ⌈τ·|s|⌉ for each side, so removing
+    * any |s| − α + 1 − 1 fewer than that many elements cannot empty the
+    * intersection of the prefixes. Candidates then verify with exact
+    * set Jaccard, so the OUTPUT equals [[ngramJaccardPairs]] exactly —
+    * which is why q152 shares q29's oracle: the equality IS the lemma,
+    * checked on real data.
+    *
+    * τ is the rational `tauNum/tauDen` so the prefix length is pure
+    * integer arithmetic (`⌈τ·n⌉ = (n·num + den − 1) div den`) — a float
+    * ceil could disagree across engines at exact multiples. The final
+    * keep predicate is the division-free `inter·den ≥ num·union`; the
+    * reported jaccard is one double division of exact integers.
+    *
+    * 100 TB posture vs MinHash: LSH shuffles `bands` rows per doc and
+    * accepts the S-curve's false-negative tail; the prefix join
+    * shuffles only the rare-prefix rows (rarity-ordered, so the join
+    * key distribution is anti-skewed BY CONSTRUCTION — the most common
+    * shingle in any prefix is still globally rare) and misses nothing.
+    * The df relation is one extra map-side-combined aggregate; the
+    * per-doc rarity sort is a user-key window, never global.
+    */
+  def prefixFilterJaccardPairs(docs: DataFrame, w: Int,
+                               tauNum: Int, tauDen: Int,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
+    val sh = graft.core.CacheScope.track(
+      shingles(docs, w, idCol, textCol)
+        .filter(col("shingle").isNotNull).persist())
+    sh.count() // eager: feeds df, prefix, and both verify sides
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("__df"), col("shingle"))
+    val prefix = sh.join(df, "shingle")
+      .withColumn("__rn", row_number().over(byRarity))
+      .join(sz, idCol)
+      .filter(col("__rn") <=
+        col("sz") - expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val setsById = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shset"))
+    cand
+      .join(setsById.select(col(idCol).as("id_a"), col("shset").as("set_a")),
+        "id_a")
+      .join(setsById.select(col(idCol).as("id_b"), col("shset").as("set_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("union_sz",
+        size(col("set_a")) + size(col("set_b")) - col("inter"))
+      .filter(col("inter") * tauDen >= col("union_sz") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("union_sz").cast("double"))
+          .as("jaccard"))
+  }
+
   /** Pair-similarity decile histogram at floor `tau` — the
     * threshold-tuning curve (how many candidate pairs a dedup run would
     * admit at each jaccard decile), with the SAMPLE mode a 100 TB run

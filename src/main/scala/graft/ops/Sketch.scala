@@ -309,37 +309,66 @@ object Sketch {
 
   /** Quantile probe over a histogram relation: for each integer percent,
     * the smallest bin whose cumulative covers it (cum·100 ≥ pct·total —
-    * all-integer), with the estimate as that bin's upper edge. The
-    * cumulative window runs over the BINS-row sketch relation — bounded
-    * at declaration time, which is why a global-ordered window is fine
-    * here and nowhere else. */
+    * all-integer), with the estimate as that bin's upper edge. With
+    * `groupCols` the probe runs per group (the cumulative window
+    * partitions on them); ungrouped, the window runs over the BINS-row
+    * sketch relation — bounded at declaration time, which is why a
+    * global-ordered window is fine here and nowhere else. The probe
+    * needs no empty-bin spine: the cumulative only rises at nonempty
+    * bins, so the smallest crossing bin is always a nonempty one. */
   def quantilesFromBins(binsDf: DataFrame, lo: Double, width: Double,
-                        pcts: Seq[Int]): DataFrame = {
+                        pcts: Seq[Int],
+                        groupCols: Seq[String] = Nil): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in [1, 100]: $pcts")
     val spark = binsDf.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("bin"))
+    val base =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val w = base.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(
+    val wAll = base.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     // persist + eager materialize: `c` feeds BOTH the probe and the
     // join-back; without it Spark recomputes the whole subtree — the
     // fact-table histogram build included — under each branch (a lazy
     // persist is also computed once per branch, the Dedup lesson). The
-    // cached relation is the bins-row sketch, trivially small; released
-    // by the caller's CacheScope.
-    val c = graft.core.CacheScope.track(binsDf.select(col("bin"), col("cnt"),
-      sum(col("cnt")).over(w).as("cum"),
-      sum(col("cnt")).over(wAll).as("total")).persist())
+    // cached relation is the bins-row sketch (× groups), trivially
+    // small; released by the caller's CacheScope.
+    val c = graft.core.CacheScope.track(binsDf.select(
+      groupCols.map(col) ++ Seq(col("bin"), col("cnt"),
+        sum(col("cnt")).over(w).as("cum"),
+        sum(col("cnt")).over(wAll).as("total")): _*).persist())
     c.count()
     val p = spark.createDataFrame(pcts.map(Tuple1(_))).toDF("pct")
     p.join(c, col("cum") * 100 >= col("pct") * col("total"))
-      .groupBy(col("pct")).agg(min(col("bin")).as("bin"))
-      .join(c, Seq("bin"))
-      .select(col("pct").cast("long").as("pct"), col("bin"),
+      .groupBy(groupCols.map(col) :+ col("pct"): _*)
+      .agg(min(col("bin")).as("bin"))
+      .join(c, groupCols :+ "bin")
+      .select(groupCols.map(col) ++ Seq(
+        col("pct").cast("long").as("pct"), col("bin"),
         col("cum").as("cum_cnt"), col("total").as("total_cnt"),
-        ((col("bin") + 1).cast("double") * lit(width) + lit(lo)).as("est"))
+        ((col("bin") + 1).cast("double") * lit(width) + lit(lo))
+          .as("est")): _*)
+  }
+
+  /** Per-group fixed-bin histogram quantiles in one pass: the grouped
+    * build collapses to (groups × bins) bounded counters map-side; the
+    * probe partitions its windows on the group columns. No spine —
+    * see [[quantilesFromBins]] for why the probe never needs one. */
+  def groupedHistogramQuantiles(items: DataFrame, groupCols: Seq[String],
+                                valueCol: String, lo: Double,
+                                width: Double, bins: Int,
+                                pcts: Seq[Int]): DataFrame = {
+    require(bins >= 2 && width > 0, s"bad grid: bins=$bins width=$width")
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val h = items.select(groupCols.map(col) :+ bin.as("bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    quantilesFromBins(h, lo, width, pcts, groupCols)
   }
 
   /** One-pass histogram quantiles: build + probe. */

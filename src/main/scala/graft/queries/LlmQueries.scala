@@ -26,6 +26,15 @@ object LlmQueries {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), w = 3, tau = 0.5)
 
+  /** Prefix-filter exact Jaccard (q152) — the PPJoin-style candidate
+    * path: rarity-ordered prefixes join instead of every shingle, zero
+    * false negatives by the prefix lemma. Shares q29's oracle — the
+    * output EQUALS the exhaustive exact pairs, which is the lemma
+    * checked on real data. */
+  def prefixJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), w = 3,
+      tauNum = 1, tauDen = 2)
+
   /** MinHash-LSH candidates verified by exact Jaccard. 32 bands × 2 rows
     * puts the catch probability at τ=0.5 at 1−0.75³² ≈ 0.9999, and the
     * verify step makes every emitted pair exact — so the output equals the
@@ -872,6 +881,7 @@ object LlmQueries {
     "q42_embedding_dedup" -> embeddingDedup,
     "q28_dedup_exact" -> dedupExact,
     "q29_jaccard_pairs" -> jaccardPairs,
+    "q152_prefix_jaccard" -> prefixJaccardPairs,
     "q30_minhash_dedup" -> minhashDedup,
     "q31_simhash_pairs" -> simhashPairs,
     "q32_knn_brute" -> knnBrute,
@@ -2536,6 +2546,9 @@ object LlmQueries {
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         |FROM documents""".stripMargin,
     "q29_jaccard_pairs" -> jaccardOracleSql,
+    // q152: the SAME oracle as q29 — prefix filtering is exact, and the
+    // oracle equality is the no-false-negative lemma checked on data
+    "q152_prefix_jaccard" -> jaccardOracleSql,
     "q32_knn_brute" -> knnOracleSql,
     "q98_hard_negatives" -> hardNegOracleSql,
     "q100_mmr_rerank" -> mmrOracleSql(5, 0.7),

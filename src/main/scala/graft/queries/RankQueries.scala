@@ -415,9 +415,20 @@ object RankQueries {
       .select("event_id", "user_id", "event_type", "cents", "n")
   }
 
+  /** Per-group histogram quantiles (q151) — q149's sketch partitioned by
+    * event type: (groups × 256) bounded counters map-side, the probe's
+    * windows partition on the group key. The replacement for q48's exact
+    * per-group `quantile_cont` at 100 TB (exact needs the group's values
+    * sorted; the sketch needs 256 counters). */
+  def groupedValueQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.groupedHistogramQuantiles(
+      Tables.events(s, dir), Seq("event_type"), "value",
+      lo = 0.0, width = 2.0, bins = 256, pcts = Seq(50, 95, 99))
+
   val queries: Map[String, Q] = Map(
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
+    "q151_grouped_quantiles" -> groupedValueQuantiles,
     "q45_auc_by_channel" -> aucByChannel,
     "q43_sessionize" -> sessionize,
     "q40_boardstats_pairs" -> boardstatsPairs,
@@ -831,6 +842,26 @@ object RankQueries {
         |  c.cum AS cum_cnt, c.total AS total_cnt,
         |  CAST((q.qbin + 1) * 2.0 AS DOUBLE) AS est
         |FROM q JOIN c ON c.bin = q.qbin""".stripMargin,
+    // q151: grouped probe — no spine needed (the cumulative only rises
+    // at nonempty bins, so the smallest crossing bin is nonempty)
+    "q151_grouped_quantiles" ->
+      """WITH h AS (SELECT event_type, LEAST(GREATEST(
+        |             CAST(FLOOR(value / 2.0) AS BIGINT), 0), 255) AS bin,
+        |             COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type
+        |          ORDER BY bin) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type)
+        |          AS BIGINT) AS total
+        |      FROM h),
+        |q AS (SELECT event_type, pct, MIN(bin) AS qbin
+        |      FROM (VALUES (50), (95), (99)) p(pct)
+        |      JOIN c ON cum * 100 >= pct * total GROUP BY 1, 2)
+        |SELECT q.event_type AS event_type, CAST(q.pct AS BIGINT) AS pct,
+        |  q.qbin AS bin, c.cum AS cum_cnt, c.total AS total_cnt,
+        |  CAST((q.qbin + 1) * 2.0 AS DOUBLE) AS est
+        |FROM q JOIN c ON c.event_type = q.event_type AND c.bin = q.qbin"""
+        .stripMargin,
     // q150: identical integer-cents z-test over the same unique frame
     // order — no float mean/stddev anywhere
     "q150_rolling_anomaly" ->

@@ -14,6 +14,39 @@ class LlmOpsSpec extends SparkSpecBase {
 
   private lazy val docs = Tables.documents(spark, sfDir)
 
+  test("prefix-filter Jaccard equals the exhaustive exact pairs at two " +
+    "thresholds, and the prefix relation is genuinely smaller") {
+    for ((num, den, tau) <- Seq((1, 2, 0.5), (4, 5, 0.8))) {
+      graft.core.CacheScope.scoped {
+        val exact = Dedup.ngramJaccardPairs(docs, w = 3, tau = tau)
+          .as[(Long, Long, Double)].collect().toSet
+        val pf = Dedup.prefixFilterJaccardPairs(docs, w = 3,
+            tauNum = num, tauDen = den)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pf == exact,
+          s"tau=$num/$den: missing ${(exact -- pf).take(3)}, " +
+            s"extra ${(pf -- exact).take(3)}")
+        assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+      }
+    }
+    // the filter must actually filter: at tau=0.8 each doc's prefix is
+    // |s|-ceil(0.8|s|)+1 ~ 0.2|s| of its shingles
+    graft.core.CacheScope.scoped {
+      val sh = Dedup.shingles(docs, 3).filter(col("shingle").isNotNull)
+      val total = sh.count()
+      val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+      val prefixRows = sh.join(df, "shingle")
+        .withColumn("__rn", row_number().over(w)).join(sz, "doc_id")
+        .filter(col("__rn") <= col("sz") - expr("(sz * 4 + 4) div 5") + 1)
+        .count()
+      assert(prefixRows * 3 < total,
+        s"prefix kept $prefixRows of $total shingle rows — not filtering")
+    }
+  }
+
   test("minhash-LSH finds the high-jaccard pairs the exact pass finds") {
     val exact = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -577,6 +577,40 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped histogram quantiles: per-group estimates within one bin " +
+    "of the true quantiles; single-group form matches the ungrouped probe") {
+    graft.core.CacheScope.scoped {
+      val rows = (1 to 5000).map { i =>
+        val g = if (i % 3 == 0) "a" else "b"
+        val v = if (g == "a") (i % 40).toDouble else (i % 90).toDouble
+        (g, v)
+      }
+      val fix = rows.toDF("g", "v")
+      val got = graft.ops.Sketch.groupedHistogramQuantiles(
+          fix, Seq("g"), "v", lo = 0.0, width = 1.0, bins = 128,
+          pcts = Seq(50, 99))
+        .as[(String, Long, Long, Long, Long, Double)].collect()
+      assert(got.length == 4, s"2 groups x 2 pcts expected: ${got.toSeq}")
+      for ((g, pct, _, _, total, est) <- got) {
+        val vals = rows.filter(_._1 == g).map(_._2).sorted
+        assert(total == vals.length)
+        // true pct-quantile position: smallest v with rank*100 >= pct*n
+        val idx = vals.indices.find(i => (i + 1) * 100 >= pct * vals.length).get
+        assert(math.abs(est - vals(idx)) <= 1.0,
+          s"group $g p$pct: est $est vs true ${vals(idx)}")
+      }
+      // a single constant group reproduces the ungrouped probe exactly
+      val one = fix.withColumn("g", lit("x"))
+      val grouped = graft.ops.Sketch.groupedHistogramQuantiles(
+          one, Seq("g"), "v", 0.0, 1.0, 128, Seq(50, 95))
+        .drop("g").as[(Long, Long, Long, Long, Double)].collect().toSet
+      val ungrouped = graft.ops.Sketch.histogramQuantiles(
+          one, "v", 0.0, 1.0, 128, Seq(50, 95))
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(grouped == ungrouped)
+    }
+  }
+
   test("novelty score: first contributor owns shared grams, later docs " +
     "score the fresh remainder, short docs emit nothing") {
     val fix = Seq(
