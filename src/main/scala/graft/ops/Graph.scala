@@ -101,4 +101,162 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
+
+  /** Canonical undirected simple-graph edge relation from a directed edge
+    * list: endpoints ordered (a < b), loops dropped, duplicates collapsed.
+    * One shuffle on the canonical pair key; materialized once
+    * (localCheckpoint) because every consumer reads it several times. */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+  /** Per-vertex triangle statistics over an undirected simple graph —
+    * degree, incident-triangle count, and local clustering coefficient.
+    *
+    * Algorithm: degree-ordered edge orientation + wedge closure (the
+    * MapReduce triangle-counting design of Suri & Vassilvitskii, WWW'11):
+    * each edge is oriented from its lower-(degree, id) endpoint to the
+    * higher, wedges enumerate only at each edge's LOWER endpoint, and a
+    * wedge (x, y) closes iff the oriented edge x→y exists. Orientation is
+    * what makes this a 100 TB plan: wedge count is Σ out_deg² where every
+    * out-degree is O(√m) by the orientation bound — a hub with a million
+    * neighbors generates no wedges at all (its edges all point INTO it),
+    * where the naive neighbor self-join would square the hub. Three
+    * key-partitioned joins total, nothing driver-side, no window.
+    *
+    * The counts are exact integers, so any engine agrees bit-for-bit; the
+    * clustering coefficient `2·tri / (deg·(deg−1))` is a SINGLE IEEE
+    * division of two exact integers (the registry's ratio device) and is
+    * therefore engine-identical too.
+    *
+    * Output: (v, degree, triangles, clustering) — one row per vertex with
+    * degree ≥ 1; clustering is 0.0 for degree-1 vertices.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    // orient each edge lower-(degree, id) → higher; a < b already, so the
+    // id tie-break reduces to "a first iff deg(a) <= deg(b)".
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("degree").as("db")), Seq("b"))
+    val aFirst = col("da") <= col("db")
+    val oe = ed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint()
+    // wedges at the low endpoint, ordered by the same (degree, id) key so
+    // each unordered neighbor pair appears once and the closing edge is
+    // known to be oriented x → y.
+    val w1 = oe.select(col("src"), col("dst").as("x"), col("ddeg").as("dx"))
+    val w2 = oe.select(col("src"), col("dst").as("y"), col("ddeg").as("dy"))
+    val triangles = w1.join(w2, Seq("src"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oe.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    val perVertex = triangles.select(col("src").as("v"))
+      .union(triangles.select(col("x").as("v")))
+      .union(triangles.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise((col("triangles") * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L))))
+  }
+
+  /** Synchronous k-core peeling over an undirected simple graph: `rounds`
+    * iterations of (degree → keep vertices with degree ≥ k → restrict
+    * edges to kept endpoints), then the surviving (vertex, degree)
+    * relation of the final subgraph. With enough rounds this is the
+    * k-core by definition (peeling is monotone — each round only
+    * removes, so it converges in at most |V| rounds and in practice a
+    * handful); the ROUND COUNT is part of the operator contract, which
+    * is what makes an iterative graph algorithm oracle-checkable at all
+    * — the q138 device: a SQL twin runs the identical round-for-round
+    * CTE chain, and every quantity is an exact integer, so the gate
+    * checks the DISTRIBUTED peeling against the definitional one
+    * bit-for-bit whether or not the fixpoint has been reached.
+    *
+    * 100 TB posture: per round one map-side-combined degree aggregate
+    * over the edge relation and two semi-join restrictions on the
+    * endpoint keys — all key-partitioned, bounded by the shrinking edge
+    * relation, nothing driver-side; `localCheckpoint` per round
+    * truncates the lineage exactly as pageRank does.
+    *
+    * Output: (v, degree) for vertices in the final subgraph with
+    * degree ≥ k.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = canonicalEdges(edges)
+    def degreeOf(ed: DataFrame) =
+      ed.select(col("a").as("v")).union(ed.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    for (_ <- 0 until rounds) {
+      val surv = degreeOf(e).filter(col("degree") >= k).select(col("v"))
+      e = e.join(surv.select(col("v").as("a")), Seq("a"))
+        .join(surv.select(col("v").as("b")), Seq("b"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    degreeOf(e).filter(col("degree") >= k)
+  }
+
+  /** Common-neighbor link prediction over an undirected simple graph: for
+    * every NON-adjacent vertex pair with at least one shared neighbor,
+    * the shared-neighbor count and neighborhood Jaccard
+    * `cn / (deg_x + deg_y − cn)`, top `k` by (count desc, x, y).
+    *
+    * The pair relation enumerates wedges at each shared neighbor (one
+    * self-join of the adjacency list on the apex key, map-side-combined
+    * count on the canonical pair), then a left-anti join removes pairs
+    * that are already edges. The Jaccard is one IEEE division of exact
+    * integers; the top-k lowers to TakeOrderedAndProject under the fully
+    * deterministic (common desc, x, y) key — never a global sort.
+    *
+    * 100 TB posture: wedge volume is Σ deg² on the apex key — real
+    * deployments cap hot apexes the way ItemCf.positionalPairs caps hot
+    * users (`maxApexDegree`; apexes above the cap contribute no wedges,
+    * documented undercount, same device as A7c). The anti join and the
+    * two degree joins all ride the bounded pair/vertex relations, never
+    * the raw graph.
+    */
+  def commonNeighborPairs(edges: DataFrame, k: Int = 50,
+                          maxApexDegree: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = canonicalEdges(edges)
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nbr = e.select(col("a").as("u"), col("b").as("w"))
+      .union(e.select(col("b").as("u"), col("a").as("w")))
+      .join(deg.select(col("v").as("u"), col("deg").as("du"))
+        .filter(col("du") <= maxApexDegree).select(col("u")), Seq("u"))
+    val cn = nbr.select(col("u"), col("w").as("x"))
+      .join(nbr.select(col("u"), col("w").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+    cn.join(e.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(deg.select(col("v").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(col("x"), col("y"), col("common"),
+        (col("common").cast("double") /
+          (col("dx") + col("dy") - col("common"))).as("jaccard"))
+      .orderBy(col("common").desc, col("x"), col("y"))
+      .limit(k)
+  }
 }

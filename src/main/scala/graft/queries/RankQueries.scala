@@ -304,6 +304,63 @@ object RankQueries {
       .select(col("id").as("item"), col("rank_micro"))
   }
 
+  /** Per-item triangle statistics on the co-click item graph (q159) —
+    * degree, incident triangles, and local clustering coefficient via
+    * degree-ordered orientation ([[graft.ops.Graph.triangleStats]]; the
+    * same edge substrate as q138). Counts are exact integers and the
+    * coefficient is a single IEEE division, so the oracle's naive
+    * a<b<c triple join checks the oriented-wedge algorithm exactly —
+    * same-answer-different-plan, the q146/q158 device applied to a
+    * graph algorithm.
+    */
+  def itemTriangles(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val a = ui.select(col("item").as("src"), col("user_id"))
+    val b = ui.select(col("item").as("dst"), col("user_id"))
+    val edges = a.join(b, Seq("user_id")).filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    graft.ops.Graph.triangleStats(edges)
+      .select(col("v").as("item"), col("degree"), col("triangles"),
+        col("clustering"))
+  }
+
+  /** Consecutive-click session graph over the first observed week: an
+    * edge joins two items one user clicked back-to-back (ordered by
+    * event time, event-id tie-break). Linear in the click count where
+    * the all-pairs co-click graph is quadratic per user — the classic
+    * session-graph sparsification (item2vec-style) — and the week bound
+    * keeps it from saturating the 100-item universe the way the
+    * full-month graph does.
+    */
+  private def weekSessionEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-08").cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("prev", lag(col("item"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("item"))
+      .select(col("prev").as("src"), col("item").as("dst"))
+  }
+
+  /** Common-neighbor link prediction on the week-1 session graph (q160)
+    * — top 50 non-adjacent item pairs by shared-neighbor count with
+    * neighborhood Jaccard ([[graft.ops.Graph.commonNeighborPairs]]). The
+    * window in the edge build partitions on the high-cardinality user
+    * key; everything after rides the bounded edge/pair relations.
+    */
+  def itemLinkPrediction(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.commonNeighborPairs(weekSessionEdges(s, dir), k = 50)
+      .select(col("x").as("item_a"), col("y").as("item_b"),
+        col("common"), col("jaccard"))
+
   /** Count-min sketch over the view-event item stream (q139) — built
     * AND probed: 4 portable-fingerprint hash rows × 64 counters, every
     * distinct item probed back with est = min over rows. The output
@@ -452,7 +509,9 @@ object RankQueries {
     "q137_session_detail" -> ((s, d) => sessionDetail(s, d)),
     "q138_pagerank" -> itemPageRank,
     "q139_countmin" -> countMinItems,
-    "q140_hll_uv" -> hllUv)
+    "q140_hll_uv" -> hllUv,
+    "q159_item_triangles" -> itemTriangles,
+    "q160_link_prediction" -> itemLinkPrediction)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -821,6 +880,67 @@ object RankQueries {
     // q138: the integer fixed point reproduced round-for-round; // is
     // floor division == Spark's `div` on the non-negative ranks
     "q138_pagerank" -> pageRankOracleSql(3),
+    // q159: the oracle counts triangles the naive way (canonical a<b<c
+    // triple join) — checking the Spark side's degree-ordered-orientation
+    // algorithm against the definition; clustering is one IEEE division
+    // of exact integers on both engines
+    "q159_item_triangles" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id, $item AS item FROM events
+        |            WHERE event_type = 'click'),
+        |e AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |      FROM ui a JOIN ui b ON a.user_id = b.user_id
+        |                         AND a.item < b.item),
+        |deg AS (SELECT v, COUNT(*) AS degree FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |cnt AS (SELECT v, COUNT(*) AS triangles FROM
+        |          (SELECT x AS v FROM tri UNION ALL
+        |           SELECT y FROM tri UNION ALL
+        |           SELECT z FROM tri) t
+        |        GROUP BY 1)
+        |SELECT deg.v AS item, degree,
+        |  COALESCE(triangles, 0) AS triangles,
+        |  CASE WHEN degree < 2 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(2 * COALESCE(triangles, 0) AS DOUBLE) /
+        |            (degree * (degree - 1)) END AS clustering
+        |FROM deg LEFT JOIN cnt ON deg.v = cnt.v""".stripMargin,
+    // q160: week-1 consecutive-click session graph; candidates are
+    // non-adjacent pairs with shared neighbors, Jaccard one division,
+    // fully deterministic (common desc, a, b) top-50
+    "q160_link_prediction" ->
+      s"""WITH c AS (SELECT user_id, ts, event_id, $item AS item
+        |           FROM events
+        |           WHERE event_type = 'click'
+        |             AND ts >= TIMESTAMP '2024-01-01'
+        |             AND ts < TIMESTAMP '2024-01-08'
+        |             AND $item IS NOT NULL),
+        |seq AS (SELECT item, LAG(item) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM c),
+        |e AS (SELECT DISTINCT LEAST(prev, item) AS a,
+        |        GREATEST(prev, item) AS b
+        |      FROM seq WHERE prev IS NOT NULL AND prev <> item),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+        |        GROUP BY 1),
+        |nbr AS (SELECT a AS u, b AS w FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |cn AS (SELECT n1.w AS x, n2.w AS y, COUNT(*) AS common
+        |       FROM nbr n1 JOIN nbr n2 ON n1.u = n2.u AND n1.w < n2.w
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT x, y, common FROM cn
+        |         WHERE NOT EXISTS (SELECT 1 FROM e
+        |                           WHERE a = x AND b = y))
+        |SELECT x AS item_a, y AS item_b, common,
+        |  CAST(common AS DOUBLE) / (dx.deg + dy.deg - common) AS jaccard
+        |FROM cand
+        |JOIN deg dx ON dx.v = x
+        |JOIN deg dy ON dy.v = y
+        |ORDER BY common DESC, x, y LIMIT 50""".stripMargin,
     "q139_countmin" -> countMinOracleSql(4, 64),
     "q140_hll_uv" -> hllOracleSql(6),
     // q149: the identical grid + division-free probe; cum/total cast

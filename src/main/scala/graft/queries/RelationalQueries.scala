@@ -411,6 +411,184 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4-shaped "order priority checking" — the EXISTS-with-residual
+    * silhouette: orders in one quarter that have at least one line shipped
+    * more than 60 days after the order date (the dataset's late-shipment
+    * analog of Q4's commit-vs-receipt lag), counted per priority. The
+    * EXISTS is a LEFT SEMI join whose equi key (orderkey) drives the
+    * shuffle and whose lag predicate rides along as the join residual —
+    * exact integer epoch-millis arithmetic on both engines, never a float
+    * or an interval type on the comparison path. The date filter prunes
+    * the orders scan before anything joins.
+    */
+  def orderPriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val dt = o.schema("o_orderdate").dataType
+    val late = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    o.filter(col("o_orderdate") >= lit("1996-01-01").cast(dt) &&
+        col("o_orderdate") < lit("1996-04-01").cast(dt))
+      .join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("ship_ms") -
+            unix_millis(col("o_orderdate").cast("timestamp")) > 5184000000L,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q8-shaped "national market share" — the two-branch conditional
+    * ratio over the deep join silhouette: region-filtered customers' order
+    * volume per order year, with the share supplied by one nation as a
+    * conditional DECIMAL sum over the SAME rows (one scan, one aggregate —
+    * never two query branches), and the share a SINGLE double division of
+    * two exact decimals. Dimensions broadcast; the fact joins shuffle on
+    * their own keys only.
+    */
+  def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE).cast("decimal(5,4)")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (one - col("l_discount").cast("decimal(5,4)"))
+    val custRegion = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_5", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(rev).cast("double")).as("mkt_share"),
+        sum(rev).cast("double").as("total_volume"))
+  }
+
+  /** TPC-H Q9-shaped "product type profit" — the profit-expression
+    * silhouette: revenue minus a cost term per line, grouped by
+    * (supplier nation, order year), over name-filtered parts. The cost
+    * proxy is `5% of retail price × quantity` (this schema carries no
+    * partsupp cost), kept EXACT end to end by ordering the decimal
+    * products inside 38-digit precision: retail(18,2) × 0.05(4,3) first
+    * (22,5), then × quantity as DECIMAL(4,0) — quantities are integral
+    * and bounded, so the narrow cast is exact and the triple product
+    * never overflows into rounding. Part and supplier-nation broadcast;
+    * the orders join is the only wide shuffle.
+    */
+  def productTypeProfit(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE).cast("decimal(5,4)")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (one - col("l_discount").cast("decimal(5,4)"))
+    val cost = col("p_retailprice").cast("decimal(18,2)") *
+      lit(new java.math.BigDecimal("0.05")).cast("decimal(4,3)") *
+      col("l_quantity").cast("decimal(4,0)")
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(rev - cost).cast("double").as("profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10-shaped "returned item reporting" — the top-N-customers
+    * silhouette: revenue lost to returned lines over one quarter of
+    * orders, per customer, top 20 by (revenue desc, custkey). The return
+    * flag prunes the fact scan, the date filter prunes orders BEFORE the
+    * join, the nation name broadcasts, and the limit lowers to
+    * TakeOrderedAndProject on the exact-DECIMAL revenue (engine-identical
+    * float, fully deterministic tie-break).
+    */
+  def returnedItemReport(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE).cast("decimal(5,4)")
+    val o = Tables.orders(s, dir)
+    val dt = o.schema("o_orderdate").dataType
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(o.filter(col("o_orderdate") >= lit("1996-01-01").cast(dt) &&
+          col("o_orderdate") < lit("1996-04-01").cast(dt)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (one - col("l_discount").cast("decimal(5,4)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12-shaped "shipping priority classes" — the conditional
+    * class-count silhouette: lines shipped in one year, grouped by line
+    * status (the schema's shipmode analog), counting high-priority
+    * (URGENT/HIGH) vs low-priority orders as two conditional sums over
+    * one orders join. The year filter prunes the fact scan; both counts
+    * are exact integers.
+    */
+  def priorityShipClasses(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dt = li.schema("l_shipdate").dataType
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast(dt) &&
+        col("l_shipdate") < lit("1997-01-01").cast(dt))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q20-shaped "promotable suppliers" — the nested-IN silhouette:
+    * suppliers who shipped more than an eighth of some red-part's total
+    * quantity. The doubly nested subquery decorrelates to ONE pair
+    * aggregate (quantity per (part, supplier), map-side combined from a
+    * single fact scan) with the per-part total as a WINDOW over that
+    * bounded pair relation — the q141 device: the agg-join-back form
+    * would scan the fact table twice. The share predicate is
+    * division-free exact DECIMAL (`8·q_pair > q_part`), the part name
+    * filter broadcasts, and the final supplier join broadcasts against
+    * the distinct qualifying keys.
+    */
+  def promotableSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("sqty"))
+      .withColumn("tqty",
+        sum(col("sqty")).over(byPart).cast("decimal(18,2)"))
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("sqty") * lit(8) > col("tqty"))
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_acctbal")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
   /** A3 count-distinct (the reference's double-groupBy UV pattern,
     * `OfflineJob.java:267-272,304-307`). */
   def countDistinctUv(s: SparkSession, dir: String): DataFrame =
@@ -647,6 +825,12 @@ object RelationalQueries {
     "q146_sole_fault_supplier" -> soleFaultSuppliers,
     "q147_important_parts" -> importantParts,
     "q148_nation_volume" -> nationVolumeShipping,
+    "q153_order_priority" -> orderPriorityCheck,
+    "q154_market_share" -> nationMarketShare,
+    "q155_product_profit" -> productTypeProfit,
+    "q156_returned_items" -> returnedItemReport,
+    "q157_ship_classes" -> priorityShipClasses,
+    "q158_promotable_suppliers" -> promotableSuppliers,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -901,6 +1085,108 @@ object RelationalQueries {
         |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
         |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3""".stripMargin,
+    // q153: the EXISTS as a correlated subquery with the integer
+    // epoch-millis lag predicate (5184000000 ms = 60 days)
+    "q153_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND epoch_ms(l_shipdate) - epoch_ms(o_orderdate)
+        |                    > 5184000000)
+        |GROUP BY 1""".stripMargin,
+    // q154: both branch sums exact DECIMAL over the same rows, the share
+    // a single double division
+    "q154_market_share" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(5,4)) -
+        |          CAST(l_discount AS DECIMAL(5,4)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) -
+        |        CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) -
+        |        CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE)
+        |    AS total_volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    // q155: the profit expression with the decimal products ordered to
+    // stay inside 38-digit exactness (retail × 0.05 first, then × qty)
+    "q155_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) -
+        |        CAST(l_discount AS DECIMAL(5,4))) -
+        |       CAST(p_retailprice AS DECIMAL(18,2)) *
+        |       CAST(0.05 AS DECIMAL(4,3)) *
+        |       CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS profit,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    // q156: return-flag + quarter filters prune before the joins; top-20
+    // on the exact-DECIMAL revenue with the custkey tie-break
+    "q156_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) -
+        |        CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // q157: two conditional integer class counts over one join
+    "q157_ship_classes" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    // q158: the oracle keeps the textbook nested-IN agg-join-back form;
+    // the Spark side runs the single-scan window rewrite — the gate
+    // checks the equivalence
+    "q158_promotable_suppliers" ->
+      """WITH sq AS (SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS sqty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk,
+        |    CAST(SUM(sqty) AS DECIMAL(18,2)) AS tqty
+        |  FROM sq GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM sq
+        |  JOIN pt ON l_partkey = pk
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%' AND sqty * 8 > tqty)""".stripMargin,
     // q130: all three predicates prune the scan; exact-DECIMAL sum
     "q130_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

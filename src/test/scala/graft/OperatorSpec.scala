@@ -463,6 +463,71 @@ class OperatorSpec extends SparkSpecBase {
       s"vertex 1 rank $v1 betrays a unit other than $expectUnit")
   }
 
+  test("triangleStats matches the hand-counted graph, canonicalizes " +
+    "messy edge lists, and is partition-invariant") {
+    // bowtie-ish: triangles (1,2,3) and (2,3,4), pendant 5 off 4 — fed
+    // as a MESSY edge list: reversed duplicates, a self-loop, repeats
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 2L),
+        (2L, 4L), (3L, 4L), (4L, 5L), (3L, 3L), (4L, 3L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.triangleStats(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val expected = Map(
+      1L -> ((2L, 1L, 1.0)),
+      2L -> ((3L, 2L, 2.0 / 3.0)),
+      3L -> ((3L, 2L, 2.0 / 3.0)),
+      4L -> ((3L, 1L, 1.0 / 3.0)),
+      5L -> ((1L, 0L, 0.0)))
+    assert(got == expected, s"got $got")
+    val scrambled = graft.ops.Graph.triangleStats(
+        edges.repartition(7, col("dst")))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scrambled == expected, "partitioning must not change one bit")
+  }
+
+  test("triangleStats equals a brute-force count on a generated graph") {
+    // deterministic pseudo-random simple graph on 24 vertices
+    val n = 24
+    val es = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i.toLong, j.toLong)
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val brute = adj.map { case (v, nb) =>
+      v -> nb.toSeq.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y) }
+    }
+    val got = graft.ops.Graph.triangleStats(es.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == adj.size)
+    got.foreach { case (v, deg, tri, coeff) =>
+      assert(deg == adj(v).size, s"degree of $v")
+      assert(tri == brute(v).toLong, s"triangles of $v: $tri != ${brute(v)}")
+      val expect = if (deg < 2) 0.0 else 2.0 * tri / (deg * (deg - 1))
+      assert(coeff == expect, s"clustering of $v")
+    }
+  }
+
+  test("commonNeighborPairs ranks non-adjacent pairs by shared " +
+    "neighbors with exact Jaccard, honors k, and caps hot apexes") {
+    // path 1-2-3 plus 3-4: candidates (1,3) via 2 and (2,4) via 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.ops.Graph.commonNeighborPairs(edges, k = 50)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 0.5), (2L, 4L, 1L, 0.5)), s"got $got")
+    val top1 = graft.ops.Graph.commonNeighborPairs(edges, k = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(top1 == Seq((1L, 3L, 1L, 0.5)))
+    // apex cap: every wedge apex here has degree 2, so a cap of 1
+    // removes all wedges — the documented bounded-fan-out undercount
+    val capped = graft.ops.Graph.commonNeighborPairs(edges, k = 50,
+      maxApexDegree = 1)
+    assert(capped.count() == 0L)
+  }
+
   test("count-min sketch: estimates never undercount, collide upward " +
     "when the grid is tight, and are exact when it is loose") {
     val items = (1 to 400).map(i => (i % 37).toString).toDF("item")
