@@ -361,6 +361,30 @@ object RankQueries {
       .select(col("x").as("item_a"), col("y").as("item_b"),
         col("common"), col("jaccard"))
 
+  /** 2-core of the week-1 session graph (q162) — synchronous peeling
+    * ([[graft.ops.Graph.kCore]], 4 rounds): the iterative
+    * subgraph-restriction class beyond rank propagation, oracle-checked
+    * round-for-round by a generated MATERIALIZED-CTE chain (each round's
+    * edge relation is referenced three times — degree union + join —
+    * so without materialization the naive SQL twin inlines 3^rounds
+    * copies of the scan; the hint is the oracle-side analog of the
+    * Spark side's per-round localCheckpoint).
+    */
+  def itemKCore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCore(weekSessionEdges(s, dir), k = 2, rounds = 4)
+      .select(col("v").as("item"), col("degree"))
+
+  /** Grouped deterministic-HLL UV per event type (q161) — q140's
+    * transcendental-free sketch with the q151 "grouped" treatment:
+    * (group × 64) registers cross the shuffle, never user ids; exact
+    * per-group countDistinct rides along as the verification baseline.
+    */
+  def groupedHllUv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.groupedHllEstimate(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id").as("item")),
+      "event_type")
+
   /** Count-min sketch over the view-event item stream (q139) — built
     * AND probed: 4 portable-fingerprint hash rows × 64 counters, every
     * distinct item probed back with est = min over rows. The output
@@ -511,7 +535,9 @@ object RankQueries {
     "q139_countmin" -> countMinItems,
     "q140_hll_uv" -> hllUv,
     "q159_item_triangles" -> itemTriangles,
-    "q160_link_prediction" -> itemLinkPrediction)
+    "q160_link_prediction" -> itemLinkPrediction,
+    "q161_grouped_hll" -> groupedHllUv,
+    "q162_kcore" -> itemKCore)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -643,7 +669,96 @@ object RankQueries {
       |FROM harm, ex""".stripMargin
   }
 
+  /** Week-1 consecutive-click session-graph edges as a CTE block shared
+    * by the q160 and q162 oracles (ends defining relation `e`). */
+  private def weekEdgesSql =
+    s"""c AS (SELECT user_id, ts, event_id, $item AS item
+      |           FROM events
+      |           WHERE event_type = 'click'
+      |             AND ts >= TIMESTAMP '2024-01-01'
+      |             AND ts < TIMESTAMP '2024-01-08'
+      |             AND $item IS NOT NULL),
+      |seq AS (SELECT item, LAG(item) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |        FROM c),
+      |e AS (SELECT DISTINCT LEAST(prev, item) AS a,
+      |        GREATEST(prev, item) AS b
+      |      FROM seq WHERE prev IS NOT NULL AND prev <> item)""".stripMargin
+
+  /** q162 oracle: the synchronous peeling recurrence as a generated
+    * MATERIALIZED-CTE chain — each round's edge relation is referenced
+    * three times, so the hint prevents the 3^rounds inline blowup. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val chain = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM
+        |        (SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i) t
+        |      GROUP BY 1),
+        |s$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= $k),
+        |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+        |      JOIN s$i sa ON a = sa.v JOIN s$i sb ON b = sb.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $weekEdgesSql,
+      |e0 AS (SELECT a, b FROM e),
+      |$chain,
+      |fd AS (SELECT v, COUNT(*) AS degree FROM
+      |        (SELECT a AS v FROM e$rounds UNION ALL
+      |         SELECT b FROM e$rounds) t GROUP BY 1)
+      |SELECT v AS item, degree FROM fd WHERE degree >= $k""".stripMargin
+  }
+
+  /** q161 oracle: the q140 HLL chain with the group key carried through
+    * every stage; the register spine is (distinct groups × m). */
+  private def groupedHllOracleSql(p: Int): String = {
+    val m = 1L << p
+    val bits = 57 - p
+    val maxRank = bits + 1
+    val cases = (1 to bits)
+      .map(k => s"WHEN rem >= ${1L << (bits - k)} THEN $k")
+      .mkString("\n           ")
+    val c = graft.ops.Sketch.hllAlpha(m) * m.toDouble * m.toDouble *
+      math.pow(2.0, maxRank)
+    val mixCtes = graft.ops.Sketch.mixStagesSql("h").zipWithIndex
+      .map { case (stage, i) =>
+        s"mh${i + 1} AS (SELECT event_type, $stage AS h FROM " +
+          s"${if (i == 0) "hh" else s"mh$i"})"
+      }.mkString(",\n|")
+    val nStages = graft.ops.Sketch.mixStagesSql("h").length
+    s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |hh AS (SELECT event_type,
+      |         ${LlmQueries.fpSql("CAST(user_id AS VARCHAR) || '|hll'")}
+      |         AS h FROM u),
+      |$mixCtes,
+      |b AS (SELECT event_type, h % $m AS bucket, h // $m AS rem
+      |      FROM mh$nStages),
+      |r AS (SELECT event_type, bucket,
+      |         CASE $cases
+      |           ELSE $maxRank END AS rho FROM b),
+      |regs AS (SELECT event_type, bucket, MAX(rho) AS reg
+      |         FROM r GROUP BY 1, 2),
+      |grid AS (SELECT event_type, i AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM events) g,
+      |              range(0, $m) t(i)),
+      |reg2 AS (SELECT grid.event_type, grid.bucket,
+      |           COALESCE(reg, 0) AS register
+      |         FROM grid LEFT JOIN regs
+      |           ON grid.event_type = regs.event_type
+      |          AND grid.bucket = regs.bucket),
+      |harm AS (SELECT event_type,
+      |         CAST(SUM(CAST(1 AS BIGINT) << ($maxRank - register))
+      |           AS BIGINT) AS harm_num,
+      |         CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_zero FROM reg2 GROUP BY 1),
+      |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |       FROM events GROUP BY 1)
+      |SELECT harm.event_type AS event_type, CAST($m AS BIGINT) AS m,
+      |  n_exact, harm_num, n_zero,
+      |  ${c.toString} / CAST(harm_num AS DOUBLE) AS estimate
+      |FROM harm JOIN ex ON harm.event_type = ex.event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q161_grouped_hll" -> groupedHllOracleSql(6),
+    "q162_kcore" -> kCoreOracleSql(2, 4),
     "q45_auc_by_channel" ->
       s"""WITH base AS ($clickViewSql),
         |ex AS (SELECT scene, score, label, 'full' AS channel FROM base
@@ -912,18 +1027,7 @@ object RankQueries {
     // non-adjacent pairs with shared neighbors, Jaccard one division,
     // fully deterministic (common desc, a, b) top-50
     "q160_link_prediction" ->
-      s"""WITH c AS (SELECT user_id, ts, event_id, $item AS item
-        |           FROM events
-        |           WHERE event_type = 'click'
-        |             AND ts >= TIMESTAMP '2024-01-01'
-        |             AND ts < TIMESTAMP '2024-01-08'
-        |             AND $item IS NOT NULL),
-        |seq AS (SELECT item, LAG(item) OVER (
-        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |        FROM c),
-        |e AS (SELECT DISTINCT LEAST(prev, item) AS a,
-        |        GREATEST(prev, item) AS b
-        |      FROM seq WHERE prev IS NOT NULL AND prev <> item),
+      s"""WITH $weekEdgesSql,
         |deg AS (SELECT v, COUNT(*) AS deg FROM
         |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
         |        GROUP BY 1),

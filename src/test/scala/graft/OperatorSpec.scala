@@ -528,6 +528,46 @@ class OperatorSpec extends SparkSpecBase {
     assert(capped.count() == 0L)
   }
 
+  test("kCore peels to the textbook core, keeps the round-count " +
+    "contract, and is partition-invariant") {
+    // triangle 1-2-3 with a tail 3-4-5: the 2-core is the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.kCore(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    // one round only peels the degree-1 leaf 5; 4 is still present in
+    // the edge relation the final degrees are computed on, but its
+    // degree drops below k, so only the triangle reports — the
+    // round-count contract makes this state well-defined, not fuzzy
+    val one = graft.ops.Graph.kCore(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 2L, 2L -> 2L, 3L -> 3L), s"got $one")
+    // k = 3: the triangle is not a 3-core (degrees 2) -> empty
+    assert(graft.ops.Graph.kCore(edges, k = 3, rounds = 4).count() == 0L)
+    val scrambled = graft.ops.Graph.kCore(
+        edges.repartition(7, col("dst")), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(scrambled == got, "partitioning must not change one bit")
+  }
+
+  test("groupedHllEstimate equals the one-shot hllEstimate run per " +
+    "group, registers and all") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", s"u${i % 97}"))
+      .toDF("grp", "item")
+    val grouped = graft.ops.Sketch.groupedHllEstimate(rows, "grp")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    grouped.keySet.foreach { g =>
+      val solo = graft.ops.Sketch.hllEstimate(
+          rows.filter(col("grp") === g).select("item"))
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      assert(grouped(g) == ((solo._1, solo._2, solo._3, solo._4, solo._5)),
+        s"group $g: ${grouped(g)} != $solo")
+    }
+  }
+
   test("count-min sketch: estimates never undercount, collide upward " +
     "when the grid is tight, and are exact when it is loose") {
     val items = (1 to 400).map(i => (i % 37).toString).toDF("item")
