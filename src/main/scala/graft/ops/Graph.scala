@@ -102,6 +102,62 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport restricted to
+    * a seed set: each round `r'(v) = [v ∈ S]·0.15·unit + Σ damped
+    * contributions`, initial mass `unit` on seeds and 0 elsewhere, so
+    * rank flows OUT from the seeds and decays with graph distance — the
+    * item-to-item recommendation primitive ("items related to what this
+    * user/segment clicked"). Same integer arithmetic, same
+    * bit-identical-under-any-partitioning property, same per-round plan
+    * (one edge-vs-ranks key join, map-side dst sum, vertex left join,
+    * checkpoint), same enforced overflow guard (total mass never exceeds
+    * |S|·unit ≤ N·unit). Dangling vertices keep the decay
+    * simplification. Output: (id, rank_micro) over ALL vertices
+    * (unreached vertices report 0).
+    */
+  def personalizedPageRank(vertices: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iters: Int = 3,
+                           unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(unit >= 100L, s"unit must be >= 100: $unit")
+    val verts = vertices.select(col("id")).distinct().localCheckpoint()
+    val n = math.max(1L, verts.count())
+    val maxUnit = Long.MaxValue / 85L / n
+    val u =
+      if (unit <= maxUnit) unit
+      else {
+        var scaled = 1L
+        while (scaled * 10L <= maxUnit) scaled *= 10L
+        println(s"graft.ops.Graph.personalizedPageRank: unit=$unit would " +
+          s"overflow at n=$n vertices (max safe ${maxUnit}); " +
+          s"auto-scaled to $scaled")
+        scaled
+      }
+    val sd = seeds.select(col("id")).distinct()
+    val seeded = verts
+      .join(sd.withColumn("__s", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("__seed"))
+      .localCheckpoint()
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val base = (u * 15L) / 100L
+    var ranks = seeded.select(col("id"), (col("__seed") * u).as("r"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          expr("(r * 85L) div (100L * __deg)").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__sum"))
+      ranks = seeded.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("__seed") * base + coalesce(col("__sum"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
+  }
+
   /** Canonical undirected simple-graph edge relation from a directed edge
     * list: endpoints ordered (a < b), loops dropped, duplicates collapsed.
     * One shuffle on the canonical pair key; materialized once

@@ -361,6 +361,28 @@ object RankQueries {
       .select(col("x").as("item_a"), col("y").as("item_b"),
         col("common"), col("jaccard"))
 
+  /** Personalized PageRank from the decile seed set (q163) — rank mass
+    * teleports only to items with `item % 10 = 0`, so scores measure
+    * co-click proximity TO THE SEEDS ([[graft.ops.Graph
+    * .personalizedPageRank]]): the item-to-item recommendation
+    * primitive, with the same integer fixed point and generated
+    * round-for-round oracle as q138.
+    */
+  def itemPersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val a = ui.select(col("item").as("src"), col("user_id"))
+    val b = ui.select(col("item").as("dst"), col("user_id"))
+    val edges = a.join(b, Seq("user_id")).filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val verts = ui.select(col("item").as("id"))
+    graft.ops.Graph.personalizedPageRank(verts, edges,
+        verts.filter(pmod(col("id"), lit(10L)) === 0L))
+      .select(col("id").as("item"), col("rank_micro"))
+  }
+
   /** 2-core of the week-1 session graph (q162) — synchronous peeling
     * ([[graft.ops.Graph.kCore]], 4 rounds): the iterative
     * subgraph-restriction class beyond rank propagation, oracle-checked
@@ -537,7 +559,8 @@ object RankQueries {
     "q159_item_triangles" -> itemTriangles,
     "q160_link_prediction" -> itemLinkPrediction,
     "q161_grouped_hll" -> groupedHllUv,
-    "q162_kcore" -> itemKCore)
+    "q162_kcore" -> itemKCore,
+    "q163_ppr" -> itemPersonalizedPageRank)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -562,6 +585,31 @@ object RankQueries {
       |                             AND a.item <> b.item),
       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
       |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM verts),
+      |$rounds
+      |SELECT id AS item, r AS rank_micro FROM r$iters""".stripMargin
+  }
+
+  /** The q163 oracle: q138's generated CTE chain with the teleport
+    * restricted to the decile seed flag. */
+  private def pprOracleSql(iters: Int): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""c$i AS (SELECT dst AS id, SUM((r * 85) // (100 * d)) AS cs
+        |      FROM edges JOIN r$i ON src = id JOIN deg USING (src)
+        |      GROUP BY dst),
+        |r${i + 1} AS (SELECT v.id,
+        |        CAST(v.s * 150000000000 + COALESCE(cs, 0) AS BIGINT) AS r
+        |      FROM sv v LEFT JOIN c$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ui AS (SELECT DISTINCT user_id, $item AS item FROM events
+      |            WHERE event_type = 'click'),
+      |verts AS (SELECT DISTINCT item AS id FROM ui),
+      |edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+      |          FROM ui a JOIN ui b ON a.user_id = b.user_id
+      |                             AND a.item <> b.item),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+      |sv AS (SELECT id, CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END AS s
+      |       FROM verts),
+      |r0 AS (SELECT id, CAST(s * 1000000000000 AS BIGINT) AS r FROM sv),
       |$rounds
       |SELECT id AS item, r AS rank_micro FROM r$iters""".stripMargin
   }
@@ -759,6 +807,7 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     "q161_grouped_hll" -> groupedHllOracleSql(6),
     "q162_kcore" -> kCoreOracleSql(2, 4),
+    "q163_ppr" -> pprOracleSql(3),
     "q45_auc_by_channel" ->
       s"""WITH base AS ($clickViewSql),
         |ex AS (SELECT scene, score, label, 'full' AS channel FROM base

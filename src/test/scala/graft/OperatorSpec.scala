@@ -443,6 +443,28 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == got, "partitioning must not change one bit")
   }
 
+  test("personalized PageRank equals the hand-computed fixed point: mass " +
+    "teleports only to seeds and decays with distance") {
+    // A→B, B→A, A→C; seed {A}. Worked by hand at unit = 10^12:
+    // r0 = (1e12, 0, 0)
+    // r1 = (150e9, 425e9, 425e9)       (A's mass split over B, C)
+    // r2 = (150e9 + 361.25e9, 63.75e9, 63.75e9)
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val expected = Map(1L -> 511250000000L,
+      2L -> 63750000000L, 3L -> 63750000000L)
+    val got = graft.ops.Graph.personalizedPageRank(
+        verts, edges, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got $got")
+    val scrambled = graft.ops.Graph.personalizedPageRank(
+        verts.repartition(7), edges.repartition(5, col("dst")), seeds,
+        iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(scrambled == expected, "partitioning must not change one bit")
+  }
+
   test("PageRank auto-scales an overflowing unit down to a safe power of " +
     "ten instead of silently wrapping") {
     val verts = (1L to 200L).toDF("id")
