@@ -102,6 +102,67 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Edge-weighted PageRank — [[pageRank]] with each vertex's outgoing
+    * mass split IN PROPORTION TO integer edge weights instead of evenly:
+    * `contrib(u→v) = (r_u · 85 · w_uv) div (100 · W_u)` where `W_u` is
+    * u's total outgoing weight. On a co-click graph weighted by
+    * shared-user counts this ranks by interaction STRENGTH, not mere
+    * adjacency. Still pure integer arithmetic — bit-identical under any
+    * partitioning — so the generated SQL twin checks it exactly.
+    *
+    * The overflow guard must now cover the three-factor product
+    * `r · 85 · w`: with total mass ≤ N·unit and w ≤ maxW (one bounded
+    * aggregate, computed up front), the guard is
+    * `N · unit · 85 · maxW ≤ Long.Max`, and a caller unit that would
+    * wrap auto-scales down to the largest safe power of ten (loudly),
+    * exactly as [[pageRank]] does. Truncation loss is at most
+    * `out_degree − 1` micro-units per vertex per round, same as the
+    * unweighted form.
+    *
+    * `edges`: (src, dst, w) with POSITIVE integer weights. Output:
+    * (id, rank_micro).
+    */
+  def weightedPageRank(vertices: DataFrame, edges: DataFrame,
+                       iters: Int = 3,
+                       unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(unit >= 100L, s"unit must be >= 100: $unit")
+    val verts = vertices.select(col("id")).distinct().localCheckpoint()
+    val n = math.max(1L, verts.count())
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .localCheckpoint()
+    val maxW = math.max(1L,
+      e.agg(coalesce(max(col("w")), lit(1L))).head().getLong(0))
+    require(maxW > 0L, s"edge weights must be positive (max was $maxW)")
+    val maxUnit = Long.MaxValue / 85L / n / maxW
+    val u =
+      if (unit <= maxUnit) unit
+      else {
+        var scaled = 1L
+        while (scaled * 10L <= maxUnit) scaled *= 10L
+        println(s"graft.ops.Graph.weightedPageRank: unit=$unit would " +
+          s"overflow at n=$n vertices, maxW=$maxW (max safe ${maxUnit}); " +
+          s"auto-scaled to $scaled")
+        scaled
+      }
+    val tw = e.groupBy(col("src")).agg(sum(col("w")).as("__tw"))
+    val base = (u * 15L) / 100L
+    var ranks = verts.select(col("id"), lit(u).as("r")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(tw, Seq("src"))
+        .select(col("dst").as("id"),
+          expr("(r * 85L * w) div (100L * __tw)").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      ranks = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("__s"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
+  }
+
   /** Personalized PageRank — [[pageRank]] with the teleport restricted to
     * a seed set: each round `r'(v) = [v ∈ S]·0.15·unit + Σ damped
     * contributions`, initial mass `unit` on seeds and 0 elsewhere, so
@@ -269,6 +330,27 @@ object Graph {
     }
     degreeOf(e).filter(col("degree") >= k)
   }
+
+  /** One-row structural summary of an undirected simple graph: vertex /
+    * edge / wedge / triangle counts, max degree, and the global
+    * clustering coefficient `3·triangles / wedges` — every count an
+    * exact integer derived from [[triangleStats]] (edges = Σdeg/2,
+    * wedges = Σ deg·(deg−1)/2 — both exact: deg·(deg−1) is even;
+    * triangles = Σ per-vertex /3), the coefficient one IEEE division.
+    * The "is my graph sane" dashboard row: one bounded aggregate over
+    * the per-vertex relation, nothing new crosses the shuffle.
+    */
+  def graphSummary(edges: DataFrame): DataFrame =
+    triangleStats(edges).agg(
+        count(lit(1)).as("n_vertices"),
+        expr("sum(degree) div 2L").as("n_edges"),
+        sum(expr("degree * (degree - 1L) div 2L")).as("n_wedges"),
+        expr("sum(triangles) div 3L").as("n_triangles"),
+        max(col("degree")).as("max_degree"))
+      .withColumn("global_clustering",
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise((col("n_triangles") * 3L).cast("double") /
+            col("n_wedges")))
 
   /** Common-neighbor link prediction over an undirected simple graph: for
     * every NON-adjacent vertex pair with at least one shared neighbor,

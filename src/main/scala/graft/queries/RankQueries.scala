@@ -383,6 +383,47 @@ object RankQueries {
       .select(col("id").as("item"), col("rank_micro"))
   }
 
+  /** Edge-weighted PageRank on the co-click graph (q164) — each edge
+    * weighted by the SHARED-USER COUNT, so outgoing mass splits by
+    * interaction strength ([[graft.ops.Graph.weightedPageRank]]):
+    * frequently-co-clicked neighbors absorb more rank than incidental
+    * ones. Same oracle device as q138 with the weight riding every
+    * contribution term.
+    */
+  def itemWeightedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val a = ui.select(col("item").as("src"), col("user_id"))
+    val b = ui.select(col("item").as("dst"), col("user_id"))
+    val edges = a.join(b, Seq("user_id")).filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    // unit = 10^8: small enough that the three-factor overflow guard
+    // (N·unit·85·maxW ≤ Long.Max) never auto-scales at ANY test SF —
+    // the oracle is static SQL, so the effective unit must be too
+    graft.ops.Graph.weightedPageRank(ui.select(col("item").as("id")),
+        edges, unit = 100000000L)
+      .select(col("id").as("item"), col("rank_micro"))
+  }
+
+  /** One-row structural summary of the co-click graph (q165) —
+    * vertex/edge/wedge/triangle counts, max degree, global clustering
+    * ([[graft.ops.Graph.graphSummary]]); the naive-definition oracle
+    * aggregates the q159 chain.
+    */
+  def itemGraphSummary(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val a = ui.select(col("item").as("src"), col("user_id"))
+    val b = ui.select(col("item").as("dst"), col("user_id"))
+    val edges = a.join(b, Seq("user_id")).filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    graft.ops.Graph.graphSummary(edges)
+  }
+
   /** 2-core of the week-1 session graph (q162) — synchronous peeling
     * ([[graft.ops.Graph.kCore]], 4 rounds): the iterative
     * subgraph-restriction class beyond rank propagation, oracle-checked
@@ -560,7 +601,9 @@ object RankQueries {
     "q160_link_prediction" -> itemLinkPrediction,
     "q161_grouped_hll" -> groupedHllUv,
     "q162_kcore" -> itemKCore,
-    "q163_ppr" -> itemPersonalizedPageRank)
+    "q163_ppr" -> itemPersonalizedPageRank,
+    "q164_weighted_pagerank" -> itemWeightedPageRank,
+    "q165_graph_summary" -> itemGraphSummary)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -610,6 +653,34 @@ object RankQueries {
       |sv AS (SELECT id, CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END AS s
       |       FROM verts),
       |r0 AS (SELECT id, CAST(s * 1000000000000 AS BIGINT) AS r FROM sv),
+      |$rounds
+      |SELECT id AS item, r AS rank_micro FROM r$iters""".stripMargin
+  }
+
+  /** The q164 oracle: the weighted contribution
+    * `(r·85·w) // (100·tw)` round for round at unit 10^8 (chosen so the
+    * Spark side never auto-scales — see itemWeightedPageRank). */
+  private def weightedPageRankOracleSql(iters: Int): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""c$i AS (SELECT dst AS id,
+        |        SUM((r * 85 * w) // (100 * tw)) AS cs
+        |      FROM edges JOIN r$i ON src = id JOIN tw USING (src)
+        |      GROUP BY dst),
+        |r${i + 1} AS (SELECT v.id,
+        |        CAST(15000000 + COALESCE(cs, 0) AS BIGINT) AS r
+        |      FROM verts v LEFT JOIN c$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ui AS (SELECT DISTINCT user_id, $item AS item FROM events
+      |            WHERE event_type = 'click'),
+      |verts AS (SELECT DISTINCT item AS id FROM ui),
+      |edges AS (SELECT a.item AS src, b.item AS dst,
+      |            CAST(COUNT(*) AS BIGINT) AS w
+      |          FROM ui a JOIN ui b ON a.user_id = b.user_id
+      |                             AND a.item <> b.item
+      |          GROUP BY 1, 2),
+      |tw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw
+      |       FROM edges GROUP BY 1),
+      |r0 AS (SELECT id, CAST(100000000 AS BIGINT) AS r FROM verts),
       |$rounds
       |SELECT id AS item, r AS rank_micro FROM r$iters""".stripMargin
   }
@@ -808,6 +879,40 @@ object RankQueries {
     "q161_grouped_hll" -> groupedHllOracleSql(6),
     "q162_kcore" -> kCoreOracleSql(2, 4),
     "q163_ppr" -> pprOracleSql(3),
+    "q164_weighted_pagerank" -> weightedPageRankOracleSql(3),
+    // q165: the q159 naive chain aggregated to one row; every SUM cast
+    // back to BIGINT (DuckDB SUM over BIGINT yields HUGEINT)
+    "q165_graph_summary" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id, $item AS item FROM events
+        |            WHERE event_type = 'click'),
+        |e AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |      FROM ui a JOIN ui b ON a.user_id = b.user_id
+        |                         AND a.item < b.item),
+        |deg AS (SELECT v, COUNT(*) AS degree FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |cnt AS (SELECT v, COUNT(*) AS triangles FROM
+        |          (SELECT x AS v FROM tri UNION ALL
+        |           SELECT y FROM tri UNION ALL
+        |           SELECT z FROM tri) t
+        |        GROUP BY 1),
+        |pv AS (SELECT deg.v, degree, COALESCE(triangles, 0) AS triangles
+        |       FROM deg LEFT JOIN cnt ON deg.v = cnt.v)
+        |SELECT COUNT(*) AS n_vertices,
+        |  CAST(SUM(degree) // 2 AS BIGINT) AS n_edges,
+        |  CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+        |  CAST(SUM(triangles) // 3 AS BIGINT) AS n_triangles,
+        |  MAX(degree) AS max_degree,
+        |  CASE WHEN SUM(degree * (degree - 1) // 2) = 0
+        |       THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST((SUM(triangles) // 3) * 3 AS DOUBLE) /
+        |            CAST(SUM(degree * (degree - 1) // 2) AS BIGINT)
+        |  END AS global_clustering
+        |FROM pv""".stripMargin,
     "q45_auc_by_channel" ->
       s"""WITH base AS ($clickViewSql),
         |ex AS (SELECT scene, score, label, 'full' AS channel FROM base

@@ -465,6 +465,44 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == expected, "partitioning must not change one bit")
   }
 
+  test("weighted PageRank splits mass by edge weight, reduces to the " +
+    "unweighted form at w=1, and is partition-invariant") {
+    // 1->2 (w=3), 1->3 (w=1), 2->1 (w=1); one round by hand at 1e12:
+    // from 1 (tw=4): 2 gets (85e13*3) div 400 = 637.5e9, 3 gets 212.5e9
+    // from 2 (tw=1): 1 gets 850e9
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val expected = Map(1L -> 1000000000000L,
+      2L -> 787500000000L, 3L -> 362500000000L)
+    val got = graft.ops.Graph.weightedPageRank(verts, we, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got $got")
+    val scrambled = graft.ops.Graph.weightedPageRank(
+        verts.repartition(7), we.repartition(5, col("dst")), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(scrambled == expected, "partitioning must not change one bit")
+    // w = 1 everywhere collapses to the unweighted operator exactly
+    val e1 = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val flat = graft.ops.Graph.weightedPageRank(verts,
+        e1.withColumn("w", lit(1L)), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val plain = graft.ops.Graph.pageRank(verts, e1, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(flat == plain, s"w=1 must equal unweighted: $flat vs $plain")
+  }
+
+  test("graphSummary aggregates the per-vertex stats exactly") {
+    // bowtie-ish: triangles (1,2,3), (2,3,4), pendant 5 off 4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L)).toDF("src", "dst")
+    val got = graft.ops.Graph.graphSummary(edges)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    // 5 vertices, 6 edges, wedges 1+3+3+3+0 = 10, 2 triangles,
+    // max degree 3, clustering 6/10
+    assert(got == ((5L, 6L, 10L, 2L, 3L, 0.6)), s"got $got")
+  }
+
   test("PageRank auto-scales an overflowing unit down to a safe power of " +
     "ten instead of silently wrapping") {
     val verts = (1L to 200L).toDF("id")
