@@ -331,6 +331,50 @@ object Graph {
     degreeOf(e).filter(col("degree") >= k)
   }
 
+  /** Synchronous label propagation (LPA community detection) over an
+    * undirected simple graph, made DETERMINISTIC the only way an oracle
+    * can check it: every vertex starts labeled with its own id; each
+    * round every vertex simultaneously adopts the most frequent label
+    * among its neighbors with ties broken by SMALLEST label (classic
+    * async LPA breaks ties randomly — this is the derandomized
+    * synchronous form); isolated vertices keep their label. The ROUND
+    * COUNT is part of the contract (the q138/q162 device), so the SQL
+    * twin runs the identical recurrence and the gate checks the
+    * distributed form bit-for-bit, converged or not.
+    *
+    * 100 TB posture: per round one neighbor-vs-labels key join, one
+    * map-side-combined (vertex, label) count, one per-vertex argmax as
+    * a MIN over (−count, label) structs (an aggregate, never a rank
+    * window), one left join back onto the vertex set; localCheckpoint
+    * truncates lineage per round.
+    *
+    * Output: (v, label) — community assignment after `rounds` rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = canonicalEdges(edges)
+    val nbr = e.select(col("a").as("u"), col("b").as("w"))
+      .union(e.select(col("b").as("u"), col("a").as("w")))
+      .localCheckpoint()
+    val verts = nbr.select(col("u").as("v")).distinct().localCheckpoint()
+    var labels = verts.select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val pick = nbr
+        .join(labels.select(col("v").as("w"), col("label")), Seq("w"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("lbl")))
+          .as("__m"))
+        .select(col("u").as("v"), col("__m.lbl").as("__new"))
+      labels = labels.join(pick, Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** One-row structural summary of an undirected simple graph: vertex /
     * edge / wedge / triangle counts, max degree, and the global
     * clustering coefficient `3·triangles / wedges` — every count an

@@ -424,6 +424,17 @@ object RankQueries {
     graft.ops.Graph.graphSummary(edges)
   }
 
+  /** Deterministic label-propagation communities on the week-1 session
+    * graph (q166) — derandomized synchronous LPA
+    * ([[graft.ops.Graph.labelPropagation]], 3 rounds): most frequent
+    * neighbor label, ties to the smallest, round count in the contract
+    * so the generated SQL twin checks the distributed argmax-aggregate
+    * form against a rank-window definition round for round.
+    */
+  def itemCommunities(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(weekSessionEdges(s, dir), rounds = 3)
+      .select(col("v").as("item"), col("label"))
+
   /** 2-core of the week-1 session graph (q162) — synchronous peeling
     * ([[graft.ops.Graph.kCore]], 4 rounds): the iterative
     * subgraph-restriction class beyond rank propagation, oracle-checked
@@ -470,6 +481,47 @@ object RankQueries {
   def hllUv(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketch.hllEstimate(
       Tables.events(s, dir).select(col("user_id").as("item")))
+
+  /** 8-day truncated EWMA of daily order revenue, α = 1/4, entirely in
+    * integer arithmetic (q167): daily revenue as exact cents, the
+    * smoothed value as the exact integer
+    * `Σ_{k=0..7} 3^k·4^(7−k)·cents_{t−k}` over one lag chain, and the
+    * float emitted as ONE division by the constant weight total
+    * 4^8 − 3^8 = 58975 — the renormalized finite-window form of
+    * `EWMA_t = α·x_t + (1−α)·EWMA_{t−1}` (an untruncated recurrence
+    * would need 4^t-scaled integers; 8 taps keep 99.9% of the mass at
+    * α = 1/4 and the numerator exact in a BIGINT). Rows before the 8th
+    * observed day are dropped (no partial-window estimates). The lag is
+    * over OBSERVED days (row lag, same in the oracle), so gap days
+    * compress rather than zero-fill — documented operator semantics.
+    *
+    * 100 TB posture: the only unbounded relation is the orders scan,
+    * which collapses to ≤ |days| rows in one map-side-combined
+    * aggregate before the window; the ordered window then runs on that
+    * BOUNDED daily relation (a few thousand rows however large the
+    * fact table — the q149 bounded-single-partition device).
+    */
+  def ewmaDailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val weights = Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L,
+      2916L, 2187L)
+    val daily = Tables.orders(s, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) " +
+          "div 86400000").as("day"),
+        col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy(col("day"))
+    val lagged = (1 to 7).foldLeft(daily)((df, k) =>
+      df.withColumn(s"__c$k", lag(col("cents"), k).over(w)))
+    val num = (1 to 7).foldLeft(col("cents") * weights(0)) {
+      (acc, k) => acc + col(s"__c$k") * weights(k)
+    }
+    lagged.filter(col("__c7").isNotNull)
+      .select(col("day"), col("cents"),
+        num.cast("long").as("ewma_num"),
+        (num.cast("long").cast("double") / lit(58975.0)).as("ewma"))
+  }
 
   /** RFM segmentation inputs per user — recency (days since last
     * purchase, integer epoch-day arithmetic against the corpus max),
@@ -603,7 +655,9 @@ object RankQueries {
     "q162_kcore" -> itemKCore,
     "q163_ppr" -> itemPersonalizedPageRank,
     "q164_weighted_pagerank" -> itemWeightedPageRank,
-    "q165_graph_summary" -> itemGraphSummary)
+    "q165_graph_summary" -> itemGraphSummary,
+    "q166_label_propagation" -> itemCommunities,
+    "q167_ewma_revenue" -> ewmaDailyRevenue)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -825,6 +879,28 @@ object RankQueries {
       |SELECT v AS item, degree FROM fd WHERE degree >= $k""".stripMargin
   }
 
+  /** q166 oracle: the synchronous LPA recurrence, one CTE pair per
+    * round — the per-vertex pick as a rank window (the definitional
+    * form; the Spark side runs the argmax-as-MIN-struct aggregate). */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val chain = (0 until rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT nbr.u AS v, l.lbl, COUNT(*) AS c
+        |      FROM nbr JOIN l$i l ON nbr.w = l.id GROUP BY 1, 2),
+        |l${i + 1} AS MATERIALIZED (SELECT t.v AS id, t.lbl
+        |      FROM (SELECT v, lbl, ROW_NUMBER() OVER (
+        |              PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        |            FROM n$i) t
+        |      WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $weekEdgesSql,
+      |nbr AS (SELECT a AS u, b AS w FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |verts AS (SELECT DISTINCT u AS id FROM nbr),
+      |l0 AS (SELECT id, id AS lbl FROM verts),
+      |$chain
+      |SELECT id AS item, lbl AS label FROM l$rounds""".stripMargin
+  }
+
   /** q161 oracle: the q140 HLL chain with the group key carried through
     * every stage; the register spine is (distinct groups × m). */
   private def groupedHllOracleSql(p: Int): String = {
@@ -880,6 +956,31 @@ object RankQueries {
     "q162_kcore" -> kCoreOracleSql(2, 4),
     "q163_ppr" -> pprOracleSql(3),
     "q164_weighted_pagerank" -> weightedPageRankOracleSql(3),
+    "q166_label_propagation" -> labelPropOracleSql(3),
+    // q167: the same 8-tap integer lag chain; weights 3^k·4^(7-k),
+    // one division by the constant total 58975
+    "q167_ewma_revenue" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |lagd AS (SELECT day, cents,
+        |    LAG(cents, 1) OVER (ORDER BY day) AS c1,
+        |    LAG(cents, 2) OVER (ORDER BY day) AS c2,
+        |    LAG(cents, 3) OVER (ORDER BY day) AS c3,
+        |    LAG(cents, 4) OVER (ORDER BY day) AS c4,
+        |    LAG(cents, 5) OVER (ORDER BY day) AS c5,
+        |    LAG(cents, 6) OVER (ORDER BY day) AS c6,
+        |    LAG(cents, 7) OVER (ORDER BY day) AS c7
+        |  FROM daily)
+        |SELECT day, cents,
+        |  CAST(16384 * cents + 12288 * c1 + 9216 * c2 + 6912 * c3 +
+        |       5184 * c4 + 3888 * c5 + 2916 * c6 + 2187 * c7
+        |    AS BIGINT) AS ewma_num,
+        |  CAST(16384 * cents + 12288 * c1 + 9216 * c2 + 6912 * c3 +
+        |       5184 * c4 + 3888 * c5 + 2916 * c6 + 2187 * c7
+        |    AS DOUBLE) / 58975.0 AS ewma
+        |FROM lagd WHERE c7 IS NOT NULL""".stripMargin,
     // q165: the q159 naive chain aggregated to one row; every SUM cast
     // back to BIGINT (DuckDB SUM over BIGINT yields HUGEINT)
     "q165_graph_summary" ->

@@ -492,6 +492,29 @@ class OperatorSpec extends SparkSpecBase {
     assert(flat == plain, s"w=1 must equal unweighted: $flat vs $plain")
   }
 
+  test("labelPropagation runs the derandomized synchronous recurrence " +
+    "exactly and settles components onto one label") {
+    // path 1-2-3-4-5, worked by hand (ties to smallest label):
+    // l1 = (2, 1, 2, 3, 4); l2 = (1, 2, 1, 2, 3)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(path, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L),
+      s"got $got")
+    val scrambled = graft.ops.Graph.labelPropagation(
+        path.repartition(7, col("dst")), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(scrambled == got, "partitioning must not change one bit")
+    // two disconnected triangles settle onto per-component labels
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+        (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val comm = graft.ops.Graph.labelPropagation(two, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(comm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $comm")
+  }
+
   test("graphSummary aggregates the per-vertex stats exactly") {
     // bowtie-ish: triangles (1,2,3), (2,3,4), pendant 5 off 4
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
