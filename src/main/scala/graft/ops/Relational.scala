@@ -61,4 +61,41 @@ object Relational {
   : DataFrame =
     df.select(key.as("key"), lit(metric).as("metric"),
       value.cast("double").as("value"))
+
+  /** Per-group 2-D skyline (Pareto frontier): the rows of `df` not
+    * DOMINATED within their group, where a row dominates another iff its
+    * `minCol` is ≤, its `maxCol` is ≥, and at least one is strict.
+    * Ties survive together (neither dominates). Both criterion columns
+    * must be exact (integer/long) — float criteria must be converted to
+    * exact units (cents) by the caller, or the dominance relation itself
+    * becomes rounding-dependent.
+    *
+    * The definitional form is the quadratic NOT EXISTS self-join (the
+    * oracle keeps it); this plan is linear: collapse to one row per
+    * (group, minCol) carrying `max(maxCol)` — a map-side-combined
+    * aggregate bounded by the criterion's DOMAIN, not the fact table —
+    * run ONE lag-style running max over that bounded relation
+    * (partitioned by group, so no global single-partition window), keep
+    * the price points that strictly improve on every cheaper point, and
+    * semi-join the frontier back to the fact rows on
+    * (group, minCol, maxCol = the frontier max). A frontier row at value
+    * v survives iff no strictly-smaller minCol reaches maxCol ≥ v and no
+    * same-minCol row strictly exceeds it — exactly non-domination.
+    */
+  def skyline2D(df: DataFrame, group: Column, minCol: Column,
+                maxCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__g", group).withColumn("__lo", minCol)
+      .withColumn("__hi", maxCol)
+    val perPoint = keyed.groupBy(col("__g"), col("__lo"))
+      .agg(max(col("__hi")).as("__best"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__lo"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPoint
+      .withColumn("__seen", max(col("__best")).over(w))
+      .filter(col("__seen").isNull || col("__seen") < col("__best"))
+      .select(col("__g"), col("__lo"), col("__best").as("__hi"))
+    keyed.join(frontier, Seq("__g", "__lo", "__hi"), "left_semi")
+      .drop("__g", "__lo", "__hi")
+  }
 }

@@ -374,6 +374,25 @@ object RelationalQueries {
       .select(col("l_partkey"), col("val").cast("double").as("part_value"))
   }
 
+  /** Per-brand price/size skyline (q168) — the Pareto-frontier operator
+    * ([[graft.ops.Relational.skyline2D]]): parts not dominated within
+    * their brand on (retail price ↓, size ↑), price in exact cents so
+    * the dominance relation is rounding-free. The oracle keeps the
+    * definitional quadratic NOT-EXISTS self-join; the gate proves the
+    * aggregate-then-running-max linear plan equivalent. No global
+    * window: the running max partitions by brand, and its input is the
+    * per-(brand, price) aggregate — bounded by the price DOMAIN, not
+    * the fact table.
+    */
+  def brandSkyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"),
+      (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("price_cents"),
+      col("p_size"))
+    graft.ops.Relational.skyline2D(p, col("p_brand"), col("price_cents"),
+      col("p_size"))
+  }
+
   /** TPC-H Q7-shaped "volume shipping between two nations" — the
     * two-sided dimension-mapping silhouette: the SAME nation table joins
     * twice under different roles (supplier's vs customer's), the pair
@@ -831,6 +850,7 @@ object RelationalQueries {
     "q156_returned_items" -> returnedItemReport,
     "q157_ship_classes" -> priorityShipClasses,
     "q158_promotable_suppliers" -> promotableSuppliers,
+    "q168_brand_skyline" -> brandSkyline,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -1187,6 +1207,20 @@ object RelationalQueries {
         |  JOIN pt ON l_partkey = pk
         |  JOIN part ON p_partkey = l_partkey
         |  WHERE p_name LIKE 'red%' AND sqty * 8 > tqty)""".stripMargin,
+    // q168: the DEFINITIONAL quadratic dominance anti-join — the Spark
+    // side runs the linear aggregate-then-running-max plan; the gate
+    // proves the rewrite. Cents via DECIMAL on both sides (a double*100
+    // cast truncates differently per engine).
+    "q168_brand_skyline" ->
+      """WITH p2 AS (SELECT p_partkey, p_brand,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    p_size FROM part)
+        |SELECT p_partkey, p_brand, price_cents, p_size FROM p2 p
+        |WHERE NOT EXISTS (SELECT 1 FROM p2 q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))""".stripMargin,
     // q130: all three predicates prune the scan; exact-DECIMAL sum
     "q130_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

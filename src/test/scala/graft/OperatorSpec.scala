@@ -492,6 +492,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(flat == plain, s"w=1 must equal unweighted: $flat vs $plain")
   }
 
+  test("skyline2D keeps exactly the non-dominated rows, ties and " +
+    "duplicates together, per group") {
+    // group A: (1,5)x2 tie-survive; (2,7) frontier; (2,3) dominated by
+    // (1,5); (3,7) dominated by (2,7); (3,9) frontier. group B: singleton.
+    val rows = Seq(("A", 1L, 5), ("A", 1L, 5), ("A", 2L, 7), ("A", 2L, 3),
+      ("A", 3L, 7), ("A", 3L, 9), ("B", 10L, 1))
+      .toDF("g", "lo", "hi")
+    val got = graft.ops.Relational
+      .skyline2D(rows, col("g"), col("lo"), col("hi"))
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(got == Seq(("A", 1L, 5), ("A", 1L, 5), ("A", 2L, 7),
+      ("A", 3L, 9), ("B", 10L, 1)), s"got $got")
+    val scrambled = graft.ops.Relational
+      .skyline2D(rows.repartition(5, col("hi")), col("g"), col("lo"),
+        col("hi"))
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(scrambled == got, "partitioning must not change the skyline")
+  }
+
   test("labelPropagation runs the derandomized synchronous recurrence " +
     "exactly and settles components onto one label") {
     // path 1-2-3-4-5, worked by hand (ties to smallest label):
