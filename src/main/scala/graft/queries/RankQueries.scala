@@ -523,6 +523,46 @@ object RankQueries {
         (num.cast("long").cast("double") / lit(58975.0)).as("ewma"))
   }
 
+  /** Per-item OLS click trend (q169): least-squares slope and intercept
+    * of daily click count against epoch day, every moment an exact
+    * BIGINT (n, Σx, Σy, Σx², Σxy over the ≤|items|·|days| daily
+    * relation) and the closed-form numerators/denominator exact integer
+    * expressions — `slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)`, `intercept =
+    * (ΣyΣx²−ΣxΣxy)/(same den)` — so the floats are two single
+    * divisions of exact integers. Items observed on < 2 distinct days
+    * are dropped (den = 0); with n ≥ 2 distinct x values den > 0.
+    *
+    * 100 TB posture: one map-side-combined (item, day) count collapses
+    * the fact scan; the moment aggregate runs on that bounded relation;
+    * no window, no join. Integer headroom at this corpus's epoch-day ×
+    * count magnitudes is ~2^53-safe through every product; a corpus
+    * with 10^9-row daily counts lifts the moment sums to DECIMAL(38,0)
+    * (same plan), or rebases x to days-since-corpus-min first.
+    */
+  def itemDailyTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item"), col("day")).agg(count(lit(1)).as("y"))
+    daily.groupBy(col("item")).agg(
+        count(lit(1)).as("n"),
+        sum(col("day")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("day") * col("day")).as("sxx"),
+        sum(col("day") * col("y")).as("sxy"))
+      .filter(col("n") >= 2)
+      .select(col("item"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
+      .withColumn("slope",
+        col("slope_num").cast("double") / col("den").cast("double"))
+      .withColumn("intercept",
+        col("icept_num").cast("double") / col("den").cast("double"))
+  }
+
   /** RFM segmentation inputs per user — recency (days since last
     * purchase, integer epoch-day arithmetic against the corpus max),
     * frequency (purchase count), monetary (value sum through the
@@ -657,7 +697,8 @@ object RankQueries {
     "q164_weighted_pagerank" -> itemWeightedPageRank,
     "q165_graph_summary" -> itemGraphSummary,
     "q166_label_propagation" -> itemCommunities,
-    "q167_ewma_revenue" -> ewmaDailyRevenue)
+    "q167_ewma_revenue" -> ewmaDailyRevenue,
+    "q169_item_trend" -> itemDailyTrend)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -957,6 +998,25 @@ object RankQueries {
     "q163_ppr" -> pprOracleSql(3),
     "q164_weighted_pagerank" -> weightedPageRankOracleSql(3),
     "q166_label_propagation" -> labelPropOracleSql(3),
+    // q169: identical integer moments; the floats are the same two
+    // single divisions of exact BIGINTs
+    "q169_item_trend" ->
+      s"""WITH daily AS (SELECT $item AS item,
+        |    epoch_ms(ts) // 86400000 AS day, COUNT(*) AS y
+        |  FROM events WHERE event_type = 'click' AND $item IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT item, COUNT(*) AS n, SUM(day) AS sx, SUM(y) AS sy,
+        |    SUM(day * day) AS sxx, SUM(day * y) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT item, n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS den,
+        |  CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+        |FROM m WHERE n >= 2""".stripMargin,
     // q167: the same 8-tap integer lag chain; weights 3^k·4^(7-k),
     // one division by the constant total 58975
     "q167_ewma_revenue" ->
