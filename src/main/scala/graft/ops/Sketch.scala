@@ -322,6 +322,69 @@ object Sketch {
   }
 
   // ---------------------------------------------------------------------
+  // Bloom filter: the OR-mergeable sketch, completing the merge-class
+  // trio (HLL registers merge by MAX, histogram/count-min counters by
+  // ADD, bloom words by bitwise OR). Deterministic: k salted 57-bit
+  // fingerprints per value, bit positions mod m; the word relation
+  // carries the full (m/64)-row spine so two filters merge with a plain
+  // word-key BIT_OR. No false negatives by construction — the probe's
+  // defining guarantee — and the false-positive rate is the sizing
+  // contract, not a correctness one.
+  // ---------------------------------------------------------------------
+
+  /** Build an m-bit bloom filter (m = 2^bitsLog2) over the DISTINCT
+    * values of `valueCol` as a (word ∈ [0, m/32), bits BIGINT) relation.
+    * Words are 32 bits wide on purpose: the max shift is 31, so every
+    * word value stays positive and both engines' shift/bit_count
+    * semantics agree on the whole domain (a 64-bit word would need
+    * `1 << 63`, which overflows DuckDB's signed shift). One
+    * map-side-combined BIT_OR collapses the member scan into m/32
+    * bounded words — the mergeable unit; nothing corpus-sized survives
+    * the build. */
+  def bloomWords(members: DataFrame, valueCol: String,
+                 bitsLog2: Int = 12, k: Int = 3): DataFrame = {
+    require(bitsLog2 >= 5 && bitsLog2 <= 30,
+      s"bitsLog2 must be in [5, 30]: $bitsLog2")
+    require(k >= 1 && k <= 8, s"k must be in [1, 8]: $k")
+    val m = 1L << bitsLog2
+    val spark = members.sparkSession
+    val flat = (0 until k).map { j =>
+      val p = pmod(salted(col(valueCol), s"|bf$j"), lit(m))
+      members.select(shiftright(p, 5).as("word"), (p % 32).as("bit"))
+    }.reduce(_ unionByName _)
+    val words = flat
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").as("bits"))
+    spark.range(m >> 5).select(col("id").as("word"))
+      .join(words, Seq("word"), "left")
+      .select(col("word"), coalesce(col("bits"), lit(0L)).as("bits"))
+  }
+
+  /** Probe every distinct `valueCol` of `probes` against a
+    * [[bloomWords]] relation: `maybe` = all k bits set. The word
+    * relation is bounded, so it broadcasts; each probe value costs k
+    * bounded-side lookups and one per-value MIN — no shuffle wider than
+    * the distinct probe set. */
+  def bloomProbe(words: DataFrame, probes: DataFrame, valueCol: String,
+                 bitsLog2: Int = 12, k: Int = 3): DataFrame = {
+    require(bitsLog2 >= 5 && bitsLog2 <= 30,
+      s"bitsLog2 must be in [5, 30]: $bitsLog2")
+    require(k >= 1 && k <= 8, s"k must be in [1, 8]: $k")
+    val m = 1L << bitsLog2
+    val d = probes.select(col(valueCol)).distinct()
+    val flat = (0 until k).map { j =>
+      val p = pmod(salted(col(valueCol), s"|bf$j"), lit(m))
+      d.select(col(valueCol), shiftright(p, 5).as("word"),
+        (p % 32).as("bit"))
+    }.reduce(_ unionByName _)
+    flat.join(broadcast(words), Seq("word"))
+      .groupBy(col(valueCol))
+      .agg(min(expr("shiftright(bits, CAST(bit AS INT)) & 1"))
+        .as("__allset"))
+      .select(col(valueCol), (col("__allset") === 1).as("maybe"))
+  }
+
+  // ---------------------------------------------------------------------
   // Fixed-bin histogram quantiles: the add-mergeable companion to the
   // max-mergeable HLL registers. One map-side-combined pass collapses the
   // stream into `bins` bounded counters; quantiles read off the cumulative

@@ -563,6 +563,48 @@ object RankQueries {
         col("icept_num").cast("double") / col("den").cast("double"))
   }
 
+  /** Bloom-filter interaction audit (q170): build a deterministic
+    * 32768-bit / 3-hash bloom filter ([[graft.ops.Sketch.bloomWords]])
+    * over the DISTINCT (user, item) click pairs of week 1, probe every
+    * distinct pair of the full month ([[graft.ops.Sketch.bloomProbe]]),
+    * and emit the one-row audit: probe/maybe/member/false-positive
+    * counts plus set-bit and used-word totals — all exact integers, so
+    * the oracle (the identical hash chain in SQL) checks every bit of
+    * the filter through the counts. The no-false-negative guarantee is
+    * structural (n_maybe ≥ n_members_probed always); the FP count is
+    * the sizing demonstration. This is the "have we seen this
+    * interaction before" gate a streaming dedup front-end uses before
+    * touching corpus-sized state.
+    */
+  def bloomPairAudit(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("ts"))
+      .filter(col("item").isNotNull)
+      .select(concat(col("user_id").cast("string"), lit(":"),
+        col("item").cast("string")).as("pair"), col("ts"))
+    val members = keyed
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .select("pair").distinct()
+    val words = graft.ops.Sketch.bloomWords(members, "pair", 15, 3)
+    val probed = graft.ops.Sketch.bloomProbe(words, keyed, "pair", 15, 3)
+    val truth = probed
+      .join(members.withColumn("__m", lit(1L)), Seq("pair"), "left")
+      .select(col("maybe"), coalesce(col("__m"), lit(0L)).as("truly"))
+    val stats = truth.agg(
+      count(lit(1)).as("n_probes"),
+      sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+      sum(col("truly")).as("n_members_probed"),
+      sum(when(col("maybe") && col("truly") === 0, 1L).otherwise(0L))
+        .as("n_false_pos"))
+    val wstats = words.agg(
+      sum(expr("bit_count(bits)")).cast("long").as("bits_set"),
+      sum(when(col("bits") =!= 0, 1L).otherwise(0L)).as("words_used"))
+    stats.crossJoin(broadcast(wstats))
+  }
+
   /** RFM segmentation inputs per user — recency (days since last
     * purchase, integer epoch-day arithmetic against the corpus max),
     * frequency (purchase count), monetary (value sum through the
@@ -698,7 +740,8 @@ object RankQueries {
     "q165_graph_summary" -> itemGraphSummary,
     "q166_label_propagation" -> itemCommunities,
     "q167_ewma_revenue" -> ewmaDailyRevenue,
-    "q169_item_trend" -> itemDailyTrend)
+    "q169_item_trend" -> itemDailyTrend,
+    "q170_bloom_audit" -> bloomPairAudit)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -942,6 +985,68 @@ object RankQueries {
       |SELECT id AS item, lbl AS label FROM l$rounds""".stripMargin
   }
 
+  /** q170 oracle: the identical bloom chain in SQL — k fingerprint+mix
+    * hash columns per pair (the countMin CTE-per-stage device), 32-bit
+    * words built with BIT_OR over the member subset, every probe's k
+    * bits tested with the same arithmetic-shift-and-mask, the audit
+    * row's six counts all exact integers. */
+  private def bloomOracleSql(bitsLog2: Int, k: Int): String = {
+    val m = 1L << bitsLog2
+    val nw = m >> 5
+    def fp(j: Int) = LlmQueries.fpSql(s"pair || '|bf$j'")
+    val raw = (0 until k).map(j => s"${fp(j)} AS x$j").mkString(",\n    ")
+    val mixCtes = graft.ops.Sketch.mixStagesSql("__E__").zipWithIndex
+      .map { case (stage, i) =>
+        val cols = (0 until k)
+          .map(j => s"${stage.replace("__E__", s"x$j")} AS x$j")
+          .mkString(",\n    ")
+        val src = if (i == 0) "mx0" else s"mx$i"
+        s"""mx${i + 1} AS (SELECT pair,
+          |    $cols
+          |  FROM $src)""".stripMargin
+      }.mkString(",\n")
+    val nStages = graft.ops.Sketch.mixStagesSql("x").length
+    val pos = (0 until k).map(j => s"x$j % $m AS p$j").mkString(", ")
+    val flat = (0 until k)
+      .map(j => s"SELECT pair, p$j // 32 AS word, p$j % 32 AS bit FROM pos")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH cl AS (SELECT CAST(user_id AS VARCHAR) || ':' ||
+      |      CAST($item AS VARCHAR) AS pair, ts
+      |    FROM events WHERE event_type = 'click' AND $item IS NOT NULL),
+      |mem AS (SELECT DISTINCT pair FROM cl
+      |        WHERE ts < TIMESTAMP '2024-01-08'),
+      |pr AS (SELECT DISTINCT pair FROM cl),
+      |mx0 AS (SELECT pair, $raw FROM pr),
+      |$mixCtes,
+      |pos AS (SELECT pair, $pos FROM mx$nStages),
+      |flat AS (
+      |  $flat),
+      |words0 AS (SELECT word,
+      |    BIT_OR(CAST(1 AS BIGINT) << CAST(bit AS INT)) AS bits
+      |  FROM flat JOIN mem USING (pair) GROUP BY 1),
+      |spine AS (SELECT i AS word FROM range(0, $nw) t(i)),
+      |w2 AS (SELECT spine.word, COALESCE(bits, 0) AS bits
+      |       FROM spine LEFT JOIN words0 USING (word)),
+      |pm AS (SELECT pair, MIN((bits >> CAST(bit AS INT)) & 1) AS allset
+      |       FROM flat JOIN w2 USING (word) GROUP BY 1),
+      |tr AS (SELECT pm.pair, allset,
+      |    CASE WHEN mem.pair IS NOT NULL THEN 1 ELSE 0 END AS truly
+      |  FROM pm LEFT JOIN mem ON pm.pair = mem.pair),
+      |ws AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_set,
+      |    CAST(SUM(CASE WHEN bits <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS words_used
+      |  FROM w2),
+      |ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+      |    CAST(SUM(allset) AS BIGINT) AS n_maybe,
+      |    CAST(SUM(truly) AS BIGINT) AS n_members_probed,
+      |    CAST(SUM(CASE WHEN allset = 1 AND truly = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_false_pos
+      |  FROM tr)
+      |SELECT n_probes, n_maybe, n_members_probed, n_false_pos,
+      |  bits_set, words_used
+      |FROM ps, ws""".stripMargin
+  }
+
   /** q161 oracle: the q140 HLL chain with the group key carried through
     * every stage; the register spine is (distinct groups × m). */
   private def groupedHllOracleSql(p: Int): String = {
@@ -998,6 +1103,7 @@ object RankQueries {
     "q163_ppr" -> pprOracleSql(3),
     "q164_weighted_pagerank" -> weightedPageRankOracleSql(3),
     "q166_label_propagation" -> labelPropOracleSql(3),
+    "q170_bloom_audit" -> bloomOracleSql(15, 3),
     // q169: identical integer moments; the floats are the same two
     // single divisions of exact BIGINTs
     "q169_item_trend" ->

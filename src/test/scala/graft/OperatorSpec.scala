@@ -692,6 +692,41 @@ class OperatorSpec extends SparkSpecBase {
         (1 to 400).count(_ % 37 == k).toLong).toMap)
   }
 
+  test("bloom filter: no false negatives ever, false positives appear " +
+    "when undersized, and filters merge by word-key BIT_OR") {
+    val members = (1 to 300).map(i => s"m$i").toDF("v")
+    val probes = ((1 to 300).map(i => s"m$i") ++
+      (1 to 300).map(i => s"x$i")).toDF("v")
+    // undersized (256 bits, 3 hashes, n=300): saturated enough to collide
+    val words = graft.ops.Sketch.bloomWords(members, "v", 8, 3)
+    val got = graft.ops.Sketch.bloomProbe(words, probes, "v", 8, 3)
+      .as[(String, Boolean)].collect().toMap
+    assert((1 to 300).forall(i => got(s"m$i")),
+      "a member must NEVER probe negative")
+    // sized comfortably (4096 bits for n=300): negatives mostly clean
+    val big = graft.ops.Sketch.bloomWords(members, "v", 12, 3)
+    val gotBig = graft.ops.Sketch.bloomProbe(big, probes, "v", 12, 3)
+      .as[(String, Boolean)].collect().toMap
+    assert((1 to 300).forall(i => gotBig(s"m$i")))
+    assert((1 to 300).count(i => gotBig(s"x$i")) < 30,
+      "a 4096-bit filter over 300 members must reject most non-members")
+    // OR-merge: bloom(A ∪ B) == word-wise OR of bloom(A), bloom(B)
+    val a = (1 to 150).map(i => s"m$i").toDF("v")
+    val b = (151 to 300).map(i => s"m$i").toDF("v")
+    val merged = graft.ops.Sketch.bloomWords(a, "v", 12, 3)
+      .unionByName(graft.ops.Sketch.bloomWords(b, "v", 12, 3))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val whole = big.as[(Long, Long)].collect().sorted.toSeq
+    assert(merged == whole, "OR-merge must equal the one-shot build")
+    // partition invariance
+    val scrambled = graft.ops.Sketch
+      .bloomWords(members.repartition(7, col("v")), "v", 12, 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(scrambled == whole, "partitioning must not change one bit")
+  }
+
   test("HLL: estimate lands within the m=64 error envelope, duplicates " +
     "change nothing, and the register relation is duplicate-insensitive") {
     val base = (1 to 5000).map(i => s"user$i").toDF("item")
