@@ -375,6 +375,50 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS hop distance over an undirected simple graph —
+    * the MIN-merge fixed point completing the recurrence family
+    * (PageRank propagates by SUM, k-core restricts, LPA votes, BFS
+    * tightens a minimum): every seed starts at distance 0; each round
+    * every vertex takes `min(own, min over neighbors + 1)`. After
+    * `rounds` rounds the relation is EXACTLY the vertices within that
+    * many hops of a seed, with true hop distances (unreached vertices
+    * are absent, not ∞-rows). The round count is part of the contract
+    * (the q138/q162/q166 device): the SQL twin replays the identical
+    * recurrence, so the gate checks bit-for-bit at any horizon.
+    *
+    * 100 TB posture: per round one neighbor-vs-distance key join, one
+    * map-side-combined per-vertex MIN, one full outer join against the
+    * (monotonically growing, ≤ |V|-row) distance relation;
+    * localCheckpoint truncates lineage per round. Seeds with no edges
+    * still appear at distance 0 — membership comes from the caller's
+    * seed relation, not the edge scan.
+    *
+    * Output: (v, dist) for every vertex within `rounds` hops.
+    */
+  def bfsDistance(edges: DataFrame, seeds: DataFrame,
+                  rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = canonicalEdges(edges)
+    val nbr = e.select(col("a").as("u"), col("b").as("w"))
+      .union(e.select(col("b").as("u"), col("a").as("w")))
+      .localCheckpoint()
+    var dist = seeds.select(col(seeds.columns.head).as("v")).distinct()
+      .select(col("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val cand = nbr
+        .join(dist.select(col("v").as("w"), col("dist")), Seq("w"))
+        .groupBy(col("u")).agg(min(col("dist") + lit(1L)).as("__nd"))
+        .select(col("u").as("v"), col("__nd"))
+      dist = dist.join(cand, Seq("v"), "full")
+        .select(col("v"),
+          coalesce(least(col("dist"), col("__nd")),
+            col("dist"), col("__nd")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** One-row structural summary of an undirected simple graph: vertex /
     * edge / wedge / triangle counts, max degree, and the global
     * clustering coefficient `3·triangles / wedges` — every count an

@@ -435,6 +435,23 @@ object RankQueries {
     graft.ops.Graph.labelPropagation(weekSessionEdges(s, dir), rounds = 3)
       .select(col("v").as("item"), col("label"))
 
+  /** Hop distance from the decile seed items on the week-1 session
+    * graph (q171) — 3-round multi-source BFS
+    * ([[graft.ops.Graph.bfsDistance]]): which items sit within three
+    * co-click hops of a seed, and how many. The "blast radius"
+    * companion to q163's proximity scores: PPR weighs closeness, BFS
+    * certifies reachability, and both run the same per-round join
+    * skeleton with different merge algebras (sum vs min).
+    */
+  def itemSeedDistance(s: SparkSession, dir: String): DataFrame = {
+    val e = weekSessionEdges(s, dir)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    graft.ops.Graph.bfsDistance(e,
+        verts.filter(pmod(col("id"), lit(10L)) === 0L), rounds = 3)
+      .select(col("v").as("item"), col("dist"))
+  }
+
   /** 2-core of the week-1 session graph (q162) — synchronous peeling
     * ([[graft.ops.Graph.kCore]], 4 rounds): the iterative
     * subgraph-restriction class beyond rank propagation, oracle-checked
@@ -741,7 +758,8 @@ object RankQueries {
     "q166_label_propagation" -> itemCommunities,
     "q167_ewma_revenue" -> ewmaDailyRevenue,
     "q169_item_trend" -> itemDailyTrend,
-    "q170_bloom_audit" -> bloomPairAudit)
+    "q170_bloom_audit" -> bloomPairAudit,
+    "q171_bfs_distance" -> itemSeedDistance)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1047,6 +1065,27 @@ object RankQueries {
       |FROM ps, ws""".stripMargin
   }
 
+  /** q171 oracle: the BFS min-merge recurrence, one candidate/tighten
+    * CTE pair per round over the shared week-edges block. */
+  private def bfsOracleSql(rounds: Int): String = {
+    val chain = (0 until rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT nbr.u AS v, MIN(d.dist + 1) AS nd
+        |      FROM nbr JOIN d$i d ON nbr.w = d.v GROUP BY 1),
+        |d${i + 1} AS MATERIALIZED (SELECT COALESCE(d.v, c.v) AS v,
+        |      CASE WHEN d.dist IS NULL THEN c.nd
+        |           WHEN c.nd IS NULL THEN d.dist
+        |           WHEN c.nd < d.dist THEN c.nd ELSE d.dist END AS dist
+        |      FROM d$i d FULL JOIN c$i c ON d.v = c.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $weekEdgesSql,
+      |nbr AS (SELECT a AS u, b AS w FROM e
+      |        UNION ALL SELECT b, a FROM e),
+      |verts AS (SELECT DISTINCT u AS id FROM nbr),
+      |d0 AS (SELECT id AS v, 0 AS dist FROM verts WHERE id % 10 = 0),
+      |$chain
+      |SELECT v AS item, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
+  }
+
   /** q161 oracle: the q140 HLL chain with the group key carried through
     * every stage; the register spine is (distinct groups × m). */
   private def groupedHllOracleSql(p: Int): String = {
@@ -1104,6 +1143,7 @@ object RankQueries {
     "q164_weighted_pagerank" -> weightedPageRankOracleSql(3),
     "q166_label_propagation" -> labelPropOracleSql(3),
     "q170_bloom_audit" -> bloomOracleSql(15, 3),
+    "q171_bfs_distance" -> bfsOracleSql(3),
     // q169: identical integer moments; the floats are the same two
     // single divisions of exact BIGINTs
     "q169_item_trend" ->

@@ -511,6 +511,28 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == got, "partitioning must not change the skyline")
   }
 
+  test("bfsDistance tightens exact hop distances, stops at the round " +
+    "horizon, and keeps edgeless seeds at zero") {
+    // path 1-2-3-4-5 plus isolated seed 10
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = graft.ops.Graph.bfsDistance(path, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L),
+      s"got $got") // 4 is 3 hops out: beyond a 2-round horizon
+    // two seeds meeting in the middle: min wins
+    val two = graft.ops.Graph.bfsDistance(path,
+        Seq(1L, 5L).toDF("id"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L),
+      s"got $two")
+    val scrambled = graft.ops.Graph.bfsDistance(
+        path.repartition(7, col("dst")), seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(scrambled == got, "partitioning must not change distances")
+  }
+
   test("labelPropagation runs the derandomized synchronous recurrence " +
     "exactly and settles components onto one label") {
     // path 1-2-3-4-5, worked by hand (ties to smallest label):
