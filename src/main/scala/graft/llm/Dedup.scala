@@ -448,6 +448,49 @@ object Dedup {
       .orderBy(col("df").desc, col("occurrences").desc, col("shingle"))
       .limit(topN)
 
+  /** Prefix-blocked edit-distance near-dup pairs — the char-level
+    * member of the dedup family (shingles measure set overlap, simhash
+    * bit agreement, CDC chunk reuse; Levenshtein measures literal
+    * edits, the right lens for template-with-typos duplication).
+    * Candidates block on the first `prefixLen` characters (near-dups of
+    * interest share their opening — a perturbed copy that rewrites the
+    * first line is a different document for this operator, documented
+    * semantics, same class of bound as the q30 band/row choice), and
+    * blocks larger than `maxBlock` docs are DROPPED whole (boilerplate
+    * openings — the A7c hot-key cap: the quadratic lives inside a
+    * block, so the cap bounds per-block work at maxBlock² however
+    * skewed the corpus). Within a block, pairs with
+    * `levenshtein(a, b) ≤ maxDist` are emitted with the distance.
+    *
+    * 100 TB: one equi-join on the block key (never a cross join), the
+    * cap bounding the fan-out; Levenshtein runs only on candidate
+    * pairs. Output: (id_a < id_b, dist).
+    */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 24,
+                        maxDist: Int = 16, maxBlock: Int = 64,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(prefixLen >= 1 && maxDist >= 0 && maxBlock >= 2,
+      s"bad parameters: prefixLen=$prefixLen maxDist=$maxDist " +
+        s"maxBlock=$maxBlock")
+    val keyed = docs.select(col(idCol), col(textCol),
+      substring(col(textCol), 1, prefixLen).as("__blk"))
+    val small = keyed.groupBy(col("__blk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlock)
+      .select("__blk")
+    val b = keyed.join(small, Seq("__blk"), "left_semi")
+    val lhs = b.select(col("__blk"), col(idCol).as("id_a"),
+      col(textCol).as("__ta"))
+    val rhs = b.select(col("__blk"), col(idCol).as("id_b"),
+      col(textCol).as("__tb"))
+    lhs.join(rhs, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: docs sharing ≥1 shingle are
     * candidates (inverted-index join on the shingle), then |∩| / |∪| ≥ τ.
     * The shingle join is the scale risk: at 100 TB, hot shingles explode the

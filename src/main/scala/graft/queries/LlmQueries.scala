@@ -54,6 +54,17 @@ object LlmQueries {
         tokenHash = TextAnalysis.fingerprint, hashDistinctFirst = true)
       .withColumn("hamming", col("hamming").cast("long"))
 
+  /** Prefix-blocked Levenshtein near-dup pairs (q172) — the char-level
+    * dedup lens ([[graft.llm.Dedup.editDistancePairs]]): 24-char
+    * opening blocks, blocks over 64 docs dropped whole (the hot-key
+    * cap), pairs within edit distance 16 emitted with the distance.
+    * Both engines run the same candidate generation and the same
+    * textbook Levenshtein, so the pair set hash-matches exactly.
+    */
+  def editDistanceDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, dir), prefixLen = 24,
+      maxDist = 16, maxBlock = 64)
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -884,6 +895,7 @@ object LlmQueries {
     "q152_prefix_jaccard" -> prefixJaccardPairs,
     "q30_minhash_dedup" -> minhashDedup,
     "q31_simhash_pairs" -> simhashPairs,
+    "q172_edit_dedup" -> editDistanceDedup,
     "q32_knn_brute" -> knnBrute,
     "q33_knn_lsh" -> knnLsh,
     "q34_text_stats" -> textStats,
@@ -2573,6 +2585,17 @@ object LlmQueries {
     // range(0,57) is exactly the Scala side's 64-bit vote — the high bits'
     // votes are always -n ≤ 0 there, never set — and stays clear of the
     // 1<<63 BIGINT overflow DuckDB raises on.
+    // q172: same prefix blocks, same hot-block cap, same textbook
+    // Levenshtein on candidate pairs only
+    "q172_edit_dedup" ->
+      """WITH k AS (SELECT doc_id, text, substr(text, 1, 24) AS blk
+        |       FROM documents),
+        |ok AS (SELECT blk FROM k GROUP BY 1 HAVING COUNT(*) <= 64),
+        |b AS (SELECT k.* FROM k JOIN ok USING (blk))
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE levenshtein(x.text, y.text) <= 16""".stripMargin,
     "q31_simhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |h AS (SELECT doc_id,

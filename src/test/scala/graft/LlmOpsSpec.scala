@@ -90,6 +90,27 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(dsigs == psigs, s"distinct-first diverged: $dsigs vs $psigs")
   }
 
+  test("edit-distance pairs: blocked candidates, exact distances, " +
+    "jumbo blocks dropped whole") {
+    val docs = Seq(
+      (1L, "BLOCKA hello world"),
+      (2L, "BLOCKA hello w0rld"),   // dist 1 from doc 1
+      (3L, "BLOCKA something else entirely different"), // far
+      (4L, "BLOCKB lone doc"),      // block of one -> no pairs
+      (5L, "JUMBO1"), (6L, "JUMBO2"), (7L, "JUMBO3"),
+      (8L, "JUMBO4"), (9L, "JUMBO5") // block of 5 > maxBlock=4 -> dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, prefixLen = 6, maxDist = 3,
+        maxBlock = 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"got $got")
+    val scrambled = Dedup.editDistancePairs(
+        docs.repartition(5, col("doc_id")), prefixLen = 6, maxDist = 3,
+        maxBlock = 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(scrambled == got, "partitioning must not change the pairs")
+  }
+
   test("exact dedup canonicalizes identical texts (both forms agree)") {
     val d = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val got = Dedup.exactCanonical(d).select("doc_id", "canonical_id")
