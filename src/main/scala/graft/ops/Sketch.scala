@@ -385,6 +385,98 @@ object Sketch {
   }
 
   // ---------------------------------------------------------------------
+  // Persistent bloom store: the seen-before gate kept incrementally.
+  // Each epoch (a day, a batch) persists its m/32 bounded words; any
+  // epoch span merges with a word-key BIT_OR into one filter —
+  // bit-identical to building over the union of the epochs' members
+  // (OR is idempotent/commutative/associative), which is what the
+  // parity test pins. Same trio shape as the HLL and histogram stores;
+  // the layout record pins (bitsLog2, k) because neither is recoverable
+  // from the rows and a mixed-geometry merge probes garbage.
+  // ---------------------------------------------------------------------
+
+  /** Create/replace a bloom word store at `path` with one epoch.
+    * Layout: (epoch, word, bits) parquet rows — the full m/32-word
+    * spine per epoch — plus a layout record pinning bitsLog2 and k. */
+  def writeBloomStore(members: DataFrame, path: String, epoch: Long,
+                      valueCol: String = "item", bitsLog2: Int = 12,
+                      k: Int = 3): Unit = {
+    val spark = members.sparkSession
+    bloomWords(members, valueCol, bitsLog2, k)
+      .select(lit(epoch).as("epoch"), col("word"), col("bits"))
+      .write.mode("overwrite").parquet(path)
+    val (fs, lp) = layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"bits=$bitsLog2,k=$k\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Whether a bloom store (with its layout record) exists at `path`. */
+  def bloomStoreExists(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean = {
+    val (fs, lp) = layoutFile(spark, path)
+    fs.exists(lp)
+  }
+
+  private def readLayout(spark: org.apache.spark.sql.SparkSession,
+                         path: String): String = {
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp), s"store at $path has no layout record")
+    val in = fs.open(lp)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  /** Append one epoch's words to an existing store. Fails loud when the
+    * store has no layout record or a different geometry. */
+  def appendBloomStore(members: DataFrame, path: String, epoch: Long,
+                       valueCol: String = "item", bitsLog2: Int = 12,
+                       k: Int = 3): Unit = {
+    val spark = members.sparkSession
+    val recorded = readLayout(spark, path)
+    require(recorded == s"bits=$bitsLog2,k=$k",
+      s"bloom store at $path was written with ($recorded), append " +
+        s"requested (bits=$bitsLog2,k=$k) — rebuild the store, mixed " +
+        "geometries cannot merge")
+    bloomWords(members, valueCol, bitsLog2, k)
+      .select(lit(epoch).as("epoch"), col("word"), col("bits"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Merge a store's epochs (all, or an `epochFilter` span) into one
+    * word relation with a word-key BIT_OR — m/32 rows per epoch read,
+    * m/32 shuffled, never anything corpus-sized. */
+  def mergedBloomWords(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       epochFilter: Column = lit(true)): DataFrame = {
+    readLayout(spark, path) // fail loud on a layoutless directory
+    spark.read.parquet(path)
+      .filter(epochFilter)
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** Probe `probes` against the merged span of a bloom store — reads
+    * the geometry from the layout record so the probe hashes can never
+    * desynchronize from the build. */
+  def mergedBloomProbe(spark: org.apache.spark.sql.SparkSession,
+                       path: String, probes: DataFrame,
+                       valueCol: String = "item",
+                       epochFilter: Column = lit(true)): DataFrame = {
+    val recorded = readLayout(spark, path)
+    val m = "bits=(\\d+),k=(\\d+)".r
+    val (bitsLog2, k) = recorded match {
+      case m(b, kk) => (b.toInt, kk.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"bloom store at $path has a foreign layout record: $recorded")
+    }
+    bloomProbe(mergedBloomWords(spark, path, epochFilter), probes,
+      valueCol, bitsLog2, k)
+  }
+
+  // ---------------------------------------------------------------------
   // Fixed-bin histogram quantiles: the add-mergeable companion to the
   // max-mergeable HLL registers. One map-side-combined pass collapses the
   // stream into `bins` bounded counters; quantiles read off the cumulative

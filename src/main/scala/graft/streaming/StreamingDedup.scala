@@ -30,6 +30,42 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Maintain a persistent bloom store at ingest — the seen-before gate
+    * ([[graft.ops.Sketch.bloomWords]], q170) kept incrementally: each
+    * micro-batch appends one epoch of m/32 OR-mergeable words;
+    * [[graft.ops.Sketch.mergedBloomProbe]] answers "ever seen?" over
+    * any epoch span from m/32-row state per epoch, never corpus-sized
+    * history. The cheap front gate BEFORE the minhash/signature store
+    * machinery: a negative probe is definitive (no false negatives), so
+    * only maybe-seen keys pay the exact path.
+    *
+    * Replay safety: a re-run batchId appends duplicate epoch rows,
+    * which OR-merge to the identical words — the filter cannot drift;
+    * the first batch creates the store only when no layout record
+    * exists, so a restart never clobbers accumulated epochs
+    * (StreamingSpec pins both, mirroring the HLL register store).
+    */
+  def runBloomStore(docs: DataFrame, storePath: String,
+                    checkpoint: String, valueCol: String = "text",
+                    bitsLog2: Int = 12, k: Int = 3,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+  : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val members = batch.select(col(valueCol).as("item"))
+        if (!graft.ops.Sketch.bloomStoreExists(batch.sparkSession,
+            storePath))
+          graft.ops.Sketch.writeBloomStore(members, storePath, epoch = id,
+            bitsLog2 = bitsLog2, k = k)
+        else
+          graft.ops.Sketch.appendBloomStore(members, storePath, epoch = id,
+            bitsLog2 = bitsLog2, k = k)
+      }
+
   /** Streaming NEAR-dup detection — the minhash-band counterpart of
     * [[dedupByContent]]: each micro-batch's documents are shingled,
     * minhash-banded (identical deterministic hashes to the batch

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.SensorReading
-import graft.streaming.{Alerts, StreamingDashboard}
+import graft.streaming.{Alerts, StreamingDashboard, StreamingDedup}
 
 /** Structured Streaming semantics tests (SURVEY §2.10): watermark late-drop,
   * multi-resolution rollup with the metric store, stateful alerts.
@@ -229,6 +229,51 @@ class StreamingSpec extends SparkSpecBase {
     val replayed = graft.ops.Sketch.mergedHllEstimate(spark, s"$dir/store")
       .as[(Long, Long, Long, Double)].head()
     assert(replayed == merged, "replayed epoch must not drift the estimate")
+  }
+
+  test("T13b streamed bloom store: per-batch epochs OR-merge " +
+    "bit-identically to the one-shot filter, probes never miss, and " +
+    "replays cannot drift") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_bloomstream").toString
+    val mem = MemoryStream[String]
+    val docs = mem.toDF().toDF("text")
+    val q = StreamingDedup.runBloomStore(
+      docs, s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds")).start()
+    val batches = Seq((1 to 200).map(i => s"doc$i"),
+      (150 to 400).map(i => s"doc$i"), (350 to 500).map(i => s"doc$i"))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val epochs = spark.read.parquet(s"$dir/store")
+      .select("epoch").distinct().as[Long].collect().sorted
+    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    val merged = graft.ops.Sketch.mergedBloomWords(spark, s"$dir/store")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val oneShot = graft.ops.Sketch.bloomWords(
+        batches.flatten.toDF("item"), "item")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(merged == oneShot, "streamed OR-merge must equal one-shot")
+    // every ingested key probes positive over the merged span
+    val probes = ((1 to 500).map(i => s"doc$i") ++
+      (1 to 100).map(i => s"never$i")).toDF("item")
+    val got = graft.ops.Sketch.mergedBloomProbe(spark, s"$dir/store",
+        probes).as[(String, Boolean)].collect().toMap
+    assert((1 to 500).forall(i => got(s"doc$i")),
+      "an ingested key must NEVER probe negative")
+    // a replayed epoch appends duplicate rows; OR-merge is unchanged
+    graft.ops.Sketch.appendBloomStore(
+      (150 to 400).map(i => s"doc$i").toDF("item"), s"$dir/store",
+      epoch = 1L)
+    val replayed = graft.ops.Sketch.mergedBloomWords(spark, s"$dir/store")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(replayed == merged, "replayed epoch must not drift the filter")
+    // mixed-geometry appends fail loud
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendBloomStore(
+        Seq("x").toDF("item"), s"$dir/store", epoch = 9L, bitsLog2 = 13)
+    }
   }
 
   test("streaming word count keeps running per-word totals across batches") {
