@@ -62,6 +62,25 @@ object Relational {
     df.select(key.as("key"), lit(metric).as("metric"),
       value.cast("double").as("value"))
 
+  /** One-sided CUSUM statistic `S_t = max(0, S_{t−1} + (value − target))`
+    * over an ordered BOUNDED relation (the caller aggregates the fact
+    * table down first — the bounded-single-partition device), computed
+    * without the sequential recurrence via the prefix identity
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` with `P` the running deviation
+    * sum: two ordinary cumulative windows, no iteration. Exact whenever
+    * value/target are exact integers. Adds a `cusum` column. */
+  def cusum(bounded: DataFrame, orderCol: String, valueCol: String,
+            targetCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounded
+      .withColumn("__p", sum(col(valueCol) - col(targetCol)).over(w))
+      .withColumn("cusum",
+        col("__p") - least(min(col("__p")).over(w), lit(0L)))
+      .drop("__p")
+  }
+
   /** Per-group 2-D skyline (Pareto frontier): the rows of `df` not
     * DOMINATED within their group, where a row dominates another iff its
     * `minCol` is ≤, its `maxCol` is ≥, and at least one is strict.

@@ -540,6 +540,41 @@ object RankQueries {
         (num.cast("long").cast("double") / lit(58975.0)).as("ewma"))
   }
 
+  /** CUSUM change-point statistic over daily order revenue (q173),
+    * entirely in exact integer cents: the textbook one-sided CUSUM
+    * recurrence `S_t = max(0, S_{t−1} + (x_t − target))` computed
+    * WITHOUT the sequential recurrence via the prefix identity
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` where `P` is the running sum
+    * of deviations — two ordinary cumulative windows (a running sum and
+    * a running min), no iteration, no UDF. Target is the corpus mean
+    * day as one exact integer division (`total div n`, a 1-row
+    * broadcast); the alarm fires when the cumulative excess tops three
+    * mean-days (`cusum > 3·target`) — a relative, scale-free threshold
+    * so the semantics survive any SF. Completes the time-series family:
+    * q150 rolling z-score (local spike), q167 EWMA (smoothing), q169
+    * OLS (trend), q173 CUSUM (sustained level shift).
+    *
+    * 100 TB posture: the fact scan collapses to the ≤|days|-row daily
+    * relation in one map-side-combined aggregate before any window
+    * (the q149/q167 bounded-single-partition device).
+    */
+  def cusumDailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) " +
+          "div 86400000").as("day"),
+        col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val tot = daily.agg(sum(col("cents")).as("t"),
+      count(lit(1)).as("n"))
+    val keyed = daily.crossJoin(broadcast(tot))
+      .withColumn("__target", expr("t div n"))
+    graft.ops.Relational.cusum(keyed, "day", "cents", "__target")
+      .select(col("day"), col("cents"), col("cusum"),
+        (col("cusum") > lit(3L) * col("__target")).as("alarm"))
+  }
+
   /** Per-item OLS click trend (q169): least-squares slope and intercept
     * of daily click count against epoch day, every moment an exact
     * BIGINT (n, Σx, Σy, Σx², Σxy over the ≤|items|·|days| daily
@@ -759,7 +794,8 @@ object RankQueries {
     "q167_ewma_revenue" -> ewmaDailyRevenue,
     "q169_item_trend" -> itemDailyTrend,
     "q170_bloom_audit" -> bloomPairAudit,
-    "q171_bfs_distance" -> itemSeedDistance)
+    "q171_bfs_distance" -> itemSeedDistance,
+    "q173_cusum_revenue" -> cusumDailyRevenue)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1144,6 +1180,27 @@ object RankQueries {
     "q166_label_propagation" -> labelPropOracleSql(3),
     "q170_bloom_audit" -> bloomOracleSql(15, 3),
     "q171_bfs_distance" -> bfsOracleSql(3),
+    // q173: the same prefix identity — a running sum and a running min
+    // over the bounded daily relation, target one exact integer division
+    "q173_cusum_revenue" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS target
+        |  FROM daily),
+        |p AS (SELECT day, cents, target,
+        |    SUM(cents - target) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM daily, tt),
+        |c AS (SELECT day, cents, target,
+        |    pp - LEAST(MIN(pp) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      0) AS cusum
+        |  FROM p)
+        |SELECT day, cents, CAST(cusum AS BIGINT) AS cusum,
+        |  cusum > 3 * target AS alarm
+        |FROM c""".stripMargin,
     // q169: identical integer moments; the floats are the same two
     // single divisions of exact BIGINTs
     "q169_item_trend" ->

@@ -492,6 +492,27 @@ class OperatorSpec extends SparkSpecBase {
     assert(flat == plain, s"w=1 must equal unweighted: $flat vs $plain")
   }
 
+  test("cusum prefix identity equals the textbook recurrence") {
+    // values (10,10,40,40), target 25: recurrence gives S = (0,0,15,30)
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 40L), (4L, 40L))
+      .toDF("t", "v").withColumn("tgt", lit(25L))
+    val got = graft.ops.Relational.cusum(df, "t", "v", "tgt")
+      .select("t", "cusum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 15L, 4L -> 30L),
+      s"got $got")
+    // randomized cross-check against the sequential recurrence
+    val rnd = new scala.util.Random(42)
+    val vals = (1 to 50).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    val seq = vals.scanLeft(0L) { case (s, (_, v)) =>
+      math.max(0L, s + (v - 40L)) }.drop(1)
+    val expect = vals.map(_._1).zip(seq).toMap
+    val big = vals.toDF("t", "v").withColumn("tgt", lit(40L))
+    val got2 = graft.ops.Relational.cusum(
+        big.repartition(7, col("v")), "t", "v", "tgt")
+      .select("t", "cusum").as[(Long, Long)].collect().toMap
+    assert(got2 == expect, "identity must match the recurrence exactly")
+  }
+
   test("skyline2D keeps exactly the non-dominated rows, ties and " +
     "duplicates together, per group") {
     // group A: (1,5)x2 tie-survive; (2,7) frontier; (2,3) dominated by
