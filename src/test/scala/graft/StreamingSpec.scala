@@ -276,6 +276,46 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T14 stream-stream interval join: shuffled two-sided replay " +
+    "emits exactly the batch interval-join pairs, once each") {
+    implicit val s = spark
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.StreamingAttribution.intervalJoinStream(
+      cMem.toDF().toDF("click_id", "user_id", "cts"),
+      vMem.toDF().toDF("view_id", "user_id", "vts"),
+      lookbackMs = 300000L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    // user 1: views at :00, :04, :09; clicks at :05, :06.
+    //   click :05 matches views :00 (300s back, inclusive) and :04;
+    //   click :06 matches :04 only (:00 is 360s back); :09 is after both.
+    // user 2: view at :05, click at :05 — same-instant inclusive match.
+    val clicks = Seq((101L, 1L, ts(5)), (102L, 1L, ts(6)),
+      (201L, 2L, ts(5)))
+    val views = Seq((11L, 1L, ts(0)), (12L, 1L, ts(4)), (13L, 1L, ts(9)),
+      (21L, 2L, ts(5)))
+    try {
+      // deliberately disordered, sides interleaved across micro-batches
+      vMem.addData(views(2), views(0)); q.processAllAvailable()
+      cMem.addData(clicks(1), clicks(2)); q.processAllAvailable()
+      vMem.addData(views(3), views(1)); q.processAllAvailable()
+      cMem.addData(clicks(0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_out")
+      .select("click_id", "view_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val batch = graft.ops.RangeJoin.intervalJoin(
+        clicks.toDF("click_id", "user_id", "cts"),
+        views.toDF("view_id", "user_id", "vts"),
+        Seq("user_id"), "cts", "vts", lowerMs = -300000L, upperMs = 0L)
+      .select("click_id", "view_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == batch, s"streamed $got != batch $batch")
+    assert(got == Seq((101L, 11L), (101L, 12L), (102L, 12L),
+      (201L, 21L)), s"got $got")
+  }
+
   test("streaming word count keeps running per-word totals across batches") {
     implicit val s = spark
     val mem = MemoryStream[String]
