@@ -280,6 +280,47 @@ object RankQueries {
         (max(col("tsm")) - min(col("tsm"))).as("duration_ms"))
   }
 
+  /** Top-20 three-step event-type paths within gap sessions (q174) —
+    * the product-analytics "path analysis" operator, one rung up from
+    * q125's single-step transition matrix: events sessionize with the
+    * q137 gap device (30-min, same lag + cumulative-sum recurrence),
+    * consecutive in-session triples become `a>b>c` paths via two lead
+    * windows over the SAME (user, tsm, event_id) ordering (one
+    * exchange serves sessionization and both leads), and the global
+    * count lowers top-20 through TakeOrderedAndProject with a (count
+    * desc, path) tie-break so the row set is deterministic at the
+    * boundary. Sessions shorter than 3 events contribute nothing
+    * (leads cross a session edge → filtered).
+    *
+    * 100 TB posture: all windows partition on the high-cardinality
+    * user key; the path count is map-side combinable on a vocabulary³
+    * key space; nothing global but the bounded top-k heap merge.
+    */
+  def topSessionPaths(s: SparkSession, dir: String,
+                      gapMinutes: Int = 30, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+    val gapMs = gapMinutes * 60000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+      .withColumn("__prev", lag(col("tsm"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("tsm") - col("__prev") >= gapMs, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__t2", lead(col("event_type"), 1).over(w))
+      .withColumn("__s2", lead(col("__sess"), 1).over(w))
+      .withColumn("__t3", lead(col("event_type"), 2).over(w))
+      .withColumn("__s3", lead(col("__sess"), 2).over(w))
+      .filter(col("__s2") === col("__sess") &&
+        col("__s3") === col("__sess"))
+      .select(concat(col("event_type"), lit(">"), col("__t2"),
+        lit(">"), col("__t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Item-graph PageRank (q138) — the iterative rank-propagation class
     * beyond the CC fixpoint, on the co-click item graph (items sharing a
     * clicking user, both directions). Integer-arithmetic fixed point
@@ -795,7 +836,9 @@ object RankQueries {
     "q169_item_trend" -> itemDailyTrend,
     "q170_bloom_audit" -> bloomPairAudit,
     "q171_bfs_distance" -> itemSeedDistance,
-    "q173_cusum_revenue" -> cusumDailyRevenue)
+    "q173_cusum_revenue" -> cusumDailyRevenue,
+    "q174_session_paths" -> ((s: SparkSession, dir: String) =>
+      topSessionPaths(s, dir)))
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1180,6 +1223,30 @@ object RankQueries {
     "q166_label_propagation" -> labelPropOracleSql(3),
     "q170_bloom_audit" -> bloomOracleSql(15, 3),
     "q171_bfs_distance" -> bfsOracleSql(3),
+    // q174: same gap recurrence, leads as window LEADs, top-20 with the
+    // deterministic (n desc, path) boundary
+    "q174_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS tsm FROM events),
+        |l AS (SELECT *, LAG(tsm) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id) AS prev
+        |  FROM e),
+        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+        |      OR tsm - prev >= 1800000 THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM l),
+        |t AS (SELECT event_type, sess,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(sess, 1) OVER w AS s2,
+        |    LEAD(event_type, 2) OVER w AS t3,
+        |    LEAD(sess, 2) OVER w AS s3
+        |  FROM s WINDOW w AS
+        |    (PARTITION BY user_id ORDER BY tsm, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |  COUNT(*) AS n
+        |FROM t WHERE s2 = sess AND s3 = sess
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // q173: the same prefix identity — a running sum and a running min
     // over the bounded daily relation, target one exact integer division
     "q173_cusum_revenue" ->
