@@ -476,6 +476,16 @@ object RankQueries {
     graft.ops.Graph.labelPropagation(weekSessionEdges(s, dir), rounds = 3)
       .select(col("v").as("item"), col("label"))
 
+  /** Newman modularity of the q166 LPA communities (q175) — the "did
+    * the partition mean anything" one-row score
+    * ([[graft.ops.Graph.modularity]]): exact-integer numerator
+    * `Σ 4m·e_c − d_c²`, one division by the constant 4m². */
+  def itemCommunityModularity(s: SparkSession, dir: String): DataFrame = {
+    val e = weekSessionEdges(s, dir)
+    graft.ops.Graph.modularity(e,
+      graft.ops.Graph.labelPropagation(e, rounds = 3))
+  }
+
   /** Hop distance from the decile seed items on the week-1 session
     * graph (q171) — 3-round multi-source BFS
     * ([[graft.ops.Graph.bfsDistance]]): which items sit within three
@@ -838,7 +848,8 @@ object RankQueries {
     "q171_bfs_distance" -> itemSeedDistance,
     "q173_cusum_revenue" -> cusumDailyRevenue,
     "q174_session_paths" -> ((s: SparkSession, dir: String) =>
-      topSessionPaths(s, dir)))
+      topSessionPaths(s, dir)),
+    "q175_modularity" -> itemCommunityModularity)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1063,7 +1074,9 @@ object RankQueries {
   /** q166 oracle: the synchronous LPA recurrence, one CTE pair per
     * round — the per-vertex pick as a rank window (the definitional
     * form; the Spark side runs the argmax-as-MIN-struct aggregate). */
-  private def labelPropOracleSql(rounds: Int): String = {
+  /** The shared LPA CTE block (week edges → nbr → l0 → l{rounds}),
+    * reused by the q166 and q175 oracles. */
+  private def labelPropChainSql(rounds: Int): String = {
     val chain = (0 until rounds).map { i =>
       s"""n$i AS MATERIALIZED (SELECT nbr.u AS v, l.lbl, COUNT(*) AS c
         |      FROM nbr JOIN l$i l ON nbr.w = l.id GROUP BY 1, 2),
@@ -1073,14 +1086,39 @@ object RankQueries {
         |            FROM n$i) t
         |      WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $weekEdgesSql,
+    s"""$weekEdgesSql,
       |nbr AS (SELECT a AS u, b AS w FROM e
       |        UNION ALL SELECT b, a FROM e),
       |verts AS (SELECT DISTINCT u AS id FROM nbr),
       |l0 AS (SELECT id, id AS lbl FROM verts),
-      |$chain
-      |SELECT id AS item, lbl AS label FROM l$rounds""".stripMargin
+      |$chain""".stripMargin
   }
+
+  private def labelPropOracleSql(rounds: Int): String =
+    s"""WITH ${labelPropChainSql(rounds)}
+      |SELECT id AS item, lbl AS label FROM l$rounds""".stripMargin
+
+  /** q175 oracle: the q166 LPA chain, then the exact-integer Newman
+    * modularity aggregation (q_num = Σ 4m·e_c − d_c², one division by
+    * the constant 4m²). */
+  private def modularityOracleSql(rounds: Int): String =
+    s"""WITH ${labelPropChainSql(rounds)},
+      |tag AS (SELECT la.lbl AS lla, lb.lbl AS llb FROM e
+      |        JOIN l$rounds la ON e.a = la.id
+      |        JOIN l$rounds lb ON e.b = lb.id),
+      |mm AS (SELECT COUNT(*) AS m FROM e),
+      |ein AS (SELECT lla AS lbl, COUNT(*) AS ein FROM tag
+      |        WHERE lla = llb GROUP BY 1),
+      |deg AS (SELECT l.lbl, COUNT(*) AS d FROM
+      |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+      |        JOIN l$rounds l ON t.v = l.id GROUP BY 1),
+      |pc AS (SELECT deg.lbl, deg.d, COALESCE(ein.ein, 0) AS ein
+      |       FROM deg LEFT JOIN ein USING (lbl)),
+      |agg AS (SELECT CAST(SUM(4 * m * ein - d * d) AS BIGINT) AS q_num
+      |        FROM pc, mm)
+      |SELECT CAST(m AS BIGINT) AS m_edges, q_num,
+      |  CAST(q_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS modularity
+      |FROM agg, mm""".stripMargin
 
   /** q170 oracle: the identical bloom chain in SQL — k fingerprint+mix
     * hash columns per pair (the countMin CTE-per-stage device), 32-bit
@@ -1223,6 +1261,7 @@ object RankQueries {
     "q166_label_propagation" -> labelPropOracleSql(3),
     "q170_bloom_audit" -> bloomOracleSql(15, 3),
     "q171_bfs_distance" -> bfsOracleSql(3),
+    "q175_modularity" -> modularityOracleSql(3),
     // q174: same gap recurrence, leads as window LEADs, top-20 with the
     // deterministic (n desc, path) boundary
     "q174_session_paths" ->

@@ -577,6 +577,23 @@ class OperatorSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $comm")
   }
 
+  test("modularity: perfect two-triangle split scores exactly 1/2, " +
+    "the all-in-one partition exactly 0") {
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 2L), (11L, 2L), (12L, 2L)).toDF("v", "label")
+    val got = graft.ops.Graph.modularity(two, perfect)
+      .as[(Long, Long, Double)].head()
+    // m=6; per community e_c=3, d_c=6: q_num = 2*(72-36) = 72; 72/144
+    assert(got == ((6L, 72L, 0.5)), s"got $got")
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L),
+      (10L, 9L), (11L, 9L), (12L, 9L)).toDF("v", "label")
+    val flat = graft.ops.Graph.modularity(two, one)
+      .as[(Long, Long, Double)].head()
+    assert(flat == ((6L, 0L, 0.0)), s"got $flat")
+  }
+
   test("graphSummary aggregates the per-vertex stats exactly") {
     // bowtie-ish: triangles (1,2,3), (2,3,4), pendant 5 off 4
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
