@@ -209,6 +209,47 @@ object Sketch {
         coalesce(col("__reg"), lit(0)).cast("int").as("register"))
   }
 
+  /** HLL set algebra (q177): estimate |A ∩ B| by inclusion–exclusion
+    * over three register relations — A's, B's, and their bucket-wise
+    * MAX union (the union of two HLL sketches IS the register max, the
+    * same merge the store uses; there is no register-level intersection,
+    * which is why the estimate subtracts). Every harmonic numerator is
+    * the exact integer the q140 estimator carries, the three estimates
+    * are single divisions by the folded constant, and the intersection
+    * is `(est_a + est_b) − est_u` in that fixed association — so even
+    * the derived float is bit-identical across engines. Exact
+    * |A|, |B|, |A ∩ B| ride along as the verification baseline.
+    *
+    * Output: one row (m, n_a, n_b, n_ab_exact, harm_a, harm_b, harm_u,
+    * est_intersect).
+    */
+  def hllIntersection(a: DataFrame, b: DataFrame,
+                      valueCol: String = "item", p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val maxRank = 57 - p + 1
+    val c = hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, maxRank)
+    val ra = hllRegisters(a, valueCol, p).localCheckpoint()
+    val rb = hllRegisters(b, valueCol, p).localCheckpoint()
+    val ru = ra.unionByName(rb)
+      .groupBy(col("bucket")).agg(max(col("register")).as("register"))
+    def harm(r: DataFrame, as: String) =
+      r.agg(sum(expr(s"shiftleft(1L, $maxRank - register)")).as(as))
+    val da = a.select(col(valueCol).as("__v")).distinct()
+    val db = b.select(col(valueCol).as("__v")).distinct()
+    val exact = da.agg(count(lit(1)).as("n_a"))
+      .crossJoin(db.agg(count(lit(1)).as("n_b")))
+      .crossJoin(da.join(db, Seq("__v"), "left_semi")
+        .agg(count(lit(1)).as("n_ab_exact")))
+    def est(h: org.apache.spark.sql.Column) = lit(c) / h.cast("double")
+    harm(ra, "harm_a").crossJoin(harm(rb, "harm_b"))
+      .crossJoin(harm(ru, "harm_u"))
+      .crossJoin(exact)
+      .select(lit(m).as("m"), col("n_a"), col("n_b"), col("n_ab_exact"),
+        col("harm_a"), col("harm_b"), col("harm_u"),
+        ((est(col("harm_a")) + est(col("harm_b"))) -
+          est(col("harm_u"))).as("est_intersect"))
+  }
+
   /** One-row (m, harm_num, n_zero, estimate) from an m-row register
     * relation — the estimator stage shared by the one-shot
     * [[hllEstimate]] and the store-merged [[mergedHllEstimate]]. */

@@ -321,6 +321,33 @@ object RankQueries {
       .limit(k)
   }
 
+  /** Join-key skew report for the click item key (q176) — the
+    * measurement behind every salting/broadcast/cap decision this
+    * library documents: top-20 hottest keys with exact counts and
+    * exact parts-per-million share (`cnt·10⁶ div total` — integer
+    * division, no float ratio), plus the global count and distinct-key
+    * count carried on every row so one relation answers "how bad is
+    * the skew and how much does capping the top key save". One
+    * map-side-combined count, a 1-row broadcast total, top-20 through
+    * TakeOrderedAndProject with a (cnt desc, key) deterministic
+    * boundary.
+    */
+  def itemKeySkew(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val tot = keyed.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    keyed.crossJoin(broadcast(tot))
+      .select(col("item"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("share_ppm"),
+        col("total"), col("n_keys"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(20)
+  }
+
   /** Item-graph PageRank (q138) — the iterative rank-propagation class
     * beyond the CC fixpoint, on the co-click item graph (items sharing a
     * clicking user, both directions). Integer-arithmetic fixed point
@@ -708,6 +735,22 @@ object RankQueries {
     stats.crossJoin(broadcast(wstats))
   }
 
+  /** Click-vs-view audience overlap by HLL set algebra (q177) —
+    * inclusion–exclusion over three register relations
+    * ([[graft.ops.Sketch.hllIntersection]]): the union of two sketches
+    * is their bucket-wise register MAX (the store's merge), so
+    * `|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)` with every harmonic
+    * numerator an exact integer and the floats fixed-association single
+    * divisions — the segment-overlap dashboard primitive at m-register
+    * cost, with the exact counts riding along as the baseline.
+    */
+  def uvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").as("item"))
+    graft.ops.Sketch.hllIntersection(users("click"), users("view"))
+  }
+
   /** RFM segmentation inputs per user — recency (days since last
     * purchase, integer epoch-day arithmetic against the corpus max),
     * frequency (purchase count), monetary (value sum through the
@@ -849,7 +892,9 @@ object RankQueries {
     "q173_cusum_revenue" -> cusumDailyRevenue,
     "q174_session_paths" -> ((s: SparkSession, dir: String) =>
       topSessionPaths(s, dir)),
-    "q175_modularity" -> itemCommunityModularity)
+    "q175_modularity" -> itemCommunityModularity,
+    "q176_key_skew" -> itemKeySkew,
+    "q177_uv_overlap" -> uvOverlap)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1120,6 +1165,79 @@ object RankQueries {
       |  CAST(q_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS modularity
       |FROM agg, mm""".stripMargin
 
+  /** One suffixed q140-style register chain: source CTE (one column v)
+    * → fingerprint+mix → bucket/rank → m-row spined register relation
+    * `reg2$sfx`. The shared `spine` CTE must be defined by the caller. */
+  private def hllRegChainSql(sfx: String, from: String, p: Int): String = {
+    val m = 1L << p
+    val bits = 57 - p
+    val maxRank = bits + 1
+    val cases = (1 to bits)
+      .map(k => s"WHEN rem >= ${1L << (bits - k)} THEN $k")
+      .mkString("\n           ")
+    val mixCtes = graft.ops.Sketch.mixStagesSql("h").zipWithIndex
+      .map { case (stage, i) =>
+        s"mh${i + 1}$sfx AS (SELECT $stage AS h FROM " +
+          s"${if (i == 0) s"hh$sfx" else s"mh$i$sfx"})"
+      }.mkString(",\n|")
+    val nStages = graft.ops.Sketch.mixStagesSql("h").length
+    s"""u$sfx AS ($from),
+      |hh$sfx AS (SELECT ${LlmQueries.fpSql("CAST(v AS VARCHAR) || '|hll'")}
+      |         AS h FROM u$sfx),
+      |$mixCtes,
+      |b$sfx AS (SELECT h % $m AS bucket, h // $m AS rem
+      |          FROM mh$nStages$sfx),
+      |r$sfx AS (SELECT bucket,
+      |         CASE $cases
+      |           ELSE $maxRank END AS rho FROM b$sfx),
+      |regs$sfx AS (SELECT bucket, MAX(rho) AS reg FROM r$sfx GROUP BY 1),
+      |reg2$sfx AS (SELECT spine.bucket, COALESCE(reg, 0) AS register
+      |         FROM spine LEFT JOIN regs$sfx USING (bucket))""".stripMargin
+  }
+
+  /** q177 oracle: two q140 register chains, the MAX-union, three exact
+    * harmonic numerators, and the fixed-association inclusion–exclusion
+    * float — the folded constant interpolated as its exact decimal
+    * round-trip, as in the q140 oracle. */
+  private def hllIntersectOracleSql(p: Int): String = {
+    val m = 1L << p
+    val maxRank = 57 - p + 1
+    val c = graft.ops.Sketch.hllAlpha(m) * m.toDouble * m.toDouble *
+      math.pow(2.0, maxRank)
+    def harm(src: String, as: String) =
+      s"""SELECT CAST(SUM(CAST(1 AS BIGINT) << ($maxRank - register))
+        |    AS BIGINT) AS $as FROM $src""".stripMargin
+    s"""WITH spine AS (SELECT i AS bucket FROM range(0, $m) t(i)),
+      |${hllRegChainSql("a",
+        "SELECT DISTINCT user_id AS v FROM events " +
+          "WHERE event_type = 'click'", p)},
+      |${hllRegChainSql("b",
+        "SELECT DISTINCT user_id AS v FROM events " +
+          "WHERE event_type = 'view'", p)},
+      |regu AS (SELECT a.bucket,
+      |    GREATEST(a.register, b.register) AS register
+      |  FROM reg2a a JOIN reg2b b USING (bucket)),
+      |ha AS (${harm("reg2a", "harm_a")}),
+      |hb AS (${harm("reg2b", "harm_b")}),
+      |hu AS (${harm("regu", "harm_u")}),
+      |ex AS (SELECT
+      |    (SELECT COUNT(DISTINCT user_id) FROM events
+      |      WHERE event_type = 'click') AS n_a,
+      |    (SELECT COUNT(DISTINCT user_id) FROM events
+      |      WHERE event_type = 'view') AS n_b,
+      |    (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT user_id FROM events
+      |        WHERE event_type = 'click'
+      |       INTERSECT
+      |       SELECT DISTINCT user_id FROM events
+      |        WHERE event_type = 'view') t) AS n_ab_exact)
+      |SELECT CAST($m AS BIGINT) AS m, n_a, n_b, n_ab_exact,
+      |  harm_a, harm_b, harm_u,
+      |  (($c / CAST(harm_a AS DOUBLE) + $c / CAST(harm_b AS DOUBLE)) -
+      |    $c / CAST(harm_u AS DOUBLE)) AS est_intersect
+      |FROM ha, hb, hu, ex""".stripMargin
+  }
+
   /** q170 oracle: the identical bloom chain in SQL — k fingerprint+mix
     * hash columns per pair (the countMin CTE-per-stage device), 32-bit
     * words built with BIT_OR over the member subset, every probe's k
@@ -1262,6 +1380,17 @@ object RankQueries {
     "q170_bloom_audit" -> bloomOracleSql(15, 3),
     "q171_bfs_distance" -> bfsOracleSql(3),
     "q175_modularity" -> modularityOracleSql(3),
+    "q177_uv_overlap" -> hllIntersectOracleSql(6),
+    // q176: exact integer ppm share, deterministic top-20 boundary
+    "q176_key_skew" ->
+      s"""WITH k AS (SELECT $item AS item, COUNT(*) AS cnt
+        |  FROM events WHERE event_type = 'click' AND $item IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |    COUNT(*) AS n_keys FROM k)
+        |SELECT item, cnt, (cnt * 1000000) // total AS share_ppm,
+        |  total, n_keys
+        |FROM k, t ORDER BY cnt DESC, item LIMIT 20""".stripMargin,
     // q174: same gap recurrence, leads as window LEADs, top-20 with the
     // deterministic (n desc, path) boundary
     "q174_session_paths" ->

@@ -787,6 +787,27 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == whole, "partitioning must not change one bit")
   }
 
+  test("HLL intersection: inclusion-exclusion over register MAX-union " +
+    "tracks the exact overlap and decomposes into the solo estimates") {
+    val a = (1 to 3000).map(i => s"u$i").toDF("item")
+    val b = (2000 to 5000).map(i => s"u$i").toDF("item")
+    val got = graft.ops.Sketch.hllIntersection(a, b)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].head()
+    assert(got._1 == 64 && got._2 == 3000 && got._3 == 3001 &&
+      got._4 == 1001, s"exact baseline wrong: $got")
+    // decomposition: est_intersect == estA + estB - estU from the
+    // one-shot estimator run on the same inputs
+    def est(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketch.hllEstimate(df)
+        .as[(Long, Long, Long, Long, Double)].head()._5
+    val expect = (est(a) + est(b)) -
+      est(a.unionByName(b).distinct())
+    assert(got._8 == expect, s"${got._8} != $expect")
+    // envelope: m=64 one-sigma is ~13%; allow 3 sigma on the overlap
+    assert(math.abs(got._8 - 1001.0) < 3 * 0.13 * 5000,
+      s"estimate ${got._8} too far from 1001")
+  }
+
   test("HLL: estimate lands within the m=64 error envelope, duplicates " +
     "change nothing, and the register relation is duplicate-insensitive") {
     val base = (1 to 5000).map(i => s"user$i").toDF("item")
