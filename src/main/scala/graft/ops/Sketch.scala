@@ -425,6 +425,39 @@ object Sketch {
       .select(col(valueCol), (col("__allset") === 1).as("maybe"))
   }
 
+  /** Bloom-pruned semi join — the filter-pushdown use of the sketch
+    * inside a relational plan: build [[bloomWords]] over the dim keys,
+    * collapse the bounded word relation into ONE array literal on the
+    * driver (m/32 longs — the same bounded-relation-to-broadcast move as
+    * the prefetched-map join, J10), filter the fact side PER ROW with k
+    * shift-and-mask bit tests (no shuffle, no distinct — a scan-side
+    * predicate the way engine-native bloom joins push it), then run the
+    * exact semi join on the survivors. No false negatives ⇒ the pruned
+    * result EQUALS the plain semi join (the q178 oracle checks exactly
+    * that); false positives only cost residual-join work, bounded by the
+    * measured FPR.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    bitsLog2: Int = 16, k: Int = 3): DataFrame = {
+    val m = 1L << bitsLog2
+    val words = bloomWords(dim.select(col(dimKey).as("item")), "item",
+      bitsLog2, k)
+    val arr = words.orderBy(col("word")).select(col("bits"))
+      .collect().map(_.getLong(0))
+    var f = fact.withColumn("__bf", lit(arr))
+    val tests = (0 until k).map { j =>
+      f = f.withColumn(s"__p$j",
+        pmod(salted(col(factKey), s"|bf$j"), lit(m)))
+      s"(shiftright(element_at(__bf, CAST(shiftright(__p$j, 5) AS INT) + 1), " +
+        s"CAST(__p$j % 32 AS INT)) & 1) = 1"
+    }
+    val pruned = f.filter(expr(tests.mkString(" AND ")))
+      .drop(("__bf" +: (0 until k).map(j => s"__p$j")): _*)
+    pruned.join(dim.select(col(dimKey).as(factKey)).distinct(),
+      Seq(factKey), "left_semi")
+  }
+
   // ---------------------------------------------------------------------
   // Persistent bloom store: the seen-before gate kept incrementally.
   // Each epoch (a day, a batch) persists its m/32 bounded words; any

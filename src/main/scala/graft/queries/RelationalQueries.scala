@@ -393,6 +393,28 @@ object RelationalQueries {
       col("p_size"))
   }
 
+  /** Bloom-pruned semi join (q178) — the q170 sketch used as a
+    * scan-side predicate ([[graft.ops.Sketch.bloomSemiJoin]]): the
+    * large-size part keys build a 2¹⁶-bit filter, the lineitem scan is
+    * pruned PER ROW by k shift-and-mask bit tests against the
+    * driver-collapsed word array (no shuffle, no distinct before the
+    * join — the way engine-native bloom joins push the filter), and the
+    * exact residual semi join removes the false positives. No false
+    * negatives ⇒ the result EQUALS the plain semi join, which is
+    * exactly what the oracle states (the q30/q152 shared-ground-truth
+    * device applied to a join strategy).
+    */
+  def bloomSemiVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_quantity")
+    val dim = Tables.part(s, dir).filter(col("p_size") >= 48)
+      .select("p_partkey")
+    graft.ops.Sketch.bloomSemiJoin(li, "l_partkey", dim, "p_partkey")
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   /** TPC-H Q7-shaped "volume shipping between two nations" — the
     * two-sided dimension-mapping silhouette: the SAME nation table joins
     * twice under different roles (supplier's vs customer's), the pair
@@ -851,6 +873,7 @@ object RelationalQueries {
     "q157_ship_classes" -> priorityShipClasses,
     "q158_promotable_suppliers" -> promotableSuppliers,
     "q168_brand_skyline" -> brandSkyline,
+    "q178_bloom_semi_join" -> bloomSemiVolume,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -1221,6 +1244,16 @@ object RelationalQueries {
         |  WHERE q.p_brand = p.p_brand
         |    AND q.price_cents <= p.price_cents AND q.p_size >= p.p_size
         |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))""".stripMargin,
+    // q178: the PLAIN semi join is the oracle — bloom pruning plus the
+    // exact residual must reproduce it row for row (no-false-negative
+    // lemma checked on real data)
+    "q178_bloom_semi_join" ->
+      """SELECT l_partkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+        |GROUP BY 1""".stripMargin,
     // q130: all three predicates prune the scan; exact-DECIMAL sum
     "q130_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -787,6 +787,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == whole, "partitioning must not change one bit")
   }
 
+  test("bloomSemiJoin equals the plain semi join even when the filter " +
+    "is saturated with false positives") {
+    val fact = (1L to 500L).map(i => (i % 100, i)).toDF("k", "payload")
+    val dim = Seq(3L, 7L, 42L, 99L).toDF("dk")
+    val expect = fact.join(dim.select(col("dk").as("k")).distinct(),
+        Seq("k"), "left_semi")
+      .as[(Long, Long)].collect().sorted.toSeq
+    // 32-bit filter over 4 keys x 3 hashes: plenty of collisions on the
+    // 100-key probe domain; the residual join must erase them all
+    val got = graft.ops.Sketch.bloomSemiJoin(fact, "k", dim, "dk",
+        bitsLog2 = 5, k = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == expect, "bloom pruning must be invisible in the result")
+    val roomy = graft.ops.Sketch.bloomSemiJoin(fact, "k", dim, "dk",
+        bitsLog2 = 16, k = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(roomy == expect)
+  }
+
   test("HLL intersection: inclusion-exclusion over register MAX-union " +
     "tracks the exact overlap and decomposes into the solo estimates") {
     val a = (1 to 3000).map(i => s"u$i").toDF("item")
