@@ -548,6 +548,41 @@ class PlanSpec extends SparkSpecBase {
       s"the K-row vocabulary must broadcast:\n$p")
   }
 
+  test("q168 skyline: the running max partitions by brand — no global " +
+    "single-partition window — and the frontier joins back without a " +
+    "sort-merge") {
+    val p = planOf("q168_brand_skyline")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the skyline window must partition by brand:\n$p")
+    // the operator's group alias __g IS the brand column
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(l => l.contains("windowspecdefinition(__g")),
+      s"running max must be group-partitioned:\n$p")
+  }
+
+  test("q174 session paths: sessionization and both leads share one " +
+    "user-key exchange and top-20 lowers to TakeOrderedAndProject") {
+    val p = planOf("q174_session_paths")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.count(_.contains("user_id")) == 1,
+      s"one user-key exchange must serve all three windows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q178 bloom semi join: the bit-test filter runs before any " +
+    "exchange on the fact side and no nested-loop join appears") {
+    val p = planOf("q178_bloom_semi_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-row bit tests are a scan-side Filter, visible as the
+    // shiftright expression in the plan text
+    assert(p.contains("shiftright"),
+      s"the bloom bit tests must appear as a fact-scan filter:\n$p")
+  }
+
   test("q116 stratified split: per-stratum rank is the range-partitioned " +
     "two-phase form — windows partition on (__pid, lang, source), sizes " +
     "and offsets broadcast, nothing funnels to one task") {
