@@ -31,21 +31,41 @@ object Sketch {
 
   /** 57-bit finalizer avalanche over the polynomial fingerprint: three
     * xor-shifts interleaved with two modular multiplications, every step
-    * exact integer arithmetic (the 2^114-bit products ride DECIMAL(38)
-    * here and HUGEINT in the oracle — no silent wrap anywhere), so both
-    * engines compute the identical mixed value. WHY it exists: the
-    * rolling fingerprint's LOW bits wrap constantly and distribute well
-    * (the bucketing every dedup family uses), but for short strings its
-    * HIGH bits barely wrap and stay structured — a leading-zero rank
-    * read from them is garbage (measured: raw-fp HLL estimates 5,000
-    * distinct users as ~294; mixed, ~5,075). Any sketch reading rank
-    * bits MUST go through this.
+    * exact integer arithmetic, so both engines compute the identical
+    * mixed value. WHY it exists: the rolling fingerprint's LOW bits wrap
+    * constantly and distribute well (the bucketing every dedup family
+    * uses), but for short strings its HIGH bits barely wrap and stay
+    * structured — a leading-zero rank read from them is garbage
+    * (measured: raw-fp HLL estimates 5,000 distinct users as ~294;
+    * mixed, ~5,075). Any sketch reading rank bits MUST go through this.
+    *
+    * The modular multiply is 28-bit limb splitting in PURE LONG
+    * arithmetic — `x·k mod 2^57` from three partial products each
+    * reduced mod 2^57 before it can exceed 2^58, so nothing overflows
+    * even under ANSI mode. It replaced a DECIMAL(38) pmod that was
+    * measured 20× slower on a 600k-row fact-side filter (q178); the
+    * oracle twin (HUGEINT % in [[mixStagesSql]]) computes the same
+    * mathematical value, so every sketch gate is unchanged — and
+    * OperatorSpec pins the limb form against a BigInteger reference
+    * across the whole 57-bit domain boundary cases.
     */
   def mix57(x0: Column): Column = {
     def xs(x: Column) = x.bitwiseXOR(shiftright(x, 29))
-    def mul(x: Column, k: Long) =
-      pmod(x.cast("decimal(38,0)") * lit(java.math.BigDecimal.valueOf(k)),
-        lit(java.math.BigDecimal.valueOf(MixMod))).cast("long")
+    // x, k < 2^57; split both into 28-low/29-high limbs:
+    //   x·k = xh·kh·2^56 + (xh·kl + xl·kh)·2^28 + xl·kl
+    // term-wise mod 2^57: (xh·kh mod 2)·2^56  +
+    //   ((xh·kl + xl·kh) mod 2^29)·2^28  +  xl·kl  — sum < 2^58.
+    def mul(x: Column, k: Long) = {
+      val kh = k >> 28
+      val kl = k & ((1L << 28) - 1)
+      val xh = shiftright(x, 28)
+      val xl = x.bitwiseAND(lit((1L << 28) - 1))
+      val t1 = (xh * lit(kh)).bitwiseAND(lit(1L)) * lit(1L << 56)
+      val t2 = (xh * lit(kl) + xl * lit(kh))
+        .bitwiseAND(lit((1L << 29) - 1)) * lit(1L << 28)
+      val t3 = xl * lit(kl)
+      pmod(t1 + t2 + t3, lit(MixMod))
+    }
     xs(mul(xs(mul(xs(x0), MixK1)), MixK2))
   }
 
@@ -59,6 +79,9 @@ object Sketch {
     s"xor($e, ($e) >> 29)",
     s"CAST((CAST($e AS HUGEINT) * $MixK2) % $MixMod AS BIGINT)",
     s"xor($e, ($e) >> 29)")
+
+  private[graft] def testSalted(value: Column, salt: String): Column =
+    salted(value, salt)
 
   private def salted(value: Column, salt: String): Column =
     mix57(TextAnalysis.fingerprint(concat(value.cast("string"), lit(salt))))
@@ -445,17 +468,21 @@ object Sketch {
       bitsLog2, k)
     val arr = words.orderBy(col("word")).select(col("bits"))
       .collect().map(_.getLong(0))
-    var f = fact.withColumn("__bf", lit(arr))
-    val tests = (0 until k).map { j =>
-      f = f.withColumn(s"__p$j",
-        pmod(salted(col(factKey), s"|bf$j"), lit(m)))
-      s"(shiftright(element_at(__bf, CAST(shiftright(__p$j, 5) AS INT) + 1), " +
-        s"CAST(__p$j % 32 AS INT)) & 1) = 1"
-    }
-    val pruned = f.filter(expr(tests.mkString(" AND ")))
-      .drop(("__bf" +: (0 until k).map(j => s"__p$j")): _*)
-    pruned.join(dim.select(col(dimKey).as(factKey)).distinct(),
-      Seq(factKey), "left_semi")
+    // The word array stays a LITERAL inside the filter expression —
+    // never a projected column, which would materialize m/32 longs into
+    // every row buffer (measured 7× on the fact scan). Variable shifts
+    // don't exist as column ops, so the bit test is `word AND mask ≠ 0`
+    // with the mask fetched from a 32-entry literal by bit index.
+    val masks = (0 until 32).map(1L << _).toArray
+    val cond = (0 until k).map { j =>
+      val p = pmod(salted(col(factKey), s"|bf$j"), lit(m))
+      val w = get(lit(arr), shiftright(p, 5).cast("int"))
+      val mask = get(lit(masks), (p % 32).cast("int"))
+      w.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+    fact.filter(cond)
+      .join(dim.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
   }
 
   // ---------------------------------------------------------------------

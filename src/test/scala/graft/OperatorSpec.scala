@@ -787,6 +787,26 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == whole, "partitioning must not change one bit")
   }
 
+  test("mix57 limb-split modular multiply matches the BigInteger " +
+    "reference across the 57-bit domain") {
+    val MOD = BigInt(1) << 57
+    def ref(x0: Long): Long = {
+      def xs(x: Long) = x ^ (x >>> 29)
+      def mul(x: Long, k: Long) = ((BigInt(x) * BigInt(k)) mod MOD).toLong
+      xs(mul(xs(mul(xs(x0), graft.ops.Sketch.MixK1)),
+        graft.ops.Sketch.MixK2))
+    }
+    val rnd = new scala.util.Random(7)
+    val domain = Seq(0L, 1L, 2L, (1L << 57) - 1, 1L << 56,
+      (1L << 56) - 1, (1L << 29) - 1, 1L << 29, 123456789L) ++
+      (1 to 500).map(_ => rnd.nextLong() & ((1L << 57) - 1))
+    val got = domain.toDF("x")
+      .select(col("x"), graft.ops.Sketch.mix57(col("x")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    domain.foreach(x => assert(got(x) == ref(x),
+      s"x=$x: ${got(x)} != ${ref(x)}"))
+  }
+
   test("bloomSemiJoin equals the plain semi join even when the filter " +
     "is saturated with false positives") {
     val fact = (1L to 500L).map(i => (i % 100, i)).toDF("k", "payload")
