@@ -99,9 +99,73 @@ case class StringRollingFp(child: Expression, mod: Long)
       newChild: Expression): StringRollingFp = copy(child = newChild)
 }
 
+/** Native Catalyst expression for the 57-bit finalizer avalanche
+  * (`graft.ops.Sketch.mix57`): three xor-shifts interleaved with two
+  * modular multiplications in the 2^57 ring. WHY native: any Column-DSL
+  * formulation of `x·k mod 2^57` must reference its input more than once
+  * (limb splitting needs 4 references, xor-shift needs 2), so the
+  * composed tree grows EXPONENTIALLY through the five stages — ~128
+  * copies of the child subtree — and consumers like the HLL rank chain
+  * then duplicate THAT 52-fold: measured 6-15× query-level blowups from
+  * planning/codegen alone (q139 1.1→12.7 s, q177 2→18.8 s). One opaque
+  * node restores linear trees everywhere. The arithmetic is exact: in
+  * JVM long arithmetic the wrapping product keeps the low 64 bits, and
+  * `(x*k) & (2^57−1)` equals `x·k mod 2^57` because 57 ≤ 64 — the same
+  * value the oracle's HUGEINT `%` computes (OperatorSpec pins the
+  * expression against a BigInteger reference across the domain).
+  */
+case class Avalanche57(child: Expression, k1: Long, k2: Long)
+  extends UnaryExpression {
+
+  private val Mask = (1L << 57) - 1
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"avalanche57 expects bigint, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    var h = input.asInstanceOf[Long]
+    h ^= (h >>> 29)
+    h = (h * k1) & Mask
+    h ^= (h >>> 29)
+    h = (h * k2) & Mask
+    h ^= (h >>> 29)
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = $c;
+         |$h ^= ($h >>> 29);
+         |$h = ($h * ${k1}L) & ${Mask}L;
+         |$h ^= ($h >>> 29);
+         |$h = ($h * ${k2}L) & ${Mask}L;
+         |$h ^= ($h >>> 29);
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Avalanche57 = copy(child = newChild)
+}
+
 object StringFunctions {
   /** Column API for [[StringRollingFp]]. */
   def rolling_fp(text: Column, mod: Long): Column =
     GraftExpressionBridge.column(
       StringRollingFp(GraftExpressionBridge.expression(text), mod))
+
+  /** Column API for [[Avalanche57]]. */
+  def avalanche57(x: Column, k1: Long, k2: Long): Column =
+    GraftExpressionBridge.column(
+      Avalanche57(GraftExpressionBridge.expression(x), k1, k2))
 }

@@ -39,35 +39,19 @@ object Sketch {
     * (measured: raw-fp HLL estimates 5,000 distinct users as ~294;
     * mixed, ~5,075). Any sketch reading rank bits MUST go through this.
     *
-    * The modular multiply is 28-bit limb splitting in PURE LONG
-    * arithmetic — `x·k mod 2^57` from three partial products each
-    * reduced mod 2^57 before it can exceed 2^58, so nothing overflows
-    * even under ANSI mode. It replaced a DECIMAL(38) pmod that was
-    * measured 20× slower on a 600k-row fact-side filter (q178); the
-    * oracle twin (HUGEINT % in [[mixStagesSql]]) computes the same
-    * mathematical value, so every sketch gate is unchanged — and
-    * OperatorSpec pins the limb form against a BigInteger reference
-    * across the whole 57-bit domain boundary cases.
+    * Implemented as ONE native expression
+    * ([[graft.functions.Avalanche57]]): any Column-DSL form of the
+    * modular multiply references its input more than once, so the
+    * composed tree grows exponentially through the five stages and
+    * consumers like the HLL rank chain duplicate it 52-fold — measured
+    * 6-15× query-level planning/codegen blowups. The native node keeps
+    * the tree linear and the per-row cost five long ops; the value is
+    * the exact `mod 2^57` chain the oracle twin ([[mixStagesSql]],
+    * HUGEINT `%`) computes, pinned against a BigInteger reference in
+    * OperatorSpec.
     */
-  def mix57(x0: Column): Column = {
-    def xs(x: Column) = x.bitwiseXOR(shiftright(x, 29))
-    // x, k < 2^57; split both into 28-low/29-high limbs:
-    //   x·k = xh·kh·2^56 + (xh·kl + xl·kh)·2^28 + xl·kl
-    // term-wise mod 2^57: (xh·kh mod 2)·2^56  +
-    //   ((xh·kl + xl·kh) mod 2^29)·2^28  +  xl·kl  — sum < 2^58.
-    def mul(x: Column, k: Long) = {
-      val kh = k >> 28
-      val kl = k & ((1L << 28) - 1)
-      val xh = shiftright(x, 28)
-      val xl = x.bitwiseAND(lit((1L << 28) - 1))
-      val t1 = (xh * lit(kh)).bitwiseAND(lit(1L)) * lit(1L << 56)
-      val t2 = (xh * lit(kl) + xl * lit(kh))
-        .bitwiseAND(lit((1L << 29) - 1)) * lit(1L << 28)
-      val t3 = xl * lit(kl)
-      pmod(t1 + t2 + t3, lit(MixMod))
-    }
-    xs(mul(xs(mul(xs(x0), MixK1)), MixK2))
-  }
+  def mix57(x0: Column): Column =
+    graft.functions.StringFunctions.avalanche57(x0, MixK1, MixK2)
 
   /** The oracle twin of one [[mix57]] stage sequence, as successive
     * expression rewrites over a column named `e` — returned as the list

@@ -787,8 +787,8 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == whole, "partitioning must not change one bit")
   }
 
-  test("mix57 limb-split modular multiply matches the BigInteger " +
-    "reference across the 57-bit domain") {
+  test("mix57 native avalanche matches the BigInteger reference " +
+    "across the 57-bit domain") {
     val MOD = BigInt(1) << 57
     def ref(x0: Long): Long = {
       def xs(x: Long) = x ^ (x >>> 29)
