@@ -107,6 +107,51 @@ object Alerts {
       }
   }
 
+  case class CusumPoint(key: String, ts: Long, value: Long, cusum: Long,
+                        alarm: Boolean)
+
+  /** Streaming one-sided CUSUM per key — the q173 change-point statistic
+    * maintained at ingest with O(1) state per key: the prefix identity
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` needs only the running
+    * deviation prefix `P` and its running minimum, so the state is two
+    * longs however long the stream. Emits every point with its CUSUM
+    * value and the alarm flag (`cusum > alarmAt`). Exact integer
+    * arithmetic throughout — the streamed values equal the batch
+    * [[graft.ops.Relational.cusum]] / the textbook recurrence on the
+    * same points (StreamingSpec T15 pins it on a shuffled replay).
+    *
+    * Ordering contract: rows sort by (ts, value) WITHIN a micro-batch
+    * (the tempChangeAlerts device); cross-batch disorder is out of
+    * scope for this monitor — feed it through a watermark-buffered
+    * stage first if the source reorders across batches.
+    */
+  def cusumMonitorFn(target: Long, alarmAt: Long)(
+      key: String, rows: Iterator[(String, Long, Long)],
+      state: GroupState[(Long, Long)]): Iterator[CusumPoint] = {
+    var (p, minP) = state.getOption.getOrElse((0L, 0L))
+    val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ts, v) =>
+      p += v - target
+      if (p < minP) minP = p // minP = min(0, min_j P_j), init 0
+      CusumPoint(key, ts, v, p - minP, p - minP > alarmAt)
+    }
+    state.update((p, minP))
+    out.iterator
+  }
+
+  /** [[cusumMonitorFn]] wired as a stream: input columns
+    * (key, ts, value). */
+  def cusumMonitor(points: DataFrame, target: Long, alarmAt: Long)
+                  (implicit s: SparkSession): Dataset[CusumPoint] = {
+    import s.implicits._
+    points.select(col("key").cast("string"), col("ts").cast("long"),
+        col("value").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        cusumMonitorFn(target, alarmAt))
+  }
+
   /** The streaming word count tutorial entry (`flink-base/.../wc/
     * StreamWorldCount.scala:13-16`): lines → words → per-word running count
     * (update output mode = Flink's retracting keyed sum).

@@ -316,6 +316,43 @@ class StreamingSpec extends SparkSpecBase {
       (201L, 21L)), s"got $got")
   }
 
+  test("T15 streaming CUSUM: shuffled within-batch replay equals the " +
+    "textbook recurrence per key, across micro-batch boundaries") {
+    implicit val s = spark
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Alerts.cusumMonitor(
+        mem.toDF().toDF("key", "ts", "value"), target = 10L, alarmAt = 25L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    val rnd = new scala.util.Random(11)
+    val series = Map(
+      "a" -> Seq(5L, 8L, 30L, 40L, 35L, 9L, 7L, 50L),
+      "b" -> Seq(12L, 12L, 12L, 1L, 1L, 60L, 60L, 2L))
+    // three micro-batches; each batch's rows shuffled, but per key the
+    // batches carry time-contiguous slices (the documented contract)
+    val rows = series.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) } }.toSeq
+    val batches = Seq(rows.filter(_._2 < 3), rows.filter(r =>
+      r._2 >= 3 && r._2 < 6), rows.filter(_._2 >= 6))
+    try {
+      batches.foreach { b =>
+        mem.addData(rnd.shuffle(b)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("cusum_out")
+      .select("key", "ts", "cusum", "alarm")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    series.foreach { case (k, vs) =>
+      var sExp = 0L
+      vs.zipWithIndex.foreach { case (v, i) =>
+        sExp = math.max(0L, sExp + (v - 10L))
+        assert(got((k, i.toLong)) == ((sExp, sExp > 25L)),
+          s"key $k t=$i: ${got((k, i.toLong))} != ($sExp, ${sExp > 25L})")
+      }
+    }
+  }
+
   test("streaming word count keeps running per-word totals across batches") {
     implicit val s = spark
     val mem = MemoryStream[String]
