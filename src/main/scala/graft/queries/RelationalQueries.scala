@@ -797,6 +797,33 @@ object RelationalQueries {
       .select("event_id", "user_id", "last_view_value")
   }
 
+  /** Nearest-event join (q179) — the bidirectional as-of
+    * ([[graft.ops.AsOf.joinNearest]]): each click paired with the same
+    * user's temporally CLOSEST view (either direction, equal distance →
+    * the backward one). Join-free: one user-key shuffle, one sort, the
+    * backward/forward candidates carried by two frame windows and one
+    * comparison — where the definitional form (the oracle keeps it) is
+    * a per-user cross product ranked by |Δt|. Views are pre-aggregated
+    * unique per (user, ms) with min(event_id) so the match is
+    * deterministic.
+    */
+  def nearestClickView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("ctsm"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("vtsm"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("vtsm"))
+      .agg(min(col("event_id")).as("view_id"))
+    graft.ops.AsOf.joinNearest(clicks, views, Seq("user_id"),
+        "ctsm", "vtsm", Seq("view_id", "vtsm"))
+      .select(col("click_id"), col("user_id"), col("ctsm"),
+        col("view_id"), col("vtsm"),
+        (col("vtsm") - col("ctsm")).as("delta_ms"))
+  }
+
   /** Interval join (beyond-reference extension, Flink's `intervalJoin`
     * shape): every (click, view) pair of the same user with the view in
     * the 5 minutes at-or-before the click — bucketed time join, see
@@ -874,6 +901,7 @@ object RelationalQueries {
     "q158_promotable_suppliers" -> promotableSuppliers,
     "q168_brand_skyline" -> brandSkyline,
     "q178_bloom_semi_join" -> bloomSemiVolume,
+    "q179_nearest_event" -> nearestClickView,
     "q02_count_distinct" -> countDistinctUv,
     "q03_pivot_ctr" -> pivotCtr,
     "q04_having_abnormal" -> havingAbnormal,
@@ -1244,6 +1272,23 @@ object RelationalQueries {
         |  WHERE q.p_brand = p.p_brand
         |    AND q.price_cents <= p.price_cents AND q.p_size >= p.p_size
         |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))""".stripMargin,
+    // q179: the DEFINITIONAL per-user cross product ranked by
+    // (|dt|, backward-first) — the merge-scan two-window plan must
+    // reproduce it exactly
+    "q179_nearest_event" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    epoch_ms(ts) AS ctsm FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS vtsm,
+        |    MIN(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT c.click_id, c.user_id, c.ctsm, v.view_id, v.vtsm,
+        |    ROW_NUMBER() OVER (PARTITION BY c.click_id
+        |      ORDER BY ABS(v.vtsm - c.ctsm),
+        |        CASE WHEN v.vtsm <= c.ctsm THEN 0 ELSE 1 END) AS rn
+        |  FROM c LEFT JOIN v USING (user_id))
+        |SELECT click_id, user_id, ctsm, view_id, vtsm,
+        |  vtsm - ctsm AS delta_ms
+        |FROM j WHERE rn = 1""".stripMargin,
     // q178: the PLAIN semi join is the oracle — bloom pruning plus the
     // exact residual must reproduce it row for row (no-false-negative
     // lemma checked on real data)

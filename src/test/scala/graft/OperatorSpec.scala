@@ -492,6 +492,31 @@ class OperatorSpec extends SparkSpecBase {
     assert(flat == plain, s"w=1 must equal unweighted: $flat vs $plain")
   }
 
+  test("joinNearest picks the closer side, breaks ties backward, " +
+    "matches exact timestamps, and nulls keyless rows") {
+    val left = Seq(("u", 1L, 100L), ("u", 2L, 200L), ("u", 3L, 150L),
+      ("u", 4L, 310L), ("w", 9L, 50L)).toDF("k", "lid", "lts")
+    val right = Seq(("u", 90L, 11L), ("u", 200L, 12L), ("u", 300L, 13L))
+      .toDF("k", "rts", "rid")
+    val got = graft.ops.AsOf.joinNearest(left, right, Seq("k"),
+        "lts", "rts", Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])]
+      .collect().toMap
+    // lid 1 (ts 100): prev 90 (d10) vs next 200 (d100) -> 11
+    // lid 2 (ts 200): exact-ts right counts backward, d0 -> 12
+    // lid 3 (ts 150): prev 90 (d60) vs next 200 (d50) -> 12
+    // lid 4 (ts 310): prev 300 (d10) vs none after -> 13
+    // lid 9 (key w): no right rows -> null
+    assert(got == Map(1L -> Some(11L), 2L -> Some(12L), 3L -> Some(12L),
+      4L -> Some(13L), 9L -> None), s"got $got")
+    // tie: left at 250 is 50 from both 200 and 300 -> backward (12)
+    val tie = graft.ops.AsOf.joinNearest(
+        Seq(("u", 5L, 250L)).toDF("k", "lid", "lts"), right, Seq("k"),
+        "lts", "rts", Seq("rid"))
+      .select("rid").as[Long].head()
+    assert(tie == 12L, s"equal distance must resolve backward: $tie")
+  }
+
   test("cusum prefix identity equals the textbook recurrence") {
     // values (10,10,40,40), target 25: recurrence gives S = (0,0,15,30)
     val df = Seq((1L, 10L), (2L, 10L), (3L, 40L), (4L, 40L))
