@@ -735,6 +735,46 @@ object RankQueries {
     stats.crossJoin(broadcast(wstats))
   }
 
+  /** Event-type co-movement matrix (q180): Pearson correlation of daily
+    * event volumes for every type pair, on exact integer moments — the
+    * "which signals move together" dashboard. The fact scan collapses to
+    * the bounded (day × type) count relation ONCE; the pair relation is
+    * a self-join of that bounded relation on the day key (types² pairs,
+    * never fact rows); the five moments stay exact BIGINTs, and the
+    * correlation is `cov_num / sqrt(var_a·var_b)` — a cast, a hardware
+    * sqrt, and one division, each IEEE-correctly-rounded in both
+    * engines, over exact integers (the numerator/variance columns ride
+    * along so the gate pins the exact parts even if a future engine
+    * rounds differently). Days where either type is absent contribute
+    * nothing (inner join on day — documented semantics).
+    */
+  def eventTypeCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val a = daily.select(col("day"), col("event_type").as("type_a"),
+      col("y").as("xa"))
+    val b = daily.select(col("day"), col("event_type").as("type_b"),
+      col("y").as("xb"))
+    a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_a"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_b"))
+      .withColumn("corr",
+        col("cov_num").cast("double") /
+          sqrt((col("var_a") * col("var_b")).cast("double")))
+  }
+
   /** Click-vs-view audience overlap by HLL set algebra (q177) —
     * inclusion–exclusion over three register relations
     * ([[graft.ops.Sketch.hllIntersection]]): the union of two sketches
@@ -894,7 +934,8 @@ object RankQueries {
       topSessionPaths(s, dir)),
     "q175_modularity" -> itemCommunityModularity,
     "q176_key_skew" -> itemKeySkew,
-    "q177_uv_overlap" -> uvOverlap)
+    "q177_uv_overlap" -> uvOverlap,
+    "q180_type_correlation" -> eventTypeCorrelation)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1381,6 +1422,27 @@ object RankQueries {
     "q171_bfs_distance" -> bfsOracleSql(3),
     "q175_modularity" -> modularityOracleSql(3),
     "q177_uv_overlap" -> hllIntersectOracleSql(6),
+    // q180: identical integer moments; corr = cast / hardware sqrt /
+    // one division, each IEEE-correctly-rounded in both engines
+    "q180_type_correlation" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    event_type, COUNT(*) AS y FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.y AS xa, b.y AS xb
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type < b.event_type),
+        |m AS (SELECT type_a, type_b, COUNT(*) AS n,
+        |    SUM(xa) AS sx, SUM(xb) AS sy, SUM(xa * xb) AS sxy,
+        |    SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS var_a,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS var_b,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+        |      AS DOUBLE)) AS corr
+        |FROM m""".stripMargin,
     // q176: exact integer ppm share, deterministic top-20 boundary
     "q176_key_skew" ->
       s"""WITH k AS (SELECT $item AS item, COUNT(*) AS cnt
