@@ -221,6 +221,100 @@ object StreamingDemo {
         s"${(sWant -- sGot).take(3)}, extra ${(sGot -- sWant).take(3)}")
     println(s"[demo] PASS gap sessionizer == batch q137 minus open tails " +
       s"(${sWant.size} closed sessions, $nMoved events displaced)")
+
+    // ---- bloom store maintained at ingest (q170's words, one epoch per
+    // micro-batch): the OR-merged store must equal the one-shot filter
+    // over everything ingested BIT-FOR-BIT, and every ingested value
+    // must probe positive over the merged span ----
+    StreamingDedup.runBloomStore(
+        stream2.select(concat(col("user_id").cast("string"), lit(":"),
+          col("event_type")).as("v")),
+        s"$work/bloom", s"$work/ckptB", valueCol = "v",
+        trigger = Trigger.AvailableNow()).start().awaitTermination()
+    val bloomEpochs = spark.read.parquet(s"$work/bloom")
+      .select("epoch").distinct().count()
+    val bMerged = graft.ops.Sketch.mergedBloomWords(spark, s"$work/bloom")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val bPairs = evFull.select(concat(col("user_id").cast("string"),
+      lit(":"), col("event_type")).as("v"))
+    val bOneShot = graft.ops.Sketch.bloomWords(bPairs, "v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    require(bMerged == bOneShot,
+      "streamed bloom store diverged from the one-shot filter")
+    val bProbe = graft.ops.Sketch.mergedBloomProbe(spark, s"$work/bloom",
+        bPairs, "v")
+      .filter(!col("maybe")).count()
+    require(bProbe == 0,
+      s"$bProbe ingested values probed negative — impossible for a bloom")
+    println(s"[demo] PASS bloom store == one-shot filter over " +
+      s"$bloomEpochs epochs, zero false negatives")
+
+    // ---- watermarked stream-stream interval join (the q47 shape with
+    // TRUE two-sided streaming state): all (click, view-within-5-min-
+    // before) pairs across the whole replay must equal the batch
+    // RangeJoin, once each ----
+    val ssj = StreamingAttribution.intervalJoinStream(
+      stream2.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts")),
+      stream2.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("vts")),
+      lookbackMs = 300000L, watermarkDelay = "2 hours")
+    ssj.writeStream.outputMode("append").format("memory")
+      .queryName("demo_ssj")
+      .option("checkpointLocation", s"$work/ckptSSJ")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val ssjGot = spark.table("demo_ssj")
+      .select("click_id", "view_id").as[(Long, Long)].collect().sorted.toSeq
+    val ssjWant = graft.ops.RangeJoin.intervalJoin(
+        evFull.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("cts")),
+        evFull.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("vts")),
+        Seq("user_id"), "cts", "vts", lowerMs = -300000L, upperMs = 0L)
+      .select("click_id", "view_id").as[(Long, Long)].collect().sorted.toSeq
+    require(ssjGot == ssjWant,
+      s"stream-stream join diverged from batch interval join: " +
+        s"${ssjGot.size} vs ${ssjWant.size} pairs")
+    println(s"[demo] PASS stream-stream interval join == batch q47 " +
+      s"(${ssjWant.size} pairs)")
+
+    // ---- streaming CUSUM monitor (q173's statistic, O(1) state/key):
+    // streamed per-point values must equal the textbook recurrence run
+    // over the same (ts, value)-ordered points per key ----
+    val cusumIn = stream2.select(col("event_type").as("key"),
+      unix_millis(col("ts")).as("ts"),
+      pmod(col("event_id"), lit(100L)).cast("long").as("value"))
+    Alerts.cusumMonitor(cusumIn, target = 50L, alarmAt = 500L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("demo_cusum")
+      .option("checkpointLocation", s"$work/ckptC")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val cGot = spark.table("demo_cusum")
+      .select("key", "ts", "value", "cusum", "alarm")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(r => (r._2, r._3, r._4, r._5)).sorted.toSeq }
+    val cWant = evFull
+      .select(col("event_type").as("key"), unix_millis(col("ts")).as("ts"),
+        pmod(col("event_id"), lit(100L)).cast("long").as("value"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        var s0 = 0L
+        k -> rs.map(r => (r._2, r._3)).sorted.map { case (t, v) =>
+          s0 = math.max(0L, s0 + (v - 50L))
+          (t, v, s0, s0 > 500L)
+        }.sorted.toSeq
+      }
+    require(cGot == cWant,
+      s"streaming CUSUM diverged from the recurrence: " +
+        s"keys ${cGot.keySet} vs ${cWant.keySet}")
+    println(s"[demo] PASS streaming CUSUM == textbook recurrence " +
+      s"(${cWant.values.map(_.size).sum} points, " +
+      s"${cWant.values.flatten.count(_._4)} alarms)")
     spark.stop()
   }
 }
