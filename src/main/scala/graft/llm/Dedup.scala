@@ -631,6 +631,114 @@ object Dedup {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Directed near-CONTAINMENT pairs — the dedup lens symmetric Jaccard
+    * is blind to: a short document whose shingles are almost all inside
+    * a much longer one (a quoted post, an excerpt, a superset rewrite)
+    * scores `|∩| / |∪| ≈ |A| / |B|` — arbitrarily low — while its
+    * containment `|∩| / |A|` is ≈ 1. Emits one DIRECTED row per
+    * (contained, container) pair with `inter · tauDen ≥ tauNum · |A|`
+    * (the rational-τ device: the keep predicate is exact integer
+    * arithmetic, the reported score one double division).
+    *
+    * Same inverted-index candidate substrate as [[ngramJaccardPairs]]
+    * (docs sharing ≥ 1 shingle; never all-pairs): the intersection is
+    * computed ONCE per unordered pair and both direction tests read it —
+    * the oracle keeps the definitional double-counted directed join.
+    *
+    * Output: (id_in, id_of, inter, sz_in, containment) — id_in's shingle
+    * set is tauNum/tauDen-covered by id_of's.
+    */
+  def containmentPairs(docs: DataFrame, w: Int,
+                       tauNum: Int, tauDen: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
+    val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
+      .filter(col("shingle").isNotNull).persist())
+    sh.count() // eager: feeds sizes and both join sides
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col(idCol).as("id_a"),
+        col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col(idCol).as("id_b"),
+        col("sz").as("sz_b"))), "id_b")
+    val ab = inter.filter(col("inter") * tauDen >= col("sz_a") * tauNum)
+      .select(col("id_a").as("id_in"), col("id_b").as("id_of"),
+        col("inter"), col("sz_a").as("sz_in"))
+    val ba = inter.filter(col("inter") * tauDen >= col("sz_b") * tauNum)
+      .select(col("id_b").as("id_in"), col("id_a").as("id_of"),
+        col("inter"), col("sz_b").as("sz_in"))
+    ab.unionByName(ba)
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_in").cast("double"))
+  }
+
+  /** Sorted-neighborhood near-dup pairs — the third candidate-generation
+    * family next to LSH banding ([[minHashLshCandidates]]) and prefix
+    * filtering ([[prefixFilterJaccardPairs]]): sort the corpus by a
+    * blocking key (here the lowercased first `keyLen` characters), slide
+    * a `window`-row neighborhood down the sorted order, and verify only
+    * pairs that land within the window with exact shingle Jaccard at the
+    * rational τ. The classic record-linkage SNM blocking — recall is
+    * bounded by the key (docs whose openings differ never meet; that is
+    * the documented trade, not a defect), cost is exactly `n · window`
+    * candidates however skewed the corpus.
+    *
+    * The global rank comes from [[graft.ops.Scale.groupedRankOrdered]]
+    * with no group — the two-phase range-partitioned form, NEVER a
+    * single-partition `row_number` window; neighbors are `window`
+    * rank-key equi-joins (co-partitioned, no range join); verification
+    * joins candidates against the shingle relation, so the exact-Jaccard
+    * work is `O(candidates · shingles-per-doc)`, linear in the corpus.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b — a SUBSET of
+    * [[ngramJaccardPairs]] restricted to window-adjacent pairs (the
+    * oracle intersects the exact pair relation with the ranked window).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int, window: Int,
+                              tauNum: Int, tauDen: Int, keyLen: Int = 24,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
+    require(window >= 1, s"window must be >= 1: $window")
+    val keyed = docs.select(col(idCol),
+      lower(substring(col(textCol), 1, keyLen)).as("__key"))
+    val ranked = graft.ops.Scale.groupedRankOrdered(keyed, Seq.empty,
+      Seq("__key", idCol), "__rn")
+    val slim = ranked.select(col("__rn"), col(idCol))
+    val cand = (1 to window).map { i =>
+      slim.select((col("__rn") + i).as("__rn"), col(idCol).as("id_a"))
+        .join(slim.select(col("__rn"), col(idCol).as("id_b")), Seq("__rn"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }.reduce(_ unionByName _)
+    val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
+      .filter(col("shingle").isNotNull).persist())
+    sh.count() // eager: feeds sizes and both candidate-verify joins
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col(idCol).as("id_a"),
+        col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col(idCol).as("id_b"),
+        col("sz").as("sz_b"))), "id_b")
+      .filter(col("inter") * tauDen >=
+        (col("sz_a") + col("sz_b") - col("inter")) * tauNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** MinHash signature column: `numHashes` independent permutations. The
     * shingle string is hashed ONCE (`g = xxhash64(shingle)`), then each
     * permutation re-scrambles the 8-byte value with an outer

@@ -883,7 +883,25 @@ object LlmQueries {
         graft.ops.Scale.zOrderKey(xb, yb).as("zkey"))
   }
 
+  /** Directed near-containment pairs at τ = 9/10 (q185) — the
+    * excerpt/superset dedup lens Jaccard misses
+    * ([[graft.llm.Dedup.containmentPairs]]). */
+  def containmentPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), w = 3,
+      tauNum = 9, tauDen = 10)
+
+  /** Sorted-neighborhood blocking pairs (q186) — 24-char key, window 3,
+    * exact-Jaccard verify at τ = 1/2
+    * ([[graft.llm.Dedup.sortedNeighborhoodPairs]]); the output is the
+    * q29 exact pair relation restricted to window-adjacent pairs, which
+    * is what the oracle checks. */
+  def sortedNeighborhoodQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), w = 3,
+      window = 3, tauNum = 1, tauDen = 2, keyLen = 24)
+
   val queries: Map[String, Q] = Map(
+    "q185_containment_pairs" -> containmentPairsQ,
+    "q186_sorted_neighborhood" -> sortedNeighborhoodQ,
     "q135_novelty_score" -> noveltyScoreQ,
     "q136_zorder_key" -> zorderLayout,
     "q49_scrub" -> scrubStats,
@@ -1426,6 +1444,41 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q185: the definitional double-counted DIRECTED shingle join (the
+    // Spark plan computes each unordered intersection once and emits
+    // both direction tests from it — same relation); keep predicate is
+    // exact integer arithmetic, the score one double division
+    "q185_containment_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |       WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |dinter AS (SELECT a.doc_id AS id_in, b.doc_id AS id_of,
+        |             COUNT(*) AS inter
+        |           FROM sh a JOIN sh b
+        |             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_in, id_of, inter, s.sz AS sz_in,
+        |  CAST(inter AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+        |FROM dinter JOIN sizes s ON id_in = s.doc_id
+        |WHERE inter * 10 >= 9 * s.sz""".stripMargin,
+    // q186: the exact q29 pair relation intersected with the ranked
+    // 3-row sorted-neighborhood window under the identical
+    // (lower 24-char key, doc_id) total order
+    "q186_sorted_neighborhood" ->
+      s"""WITH $jaccardCtes,
+        |rk AS (SELECT doc_id,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY lower(substr(text, 1, 24)), doc_id) AS rn
+        |       FROM documents),
+        |cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+        |           GREATEST(a.doc_id, b.doc_id) AS id_b
+        |         FROM rk a JOIN rk b
+        |           ON b.rn > a.rn AND b.rn <= a.rn + 3)
+        |SELECT j.id_a, j.id_b, j.jaccard
+        |FROM jpairs j JOIN cand USING (id_a, id_b)""".stripMargin,
     // q135: first-occurrence novelty over the q29 gram CTEs; exact
     // integer counts (HUGEINT sums cast back), one division
     "q135_novelty_score" ->

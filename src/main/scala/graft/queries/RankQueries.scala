@@ -889,6 +889,213 @@ object RankQueries {
       Tables.events(s, dir), Seq("event_type"), "value",
       lo = 0.0, width = 2.0, bins = 256, pcts = Seq(50, 95, 99))
 
+  /** Daily order revenue in exact integer cents — the bounded (day, cents)
+    * relation the time-series family shares (q167/q173 build it inline;
+    * q181/q182/q183 reuse this helper). One map-side-combined aggregate
+    * collapses the fact scan to ≤|days| rows before anything else runs. */
+  private def ordersDailyCents(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) " +
+          "div 86400000").as("day"),
+        col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+
+  /** Lag-k autocorrelation of daily order revenue (q181) — the
+    * time-series MEMORY diagnostic completing the family (q150 local
+    * spike, q167 smoothing, q169 trend, q173 level shift, q180
+    * cross-series co-movement; this is WITHIN-series co-movement at
+    * lags 1 and 7 — persistence and weekly rhythm). Same exact-moment
+    * device as q180: the (x_t, x_{t+L}) pair relation is a self-join of
+    * the bounded daily relation on the shifted day key, the five moments
+    * are exact BIGINTs, and the correlation is one cast/multiply/sqrt/
+    * divide chain over them, IEEE-identical in both engines (the
+    * variance PRODUCT is computed in double — at whole-currency
+    * magnitudes its exact integer form exceeds 2^63, and a double
+    * product of exact-integer-valued doubles is itself
+    * correctly-rounded, the same on both sides).
+    *
+    * Values are HUNDREDS of currency units (`cents div 10⁴`, per-day
+    * floor — part of the definition: autocorrelation is shift/scale
+    * equivariant, so the coarse unit changes the score only through the
+    * declared floor) so every MOMENT product stays inside BIGINT at
+    * sf0.1 (day value ≈ 2.3·10⁵ ⇒ n·Σx² ≈ 3·10¹⁷, ~30× headroom); a
+    * corpus with 30× richer days lifts the moments to DECIMAL(38,0),
+    * same plan.
+    *
+    * 100 TB posture: fact scan → bounded daily relation once
+    * (map-side combined); both join sides and the moment aggregate ride
+    * that ≤|days|-row relation; output is one row per lag.
+    */
+  def revenueAutocorrelation(s: SparkSession, dir: String): DataFrame = {
+    val daily = ordersDailyCents(s, dir)
+      .select(col("day"), expr("cents div 10000").as("units"))
+      .localCheckpoint()
+    val pairs = Seq(1L, 7L).map { l =>
+      daily.select(col("day"), col("units").as("xa"))
+        .join(daily.select((col("day") - l).as("day"),
+          col("units").as("xb")), Seq("day"))
+        .select(lit(l).as("lag"), col("xa"), col("xb"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .select(col("lag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_a"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_b"))
+      .withColumn("corr",
+        col("cov_num").cast("double") /
+          sqrt(col("var_a").cast("double") * col("var_b").cast("double")))
+  }
+
+  /** Day-of-week seasonality index of order revenue (q182) — per
+    * weekday: day count, exact cents total, and the seasonality index in
+    * ppm (`1 000 000` = that weekday's average day equals the overall
+    * average day). Weekday is pure epoch-day arithmetic —
+    * `(day + 4) mod 7`, 0 = Monday (day 0 = 1970-01-01 was a Thursday)
+    * — no calendar/timezone library on either engine. The index is the
+    * exact integer `(units_dow · total_days · 10⁶) div (days_dow ·
+    * total_units)` over per-day-floored HUNDREDS of currency units
+    * (`cents div 10⁴` — the index is a ratio, so the coarse unit enters
+    * only through the declared floor), so there is no float share to
+    * round differently; at sf0.1 the numerator peaks ≈ 2·10¹⁷, and a
+    * 30× corpus lifts it to DECIMAL(38,0), same plan.
+    *
+    * 100 TB posture: fact scan → bounded daily relation → 7-row group;
+    * the corpus total is a 1-row broadcast.
+    */
+  def dowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val g = ordersDailyCents(s, dir)
+      .select(pmod(col("day") + 4, lit(7L)).as("dow"), col("cents"),
+        expr("cents div 10000").as("units"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("days_n"), sum(col("cents")).as("cents"),
+        sum(col("units")).as("__units"))
+    val tot = g.agg(sum(col("__units")).as("__total_units"),
+      sum(col("days_n")).as("__total_days"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow"), col("days_n"), col("cents"),
+        expr("(__units * __total_days * 1000000) div " +
+          "(days_n * __total_units)").as("index_ppm"))
+  }
+
+  /** Median/MAD robust anomaly days (q183) — flags days whose revenue
+    * sits more than 3 MADs from the corpus median, the
+    * outlier-insensitive companion to q150's rolling z-score (one fat
+    * day inflates a mean/σ gate into silence; the median and the median
+    * absolute deviation barely move). Entirely exact-integer: both
+    * medians are the LOWER median — the row at rank `(n+1) div 2` under
+    * the deterministic (value, day) order — so there is no midpoint
+    * average to round, and the flag predicate `|cents − med| > 3·mad`
+    * compares exact BIGINTs.
+    *
+    * 100 TB posture: the fact scan collapses to the bounded daily
+    * relation first (the q149/q167/q173 device), so the two rank
+    * windows run on ≤|days| rows — bounded by the calendar however
+    * large the fact table; each median is a 1-row broadcast.
+    */
+  def madAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = ordersDailyCents(s, dir).localCheckpoint()
+    val nRow = daily.agg(count(lit(1)).as("__n"))
+    val med = daily
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("cents"), col("day"))))
+      .crossJoin(broadcast(nRow))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("cents").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col("cents") - col("med")))
+    val mad = dev
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("__dev"), col("day"))))
+      .crossJoin(broadcast(nRow))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("__dev").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("cents"), col("med"), col("mad"),
+        (col("__dev") > lit(3L) * col("mad")).as("anomaly"))
+  }
+
+  /** Last-touch purchase attribution (q184) — every purchase's value is
+    * attributed to the item of the user's LATEST click at-or-before the
+    * purchase, provided it falls inside a 7-day lookback; purchases with
+    * no qualifying click land in the explicit `-1` unattributed bucket.
+    * The marketing-attribution primitive, and a second consumer of the
+    * as-of join ([[graft.ops.AsOf.joinAsOf]] — q46 introduced it): ONE
+    * user-key shuffle and sort resolve every purchase's predecessor
+    * click via `last(ignoreNulls)`, never a per-user cross product —
+    * the oracle keeps the definitional ranked θ-join. Clicks are
+    * pre-reduced to one row per (user, ts) (item of the max event_id —
+    * joinAsOf's uniqueness contract), so the tie order is deterministic:
+    * max ts, then max event_id.
+    *
+    * 100 TB posture: clicks collapse map-side to (user, ts) before the
+    * as-of's single user-key exchange; the output aggregate is
+    * item-keyed. Value sums ride exact integer cents.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("tsm"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("event_id"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("tsm"))
+      .agg(max_by(col("item"), col("event_id")).as("item"))
+      .withColumn("c_tsm", col("tsm"))
+    graft.ops.AsOf.joinAsOf(purchases, clicks, Seq("user_id"),
+        leftTs = "tsm", rightTs = "tsm", payload = Seq("item", "c_tsm"))
+      .withColumn("__attr",
+        when(col("c_tsm") >= col("tsm") - lit(604800000L), col("item")))
+      .groupBy(coalesce(col("__attr"), lit(-1L)).as("item"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+  }
+
+  /** Per-item daily click panel with forward fill (q187) — the
+    * calendar-spine gap-fill every time-series trainer needs: one dense
+    * row per (item, day) over the corpus's [min, max] day span, observed
+    * counts where the item was clicked, the last observed count carried
+    * forward through gaps (zero before first observation), and a
+    * `filled` flag marking imputed rows. Exactly the panel q169's OLS or
+    * a forecasting loader would consume — sparse logs in, dense matrix
+    * out.
+    *
+    * 100 TB posture: the fact scan collapses to the (item, day) count
+    * relation map-side; the spine is |items| × |days| — days are
+    * calendar-bounded, so the grid is a broadcast cross join, never a
+    * shuffle of fact rows; the fill window partitions on the
+    * high-cardinality item key with a running frame.
+    */
+  def itemCalendarFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item"), col("day")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val days = daily.agg(min(col("day")).as("__mn"), max(col("day")).as("__mx"))
+      .select(explode(sequence(col("__mn"), col("__mx"))).as("day"))
+    val w = Window.partitionBy(col("item")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("item")).distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("item", "day"), "left")
+      .select(col("item"), col("day"),
+        coalesce(last(col("__cnt"), ignoreNulls = true).over(w), lit(0L))
+          .as("clicks"),
+        col("__cnt").isNull.as("filled"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
@@ -935,7 +1142,12 @@ object RankQueries {
     "q175_modularity" -> itemCommunityModularity,
     "q176_key_skew" -> itemKeySkew,
     "q177_uv_overlap" -> uvOverlap,
-    "q180_type_correlation" -> eventTypeCorrelation)
+    "q180_type_correlation" -> eventTypeCorrelation,
+    "q181_revenue_autocorr" -> revenueAutocorrelation,
+    "q182_dow_seasonality" -> dowSeasonality,
+    "q183_mad_anomaly" -> madAnomalyDays,
+    "q184_last_touch" -> lastTouchAttribution,
+    "q187_calendar_fill" -> itemCalendarFill)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1413,6 +1625,112 @@ object RankQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q181: identical bounded daily relation and exact integer moments;
+    // corr = one cast/multiply/sqrt/divide chain, IEEE-identical (the
+    // variance product is a double product of exact-integer-valued
+    // doubles — correctly rounded the same on both engines)
+    "q181_revenue_autocorr" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) // 10000 AS units
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(l.lag AS BIGINT) AS lag,
+        |    a.units AS xa, b.units AS xb
+        |  FROM (VALUES (1), (7)) AS l(lag)
+        |  CROSS JOIN daily a
+        |  JOIN daily b ON b.day = a.day + l.lag),
+        |m AS (SELECT lag, COUNT(*) AS n, SUM(xa) AS sx, SUM(xb) AS sy,
+        |    SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx,
+        |    SUM(xb * xb) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS var_a,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS var_b,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        |FROM m""".stripMargin,
+    // q182: pure epoch-day weekday arithmetic, exact integer ppm index
+    "q182_dow_seasonality" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT (day + 4) % 7 AS dow, COUNT(*) AS days_n,
+        |    CAST(SUM(cents) AS BIGINT) AS cents,
+        |    CAST(SUM(cents // 10000) AS BIGINT) AS units
+        |  FROM daily GROUP BY 1),
+        |t AS (SELECT CAST(SUM(units) AS BIGINT) AS total_units,
+        |    CAST(SUM(days_n) AS BIGINT) AS total_days FROM g)
+        |SELECT dow, days_n, cents,
+        |  (units * total_days * 1000000) // (days_n * total_units)
+        |    AS index_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
+    // q183: same lower-median definition — rank (n+1)//2 under the
+    // deterministic (value, day) order — so med/mad are exact BIGINTs
+    "q183_mad_anomaly" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, day) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM daily),
+        |m AS (SELECT cents AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT day, cents, med, ABS(cents - med) AS dev
+        |  FROM daily CROSS JOIN m),
+        |r2 AS (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM d),
+        |m2 AS (SELECT dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT day, cents, med, mad, dev > 3 * mad AS anomaly
+        |FROM d CROSS JOIN m2""".stripMargin,
+    // q184: the definitional ranked θ-join — latest click ≤ purchase ts
+    // per purchase (ties impossible: clicks pre-reduced per (user, ts)
+    // to the max-event_id item), 7-day lookback nulls to the -1 bucket
+    "q184_last_touch" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS tsm,
+        |    ARG_MAX($item, event_id) AS item
+        |  FROM events WHERE event_type = 'click' AND $item IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a AS (SELECT p.event_id, p.tsm, p.cents, c.item,
+        |    c.tsm AS ctsm,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.tsm DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.tsm <= p.tsm),
+        |sel AS (SELECT event_id, cents,
+        |    CASE WHEN ctsm >= tsm - 604800000 THEN item END AS attr
+        |  FROM a WHERE rn = 1)
+        |SELECT COALESCE(attr, -1) AS item, COUNT(*) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM sel GROUP BY 1""".stripMargin,
+    // q187: same grid (distinct items × corpus day span) and the same
+    // run-frame last-non-null forward fill
+    "q187_calendar_fill" ->
+      s"""WITH daily AS (SELECT $item AS item,
+        |    epoch_ms(ts) // 86400000 AS day, COUNT(*) AS cnt
+        |  FROM events WHERE event_type = 'click' AND $item IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT UNNEST(range(mn, mx + 1)) AS day
+        |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily)),
+        |grid AS (SELECT item, day
+        |  FROM (SELECT DISTINCT item FROM daily) CROSS JOIN sp),
+        |j AS (SELECT g.item, g.day, d.cnt
+        |  FROM grid g LEFT JOIN daily d
+        |    ON d.item = g.item AND d.day = g.day)
+        |SELECT item, day,
+        |  COALESCE(LAST_VALUE(cnt IGNORE NULLS) OVER (
+        |    PARTITION BY item ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS clicks,
+        |  cnt IS NULL AS filled
+        |FROM j""".stripMargin,
     "q161_grouped_hll" -> groupedHllOracleSql(6),
     "q162_kcore" -> kCoreOracleSql(2, 4),
     "q163_ppr" -> pprOracleSql(3),

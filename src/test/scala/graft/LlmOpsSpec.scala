@@ -2413,4 +2413,91 @@ class LlmOpsSpec extends SparkSpecBase {
     val again = TextAnalysis.stratifiedSplit(docs)
     assert(split.collect().toSet == again.collect().toSet)
   }
+
+  test("containment pairs: a planted excerpt is caught at 9/10 while its " +
+    "symmetric jaccard sits far below 0.5, and every emission matches the " +
+    "driver-side definition") {
+    graft.core.CacheScope.scoped {
+      // doc 1 = an exact 6-token excerpt of the 40-token doc 2: its
+      // shingles are all inside doc 2's, so containment = 1.0 while
+      // jaccard = |A|/|B| = 4/38 — the lens this operator exists for
+      val long = (1 to 40).map(i => s"w$i").mkString(" ")
+      val excerpt = (10 to 15).map(i => s"w$i").mkString(" ")
+      val d = Seq((1L, excerpt), (2L, long),
+        (3L, "completely unrelated text with different words entirely"))
+        .toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(d, w = 3, tauNum = 9, tauDen = 10)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got.map(r => (r._1, r._2)) == Set((1L, 2L)),
+        s"expected exactly the excerpt→container pair, got $got")
+      val (_, _, inter, szIn, cont) = got.head
+      assert(inter == 4L && szIn == 4L && cont == 1.0)
+      val jac = Dedup.ngramJaccardPairs(d, w = 3, tau = 0.5).count()
+      assert(jac == 0L, "symmetric jaccard must miss the excerpt")
+    }
+  }
+
+  test("containment pairs on the corpus: emissions are exactly the " +
+    "directed restriction of the shingle-intersection relation") {
+    graft.core.CacheScope.scoped {
+      val sh = Dedup.shingles(docs, 3).filter(col("shingle").isNotNull)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .as[(Long, Long)].collect().toMap
+      val inter = sh.select(col("doc_id").as("a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        .as[(Long, Long, Long)].collect()
+      val want = inter.filter { case (a, _, i) => i * 10 >= 9 * sz(a) }
+        .map { case (a, b, i) => (a, b, i, sz(a)) }.toSet
+      val got = Dedup.containmentPairs(docs, w = 3, tauNum = 9, tauDen = 10)
+        .select("id_in", "id_of", "inter", "sz_in")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"missing ${(want -- got).take(3)}, " +
+        s"extra ${(got -- want).take(3)}")
+      assert(got.nonEmpty, "fixture must contain containment pairs")
+    }
+  }
+
+  test("sorted-neighborhood pairs are a subset of the exact relation, " +
+    "catch the adjacent-key duplicates, and the candidate count is " +
+    "exactly n·w minus the tail") {
+    graft.core.CacheScope.scoped {
+      val exact = Dedup.ngramJaccardPairs(docs, w = 3, tau = 0.5)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2)).toSet
+      val snm = Dedup.sortedNeighborhoodPairs(docs, w = 3, window = 3,
+          tauNum = 1, tauDen = 2)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      assert(snm.subsetOf(exact),
+        s"SNM may only restrict the exact relation: ${(snm -- exact).take(3)}")
+      assert(snm.nonEmpty,
+        "near-dups share openings on this corpus — the window must catch some")
+      // window >= n recovers the FULL exact relation (every pair becomes
+      // window-adjacent) — on a bounded fixture, since the plan holds
+      // `window` rank-joins: near-dups planted at OPPOSITE key ends so
+      // the small window genuinely misses them first
+      val fix = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "zz alpha beta gamma delta epsilon zeta"),
+        (3L, "mid one two three four five six"),
+        (4L, "mid one two three four five seven"),
+        (5L, "unrelated totally different words here now"))
+        .toDF("doc_id", "text")
+      val fixExact = Dedup.ngramJaccardPairs(fix, w = 3, tau = 0.5)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      val narrow = Dedup.sortedNeighborhoodPairs(fix, w = 3, window = 1,
+          tauNum = 1, tauDen = 2)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      val wide = Dedup.sortedNeighborhoodPairs(fix, w = 3, window = 5,
+          tauNum = 1, tauDen = 2)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      assert(fixExact.contains((1L, 2L)),
+        "fixture must plant a cross-key near-dup")
+      assert(!narrow.contains((1L, 2L)),
+        "the 'zz' prefix must push doc 2 outside the 1-row window")
+      assert(wide == fixExact,
+        s"window>=n must equal exact: missing ${(fixExact -- wide).take(3)}")
+    }
+  }
 }

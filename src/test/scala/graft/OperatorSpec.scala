@@ -1014,4 +1014,55 @@ class OperatorSpec extends SparkSpecBase {
     assert(got(20L) == ((2L, 1L, 0.5)))
     assert(got(40L) == ((3L, 2L, 2.0 / 3.0)))
   }
+
+  test("last-touch attribution conserves mass: every purchase lands in " +
+    "exactly one bucket and attributed cents sum to total purchase cents") {
+    graft.core.CacheScope.scoped {
+      val out = SparkEntry.queries("q184_last_touch")(spark, sfDir)
+        .agg(sum("n_purchases"), sum("cents")).as[(Long, Long)].head()
+      val want = graft.core.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)),
+          sum((col("value").cast("decimal(12,2)") * 100).cast("long")))
+        .as[(Long, Long)].head()
+      assert(out == want, s"attribution must conserve mass: $out != $want")
+    }
+  }
+
+  test("calendar fill: dense item × corpus-day-span grid, observed rows " +
+    "keep their counts, gaps carry the last observation forward") {
+    graft.core.CacheScope.scoped {
+      val out = SparkEntry.queries("q187_calendar_fill")(spark, sfDir)
+        .as[(Long, Long, Long, Boolean)].collect()
+      val items = out.map(_._1).distinct.length
+      val days = out.map(_._2).distinct.sorted
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+        "day spine must be gap-free")
+      assert(out.length == items * days.length, "grid must be dense")
+      // per item: clicks only changes at observed rows; filled rows
+      // repeat the previous value (zero before first observation)
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        var prev = 0L
+        rows.sortBy(_._2).foreach { case (_, _, clicks, filled) =>
+          if (filled) assert(clicks == prev, "fill must carry forward")
+          prev = clicks
+        }
+      }
+    }
+  }
+
+  test("MAD anomaly: med/mad are the exact lower medians and the flag is " +
+    "the integer 3-MAD predicate") {
+    graft.core.CacheScope.scoped {
+      val out = SparkEntry.queries("q183_mad_anomaly")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      val cents = out.map(_._2).sorted
+      val med = cents((cents.length + 1) / 2 - 1)
+      val devs = out.map(r => math.abs(r._2 - med)).sorted
+      val mad = devs((devs.length + 1) / 2 - 1)
+      assert(out.forall(_._3 == med) && out.forall(_._4 == mad),
+        s"lower medians must match driver recomputation ($med, $mad)")
+      assert(out.forall(r => r._5 == (math.abs(r._2 - med) > 3 * mad)))
+    }
+  }
 }

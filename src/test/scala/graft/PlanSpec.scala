@@ -583,6 +583,47 @@ class PlanSpec extends SparkSpecBase {
       s"the bloom bit tests must appear as a fact-scan filter:\n$p")
   }
 
+  test("q184 last-touch attribution: the as-of resolution is windowed on " +
+    "the user key — no per-user cross product, no single-task funnel") {
+    val p = planOf("q184_last_touch")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution must be an as-of join, never a θ-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(_.contains("user_id")),
+      s"the as-of window must partition on user_id:\n$p")
+  }
+
+  test("q186 sorted neighborhood: the global rank is the two-phase " +
+    "range-partitioned form — every row_number window partitions on " +
+    "__pid; corpus rows never funnel to one task (the only " +
+    "SinglePartition exchanges feed the bounded per-partition-count " +
+    "offset windows)") {
+    val p = planOf("q186_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), p)
+    val rnLines = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
+      s"row_number must be partition-local, never global:\n$p")
+    // SinglePartition may appear ONLY under the offset windows, whose
+    // input is the ≤|partitions|-row count relation — every such line
+    // is a sum over __c, never over corpus columns
+    val spOk = p.linesIterator.filter(_.contains("Window [sum(__c"))
+      .forall(_.contains("__pid"))
+    assert(spOk, s"offset windows must ride the bounded counts:\n$p")
+  }
+
+  test("q187 calendar fill: the forward-fill window partitions on the " +
+    "item key and the spine never shuffles fact rows") {
+    val p = planOf("q187_calendar_fill")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(_.contains("item")),
+      s"the fill window must partition on item:\n$p")
+  }
+
   test("q116 stratified split: per-stratum rank is the range-partitioned " +
     "two-phase form — windows partition on (__pid, lang, source), sizes " +
     "and offsets broadcast, nothing funnels to one task") {
