@@ -19,6 +19,10 @@ object Sessions {
               rocksDbState: Boolean = false): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName(appName)
+      // same injection path as spark.sql.extensions=graft.GraftExtensions
+      // on a cluster: library sessions and config-wired sessions resolve
+      // the same SQL function names (graft_fp, graft_mix57, vec_dot, …)
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
