@@ -534,4 +534,51 @@ object Graph {
       .orderBy(col("common").desc, col("x"), col("y"))
       .limit(k)
   }
+
+  /** Degree assortativity (Newman 2002) of an undirected simple graph:
+    * the Pearson correlation of (deg(u), deg(v)) over the DIRECTED edge
+    * list (each undirected edge contributes both orientations — the
+    * standard convention, which also makes the x/y moments symmetric).
+    * Positive: hubs attach to hubs (social graphs); negative: hubs
+    * attach to leaves (star-like catalogs).
+    *
+    * Exact-moment device (the q169/q180/q181 family applied to a graph
+    * statistic): degrees come from one edge-keyed aggregate, the five
+    * moments are exact BIGINTs over the edge relation, and the
+    * coefficient is one cast/multiply/sqrt/divide chain — so an oracle
+    * can pin an aggregate graph invariant bit-for-bit. At 10⁹-edge
+    * scale with 10⁶-degree hubs the moments lift to DECIMAL(38,0) on
+    * the identical plan (n·Σxy headroom documented at call sites).
+    *
+    * Output: one row (n_dedges, cov_num, var_x, var_y, assortativity);
+    * assortativity is NULL on a degree-regular graph (zero variance —
+    * the correlation is undefined there, and the explicit NULL keeps
+    * ANSI mode from faulting on the 0/0).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = dir.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    dir
+      .join(deg.select(col("v").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n_dedges"),
+        sum(col("dx")).as("__sx"), sum(col("dy")).as("__sy"),
+        sum(col("dx") * col("dy")).as("__sxy"),
+        sum(col("dx") * col("dx")).as("__sxx"),
+        sum(col("dy") * col("dy")).as("__syy"))
+      .select(col("n_dedges"),
+        (col("n_dedges") * col("__sxy") - col("__sx") * col("__sy"))
+          .as("cov_num"),
+        (col("n_dedges") * col("__sxx") - col("__sx") * col("__sx"))
+          .as("var_x"),
+        (col("n_dedges") * col("__syy") - col("__sy") * col("__sy"))
+          .as("var_y"))
+      .withColumn("assortativity",
+        when(col("var_x") === 0L || col("var_y") === 0L, lit(null))
+          .otherwise(col("cov_num").cast("double") /
+            sqrt(col("var_x").cast("double") * col("var_y").cast("double"))))
+  }
 }

@@ -1096,6 +1096,116 @@ object RankQueries {
         col("__cnt").isNull.as("filled"))
   }
 
+  /** Degree assortativity of the week-1 session graph (q188) — do hub
+    * items co-occur with hubs or with leaves
+    * ([[graft.ops.Graph.degreeAssortativity]])? One row of exact BIGINT
+    * moments over the directed edge list plus the one-division
+    * coefficient. Runs on the SPARSE consecutive-click session graph
+    * (the q160/q166 substrate) rather than the all-pairs co-click graph:
+    * the latter saturates to a complete — degree-regular — graph as the
+    * corpus grows, where assortativity is undefined (zero variance →
+    * NULL); the session graph keeps a real degree distribution at any
+    * scale. */
+  def itemDegreeAssortativity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.degreeAssortativity(weekSessionEdges(s, dir))
+
+  /** Linear multi-touch attribution (q189) — every purchase's cents
+    * split EQUALLY across the user's qualifying clicks (7-day lookback,
+    * at-or-before the purchase), exactly conserving mass in integer
+    * arithmetic: each click gets `cents div k` and the LAST click (the
+    * deterministic (ts, event_id) max) absorbs the `cents mod k`
+    * remainder; purchases with no qualifying click land whole in the -1
+    * bucket. The fair-share companion to q184's last-touch: same
+    * lookback, same buckets, winner-takes-all replaced by equal split.
+    *
+    * The qualifying-pair relation is the bucketed interval join
+    * ([[graft.ops.RangeJoin.intervalJoin]], the q47 operator): a hot
+    * user's clicks spread across time buckets instead of meeting one
+    * reducer, and the per-purchase rank/count windows partition on the
+    * HIGH-cardinality purchase event id. The oracle keeps the
+    * definitional θ-join.
+    */
+  def linearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_eid"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    val q = graft.ops.RangeJoin.intervalJoin(purchases, clicks,
+      Seq("user_id"), leftTs = "ts", rightTs = "c_ts",
+      lowerMs = -604800000L, upperMs = 0L)
+    val wp = Window.partitionBy(col("event_id"))
+    val credited = q
+      .withColumn("__rk", row_number().over(
+        wp.orderBy(col("c_ts"), col("c_eid"))))
+      .withColumn("__k", count(lit(1)).over(wp))
+      .select(col("item"),
+        (expr("cents div __k") +
+          when(col("__rk") === col("__k"), pmod(col("cents"), col("__k")))
+            .otherwise(0L)).as("credit"))
+    val unattributed = purchases
+      .join(q.select("event_id").distinct(), Seq("event_id"), "left_anti")
+      .select(lit(-1L).as("item"), col("cents").as("credit"))
+    credited.unionByName(unattributed)
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("cents"))
+  }
+
+  /** New-vs-returning daily split (q190) — per day: active users, users
+    * whose FIRST corpus event lands that day, and the returning
+    * remainder. The growth-accounting companion to q123's cohort
+    * retention.
+    *
+    * 100 TB posture: two user-keyed aggregates (distinct (user, day)
+    * actives; per-user min day) and one bounded day-keyed join — no
+    * windows, no fact-row self-join. */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val active = ud.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val firstSeen = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    active.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("active_users") - coalesce(col("new_users"), lit(0L)))
+          .as("returning_users"))
+  }
+
+  /** Gini coefficient of customer spend (q191) — the inequality summary
+    * of the order book, exact where it can be: customers with ≥ 1 order
+    * ranked ascending by (exact cents, custkey) through the two-phase
+    * [[graft.ops.Scale.groupedRankOrdered]] (no group — never a
+    * single-partition row_number over customers), then the prefix
+    * identity `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` with an exact BIGINT
+    * numerator and ONE final division. At sf0.1 the rank-weighted sum
+    * peaks ~10¹⁵; a 1000× corpus lifts the two sums to DECIMAL(38,0) on
+    * the identical plan.
+    */
+  def customerSpendGini(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val ranked = graft.ops.Scale.groupedRankOrdered(spend, Seq.empty,
+      Seq("cents", "o_custkey"), "rank")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("rank") * col("cents")).as("__rx"))
+      .select(col("n"), col("total_cents"),
+        (lit(2L) * col("__rx") - (col("n") + 1L) * col("total_cents"))
+          .as("gini_num"))
+      .withColumn("gini",
+        col("gini_num").cast("double") /
+          (col("n") * col("total_cents")).cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
@@ -1147,7 +1257,11 @@ object RankQueries {
     "q182_dow_seasonality" -> dowSeasonality,
     "q183_mad_anomaly" -> madAnomalyDays,
     "q184_last_touch" -> lastTouchAttribution,
-    "q187_calendar_fill" -> itemCalendarFill)
+    "q187_calendar_fill" -> itemCalendarFill,
+    "q188_assortativity" -> itemDegreeAssortativity,
+    "q189_linear_attribution" -> linearAttribution,
+    "q190_new_vs_returning" -> newVsReturning,
+    "q191_spend_gini" -> customerSpendGini)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1625,6 +1739,87 @@ object RankQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q188: same directed edge list (both orientations of the distinct
+    // week-1 session edges), exact BIGINT moments, one float chain;
+    // NULL when either variance is zero (degree-regular graph)
+    "q188_assortativity" ->
+      s"""WITH $weekEdgesSql,
+        |dir AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS v, COUNT(*) AS d FROM dir GROUP BY 1),
+        |p AS (SELECT dx.d AS x, dy.d AS y
+        |      FROM dir JOIN deg dx ON dir.src = dx.v
+        |               JOIN deg dy ON dir.dst = dy.v),
+        |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM p)
+        |SELECT n AS n_dedges,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS var_y,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE)) END AS assortativity
+        |FROM m""".stripMargin,
+    // q189: the definitional θ-join pair relation; integer equal-split
+    // with the remainder on the deterministic last click conserves mass
+    "q189_linear_attribution" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ctsm, event_id AS ceid,
+        |    $item AS item
+        |  FROM events WHERE event_type = 'click' AND $item IS NOT NULL),
+        |q AS (SELECT p.event_id, p.cents, c.item, c.ctsm, c.ceid
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ctsm >= p.tsm - 604800000 AND c.ctsm <= p.tsm),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id
+        |      ORDER BY ctsm, ceid) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_id) AS k
+        |  FROM q),
+        |cr AS (SELECT item, cents // k +
+        |    CASE WHEN rk = k THEN cents % k ELSE 0 END AS credit
+        |  FROM r),
+        |un AS (SELECT CAST(-1 AS BIGINT) AS item, cents AS credit
+        |  FROM p WHERE NOT EXISTS
+        |    (SELECT 1 FROM q WHERE q.event_id = p.event_id))
+        |SELECT item, COUNT(*) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS cents
+        |FROM (SELECT * FROM cr UNION ALL SELECT * FROM un)
+        |GROUP BY 1""".stripMargin,
+    // q190: two user-keyed aggregates and one day-keyed join
+    "q190_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |act AS (SELECT day, COUNT(*) AS active_users FROM ud GROUP BY 1),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY 1),
+        |nw AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT act.day, active_users,
+        |  COALESCE(new_users, 0) AS new_users,
+        |  active_users - COALESCE(new_users, 0) AS returning_users
+        |FROM act LEFT JOIN nw ON act.day = nw.day""".stripMargin,
+    // q191: same (cents, custkey) ascending rank and the same prefix
+    // identity; gini is one division of exact BIGINTs
+    "q191_spend_gini" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rank
+        |  FROM sp),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |    CAST(SUM(rank * cents) AS BIGINT) AS rx
+        |  FROM r)
+        |SELECT n, total_cents,
+        |  2 * rx - (n + 1) * total_cents AS gini_num,
+        |  CAST(2 * rx - (n + 1) * total_cents AS DOUBLE) /
+        |    CAST(n * total_cents AS DOUBLE) AS gini
+        |FROM m""".stripMargin,
     // q181: identical bounded daily relation and exact integer moments;
     // corr = one cast/multiply/sqrt/divide chain, IEEE-identical (the
     // variance product is a double product of exact-integer-valued

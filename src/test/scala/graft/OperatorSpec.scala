@@ -1065,4 +1065,51 @@ class OperatorSpec extends SparkSpecBase {
       assert(out.forall(r => r._5 == (math.abs(r._2 - med) > 3 * mad)))
     }
   }
+
+  test("linear attribution conserves mass exactly: equal split plus " +
+    "remainder-to-last sums back to total purchase cents") {
+    graft.core.CacheScope.scoped {
+      val out = SparkEntry.queries("q189_linear_attribution")(spark, sfDir)
+        .agg(sum("cents")).as[Long].head()
+      val want = graft.core.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")))
+        .as[Long].head()
+      assert(out == want, s"credits must sum to purchase cents: $out != $want")
+    }
+  }
+
+  test("new-vs-returning: new users sum to the user universe, the split " +
+    "adds up per day, and day one is all-new") {
+    graft.core.CacheScope.scoped {
+      val out = SparkEntry.queries("q190_new_vs_returning")(spark, sfDir)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      val users = graft.core.Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      assert(out.map(_._3).sum == users,
+        "every user is new exactly once")
+      assert(out.forall(r => r._2 == r._3 + r._4),
+        "active = new + returning per day")
+      assert(out.head._4 == 0L, "nobody returns on the first corpus day")
+    }
+  }
+
+  test("spend gini matches a driver-side recomputation and lands in [0, 1)") {
+    graft.core.CacheScope.scoped {
+      val (n, total, num, gini) =
+        SparkEntry.queries("q191_spend_gini")(spark, sfDir)
+          .as[(Long, Long, Long, Double)].head()
+      val spend = graft.core.Tables.orders(spark, sfDir)
+        .groupBy("o_custkey")
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+        .select("o_custkey", "cents").as[(Long, Long)].collect()
+        .sortBy(c => (c._2, c._1)).map(_._2)
+      val wantNum = 2L * spend.zipWithIndex
+        .map { case (x, i) => (i + 1L) * x }.sum -
+        (spend.length + 1L) * spend.sum
+      assert(n == spend.length && total == spend.sum && num == wantNum)
+      assert(gini >= 0.0 && gini < 1.0, s"gini out of range: $gini")
+    }
+  }
 }

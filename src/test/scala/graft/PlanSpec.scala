@@ -624,6 +624,19 @@ class PlanSpec extends SparkSpecBase {
       s"the fill window must partition on item:\n$p")
   }
 
+  test("q189 linear attribution: the interval join is the bucketed " +
+    "range join and the credit windows partition on the purchase id — " +
+    "no θ-join, no single-task funnel") {
+    val p = planOf("q189_linear_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"qualifying pairs must come from the bucketed interval join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_id")),
+      s"credit windows must partition on the purchase event id:\n$p")
+  }
+
   test("q116 stratified split: per-stratum rank is the range-partitioned " +
     "two-phase form — windows partition on (__pid, lang, source), sizes " +
     "and offsets broadcast, nothing funnels to one task") {
