@@ -1206,7 +1206,54 @@ object RankQueries {
           (col("n") * col("total_cents")).cast("double"))
   }
 
+  /** Point-in-time feature join (q192) — the feature-store primitive
+    * that keeps training joins leakage-free: every click is labeled with
+    * the user's spend TIER AS OF THAT MOMENT (the tier in effect at the
+    * click, never a later one). The feature history is a derived SCD:
+    * purchases pre-aggregated per (user, ts), cumulative spend through a
+    * user-keyed running frame, tier = the threshold bucket, and only the
+    * CHANGE points kept (a lag filter); clicks then as-of join to the
+    * latest change at-or-before their timestamp
+    * ([[graft.ops.AsOf.joinAsOf]] — one user-key exchange, never a
+    * per-user θ-product, which the oracle keeps). Clicks before any
+    * purchase land in the explicit -1 tier. Joining "current tier" here
+    * instead would leak the future — the mistake this operator exists to
+    * make impossible.
+    *
+    * 100 TB posture: the transition relation is change-points only
+    * (≪ purchases); all three windows/joins key on the high-cardinality
+    * user; the output is a bounded tier aggregate.
+    */
+  def pointInTimeTier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("tsm")).agg(sum(col("cents")).as("cents"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tiers = p.withColumn("__cum", sum(col("cents")).over(wCum))
+      .withColumn("tier",
+        when(col("__cum") < 100000L, 0L)
+          .when(col("__cum") < 1000000L, 1L)
+          .when(col("__cum") < 10000000L, 2L)
+          .otherwise(3L))
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
+    val transitions = tiers
+      .withColumn("__pt", lag(col("tier"), 1).over(wLag))
+      .filter(col("__pt").isNull || col("__pt") =!= col("tier"))
+      .select(col("user_id"), col("tsm"), col("tier"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tsm"))
+    graft.ops.AsOf.joinAsOf(clicks, transitions, Seq("user_id"),
+        leftTs = "tsm", rightTs = "tsm", payload = Seq("tier"))
+      .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_point_in_time" -> pointInTimeTier,
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
     "q151_grouped_quantiles" -> groupedValueQuantiles,
@@ -1739,6 +1786,37 @@ object RankQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q192: the same derived SCD (cumulative tiers, change points only)
+    // and the definitional ranked θ-join for the as-of resolution
+    "q192_point_in_time" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS tsm,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT user_id, tsm,
+        |    SUM(cents) OVER (PARTITION BY user_id ORDER BY tsm
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM p),
+        |t0 AS (SELECT user_id, tsm,
+        |    CASE WHEN c < 100000 THEN 0 WHEN c < 1000000 THEN 1
+        |         WHEN c < 10000000 THEN 2 ELSE 3 END AS tier
+        |  FROM cum),
+        |tr AS (SELECT user_id, tsm, CAST(tier AS BIGINT) AS tier
+        |  FROM (SELECT *, LAG(tier) OVER (PARTITION BY user_id
+        |      ORDER BY tsm) AS pt FROM t0)
+        |  WHERE pt IS NULL OR pt <> tier),
+        |c AS (SELECT event_id, user_id, epoch_ms(ts) AS tsm
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT c.event_id, c.user_id, t.tier,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |      ORDER BY t.tsm DESC) AS rn
+        |  FROM c LEFT JOIN tr t
+        |    ON t.user_id = c.user_id AND t.tsm <= c.tsm),
+        |sel AS (SELECT user_id, COALESCE(tier, -1) AS tier
+        |  FROM j WHERE rn = 1)
+        |SELECT tier, COUNT(*) AS n_clicks,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM sel GROUP BY 1""".stripMargin,
     // q188: same directed edge list (both orientations of the distinct
     // week-1 session edges), exact BIGINT moments, one float chain;
     // NULL when either variance is zero (degree-regular graph)

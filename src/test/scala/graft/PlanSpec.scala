@@ -637,6 +637,18 @@ class PlanSpec extends SparkSpecBase {
       s"credit windows must partition on the purchase event id:\n$p")
   }
 
+  test("q192 point-in-time join: the SCD build and the as-of resolution " +
+    "all window on the user key — no θ-product, no single-task funnel") {
+    val p = planOf("q192_point_in_time")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the as-of must never expand to a per-user product:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"every window must partition on user_id:\n$p")
+  }
+
   test("q116 stratified split: per-stratum rank is the range-partitioned " +
     "two-phase form — windows partition on (__pid, lang, source), sizes " +
     "and offsets broadcast, nothing funnels to one task") {
