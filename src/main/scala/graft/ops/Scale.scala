@@ -237,6 +237,91 @@ object Scale {
       .limit(topN)
   }
 
+  /** One [[TopFreqAgg]] summary of `items` as a (item, cnt) relation —
+    * ≤ k rows. Partials combine map-side (the Aggregator's merge), so
+    * the single reducer only folds k-sized summaries, never rows. */
+  def topFreqSummary(items: org.apache.spark.sql.Dataset[String],
+                     k: Int): DataFrame =
+    items.groupByKey(_ => 0)(Encoders.scalaInt)
+      .agg(topFreqColumn(k).name("top"))
+      .select(explode(col("top")).as(Seq("item", "cnt")))
+
+  /** Misra-Gries heavy-hitter STORE — the frequency member of the
+    * mergeable-store family (bloom words OR, HLL registers MAX,
+    * histogram counters ADD; MG counters ADD with a decrement budget):
+    * [[writeTopFreqStore]]/[[appendTopFreqStore]] persist one ≤ k-row
+    * summary per epoch, [[mergedHeavyHitters]] sums counters per item
+    * over any epoch span. Contract (Agarwal et al., mergeable
+    * summaries): merged counts never OVERCOUNT, undercount by at most
+    * n/(k+1) over the merged span's n rows, and every item with true
+    * count > n/(k+1) is present in the merge — so the store answers
+    * "what was hot across these epochs" with k·epochs rows of state
+    * where the exact answer needs the vocabulary. Unlike the
+    * bloom/HLL/histogram stores the COUNTERS are not bit-reproducible
+    * across runs (which rows absorb the decrements depends on partition
+    * fold order) — the BOUND is the contract, and the tests pin the
+    * bound, not bits. The layout record pins k: a span mixing summary
+    * widths has no single decrement budget, so mismatched appends fail
+    * loud.
+    */
+  def writeTopFreqStore(items: org.apache.spark.sql.Dataset[String],
+                        path: String, epoch: Long, k: Int): Unit = {
+    val spark = items.sparkSession
+    topFreqSummary(items, k)
+      .select(lit(epoch).as("epoch"), col("item"), col("cnt"))
+      .write.mode("overwrite").parquet(path)
+    val (fs, lp) = Sketch.layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"k=$k\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Whether a top-freq store (with its layout record) exists at `path`. */
+  def topFreqStoreExists(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Boolean = {
+    val (fs, lp) = Sketch.layoutFile(spark, path)
+    fs.exists(lp)
+  }
+
+  /** Append one epoch's ≤ k-row summary; fails loud on a missing layout
+    * record or a different k. */
+  def appendTopFreqStore(items: org.apache.spark.sql.Dataset[String],
+                         path: String, epoch: Long, k: Int): Unit = {
+    val spark = items.sparkSession
+    val (fs, lp) = Sketch.layoutFile(spark, path)
+    require(fs.exists(lp),
+      s"top-freq store at $path has no layout record — only stores " +
+        "written by writeTopFreqStore are appendable")
+    val recorded = {
+      val in = fs.open(lp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    require(recorded == s"k=$k",
+      s"top-freq store at $path was written with ($recorded), append " +
+        s"requested (k=$k) — rebuild the store, mixed summary widths " +
+        "have no single decrement budget")
+    topFreqSummary(items, k)
+      .select(lit(epoch).as("epoch"), col("item"), col("cnt"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Merge a store's epochs (all, or the span `epochFilter` keeps) into
+    * (item, est_cnt), counters summed per item — ≤ k rows per epoch in,
+    * ≤ k·epochs groups out, never the vocabulary. est_cnt ≤ true count,
+    * true − est ≤ Σ per-epoch decrement budgets ≤ n/(k+1) over the
+    * span's n rows. */
+  def mergedHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         epochFilter: Column = lit(true)): DataFrame = {
+    val (fs, lp) = Sketch.layoutFile(spark, path)
+    require(fs.exists(lp), s"top-freq store at $path has no layout record")
+    spark.read.parquet(path)
+      .filter(epochFilter)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("est_cnt"))
+  }
+
   /** Scale-correct global running sum of an integral column ordered by a
     * unique key. The naive `sum.over(Window.orderBy(key))` funnels the whole
     * dataset through ONE window task (its Exchange is SinglePartition); this

@@ -285,8 +285,8 @@ object Sketch {
   // items, which is what the parity test pins.
   // ---------------------------------------------------------------------
 
-  private def layoutFile(spark: org.apache.spark.sql.SparkSession,
-                         path: String) = {
+  private[ops] def layoutFile(spark: org.apache.spark.sql.SparkSession,
+                              path: String) = {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_layout")
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }

@@ -66,6 +66,44 @@ object StreamingDedup {
             bitsLog2 = bitsLog2, k = k)
       }
 
+  /** Heavy-hitter store maintained at ingest — each micro-batch appends
+    * its ≤ k-row Misra-Gries summary
+    * ([[graft.ops.Scale.writeTopFreqStore]] /
+    * [[graft.ops.Scale.appendTopFreqStore]]); any later reader merges an
+    * epoch span with [[graft.ops.Scale.mergedHeavyHitters]] under the
+    * standard mergeable-summary bound (no overcount; undercount ≤
+    * n/(k+1) over the span; every item above that threshold present).
+    * The frequency companion of [[runBloomStore]] (membership) and the
+    * HLL register sink (cardinality): three questions about an unbounded
+    * stream, each answered from bounded mergeable state. Replayed
+    * batches (foreachBatch is at-least-once) rewrite identical-shape
+    * summaries under the same epoch id via the same parquet append the
+    * other stores use — the bound is unaffected by a duplicated epoch at
+    * the cost of that epoch's rows counting twice; exactly-once epochs
+    * come from the checkpointed batch id as elsewhere.
+    */
+  def runTopFreqStore(rows: DataFrame, storePath: String,
+                      checkpoint: String, valueCol: String = "text",
+                      k: Int = 64,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+  : DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import batch.sparkSession.implicits._
+        val items = batch.select(col(valueCol).cast("string")).as[String]
+        if (!graft.ops.Scale.topFreqStoreExists(batch.sparkSession,
+            storePath))
+          graft.ops.Scale.writeTopFreqStore(items, storePath, epoch = id,
+            k = k)
+        else
+          graft.ops.Scale.appendTopFreqStore(items, storePath, epoch = id,
+            k = k)
+      }
+
   /** Streaming NEAR-dup detection — the minhash-band counterpart of
     * [[dedupByContent]]: each micro-batch's documents are shingled,
     * minhash-banded (identical deterministic hashes to the batch

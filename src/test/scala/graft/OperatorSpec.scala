@@ -1112,4 +1112,39 @@ class OperatorSpec extends SparkSpecBase {
       assert(gini >= 0.0 && gini < 1.0, s"gini out of range: $gini")
     }
   }
+
+  test("top-freq store: merged epochs honor the MG bound — no overcount, " +
+    "undercount <= n/(k+1), every item above the threshold survives; " +
+    "mixed-k appends fail loud") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_topfreq").toString
+    val store = s"$dir/store"
+    // skewed fixture: item h<i> appears 2^(12-i) times (i = 0..9) over a
+    // bed of 500 singletons; interleaved round-robin into 3 epochs
+    val rows = ((0 to 9).flatMap(i =>
+      Seq.fill(1 << (12 - i))(s"h$i")) ++
+      (1 to 500).map(i => s"s$i")).zipWithIndex
+    val k = 8
+    val epochs = (0 until 3).map(e =>
+      rows.collect { case (it, idx) if idx % 3 == e => it })
+    graft.ops.Scale.writeTopFreqStore(epochs(0).toDS(), store, 0L, k)
+    graft.ops.Scale.appendTopFreqStore(epochs(1).toDS(), store, 1L, k)
+    graft.ops.Scale.appendTopFreqStore(epochs(2).toDS(), store, 2L, k)
+    val est = graft.ops.Scale.mergedHeavyHitters(spark, store)
+      .as[(String, Long)].collect().toMap
+    val exact = rows.map(_._1).groupBy(identity).view.mapValues(_.size.toLong)
+    val n = rows.size.toLong
+    val budget = n / (k + 1)
+    assert(est.forall { case (it, c) => c <= exact(it) },
+      "MG counters never overcount")
+    assert(est.forall { case (it, c) => exact(it) - c <= budget },
+      s"undercount must stay within n/(k+1) = $budget")
+    val mustSurvive = exact.filter(_._2 > budget).keySet
+    assert(mustSurvive.nonEmpty, "fixture must have guaranteed hitters")
+    assert(mustSurvive.subsetOf(est.keySet),
+      s"items above n/(k+1) must be present: missing ${mustSurvive -- est.keySet}")
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.appendTopFreqStore(Seq("x").toDS(), store, 9L, k + 1)
+    }
+  }
 }

@@ -276,6 +276,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T13c streamed heavy-hitter store: per-batch MG summaries merge " +
+    "under the n/(k+1) bound against exact counts over the whole replay") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_topfreqstream").toString
+    val mem = MemoryStream[String]
+    val k = 8
+    val q = StreamingDedup.runTopFreqStore(
+      mem.toDF().toDF("text"), s"$dir/store", s"$dir/ckpt", k = k,
+      trigger = Trigger.ProcessingTime("0 seconds")).start()
+    // skewed replay: hitters h0..h5 at 2^(10-i) per batch, singleton bed
+    val batches = (0 until 3).map(b =>
+      (0 to 5).flatMap(i => Seq.fill(1 << (10 - i))(s"h$i")) ++
+        (1 to 100).map(i => s"s${b}_$i"))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val epochs = spark.read.parquet(s"$dir/store")
+      .select("epoch").distinct().as[Long].collect().sorted
+    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    val est = graft.ops.Scale.mergedHeavyHitters(spark, s"$dir/store")
+      .as[(String, Long)].collect().toMap
+    val exact = batches.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong)
+    val n = batches.map(_.size).sum.toLong
+    val budget = n / (k + 1)
+    assert(est.forall { case (it, c) => c <= exact(it) },
+      "streamed MG counters never overcount")
+    assert(est.forall { case (it, c) => exact(it) - c <= budget },
+      s"undercount must stay within n/(k+1) = $budget")
+    val mustSurvive = exact.filter(_._2 > budget).keySet
+    assert(mustSurvive.nonEmpty && mustSurvive.subsetOf(est.keySet),
+      s"items above n/(k+1) must survive the streamed merge: " +
+        s"missing ${mustSurvive -- est.keySet}")
+    // an epoch-span filter reads a strict subset of the summaries
+    val spanned = graft.ops.Scale.mergedHeavyHitters(spark, s"$dir/store",
+        org.apache.spark.sql.functions.col("epoch") < 2L)
+      .as[(String, Long)].collect().toMap
+    assert(spanned.values.sum < est.values.sum,
+      "a narrower epoch span must carry less mass")
+  }
+
   test("T14 stream-stream interval join: shuffled two-sided replay " +
     "emits exactly the batch interval-join pairs, once each") {
     implicit val s = spark
