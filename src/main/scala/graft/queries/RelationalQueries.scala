@@ -870,7 +870,50 @@ object RelationalQueries {
       .orderBy(col("value").desc, col("event_id"))
       .limit(100)
 
+  /** Market-basket association rules over order baskets (q193) — the
+    * frequent-itemset family: for the top-20 co-purchased part pairs
+    * (support desc, then the deterministic (a, b) key), exact support
+    * counts plus confidence and lift in exact integer ppm —
+    * `conf(a→b) = sup_ab·10⁶ div sup_a`,
+    * `lift = sup_ab·n·10⁶ div (sup_a·sup_b)` — no float ratio to drift.
+    *
+    * 100 TB posture: the pair enumeration is per-basket quadratic but
+    * baskets are order-sized (≤ 7 lineitems in this schema — bounded by
+    * the DOMAIN, not the corpus), so the self-join on the order key is
+    * linear in lineitems; supports are map-side-combined counts joined
+    * back by broadcast; top-20 lowers to TakeOrderedAndProject. A
+    * retail-scale basket cap would salt/limit oversized baskets the way
+    * ItemCf caps hot users — same device, documented there.
+    */
+  def associationRules(s: SparkSession, dir: String): DataFrame = {
+    val bp = graft.core.CacheScope.track(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().persist())
+    bp.count() // eager: feeds supports and both pair sides
+    val n = bp.select(col("o")).distinct().count()
+    val sup = bp.groupBy(col("p")).agg(count(lit(1)).as("sup"))
+    val pairs = bp.select(col("o"), col("p").as("a"))
+      .join(bp.select(col("o"), col("p").as("b")), Seq("o"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(broadcast(sup.select(col("p").as("a"), col("sup").as("sup_a"))),
+        Seq("a"))
+      .join(broadcast(sup.select(col("p").as("b"), col("sup").as("sup_b"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("sup_ab"), col("sup_a"),
+        col("sup_b"), lit(n).as("n_baskets"),
+        expr("sup_ab * 1000000 div sup_a").as("conf_ab_ppm"),
+        (col("sup_ab") * lit(n) * lit(1000000L)).as("__ln"))
+      .withColumn("lift_ppm", expr("__ln div (sup_a * sup_b)"))
+      .drop("__ln")
+      .orderBy(col("sup_ab").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q193_association_rules" -> associationRules,
     "q60_top_events" -> topEvents,
     "q48_percentiles" -> valuePercentiles,
     "q47_interval_join" -> intervalClickView,
@@ -926,6 +969,26 @@ object RelationalQueries {
     "user_fluctuate_ratio")
 
   val oracles: Map[String, String] = Map(
+    // q193: same distinct basket relation, per-basket pair join, exact
+    // integer ppm ratios, deterministic (support desc, a, b) top-20
+    "q193_association_rules" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT o) AS n FROM bp),
+        |sup AS (SELECT p, COUNT(*) AS s FROM bp GROUP BY 1),
+        |pr AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS sup_ab
+        |  FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT a, b, sup_ab, sa.s AS sup_a, sb.s AS sup_b,
+        |  n AS n_baskets,
+        |  (sup_ab * 1000000) // sa.s AS conf_ab_ppm,
+        |  CAST((sup_ab * n * 1000000) // (sa.s * sb.s) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pr
+        |JOIN sup sa ON a = sa.p
+        |JOIN sup sb ON b = sb.p
+        |CROSS JOIN nb
+        |ORDER BY sup_ab DESC, a, b LIMIT 20""".stripMargin,
     // raw doubles pass through unmodified from parquet (no arithmetic), so
     // the hash compare is exact; the event_id tie-break fixes the boundary
     "q60_top_events" ->

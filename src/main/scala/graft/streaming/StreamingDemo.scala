@@ -315,6 +315,38 @@ object StreamingDemo {
     println(s"[demo] PASS streaming CUSUM == textbook recurrence " +
       s"(${cWant.values.map(_.size).sum} points, " +
       s"${cWant.values.flatten.count(_._4)} alarms)")
+
+    // ---- heavy-hitter (Misra-Gries) store maintained at ingest: one
+    // <= k-row summary per micro-batch; the span merge must honor the
+    // mergeable bound against exact batch counts — never overcount,
+    // undercount <= n/(k+1), everything above that threshold present ----
+    val tfK = 16
+    val tfKey = concat(lit("u"), pmod(col("user_id"), lit(100L)))
+    StreamingDedup.runTopFreqStore(
+        stream2.filter(col("event_type") === "click")
+          .select(tfKey.as("v")),
+        s"$work/topfreq", s"$work/ckptTF", valueCol = "v", k = tfK,
+        trigger = Trigger.AvailableNow()).start().awaitTermination()
+    val tfEpochs = spark.read.parquet(s"$work/topfreq")
+      .select("epoch").distinct().count()
+    val tfEst = graft.ops.Scale.mergedHeavyHitters(spark, s"$work/topfreq")
+      .as[(String, Long)].collect().toMap
+    val tfExact = evFull.filter(col("event_type") === "click")
+      .select(tfKey.as("v"))
+      .groupBy("v").count().as[(String, Long)].collect().toMap
+    val tfN = tfExact.values.sum
+    val tfBudget = tfN / (tfK + 1)
+    require(tfEst.forall { case (it, c) => c <= tfExact(it) },
+      "MG counters overcounted — impossible")
+    require(tfEst.forall { case (it, c) => tfExact(it) - c <= tfBudget },
+      s"MG undercount exceeded the n/(k+1) = $tfBudget budget")
+    val tfMust = tfExact.filter(_._2 > tfBudget).keySet
+    require(tfMust.subsetOf(tfEst.keySet),
+      s"items above n/(k+1) missing from the merged store: " +
+        s"${tfMust -- tfEst.keySet}")
+    println(s"[demo] PASS heavy-hitter store within MG bound over " +
+      s"$tfEpochs epochs (${tfEst.size} counters vs ${tfExact.size} " +
+      s"exact keys, budget $tfBudget)")
     spark.stop()
   }
 }
