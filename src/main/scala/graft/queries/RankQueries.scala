@@ -1224,9 +1224,11 @@ object RankQueries {
     * (≪ purchases); all three windows/joins key on the high-cardinality
     * user; the output is a bounded tier aggregate.
     */
-  def pointInTimeTier(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val p = ev.filter(col("event_type") === "purchase")
+  /** The q192/q194 shared SCD build: spend-tier CHANGE points per user —
+    * (user_id, tsm, tier), one row per transition, first purchase
+    * included. */
+  private def tierTransitions(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
         (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
       .groupBy(col("user_id"), col("tsm")).agg(sum(col("cents")).as("cents"))
@@ -1239,21 +1241,43 @@ object RankQueries {
           .when(col("__cum") < 10000000L, 2L)
           .otherwise(3L))
     val wLag = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
-    val transitions = tiers
+    tiers
       .withColumn("__pt", lag(col("tier"), 1).over(wLag))
       .filter(col("__pt").isNull || col("__pt") =!= col("tier"))
       .select(col("user_id"), col("tsm"), col("tier"))
-    val clicks = ev.filter(col("event_type") === "click")
+  }
+
+  def pointInTimeTier(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tsm"))
-    graft.ops.AsOf.joinAsOf(clicks, transitions, Seq("user_id"),
+    graft.ops.AsOf.joinAsOf(clicks, tierTransitions(s, dir), Seq("user_id"),
         leftTs = "tsm", rightTs = "tsm", payload = Seq("tier"))
       .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
       .agg(count(lit(1)).as("n_clicks"),
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** SCD type-2 interval build (q194) — the DIMENSION-TABLE half of
+    * q192: the same tier change points materialized as versioned rows
+    * `(user_id, tier, valid_from_ms, valid_to_ms)`, each interval
+    * half-open `[from, to)`, the current version's `valid_to_ms` NULL.
+    * This is the relation a warehouse would persist so that ANY fact
+    * table can point-in-time join with a plain range predicate — q192
+    * resolves per click via the as-of join; q194 publishes the reusable
+    * interval table instead. `valid_to` is one `lead` over the same
+    * user-keyed window the build already uses — no extra shuffle.
+    */
+  def tierIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
+    tierTransitions(s, dir)
+      .withColumn("valid_to_ms", lead(col("tsm"), 1).over(w))
+      .select(col("user_id"), col("tier"), col("tsm").as("valid_from_ms"),
+        col("valid_to_ms"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q192_point_in_time" -> pointInTimeTier,
+    "q194_scd_intervals" -> tierIntervals,
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
     "q151_grouped_quantiles" -> groupedValueQuantiles,
@@ -1817,6 +1841,29 @@ object RankQueries {
         |SELECT tier, COUNT(*) AS n_clicks,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM sel GROUP BY 1""".stripMargin,
+    // q194: the q192 SCD chain materialized as half-open versioned
+    // intervals; valid_to is one LEAD over the same user-keyed order
+    "q194_scd_intervals" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS tsm,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT user_id, tsm,
+        |    SUM(cents) OVER (PARTITION BY user_id ORDER BY tsm
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM p),
+        |t0 AS (SELECT user_id, tsm,
+        |    CASE WHEN c < 100000 THEN 0 WHEN c < 1000000 THEN 1
+        |         WHEN c < 10000000 THEN 2 ELSE 3 END AS tier
+        |  FROM cum),
+        |tr AS (SELECT user_id, tsm, CAST(tier AS BIGINT) AS tier
+        |  FROM (SELECT *, LAG(tier) OVER (PARTITION BY user_id
+        |      ORDER BY tsm) AS pt FROM t0)
+        |  WHERE pt IS NULL OR pt <> tier)
+        |SELECT user_id, tier, tsm AS valid_from_ms,
+        |  LEAD(tsm) OVER (PARTITION BY user_id ORDER BY tsm)
+        |    AS valid_to_ms
+        |FROM tr""".stripMargin,
     // q188: same directed edge list (both orientations of the distinct
     // week-1 session edges), exact BIGINT moments, one float chain;
     // NULL when either variance is zero (degree-regular graph)

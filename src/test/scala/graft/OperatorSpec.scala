@@ -1147,4 +1147,25 @@ class OperatorSpec extends SparkSpecBase {
       graft.ops.Scale.appendTopFreqStore(Seq("x").toDS(), store, 9L, k + 1)
     }
   }
+
+  test("SCD intervals tile each user's timeline: half-open chain with no " +
+    "gaps, one open current version per user, consecutive tiers differ") {
+    graft.core.CacheScope.scoped {
+      val rows = SparkEntry.queries("q194_scd_intervals")(spark, sfDir)
+        .as[(Long, Long, Long, Option[Long])].collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_._1).foreach { case (u, rs) =>
+        val chain = rs.sortBy(_._3)
+        chain.sliding(2).foreach {
+          case Array((_, t1, _, to1), (_, t2, from2, _)) =>
+            assert(to1.contains(from2),
+              s"user $u: intervals must abut half-open")
+            assert(t1 != t2, s"user $u: consecutive versions must differ")
+          case _ => ()
+        }
+        assert(chain.last._4.isEmpty && chain.init.forall(_._4.nonEmpty),
+          s"user $u: exactly the last version is open")
+      }
+    }
+  }
 }
