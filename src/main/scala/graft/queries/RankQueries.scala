@@ -1275,9 +1275,62 @@ object RankQueries {
         col("valid_to_ms"))
   }
 
+  /** Rolling 7-day active users (q195) — the WAU curve, exact: for each
+    * corpus day, DISTINCT users active in the trailing [d−6, d] window,
+    * with same-day DAU riding along. The scale-sane exact plan inverts
+    * the window: the distinct (user, day) relation EXPLODES each row to
+    * the ≤ 7 window-end days it contributes to (a bounded 7× expansion
+    * of the user-day relation — never a per-day self-join of the fact
+    * table, never a 7-day state window), then one distinct count per
+    * window day. Trailing days beyond the corpus max are dropped; the
+    * first six days are partial by definition (activity within the
+    * available range).
+    */
+  def rollingWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val mx = ud.agg(max(col("day")).as("__mxd"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("__mxd"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), col("wau"), coalesce(col("dau"), lit(0L)).as("dau"))
+  }
+
+  /** Daily click-concentration HHI (q196) — the Herfindahl–Hirschman
+    * index of item click share per day, the "is one item eating the
+    * feed" dashboard statistic. Exact integer device: per day,
+    * `hhi_num = Σ cnt²` and `total = Σ cnt` ride as BIGINTs (the HHI is
+    * `Σ (cnt/total)² = hhi_num / total²`), the ppm form is one exact
+    * integer division, and the float is one division of exact integers.
+    * Two map-side-combinable aggregates; nothing else.
+    */
+  def dailyClickHhi(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("day"), col("item")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("day"))
+      .agg(sum(col("__cnt")).as("n_clicks"),
+        sum(col("__cnt") * col("__cnt")).as("hhi_num"))
+      .select(col("day"), col("n_clicks"), col("hhi_num"),
+        expr("(hhi_num * 1000000) div (n_clicks * n_clicks)")
+          .as("hhi_ppm"))
+
   val queries: Map[String, Q] = Map(
     "q192_point_in_time" -> pointInTimeTier,
     "q194_scd_intervals" -> tierIntervals,
+    "q195_rolling_wau" -> rollingWau,
+    "q196_daily_hhi" -> dailyClickHhi,
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
     "q151_grouped_quantiles" -> groupedValueQuantiles,
@@ -1841,6 +1894,31 @@ object RankQueries {
         |SELECT tier, COUNT(*) AS n_clicks,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM sel GROUP BY 1""".stripMargin,
+    // q195: same inverted-window device — each (user, day) explodes to
+    // its ≤ 7 window-end days; the first six days partial by definition
+    "q195_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |mx AS (SELECT MAX(day) AS mxd FROM ud),
+        |c AS (SELECT user_id, UNNEST(range(day, day + 7)) AS wday
+        |  FROM ud),
+        |w AS (SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+        |  FROM c CROSS JOIN mx WHERE wday <= mxd GROUP BY 1),
+        |d AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+        |SELECT w.day, wau, COALESCE(dau, 0) AS dau
+        |FROM w LEFT JOIN d ON w.day = d.day""".stripMargin,
+    // q196: exact integer HHI — Σcnt² and Σcnt as BIGINTs, ppm one
+    // exact division
+    "q196_daily_hhi" ->
+      s"""WITH dc AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    $item AS item, COUNT(*) AS cnt
+        |  FROM events WHERE event_type = 'click' AND $item IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT day, CAST(SUM(cnt) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(cnt * cnt) AS BIGINT) AS hhi_num,
+        |  CAST((SUM(cnt * cnt) * 1000000) //
+        |    (SUM(cnt) * SUM(cnt)) AS BIGINT) AS hhi_ppm
+        |FROM dc GROUP BY 1""".stripMargin,
     // q194: the q192 SCD chain materialized as half-open versioned
     // intervals; valid_to is one LEAD over the same user-keyed order
     "q194_scd_intervals" ->

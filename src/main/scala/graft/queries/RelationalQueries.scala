@@ -912,7 +912,29 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Benford first-digit audit of order totals (q197) — the classic
+    * fabricated-data screen: the leading digit of each order's exact
+    * cents value, counted and shared in exact integer ppm against the
+    * corpus, ready to compare with the Benford expectation
+    * (log10(1+1/d) — the comparison is the analyst's; the relation
+    * keeps every number exact). Digit extraction is the first character
+    * of the decimal rendering of a POSITIVE BIGINT — identical in both
+    * engines, no float log anywhere. One map-side-combined aggregate
+    * plus a 1-row broadcast total.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .select(substring((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = d.agg(sum(col("n_orders")).as("__t"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        expr("(n_orders * 1000000) div __t").as("share_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_benford" -> benfordDigits,
     "q193_association_rules" -> associationRules,
     "q60_top_events" -> topEvents,
     "q48_percentiles" -> valuePercentiles,
@@ -969,6 +991,16 @@ object RelationalQueries {
     "user_fluctuate_ratio")
 
   val oracles: Map[String, String] = Map(
+    // q197: leading digit of the exact cents rendering, exact ppm share
+    "q197_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(
+        |      CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tt FROM g)
+        |SELECT digit, n_orders, (n_orders * 1000000) // tt AS share_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
     // q193: same distinct basket relation, per-basket pair join, exact
     // integer ppm ratios, deterministic (support desc, a, b) top-20
     "q193_association_rules" ->
