@@ -899,7 +899,40 @@ object LlmQueries {
     Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), w = 3,
       window = 3, tauNum = 1, tauDen = 2, keyLen = 24)
 
+  /** Source vocabulary-overlap matrix (q200) — the LEXICAL counterpart
+    * of q87's duplication matrix: for every source pair, the exact
+    * Jaccard of their distinct token vocabularies. Near-1 overlap
+    * between supposedly independent sources is the classic sign of a
+    * shared upstream crawl; near-0 flags a source whose tokenizer or
+    * language diverges from the corpus. One (source, token) distinct
+    * relation feeds sizes and both join sides; the pair relation is
+    * token-keyed and the output is |sources|²-bounded.
+    */
+  def sourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.core.CacheScope.track(
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct().persist())
+    st.count() // eager: feeds sizes and both pair sides
+    val sz = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    st.select(col("source").as("source_a"), col("tok"))
+      .join(st.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sz.select(col("source").as("source_a"),
+        col("n").as("__na"))), Seq("source_a"))
+      .join(broadcast(sz.select(col("source").as("source_b"),
+        col("n").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("__na") + col("__nb") - col("inter")).as("union_sz"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("union_sz").cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q200_source_vocab_overlap" -> sourceVocabOverlap,
     "q185_containment_pairs" -> containmentPairsQ,
     "q186_sorted_neighborhood" -> sortedNeighborhoodQ,
     "q135_novelty_score" -> noveltyScoreQ,
@@ -1444,6 +1477,22 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q200: same distinct (source, token) relation, token-keyed pair
+    // join, exact integer sizes, one double division
+    "q200_source_vocab_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, unnest($toksSql) AS tok
+        |  FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS inter
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, inter,
+        |  za.n + zb.n - inter AS union_sz,
+        |  CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jaccard
+        |FROM i
+        |JOIN sz za ON source_a = za.source
+        |JOIN sz zb ON source_b = zb.source""".stripMargin,
     // q185: the definitional double-counted DIRECTED shingle join (the
     // Spark plan computes each unordered intersection once and emits
     // both direction tests from it — same relation); keep predicate is

@@ -1326,11 +1326,80 @@ object RankQueries {
         expr("(hhi_num * 1000000) div (n_clicks * n_clicks)")
           .as("hhi_ppm"))
 
+  /** Time-bounded conversion funnel (q198) — the windowFunnel shape:
+    * users advancing view → click → purchase where every later step
+    * must land within ONE HOUR of the user's first view (q124's funnel
+    * has no deadline; this is the campaign-attribution variant where a
+    * conversion a week later doesn't count). Deterministic min-ts chain:
+    * t₁ = first view, t₂ = first click in (t₁, t₁+W], t₃ = first
+    * purchase in (t₂, t₁+W]. Output: one row per step with the user
+    * count that reached it.
+    *
+    * 100 TB posture: each stage is one user-keyed aggregate joined to
+    * the previous stage's (user, t) relation — monotonically shrinking,
+    * broadcast-sized well before the last step; no windows, no per-user
+    * event materialization.
+    */
+  def windowFunnel(s: SparkSession, dir: String,
+                   windowMs: Long = 3600000L): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").alias("e")
+      .join(s1.alias("p"),
+        col("e.user_id") === col("p.user_id") &&
+          col("e.tsm") > col("p.t1") &&
+          col("e.tsm") <= col("p.t1") + windowMs)
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.tsm")).as("t2"), min(col("p.t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").alias("e")
+      .join(s2.alias("p"),
+        col("e.user_id") === col("p.user_id") &&
+          col("e.tsm") > col("p.t2") &&
+          col("e.tsm") <= col("p.t1") + windowMs)
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.tsm")).as("t3"))
+    def cnt(df: DataFrame, step: String, idx: Long) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(idx).as("step_idx"), col("users"))
+    cnt(s1, "view", 1L)
+      .unionByName(cnt(s2, "click", 2L))
+      .unionByName(cnt(s3, "purchase", 3L))
+  }
+
+  /** EWMA forecast backtest (q199) — does q167's smoother actually
+    * predict? Each day's ACTUAL revenue is scored against the forecast
+    * the model would have issued the evening before (the PREVIOUS day's
+    * 8-tap EWMA, floored to integer cents — `ewma_num div 58975`), and
+    * the per-day absolute error lands in exact integer ppm. One summary
+    * row: days scored, mean and worst error, all integers until the
+    * single reported division. The evaluation harness every deployed
+    * forecast needs — and it reuses the exact q167 relation, so the
+    * model under test IS the registry's model, not a reimplementation.
+    */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val scored = ewmaDailyRevenue(s, dir)
+      .withColumn("__fc", expr("lag(ewma_num, 1) over (order by day)"))
+      .filter(col("__fc").isNotNull)
+      .select(col("day"), col("cents"),
+        expr("__fc div 58975").as("forecast"),
+        expr("(abs(cents - __fc div 58975) * 1000000) div cents")
+          .as("err_ppm"))
+    scored.agg(count(lit(1)).as("n_days"),
+      expr("sum(err_ppm) div count(1)").as("mean_err_ppm"),
+      max(col("err_ppm")).as("max_err_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q192_point_in_time" -> pointInTimeTier,
     "q194_scd_intervals" -> tierIntervals,
     "q195_rolling_wau" -> rollingWau,
     "q196_daily_hhi" -> dailyClickHhi,
+    "q198_window_funnel" -> ((s: SparkSession, d: String) =>
+      windowFunnel(s, d)),
+    "q199_forecast_backtest" -> forecastBacktest,
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
     "q151_grouped_quantiles" -> groupedValueQuantiles,
@@ -1894,6 +1963,56 @@ object RankQueries {
         |SELECT tier, COUNT(*) AS n_clicks,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM sel GROUP BY 1""".stripMargin,
+    // q198: the same deterministic min-ts chain under the 1-hour
+    // deadline from the first view
+    "q198_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(tsm) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tsm) AS t2, MIN(t1) AS t1
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |    AND e.tsm > t1 AND e.tsm <= t1 + 3600000
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tsm) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |    AND e.tsm > t2 AND e.tsm <= t1 + 3600000
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx,
+        |  COUNT(*) AS users FROM s1
+        |UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
+        |UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3""".stripMargin,
+    // q199: the q167 chain verbatim, one LAG for yesterday's model,
+    // exact integer ppm errors, one summary row
+    "q199_forecast_backtest" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |lagd AS (SELECT day, cents,
+        |    LAG(cents, 1) OVER (ORDER BY day) AS c1,
+        |    LAG(cents, 2) OVER (ORDER BY day) AS c2,
+        |    LAG(cents, 3) OVER (ORDER BY day) AS c3,
+        |    LAG(cents, 4) OVER (ORDER BY day) AS c4,
+        |    LAG(cents, 5) OVER (ORDER BY day) AS c5,
+        |    LAG(cents, 6) OVER (ORDER BY day) AS c6,
+        |    LAG(cents, 7) OVER (ORDER BY day) AS c7
+        |  FROM daily),
+        |ew AS (SELECT day, cents,
+        |    CAST(16384 * cents + 12288 * c1 + 9216 * c2 + 6912 * c3 +
+        |         5184 * c4 + 3888 * c5 + 2916 * c6 + 2187 * c7
+        |      AS BIGINT) AS ewma_num
+        |  FROM lagd WHERE c7 IS NOT NULL),
+        |f AS (SELECT day, cents,
+        |    LAG(ewma_num, 1) OVER (ORDER BY day) AS fc
+        |  FROM ew),
+        |sc AS (SELECT day, cents,
+        |    (ABS(cents - fc // 58975) * 1000000) // cents AS err_ppm
+        |  FROM f WHERE fc IS NOT NULL)
+        |SELECT COUNT(*) AS n_days,
+        |  CAST(SUM(err_ppm) // COUNT(*) AS BIGINT) AS mean_err_ppm,
+        |  CAST(MAX(err_ppm) AS BIGINT) AS max_err_ppm
+        |FROM sc""".stripMargin,
     // q195: same inverted-window device — each (user, day) explodes to
     // its ≤ 7 window-end days; the first six days partial by definition
     "q195_rolling_wau" ->
