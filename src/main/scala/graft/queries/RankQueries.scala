@@ -1328,9 +1328,9 @@ object RankQueries {
 
   /** Time-bounded conversion funnel (q198) — the windowFunnel shape:
     * users advancing view → click → purchase where every later step
-    * must land within ONE HOUR of the user's first view (q124's funnel
+    * must land within ONE DAY of the user's first view (q124's funnel
     * has no deadline; this is the campaign-attribution variant where a
-    * conversion a week later doesn't count). Deterministic min-ts chain:
+    * conversion a month later doesn't count). Deterministic min-ts chain:
     * t₁ = first view, t₂ = first click in (t₁, t₁+W], t₃ = first
     * purchase in (t₂, t₁+W]. Output: one row per step with the user
     * count that reached it.
@@ -1341,7 +1341,7 @@ object RankQueries {
     * event materialization.
     */
   def windowFunnel(s: SparkSession, dir: String,
-                   windowMs: Long = 3600000L): DataFrame = {
+                   windowMs: Long = 86400000L): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("tsm"))
@@ -1392,6 +1392,86 @@ object RankQueries {
       max(col("err_ppm")).as("max_err_ppm"))
   }
 
+  /** Conversion-delay quantiles (q201) — how long the q198 funnel's
+    * full conversions actually take: per converting user the exact
+    * view→purchase delay (t₃ − t₁ within a 7-DAY deadline — the
+    * time-to-convert question runs on a longer clock than q198's
+    * same-day campaign funnel), then the
+    * LOWER p50/p90 — the rows at ranks `(n+1) div 2` and
+    * `(9·(n+1)) div 10` under the deterministic (delay, user) order —
+    * plus the exact max. The q183 lower-quantile device on a derived
+    * relation: no midpoint to round, every output an exact BIGINT.
+    *
+    * 100 TB posture: the funnel chain is user-keyed aggregates; the
+    * rank runs through the two-phase [[graft.ops.Scale
+    * .groupedRankOrdered]] (no group) over the CONVERTING-user relation
+    * — already funnel-shrunken, and still never a single-partition
+    * window.
+    */
+  def conversionDelayQuantiles(s: SparkSession, dir: String,
+                               windowMs: Long = 604800000L): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").alias("e")
+      .join(s1.alias("p"),
+        col("e.user_id") === col("p.user_id") &&
+          col("e.tsm") > col("p.t1") &&
+          col("e.tsm") <= col("p.t1") + windowMs)
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.tsm")).as("t2"), min(col("p.t1")).as("t1"))
+    val conv = ev.filter(col("event_type") === "purchase").alias("e")
+      .join(s2.alias("p"),
+        col("e.user_id") === col("p.user_id") &&
+          col("e.tsm") > col("p.t2") &&
+          col("e.tsm") <= col("p.t1") + windowMs)
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg((min(col("e.tsm")) - min(col("p.t1"))).as("delay"))
+      .localCheckpoint()
+    val ranked = graft.ops.Scale.groupedRankOrdered(conv, Seq.empty,
+      Seq("delay", "user_id"), "__rn")
+    val nRow = conv.agg(count(lit(1)).as("__n"))
+    def at(rankExpr: String, as: String) =
+      ranked.crossJoin(broadcast(nRow))
+        .filter(col("__rn") === expr(rankExpr))
+        .select(col("delay").as(as))
+    at("(__n + 1) div 2", "p50_delay_ms")
+      .crossJoin(at("(9 * (__n + 1)) div 10", "p90_delay_ms"))
+      .crossJoin(broadcast(
+        conv.agg(count(lit(1)).as("n_conversions"),
+          max(col("delay")).as("max_delay_ms"))))
+      .select("n_conversions", "p50_delay_ms", "p90_delay_ms",
+        "max_delay_ms")
+  }
+
+  /** Inter-purchase gap histogram (q202) — the repeat-purchase rhythm:
+    * per user, the day gap between consecutive purchase DAYS (distinct
+    * days, so same-day repeats don't emit zero gaps), bucketed into the
+    * fixed retention bands {1, 2–3, 4–7, 8–14, 15–30, 31+}. Exact
+    * integer day arithmetic and CASE edges — no float binning to
+    * straddle. One user-keyed lag window over the collapsed
+    * (user, purchase-day) relation.
+    */
+  def interPurchaseGaps(s: SparkSession, dir: String): DataFrame = {
+    val pd = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    pd.withColumn("__gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .select(
+        when(col("__gap") === 1L, "d01")
+          .when(col("__gap") <= 3L, "d02_03")
+          .when(col("__gap") <= 7L, "d04_07")
+          .when(col("__gap") <= 14L, "d08_14")
+          .when(col("__gap") <= 30L, "d15_30")
+          .otherwise("d31_plus").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_gaps"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q192_point_in_time" -> pointInTimeTier,
     "q194_scd_intervals" -> tierIntervals,
@@ -1400,6 +1480,9 @@ object RankQueries {
     "q198_window_funnel" -> ((s: SparkSession, d: String) =>
       windowFunnel(s, d)),
     "q199_forecast_backtest" -> forecastBacktest,
+    "q201_conversion_delay" -> ((s: SparkSession, d: String) =>
+      conversionDelayQuantiles(s, d)),
+    "q202_purchase_gaps" -> interPurchaseGaps,
     "q149_value_quantile_hist" -> valueHistogramQuantiles,
     "q150_rolling_anomaly" -> rollingAnomalies,
     "q151_grouped_quantiles" -> groupedValueQuantiles,
@@ -1963,7 +2046,49 @@ object RankQueries {
         |SELECT tier, COUNT(*) AS n_clicks,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM sel GROUP BY 1""".stripMargin,
-    // q198: the same deterministic min-ts chain under the 1-hour
+    // q201: the q198 chain + the q183 lower-quantile rank device
+    "q201_conversion_delay" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(tsm) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tsm) AS t2, MIN(t1) AS t1
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |    AND e.tsm > t1 AND e.tsm <= t1 + 604800000
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |cv AS (SELECT e.user_id,
+        |    MIN(e.tsm) - MIN(t1) AS delay
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |    AND e.tsm > t2 AND e.tsm <= t1 + 604800000
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT delay,
+        |    ROW_NUMBER() OVER (ORDER BY delay, user_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM cv)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cv) AS n_conversions,
+        |  (SELECT delay FROM r WHERE rn = (n + 1) // 2) AS p50_delay_ms,
+        |  (SELECT delay FROM r WHERE rn = (9 * (n + 1)) // 10)
+        |    AS p90_delay_ms,
+        |  (SELECT MAX(delay) FROM cv) AS max_delay_ms""".stripMargin,
+    // q202: distinct purchase days per user, one lag, fixed CASE bands
+    "q202_purchase_gaps" ->
+      """WITH pd AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT day - LAG(day) OVER (
+        |    PARTITION BY user_id ORDER BY day) AS gap
+        |  FROM pd)
+        |SELECT CASE WHEN gap = 1 THEN 'd01'
+        |    WHEN gap <= 3 THEN 'd02_03'
+        |    WHEN gap <= 7 THEN 'd04_07'
+        |    WHEN gap <= 14 THEN 'd08_14'
+        |    WHEN gap <= 30 THEN 'd15_30'
+        |    ELSE 'd31_plus' END AS bucket,
+        |  COUNT(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // q198: the same deterministic min-ts chain under the 1-day
     // deadline from the first view
     "q198_window_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm
@@ -1972,11 +2097,11 @@ object RankQueries {
         |  WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, MIN(e.tsm) AS t2, MIN(t1) AS t1
         |  FROM e JOIN s1 ON e.user_id = s1.user_id
-        |    AND e.tsm > t1 AND e.tsm <= t1 + 3600000
+        |    AND e.tsm > t1 AND e.tsm <= t1 + 86400000
         |  WHERE event_type = 'click' GROUP BY 1),
         |s3 AS (SELECT e.user_id, MIN(e.tsm) AS t3
         |  FROM e JOIN s2 ON e.user_id = s2.user_id
-        |    AND e.tsm > t2 AND e.tsm <= t1 + 3600000
+        |    AND e.tsm > t2 AND e.tsm <= t1 + 86400000
         |  WHERE event_type = 'purchase' GROUP BY 1)
         |SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx,
         |  COUNT(*) AS users FROM s1

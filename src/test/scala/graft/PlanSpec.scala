@@ -649,6 +649,30 @@ class PlanSpec extends SparkSpecBase {
       s"every window must partition on user_id:\n$p")
   }
 
+  test("q193 association rules: supports broadcast onto the pair " +
+    "relation, top-20 lowers to TakeOrderedAndProject, no cartesian") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q193_association_rules")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must never be a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part supports must broadcast onto the pair relation:\n$p")
+  }
+
+  test("q195 rolling WAU: the inverted-window explode carries NO window " +
+    "operator at all — two aggregates and a bounded join") {
+    val p = planOf("q195_rolling_wau")
+    assert(!p.linesIterator.exists(_.contains("Window [")),
+      s"the rolling distinct must not use a window operator:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"),
+      s"each user-day row must explode to its window-end days:\n$p")
+  }
+
   test("q116 stratified split: per-stratum rank is the range-partitioned " +
     "two-phase form — windows partition on (__pid, lang, source), sizes " +
     "and offsets broadcast, nothing funnels to one task") {

@@ -118,4 +118,30 @@ class PropertySpec extends AnyFunSuite {
         vocab.indexOf(w) == 26 // first-wins: the first merge's slot
     }, "bpe vocab collision")
   }
+
+  test("Misra-Gries summary laws: ANY partitioning and merge order " +
+    "yields counters with no overcount, undercount <= n/(k+1), and " +
+    "every item above the threshold present — the mergeable-summary " +
+    "contract the top-freq store's epochs rely on") {
+    val gen = for {
+      k <- Gen.choose(2, 12)
+      n <- Gen.choose(0, 400)
+      items <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"i$i"))
+      assign <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield (k, items, assign)
+    holds(Prop.forAll(gen) { case (k, items, assign) =>
+      val agg = new Scale.TopFreqAgg(k)
+      val parts =
+        if (items.isEmpty) List(Nil)
+        else items.zip(assign).groupBy(_._2).values.map(_.map(_._1)).toList
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val budget = items.size / (k + 1)
+      merged.size <= k &&
+        merged.forall { case (i, c) => c <= exact(i) } &&
+        merged.forall { case (i, c) => exact(i) - c <= budget } &&
+        exact.filter(_._2 > budget).keySet.subsetOf(merged.keySet)
+    }, "MG mergeable-summary laws")
+  }
 }
