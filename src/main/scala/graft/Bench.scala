@@ -20,6 +20,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Host-load stamp: three driver/builder rounds were spent adjudicating
+    // contention-swept artifacts by prose; record the 1/5/15-min load
+    // averages (start AND end of the run) plus a single-threaded spin
+    // probe so a contended run is machine-detectable in the artifact
+    // itself (tools/benchdiff.py warns when two runs' loads differ >2×).
+    def loadavg(): Seq[Double] =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    // fixed-work single-thread probe (~0.1 s idle): a contended or
+    // throttled host inflates it proportionally — a second, scheduler-level
+    // signal loadavg alone can miss (cgroup caps, noisy SMT siblings)
+    def spinProbe(): Double = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 40000000) { // deterministic mix, not optimizable away
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 29; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) println("") // defeat dead-code elimination
+      dt
+    }
+    val loadStart = loadavg()
+    val probeStart = spinProbe()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,7 +116,11 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    val load = "{\"start\":" + loadStart.map(f).mkString("[", ",", "]") +
+      ",\"end\":" + loadEnd.map(f).mkString("[", ",", "]") +
+      ",\"spin_probe_sec\":" + f(probeStart) + "}"
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 75+ queries the
     // per-run arrays push the line past that window (BENCH_r06.json lost
     // q01–q36). Persist the full line to a repo-local file (swept into the

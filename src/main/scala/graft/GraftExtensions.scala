@@ -35,16 +35,32 @@ import graft.functions.{Avalanche57, FloatVecDot, StringRollingFp}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+    // arity gate: a mis-called function must fail analysis with a real
+    // wrong-number-of-arguments error naming the function — not silently
+    // drop extra arguments via exprs.head, and not surface an opaque
+    // NoSuchElementException on zero arguments
+    def inject(name: String, arity: Int,
+               builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        exprs => {
+          if (exprs.length != arity)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name,
+                "expectedNum" -> arity.toString,
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          builder(exprs)
+        }))
 
-    inject("graft_fp", exprs =>
+    inject("graft_fp", 1, exprs =>
       StringRollingFp(exprs.head, graft.llm.TextAnalysis.FingerprintMod))
-    inject("graft_mix57", exprs =>
+    inject("graft_mix57", 1, exprs =>
       Avalanche57(exprs.head, graft.ops.Sketch.MixK1, graft.ops.Sketch.MixK2))
-    inject("vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)))
-    inject("vec_cosine", exprs =>
+    inject("vec_dot", 2, exprs => FloatVecDot(exprs(0), exprs(1)))
+    inject("vec_cosine", 2, exprs =>
       Divide(FloatVecDot(exprs(0), exprs(1)),
         Multiply(Sqrt(FloatVecDot(exprs(0), exprs(0))),
           Sqrt(FloatVecDot(exprs(1), exprs(1))))))

@@ -514,9 +514,12 @@ object Dedup {
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // sizes is one row PER DOCUMENT — unbounded at corpus scale, so no
+    // broadcast hint (a hint overrides AQE thresholds and would OOM at
+    // 10⁹ docs); AQE still broadcasts when the relation is actually small.
     inter
-      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
@@ -645,28 +648,60 @@ object Dedup {
     * computed ONCE per unordered pair and both direction tests read it —
     * the oracle keeps the definitional double-counted directed join.
     *
+    * `maxShingleDf` is the hot-shingle cap on the candidate substrate
+    * (the same role q172's `maxBlock` plays for edit-distance blocks): a
+    * shingle shared by k documents contributes k² candidate rows to the
+    * inverted-index join, so one boilerplate shingle would square a
+    * 100 TB corpus. Shingles with document frequency above the cap are
+    * dropped WHOLE from the substrate (sizes and intersections alike) —
+    * containment is then measured over the retained rare-shingle
+    * evidence, which is the discriminative signal anyway (a boilerplate
+    * shingle says nothing about who contains whom). The drop is loud
+    * (one warning line with the count) and exact when no shingle
+    * exceeds the cap: capped output == uncapped output. Default
+    * `Int.MaxValue` keeps the definitional exact form for the oracle.
+    *
     * Output: (id_in, id_of, inter, sz_in, containment) — id_in's shingle
     * set is tauNum/tauDen-covered by id_of's.
     */
   def containmentPairs(docs: DataFrame, w: Int,
                        tauNum: Int, tauDen: Int,
+                       maxShingleDf: Int = Int.MaxValue,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
-    val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1: $maxShingleDf")
+    val shAll = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
       .filter(col("shingle").isNotNull).persist())
-    sh.count() // eager: feeds sizes and both join sides
+    shAll.count() // eager: feeds sizes and both join sides
+    val sh =
+      if (maxShingleDf == Int.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select("shingle")
+        val nHot = hot.count()
+        if (nHot > 0)
+          println(s"[containment] dropping $nHot hot shingles " +
+            s"(df > $maxShingleDf) from the candidate substrate; " +
+            "containment is measured over the retained rare shingles")
+        graft.core.CacheScope.track(
+          shAll.join(hot, Seq("shingle"), "left_anti").persist())
+      }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col(idCol).as("id_a"),
-        col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col(idCol).as("id_b"),
-        col("sz").as("sz_b"))), "id_b")
+      // per-document relation: never hint broadcast (OOM at corpus scale —
+      // a hint overrides AQE); AQE picks broadcast when it actually fits
+      .join(sizes.select(col(idCol).as("id_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"),
+        col("sz").as("sz_b")), "id_b")
     val ab = inter.filter(col("inter") * tauDen >= col("sz_a") * tauNum)
       .select(col("id_a").as("id_in"), col("id_b").as("id_of"),
         col("inter"), col("sz_a").as("sz_in"))
@@ -727,10 +762,12 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col(idCol).as("id_a"),
-        col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col(idCol).as("id_b"),
-        col("sz").as("sz_b"))), "id_b")
+      // per-document relation: never hint broadcast (OOM at corpus scale —
+      // a hint overrides AQE); AQE picks broadcast when it actually fits
+      .join(sizes.select(col(idCol).as("id_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"),
+        col("sz").as("sz_b")), "id_b")
       .filter(col("inter") * tauDen >=
         (col("sz_a") + col("sz_b") - col("inter")) * tauNum)
       .select(col("id_a"), col("id_b"),

@@ -268,8 +268,8 @@ object Scale {
                         path: String, epoch: Long, k: Int): Unit = {
     val spark = items.sparkSession
     topFreqSummary(items, k)
-      .select(lit(epoch).as("epoch"), col("item"), col("cnt"))
-      .write.mode("overwrite").parquet(path)
+      .select(col("item"), col("cnt"), lit(epoch).as("epoch"))
+      .write.mode("overwrite").partitionBy("epoch").parquet(path)
     val (fs, lp) = Sketch.layoutFile(spark, path)
     val out = fs.create(lp, true)
     try out.write(s"k=$k\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -284,7 +284,19 @@ object Scale {
   }
 
   /** Append one epoch's ≤ k-row summary; fails loud on a missing layout
-    * record or a different k. */
+    * record or a different k.
+    *
+    * Replay-idempotent by LAYOUT, because ADD-merged counters cannot be
+    * deduplicated after the fact: the store partitions by epoch and this
+    * write dynamically OVERWRITES only the incoming epoch's partition —
+    * an at-least-once re-delivery (foreachBatch replays the same batch
+    * id after a failure) rewrites its own epoch dir instead of appending
+    * a second summary that [[mergedHeavyHitters]] would double-count,
+    * which would break the never-overcount half of the MG contract.
+    * (Read-side dedup is no alternative: MG summaries are not
+    * bit-reproducible across runs, so two summaries of one epoch don't
+    * compare equal.) The bloom/HLL stores tolerate duplicate epochs
+    * because OR/MAX are idempotent merges; ADD is not. */
   def appendTopFreqStore(items: org.apache.spark.sql.Dataset[String],
                          path: String, epoch: Long, k: Int): Unit = {
     val spark = items.sparkSession
@@ -303,8 +315,10 @@ object Scale {
         s"requested (k=$k) — rebuild the store, mixed summary widths " +
         "have no single decrement budget")
     topFreqSummary(items, k)
-      .select(lit(epoch).as("epoch"), col("item"), col("cnt"))
-      .write.mode("append").parquet(path)
+      .select(col("item"), col("cnt"), lit(epoch).as("epoch"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(path)
   }
 
   /** Merge a store's epochs (all, or the span `epochFilter` keeps) into

@@ -1385,7 +1385,10 @@ object RankQueries {
       .filter(col("__fc").isNotNull)
       .select(col("day"), col("cents"),
         expr("__fc div 58975").as("forecast"),
-        expr("(abs(cents - __fc div 58975) * 1000000) div cents")
+        // NULLIF guard: a zero-revenue day must yield NULL err_ppm on
+        // BOTH engines — Spark's non-ANSI integer div returns NULL on
+        // /0 but DuckDB raises, so the guard is explicit on both sides
+        expr("(abs(cents - __fc div 58975) * 1000000) div nullif(cents, 0)")
           .as("err_ppm"))
     scored.agg(count(lit(1)).as("n_days"),
       expr("sum(err_ppm) div count(1)").as("mean_err_ppm"),
@@ -1437,11 +1440,15 @@ object RankQueries {
       ranked.crossJoin(broadcast(nRow))
         .filter(col("__rn") === expr(rankExpr))
         .select(col("delay").as(as))
-    at("(__n + 1) div 2", "p50_delay_ms")
-      .crossJoin(at("(9 * (__n + 1)) div 10", "p90_delay_ms"))
-      .crossJoin(broadcast(
-        conv.agg(count(lit(1)).as("n_conversions"),
-          max(col("delay")).as("max_delay_ms"))))
+    // the spine is the always-1-row count/max aggregate; the quantile
+    // rows LEFT-join onto it so a zero-conversion corpus yields
+    // (0, null, null, null) exactly like the oracle's scalar
+    // subqueries — a crossJoin chain rooted at the (then empty)
+    // quantile rows would return zero rows instead
+    conv.agg(count(lit(1)).as("n_conversions"),
+        max(col("delay")).as("max_delay_ms"))
+      .join(at("(__n + 1) div 2", "p50_delay_ms"), lit(true), "left")
+      .join(at("(9 * (__n + 1)) div 10", "p90_delay_ms"), lit(true), "left")
       .select("n_conversions", "p50_delay_ms", "p90_delay_ms",
         "max_delay_ms")
   }
@@ -2132,7 +2139,8 @@ object RankQueries {
         |    LAG(ewma_num, 1) OVER (ORDER BY day) AS fc
         |  FROM ew),
         |sc AS (SELECT day, cents,
-        |    (ABS(cents - fc // 58975) * 1000000) // cents AS err_ppm
+        |    (ABS(cents - fc // 58975) * 1000000) // NULLIF(cents, 0)
+        |      AS err_ppm
         |  FROM f WHERE fc IS NOT NULL)
         |SELECT COUNT(*) AS n_days,
         |  CAST(SUM(err_ppm) // COUNT(*) AS BIGINT) AS mean_err_ppm,

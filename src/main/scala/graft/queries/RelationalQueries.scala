@@ -609,19 +609,26 @@ object RelationalQueries {
     * division-free exact DECIMAL (`8·q_pair > q_part`), the part name
     * filter broadcasts, and the final supplier join broadcasts against
     * the distinct qualifying keys.
+    *
+    * The red-part key join sits BELOW the pair aggregate: the name
+    * filter is on the window's own partition key (`l_partkey`), so
+    * pruning the fact scan first is semantics-preserving — the per-part
+    * total over the pruned rows equals the total over all rows for
+    * every surviving part — and removes ~24/25 of the aggregate+window
+    * work (only ~1/25 of part names start with "red").
     */
   def promotableSuppliers(s: SparkSession, dir: String): DataFrame = {
     val byPart = Window.partitionBy(col("l_partkey"))
     Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)"))
         .cast("decimal(18,2)").as("sqty"))
       .withColumn("tqty",
         sum(col("sqty")).over(byPart).cast("decimal(18,2)"))
-      .join(broadcast(Tables.part(s, dir)
-        .filter(col("p_name").startsWith("red"))
-        .select(col("p_partkey"))),
-        col("l_partkey") === col("p_partkey"))
       .filter(col("sqty") * lit(8) > col("tqty"))
       .select(col("l_suppkey")).distinct()
       .join(broadcast(Tables.supplier(s, dir)

@@ -76,11 +76,12 @@ object StreamingDedup {
     * The frequency companion of [[runBloomStore]] (membership) and the
     * HLL register sink (cardinality): three questions about an unbounded
     * stream, each answered from bounded mergeable state. Replayed
-    * batches (foreachBatch is at-least-once) rewrite identical-shape
-    * summaries under the same epoch id via the same parquet append the
-    * other stores use — the bound is unaffected by a duplicated epoch at
-    * the cost of that epoch's rows counting twice; exactly-once epochs
-    * come from the checkpointed batch id as elsewhere.
+    * batches (foreachBatch is at-least-once) dynamically OVERWRITE their
+    * own epoch partition ([[graft.ops.Scale.appendTopFreqStore]]
+    * partitions by epoch) — ADD-merged counters, unlike the bloom OR /
+    * HLL MAX, would double-count a duplicated epoch and break the
+    * never-overcount half of the MG contract, so idempotence here comes
+    * from the write layout, not the merge algebra.
     */
   def runTopFreqStore(rows: DataFrame, storePath: String,
                       checkpoint: String, valueCol: String = "text",

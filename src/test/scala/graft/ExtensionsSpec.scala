@@ -57,6 +57,25 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(math.abs(cos - expCos) < 1e-15)
   }
 
+  test("mis-called extension functions fail ANALYSIS with a real " +
+    "wrong-number-of-arguments error naming the function — extra args " +
+    "are never silently dropped, zero args never surfaces an opaque " +
+    "NoSuchElementException") {
+    for ((call, fname) <- Seq(
+        ("graft_fp('a', 'b')", "graft_fp"),       // extra arg
+        ("graft_fp()", "graft_fp"),               // zero args
+        ("graft_mix57(1, 2)", "graft_mix57"),
+        ("vec_dot(array(1.0F))", "vec_dot"),      // missing arg
+        ("vec_cosine(array(1.0F), array(1.0F), array(1.0F))",
+          "vec_cosine"))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call").collect()
+      }
+      assert(e.getMessage.contains(fname),
+        s"error for `$call` must name the function: ${e.getMessage}")
+    }
+  }
+
   test("the q37 fingerprint query is expressible in PURE SQL through the " +
     "extension — no Scala in the loop") {
     val viaSql = {

@@ -2437,6 +2437,67 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("containment hot-shingle cap: a cap no shingle reaches is a " +
+    "bit-exact no-op, and a planted boilerplate shingle above the cap " +
+    "is excluded from the candidate substrate") {
+    graft.core.CacheScope.scoped {
+      // df <= ndocs always (shingles are per-doc distinct), so a cap of
+      // ndocs cannot bind: capped must equal uncapped bit-for-bit
+      val uncapped = Dedup.containmentPairs(docs, w = 3,
+          tauNum = 9, tauDen = 10)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val noop = Dedup.containmentPairs(docs, w = 3, tauNum = 9,
+          tauDen = 10, maxShingleDf = docs.count().toInt)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(noop == uncapped, "a non-binding cap must change nothing")
+    }
+    graft.core.CacheScope.scoped {
+      // plant a boilerplate footer in EVERY doc of a small fixture (the
+      // uniq tokens keep body/footer boundary shingles doc-unique, so
+      // only the footer-internal shingles go hot); with the cap below
+      // the doc count those hot shingles must vanish from sizes AND
+      // intersections — pinned against a driver-side rebuild of the
+      // capped substrate
+      val footer = "all rights reserved by the boiler plate company"
+      val long = (1 to 40).map(i => s"w$i").mkString(" ")
+      val excerpt = (10 to 15).map(i => s"w$i").mkString(" ")
+      val d = Seq((1L, excerpt), (2L, long),
+          (3L, "completely unrelated text with different words entirely"),
+          (4L, "another unrelated document about something else again"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" uniq"), col("doc_id"), lit("a uniq"), col("doc_id"),
+          lit("b "), lit(footer)).as("text"))
+      val cap = 3
+      val sh = Dedup.shingles(d, 3).filter(col("shingle").isNotNull)
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).select("shingle")
+      assert(hot.count() > 0, "fixture must actually have hot shingles")
+      val kept = sh.join(hot, Seq("shingle"), "left_anti")
+      val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .as[(Long, Long)].collect().toMap
+      val inter = kept.select(col("doc_id").as("a"), col("shingle"))
+        .join(kept.select(col("doc_id").as("b"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        .as[(Long, Long, Long)].collect()
+      // τ = 1/2: the excerpt's capped containment is 4 body shingles
+      // over 8 kept (4 body + 4 doc-unique boundary) = exactly 0.5
+      val want = inter.filter { case (a, _, i) => i * 2 >= 1 * sz(a) }
+        .map { case (a, b, i) => (a, b, i, sz(a)) }.toSet
+      val got = Dedup.containmentPairs(d, w = 3, tauNum = 1, tauDen = 2,
+          maxShingleDf = cap)
+        .select("id_in", "id_of", "inter", "sz_in")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"missing ${(want -- got).take(3)}, " +
+        s"extra ${(got -- want).take(3)}")
+      // the planted excerpt still surfaces on rare-shingle evidence alone
+      assert(got.map(r => (r._1, r._2)).contains((1L, 2L)),
+        s"the excerpt pair must survive the cap: $got")
+    }
+  }
+
   test("containment pairs on the corpus: emissions are exactly the " +
     "directed restriction of the shingle-intersection relation") {
     graft.core.CacheScope.scoped {

@@ -1143,6 +1143,17 @@ class OperatorSpec extends SparkSpecBase {
     assert(mustSurvive.nonEmpty, "fixture must have guaranteed hitters")
     assert(mustSurvive.subsetOf(est.keySet),
       s"items above n/(k+1) must be present: missing ${mustSurvive -- est.keySet}")
+    // at-least-once replay: re-appending an epoch REWRITES its partition
+    // (dynamic overwrite) instead of adding a second summary that the
+    // ADD-merge would double-count — the never-overcount half of the MG
+    // contract must survive a replayed epoch
+    graft.ops.Scale.appendTopFreqStore(epochs(1).toDS(), store, 1L, k)
+    val replayed = graft.ops.Scale.mergedHeavyHitters(spark, store)
+      .as[(String, Long)].collect().toMap
+    assert(spark.read.parquet(store).select("epoch").distinct().count() == 3,
+      "a replayed epoch must not mint a new one")
+    assert(replayed.forall { case (it, c) => c <= exact(it) },
+      "MG counters never overcount, even after an epoch replay")
     intercept[IllegalArgumentException] {
       graft.ops.Scale.appendTopFreqStore(Seq("x").toDS(), store, 9L, k + 1)
     }

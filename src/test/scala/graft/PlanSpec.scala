@@ -615,6 +615,48 @@ class PlanSpec extends SparkSpecBase {
     assert(spOk, s"offset windows must ride the bounded counts:\n$p")
   }
 
+  test("q158 promotable suppliers: the red-part key join sits BELOW the " +
+    "pair aggregate (the name filter is on the window's own partition " +
+    "key, so pruning the fact scan first is semantics-preserving and " +
+    "skips ~24/25 of the aggregate+window work)") {
+    val p = SparkEntry.queries("q158_promotable_suppliers")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l => l.contains("Aggregate [") &&
+      l.contains("l_partkey") && l.contains("l_suppkey"))
+    val partJoinIdx = lines.indexWhere(l => l.contains("Join Inner") &&
+      l.contains("p_partkey"))
+    assert(aggIdx >= 0 && partJoinIdx >= 0, p)
+    assert(partJoinIdx > aggIdx,
+      s"the p_partkey join must be a CHILD of the pair aggregate " +
+        s"(deeper in the tree), not above it:\n$p")
+  }
+
+  test("dedup lenses never HINT a broadcast of the per-document sizes " +
+    "relation: q29/q185 carry no broadcast hint at all, and q186's only " +
+    "hinted joins are the bounded __pid offset relations — an explicit " +
+    "hint overrides AQE's threshold, so a doc-cardinality hint is an " +
+    "executor OOM at 10^9 docs (AQE may still CHOOSE broadcast when " +
+    "the relation is actually small; the lock is on the hint)") {
+    def optimized(q: String): String = graft.core.CacheScope.scoped {
+      SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+    }
+    for (q <- Seq("q29_jaccard_pairs", "q185_containment_pairs")) {
+      val p = optimized(q)
+      assert(!p.contains("strategy=broadcast"),
+        s"$q must not hint any broadcast — the sizes relation is " +
+          s"per-document:\n$p")
+    }
+    val p186 = optimized("q186_sorted_neighborhood")
+    val hinted = p186.linesIterator
+      .filter(_.contains("strategy=broadcast")).toSeq
+    assert(hinted.forall(_.contains("__pid")),
+      s"q186 may hint only the bounded per-partition offset joins:\n" +
+        hinted.mkString("\n"))
+    spark.sqlContext.clearCache()
+  }
+
   test("q187 calendar fill: the forward-fill window partitions on the " +
     "item key and the spine never shuffles fact rows") {
     val p = planOf("q187_calendar_fill")

@@ -48,20 +48,40 @@ def load(spec: str) -> dict:
         with open(spec) as f:
             doc = json.load(f)
     if "queries" in doc:
-        return doc["queries"]
+        return doc["queries"], doc.get("loadavg")
     if "tail" in doc:  # driver round artifact (BENCH_r0N.json)
         parsed = doc.get("parsed")
         if isinstance(parsed, dict) and "queries" in parsed:
-            return parsed["queries"]
-        return from_tail(doc["tail"])
-    return doc
+            return parsed["queries"], parsed.get("loadavg")
+        return from_tail(doc["tail"]), None
+    return doc, None
 
 
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, load_old), (new, load_new) = load(sys.argv[1]), load(sys.argv[2])
+    # contention gate: Bench stamps 1/5/15-min loadavg + a spin probe;
+    # comparing runs taken under >2x different host load is adjudicating
+    # noise, not code — warn loudly before any per-query number
+    if load_old and load_new:
+        l_o = max(load_old.get("start", [-1])[0], 0.01)
+        l_n = max(load_new.get("start", [-1])[0], 0.01)
+        if l_n / l_o > 2 or l_o / l_n > 2:
+            print(f"  WARNING: host load differs >2x between runs "
+                  f"(old 1-min loadavg {l_o:.2f}, new {l_n:.2f}) — "
+                  f"per-query deltas below are contention-suspect; "
+                  f"re-measure in isolation before believing them")
+        p_o, p_n = load_old.get("spin_probe_sec"), load_new.get(
+            "spin_probe_sec")
+        if p_o and p_n and (p_n / p_o > 2 or p_o / p_n > 2):
+            print(f"  WARNING: spin probe differs >2x "
+                  f"(old {p_o:.3f}s, new {p_n:.3f}s) — CPU contention or "
+                  f"throttling during one of the runs")
+    elif load_old or load_new:
+        print("  note: only one run carries a loadavg stamp; "
+              "contention comparison unavailable")
     common = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
