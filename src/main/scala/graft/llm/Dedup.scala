@@ -1306,4 +1306,47 @@ object Dedup {
     sigs.count()
     hammingPairs(sigs, maxDist, idCol, "simhash")
   }
+
+  /** Crawl-over-crawl snapshot delta — the churn audit a recurring
+    * ingest needs before re-training: per group (source), how many
+    * distinct documents the new snapshot RETAINED (byte-identical text
+    * present in both), REMOVED, and ADDED, with the character mass
+    * moving each way. Exact-text comparison (the [[exactCanonical]]
+    * notion of identity), computed as one full-outer join of the two
+    * snapshots' distinct (group, text) sets — membership flags, never a
+    * row product.
+    *
+    * 100 TB posture: both sides collapse to distinct (group, text)
+    * BEFORE the join (map-side combined), and the join shuffles on the
+    * (group, text) hash — at ingest volume swap text for
+    * `xxhash64(text)` plus a verify join, the [[exactCanonicalByHash]]
+    * device; the definitional text-keyed form is what the oracle
+    * checks.
+    *
+    * Output: (group, n_old, n_new, n_retained, n_removed, n_added,
+    * chars_removed, chars_added).
+    */
+  def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame,
+                    groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(groupCol), col(textCol)).distinct()
+      .withColumn("__in_old", lit(1L))
+    val n = newDocs.select(col(groupCol), col(textCol)).distinct()
+      .withColumn("__in_new", lit(1L))
+    o.join(n, Seq(groupCol, textCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("__in_old"), lit(0L)).as("__o"),
+        coalesce(col("__in_new"), lit(0L)).as("__n"),
+        length(col(textCol)).cast("long").as("__len"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__o")).as("n_old"),
+        sum(col("__n")).as("n_new"),
+        sum(col("__o") * col("__n")).as("n_retained"),
+        sum(col("__o") * (lit(1L) - col("__n"))).as("n_removed"),
+        sum((lit(1L) - col("__o")) * col("__n")).as("n_added"),
+        sum(col("__o") * (lit(1L) - col("__n")) * col("__len"))
+          .as("chars_removed"),
+        sum((lit(1L) - col("__o")) * col("__n") * col("__len"))
+          .as("chars_added"))
+  }
 }

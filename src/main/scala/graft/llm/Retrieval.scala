@@ -508,4 +508,46 @@ object Retrieval {
       }
       .toDF("query_id", "neighbor_id", "mmr_score", "rnk")
   }
+
+  /** Power-of-two bucket floors for [[postingsSkewHistogram]] — shared
+    * with the oracle generator so the CASE ladder cannot drift between
+    * engines. 2^0 .. 2^20; document frequencies above 2^20 land in the
+    * top bucket (a term in >10^6 docs is stopword-class either way). */
+  val DfBucketFloors: Seq[Long] = (0 to 20).map(1L << _)
+
+  /** Postings-list skew histogram — the inverted-index health audit
+    * behind [[writeInvertedIndex]]'s sizing: bucket every term by the
+    * power of two its document frequency falls in and report the term
+    * count and total postings mass per bucket. The shape answers the
+    * two index-build questions — how much of the postings volume is
+    * stopword-class (top buckets: candidates for stopping or impact
+    * ordering) and how long the singleton tail is (bucket 1: dictionary
+    * overhead). Exact integer arithmetic; the bucket edges are a fixed
+    * CASE ladder (never float log2, whose exact-power rounding can
+    * differ across engines).
+    *
+    * 100 TB posture: one distinct (doc, term) projection, one term-key
+    * df aggregate (map-side combined), one ≤ 21-group aggregate. The
+    * vocabulary crosses the shuffle once; documents never do.
+    *
+    * Output: (df_bucket, n_terms, n_postings) — df_bucket is the
+    * bucket's inclusive lower edge.
+    */
+  def postingsSkewHistogram(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val df = docs
+      .select(col(idCol), explode(graft.llm.TextAnalysis
+        .tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // fold ascending so the LARGEST floor tests first (outermost when):
+    // each step wraps the accumulated smaller-floor ladder in its else
+    val ladder = DfBucketFloors.tail
+      .foldLeft(lit(DfBucketFloors.head)) { (acc, floor) =>
+        when(col("df") >= floor, lit(floor)).otherwise(acc)
+      }
+    df.select(ladder.as("df_bucket"), col("df"))
+      .groupBy(col("df_bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"))
+  }
 }

@@ -2018,6 +2018,125 @@ object TextAnalysis {
         (col("n_stop_present") >= 2L))
   }
 
+  /** Padding-waste curve — the pad-vs-pack audit [[packSequences]]'s
+    * output justifies: for each candidate sequence length, the token
+    * cost of the NAIVE one-doc-per-sequence layout (each document takes
+    * `ceil(tokens/len)` sequences padded to `len`) against the true
+    * token mass. `waste_ppm` is the padding overhead in exact parts per
+    * million — the number that says which max_len to pick and how much
+    * packing (q56) actually buys. All integer arithmetic until the
+    * final ppm division, which is itself an integer `div`.
+    *
+    * 100 TB posture: one narrow per-doc projection (token count only),
+    * a bins-sized explode (|bins|·|docs| rows of three longs), one
+    * map-side-combined aggregate per bin. No shuffle of text.
+    *
+    * Output: (max_len, n_docs, n_seqs, total_tokens, padded_tokens,
+    * waste_ppm) — one row per bin size.
+    */
+  def packingWaste(docs: DataFrame, bins: Seq[Int] = Seq(128, 512, 2048),
+                   textCol: String = "text"): DataFrame = {
+    require(bins.nonEmpty && bins.forall(_ >= 1), s"bad bins: $bins")
+    docs.select(tokenCount(col(textCol)).cast("long").as("__tok"))
+      .select(col("__tok"),
+        explode(array(bins.map(b => lit(b.toLong)): _*)).as("max_len"))
+      .select(col("max_len"), col("__tok"),
+        expr("(__tok + max_len - 1) div max_len").as("__seqs"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__seqs")).as("n_seqs"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(col("__seqs") * col("max_len")).as("padded_tokens"))
+      .withColumn("waste_ppm",
+        expr("((padded_tokens - total_tokens) * 1000000) " +
+          "div nullif(padded_tokens, 0)"))
+  }
+
+  /** Per-group winsorized length statistics — the robust profile a
+    * quality dashboard needs when a stratum's length distribution has a
+    * heavy tail the mean would chase: per group, the LOWER p05/p50/p95
+    * of `valueCol` (the rank-`(p·(n+1)) div 100` row under the
+    * deterministic (value, id) order, clamped to [1, n] — the q183
+    * device, per group) and the winsorized mean (every value clamped
+    * into [p05, p95] before one exact integer-`div` mean).
+    *
+    * 100 TB posture: the per-group rank is the two-phase
+    * [[graft.ops.Scale.groupedRankOrdered]] — a stratum larger than an
+    * executor never funnels through one window task; quantile rows are
+    * picked by rank-key equi-joins on the bounded per-group count
+    * relation, and the clamp+mean is one more grouped aggregate.
+    *
+    * Output: (group, n_docs, p05, p50, p95, wins_mean).
+    */
+  def winsorizedLengthStats(docs: DataFrame, groupCol: String = "source",
+                            valueCol: String = "n_chars",
+                            idCol: String = "doc_id"): DataFrame = {
+    val slim = docs.select(col(groupCol), col(valueCol), col(idCol))
+    val ranked = graft.ops.Scale.groupedRankOrdered(slim, Seq(groupCol),
+      Seq(valueCol, idCol), "__rn")
+    val counts = slim.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+    def quantile(p: Int, as: String) =
+      ranked.join(counts, Seq(groupCol))
+        .filter(col("__rn") ===
+          expr(s"least(__n, greatest(1L, ($p * (__n + 1)) div 100))"))
+        .select(col(groupCol), col(valueCol).as(as))
+    val qs = quantile(5, "p05")
+      .join(quantile(50, "p50"), Seq(groupCol))
+      .join(quantile(95, "p95"), Seq(groupCol))
+    slim.join(qs, Seq(groupCol))
+      .select(col(groupCol), col("p05"), col("p50"), col("p95"),
+        greatest(col("p05"), least(col("p95"), col(valueCol)))
+          .as("__clamped"))
+      .groupBy(col(groupCol), col("p05"), col("p50"), col("p95"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__clamped")).as("__sum"))
+      .select(col(groupCol), col("n_docs"), col("p05"), col("p50"),
+        col("p95"), expr("__sum div n_docs").as("wins_mean"))
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing question: what
+    * fraction of the corpus's token MASS does a top-`V` frequency-built
+    * vocabulary cover, for each candidate V? Tokens rank by
+    * (count desc, token) — a deterministic total order — and the
+    * coverage at V is the rank-prefix mass over the total, in exact
+    * integer ppm. A V larger than the observed type count clamps to it
+    * (coverage 10^6).
+    *
+    * 100 TB posture: the global rank and running mass both go through
+    * the two-phase range-partitioned devices ([[graft.ops.Scale
+    * .groupedRankOrdered]] with no group + [[graft.ops.Scale
+    * .globalCumSumOrdered]]) — the type vocabulary never funnels
+    * through one window task, and only |vocabSizes| rank rows join the
+    * 1-row total.
+    *
+    * Output: (vocab_size, n_types, covered_tokens, total_tokens,
+    * coverage_ppm) — one row per candidate V.
+    */
+  def coverageCurve(docs: DataFrame,
+                    vocabSizes: Seq[Int] = Seq(100, 1000, 10000),
+                    textCol: String = "text"): DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ >= 1),
+      s"bad vocabSizes: $vocabSizes")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__neg", -col("cnt"))
+    val ranked = graft.ops.Scale.globalCumSumOrdered(
+      graft.ops.Scale.groupedRankOrdered(counts, Seq.empty,
+        Seq("__neg", "token"), "__rn"),
+      Seq("__neg", "token"), "cnt", "__cum")
+    val totals = counts.agg(count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("total_tokens"))
+    val wanted = totals.select(col("n_types"), col("total_tokens"),
+      explode(array(vocabSizes.map(v => lit(v.toLong)): _*))
+        .as("vocab_size"))
+      .withColumn("__pick", least(col("vocab_size"), col("n_types")))
+    wanted.join(ranked, col("__pick") === col("__rn"))
+      .select(col("vocab_size"), col("n_types"),
+        col("__cum").as("covered_tokens"), col("total_tokens"),
+        expr("(__cum * 1000000) div total_tokens").as("coverage_ppm"))
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 

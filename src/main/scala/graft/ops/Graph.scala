@@ -581,4 +581,79 @@ object Graph {
           .otherwise(col("cov_num").cast("double") /
             sqrt(col("var_x").cast("double") * col("var_y").cast("double"))))
   }
+
+  /** HITS hubs & authorities (Kleinberg's mutual-reinforcement fixed
+    * point) — the DIRECTED dual PageRank lacks: a vertex is a good HUB
+    * when it points at good authorities and a good AUTHORITY when good
+    * hubs point at it. Each round is two edge-keyed propagation joins
+    * with an L1 normalization between them, all in exact integer
+    * arithmetic so the generated unrolled-CTE oracle checks it
+    * bit-for-bit (the [[pageRank]] device):
+    *
+    *   auth_raw(v) = Σ_{u→v} hub(u);   auth(v) = auth_raw·unit div S_a
+    *   hub_raw(u)  = Σ_{u→v} auth(v);  hub(u)  = hub_raw·unit div S_h
+    *
+    * where S_a/S_h are the 1-row raw sums (floored division — scores sum
+    * to ≤ unit, losing at most N micro-units per normalization; the
+    * GREATEST(S,1) guard keeps an edgeless graph at all-zero scores
+    * instead of dividing by zero). Deterministic under any partitioning:
+    * integer sums are order-free and the normalizers are global scalars.
+    *
+    * Overflow guard: raw sums are bounded by E·unit (each hub/auth ≤
+    * unit after round one), so the hottest product `raw·unit` needs
+    * `E·unit² ≤ Long.Max`; a caller unit that would wrap auto-scales
+    * down to the largest safe power of ten, loudly, exactly as
+    * [[pageRank]] does (E is one bounded count, run once).
+    *
+    * 100 TB posture: per-round cost is two shuffles on the edge keys +
+    * two 1-row aggregates broadcast back by the crossJoin idiom; state
+    * is one (id, score) row per vertex per side; lineage truncated per
+    * round with localCheckpoint, same contract as the PageRank family.
+    *
+    * Output: (id, hub_micro, auth_micro) after `iters` full rounds.
+    */
+  def hits(vertices: DataFrame, edges: DataFrame, iters: Int = 4,
+           unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(unit >= 100L, s"unit must be >= 100: $unit")
+    val verts = vertices.select(col("id")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val m = math.max(1L, e.count())
+    val maxUnit = {
+      // largest u with m * u * u <= Long.Max, via the square-root bound
+      val bound = math.sqrt(Long.MaxValue.toDouble / m).toLong - 1L
+      math.max(100L, bound)
+    }
+    val u =
+      if (unit <= maxUnit) unit
+      else {
+        var scaled = 1L
+        while (scaled * 10L <= maxUnit) scaled *= 10L
+        println(s"graft.ops.Graph.hits: unit=$unit would overflow at " +
+          s"m=$m edges (max safe $maxUnit); auto-scaled to $scaled")
+        scaled
+      }
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      // raw: (id, __raw) for a SUBSET of vertices; spine back onto verts,
+      // 1-row L1 total broadcast back via crossJoin
+      val total = raw.agg(greatest(coalesce(sum(col("__raw")), lit(0L)),
+        lit(1L)).as("__t"))
+      verts.join(raw, Seq("id"), "left")
+        .crossJoin(total)
+        .select(col("id"),
+          expr(s"(coalesce(__raw, 0L) * ${u}L) div __t").as(outCol))
+    }
+    var hub = verts.select(col("id"), lit(u).as("h")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val authRaw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("__raw"))
+      auth = normalize(authRaw, "a").localCheckpoint()
+      val hubRaw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("__raw"))
+      hub = normalize(hubRaw, "h").localCheckpoint()
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+  }
 }

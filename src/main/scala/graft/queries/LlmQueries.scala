@@ -931,7 +931,42 @@ object LlmQueries {
         col("inter").cast("double") / col("union_sz").cast("double"))
   }
 
+  /** Padding-waste curve across candidate sequence lengths (q203) —
+    * the pad-vs-pack audit ([[graft.llm.TextAnalysis.packingWaste]]). */
+  def packingWasteQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packingWaste(Tables.documents(s, dir))
+
+  /** Crawl-over-crawl churn per source (q204): doc_id parity simulates
+    * two ingest snapshots of the same corpus; exact-text membership
+    * drives retained/removed/added ([[graft.llm.Dedup.snapshotDelta]]). */
+  def crawlDeltaQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.snapshotDelta(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+  }
+
+  /** Postings skew histogram (q205) — power-of-two df buckets
+    * ([[graft.llm.Retrieval.postingsSkewHistogram]]). */
+  def postingsSkewQ(s: SparkSession, dir: String): DataFrame =
+    Retrieval.postingsSkewHistogram(Tables.documents(s, dir))
+
+  /** Per-source winsorized length profile (q206)
+    * ([[graft.llm.TextAnalysis.winsorizedLengthStats]]). */
+  def winsorizedLengthsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winsorizedLengthStats(Tables.documents(s, dir))
+
+  /** Vocabulary coverage curve at V ∈ {100, 1000, 10000} (q207)
+    * ([[graft.llm.TextAnalysis.coverageCurve]]). */
+  def coverageCurveQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.coverageCurve(Tables.documents(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "q203_packing_waste" -> packingWasteQ,
+    "q204_crawl_delta" -> crawlDeltaQ,
+    "q205_postings_skew" -> postingsSkewQ,
+    "q206_winsorized_lengths" -> winsorizedLengthsQ,
+    "q207_coverage_curve" -> coverageCurveQ,
     "q200_source_vocab_overlap" -> sourceVocabOverlap,
     "q185_containment_pairs" -> containmentPairsQ,
     "q186_sorted_neighborhood" -> sortedNeighborhoodQ,
@@ -1476,7 +1511,104 @@ object LlmQueries {
       s"((yb // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
   }.mkString(" + ")
 
+  /** q205's CASE ladder, generated from the SAME bucket floors the
+    * Spark expression folds over ([[graft.llm.Retrieval.DfBucketFloors]])
+    * — edges cannot drift between engines. */
+  private def dfBucketCaseSql: String =
+    Retrieval.DfBucketFloors.tail.reverse
+      .map(f => s"WHEN df >= $f THEN $f")
+      .mkString("CASE ", " ", s" ELSE ${Retrieval.DfBucketFloors.head} END")
+
   val oracles: Map[String, String] = Map(
+    // q203: same ceil-div padding model per (doc, bin), integer ppm
+    "q203_packing_waste" ->
+      s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS tok
+        |  FROM documents),
+        |s AS (SELECT CAST(max_len AS BIGINT) AS max_len, tok,
+        |    (tok + max_len - 1) // max_len AS seqs
+        |  FROM t CROSS JOIN (VALUES (128), (512), (2048)) AS b(max_len))
+        |SELECT max_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(seqs) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(seqs * max_len) AS BIGINT) AS padded_tokens,
+        |  CAST(((SUM(seqs * max_len) - SUM(tok)) * 1000000) //
+        |    NULLIF(SUM(seqs * max_len), 0) AS BIGINT) AS waste_ppm
+        |FROM s GROUP BY 1""".stripMargin,
+    // q204: distinct (source, text) membership on both parity
+    // snapshots, one full outer join, flag arithmetic
+    "q204_crawl_delta" ->
+      """WITH o AS (SELECT DISTINCT source, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |n AS (SELECT DISTINCT source, text FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |j AS (SELECT COALESCE(o.source, n.source) AS source,
+        |    COALESCE(o.text, n.text) AS text,
+        |    CASE WHEN o.text IS NOT NULL THEN 1 ELSE 0 END AS io,
+        |    CASE WHEN n.text IS NOT NULL THEN 1 ELSE 0 END AS iw
+        |  FROM o FULL OUTER JOIN n
+        |    ON o.source = n.source AND o.text = n.text)
+        |SELECT source, CAST(SUM(io) AS BIGINT) AS n_old,
+        |  CAST(SUM(iw) AS BIGINT) AS n_new,
+        |  CAST(SUM(io * iw) AS BIGINT) AS n_retained,
+        |  CAST(SUM(io * (1 - iw)) AS BIGINT) AS n_removed,
+        |  CAST(SUM((1 - io) * iw) AS BIGINT) AS n_added,
+        |  CAST(SUM(io * (1 - iw) * length(text)) AS BIGINT)
+        |    AS chars_removed,
+        |  CAST(SUM((1 - io) * iw * length(text)) AS BIGINT)
+        |    AS chars_added
+        |FROM j GROUP BY 1""".stripMargin,
+    // q205: distinct postings -> df -> the generated power-of-two CASE
+    // ladder (shared floors with the Spark fold)
+    "q205_postings_skew" ->
+      s"""WITH occ AS (SELECT DISTINCT doc_id, term FROM
+        |    (SELECT doc_id, unnest($toksSql) AS term FROM documents)),
+        |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM occ GROUP BY 1)
+        |SELECT $dfBucketCaseSql AS df_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(df) AS BIGINT) AS n_postings
+        |FROM d GROUP BY 1""".stripMargin,
+    // q206: per-source row_number rank under (n_chars, doc_id), the
+    // lower-quantile rank picks, winsorized integer mean
+    "q206_winsorized_lengths" ->
+      """WITH s AS (SELECT source, n_chars, doc_id FROM documents),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT source, n_chars, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+        |  FROM s),
+        |q AS (SELECT r.source,
+        |    MAX(CASE WHEN rn = LEAST(n, GREATEST(1, (5 * (n + 1)) // 100))
+        |      THEN n_chars END) AS p05,
+        |    MAX(CASE WHEN rn = LEAST(n, GREATEST(1, (50 * (n + 1)) // 100))
+        |      THEN n_chars END) AS p50,
+        |    MAX(CASE WHEN rn = LEAST(n, GREATEST(1, (95 * (n + 1)) // 100))
+        |      THEN n_chars END) AS p95
+        |  FROM r JOIN c USING (source) GROUP BY 1)
+        |SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  p05, p50, p95,
+        |  CAST(SUM(GREATEST(p05, LEAST(p95, n_chars))) // COUNT(*)
+        |    AS BIGINT) AS wins_mean
+        |FROM s JOIN q ON s.source = q.source
+        |GROUP BY 1, p05, p50, p95""".stripMargin,
+    // q207: global (cnt desc, token) rank + running mass, prefix read
+    // at the clamped vocab sizes, integer ppm
+    "q207_coverage_curve" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1),
+        |r AS (SELECT token, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn,
+        |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+        |v AS (SELECT CAST(vs AS BIGINT) AS vocab_size FROM
+        |    (VALUES (100), (1000), (10000)) AS x(vs))
+        |SELECT vocab_size, n_types, cum AS covered_tokens, total_tokens,
+        |  CAST((cum * 1000000) // total_tokens AS BIGINT) AS coverage_ppm
+        |FROM v CROSS JOIN t JOIN r ON r.rn = LEAST(vocab_size, n_types)""".stripMargin,
     // q200: same distinct (source, token) relation, token-keyed pair
     // join, exact integer sizes, one double division
     "q200_source_vocab_overlap" ->

@@ -429,6 +429,23 @@ object RankQueries {
       .select(col("x").as("item_a"), col("y").as("item_b"),
         col("common"), col("jaccard"))
 
+  /** HITS hubs & authorities on the DIRECTED week-1 session graph
+    * (q208) — the question PageRank's undirected co-click substrate
+    * can't ask: which items FUNNEL attention onward (hubs — clicked
+    * right before many well-endorsed items) versus which items RECEIVE
+    * it (authorities — the frequent next click after strong hubs).
+    * Four mutual-reinforcement rounds in exact integer arithmetic
+    * ([[graft.ops.Graph.hits]]), checked by a generated unrolled-CTE
+    * oracle round for round, normalizers and all.
+    */
+  def itemHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = weekSessionEdges(s, dir).distinct()
+    val verts = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    graft.ops.Graph.hits(verts, edges, iters = 4, unit = 1000000L)
+      .select(col("id").as("item"), col("hub_micro"), col("auth_micro"))
+  }
+
   /** Personalized PageRank from the decile seed set (q163) — rank mass
     * teleports only to items with `item % 10 = 0`, so scores measure
     * co-click proximity TO THE SEEDS ([[graft.ops.Graph
@@ -1544,7 +1561,8 @@ object RankQueries {
     "q188_assortativity" -> itemDegreeAssortativity,
     "q189_linear_attribution" -> linearAttribution,
     "q190_new_vs_returning" -> newVsReturning,
-    "q191_spend_gini" -> customerSpendGini)
+    "q191_spend_gini" -> customerSpendGini,
+    "q208_hits" -> itemHits)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -1744,6 +1762,48 @@ object RankQueries {
       |e AS (SELECT DISTINCT LEAST(prev, item) AS a,
       |        GREATEST(prev, item) AS b
       |      FROM seq WHERE prev IS NOT NULL AND prev <> item)""".stripMargin
+
+  /** q208 oracle: the HITS recurrence unrolled — per round, the
+    * authority raw sums, the L1 normalization (GREATEST(·,1) guarding
+    * an edgeless graph exactly as the Spark side does), then the hub
+    * half; MATERIALIZED so each round's scores are computed once. The
+    * week-session edges here are DIRECTED (prev → item), unlike
+    * [[weekEdgesSql]]'s undirected least/greatest form. */
+  private def hitsOracleSql(iters: Int, unit: Long): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT dst AS id, SUM(h) AS raw
+        |      FROM ed JOIN h$i ON src = h$i.id GROUP BY dst),
+        |a${i + 1} AS MATERIALIZED (SELECT v.id,
+        |      CAST((COALESCE(raw, 0) * $unit) //
+        |        (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) FROM ar$i)
+        |        AS BIGINT) AS a
+        |      FROM verts v LEFT JOIN ar$i USING (id)),
+        |hr$i AS MATERIALIZED (SELECT src AS id, SUM(a) AS raw
+        |      FROM ed JOIN a${i + 1} ON dst = a${i + 1}.id GROUP BY src),
+        |h${i + 1} AS MATERIALIZED (SELECT v.id,
+        |      CAST((COALESCE(raw, 0) * $unit) //
+        |        (SELECT GREATEST(COALESCE(SUM(raw), 0), 1) FROM hr$i)
+        |        AS BIGINT) AS h
+        |      FROM verts v LEFT JOIN hr$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT user_id, ts, event_id, $item AS item
+      |           FROM events
+      |           WHERE event_type = 'click'
+      |             AND ts >= TIMESTAMP '2024-01-01'
+      |             AND ts < TIMESTAMP '2024-01-08'
+      |             AND $item IS NOT NULL),
+      |seq AS (SELECT item, LAG(item) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |        FROM c),
+      |ed AS (SELECT DISTINCT prev AS src, item AS dst
+      |       FROM seq WHERE prev IS NOT NULL AND prev <> item),
+      |verts AS (SELECT DISTINCT src AS id FROM ed
+      |          UNION SELECT DISTINCT dst FROM ed),
+      |h0 AS (SELECT id, CAST($unit AS BIGINT) AS h FROM verts),
+      |$rounds
+      |SELECT h$iters.id AS item, h AS hub_micro, a AS auth_micro
+      |FROM h$iters JOIN a$iters ON h$iters.id = a$iters.id""".stripMargin
+  }
 
   /** q162 oracle: the synchronous peeling recurrence as a generated
     * MATERIALIZED-CTE chain — each round's edge relation is referenced
@@ -2022,6 +2082,8 @@ object RankQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q208: the HITS recurrence unrolled round for round, same unit
+    "q208_hits" -> hitsOracleSql(4, 1000000L),
     // q192: the same derived SCD (cumulative tiers, change points only)
     // and the definitional ranked θ-join for the as-of resolution
     "q192_point_in_time" ->

@@ -412,6 +412,81 @@ class OperatorSpec extends SparkSpecBase {
     assert(scrambled == expected, "partitioning must not change one bit")
   }
 
+  test("HITS equals the hand-computed fixed point, is bit-identical " +
+    "under any partitioning, and an edgeless graph scores all-zero " +
+    "instead of dividing by zero") {
+    // 1→3, 2→3, 3→4: 3 is the authority (two hubs point at it),
+    // 1/2 are the hubs. Worked by hand at unit 10^6, two rounds:
+    // r1: ar=(3:2e6, 4:1e6), Sa=3e6 → a=(666666, 333333);
+    //     hr=(1:666666, 2:666666, 3:333333), Sh=1666665
+    //     → h=(400000, 400000, 200000, 0)
+    // r2: ar=(3:8e5, 4:2e5), Sa=1e6 → a=(800000, 200000);
+    //     hr=(1:8e5, 2:8e5, 3:2e5), Sh=1.8e6
+    //     → h=(444444, 444444, 111111, 0)
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val want = Map(
+      1L -> (444444L, 0L), 2L -> (444444L, 0L),
+      3L -> (111111L, 800000L), 4L -> (0L, 200000L))
+    val got = graft.ops.Graph.hits(verts, edges, iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want, s"got $got")
+    val scrambled = graft.ops.Graph.hits(
+        verts.repartition(7), edges.repartition(5, col("dst")), iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scrambled == want, "partitioning must not change one bit")
+    val edgeless = graft.ops.Graph.hits(verts,
+        edges.filter(col("src") < 0L), iters = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(edgeless.length == 4 &&
+      edgeless.forall(r => r._2 == 0L && r._3 == 0L),
+      s"edgeless graph must score zero, not crash: ${edgeless.toSeq}")
+  }
+
+  test("snapshot delta: per-source flow conservation (old = retained + " +
+    "removed, new = retained + added) and the parity fixture's planted " +
+    "dup texts are retained") {
+    graft.core.CacheScope.scoped {
+      val rows = SparkEntry.queries("q204_crawl_delta")(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      for ((src, nOld, nNew, nRet, nRem, nAdd, chRem, chAdd) <- rows) {
+        assert(nOld == nRet + nRem, s"$src: old $nOld != $nRet + $nRem")
+        assert(nNew == nRet + nAdd, s"$src: new $nNew != $nRet + $nAdd")
+        assert(chRem >= 0L && chAdd >= 0L)
+      }
+    }
+  }
+
+  test("coverage curve is monotone in V and clamps to full mass at " +
+    "V >= n_types; packing waste is nonnegative and padded >= total") {
+    graft.core.CacheScope.scoped {
+      val cov = SparkEntry.queries("q207_coverage_curve")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(cov.length == 3)
+      assert(cov.sliding(2).forall { case Array(a, b) => a._3 <= b._3 },
+        s"coverage must be monotone in V: ${cov.toSeq}")
+      for ((v, nTypes, covered, total, ppm) <- cov) {
+        assert(covered <= total && ppm <= 1000000L)
+        if (v >= nTypes)
+          assert(covered == total && ppm == 1000000L,
+            s"V=$v >= n_types=$nTypes must cover everything")
+      }
+    }
+    graft.core.CacheScope.scoped {
+      val pw = SparkEntry.queries("q203_packing_waste")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(pw.length == 3)
+      for ((len, nDocs, nSeqs, total, padded, ppm) <- pw) {
+        assert(padded >= total && ppm >= 0L && ppm < 1000000L,
+          s"max_len=$len: padded=$padded total=$total ppm=$ppm")
+        assert(nSeqs >= nDocs, "every doc takes at least one sequence")
+      }
+    }
+  }
+
   test("PageRank redistributeDangling conserves total mass up to integer " +
     "truncation and stays bit-identical under partitioning") {
     // A→B, B→A, A→C; C dangles. With redistribution, C's damped mass is

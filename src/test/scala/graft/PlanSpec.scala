@@ -657,6 +657,45 @@ class PlanSpec extends SparkSpecBase {
     spark.sqlContext.clearCache()
   }
 
+  test("q206 winsorized lengths: the per-source rank is the two-phase " +
+    "grouped form — every row_number window partitions on __pid, " +
+    "never a bare source partition that funnels a stratum to one task") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q206_winsorized_lengths")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    val rnLines = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
+      s"row_number must be partition-local:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
+  test("q207 coverage curve: the vocabulary rank and running mass ride " +
+    "the two-phase devices (__pid-partitioned windows); no cartesian " +
+    "beyond the broadcast totals") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q207_coverage_curve")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    val winLines = p.linesIterator
+      .filter(l => l.contains("row_number() windowspecdefinition") ||
+        l.contains("Window [sum(cnt")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      s"rank and running-mass windows must be partition-local:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.sqlContext.clearCache()
+  }
+
+  test("q208 HITS: per-round propagation is edge-keyed joins — no " +
+    "cartesian product; the only nested-loop joins are the broadcast " +
+    "1-row normalizers") {
+    val p = SparkEntry.queries("q208_hits")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"HITS must never go cartesian:\n$p")
+  }
+
   test("q187 calendar fill: the forward-fill window partitions on the " +
     "item key and the spine never shuffles fact rows") {
     val p = planOf("q187_calendar_fill")
