@@ -656,4 +656,35 @@ object Graph {
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_micro"), col("a").as("auth_micro"))
   }
+
+  /** Directed-graph reciprocity summary — the one-row orientation audit
+    * for a DIRECTED edge relation (what fraction of edges are returned):
+    * `n_mutual` counts edges whose reverse is also present (so a
+    * symmetric pair contributes 2), `reciprocity_ppm` is the exact
+    * integer `n_mutual·10⁶ div n_edges`. On a session graph this
+    * separates one-way funnels (A is clicked before B, never after)
+    * from genuine back-and-forth pairs — the signal that decides
+    * whether downstream algorithms may symmetrize.
+    *
+    * One distinct + one self-semi-join on the reversed key + bounded
+    * aggregates; nothing quadratic, nothing collected.
+    *
+    * Output: (n_vertices, n_edges, n_mutual, n_sym_pairs,
+    * reciprocity_ppm).
+    */
+  def reciprocitySummary(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(mutual.agg(count(lit(1)).as("n_mutual")))
+      .crossJoin(verts.agg(count(lit(1)).as("n_vertices")))
+      .select(col("n_vertices"), col("n_edges"), col("n_mutual"),
+        expr("n_mutual div 2").as("n_sym_pairs"),
+        expr("(n_mutual * 1000000) div nullif(n_edges, 0)")
+          .as("reciprocity_ppm"))
+  }
 }

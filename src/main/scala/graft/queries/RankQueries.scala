@@ -446,6 +446,107 @@ object RankQueries {
       .select(col("id").as("item"), col("hub_micro"), col("auth_micro"))
   }
 
+  /** Weekly retention cohort matrix (q209) — the classic activation
+    * triangle: users cohorted by their FIRST active week (any event
+    * type), counted in every (cohort_week, weeks-since) cell they were
+    * active in. Because the substrate is the distinct (user, week)
+    * relation, a user contributes at most one row per cell and the
+    * per-cell count IS the distinct-user count — no COUNT DISTINCT
+    * shuffle. Exact epoch-week integers (`unix_millis div 604800000`).
+    *
+    * 100 TB posture: one distinct user-week projection, one user-keyed
+    * min aggregate, one user-key join back, one bounded
+    * (cohorts × ages) aggregate. The event table crosses the shuffle
+    * once, as (user, week) pairs.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 604800000").as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    uw.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Longest consecutive-day activity streak per user, histogrammed
+    * (q210) — gaps-and-islands on the distinct (user, day) relation:
+    * `day − row_number` is constant exactly along a run of consecutive
+    * days (the classic island key), so the streak lengths are one
+    * user-keyed window plus two grouped aggregates, and the histogram
+    * counts users by their personal best. The engagement-depth curve a
+    * habit-forming product tracks.
+    *
+    * 100 TB posture: every window and aggregate is user-keyed; the
+    * output is bounded by the observation span in days.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud.withColumn("__island",
+        col("day") - row_number().over(w).cast("long"))
+      .groupBy(col("user_id"), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("__len")).as("streak_days"))
+      .groupBy(col("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** RFM segmentation of order customers (q211) — recency (last order
+    * day), frequency (order count), monetary (exact cents) quintiled
+    * into 125 possible segments. The quintile is the FLOOR-formula
+    * bucket `((rank − 1) · 5) div n + 1` over the deterministic
+    * (metric, custkey) order — NOT SQL NTILE, whose front-loaded
+    * remainder split differs from the floor formula on non-divisible
+    * counts; using the same integer formula on both engines is what
+    * makes the oracle exact. R ranks ascending on last-day (quintile 5
+    * = most recent), F and M ascending (quintile 5 = most frequent /
+    * highest spend).
+    *
+    * 100 TB posture: one customer-keyed aggregate, then three
+    * two-phase [[graft.ops.Scale.groupedRankOrdered]] global ranks
+    * (no single-task window over the customer universe), one bounded
+    * ≤125-row aggregate.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(expr("unix_millis(cast(o_orderdate as timestamp)) " +
+          "div 86400000")).as("__last_day"),
+        count(lit(1)).as("__freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("__cents"))
+    val withN = graft.core.CacheScope.track(base.persist())
+    val n = withN.count()
+    def quintile(df: org.apache.spark.sql.DataFrame, metric: String,
+                 out: String) =
+      graft.ops.Scale.groupedRankOrdered(df, Seq.empty,
+          Seq(metric, "o_custkey"), "__rn")
+        .withColumn(out, expr(s"((__rn - 1) * 5) div ${n}L + 1"))
+        .drop("__rn")
+    val q3 = quintile(quintile(quintile(withN,
+      "__last_day", "r_quintile"), "__freq", "f_quintile"),
+      "__cents", "m_quintile")
+    q3.groupBy(col("r_quintile"), col("f_quintile"), col("m_quintile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("__cents")).as("total_cents"))
+  }
+
+  /** Session-graph reciprocity (q212) — the one-row directed-edge
+    * audit ([[graft.ops.Graph.reciprocitySummary]]) on the week-1
+    * consecutive-click graph: how much of the click flow is
+    * back-and-forth versus one-way funnel.
+    */
+  def sessionReciprocity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.reciprocitySummary(weekSessionEdges(s, dir))
+
   /** Personalized PageRank from the decile seed set (q163) — rank mass
     * teleports only to items with `item % 10 = 0`, so scores measure
     * co-click proximity TO THE SEEDS ([[graft.ops.Graph
@@ -1562,7 +1663,11 @@ object RankQueries {
     "q189_linear_attribution" -> linearAttribution,
     "q190_new_vs_returning" -> newVsReturning,
     "q191_spend_gini" -> customerSpendGini,
-    "q208_hits" -> itemHits)
+    "q208_hits" -> itemHits,
+    "q209_retention_cohorts" -> retentionCohorts,
+    "q210_activity_streaks" -> activityStreaks,
+    "q211_rfm_segments" -> rfmSegments,
+    "q212_session_reciprocity" -> sessionReciprocity)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -2084,6 +2189,77 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     // q208: the HITS recurrence unrolled round for round, same unit
     "q208_hits" -> hitsOracleSql(4, 1000000L),
+    // q209: distinct user-week substrate makes COUNT(*) the distinct-
+    // user count per cell
+    "q209_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 604800000 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week
+        |  FROM uw GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS age_weeks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // q210: day - row_number island key, per-user best, histogram
+    "q210_activity_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |i AS (SELECT user_id, day - ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY day) AS island FROM ud),
+        |l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM i GROUP BY user_id, island),
+        |b AS (SELECT user_id, MAX(len) AS streak_days FROM l GROUP BY 1)
+        |SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM b GROUP BY 1""".stripMargin,
+    // q211: the SAME floor-formula quintile on both engines (never
+    // NTILE — its front-loaded remainder split differs from the floor
+    // bucket on non-divisible counts)
+    "q211_rfm_segments" ->
+      """WITH base AS (SELECT o_custkey,
+        |    MAX(epoch_ms(o_orderdate) // 86400000) AS last_day,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |r AS (SELECT o_custkey, cents,
+        |    ((ROW_NUMBER() OVER (ORDER BY last_day, o_custkey) - 1) * 5)
+        |      // n + 1 AS r_quintile,
+        |    ((ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1) * 5)
+        |      // n + 1 AS f_quintile,
+        |    ((ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) * 5)
+        |      // n + 1 AS m_quintile
+        |  FROM base CROSS JOIN n)
+        |SELECT CAST(r_quintile AS BIGINT) AS r_quintile,
+        |  CAST(f_quintile AS BIGINT) AS f_quintile,
+        |  CAST(m_quintile AS BIGINT) AS m_quintile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    // q212: the directed week-session edges (the q208 substrate), one
+    // EXISTS per edge for the reverse, exact integer ppm
+    "q212_session_reciprocity" ->
+      s"""WITH c AS (SELECT user_id, ts, event_id, $item AS item
+        |           FROM events
+        |           WHERE event_type = 'click'
+        |             AND ts >= TIMESTAMP '2024-01-01'
+        |             AND ts < TIMESTAMP '2024-01-08'
+        |             AND $item IS NOT NULL),
+        |seq AS (SELECT item, LAG(item) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM c),
+        |ed AS (SELECT DISTINCT prev AS src, item AS dst
+        |       FROM seq WHERE prev IS NOT NULL AND prev <> item),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual FROM ed a
+        |      WHERE EXISTS (SELECT 1 FROM ed b
+        |                    WHERE b.src = a.dst AND b.dst = a.src)),
+        |v AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_vertices
+        |      FROM (SELECT src AS x FROM ed
+        |            UNION ALL SELECT dst FROM ed)),
+        |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed)
+        |SELECT n_vertices, n_edges, n_mutual,
+        |  n_mutual // 2 AS n_sym_pairs,
+        |  (n_mutual * 1000000) // NULLIF(n_edges, 0) AS reciprocity_ppm
+        |FROM e CROSS JOIN m CROSS JOIN v""".stripMargin,
     // q192: the same derived SCD (cumulative tiers, change points only)
     // and the definitional ranked θ-join for the as-of resolution
     "q192_point_in_time" ->

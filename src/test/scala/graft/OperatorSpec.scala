@@ -487,6 +487,57 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("reciprocity summary matches the hand-worked directed graph") {
+    // 1⇄2 mutual, 1→3 one-way: 3 vertices, 3 edges, 2 mutual edges,
+    // 1 symmetric pair, ppm = 2e6 div 3
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val row = graft.ops.Graph.reciprocitySummary(edges)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row == ((3L, 3L, 2L, 1L, 666666L)), s"got $row")
+    val none = graft.ops.Graph.reciprocitySummary(
+        edges.filter(col("src") === col("dst")))
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(none._2 == 0L && none._5.isEmpty,
+      s"edgeless graph: null ppm, not a crash: $none")
+  }
+
+  test("cohort/streak/RFM invariants: age-0 diagonal counts every user " +
+    "once, streak histogram masses to the user universe, floor-formula " +
+    "quintile marginals are balanced within one") {
+    graft.core.CacheScope.scoped {
+      val cells = SparkEntry.queries("q209_retention_cohorts")(spark, sfDir)
+        .as[(Long, Long, Long)].collect()
+      val users = graft.core.Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      assert(cells.filter(_._2 == 0L).map(_._3).sum == users,
+        "every user appears exactly once on the age-0 diagonal")
+      assert(cells.map(_._1).distinct.forall(c =>
+        cells.exists(x => x._1 == c && x._2 == 0L)),
+        "every cohort has its age-0 cell")
+      val streaks = SparkEntry.queries("q210_activity_streaks")(spark, sfDir)
+        .as[(Long, Long)].collect()
+      assert(streaks.map(_._2).sum == users && streaks.forall(_._1 >= 1L),
+        "each user lands in exactly one best-streak bucket")
+    }
+    graft.core.CacheScope.scoped {
+      val seg = SparkEntry.queries("q211_rfm_segments")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val n = graft.core.Tables.orders(spark, sfDir)
+        .select("o_custkey").distinct().count()
+      assert(seg.map(_._4).sum == n)
+      assert(seg.forall(r => Seq(r._1, r._2, r._3)
+        .forall(q => q >= 1L && q <= 5L)))
+      // floor-formula quintiles: every marginal bucket holds
+      // floor(n/5) or ceil(n/5) customers
+      for (dim <- 0 until 3) {
+        val marginal = seg.groupBy(r => Seq(r._1, r._2, r._3)(dim))
+          .view.mapValues(_.map(_._4).sum)
+        assert(marginal.values.forall(c => c == n / 5 || c == n / 5 + 1),
+          s"dim $dim marginals: ${marginal.toMap}")
+      }
+    }
+  }
+
   test("PageRank redistributeDangling conserves total mass up to integer " +
     "truncation and stays bit-identical under partitioning") {
     // A→B, B→A, A→C; C dangles. With redistribution, C's damped mass is

@@ -687,6 +687,20 @@ class PlanSpec extends SparkSpecBase {
     spark.sqlContext.clearCache()
   }
 
+  test("q211 RFM: all three quintile ranks are the two-phase form — " +
+    "every row_number window partitions on __pid, the customer " +
+    "universe never funnels through one task") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q211_rfm_segments")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    val rnLines = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
+      s"quintile ranks must be partition-local:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
   test("q208 HITS: per-round propagation is edge-keyed joins — no " +
     "cartesian product; the only nested-loop joins are the broadcast " +
     "1-row normalizers") {
