@@ -961,7 +961,33 @@ object LlmQueries {
   def coverageCurveQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.coverageCurve(Tables.documents(s, dir))
 
+  /** Column null/blank profile of the documents table (q215) — the
+    * load-time completeness audit: per string column, how many rows are
+    * NULL and how many are non-null but blank after trim. One pass
+    * (every counter lives in one aggregate row), then a literal
+    * 3-struct explode pivots the row into (column, …) form — no
+    * per-column rescans, no driver loop.
+    */
+  def docColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("text", "lang", "source")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        sum(when(col(c).isNotNull && trim(col(c)) === "", 1L)
+          .otherwise(0L)).as(s"__blank_$c"))
+    }
+    Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
+          col(s"__blank_$c").as("n_blank"))): _*)).as("__p"))
+      .select(col("__p.column").as("column"), col("n_rows"),
+        col("__p.n_null").as("n_null"), col("__p.n_blank").as("n_blank"),
+        expr("(__p.n_null * 1000000) div nullif(n_rows, 0)")
+          .as("null_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q215_doc_column_profile" -> docColumnProfile,
     "q203_packing_waste" -> packingWasteQ,
     "q204_crawl_delta" -> crawlDeltaQ,
     "q205_postings_skew" -> postingsSkewQ,
@@ -1520,6 +1546,28 @@ object LlmQueries {
       .mkString("CASE ", " ", s" ELSE ${Retrieval.DfBucketFloors.head} END")
 
   val oracles: Map[String, String] = Map(
+    // q215: same one-pass counters, rows via UNION ALL
+    "q215_doc_column_profile" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL AND trim(text) = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ln,
+        |    CAST(SUM(CASE WHEN lang IS NOT NULL AND trim(lang) = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS lb,
+        |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sn,
+        |    CAST(SUM(CASE WHEN source IS NOT NULL AND trim(source) = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS sb
+        |  FROM documents)
+        |SELECT 'text' AS column, n_rows, tn AS n_null, tb AS n_blank,
+        |  (tn * 1000000) // NULLIF(n_rows, 0) AS null_ppm FROM a
+        |UNION ALL SELECT 'lang', n_rows, ln, lb,
+        |  (ln * 1000000) // NULLIF(n_rows, 0) FROM a
+        |UNION ALL SELECT 'source', n_rows, sn, sb,
+        |  (sn * 1000000) // NULLIF(n_rows, 0) FROM a""".stripMargin,
     // q203: same ceil-div padding model per (doc, bin), integer ppm
     "q203_packing_waste" ->
       s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS tok

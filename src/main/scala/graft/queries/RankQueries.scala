@@ -446,6 +446,35 @@ object RankQueries {
       .select(col("id").as("item"), col("hub_micro"), col("auth_micro"))
   }
 
+  /** Event-stream contract audit (q216) — the one-row range/shape gate
+    * an ingest pipeline runs before anything downstream trusts the
+    * batch: NULL users, negative values, timestamps outside the
+    * expected window, unknown event types, and clicks whose props
+    * payload is missing the item key. The item probe is the SAME
+    * regexp both engines use for extraction (equality against '', not
+    * a cast — DuckDB raises on CAST('' AS BIGINT), Spark nulls), so
+    * the counters agree bit-for-bit. One map-side-combined aggregate
+    * over the scan; nothing shuffles but eight counters.
+    */
+  def eventContractAudit(s: SparkSession, dir: String): DataFrame = {
+    val known = Seq("view", "click", "purchase", "signup", "error")
+    Tables.events(s, dir)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .as("n_null_user"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L))
+          .as("n_negative_value"),
+        sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+            col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("n_ts_out_of_range"),
+        sum(when(!col("event_type").isin(known: _*), 1L).otherwise(0L))
+          .as("n_unknown_type"),
+        sum(when(col("event_type") === "click" &&
+            (col("props").isNull ||
+              regexp_extract(col("props"), "\"k\": (-?\\d+)", 1) === ""),
+            1L).otherwise(0L)).as("n_click_missing_item"))
+  }
+
   /** Weekly retention cohort matrix (q209) — the classic activation
     * triangle: users cohorted by their FIRST active week (any event
     * type), counted in every (cohort_week, weeks-since) cell they were
@@ -1667,7 +1696,8 @@ object RankQueries {
     "q209_retention_cohorts" -> retentionCohorts,
     "q210_activity_streaks" -> activityStreaks,
     "q211_rfm_segments" -> rfmSegments,
-    "q212_session_reciprocity" -> sessionReciprocity)
+    "q212_session_reciprocity" -> sessionReciprocity,
+    "q216_event_contract" -> eventContractAudit)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -2189,6 +2219,24 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     // q208: the HITS recurrence unrolled round for round, same unit
     "q208_hits" -> hitsOracleSql(4, 1000000L),
+    // q216: identical regexp probe on both engines, '' equality (never
+    // a cast — DuckDB raises on CAST('' AS BIGINT))
+    "q216_event_contract" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_user,
+        |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_negative_value,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+        |      OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ts_out_of_range,
+        |  CAST(SUM(CASE WHEN event_type NOT IN
+        |      ('view', 'click', 'purchase', 'signup', 'error')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_type,
+        |  CAST(SUM(CASE WHEN event_type = 'click' AND (props IS NULL
+        |      OR regexp_extract(props, '"k": (-?\d+)', 1) = '')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_click_missing_item
+        |FROM events""".stripMargin,
     // q209: distinct user-week substrate makes COUNT(*) the distinct-
     // user count per cell
     "q209_retention_cohorts" ->

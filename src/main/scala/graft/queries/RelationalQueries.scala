@@ -940,7 +940,77 @@ object RelationalQueries {
         expr("(n_orders * 1000000) div __t").as("share_ppm"))
   }
 
+  /** Referential-integrity orphan audit (q213) — the first data-quality
+    * gate a 100 TB lake runs after every load: for each child→parent
+    * foreign key, how many child rows reference a missing parent.
+    * Each relation is one LEFT ANTI join against the distinct parent
+    * keys (never a row product; the parent key sets are
+    * dimension-bounded and AQE broadcasts them when small) plus two
+    * 1-row aggregates crossJoined back — counts stay exact integers
+    * with an integer-`div` ppm.
+    */
+  def referentialOrphans(s: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.select(col(childKey).as("__k"))
+        .join(parent.select(col(parentKey).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(label).as("relation"), col("n_child"),
+          col("n_orphans"),
+          expr("(n_orphans * 1000000) div nullif(n_child, 0)")
+            .as("orphan_ppm"))
+    }
+    val li = Tables.lineitem(s, dir)
+    audit("lineitem->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("lineitem->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"))
+      .unionByName(audit("orders->customer", Tables.orders(s, dir),
+        "o_custkey", Tables.customer(s, dir), "c_custkey"))
+  }
+
+  /** Order-total consistency audit (q214) — does the order header's
+    * `o_totalprice` equal the sum of its lineitems' charges
+    * (`extendedprice · (1−discount) · (1+tax)`)? Everything runs at
+    * scale-10 integer units: the DECIMAL product of scale 2+4+4 has at
+    * most 10 fractional digits, so `charge · 10^10` is an INTEGRAL
+    * decimal on both engines and the BIGINT cast is exact — no
+    * float rounding, no half-up-vs-truncate divergence. One order-keyed
+    * aggregate + one key join; the summary is exact match/mismatch
+    * counts and the worst absolute gap.
+    */
+  def orderTotalConsistency(s: SparkSession, dir: String): DataFrame = {
+    val e10 = "10000000000"
+    val charge = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(5,4)") -
+            col("l_discount").cast("decimal(5,4)")) *
+          (lit(1).cast("decimal(5,4)") +
+            col("l_tax").cast("decimal(5,4)"))).as("__charge"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr(s"cast(sum(__charge) * $e10 as bigint)").as("charge_e10"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr(s"cast(cast(o_totalprice as decimal(18,2)) * $e10 " +
+          "as bigint)").as("total_e10"))
+      .join(charge, col("o_orderkey") === col("l_orderkey"), "left")
+      .select((col("total_e10") - coalesce(col("charge_e10"), lit(0L)))
+        .as("__diff"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("__diff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("__diff") =!= 0L, 1L).otherwise(0L)).as("n_mismatch"),
+        max(abs(col("__diff"))).as("max_abs_diff_e10"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_referential_orphans" -> referentialOrphans,
+    "q214_order_consistency" -> orderTotalConsistency,
     "q197_benford" -> benfordDigits,
     "q193_association_rules" -> associationRules,
     "q60_top_events" -> topEvents,
@@ -998,6 +1068,66 @@ object RelationalQueries {
     "user_fluctuate_ratio")
 
   val oracles: Map[String, String] = Map(
+    // q213: one NOT-IN-style anti per foreign key, scalar-count rows
+    "q213_referential_orphans" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_orphans,
+        |  ((SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |   * 1000000) // NULLIF((SELECT COUNT(*) FROM lineitem), 0)
+        |    AS orphan_ppm
+        |UNION ALL SELECT 'lineitem->part',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                       WHERE p.p_partkey = l.l_partkey)),
+        |  ((SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                       WHERE p.p_partkey = l.l_partkey))
+        |   * 1000000) // NULLIF((SELECT COUNT(*) FROM lineitem), 0)
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier sp
+        |                       WHERE sp.s_suppkey = l.l_suppkey)),
+        |  ((SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier sp
+        |                       WHERE sp.s_suppkey = l.l_suppkey))
+        |   * 1000000) // NULLIF((SELECT COUNT(*) FROM lineitem), 0)
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)),
+        |  ((SELECT COUNT(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |   * 1000000) // NULLIF((SELECT COUNT(*) FROM orders), 0)""".stripMargin,
+    // q214: the scale-10 integral-decimal device — charge*10^10 is
+    // integral (scale 2+4+4), so the BIGINT cast is exact, not rounded
+    "q214_order_consistency" ->
+      """WITH ch AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) *
+        |      (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))))
+        |      * 10000000000 AS BIGINT) AS charge_e10
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * 10000000000 AS BIGINT)
+        |    - COALESCE(charge_e10, 0) AS diff
+        |  FROM orders LEFT JOIN ch ON o_orderkey = l_orderkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(SUM(CASE WHEN diff <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch,
+        |  CAST(MAX(ABS(diff)) AS BIGINT) AS max_abs_diff_e10
+        |FROM d""".stripMargin,
     // q197: leading digit of the exact cents rendering, exact ppm share
     "q197_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(

@@ -538,6 +538,34 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("data-quality audits: orphan totals equal the table counts (the " +
+    "fixture is referentially intact), consistency partitions every " +
+    "order, the contract audit's counters partition sanely") {
+    graft.core.CacheScope.scoped {
+      val orphans = SparkEntry.queries("q213_referential_orphans")(
+        spark, sfDir).as[(String, Long, Long, Long)].collect()
+      assert(orphans.length == 4)
+      val nLi = graft.core.Tables.lineitem(spark, sfDir).count()
+      val nOrd = graft.core.Tables.orders(spark, sfDir).count()
+      for ((rel, nChild, nOrph, ppm) <- orphans) {
+        assert(nChild == (if (rel.startsWith("lineitem")) nLi else nOrd))
+        assert(nOrph == 0L && ppm == 0L,
+          s"$rel: the fixture is referentially intact, got $nOrph orphans")
+      }
+      val (nOrders, nExact, nMismatch, maxDiff) =
+        SparkEntry.queries("q214_order_consistency")(spark, sfDir)
+          .as[(Long, Long, Long, Long)].head()
+      assert(nOrders == nOrd && nExact + nMismatch == nOrders)
+      assert(maxDiff >= 0L)
+      val c = SparkEntry.queries("q216_event_contract")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+      val nEvents = graft.core.Tables.events(spark, sfDir).count()
+      assert(c._1 == nEvents)
+      assert(Seq(c._2, c._3, c._4, c._5, c._6)
+        .forall(v => v >= 0L && v <= nEvents))
+    }
+  }
+
   test("PageRank redistributeDangling conserves total mass up to integer " +
     "truncation and stays bit-identical under partitioning") {
     // A→B, B→A, A→C; C dangles. With redistribution, C's damped mass is
