@@ -986,7 +986,54 @@ object LlmQueries {
           .as("null_ppm"))
   }
 
+  /** Collocation mining by lift (q217) — the tokenizer/merge-rule
+    * analyst's view of the corpus: the top-50 adjacent bigrams ranked
+    * by `lift = N · c_xy / (c_x · c_y)` (how much more often the pair
+    * co-occurs than independence predicts). PMI is `log` of this —
+    * monotone, so the ranking is identical while the score stays ONE
+    * IEEE division of exact integers (`log` is only correctly-rounded
+    * per libm and can differ in the last ulp across engines). Bigram
+    * substrate is the non-distinct w=2 shingle relation (multiplicity
+    * matters for counts); rare-pair noise is floored at `minCount`.
+    * Deterministic total order (lift desc, bigram) → the global top-50
+    * lowers to TakeOrderedAndProject, never a full sort.
+    *
+    * 100 TB posture: two token-keyed aggregates (unigrams, bigrams),
+    * two narrow joins of the bigram relation against the unigram
+    * counts, one bounded top-k. The corpus crosses the shuffle as
+    * (token, count) pairs only.
+    */
+  def collocations(s: SparkSession, dir: String,
+                   k: Int = 50, minCount: Long = 5L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toked = docs.select(posexplode(
+      TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val uni = toked.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_tokens"))
+    val bi = graft.llm.Dedup.shingles(docs, 2, distinct = false)
+      .filter(col("shingle").isNotNull)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      // substring_index, not split(...)(1): the join pushes derived
+      // key predicates below the shingle-completeness filter, where a
+      // 1-token shingle makes the ANSI array index error; this form is
+      // total on any input
+      .withColumn("__x", substring_index(col("shingle"), " ", 1))
+      .withColumn("__y", substring_index(col("shingle"), " ", -1))
+    bi.join(uni.select(col("tok").as("__x"), col("c").as("c_x")), Seq("__x"))
+      .join(uni.select(col("tok").as("__y"), col("c").as("c_y")), Seq("__y"))
+      .crossJoin(broadcast(total))
+      .select(col("shingle").as("bigram"), col("c_xy"), col("c_x"),
+        col("c_y"),
+        ((col("n_tokens") * col("c_xy")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q217_collocations" -> ((s: SparkSession, d: String) =>
+      collocations(s, d)),
     "q215_doc_column_profile" -> docColumnProfile,
     "q203_packing_waste" -> packingWasteQ,
     "q204_crawl_delta" -> crawlDeltaQ,
@@ -1546,6 +1593,26 @@ object LlmQueries {
       .mkString("CASE ", " ", s" ELSE ${Retrieval.DfBucketFloors.head} END")
 
   val oracles: Map[String, String] = Map(
+    // q217: the q75 bigram device; lift stays one double division of
+    // exact integers (PMI's log is monotone — same ranking, no libm)
+    "q217_collocations" ->
+      s"""WITH tb AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(w) AS tok FROM tb) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+        |bi AS (SELECT w[i] AS x, w[i + 1] AS y,
+        |         w[i] || ' ' || w[i + 1] AS bigram
+        |       FROM tb, UNNEST(range(1, len(w))) AS s(i)),
+        |cb AS (SELECT bigram, MIN(x) AS x, MIN(y) AS y,
+        |         CAST(COUNT(*) AS BIGINT) AS c_xy
+        |       FROM bi GROUP BY 1 HAVING COUNT(*) >= 5),
+        |sc AS (SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+        |         CAST(n_tokens * c_xy AS DOUBLE) /
+        |           CAST(ux.c * uy.c AS DOUBLE) AS lift
+        |       FROM cb JOIN uni ux ON cb.x = ux.tok
+        |       JOIN uni uy ON cb.y = uy.tok CROSS JOIN tot)
+        |SELECT bigram, c_xy, c_x, c_y, lift FROM sc
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
     // q215: same one-pass counters, rows via UNION ALL
     "q215_doc_column_profile" ->
       """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

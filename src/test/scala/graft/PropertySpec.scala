@@ -27,6 +27,40 @@ class PropertySpec extends AnyFunSuite {
   private val asciiStr: Gen[String] =
     Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
 
+  test("floor-formula quintile law (q211): for any n >= 5, every rank " +
+    "maps into 1..5, buckets are monotone in rank, and each bucket " +
+    "holds n/5 or n/5+1 rows — the balance claim NTILE would break") {
+    holds(Prop.forAll(Gen.choose(5, 100000)) { (n: Int) =>
+      def bucket(rn: Long): Long = ((rn - 1) * 5) / n + 1
+      val sizes = (1L to n.toLong).groupBy(bucket).view.mapValues(_.size)
+      sizes.keys.forall(b => b >= 1L && b <= 5L) &&
+        (1L until n.toLong).forall(r => bucket(r) <= bucket(r + 1)) &&
+        sizes.values.forall(c => c == n / 5 || c == n / 5 + 1)
+    }, "quintile balance")
+  }
+
+  test("ceil-div packing law (q203): seqs·len bounds the token count " +
+    "from above and (seqs−1)·len from below — the exactness the waste " +
+    "ppm rides on") {
+    holds(Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(1L, 8192L)) {
+      (tok: Long, len: Long) =>
+        val seqs = (tok + len - 1) / len
+        seqs * len >= tok && (tok == 0L || (seqs - 1) * len < tok)
+    }, "ceil-div packing")
+  }
+
+  test("df bucket ladder law (q205): the selected floor is the highest " +
+    "power of two <= df (capped at 2^20) — bit-length semantics from " +
+    "a CASE ladder") {
+    import graft.llm.Retrieval.DfBucketFloors
+    holds(Prop.forAll(Gen.choose(1L, 100000000L)) { (df: Long) =>
+      val ladder = DfBucketFloors.filter(_ <= df).max
+      val expect = math.min(java.lang.Long.highestOneBit(df),
+        DfBucketFloors.last)
+      ladder == expect
+    }, "df ladder")
+  }
+
   test("fingerprint composition law: fp(a ++ b) == fp(a)·31^|b| + fp(b) " +
     "(mod 2^57) — the identity the gram folds and incremental hashing " +
     "lean on") {
