@@ -55,7 +55,13 @@ object DumpPlans {
     "q134_idle_rich_customers" -> "1-row balance aggregate broadcast, recency predicate pushed into the orders scan, hash LeftAnti",
     "q136_zorder_key" -> "Morton interleave as pure integer row expressions — the scan is the plan",
     "q137_session_detail" -> "ONE user-key exchange serves the lag window, the running-sum window, and the (user, session) aggregate",
-    "q138_pagerank" -> "per-round edge-vs-ranks key join + map-side dst sum + vertex left join; lineage truncated per round (checkpoint leaves in the plan)")
+    "q138_pagerank" -> "per-round edge-vs-ranks key join + map-side dst sum + vertex left join; lineage truncated per round (checkpoint leaves in the plan)",
+    "q206_winsorized_lengths" -> "per-source rank through the two-phase __pid windows; quantile rows picked by rank-key equi-joins on the bounded counts relation, clamp+mean one more grouped aggregate",
+    "q207_coverage_curve" -> "global vocabulary rank + running mass through the two-phase devices; three literal V rows join the bounded rank relation — the corpus crosses the shuffle as (token, count) only",
+    "q208_hits" -> "per-round auth/hub propagation as edge-keyed joins, 1-row L1 normalizers broadcast back via the crossJoin idiom, per-round localCheckpoint leaves",
+    "q211_rfm_segments" -> "three chained two-phase global ranks over the customer aggregate (__pid windows); one <=125-row segment aggregate",
+    "q213_referential_orphans" -> "ONE fact scan checks all three lineitem foreign keys: presence-flag left joins (dims broadcast, orders key-shuffled) into one counter aggregate, rows via literal-struct explode",
+    "q217_collocations" -> "unigram/bigram token-keyed aggregates, bounded lift join, global top-50 as TakeOrderedAndProject — never a full sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -943,35 +943,59 @@ object RelationalQueries {
   /** Referential-integrity orphan audit (q213) — the first data-quality
     * gate a 100 TB lake runs after every load: for each child→parent
     * foreign key, how many child rows reference a missing parent.
-    * Each relation is one LEFT ANTI join against the distinct parent
-    * keys (never a row product; the parent key sets are
-    * dimension-bounded and AQE broadcasts them when small) plus two
-    * 1-row aggregates crossJoined back — counts stay exact integers
-    * with an integer-`div` ppm.
+    *
+    * Single-pass layout: the fact table is scanned ONCE and all three
+    * of its foreign keys check in that pass — three LEFT joins against
+    * the distinct parent keys tagged with a presence flag, then one
+    * aggregate of missing-flag counters (a membership probe, never a
+    * row product; the dimension key sets broadcast, the orders join
+    * shuffles on its key). The naive per-relation anti-join form costs
+    * three fact scans and three shuffles — at 100 TB that is the whole
+    * audit's budget. The counters row then explodes into the
+    * per-relation rows; orders→customer is one more narrow pass over
+    * the (much smaller) orders table. Exact integers, integer-`div`
+    * ppm.
     */
   def referentialOrphans(s: SparkSession, dir: String): DataFrame = {
-    def audit(label: String, child: DataFrame, childKey: String,
-              parent: DataFrame, parentKey: String): DataFrame = {
-      val total = child.agg(count(lit(1)).as("n_child"))
-      val orphans = child.select(col(childKey).as("__k"))
-        .join(parent.select(col(parentKey).as("__k")).distinct(),
-          Seq("__k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      total.crossJoin(orphans)
-        .select(lit(label).as("relation"), col("n_child"),
-          col("n_orphans"),
-          expr("(n_orphans * 1000000) div nullif(n_child, 0)")
-            .as("orphan_ppm"))
-    }
-    val li = Tables.lineitem(s, dir)
-    audit("lineitem->orders", li, "l_orderkey",
-        Tables.orders(s, dir), "o_orderkey")
-      .unionByName(audit("lineitem->part", li, "l_partkey",
-        Tables.part(s, dir), "p_partkey"))
-      .unionByName(audit("lineitem->supplier", li, "l_suppkey",
-        Tables.supplier(s, dir), "s_suppkey"))
-      .unionByName(audit("orders->customer", Tables.orders(s, dir),
-        "o_custkey", Tables.customer(s, dir), "c_custkey"))
+    def flag(parent: DataFrame, key: String): DataFrame =
+      parent.select(col(key)).distinct().withColumn(s"__has_$key", lit(1L))
+    val liCounts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(flag(Tables.orders(s, dir), "o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(flag(Tables.part(s, dir), "p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(flag(Tables.supplier(s, dir), "s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(count(lit(1)).as("n_li"),
+        sum(when(col("__has_o_orderkey").isNull, 1L).otherwise(0L))
+          .as("__orph_o"),
+        sum(when(col("__has_p_partkey").isNull, 1L).otherwise(0L))
+          .as("__orph_p"),
+        sum(when(col("__has_s_suppkey").isNull, 1L).otherwise(0L))
+          .as("__orph_s"))
+    val ordCounts = Tables.orders(s, dir)
+      .join(broadcast(flag(Tables.customer(s, dir), "c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_ord"),
+        sum(when(col("__has_c_custkey").isNull, 1L).otherwise(0L))
+          .as("__orph_c"))
+    liCounts.crossJoin(ordCounts)
+      .select(explode(array(
+        struct(lit("lineitem->orders").as("relation"),
+          col("n_li").as("n_child"), col("__orph_o").as("n_orphans")),
+        struct(lit("lineitem->part").as("relation"),
+          col("n_li").as("n_child"), col("__orph_p").as("n_orphans")),
+        struct(lit("lineitem->supplier").as("relation"),
+          col("n_li").as("n_child"), col("__orph_s").as("n_orphans")),
+        struct(lit("orders->customer").as("relation"),
+          col("n_ord").as("n_child"), col("__orph_c").as("n_orphans"))))
+        .as("__r"))
+      .select(col("__r.relation").as("relation"),
+        col("__r.n_child").as("n_child"),
+        col("__r.n_orphans").as("n_orphans"),
+        expr("(__r.n_orphans * 1000000) div nullif(__r.n_child, 0)")
+          .as("orphan_ppm"))
   }
 
   /** Order-total consistency audit (q214) — does the order header's
