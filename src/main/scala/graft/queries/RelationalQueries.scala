@@ -1032,7 +1032,79 @@ object RelationalQueries {
         max(abs(col("__diff"))).as("max_abs_diff_e10"))
   }
 
+  /** Join pre-flight cardinality audit (q218) — predict a join's output
+    * size BEFORE running it, from per-key counts alone: for an
+    * equi-join, `|A ⋈ B| = Σ_k c_A(k)·c_B(k)` exactly. At 100 TB this
+    * one cheap aggregate pass is the difference between noticing a
+    * quadratic blowup in a dashboard and discovering it as a dead
+    * executor: the audit costs two key-count aggregates (map-side
+    * combined) and a key join of the two count relations — the fact
+    * rows themselves never join. Two joins the suite actually runs are
+    * audited: the co-click SELF-join behind the q159/q163/q164 graph
+    * substrate (predicted pairs = Σ c·(c−1), both directions, no
+    * self-pairs) and the lineitem⋈orders key join. `amp_ppm` is
+    * predicted-output-per-larger-input in exact integer ppm — the
+    * blowup factor.
+    */
+  def joinPreflight(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val cc = clicks.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_left"), sum(col("c")).as("n_right"),
+        count(lit(1)).as("n_keys"), max(col("c")).as("max_key_left"),
+        max(col("c")).as("max_key_right"),
+        sum(col("c") * (col("c") - 1)).as("predicted_rows"))
+      .select(lit("coclick_self").as("join_name"), col("*"))
+    val li = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cl"))
+    val ord = Tables.orders(s, dir).groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("cr"))
+    val lo = li.join(ord, col("l_orderkey") === col("o_orderkey"), "full")
+      .agg(sum(coalesce(col("cl"), lit(0L))).as("n_left"),
+        sum(coalesce(col("cr"), lit(0L))).as("n_right"),
+        count(lit(1)).as("n_keys"),
+        max(coalesce(col("cl"), lit(0L))).as("max_key_left"),
+        max(coalesce(col("cr"), lit(0L))).as("max_key_right"),
+        sum(coalesce(col("cl"), lit(0L)) * coalesce(col("cr"), lit(0L)))
+          .as("predicted_rows"))
+      .select(lit("lineitem_orders").as("join_name"), col("*"))
+    cc.unionByName(lo)
+      .withColumn("amp_ppm",
+        expr("(predicted_rows * 1000000) div " +
+          "nullif(greatest(n_left, n_right), 0)"))
+  }
+
+  /** Equi-depth histogram of order totals (q219) — the engine-statistics
+    * summary an optimizer sizes predicates with, built the scale-correct
+    * way: exact cents rank through the two-phase
+    * [[graft.ops.Scale.groupedRankOrdered]] (no single-task global
+    * window), bucket by the q211 floor formula `((rn−1)·B) div n`
+    * (depths balanced within one, never NTILE), then per-bucket
+    * count/min/max. Eight buckets over the exact DECIMAL-cents
+    * rendering — edges are data values, not float interpolations.
+    */
+  def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val B = 8
+    val cents = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val withN = graft.core.CacheScope.track(cents.persist())
+    val n = withN.count()
+    graft.ops.Scale.groupedRankOrdered(withN, Seq.empty,
+        Seq("cents", "o_orderkey"), "__rn")
+      .withColumn("bucket", expr(s"((__rn - 1) * $B) div ${n}L"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_join_preflight" -> joinPreflight,
+    "q219_equidepth_hist" -> equiDepthHistogram,
     "q213_referential_orphans" -> referentialOrphans,
     "q214_order_consistency" -> orderTotalConsistency,
     "q197_benford" -> benfordDigits,
@@ -1092,6 +1164,54 @@ object RelationalQueries {
     "user_fluctuate_ratio")
 
   val oracles: Map[String, String] = Map(
+    // q218: |A join B| = sum over keys of c_A*c_B, exactly
+    "q218_join_preflight" ->
+      """WITH cl AS (SELECT DISTINCT user_id,
+        |      CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)
+        |        AS item
+        |    FROM events WHERE event_type = 'click'
+        |      AND regexp_extract(props, '"k": (-?\d+)', 1) <> ''),
+        |uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM cl GROUP BY 1),
+        |cc AS (SELECT 'coclick_self' AS join_name,
+        |    CAST(SUM(c) AS BIGINT) AS n_left,
+        |    CAST(SUM(c) AS BIGINT) AS n_right,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(c) AS BIGINT) AS max_key_left,
+        |    CAST(MAX(c) AS BIGINT) AS max_key_right,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS predicted_rows
+        |  FROM uc),
+        |lc AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c2
+        |    FROM lineitem GROUP BY 1),
+        |oc AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr
+        |    FROM orders GROUP BY 1),
+        |lo AS (SELECT 'lineitem_orders' AS join_name,
+        |    CAST(SUM(COALESCE(c2, 0)) AS BIGINT) AS n_left,
+        |    CAST(SUM(COALESCE(cr, 0)) AS BIGINT) AS n_right,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(COALESCE(c2, 0)) AS BIGINT) AS max_key_left,
+        |    CAST(MAX(COALESCE(cr, 0)) AS BIGINT) AS max_key_right,
+        |    CAST(SUM(COALESCE(c2, 0) * COALESCE(cr, 0)) AS BIGINT)
+        |      AS predicted_rows
+        |  FROM lc FULL OUTER JOIN oc USING (k)),
+        |u AS (SELECT * FROM cc UNION ALL SELECT * FROM lo)
+        |SELECT join_name, n_left, n_right, n_keys, max_key_left,
+        |  max_key_right, predicted_rows,
+        |  (predicted_rows * 1000000) //
+        |    NULLIF(GREATEST(n_left, n_right), 0) AS amp_ppm
+        |FROM u""".stripMargin,
+    // q219: same rank + q211 floor bucket; edges are data values
+    "q219_equidepth_hist" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents FROM orders),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn FROM c)
+        |SELECT ((rn - 1) * 8) // n AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        |FROM r CROSS JOIN n GROUP BY 1""".stripMargin,
     // q213: one NOT-IN-style anti per foreign key, scalar-count rows
     "q213_referential_orphans" ->
       """SELECT 'lineitem->orders' AS relation,

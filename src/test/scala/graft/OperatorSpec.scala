@@ -566,6 +566,41 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("join pre-flight: the predicted cardinalities EQUAL the actual " +
+    "join outputs (the audit is exact, not an estimate); equi-depth " +
+    "buckets are balanced within one with monotone edges") {
+    graft.core.CacheScope.scoped {
+      val rows = SparkEntry.queries("q218_join_preflight")(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> r).toMap
+      val clicks = graft.core.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull).distinct()
+      val actualCc = clicks.alias("a")
+        .join(clicks.alias("b"), Seq("user_id"))
+        .filter(col("a.item") =!= col("b.item")).count()
+      assert(rows("coclick_self")._7 == actualCc,
+        s"predicted ${rows("coclick_self")._7} != actual $actualCc")
+      val actualLo = graft.core.Tables.lineitem(spark, sfDir)
+        .join(graft.core.Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(rows("lineitem_orders")._7 == actualLo)
+    }
+    graft.core.CacheScope.scoped {
+      val h = SparkEntry.queries("q219_equidepth_hist")(spark, sfDir)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(h.length == 8 && h.map(_._1).toSeq == (0L to 7L))
+      val n = h.map(_._2).sum
+      assert(h.forall(b => b._2 == n / 8 || b._2 == n / 8 + 1),
+        s"depths must balance within one: ${h.map(_._2).toSeq}")
+      assert(h.sliding(2).forall { case Array(a, b) => a._4 <= b._3 },
+        "bucket edges must be monotone non-overlapping")
+      assert(h.forall(b => b._3 <= b._4))
+    }
+  }
+
   test("PageRank redistributeDangling conserves total mass up to integer " +
     "truncation and stays bit-identical under partitioning") {
     // A→B, B→A, A→C; C dangles. With redistribution, C's damped mass is

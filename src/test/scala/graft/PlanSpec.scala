@@ -701,6 +701,20 @@ class PlanSpec extends SparkSpecBase {
     spark.sqlContext.clearCache()
   }
 
+  test("q219 equi-depth histogram: the cents rank is the two-phase " +
+    "form — row_number windows partition on __pid, the order universe " +
+    "never funnels through one task") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q219_equidepth_hist")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    val rnLines = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
+      s"the rank must be partition-local:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
   test("q208 HITS: per-round propagation is edge-keyed joins — no " +
     "cartesian product; the only nested-loop joins are the broadcast " +
     "1-row normalizers") {
