@@ -475,6 +475,29 @@ object RankQueries {
             1L).otherwise(0L)).as("n_click_missing_item"))
   }
 
+  /** Salted hot-key aggregation, oracle-checked (q220) — the q176 skew
+    * report's REMEDY as a same-answer-different-plan entry: per event
+    * type (five keys over millions of rows — exactly the
+    * single-group-is-the-bottleneck shape), exact count and DECIMAL-
+    * cents sum through [[graft.ops.Scale.saltedAgg]]'s two phases
+    * (group on (key, salt-of-row-content) with map-side combine, then
+    * merge ≤ salts partials per key). The oracle is the direct
+    * single-phase GROUP BY — equality IS the salting correctness
+    * claim, checked on real data; cents are integral DECIMAL so the
+    * split-and-merge cannot lose a bit.
+    */
+  def saltedTypeTotals(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scale.saltedAgg(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+            .as("__cents")),
+        col("event_type"), salts = 16,
+        Seq("n_events" -> (count(lit(1)), (p: String) => sum(col(p))),
+          "sum_cents" -> (sum(col("__cents")),
+            (p: String) => sum(col(p)))))
+      .select(col("key").as("event_type"), col("n_events"),
+        col("sum_cents"))
+
   /** Weekly retention cohort matrix (q209) — the classic activation
     * triangle: users cohorted by their FIRST active week (any event
     * type), counted in every (cohort_week, weeks-since) cell they were
@@ -1697,7 +1720,8 @@ object RankQueries {
     "q210_activity_streaks" -> activityStreaks,
     "q211_rfm_segments" -> rfmSegments,
     "q212_session_reciprocity" -> sessionReciprocity,
-    "q216_event_contract" -> eventContractAudit)
+    "q216_event_contract" -> eventContractAudit,
+    "q220_salted_totals" -> saltedTypeTotals)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -2219,6 +2243,13 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     // q208: the HITS recurrence unrolled round for round, same unit
     "q208_hits" -> hitsOracleSql(4, 1000000L),
+    // q220: the direct single-phase GROUP BY — equality with the
+    // salted two-phase plan IS the correctness claim
+    "q220_salted_totals" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // q216: identical regexp probe on both engines, '' equality (never
     // a cast — DuckDB raises on CAST('' AS BIGINT))
     "q216_event_contract" ->
