@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Document-count bound under which the per-document `sizes` relation
+    * may carry an explicit broadcast hint. An UNCONDITIONAL hint on a
+    * per-document relation is an executor OOM at 10⁹ docs (a hint
+    * overrides AQE's thresholds); leaving it entirely to AQE pays the
+    * big side's shuffle materialization before the runtime conversion
+    * to broadcast (~2× on the verify joins at bench scale). The gate
+    * takes both: a MEASURED bound ≤ 2²⁰ (≈ 24 MB of (id, sz) rows —
+    * far under the 8 GB broadcast cap and any executor budget) hints;
+    * anything larger joins unhinted and AQE decides. The measurement is
+    * FREE: each lens already counts its cached shingle relation to
+    * materialize it, and shingle rows ≥ docs, so that count is a
+    * conservative upper bound on the doc count — a mid-size corpus
+    * whose shingles exceed the bound merely joins unhinted, which AQE
+    * handles.
+    */
+  val MaxBroadcastDocs: Long = 1L << 20
+
+  private def hintIfBounded(sizes: DataFrame, nDocs: Long,
+                            bound: Long): DataFrame =
+    if (nDocs <= bound) broadcast(sizes) else sizes
+
   /** Exact duplicate groups: canonical id = min(id) over identical `text`.
     * One hash shuffle on the text (Spark hashes group keys; at 100 TB group
     * on `xxhash64(text)` first and verify within-group to keep shuffle rows
@@ -499,7 +520,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int, tau: Double,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        maxBroadcastDocs: Long = MaxBroadcastDocs)
+  : DataFrame = {
     // the shingle set feeds three subplans (sizes + both join sides):
     // persist so the tokenize/shingle pass runs once (SURVEY §4.1
     // shared-subplan reuse — Spark recomputes per use otherwise).
@@ -507,19 +530,26 @@ object Dedup {
     // caller's CacheScope after its action (or clearCache outside one)
     val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
       .filter(col("shingle").isNotNull).persist())
-    sh.count() // eager: lazy persist would be computed once per join branch
+    // the materializing count doubles as the broadcast gate's bound:
+    // shingle rows >= docs, so it is a FREE conservative upper bound on
+    // the doc count (a mid-size corpus that exceeds it just joins
+    // unhinted and AQE decides)
+    val nDocs = sh.count()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    // sizes is one row PER DOCUMENT — unbounded at corpus scale, so no
-    // broadcast hint (a hint overrides AQE thresholds and would OOM at
-    // 10⁹ docs); AQE still broadcasts when the relation is actually small.
+    // sizes is one row PER DOCUMENT — unbounded at corpus scale, so the
+    // broadcast hint is GATED on a measured bound ([[MaxBroadcastDocs]]):
+    // bounded corpora broadcast (no shuffle of the pair relation),
+    // unbounded ones join unhinted and AQE decides.
     inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(hintIfBounded(sizes.select(col(idCol).as("id_a"),
+        col("sz").as("sz_a")), nDocs, maxBroadcastDocs), "id_a")
+      .join(hintIfBounded(sizes.select(col(idCol).as("id_b"),
+        col("sz").as("sz_b")), nDocs, maxBroadcastDocs), "id_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
@@ -668,13 +698,17 @@ object Dedup {
                        tauNum: Int, tauDen: Int,
                        maxShingleDf: Int = Int.MaxValue,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       maxBroadcastDocs: Long = MaxBroadcastDocs)
+  : DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
     require(maxShingleDf >= 1, s"maxShingleDf must be >= 1: $maxShingleDf")
     val shAll = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
       .filter(col("shingle").isNotNull).persist())
-    shAll.count() // eager: feeds sizes and both join sides
+    // materializing count = free conservative doc-count upper bound
+    // for the broadcast gate (shingle rows >= docs)
+    val nDocs = shAll.count()
     val sh =
       if (maxShingleDf == Int.MaxValue) shAll
       else {
@@ -696,12 +730,13 @@ object Dedup {
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      // per-document relation: never hint broadcast (OOM at corpus scale —
-      // a hint overrides AQE); AQE picks broadcast when it actually fits
-      .join(sizes.select(col(idCol).as("id_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"),
-        col("sz").as("sz_b")), "id_b")
+      // per-document relation: the hint is gated on a measured count
+      // ([[MaxBroadcastDocs]]) — bounded corpora broadcast, unbounded
+      // ones join unhinted and AQE decides
+      .join(hintIfBounded(sizes.select(col(idCol).as("id_a"),
+        col("sz").as("sz_a")), nDocs, maxBroadcastDocs), "id_a")
+      .join(hintIfBounded(sizes.select(col(idCol).as("id_b"),
+        col("sz").as("sz_b")), nDocs, maxBroadcastDocs), "id_b")
     val ab = inter.filter(col("inter") * tauDen >= col("sz_a") * tauNum)
       .select(col("id_a").as("id_in"), col("id_b").as("id_of"),
         col("inter"), col("sz_a").as("sz_in"))
@@ -738,7 +773,9 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame, w: Int, window: Int,
                               tauNum: Int, tauDen: Int, keyLen: Int = 24,
                               idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text",
+                              maxBroadcastDocs: Long = MaxBroadcastDocs)
+  : DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
     require(window >= 1, s"window must be >= 1: $window")
@@ -755,19 +792,22 @@ object Dedup {
     }.reduce(_ unionByName _)
     val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
       .filter(col("shingle").isNotNull).persist())
-    sh.count() // eager: feeds sizes and both candidate-verify joins
+    // materializing count = free conservative doc-count upper bound
+    // for the broadcast gate (shingle rows >= docs)
+    val nDocs = sh.count()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      // per-document relation: never hint broadcast (OOM at corpus scale —
-      // a hint overrides AQE); AQE picks broadcast when it actually fits
-      .join(sizes.select(col(idCol).as("id_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"),
-        col("sz").as("sz_b")), "id_b")
+      // per-document relation: the hint is gated on a measured count
+      // ([[MaxBroadcastDocs]]) — bounded corpora broadcast, unbounded
+      // ones join unhinted and AQE decides
+      .join(hintIfBounded(sizes.select(col(idCol).as("id_a"),
+        col("sz").as("sz_a")), nDocs, maxBroadcastDocs), "id_a")
+      .join(hintIfBounded(sizes.select(col(idCol).as("id_b"),
+        col("sz").as("sz_b")), nDocs, maxBroadcastDocs), "id_b")
       .filter(col("inter") * tauDen >=
         (col("sz_a") + col("sz_b") - col("inter")) * tauNum)
       .select(col("id_a"), col("id_b"),

@@ -632,28 +632,38 @@ class PlanSpec extends SparkSpecBase {
         s"(deeper in the tree), not above it:\n$p")
   }
 
-  test("dedup lenses never HINT a broadcast of the per-document sizes " +
-    "relation: q29/q185 carry no broadcast hint at all, and q186's only " +
-    "hinted joins are the bounded __pid offset relations — an explicit " +
-    "hint overrides AQE's threshold, so a doc-cardinality hint is an " +
-    "executor OOM at 10^9 docs (AQE may still CHOOSE broadcast when " +
-    "the relation is actually small; the lock is on the hint)") {
-    def optimized(q: String): String = graft.core.CacheScope.scoped {
-      SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.optimizedPlan.toString
-    }
-    for (q <- Seq("q29_jaccard_pairs", "q185_containment_pairs")) {
-      val p = optimized(q)
-      assert(!p.contains("strategy=broadcast"),
-        s"$q must not hint any broadcast — the sizes relation is " +
-          s"per-document:\n$p")
-    }
-    val p186 = optimized("q186_sorted_neighborhood")
+  test("dedup lenses GATE the sizes broadcast hint on a measured doc " +
+    "count: above the bound the per-document relation joins unhinted " +
+    "(an unconditional hint is an executor OOM at 10^9 docs — it " +
+    "overrides AQE's threshold); at or below the bound the hint is on " +
+    "(skipping AQE's pay-the-shuffle-then-convert cost). Both sides of " +
+    "the gate are locked.") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def optimizedOf(df: => org.apache.spark.sql.DataFrame): String =
+      graft.core.CacheScope.scoped { df.queryExecution.optimizedPlan.toString }
+    // 100 TB posture: bound 0 forces the unhinted path — no broadcast
+    // hint anywhere in q29/q185; q186 keeps only its __pid offset hints
+    val p29 = optimizedOf(graft.llm.Dedup.ngramJaccardPairs(
+      docs, w = 3, tau = 0.5, maxBroadcastDocs = 0L))
+    assert(!p29.contains("strategy=broadcast"),
+      s"above the gate, no hint may survive:\n$p29")
+    val p185 = optimizedOf(graft.llm.Dedup.containmentPairs(
+      docs, w = 3, tauNum = 9, tauDen = 10, maxBroadcastDocs = 0L))
+    assert(!p185.contains("strategy=broadcast"),
+      s"above the gate, no hint may survive:\n$p185")
+    val p186 = optimizedOf(graft.llm.Dedup.sortedNeighborhoodPairs(
+      docs, w = 3, window = 3, tauNum = 1, tauDen = 2,
+      maxBroadcastDocs = 0L))
     val hinted = p186.linesIterator
       .filter(_.contains("strategy=broadcast")).toSeq
     assert(hinted.forall(_.contains("__pid")),
-      s"q186 may hint only the bounded per-partition offset joins:\n" +
-        hinted.mkString("\n"))
+      s"above the gate q186 may hint only the bounded __pid offset " +
+        s"joins:\n${hinted.mkString("\n")}")
+    // bounded-corpus path: the gate measures the doc count and hints
+    val pHinted = optimizedOf(graft.llm.Dedup.ngramJaccardPairs(
+      docs, w = 3, tau = 0.5))
+    assert(pHinted.contains("strategy=broadcast"),
+      s"at gate scale (docs <= bound) the sizes join must hint:\n$pHinted")
     spark.sqlContext.clearCache()
   }
 
