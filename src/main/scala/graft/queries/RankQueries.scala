@@ -1191,6 +1191,57 @@ object RankQueries {
         (col("__dev") > lit(3L) * col("mad")).as("anomaly"))
   }
 
+  /** Seasonally-adjusted anomaly days (q221) — q183's robust gate with
+    * q182's weekly rhythm REMOVED first: a strong Saturday is not an
+    * anomaly just because weekends run hot, and a weak Saturday can hide
+    * inside a raw-revenue gate. Per weekday, the LOWER median of daily
+    * cents (rank `(n_dow+1) div 2` under the deterministic (cents, day)
+    * order WITHIN the weekday); the residual `cents − dow_med` then
+    * passes the q183 median/MAD gate (`|residual − med_res| > 3·MAD`),
+    * all in exact BIGINTs — no float seasonal index, no midpoint
+    * rounding.
+    *
+    * 100 TB posture: the fact scan collapses to the calendar-bounded
+    * daily relation before anything else; the per-weekday rank windows
+    * and both global medians run on ≤|days| rows; medians broadcast as
+    * 1-row relations.
+    */
+  def dowAdjustedAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val daily = ordersDailyCents(s, dir)
+      .select(col("day"), col("cents"),
+        pmod(col("day") + 4, lit(7L)).as("dow"))
+      .localCheckpoint()
+    val byDow = Window.partitionBy(col("dow"))
+      .orderBy(col("cents"), col("day"))
+    val nDow = daily.groupBy(col("dow")).agg(count(lit(1)).as("__n"))
+    val dowMed = daily
+      .withColumn("__rn", row_number().over(byDow))
+      .join(broadcast(nDow), Seq("dow"))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("dow"), col("cents").as("dow_med"))
+    val res = daily.join(broadcast(dowMed), Seq("dow"))
+      .withColumn("residual", col("cents") - col("dow_med"))
+    val nRow = res.agg(count(lit(1)).as("__n"))
+    val medRes = res
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("residual"), col("day"))))
+      .crossJoin(broadcast(nRow))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("residual").as("med_res"))
+    val dev = res.crossJoin(broadcast(medRes))
+      .withColumn("__dev", abs(col("residual") - col("med_res")))
+    val mad = dev
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("__dev"), col("day"))))
+      .crossJoin(broadcast(nRow))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("__dev").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("dow"), col("cents"), col("dow_med"),
+        col("residual"), col("med_res"), col("mad"),
+        (col("__dev") > lit(3L) * col("mad")).as("anomaly"))
+  }
+
   /** Last-touch purchase attribution (q184) — every purchase's value is
     * attributed to the item of the user's LATEST click at-or-before the
     * purchase, provided it falls inside a 7-day lookback; purchases with
@@ -1721,7 +1772,8 @@ object RankQueries {
     "q211_rfm_segments" -> rfmSegments,
     "q212_session_reciprocity" -> sessionReciprocity,
     "q216_event_contract" -> eventContractAudit,
-    "q220_salted_totals" -> saltedTypeTotals)
+    "q220_salted_totals" -> saltedTypeTotals,
+    "q221_dow_adjusted_anomaly" -> dowAdjustedAnomalies)
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -2243,6 +2295,37 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     // q208: the HITS recurrence unrolled round for round, same unit
     "q208_hits" -> hitsOracleSql(4, 1000000L),
+    // q221: per-DOW lower median, then the q183 median/MAD gate on the
+    // residuals — exact BIGINTs end to end
+    "q221_dow_adjusted_anomaly" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT day, cents, (day + 4) % 7 AS dow FROM daily),
+        |nd AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |dm AS (SELECT r.dow, cents AS dow_med FROM
+        |    (SELECT dow, cents, ROW_NUMBER() OVER (
+        |       PARTITION BY dow ORDER BY cents, day) AS rn FROM d) r
+        |  JOIN nd ON r.dow = nd.dow WHERE rn = (n + 1) // 2),
+        |res AS (SELECT day, dow, cents, dow_med,
+        |    cents - dow_med AS residual
+        |  FROM d JOIN dm USING (dow)),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM res),
+        |mr AS (SELECT residual AS med_res FROM
+        |    (SELECT residual, day, ROW_NUMBER() OVER (
+        |       ORDER BY residual, day) AS rn FROM res) x CROSS JOIN n1
+        |  WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT res.*, med_res, ABS(residual - med_res) AS dev
+        |  FROM res CROSS JOIN mr),
+        |md AS (SELECT dev AS mad FROM
+        |    (SELECT dev, day, ROW_NUMBER() OVER (
+        |       ORDER BY dev, day) AS rn FROM dv) x CROSS JOIN n1
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT day, dow, cents, dow_med, residual, med_res, mad,
+        |  dev > 3 * mad AS anomaly
+        |FROM dv CROSS JOIN md""".stripMargin,
     // q220: the direct single-phase GROUP BY — equality with the
     // salted two-phase plan IS the correctness claim
     "q220_salted_totals" ->
