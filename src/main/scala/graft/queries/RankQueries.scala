@@ -1590,6 +1590,72 @@ object RankQueries {
       .unionByName(cnt(s3, "purchase", 3L))
   }
 
+  /** K-step window funnel (q222) — [[windowFunnel]] generalized from
+    * the fixed view→click→purchase chain to an ARBITRARY step sequence
+    * (repeats allowed: a step's event must land strictly after the
+    * previous step's, so `…purchase, purchase` means a REPEAT purchase
+    * within the window). Same deterministic min-ts fold: each stage is
+    * one user-keyed aggregate joined to the previous stage's
+    * monotonically-shrinking (user, t_prev, t₁) relation, every later
+    * step bounded by t₁ + W. The oracle is GENERATED from the same step
+    * list, so query and oracle cannot drift.
+    *
+    * The registry entry runs the repeat-buyer funnel
+    * view → click → purchase → purchase under a 7-day deadline.
+    */
+  def windowFunnelSteps(s: SparkSession, dir: String,
+                        steps: Seq[String],
+                        windowMs: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+    val s1 = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("t1"))
+      .withColumn("tprev", col("t1"))
+    val stages = steps.tail.scanLeft(s1) { (prev, step) =>
+      ev.filter(col("event_type") === step).alias("e")
+        .join(prev.alias("p"),
+          col("e.user_id") === col("p.user_id") &&
+            col("e.tsm") > col("p.tprev") &&
+            col("e.tsm") <= col("p.t1") + windowMs)
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.tsm")).as("tprev"), min(col("p.t1")).as("t1"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(i + 1L).as("step_idx"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The q222 oracle, generated from the SAME step list the Spark fold
+    * runs — per stage one min-ts CTE, then one COUNT row per step. */
+  private def funnelStepsOracleSql(steps: Seq[String],
+                                   windowMs: Long): String = {
+    val ctes = steps.tail.zipWithIndex.map { case (st, i) =>
+      val k = i + 2
+      s"""s$k AS (SELECT e.user_id, MIN(e.tsm) AS tprev, MIN(t1) AS t1
+        |  FROM e JOIN s${k - 1} p ON e.user_id = p.user_id
+        |    AND e.tsm > p.tprev AND e.tsm <= p.t1 + $windowMs
+        |  WHERE event_type = '$st' GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT '$st' AS step, CAST(${i + 1} AS BIGINT) AS step_idx, " +
+        s"CAST(COUNT(*) AS BIGINT) AS users FROM s${i + 1}"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm
+      |  FROM events),
+      |s1 AS (SELECT user_id, MIN(tsm) AS t1, MIN(tsm) AS tprev FROM e
+      |  WHERE event_type = '${steps.head}' GROUP BY 1),
+      |$ctes
+      |$selects""".stripMargin
+  }
+
+  private val RepeatBuyerSteps =
+    Seq("view", "click", "purchase", "purchase")
+  private val RepeatBuyerWindowMs = 604800000L
+
   /** EWMA forecast backtest (q199) — does q167's smoother actually
     * predict? Each day's ACTUAL revenue is scored against the forecast
     * the model would have issued the evening before (the PREVIOUS day's
@@ -1773,7 +1839,9 @@ object RankQueries {
     "q212_session_reciprocity" -> sessionReciprocity,
     "q216_event_contract" -> eventContractAudit,
     "q220_salted_totals" -> saltedTypeTotals,
-    "q221_dow_adjusted_anomaly" -> dowAdjustedAnomalies)
+    "q221_dow_adjusted_anomaly" -> dowAdjustedAnomalies,
+    "q222_funnel_k" -> ((s: SparkSession, d: String) =>
+      windowFunnelSteps(s, d, RepeatBuyerSteps, RepeatBuyerWindowMs)))
 
   private val item = "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT)"
 
@@ -2295,6 +2363,9 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     // q208: the HITS recurrence unrolled round for round, same unit
     "q208_hits" -> hitsOracleSql(4, 1000000L),
+    // q222: generated from the same step list as the Spark fold
+    "q222_funnel_k" ->
+      funnelStepsOracleSql(RepeatBuyerSteps, RepeatBuyerWindowMs),
     // q221: per-DOW lower median, then the q183 median/MAD gate on the
     // residuals — exact BIGINTs end to end
     "q221_dow_adjusted_anomaly" ->
