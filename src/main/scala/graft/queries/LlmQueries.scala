@@ -1031,7 +1031,40 @@ object LlmQueries {
       .limit(k)
   }
 
+  /** Stratum-mix contingency audit (q223) — is language independent of
+    * source, or does one crawl skew the mix? Per (lang, source) cell:
+    * the observed count and its ratio to the independence expectation
+    * `n_lang·n_source/N`, as the exact integer
+    * `obs·N·10⁶ div (n_lang·n_source)` — 10⁶ means the cell holds
+    * exactly its independence share; the deviations are the
+    * mix-drift signal a χ² would aggregate (kept per-cell and exact
+    * instead: which stratum drifted matters more than one number).
+    *
+    * 100 TB posture: one map-side-combined pair aggregate; margins are
+    * two ≤|strata|-row aggregates broadcast back; N is the 1-row
+    * crossJoin idiom. The corpus crosses the shuffle once as
+    * (lang, source) pairs.
+    */
+  def stratumMixAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val langs = pairs.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_lang"))
+    val sources = pairs.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_source"))
+    val total = pairs.agg(sum(col("n_docs")).as("__n"))
+    pairs.join(broadcast(langs), Seq("lang"))
+      .join(broadcast(sources), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_lang"),
+        col("n_source"),
+        expr("(n_docs * __n * 1000000) div (n_lang * n_source)")
+          .as("ratio_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_stratum_mix" -> stratumMixAudit,
     "q217_collocations" -> ((s: SparkSession, d: String) =>
       collocations(s, d)),
     "q215_doc_column_profile" -> docColumnProfile,
@@ -1593,6 +1626,18 @@ object LlmQueries {
       .mkString("CASE ", " ", s" ELSE ${Retrieval.DfBucketFloors.head} END")
 
   val oracles: Map[String, String] = Map(
+    // q223: observed-over-independence ratio in exact integer ppm
+    "q223_stratum_mix" ->
+      """WITH p AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT)
+        |    AS n_docs FROM documents GROUP BY 1, 2),
+        |l AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+        |  FROM p GROUP BY 1),
+        |s AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_source
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM p)
+        |SELECT lang, source, n_docs, n_lang, n_source,
+        |  (n_docs * n * 1000000) // (n_lang * n_source) AS ratio_ppm
+        |FROM p JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t""".stripMargin,
     // q217: the q75 bigram device; lift stays one double division of
     // exact integers (PMI's log is monotone — same ranking, no libm)
     "q217_collocations" ->
