@@ -603,7 +603,11 @@ object Graph {
     * unit after round one), so the hottest product `raw·unit` needs
     * `E·unit² ≤ Long.Max`; a caller unit that would wrap auto-scales
     * down to the largest safe power of ten, loudly, exactly as
-    * [[pageRank]] does (E is one bounded count, run once).
+    * [[pageRank]] does (E is one bounded count, run once). When the
+    * caller's scores are checked against an oracle GENERATED at a fixed
+    * unit (q208), a silent rescale would make the pair diverge by
+    * design rather than fail loud — `strictUnit = true` throws instead
+    * of rescaling, turning the divergence into an error at the source.
     *
     * 100 TB posture: per-round cost is two shuffles on the edge keys +
     * two 1-row aggregates broadcast back by the crossJoin idiom; state
@@ -613,7 +617,7 @@ object Graph {
     * Output: (id, hub_micro, auth_micro) after `iters` full rounds.
     */
   def hits(vertices: DataFrame, edges: DataFrame, iters: Int = 4,
-           unit: Long = 1000000L): DataFrame = {
+           unit: Long = 1000000L, strictUnit: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(unit >= 100L, s"unit must be >= 100: $unit")
     val verts = vertices.select(col("id")).distinct().localCheckpoint()
@@ -624,6 +628,11 @@ object Graph {
       val bound = math.sqrt(Long.MaxValue.toDouble / m).toLong - 1L
       math.max(100L, bound)
     }
+    if (strictUnit && unit > maxUnit) throw new IllegalArgumentException(
+      s"graft.ops.Graph.hits: unit=$unit would overflow at m=$m edges " +
+        s"(max safe $maxUnit) and strictUnit forbids rescaling — the " +
+        "caller's scores are pinned to this unit (an oracle generated at " +
+        "it); lower the unit or lift strictUnit to accept auto-scaling")
     val u =
       if (unit <= maxUnit) unit
       else {
@@ -666,6 +675,14 @@ object Graph {
     * from genuine back-and-forth pairs — the signal that decides
     * whether downstream algorithms may symmetrize.
     *
+    * Self-loops are EXCLUDED from the edge relation before anything is
+    * counted: a loop's reverse is itself, so counting it would inflate
+    * `n_mutual` by one per loop (making it odd and the floored
+    * `n_sym_pairs` undercount) while saying nothing about reciprocity
+    * between distinct endpoints. The q212 substrate already filters
+    * `prev <> item`, so the registry row is unchanged; the filter makes
+    * the generic operator honest on raw edge lists too.
+    *
     * One distinct + one self-semi-join on the reversed key + bounded
     * aggregates; nothing quadratic, nothing collected.
     *
@@ -673,7 +690,8 @@ object Graph {
     * reciprocity_ppm).
     */
   def reciprocitySummary(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
     val mutual = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")

@@ -1059,8 +1059,14 @@ object LlmQueries {
       .crossJoin(broadcast(total))
       .select(col("lang"), col("source"), col("n_docs"), col("n_lang"),
         col("n_source"),
-        expr("(n_docs * __n * 1000000) div (n_lang * n_source)")
-          .as("ratio_ppm"))
+        // DECIMAL(38,0) numerator/denominator: n_docs·N·10⁶ wraps a
+        // BIGINT silently in Spark (non-ANSI) at n_docs·N > ~9.2e18
+        // while DuckDB errors — the engines would diverge instead of
+        // both failing loud. Scale-0 decimals keep `div` exact integer
+        // arithmetic on both (DuckDB computes in HUGEINT), good to
+        // 10¹⁶ docs.
+        expr("(cast(n_docs as decimal(38,0)) * __n * 1000000) div " +
+          "(cast(n_lang as decimal(38,0)) * n_source)").as("ratio_ppm"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1626,7 +1632,9 @@ object LlmQueries {
       .mkString("CASE ", " ", s" ELSE ${Retrieval.DfBucketFloors.head} END")
 
   val oracles: Map[String, String] = Map(
-    // q223: observed-over-independence ratio in exact integer ppm
+    // q223: observed-over-independence ratio in exact integer ppm;
+    // numerator/denominator in HUGEINT (Spark: DECIMAL(38,0)) so the
+    // n_docs·N·10⁶ product cannot wrap on either engine
     "q223_stratum_mix" ->
       """WITH p AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT)
         |    AS n_docs FROM documents GROUP BY 1, 2),
@@ -1636,7 +1644,8 @@ object LlmQueries {
         |  FROM p GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM p)
         |SELECT lang, source, n_docs, n_lang, n_source,
-        |  (n_docs * n * 1000000) // (n_lang * n_source) AS ratio_ppm
+        |  CAST((CAST(n_docs AS HUGEINT) * n * 1000000)
+        |    // (CAST(n_lang AS HUGEINT) * n_source) AS BIGINT) AS ratio_ppm
         |FROM p JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t""".stripMargin,
     // q217: the q75 bigram device; lift stays one double division of
     // exact integers (PMI's log is monotone — same ranking, no libm)

@@ -436,13 +436,18 @@ object RankQueries {
     * it (authorities — the frequent next click after strong hubs).
     * Four mutual-reinforcement rounds in exact integer arithmetic
     * ([[graft.ops.Graph.hits]]), checked by a generated unrolled-CTE
-    * oracle round for round, normalizers and all.
+    * oracle round for round, normalizers and all. The oracle is
+    * generated at unit = 10⁶, so the operator's overflow auto-scale
+    * (which kicks in above ~9.2M distinct edges at that unit) would
+    * make the pair diverge by design — `strictUnit = true` turns that
+    * into a loud error at the source instead of a silent hash mismatch.
     */
   def itemHits(s: SparkSession, dir: String): DataFrame = {
     val edges = weekSessionEdges(s, dir).distinct()
     val verts = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
-    graft.ops.Graph.hits(verts, edges, iters = 4, unit = 1000000L)
+    graft.ops.Graph.hits(verts, edges, iters = 4, unit = 1000000L,
+        strictUnit = true)
       .select(col("id").as("item"), col("hub_micro"), col("auth_micro"))
   }
 

@@ -15,7 +15,7 @@ object ExplainQ186 extends App {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
       val t0 = System.nanoTime()
       df.count()
-      println(s"== $q  ${(System.nanoTime() - t0) / 1e9}%s s")
+      println(f"== $q  ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val p = df.queryExecution.executedPlan.toString
       println(p.linesIterator.filter(l =>
         l.contains("Join") || l.contains("Exchange")).mkString("\n"))

@@ -443,6 +443,16 @@ class OperatorSpec extends SparkSpecBase {
     assert(edgeless.length == 4 &&
       edgeless.forall(r => r._2 == 0L && r._3 == 0L),
       s"edgeless graph must score zero, not crash: ${edgeless.toSeq}")
+    // strictUnit: an oracle-pinned unit that would overflow must throw
+    // loud (the q208 contract), never silently rescale into a divergence
+    val thrown = intercept[IllegalArgumentException] {
+      graft.ops.Graph.hits(verts, edges, iters = 1,
+        unit = 4000000000L, strictUnit = true)
+    }
+    assert(thrown.getMessage.contains("strictUnit"), thrown.getMessage)
+    // and the same unit WITHOUT strictUnit still runs (auto-scaled)
+    assert(graft.ops.Graph.hits(verts, edges, iters = 1,
+      unit = 4000000000L).count() == 4L)
   }
 
   test("snapshot delta: per-source flow conservation (old = retained + " +
@@ -494,6 +504,15 @@ class OperatorSpec extends SparkSpecBase {
     val row = graft.ops.Graph.reciprocitySummary(edges)
       .as[(Long, Long, Long, Long, Long)].head()
     assert(row == ((3L, 3L, 2L, 1L, 666666L)), s"got $row")
+    // a self-loop is its own reverse — counting it would make n_mutual
+    // odd and inflate the ppm; the operator excludes loops entirely, so
+    // adding one (even on a loop-only vertex) changes not one column
+    val looped = edges.unionByName(
+      Seq((3L, 3L), (9L, 9L)).toDF("src", "dst"))
+    val rowLooped = graft.ops.Graph.reciprocitySummary(looped)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rowLooped == row,
+      s"self-loops must not move the summary: $rowLooped vs $row")
     val none = graft.ops.Graph.reciprocitySummary(
         edges.filter(col("src") === col("dst")))
       .as[(Long, Long, Long, Long, Option[Long])].head()

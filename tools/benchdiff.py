@@ -36,7 +36,7 @@ def from_tail(tail: str) -> dict:
     return out
 
 
-def load(spec: str) -> dict:
+def load(spec: str) -> "tuple[dict, dict | None]":
     if ":" in spec and not spec.endswith(".json") or (
             ":" in spec and not spec.split(":", 1)[0].endswith(".json")
             and "/" not in spec.split(":", 1)[0]):
@@ -75,7 +75,9 @@ def main() -> int:
                   f"re-measure in isolation before believing them")
         p_o, p_n = load_old.get("spin_probe_sec"), load_new.get(
             "spin_probe_sec")
-        if p_o and p_n and (p_n / p_o > 2 or p_o / p_n > 2):
+        # `is not None`: a probe of exactly 0.0 must not skip the check
+        if p_o is not None and p_n is not None and (
+                min(p_o, p_n) <= 0 or p_n / p_o > 2 or p_o / p_n > 2):
             print(f"  WARNING: spin probe differs >2x "
                   f"(old {p_o:.3f}s, new {p_n:.3f}s) — CPU contention or "
                   f"throttling during one of the runs")
