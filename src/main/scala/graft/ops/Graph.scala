@@ -10,6 +10,37 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Shared unit-overflow policy for the fixed-point rank family
+    * (pageRank / weightedPageRank / personalizedPageRank / hits).
+    * `rawBound` is the UNclamped largest safe unit for the algorithm's
+    * hottest integer product. Strict mode compares against the raw
+    * bound — so a degenerate graph whose bound falls below the 100
+    * floor still throws instead of slipping past the clamp — because a
+    * caller pins `strictUnit = true` exactly when an oracle was
+    * generated at this unit and a silent rescale would surface as a
+    * hash divergence instead of an error at the source. Non-strict mode
+    * auto-scales down to the largest power of ten ≤ max(100, rawBound),
+    * loudly (println, not a logger: graft carries no logging dep and
+    * the scale-down must be loud wherever stdout goes).
+    */
+  private def resolveUnit(op: String, unit: Long, rawBound: Long,
+                          strict: Boolean, ctx: String): Long = {
+    if (strict && unit > rawBound) throw new IllegalArgumentException(
+      s"graft.ops.Graph.$op: unit=$unit would overflow at $ctx " +
+        s"(max safe $rawBound) and strictUnit forbids rescaling — the " +
+        "caller's scores are pinned to this unit (an oracle generated at " +
+        "it); lower the unit or lift strictUnit to accept auto-scaling")
+    val maxUnit = math.max(100L, rawBound)
+    if (unit <= maxUnit) unit
+    else {
+      var scaled = 1L
+      while (scaled * 10L <= maxUnit) scaled *= 10L
+      println(s"graft.ops.Graph.$op: unit=$unit would overflow at $ctx " +
+        s"(max safe $maxUnit); auto-scaled to $scaled")
+      scaled
+    }
+  }
+
   /** Integer-arithmetic PageRank — engine-exact by construction: ranks
     * live in integer micro-units (vertex mass starts at `unit` = 10¹²)
     * and every propagation step is integer multiply/divide —
@@ -48,29 +79,26 @@ object Graph {
     * N·unit ≤ Long.Max/85 and auto-scales `unit` down to the largest
     * power of ten that fits when a caller-supplied unit would wrap
     * (logged; the N count is one bounded aggregate over the distinct
-    * vertex ids, run once before the loop).
+    * vertex ids, run once before the loop). When the caller's ranks are
+    * checked against an oracle GENERATED at a fixed unit (q138), a
+    * silent rescale would make the pair diverge by design rather than
+    * fail loud — `strictUnit = true` throws instead of rescaling,
+    * turning the divergence into an error at the source (the same
+    * contract as [[hits]]' q208 guard).
     *
     * Output: (id, rank_micro) — final ranks in micro-units.
     */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 3,
                unit: Long = 1000000000000L,
-               redistributeDangling: Boolean = false): DataFrame = {
+               redistributeDangling: Boolean = false,
+               strictUnit: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(unit >= 100L, s"unit must be >= 100: $unit")
     val verts = vertices.select(col("id")).distinct().localCheckpoint()
     val n = math.max(1L, verts.count())
     val maxUnit = Long.MaxValue / 85L / n
-    val u =
-      if (unit <= maxUnit) unit
-      else {
-        var scaled = 1L
-        while (scaled * 10L <= maxUnit) scaled *= 10L
-        // println, not a logger: graft carries no logging dep and the
-        // scale-down must be loud wherever stdout goes.
-        println(s"graft.ops.Graph.pageRank: unit=$unit would overflow at " +
-          s"n=$n vertices (max safe ${maxUnit}); auto-scaled to $scaled")
-        scaled
-      }
+    val u = resolveUnit("pageRank", unit, maxUnit, strictUnit,
+      s"n=$n vertices")
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val base = (u * 15L) / 100L
@@ -115,7 +143,10 @@ object Graph {
     * aggregate, computed up front), the guard is
     * `N · unit · 85 · maxW ≤ Long.Max`, and a caller unit that would
     * wrap auto-scales down to the largest safe power of ten (loudly),
-    * exactly as [[pageRank]] does. Truncation loss is at most
+    * exactly as [[pageRank]] does — or throws under `strictUnit = true`
+    * when the caller's ranks are pinned to an oracle's unit (q163);
+    * this is the REACHABLE member of the family, since the safe bound
+    * shrinks with the max edge weight. Truncation loss is at most
     * `out_degree − 1` micro-units per vertex per round, same as the
     * unweighted form.
     *
@@ -124,7 +155,8 @@ object Graph {
     */
   def weightedPageRank(vertices: DataFrame, edges: DataFrame,
                        iters: Int = 3,
-                       unit: Long = 1000000000000L): DataFrame = {
+                       unit: Long = 1000000000000L,
+                       strictUnit: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(unit >= 100L, s"unit must be >= 100: $unit")
     val verts = vertices.select(col("id")).distinct().localCheckpoint()
@@ -135,16 +167,8 @@ object Graph {
       e.agg(coalesce(max(col("w")), lit(1L))).head().getLong(0))
     require(maxW > 0L, s"edge weights must be positive (max was $maxW)")
     val maxUnit = Long.MaxValue / 85L / n / maxW
-    val u =
-      if (unit <= maxUnit) unit
-      else {
-        var scaled = 1L
-        while (scaled * 10L <= maxUnit) scaled *= 10L
-        println(s"graft.ops.Graph.weightedPageRank: unit=$unit would " +
-          s"overflow at n=$n vertices, maxW=$maxW (max safe ${maxUnit}); " +
-          s"auto-scaled to $scaled")
-        scaled
-      }
+    val u = resolveUnit("weightedPageRank", unit, maxUnit, strictUnit,
+      s"n=$n vertices, maxW=$maxW")
     val tw = e.groupBy(col("src")).agg(sum(col("w")).as("__tw"))
     val base = (u * 15L) / 100L
     var ranks = verts.select(col("id"), lit(u).as("r")).localCheckpoint()
@@ -172,28 +196,22 @@ object Graph {
     * bit-identical-under-any-partitioning property, same per-round plan
     * (one edge-vs-ranks key join, map-side dst sum, vertex left join,
     * checkpoint), same enforced overflow guard (total mass never exceeds
-    * |S|·unit ≤ N·unit). Dangling vertices keep the decay
+    * |S|·unit ≤ N·unit) with the same `strictUnit` escape for
+    * oracle-pinned units (q166). Dangling vertices keep the decay
     * simplification. Output: (id, rank_micro) over ALL vertices
     * (unreached vertices report 0).
     */
   def personalizedPageRank(vertices: DataFrame, edges: DataFrame,
                            seeds: DataFrame, iters: Int = 3,
-                           unit: Long = 1000000000000L): DataFrame = {
+                           unit: Long = 1000000000000L,
+                           strictUnit: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(unit >= 100L, s"unit must be >= 100: $unit")
     val verts = vertices.select(col("id")).distinct().localCheckpoint()
     val n = math.max(1L, verts.count())
     val maxUnit = Long.MaxValue / 85L / n
-    val u =
-      if (unit <= maxUnit) unit
-      else {
-        var scaled = 1L
-        while (scaled * 10L <= maxUnit) scaled *= 10L
-        println(s"graft.ops.Graph.personalizedPageRank: unit=$unit would " +
-          s"overflow at n=$n vertices (max safe ${maxUnit}); " +
-          s"auto-scaled to $scaled")
-        scaled
-      }
+    val u = resolveUnit("personalizedPageRank", unit, maxUnit, strictUnit,
+      s"n=$n vertices")
     val sd = seeds.select(col("id")).distinct()
     val seeded = verts
       .join(sd.withColumn("__s", lit(1L)), Seq("id"), "left")
@@ -623,25 +641,13 @@ object Graph {
     val verts = vertices.select(col("id")).distinct().localCheckpoint()
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val m = math.max(1L, e.count())
-    val maxUnit = {
-      // largest u with m * u * u <= Long.Max, via the square-root bound
-      val bound = math.sqrt(Long.MaxValue.toDouble / m).toLong - 1L
-      math.max(100L, bound)
-    }
-    if (strictUnit && unit > maxUnit) throw new IllegalArgumentException(
-      s"graft.ops.Graph.hits: unit=$unit would overflow at m=$m edges " +
-        s"(max safe $maxUnit) and strictUnit forbids rescaling — the " +
-        "caller's scores are pinned to this unit (an oracle generated at " +
-        "it); lower the unit or lift strictUnit to accept auto-scaling")
-    val u =
-      if (unit <= maxUnit) unit
-      else {
-        var scaled = 1L
-        while (scaled * 10L <= maxUnit) scaled *= 10L
-        println(s"graft.ops.Graph.hits: unit=$unit would overflow at " +
-          s"m=$m edges (max safe $maxUnit); auto-scaled to $scaled")
-        scaled
-      }
+    // largest u with m * u * u <= Long.Max, via the square-root bound;
+    // passed UNclamped so strict mode still throws at extreme edge
+    // counts (m > ~9.2e14, where the bound falls under the 100 floor) —
+    // the clamp only ever feeds the non-strict auto-scale path inside
+    // resolveUnit.
+    val rawBound = math.sqrt(Long.MaxValue.toDouble / m).toLong - 1L
+    val u = resolveUnit("hits", unit, rawBound, strictUnit, s"m=$m edges")
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
       // raw: (id, __raw) for a SUBSET of vertices; spine back onto verts,
       // 1-row L1 total broadcast back via crossJoin
@@ -675,13 +681,17 @@ object Graph {
     * from genuine back-and-forth pairs — the signal that decides
     * whether downstream algorithms may symmetrize.
     *
-    * Self-loops are EXCLUDED from the edge relation before anything is
-    * counted: a loop's reverse is itself, so counting it would inflate
-    * `n_mutual` by one per loop (making it odd and the floored
-    * `n_sym_pairs` undercount) while saying nothing about reciprocity
-    * between distinct endpoints. The q212 substrate already filters
-    * `prev <> item`, so the registry row is unchanged; the filter makes
-    * the generic operator honest on raw edge lists too.
+    * Self-loops and NULL-endpoint edges are EXCLUDED from the edge
+    * relation before anything is counted: a loop's reverse is itself,
+    * so counting it would inflate `n_mutual` by one per loop (making it
+    * odd and the floored `n_sym_pairs` undercount) while saying nothing
+    * about reciprocity between distinct endpoints; a NULL endpoint has
+    * no well-defined reverse at all (it could never match the semi-join
+    * key), so it is dropped EXPLICITLY — stated semantics, not a
+    * three-valued-logic side effect of the `=!=` filter. The q212
+    * substrate already filters `prev <> item` over non-null keys, so
+    * the registry row is unchanged; the filters make the generic
+    * operator honest on raw edge lists too.
     *
     * One distinct + one self-semi-join on the reversed key + bounded
     * aggregates; nothing quadratic, nothing collected.
@@ -691,6 +701,7 @@ object Graph {
     */
   def reciprocitySummary(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst")).distinct()
     val mutual = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),

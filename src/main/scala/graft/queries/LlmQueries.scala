@@ -1063,8 +1063,11 @@ object LlmQueries {
         // BIGINT silently in Spark (non-ANSI) at n_docs·N > ~9.2e18
         // while DuckDB errors — the engines would diverge instead of
         // both failing loud. Scale-0 decimals keep `div` exact integer
-        // arithmetic on both (DuckDB computes in HUGEINT), good to
-        // 10¹⁶ docs.
+        // arithmetic on both (DuckDB computes in HUGEINT). The
+        // loud/silent asymmetry doesn't vanish — past 38 digits Spark
+        // non-ANSI decimal overflow returns NULL while DuckDB errors —
+        // but the widening moves that wrap point beyond any reachable
+        // corpus (~10¹⁶ docs before the product nears 10³⁸).
         expr("(cast(n_docs as decimal(38,0)) * __n * 1000000) div " +
           "(cast(n_lang as decimal(38,0)) * n_source)").as("ratio_ppm"))
   }

@@ -357,7 +357,10 @@ object RankQueries {
     * iterative graph algorithm at all (float PageRank sums doubles in
     * partition order; no SQL twin can reproduce that). 3 rounds, the
     * oracle's CTE chain generated round-for-round from the same
-    * constants.
+    * constants. The oracle is generated at the operator's default unit
+    * (10¹²), so a silent overflow auto-scale would surface as a hash
+    * divergence instead of an error — `strictUnit = true` makes it
+    * throw at the source (the q208 device applied family-wide).
     */
   def itemPageRank(s: SparkSession, dir: String): DataFrame = {
     val ui = Tables.events(s, dir).filter(col("event_type") === "click")
@@ -368,7 +371,8 @@ object RankQueries {
     val b = ui.select(col("item").as("dst"), col("user_id"))
     val edges = a.join(b, Seq("user_id")).filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    graft.ops.Graph.pageRank(ui.select(col("item").as("id")), edges)
+    graft.ops.Graph.pageRank(ui.select(col("item").as("id")), edges,
+        strictUnit = true)
       .select(col("id").as("item"), col("rank_micro"))
   }
 
@@ -622,7 +626,8 @@ object RankQueries {
       .select("src", "dst").distinct()
     val verts = ui.select(col("item").as("id"))
     graft.ops.Graph.personalizedPageRank(verts, edges,
-        verts.filter(pmod(col("id"), lit(10L)) === 0L))
+        verts.filter(pmod(col("id"), lit(10L)) === 0L),
+        strictUnit = true)
       .select(col("id").as("item"), col("rank_micro"))
   }
 
@@ -644,9 +649,13 @@ object RankQueries {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     // unit = 10^8: small enough that the three-factor overflow guard
     // (N·unit·85·maxW ≤ Long.Max) never auto-scales at ANY test SF —
-    // the oracle is static SQL, so the effective unit must be too
+    // the oracle is static SQL, so the effective unit must be too; and
+    // because the weighted bound SHRINKS with the max edge weight (the
+    // reachable member of the overflow family), strictUnit turns any
+    // future heavy-tailed-weight rescale into a loud error instead of
+    // a silent oracle divergence
     graft.ops.Graph.weightedPageRank(ui.select(col("item").as("id")),
-        edges, unit = 100000000L)
+        edges, unit = 100000000L, strictUnit = true)
       .select(col("id").as("item"), col("rank_micro"))
   }
 

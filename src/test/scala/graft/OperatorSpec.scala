@@ -455,6 +455,46 @@ class OperatorSpec extends SparkSpecBase {
       unit = 4000000000L).count() == 4L)
   }
 
+  test("strictUnit throws on an overflowing oracle-pinned unit across " +
+    "the whole PageRank family, and the same unit auto-scales without " +
+    "strictUnit") {
+    // the q208 contract extended family-wide: an oracle generated at a
+    // pinned unit must see a loud error, never a silent rescale that
+    // surfaces as a hash divergence downstream
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    // pageRank bound is Long.Max/85/n ≈ 3.6e16 at n=3 → 1e17 overflows
+    val hot = 100000000000000000L
+    val prThrown = intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank(verts, edges, iters = 1, unit = hot,
+        strictUnit = true)
+    }
+    assert(prThrown.getMessage.contains("strictUnit"), prThrown.getMessage)
+    assert(graft.ops.Graph.pageRank(verts, edges, iters = 1, unit = hot)
+      .count() == 3L, "non-strict must auto-scale and run")
+    val pprThrown = intercept[IllegalArgumentException] {
+      graft.ops.Graph.personalizedPageRank(verts, edges,
+        verts.filter(col("id") === 1L), iters = 1, unit = hot,
+        strictUnit = true)
+    }
+    assert(pprThrown.getMessage.contains("strictUnit"), pprThrown.getMessage)
+    assert(graft.ops.Graph.personalizedPageRank(verts, edges,
+      verts.filter(col("id") === 1L), iters = 1, unit = hot)
+      .count() == 3L, "non-strict must auto-scale and run")
+    // weightedPageRank is the REACHABLE member: its bound divides by the
+    // max edge weight, so a heavy-tailed weight column (w = 1e10 here)
+    // drags the safe unit down to ~3.6e6 and the DEFAULT unit overflows
+    val heavy = Seq((1L, 2L, 10000000000L), (2L, 1L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val wprThrown = intercept[IllegalArgumentException] {
+      graft.ops.Graph.weightedPageRank(verts, heavy, iters = 1,
+        strictUnit = true)
+    }
+    assert(wprThrown.getMessage.contains("strictUnit"), wprThrown.getMessage)
+    assert(graft.ops.Graph.weightedPageRank(verts, heavy, iters = 1)
+      .count() == 3L, "non-strict must auto-scale and run")
+  }
+
   test("snapshot delta: per-source flow conservation (old = retained + " +
     "removed, new = retained + added) and the parity fixture's planted " +
     "dup texts are retained") {
@@ -513,6 +553,16 @@ class OperatorSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Long)].head()
     assert(rowLooped == row,
       s"self-loops must not move the summary: $rowLooped vs $row")
+    // NULL endpoints are excluded EXPLICITLY (stated semantics, not a
+    // three-valued-logic accident): a null edge has no well-defined
+    // reverse, so adding them changes not one column either
+    val withNulls = edges.unionByName(
+      Seq((Option(5L), Option.empty[Long]),
+          (Option.empty[Long], Option(6L))).toDF("src", "dst"))
+    val rowNulls = graft.ops.Graph.reciprocitySummary(withNulls)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rowNulls == row,
+      s"NULL-endpoint edges must not move the summary: $rowNulls vs $row")
     val none = graft.ops.Graph.reciprocitySummary(
         edges.filter(col("src") === col("dst")))
       .as[(Long, Long, Long, Long, Option[Long])].head()

@@ -76,11 +76,17 @@ def main() -> int:
         p_o, p_n = load_old.get("spin_probe_sec"), load_new.get(
             "spin_probe_sec")
         # `is not None`: a probe of exactly 0.0 must not skip the check
-        if p_o is not None and p_n is not None and (
-                min(p_o, p_n) <= 0 or p_n / p_o > 2 or p_o / p_n > 2):
-            print(f"  WARNING: spin probe differs >2x "
-                  f"(old {p_o:.3f}s, new {p_n:.3f}s) — CPU contention or "
-                  f"throttling during one of the runs")
+        if p_o is not None and p_n is not None:
+            if min(p_o, p_n) <= 0:
+                # a zero/negative probe is a broken measurement, not a
+                # divergence — say so instead of claiming a >2x ratio
+                print(f"  WARNING: spin probe invalid (zero/negative: "
+                      f"old {p_o:.3f}s, new {p_n:.3f}s) — probe broken "
+                      f"or clock skew; contention check unavailable")
+            elif p_n / p_o > 2 or p_o / p_n > 2:
+                print(f"  WARNING: spin probe differs >2x "
+                      f"(old {p_o:.3f}s, new {p_n:.3f}s) — CPU contention "
+                      f"or throttling during one of the runs")
     elif load_old or load_new:
         print("  note: only one run carries a loadavg stamp; "
               "contention comparison unavailable")
