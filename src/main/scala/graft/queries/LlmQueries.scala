@@ -890,6 +890,23 @@ object LlmQueries {
     Dedup.containmentPairs(Tables.documents(s, dir), w = 3,
       tauNum = 9, tauDen = 10)
 
+  /** Capped-substrate containment twin (q224) — q185's query with the
+    * hot-shingle scale knob ENGAGED: `maxShingleDf = 64`, a cap the gate
+    * corpus provably never reaches (measured max 3-shingle document
+    * frequency is 9 / 7 / 25 at sf0.001 / 0.01 / 0.1), checked against
+    * the UNCAPPED definitional oracle. A non-binding cap must change
+    * nothing — so the green row IS the no-false-drop certificate for
+    * the cap machinery (the anti-join substrate, the df computation,
+    * the loud drop path) on the plan that would actually run at 100 TB,
+    * where the cap DOES bind on boilerplate shingles. The q220
+    * same-answer-different-plan device applied to the dedup scale knob;
+    * PlanSpec locks that the capped plan really carries the df
+    * aggregation + anti-join (this is not silently q185 again).
+    */
+  def containmentCappedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), w = 3,
+      tauNum = 9, tauDen = 10, maxShingleDf = 64)
+
   /** Sorted-neighborhood blocking pairs (q186) — 24-char key, window 3,
     * exact-Jaccard verify at τ = 1/2
     * ([[graft.llm.Dedup.sortedNeighborhoodPairs]]); the output is the
@@ -1084,6 +1101,7 @@ object LlmQueries {
     "q207_coverage_curve" -> coverageCurveQ,
     "q200_source_vocab_overlap" -> sourceVocabOverlap,
     "q185_containment_pairs" -> containmentPairsQ,
+    "q224_containment_capped" -> containmentCappedQ,
     "q186_sorted_neighborhood" -> sortedNeighborhoodQ,
     "q135_novelty_score" -> noveltyScoreQ,
     "q136_zorder_key" -> zorderLayout,
@@ -1634,6 +1652,25 @@ object LlmQueries {
       .map(f => s"WHEN df >= $f THEN $f")
       .mkString("CASE ", " ", s" ELSE ${Retrieval.DfBucketFloors.head} END")
 
+  // shared by q185 (uncapped) and q224 (capped, cap non-binding at gate
+  // scales): one definitional SQL, two Spark plans
+  private val containmentOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |dinter AS (SELECT a.doc_id AS id_in, b.doc_id AS id_of,
+      |             COUNT(*) AS inter
+      |           FROM sh a JOIN sh b
+      |             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT id_in, id_of, inter, s.sz AS sz_in,
+      |  CAST(inter AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+      |FROM dinter JOIN sizes s ON id_in = s.doc_id
+      |WHERE inter * 10 >= 9 * s.sz""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q223: observed-over-independence ratio in exact integer ppm;
     // numerator/denominator in HUGEINT (Spark: DECIMAL(38,0)) so the
@@ -1801,22 +1838,12 @@ object LlmQueries {
     // Spark plan computes each unordered intersection once and emits
     // both direction tests from it — same relation); keep predicate is
     // exact integer arithmetic, the score one double division
-    "q185_containment_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
-        |       WHERE len(w) >= 3),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |dinter AS (SELECT a.doc_id AS id_in, b.doc_id AS id_of,
-        |             COUNT(*) AS inter
-        |           FROM sh a JOIN sh b
-        |             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-        |           GROUP BY 1, 2)
-        |SELECT id_in, id_of, inter, s.sz AS sz_in,
-        |  CAST(inter AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
-        |FROM dinter JOIN sizes s ON id_in = s.doc_id
-        |WHERE inter * 10 >= 9 * s.sz""".stripMargin,
+    "q185_containment_pairs" -> containmentOracle,
+    // q224: the SAME uncapped definitional oracle checks the
+    // maxShingleDf = 64 plan — the cap provably does not bind at gate
+    // scales (measured max df 9/7/25), so capped == definitional is
+    // exactly the cap's no-false-drop claim
+    "q224_containment_capped" -> containmentOracle,
     // q186: the exact q29 pair relation intersected with the ranked
     // 3-row sorted-neighborhood window under the identical
     // (lower 24-char key, doc_id) total order

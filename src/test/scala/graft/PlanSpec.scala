@@ -615,6 +615,24 @@ class PlanSpec extends SparkSpecBase {
     assert(spOk, s"offset windows must ride the bounded counts:\n$p")
   }
 
+  test("q224 capped containment: the maxShingleDf cap is really in the " +
+    "plan — a hot-shingle df aggregate feeding a left-anti substrate " +
+    "join — and the uncapped q185 plan carries neither (the CORRECTNESS " +
+    "row proves the cap drops nothing at gate scale; this proves the " +
+    "row exercised the cap machinery and not silently q185 again)") {
+    val (pCapped, pUncapped) = graft.core.CacheScope.scoped {
+      (planOf("q224_containment_capped"), planOf("q185_containment_pairs"))
+    }
+    assert(pCapped.contains("__df"),
+      s"capped plan must compute shingle document frequency:\n$pCapped")
+    assert(pCapped.contains("LeftAnti"),
+      s"capped plan must anti-join hot shingles out of the substrate:\n" +
+        pCapped)
+    assert(!pUncapped.contains("__df") && !pUncapped.contains("LeftAnti"),
+      s"uncapped q185 must keep the definitional substrate:\n$pUncapped")
+    spark.sqlContext.clearCache()
+  }
+
   test("q158 promotable suppliers: the red-part key join sits BELOW the " +
     "pair aggregate (the name filter is on the window's own partition " +
     "key, so pruning the fact scan first is semantics-preserving and " +
