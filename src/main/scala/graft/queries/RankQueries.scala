@@ -459,30 +459,15 @@ object RankQueries {
     * an ingest pipeline runs before anything downstream trusts the
     * batch: NULL users, negative values, timestamps outside the
     * expected window, unknown event types, and clicks whose props
-    * payload is missing the item key. The item probe is the SAME
-    * regexp both engines use for extraction (equality against '', not
-    * a cast — DuckDB raises on CAST('' AS BIGINT), Spark nulls), so
-    * the counters agree bit-for-bit. One map-side-combined aggregate
-    * over the scan; nothing shuffles but eight counters.
+    * payload is missing the item key. The aggregate lives in
+    * [[graft.streaming.StreamingContract.contractBatch]] so the SAME
+    * counters run per micro-batch in the ingest front door with an
+    * additive-exact cross-check against this whole-corpus row (see the
+    * regexp/cast determinism note there). One map-side-combined
+    * aggregate over the scan; nothing shuffles but eight counters.
     */
-  def eventContractAudit(s: SparkSession, dir: String): DataFrame = {
-    val known = Seq("view", "click", "purchase", "signup", "error")
-    Tables.events(s, dir)
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("user_id").isNull, 1L).otherwise(0L))
-          .as("n_null_user"),
-        sum(when(col("value") < 0.0, 1L).otherwise(0L))
-          .as("n_negative_value"),
-        sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
-            col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
-          .otherwise(0L)).as("n_ts_out_of_range"),
-        sum(when(!col("event_type").isin(known: _*), 1L).otherwise(0L))
-          .as("n_unknown_type"),
-        sum(when(col("event_type") === "click" &&
-            (col("props").isNull ||
-              regexp_extract(col("props"), "\"k\": (-?\\d+)", 1) === ""),
-            1L).otherwise(0L)).as("n_click_missing_item"))
-  }
+  def eventContractAudit(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingContract.contractBatch(Tables.events(s, dir))
 
   /** Salted hot-key aggregation, oracle-checked (q220) — the q176 skew
     * report's REMEDY as a same-answer-different-plan entry: per event

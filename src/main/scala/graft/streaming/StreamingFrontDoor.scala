@@ -101,6 +101,34 @@ object StreamingFrontDoor {
       .start()
     q.awaitTermination()
 
+    // ---- contract leg: the q216 audit per micro-batch over the events
+    // stream (the gate an ingest runs before anything downstream trusts
+    // the batch), replayed the same way the corpus was; every counter is
+    // a count over rows, so summed per-batch rows must equal the
+    // whole-corpus q216 relation bit-for-bit (the health leg's
+    // additive-exact contract) ----
+    val events = graft.core.Tables.events(spark, sfDir)
+    for (i <- 0 until 4)
+      events.filter(pmod(col("event_id"), lit(4)) === i)
+        .repartition(2).write.mode("append").parquet(s"$work/ev_in")
+    val evSchema = spark.read.parquet(s"$work/ev_in").schema
+    val evStream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$work/ev_in")
+    val contractRows = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Long, Long)]()
+    val qc = evStream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ev_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val row = StreamingContract.contractBatch(batch)
+          .as[(Long, Long, Long, Long, Long, Long)].head()
+        contractRows += row
+        println(s"[front-door] contract batch $id: ${row._1} events, " +
+          s"${row._2} null-user, ${row._6} clicks missing item key")
+      }
+      .start()
+    qc.awaitTermination()
+
     // ---- batch cross-check ----
     val twin = StreamingQuality.bucketBatch(docs, lm)
       .join(StreamingContamination.screenBatch(docs, bloom), Seq("doc_id"))
@@ -137,12 +165,30 @@ object StreamingFrontDoor {
         s"sources) != batch twin (${healthTwin.size})")
       ok = false
     }
+    // contract leg cross-check: summed per-batch counters == the
+    // whole-corpus q216 row, exactly
+    val contractSum = (
+      contractRows.map(_._1).sum, contractRows.map(_._2).sum,
+      contractRows.map(_._3).sum, contractRows.map(_._4).sum,
+      contractRows.map(_._5).sum, contractRows.map(_._6).sum)
+    val contractTwin = StreamingContract.contractBatch(events)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    if (contractSum != contractTwin) {
+      println(s"[front-door] FAIL: summed contract counters $contractSum " +
+        s"!= whole-corpus audit $contractTwin")
+      ok = false
+    }
+    if (contractRows.isEmpty || contractSum._1 == 0L) {
+      println("[front-door] FAIL: contract leg saw no events")
+      ok = false
+    }
     val flagged = verdicts.count(!_._7)
     val tail = verdicts.count(_._4 == "tail")
     println(s"[front-door] ${if (ok) "OK" else "FAILED"}: " +
       s"${verdicts.size} verdicts, $flagged screened, $tail tail-bucketed, " +
       s"${driftRows.size} drift batches, ${healthSum.size} sources in " +
-      "the health ledger")
+      s"the health ledger, ${contractRows.size} contract batches over " +
+      s"${contractSum._1} events")
     lm.release()
     spark.stop()
     if (!ok) sys.exit(1)
