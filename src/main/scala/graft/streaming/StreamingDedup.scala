@@ -602,10 +602,10 @@ object StreamingDedup {
     * the checkpoint was reset against a surviving store — continuing would
     * silently overwrite `batch=0...` and diverge from the documented
     * batch-equivalence. */
-  private def readStore(spark: org.apache.spark.sql.SparkSession,
-                        root: String, before: Long,
-                        schema: org.apache.spark.sql.types.StructType,
-                        minExclusive: Long = Long.MinValue)
+  private[streaming] def readStore(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, before: Long,
+                                   schema: org.apache.spark.sql.types.StructType,
+                                   minExclusive: Long = Long.MinValue)
   : DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

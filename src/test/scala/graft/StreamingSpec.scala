@@ -467,6 +467,69 @@ class StreamingSpec extends SparkSpecBase {
         s"extra ${emitted.toSet -- batchPairs}")
   }
 
+  test("streaming crawl-delta monitor: per-trigger retained/added " +
+    "emissions sum to the batch snapshotDelta twin, the roll-forward " +
+    "close equals the full q204 relation bit-for-bit, and the store " +
+    "rolls to the new snapshot") {
+    implicit val s = spark
+    import graft.llm.Dedup
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("text"))
+    // the q204 snapshot pair: even doc_ids are the OLD crawl, odd the NEW
+    val oldDocs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+    val store = Files.createTempDirectory("graft_cd_store").toString
+    val ckpt = Files.createTempDirectory("graft_cd_ckpt").toString
+    graft.streaming.StreamingCrawlDelta.writeSnapshotStore(oldDocs, store)
+    val mem = MemoryStream[(String, String)]
+    val emissions = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long)]()
+    val q = graft.streaming.StreamingCrawlDelta.crawlDeltaStream(
+        mem.toDF().toDF("source", "text"), store) { (delta, _) =>
+      emissions ++= delta.as[(String, Long, Long, Long)].collect()
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      val rows = newDocs.select("source", "text")
+        .as[(String, String)].collect().toSeq
+      rows.grouped((rows.size + 2) / 3).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val twin = Dedup.snapshotDelta(oldDocs, newDocs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(twin.exists(_._5 > 0L) && twin.exists(_._6 > 0L),
+      "fixture should churn both ways (removals and additions)")
+    // union of per-trigger emissions == the twin's live-visible columns
+    val summed = emissions.groupBy(_._1).map { case (src, rs) =>
+      (src, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+    }.toSet
+    val twinLive = twin.filter(_._3 > 0L) // groups the new crawl touches
+      .map(t => (t._1, t._4, t._6, t._8))
+    assert(summed == twinLive,
+      s"stream/batch divergence: missing ${twinLive -- summed}, " +
+        s"extra ${summed -- twinLive}")
+    // the quiesce close is the full eight-column relation
+    val closed = graft.streaming.StreamingCrawlDelta.rollForward(spark, store)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(closed == twin,
+      s"roll-forward/batch divergence: missing ${twin -- closed}, " +
+        s"extra ${closed -- twin}")
+    // and the store rolled: the frozen snapshot is now the NEW crawl's
+    // distinct set, arrivals retired
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/arrivals")),
+      "arrival batches must retire at the roll")
+    val frozen = spark.read.parquet(s"$store/snapshot").count()
+    val expect = newDocs.select(col("source"), xxhash64(col("text")))
+      .distinct().count()
+    assert(frozen == expect,
+      s"rolled snapshot must hold the new crawl's set: $frozen vs $expect")
+  }
+
   test("streaming minhash near-dup: a quiesced mid-stream compaction " +
     "preserves the union of emissions, and the probe prunes the compacted " +
     "scan to the batch's bucket groups") {
