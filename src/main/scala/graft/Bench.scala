@@ -24,28 +24,16 @@ object Bench {
     // Host-load stamp: three driver/builder rounds were spent adjudicating
     // contention-swept artifacts by prose; record the 1/5/15-min load
     // averages (start AND end of the run) plus a single-threaded spin
-    // probe so a contended run is machine-detectable in the artifact
-    // itself (tools/benchdiff.py warns when two runs' loads differ >2×).
-    def loadavg(): Seq[Double] =
-      try new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        .split("\\s+").take(3).toSeq.map(_.toDouble)
-      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
-    // fixed-work single-thread probe (~0.1 s idle): a contended or
-    // throttled host inflates it proportionally — a second, scheduler-level
-    // signal loadavg alone can miss (cgroup caps, noisy SMT siblings)
-    def spinProbe(): Double = {
-      var x = 0x9E3779B97F4A7C15L; var i = 0
-      val t0 = System.nanoTime()
-      while (i < 40000000) { // deterministic mix, not optimizable away
-        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 29; i += 1
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (x == 42L) println("") // defeat dead-code elimination
-      dt
-    }
-    val loadStart = loadavg()
-    val probeStart = spinProbe()
+    // probe AND a fixed-size fsync IO probe so a contended run is
+    // machine-detectable in the artifact itself (tools/benchdiff.py warns
+    // when two runs' stamps differ >2×). The IO probe covers the spin
+    // probe's blind spot: D-state background IO load leaves the CPU spin
+    // normal while inflating the IO-heavy fixpoint queries (the r13
+    // refresh: loadavg 8.36, spin probe 0.096 s, queries +30-50%).
+    import graft.core.HostProbe
+    val loadStart = HostProbe.loadavg()
+    val probeStart = HostProbe.spinProbe()
+    val ioStart = HostProbe.ioProbe()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -116,10 +104,9 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
-    val loadEnd = loadavg()
-    val load = "{\"start\":" + loadStart.map(f).mkString("[", ",", "]") +
-      ",\"end\":" + loadEnd.map(f).mkString("[", ",", "]") +
-      ",\"spin_probe_sec\":" + f(probeStart) + "}"
+    val loadEnd = HostProbe.loadavg()
+    val load = HostProbe.stampJson(loadStart, probeStart, ioStart,
+      loadEnd, HostProbe.spinProbe(), HostProbe.ioProbe())
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 75+ queries the
     // per-run arrays push the line past that window (BENCH_r06.json lost

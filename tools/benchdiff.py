@@ -73,28 +73,46 @@ def main() -> int:
                   f"(old 1-min loadavg {l_o:.2f}, new {l_n:.2f}) — "
                   f"per-query deltas below are contention-suspect; "
                   f"re-measure in isolation before believing them")
-        p_o, p_n = load_old.get("spin_probe_sec"), load_new.get(
-            "spin_probe_sec")
-        # `is not None`: a probe of exactly 0.0 must not skip the check
-        if p_o is not None and p_n is not None:
+        # two probes, two contention channels: spin = CPU/scheduler,
+        # io (write+fsync) = the D-state background-IO blind spot
+        for key, what in (("spin_probe_sec", "CPU contention or throttling"),
+                          ("io_probe_sec", "IO contention (D-state load)")):
+            p_o, p_n = load_old.get(key), load_new.get(key)
+            # `is not None`: a probe of exactly 0.0 must not skip the check
+            if p_o is None or p_n is None:
+                continue
             if min(p_o, p_n) <= 0:
                 # a zero/negative probe is a broken measurement, not a
                 # divergence — say so instead of claiming a >2x ratio
-                print(f"  WARNING: spin probe invalid (zero/negative: "
+                print(f"  WARNING: {key} invalid (zero/negative: "
                       f"old {p_o:.3f}s, new {p_n:.3f}s) — probe broken "
-                      f"or clock skew; contention check unavailable")
+                      f"or unrunnable; contention check unavailable")
             elif p_n / p_o > 2 or p_o / p_n > 2:
-                print(f"  WARNING: spin probe differs >2x "
-                      f"(old {p_o:.3f}s, new {p_n:.3f}s) — CPU contention "
-                      f"or throttling during one of the runs")
+                print(f"  WARNING: {key} differs >2x "
+                      f"(old {p_o:.3f}s, new {p_n:.3f}s) — {what} "
+                      f"during one of the runs")
+            # a start/end divergence within ONE run catches load that
+            # ARRIVED mid-run, which cross-run stamps miss
+            end_n = load_new.get(key.replace("_sec", "_end_sec"))
+            if end_n is not None and min(p_n, end_n) > 0 and (
+                    end_n / p_n > 2 or p_n / end_n > 2):
+                print(f"  WARNING: new run's {key} moved >2x start→end "
+                      f"({p_n:.3f}s → {end_n:.3f}s) — load arrived or "
+                      f"cleared MID-RUN; per-query numbers are mixed-regime")
     elif load_old or load_new:
         print("  note: only one run carries a loadavg stamp; "
               "contention comparison unavailable")
     common = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
-    print(f"like-for-like over {len(common)} queries: "
-          f"{t_old:.1f}s -> {t_new:.1f}s (ratio {t_new / t_old:.3f})")
+    if t_old <= 0:
+        # disjoint query sets (e.g. an isolated re-measure vs a subset
+        # run) or an all-zero side: there is no like-for-like to state
+        print(f"no comparable basis: {len(common)} common queries, "
+              f"old total {t_old:.1f}s — pick runs that share queries")
+    else:
+        print(f"like-for-like over {len(common)} queries: "
+              f"{t_old:.1f}s -> {t_new:.1f}s (ratio {t_new / t_old:.3f})")
     regs = [(new[q] / old[q], q) for q in common
             if new[q] > old[q] * 1.3 and new[q] > 0.3]
     for r, q in sorted(regs, reverse=True):
