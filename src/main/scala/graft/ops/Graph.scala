@@ -699,6 +699,138 @@ object Graph {
     * Output: (n_vertices, n_edges, n_mutual, n_sym_pairs,
     * reciprocity_ppm).
     */
+  /** Strongly connected components of a DIRECTED graph — the directed
+    * counterpart of the dedup pipeline's hash-min connected components,
+    * and the one classic graph primitive the family still lacked
+    * (PageRank's convergence theory, cycle-safe DAG rollups, and "is
+    * this follow-graph one community or a hierarchy" all start from the
+    * SCC condensation). Tarjan/Kosaraju are inherently sequential
+    * (DFS), so this is the distributed COLORING algorithm (the FW-BW /
+    * Orzan family): repeatedly
+    *
+    *  1. color every active vertex with the MAX id that reaches it
+    *     (forward max-label propagation to a fixpoint — labels only
+    *     grow, so an unchanged exact-decimal label sum IS convergence,
+    *     the [[graft.llm.Dedup.connectedComponents]] device);
+    *  2. inside each color class, mark the vertices that reach the
+    *     class root `r` (`color(r) = r`) by BACKWARD propagation to a
+    *     fixpoint (marks only grow; unchanged count = converged) — a
+    *     member's whole v→…→r path stays inside the class, so the
+    *     class-restricted propagation loses nothing;
+    *  3. the marked set of class `r` is EXACTLY SCC(r) — mutual
+    *     reachability with the root — peel it off and repeat on the
+    *     remainder.
+    *
+    * The emitted representative is deterministic and definitional: `r`
+    * is reachable from every member and every member reaches `r`, so
+    * `r = max{id ∈ SCC}` — which is what a DEFINITIONAL oracle
+    * (recursive-CTE transitive closure, mutual-reach MAX) computes
+    * without ever hearing about colors. Unlike the round-count-pinned
+    * iterations (q138/q162), the contract here is the CONVERGED answer:
+    * partial colorings are not SCCs, so the loops run to their
+    * fixpoints and `maxIters`/`maxPeels` are loud-failure bounds, not
+    * semantics.
+    *
+    * 100 TB posture: per round one edge-keyed join + one
+    * map-side-combined MAX (or a semi-join-shaped mark union), all
+    * key-partitioned, nothing driver-side but the convergence scalars;
+    * localCheckpoint truncates lineage every round. Each peel removes
+    * at least every current color-class root's SCC, so dense graphs
+    * (one giant SCC + fringe) finish in a couple of peels; a long
+    * adversarial DAG of singleton SCCs can need O(n) peels — that
+    * worst case is the documented bound, and `maxPeels` turns it into
+    * an error instead of a silent stall.
+    *
+    * Output: (id, scc) — scc = MAX vertex id of the component. Vertices
+    * are the edge endpoints; callers wanting isolated vertices union
+    * them in as identity rows (they are their own singleton SCCs).
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 50,
+                                  maxIters: Int = 200): DataFrame = {
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    var eAct = e0
+    var active = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    var remaining = active.count()
+    var assigned: DataFrame = null
+    def decSum(df: DataFrame, c: String): java.math.BigDecimal = {
+      val s = df.agg(sum(col(c).cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var peels = 0
+    while (remaining > 0) {
+      peels += 1
+      require(peels <= maxPeels,
+        s"scc: $remaining vertices unassigned after $maxPeels peels — " +
+          "raise maxPeels (adversarial DAGs peel one root SCC per round)")
+      // 1. forward max-color fixpoint on the active subgraph
+      var colors = active.select(col("id"), col("id").as("color"))
+        .localCheckpoint(true)
+      var last = decSum(colors, "color")
+      var it = 0
+      var done = false
+      while (!done) {
+        it += 1
+        require(it <= maxIters, s"scc: color fixpoint still moving " +
+          s"after $maxIters rounds — raise maxIters")
+        val prop = eAct
+          .join(colors.select(col("id").as("src"), col("color")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(max(col("color")).as("__p"))
+        val next = colors.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("color"), coalesce(col("__p"), col("color")))
+              .as("color"))
+          .localCheckpoint(true)
+        val s = decSum(next, "color")
+        colors = next
+        done = s.compareTo(last) == 0
+        last = s
+      }
+      // 2. backward mark fixpoint within each color class (roots seed)
+      var marked = colors.filter(col("id") === col("color"))
+        .localCheckpoint(true)
+      var mCount = marked.count()
+      it = 0
+      done = false
+      while (!done) {
+        it += 1
+        require(it <= maxIters, s"scc: mark fixpoint still moving " +
+          s"after $maxIters rounds — raise maxIters")
+        val cand = eAct
+          .join(marked.select(col("id").as("dst"), col("color").as("__mc")),
+            Seq("dst"))
+          .select(col("src").as("id"), col("__mc"))
+          .join(colors, Seq("id"))
+          .filter(col("color") === col("__mc"))
+          .select(col("id"), col("color"))
+        val next = marked.unionByName(cand).distinct().localCheckpoint(true)
+        val c = next.count()
+        done = c == mCount
+        marked = next
+        mCount = c
+      }
+      // 3. peel: the marked set is exactly the union of the root SCCs
+      assigned =
+        if (assigned == null) marked
+        else assigned.unionByName(marked).localCheckpoint(true)
+      active = active.join(marked.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      remaining = active.count()
+      eAct = eAct
+        .join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+    }
+    if (assigned == null)
+      active.select(col("id"), col("id").as("scc")) // edgeless input: empty
+    else assigned.select(col("id"), col("color").as("scc"))
+  }
+
   def reciprocitySummary(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)

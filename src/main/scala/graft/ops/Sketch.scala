@@ -736,6 +736,189 @@ object Sketch {
     quantilesFromBins(merged, lo, width, pcts)
   }
 
+  // ---------------------------------------------------------------------
+  // KMV / theta sketch: the UNION-mergeable bottom-k distinct sketch —
+  // the fourth merge class (HLL registers MAX, counters ADD, bloom words
+  // OR; bottom-k sets merge by set-UNION then re-trim). It exists for
+  // the set-algebra gap HLL leaves open: HLL intersections go through
+  // inclusion–exclusion (q177), compounding the error of THREE
+  // estimates and collapsing entirely for small overlaps; the theta
+  // form estimates |A ∩ B| DIRECTLY by counting intersection hashes
+  // below one shared threshold. Deterministic on the shared mix57
+  // domain, exact integer arithmetic throughout, so the sketch
+  // CONTENTS — the kept hashes themselves — are oracle-checkable.
+  // ---------------------------------------------------------------------
+
+  /** Bottom-k distinct-hash relation of `valueCol`: the k smallest
+    * DISTINCT salted mix57 hashes (fewer rows when the input has fewer
+    * distinct values — the sketch is then EXACT). `orderBy(h).limit(k)`
+    * plans as TakeOrderedAndProject: per-partition bounded heaps of k
+    * longs, never a global sort — the whole sketch is O(k) state however
+    * large the corpus, which is what makes it a 100 TB operator.
+    */
+  def kmvHashes(items: DataFrame, valueCol: String = "item",
+                k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    items.select(salted(col(valueCol), "|kmv").as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** One-row KMV distinct estimate: (k, n_kept, theta, estimate,
+    * n_exact). Saturated (n_kept = k): theta is the k-th smallest hash
+    * and `estimate = (k−1)·2^57 div theta` — the classic k-minimum-values
+    * estimator, with theta itself excluded from the support (the k−1).
+    * Unsaturated: the sketch holds EVERY distinct hash, so the estimate
+    * is n_kept exactly (hash collisions aside, vanishing in a 2^57
+    * domain — and deterministic, so both engines agree bit-for-bit
+    * either way). `(k−1)·2^57` overflows a BIGINT from k = 65 up, so the
+    * product runs as DECIMAL(38,0) on Spark / HUGEINT in the oracle (the
+    * q223 device); `div` keeps the quotient exact integer arithmetic.
+    * `n_exact` is the audited true distinct count, carried like q140's.
+    */
+  def kmvEstimate(items: DataFrame, valueCol: String = "item",
+                  k: Int = 256): DataFrame = {
+    val sketch = kmvHashes(items, valueCol, k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+    val exact = items.select(col(valueCol)).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+    sketch.crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $MixMod) " +
+            "div theta"))
+          .as("estimate"),
+        col("n_exact"))
+  }
+
+  /** Direct theta-sketch set algebra over two KMV sketches: one row
+    * (k, theta, n_inter, est_inter, n_union, est_union, exact_inter,
+    * exact_union). theta = min of the two sketches' thresholds (a
+    * saturated sketch's k-th hash; an unsaturated sketch kept everything,
+    * so its threshold is the full domain 2^57); below theta BOTH sketches
+    * are complete samples of their sets, so
+    * `est = n_below · 2^57 div theta` estimates intersection and union
+    * alike — and degrades to EXACT counts when both sketches are
+    * unsaturated (theta = 2^57 makes the div an identity). One shared
+    * threshold, one estimate — not inclusion–exclusion's three.
+    *
+    * 100 TB posture: each side collapses to ≤ k hashes map-side
+    * (TakeOrderedAndProject) before anything joins; the set algebra and
+    * the 1-row threshold run on ≤ 2k rows. The exact audit columns are
+    * two distinct-aggregates over the inputs — drop them (they are the
+    * only corpus-sized legs) when the sketch is the point.
+    */
+  def kmvIntersection(a: DataFrame, b: DataFrame,
+                      valueCol: String = "item", k: Int = 256): DataFrame = {
+    val ha = graft.core.CacheScope.track(kmvHashes(a, valueCol, k).persist())
+    val hb = graft.core.CacheScope.track(kmvHashes(b, valueCol, k).persist())
+    def thetaOf(h: DataFrame, as: String) =
+      h.agg(count(lit(1)).as("__n"), max(col("h")).as("__max"))
+        .select(when(col("__n") < k, lit(MixMod))
+          .otherwise(col("__max")).as(as))
+    val theta = thetaOf(ha, "__ta").crossJoin(thetaOf(hb, "__tb"))
+      .select(least(col("__ta"), col("__tb")).as("theta"))
+    val belowA = ha.crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+      .select(col("h"))
+    val belowB = hb.crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+      .select(col("h"))
+    val nInter = belowA.intersect(belowB).agg(count(lit(1)).as("n_inter"))
+    val nUnion = belowA.union(belowB).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    val da = a.select(col(valueCol)).distinct()
+    val db = b.select(col(valueCol)).distinct()
+    val exInter = da.intersect(db).agg(count(lit(1)).as("exact_inter"))
+    val exUnion = da.union(db).distinct().agg(count(lit(1)).as("exact_union"))
+    theta.crossJoin(nInter).crossJoin(nUnion)
+      .crossJoin(exInter).crossJoin(exUnion)
+      .select(lit(k.toLong).as("k"), col("theta"),
+        col("n_inter"),
+        expr(s"(cast(n_inter as decimal(38,0)) * $MixMod) div theta")
+          .as("est_inter"),
+        col("n_union"),
+        expr(s"(cast(n_union as decimal(38,0)) * $MixMod) div theta")
+          .as("est_union"),
+        col("exact_inter"), col("exact_union"))
+  }
+
+  /** Create/replace a KMV store at `path` with one epoch: (epoch, h)
+    * parquet rows — the epoch's bottom-k hash set — plus a layout record
+    * pinning `k` (an epoch sketched at a smaller k may have DROPPED
+    * hashes the merged bottom-k needs; mixed-k stores silently
+    * under-estimate, so the mismatch fails loud on append, exactly the
+    * HLL store's p discipline). Replaying an epoch id is harmless for
+    * the estimate — the merge is a set union and duplicates vanish in
+    * the distinct — making this store at-least-once-tolerant like the
+    * HLL one (the MG store is the strict outlier, by construction). */
+  def writeKmvStore(items: DataFrame, path: String, epoch: Long,
+                    valueCol: String = "item", k: Int = 256): Unit = {
+    val spark = items.sparkSession
+    kmvHashes(items, valueCol, k)
+      .select(lit(epoch).as("epoch"), col("h"))
+      .write.mode("overwrite").parquet(path)
+    val (fs, lp) = layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"k=$k\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Whether a KMV store (with its layout record) exists at `path`. */
+  def kmvStoreExists(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean = {
+    val (fs, lp) = layoutFile(spark, path)
+    fs.exists(lp)
+  }
+
+  private def readKmvK(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp), s"KMV store at $path has no layout record — " +
+      "only stores written by writeKmvStore are mergeable (k cannot be " +
+      "recovered from rows)")
+    val in = fs.open(lp)
+    val recorded =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    recorded.stripPrefix("k=").toInt
+  }
+
+  /** Append one epoch's bottom-k hashes; fails loud on a k mismatch. */
+  def appendKmvStore(items: DataFrame, path: String, epoch: Long,
+                     valueCol: String = "item", k: Int = 256): Unit = {
+    val spark = items.sparkSession
+    val recorded = readKmvK(spark, path)
+    require(recorded == k,
+      s"KMV store at $path was written with (k=$recorded), append " +
+        s"requested (k=$k) — rebuild the store, mixed k cannot merge")
+    kmvHashes(items, valueCol, k)
+      .select(lit(epoch).as("epoch"), col("h"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Merge a store's epochs (all, or an `epochFilter` span) into one
+    * estimate row. Any hash among the k smallest of the merged span is
+    * among the k smallest of its own epoch, so the union of per-epoch
+    * bottom-k sets CONTAINS the true bottom-k of the union — distinct +
+    * re-trim recovers it exactly, and the merged estimate is
+    * bit-identical to one-shot sketching everything the epochs saw. The
+    * merge reads ≤ k rows per epoch, never the corpora. (No `n_exact`
+    * column: the store deliberately does not retain the data that would
+    * compute one.) */
+  def mergedKmvEstimate(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        epochFilter: Column = lit(true)): DataFrame = {
+    val k = readKmvK(spark, path)
+    spark.read.parquet(path)
+      .filter(epochFilter)
+      .select(col("h")).distinct().orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+      .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $MixMod) " +
+            "div theta"))
+          .as("estimate"))
+  }
+
   /** The standard HLL bias-correction constant — a Scala-side double,
     * interpolated into the oracle as its exact decimal round-trip (the
     * q70 plane-literal device), so both engines multiply the identical

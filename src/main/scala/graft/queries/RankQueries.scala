@@ -455,6 +455,22 @@ object RankQueries {
       .select(col("id").as("item"), col("hub_micro"), col("auth_micro"))
   }
 
+  /** Strongly connected components of the DIRECTED week-1 session graph
+    * (q227) — the condensation view the undirected q51-style components
+    * cannot give: which item neighborhoods are mutually navigable
+    * (every item reachable from every other by click-paths) versus
+    * one-way funnels. Runs the distributed coloring algorithm
+    * ([[graft.ops.Graph.stronglyConnectedComponents]]) to full
+    * convergence; the oracle is DEFINITIONAL — a recursive-CTE
+    * transitive closure with `scc = MAX(mutually reachable id)` — so
+    * the gate checks the peeling algorithm against mutual reachability
+    * itself, the same adversarial pairing as q146/q158's
+    * rewrite-vs-textbook device.
+    */
+  def itemScc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.stronglyConnectedComponents(weekSessionEdges(s, dir))
+      .select(col("id").as("item"), col("scc"))
+
   /** Event-stream contract audit (q216) — the one-row range/shape gate
     * an ingest pipeline runs before anything downstream trusts the
     * batch: NULL users, negative values, timestamps outside the
@@ -745,6 +761,37 @@ object RankQueries {
   def hllUv(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketch.hllEstimate(
       Tables.events(s, dir).select(col("user_id").as("item")))
+
+  /** KMV (bottom-k / theta) UV estimate over event users (q225) — the
+    * union-mergeable sketch's one-row estimate with the exact count
+    * carried for audit, every value exact integer arithmetic on the
+    * shared mix57 domain so the row is bit-identical across engines.
+    * Complements q140: HLL holds m registers and only unions; the KMV
+    * sketch holds k hashes and supports DIRECT set intersection (q226).
+    */
+  def kmvUv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.kmvEstimate(
+      Tables.events(s, dir).select(col("user_id").as("item")))
+
+  /** Click-vs-purchase (user, item) PAIR overlap by DIRECT theta-sketch
+    * intersection (q226) — "how many clicked pairs convert to a
+    * purchase", the small-overlap regime (~12% of either set here)
+    * where q177's inclusion–exclusion compounds three HLL errors into
+    * a difference of near-equal large numbers while the theta form
+    * counts intersection hashes below ONE shared threshold. Pair sets
+    * saturate k = 256 from sf0.01 up (the estimating regime) and stay
+    * under it at sf0.001 (the exact regime) — the oracle certifies
+    * both. */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def pairs(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("__item"))
+      .filter(col("__item").isNotNull)
+      .select(concat(col("user_id").cast("string"), lit(":"),
+        col("__item").cast("string")).as("item"))
+    graft.ops.Sketch.kmvIntersection(pairs("click"), pairs("purchase"))
+  }
 
   /** 8-day truncated EWMA of daily order revenue, α = 1/4, entirely in
     * integer arithmetic (q167): daily revenue as exact cents, the
@@ -1803,6 +1850,8 @@ object RankQueries {
     "q138_pagerank" -> itemPageRank,
     "q139_countmin" -> countMinItems,
     "q140_hll_uv" -> hllUv,
+    "q225_kmv_uv" -> kmvUv,
+    "q226_kmv_overlap" -> kmvOverlap,
     "q159_item_triangles" -> itemTriangles,
     "q160_link_prediction" -> itemLinkPrediction,
     "q161_grouped_hll" -> groupedHllUv,
@@ -1832,6 +1881,7 @@ object RankQueries {
     "q190_new_vs_returning" -> newVsReturning,
     "q191_spend_gini" -> customerSpendGini,
     "q208_hits" -> itemHits,
+    "q227_item_scc" -> itemScc,
     "q209_retention_cohorts" -> retentionCohorts,
     "q210_activity_streaks" -> activityStreaks,
     "q211_rfm_segments" -> rfmSegments,
@@ -2226,6 +2276,117 @@ object RankQueries {
       |FROM ha, hb, hu, ex""".stripMargin
   }
 
+  /** q227 oracle: the DEFINITIONAL form — recursive-CTE transitive
+    * closure over the directed week-1 session edges (reflexive base
+    * case), `scc = MAX(b)` over MUTUAL reachability (b reaches v and v
+    * reaches b). The Spark side converges the peeling/coloring
+    * algorithm and never computes a closure; equality of the two IS
+    * the algorithm's correctness claim checked on data — the
+    * rewrite-vs-textbook adversarial pairing (q146/q158 device) for
+    * graphs. */
+  private def sccOracleSql: String =
+    s"""WITH RECURSIVE c AS (SELECT user_id, ts, event_id, $item AS item
+      |           FROM events
+      |           WHERE event_type = 'click'
+      |             AND ts >= TIMESTAMP '2024-01-01'
+      |             AND ts < TIMESTAMP '2024-01-08'
+      |             AND $item IS NOT NULL),
+      |seq AS (SELECT item, LAG(item) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |        FROM c),
+      |ed AS (SELECT DISTINCT prev AS src, item AS dst
+      |       FROM seq WHERE prev IS NOT NULL AND prev <> item),
+      |verts AS (SELECT DISTINCT src AS id FROM ed
+      |          UNION SELECT DISTINCT dst FROM ed),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN ed e ON r.b = e.src)
+      |SELECT v.id AS item, MAX(r1.b) AS scc
+      |FROM verts v
+      |JOIN reach r1 ON r1.a = v.id
+      |JOIN reach r2 ON r2.a = r1.b AND r2.b = v.id
+      |GROUP BY v.id""".stripMargin
+
+  /** One suffixed q225-style bottom-k hash chain: source CTE (one column
+    * v) → fingerprint+mix → distinct hashes `d$sfx` → the k smallest as
+    * `kept$sfx` (ROW_NUMBER over the hash order — the oracle can afford
+    * the global sort the Spark side's TakeOrderedAndProject avoids). */
+  private def kmvChainSql(sfx: String, from: String, k: Int): String = {
+    val mixCtes = graft.ops.Sketch.mixStagesSql("h").zipWithIndex
+      .map { case (stage, i) =>
+        s"mh${i + 1}$sfx AS (SELECT $stage AS h FROM " +
+          s"${if (i == 0) s"hh$sfx" else s"mh$i$sfx"})"
+      }.mkString(",\n|")
+    val nStages = graft.ops.Sketch.mixStagesSql("h").length
+    s"""u$sfx AS ($from),
+      |hh$sfx AS (SELECT ${LlmQueries.fpSql("CAST(v AS VARCHAR) || '|kmv'")}
+      |         AS h FROM u$sfx),
+      |$mixCtes,
+      |d$sfx AS (SELECT DISTINCT h FROM mh$nStages$sfx),
+      |kept$sfx AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+      |         AS r FROM d$sfx) t WHERE r <= $k)""".stripMargin
+  }
+
+  /** q225 oracle: the same bottom-k hash set, the (k−1)·2^57 div theta
+    * estimator with the product in HUGEINT (Spark runs it as
+    * DECIMAL(38,0) — the q223 device), exact below saturation. */
+  private def kmvOracleSql(k: Int): String = {
+    val M = graft.ops.Sketch.MixMod
+    s"""WITH ${kmvChainSql("", "SELECT DISTINCT user_id AS v FROM events", k)},
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS theta
+      |        FROM kept),
+      |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      |       FROM events)
+      |SELECT CAST($k AS BIGINT) AS k, n_kept, theta,
+      |  CASE WHEN n_kept < $k THEN n_kept
+      |       ELSE CAST((CAST(${k - 1} AS HUGEINT) * $M) // theta AS BIGINT)
+      |       END AS estimate,
+      |  n_exact
+      |FROM agg, ex""".stripMargin
+  }
+
+  /** q226 oracle: two bottom-k chains, the min-threshold (an unsaturated
+    * sketch's threshold is the whole 2^57 domain), intersection/union
+    * counts below it, and the shared `n·2^57 div theta` estimator in
+    * HUGEINT — plus the exact overlap counts the Spark row carries. */
+  private def kmvIntersectOracleSql(k: Int): String = {
+    val M = graft.ops.Sketch.MixMod
+    def pairSrc(t: String) =
+      s"SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || " +
+        s"CAST($item AS VARCHAR) AS v FROM events " +
+        s"WHERE event_type = '$t' AND $item IS NOT NULL"
+    s"""WITH ${kmvChainSql("a", pairSrc("click"), k)},
+      |${kmvChainSql("b", pairSrc("purchase"), k)},
+      |ta AS (SELECT CASE WHEN COUNT(*) < $k THEN CAST($M AS BIGINT)
+      |         ELSE MAX(h) END AS t FROM kepta),
+      |tb AS (SELECT CASE WHEN COUNT(*) < $k THEN CAST($M AS BIGINT)
+      |         ELSE MAX(h) END AS t FROM keptb),
+      |th AS (SELECT LEAST(ta.t, tb.t) AS theta FROM ta, tb),
+      |ba AS (SELECT h FROM kepta, th WHERE h < theta),
+      |bb AS (SELECT h FROM keptb, th WHERE h < theta),
+      |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter FROM
+      |  (SELECT h FROM ba INTERSECT SELECT h FROM bb) t),
+      |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union FROM
+      |  (SELECT h FROM ba UNION SELECT h FROM bb) t),
+      |exi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM
+      |  (${pairSrc("click")}
+      |   INTERSECT
+      |   ${pairSrc("purchase")}) t),
+      |exu AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union FROM
+      |  (${pairSrc("click")}
+      |   UNION
+      |   ${pairSrc("purchase")}) t)
+      |SELECT CAST($k AS BIGINT) AS k, theta, n_inter,
+      |  CAST((CAST(n_inter AS HUGEINT) * $M) // theta AS BIGINT)
+      |    AS est_inter,
+      |  n_union,
+      |  CAST((CAST(n_union AS HUGEINT) * $M) // theta AS BIGINT)
+      |    AS est_union,
+      |  exact_inter, exact_union
+      |FROM th, ni, nu, exi, exu""".stripMargin
+  }
+
   /** q170 oracle: the identical bloom chain in SQL — k fingerprint+mix
     * hash columns per pair (the countMin CTE-per-stage device), 32-bit
     * words built with BIT_OR over the member subset, every probe's k
@@ -2362,6 +2523,7 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     // q208: the HITS recurrence unrolled round for round, same unit
     "q208_hits" -> hitsOracleSql(4, 1000000L),
+    "q227_item_scc" -> sccOracleSql,
     // q222: generated from the same step list as the Spark fold
     "q222_funnel_k" ->
       funnelStepsOracleSql(RepeatBuyerSteps, RepeatBuyerWindowMs),
@@ -3300,6 +3462,8 @@ object RankQueries {
         |ORDER BY common DESC, x, y LIMIT 50""".stripMargin,
     "q139_countmin" -> countMinOracleSql(4, 64),
     "q140_hll_uv" -> hllOracleSql(6),
+    "q225_kmv_uv" -> kmvOracleSql(256),
+    "q226_kmv_overlap" -> kmvIntersectOracleSql(256),
     // q149: the identical grid + division-free probe; cum/total cast
     // back to BIGINT (DuckDB window SUM yields HUGEINT → float in pandas)
     "q149_value_quantile_hist" ->

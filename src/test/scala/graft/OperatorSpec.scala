@@ -495,6 +495,37 @@ class OperatorSpec extends SparkSpecBase {
       .count() == 3L, "non-strict must auto-scale and run")
   }
 
+  test("SCC: two cycles joined by a one-way bridge resolve separately, " +
+    "tails/self-loops are singletons, reps are the max member id") {
+    // 1→2→3→1 (cycle A), 3→4 (bridge), 4→5→6→4 (cycle B), 6→8 (tail),
+    // 7→7 (self-loop singleton)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (6L, 8L), (7L, 7L)).toDF("src", "dst")
+    val got = graft.ops.Graph.stronglyConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 6L, 5L -> 6L,
+      6L -> 6L, 8L -> 8L, 7L -> 7L), s"wrong SCCs: $got")
+  }
+
+  test("SCC: an ascending-id chain DAG peels one root per round (the " +
+    "documented adversarial case) and maxPeels fails loud, not silent") {
+    // 4→3→2→1: every color class has one root, so each peel removes one
+    // singleton SCC — 4 peels to drain
+    val chain = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = graft.ops.Graph.stronglyConnectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.stronglyConnectedComponents(chain, maxPeels = 2)
+    }
+    // NULL endpoints are dropped before anything is counted
+    val withNulls = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (Some(9L), None), (None, Some(9L))).toDF("src", "dst")
+    val clean = graft.ops.Graph.stronglyConnectedComponents(withNulls)
+      .as[(Long, Long)].collect().toMap
+    assert(clean == Map(1L -> 2L, 2L -> 2L), s"wrong: $clean")
+  }
+
   test("snapshot delta: per-source flow conservation (old = retained + " +
     "removed, new = retained + added) and the parity fixture's planted " +
     "dup texts are retained") {
@@ -1143,6 +1174,90 @@ class OperatorSpec extends SparkSpecBase {
     val dup = graft.ops.Sketch.hllEstimate(base.union(base))
       .as[(Long, Long, Long, Long, Double)].head()
     assert(dup == one, "HLL must be duplicate-insensitive")
+  }
+
+  test("KMV: unsaturated sketch is exact, saturated estimate lands in " +
+    "the k=256 error envelope, duplicates change nothing") {
+    val small = (1 to 100).map(i => s"user$i").toDF("item")
+    val s0 = graft.ops.Sketch.kmvEstimate(small)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s0._1 == 256 && s0._2 == 100 && s0._4 == 100 && s0._5 == 100,
+      s"unsaturated sketch must be exact: $s0")
+    val base = (1 to 5000).map(i => s"user$i").toDF("item")
+    val one = graft.ops.Sketch.kmvEstimate(base)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(one._2 == 256 && one._5 == 5000)
+    // KMV RSE ~ 1/sqrt(k-1) = 6.3%; allow 4 sigma
+    assert(math.abs(one._4 - 5000) / 5000.0 < 0.25,
+      s"estimate ${one._4} implausibly far from 5000")
+    // re-inserting everything changes NOTHING (bottom-k of a set union
+    // with itself) — the duplicate-insensitivity replays rely on
+    val dup = graft.ops.Sketch.kmvEstimate(base.union(base))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(dup == one, "KMV must be duplicate-insensitive")
+  }
+
+  test("KMV intersection: exact below saturation, deterministic " +
+    "theta-threshold estimates in the envelope above it") {
+    // both sides under k: theta = 2^57, everything exact
+    val a0 = (1 to 100).map(i => s"user$i").toDF("item")
+    val b0 = (51 to 150).map(i => s"user$i").toDF("item")
+    val ex = graft.ops.Sketch.kmvIntersection(a0, b0)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(ex._2 == graft.ops.Sketch.MixMod, "unsaturated theta = domain")
+    assert(ex._4 == 50 && ex._6 == 150 && ex._7 == 50 && ex._8 == 150,
+      s"unsaturated intersection must be exact: $ex")
+    // saturated: 50% overlap of two 5000-sets
+    val a1 = (1 to 5000).map(i => s"user$i").toDF("item")
+    val b1 = (2501 to 7500).map(i => s"user$i").toDF("item")
+    val st = graft.ops.Sketch.kmvIntersection(a1, b1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(st._7 == 2500 && st._8 == 7500)
+    // ~k/3 intersection hashes below theta -> RSE ~ 11%; allow ~4 sigma
+    assert(math.abs(st._4 - 2500) / 2500.0 < 0.5,
+      s"est_inter ${st._4} implausibly far from 2500")
+    assert(math.abs(st._6 - 7500) / 7500.0 < 0.5,
+      s"est_union ${st._6} implausibly far from 7500")
+    // determinism: the same inputs give the identical row
+    val again = graft.ops.Sketch.kmvIntersection(a1, b1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(again == st, "theta-sketch row must be deterministic")
+  }
+
+  test("KMV store: merged epochs are bit-identical to a one-shot sketch " +
+    "of the union, replays are harmless, mixed k fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv")
+      .toString + "/store"
+    val e1 = (1 to 3000).map(i => s"user$i").toDF("item")
+    val e2 = (2000 to 6000).map(i => s"user$i").toDF("item")
+    val e3 = (5500 to 7000).map(i => s"user$i").toDF("item")
+    graft.ops.Sketch.writeKmvStore(e1, dir, epoch = 1L)
+    graft.ops.Sketch.appendKmvStore(e2, dir, epoch = 2L)
+    graft.ops.Sketch.appendKmvStore(e3, dir, epoch = 3L)
+    val merged = graft.ops.Sketch.mergedKmvEstimate(spark, dir)
+      .as[(Long, Long, Long, Long)].head()
+    val oneShot = graft.ops.Sketch.kmvEstimate(e1.union(e2).union(e3))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(merged == ((oneShot._1, oneShot._2, oneShot._3, oneShot._4)),
+      s"store-merge $merged != one-shot $oneShot")
+    // an epoch-range merge equals the sketch of just those epochs
+    val lastTwo = graft.ops.Sketch.mergedKmvEstimate(spark, dir,
+      col("epoch") >= 2L).as[(Long, Long, Long, Long)].head()
+    val lastTwoDirect = graft.ops.Sketch.kmvEstimate(e2.union(e3))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(lastTwo._3 == lastTwoDirect._3 && lastTwo._4 == lastTwoDirect._4)
+    // an at-least-once replay of epoch 2 changes NOTHING (set union)
+    graft.ops.Sketch.appendKmvStore(e2, dir, epoch = 2L)
+    val replayed = graft.ops.Sketch.mergedKmvEstimate(spark, dir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(replayed == merged, "replayed epoch must not move the estimate")
+    // k drift must fail loud, not silently under-estimate
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendKmvStore(e1, dir, epoch = 4L, k = 128)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendKmvStore(e1, dir + "_nowhere", epoch = 1L)
+    }
   }
 
   test("HLL register store: merged epochs are bit-identical to a " +
