@@ -106,6 +106,54 @@ object Sketch {
       .agg(min("counter").as("est_cnt"))
   }
 
+  /** Count-min join-cardinality preflight: estimate `|A ⋈ B on key|`
+    * WITHOUT joining the keys — as `min over rows j of
+    * Σ_bucket cmA[j][b] · cmB[j][b]`, the classic sketch inner product.
+    * Each row's product expands to `Σ_{h_j(x)=h_j(y)} a_x·b_y ⊇
+    * Σ_k a_k·b_k`, so every row over-counts (collisions only ADD mass)
+    * and the min is a one-sided upper estimate, exactly the count-min
+    * point guarantee lifted to join size. The q218 preflight computes
+    * the true `Σ_k a_k·b_k` by joining the per-key count relations —
+    * correct, but it shuffles every distinct key; here each side folds
+    * into d·w counters MAP-SIDE and the estimate is a d·w-row join,
+    * which is the whole point at 100 TB (products and sums run in
+    * DECIMAL(38,0): bucket counters are corpus-sized, so their products
+    * overflow a BIGINT long before any real corpus does). The exact
+    * value rides along as the audit column, like [[countMinEstimates]]'
+    * `true_cnt`.
+    *
+    * Output: one row (d, w, est_rows, exact_rows), est_rows ≥ exact_rows.
+    */
+  def countMinJoinSize(a: DataFrame, b: DataFrame,
+                       valueCol: String = "item",
+                       d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 1, s"d and w must be positive: d=$d w=$w")
+    def counters(items: DataFrame, as: String) = {
+      val cnt = items.groupBy(col(valueCol))
+        .agg(count(lit(1)).as("__c"))
+      (0 until d).map { j =>
+        cnt.groupBy(pmod(salted(col(valueCol), s"|cms$j"), lit(w.toLong))
+            .as("bucket"))
+          .agg(sum("__c").as(as))
+          .select(lit(j).as("row_j"), col("bucket"), col(as))
+      }.reduce(_ unionByName _)
+    }
+    val ip = counters(a, "__ca").join(counters(b, "__cb"),
+        Seq("row_j", "bucket"))
+      .groupBy(col("row_j"))
+      .agg(sum(col("__ca").cast("decimal(38,0)") * col("__cb")).as("__p"))
+      .agg(min(col("__p")).as("__est"))
+    val exact = a.groupBy(col(valueCol)).agg(count(lit(1)).as("__a"))
+      .join(b.groupBy(col(valueCol)).agg(count(lit(1)).as("__b")),
+        Seq(valueCol))
+      .agg(coalesce(sum(col("__a").cast("decimal(38,0)") * col("__b")),
+        lit(0L)).as("__ex"))
+    ip.crossJoin(exact)
+      .select(lit(d.toLong).as("d"), lit(w.toLong).as("w"),
+        col("__est").cast("long").as("est_rows"),
+        col("__ex").cast("long").as("exact_rows"))
+  }
+
   /** HyperLogLog registers + estimate with NO floating-point anywhere
     * until the final two operations: the 57-bit fingerprint splits into
     * a bucket (`h mod m`) and a 51-bit remainder whose leading-zero rank

@@ -112,6 +112,39 @@ object LlmQueries {
       .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stopword_ratio", "quality_score")
 
+  /** Preference-pair construction (q230) — the RLHF/DPO data-prep move:
+    * per source (the prompt-group analog), pair the best-quality
+    * document against the worst as (chosen, rejected), margin > 0
+    * required (a tie is not a preference). Both ends come from ONE
+    * map-side-combined struct-argmax aggregate — `max(struct(q, −id))`
+    * / `min(struct(q, id))`, the LPA argmax device, so ties break
+    * deterministically to the smaller doc_id and nothing rank-windows
+    * over the corpus. The oracle takes the textbook two-window
+    * ROW_NUMBER form — the aggregate-vs-window adversarial pairing.
+    *
+    * 100 TB posture: one aggregate into ≤ |sources| rows; the pair
+    * join runs on that bounded relation.
+    */
+  def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    // quality lives on a 0.1 grid ({0, .3, .4} summands), so the pair
+    // arithmetic runs on integer TENTHS — a float margin would be a
+    // double subtraction on Spark vs a decimal one in the oracle
+    // (0.30000000000000004 vs 0.3, the r14 near-miss this comment pins)
+    val q = TextAnalysis.qualityScore(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        round(col("quality_score") * 10, 0).cast("long").as("q10"))
+    q.groupBy(col("source"))
+      .agg(
+        max(struct(col("q10").as("q"), (-col("doc_id")).as("nid")))
+          .as("__c"),
+        min(struct(col("q10").as("q"), col("doc_id").as("id"))).as("__r"))
+      .select(col("source"),
+        (-col("__c.nid")).as("chosen_id"), col("__c.q").as("chosen_q10"),
+        col("__r.id").as("rejected_id"), col("__r.q").as("rejected_q10"))
+      .filter(col("chosen_q10") > col("rejected_q10"))
+      .withColumn("margin_q10", col("chosen_q10") - col("rejected_q10"))
+  }
+
   /** Overflow-safe polynomial rolling-hash fingerprint per document. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1120,6 +1153,7 @@ object LlmQueries {
     "q34_text_stats" -> textStats,
     "q35_lang_id" -> langId,
     "q36_quality_score" -> qualityScore,
+    "q230_preference_pairs" -> preferencePairs,
     "q37_fingerprint" -> fingerprint,
     "q38_multimodal_meta" -> multimodalMeta,
     "q51_dedup_clusters" -> dedupClusters,
@@ -3057,6 +3091,26 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
         |  stopword_ratio, quality_score
         |FROM qsc""".stripMargin,
+    // q230: the textbook two-window form vs the Spark side's one
+    // struct-argmax aggregate — tie-breaks pinned to the smaller doc_id
+    // on both ends, margin > 0 so a tied source emits no pair
+    "q230_preference_pairs" ->
+      s"""WITH $qualityCtes,
+        |qsrc AS (SELECT q.doc_id, d.source,
+        |           CAST(ROUND(q.quality_score * 10, 0) AS BIGINT) AS q10
+        |         FROM qsc q JOIN documents d USING (doc_id)),
+        |ranked AS (SELECT source, doc_id, q10,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY q10 DESC, doc_id) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY q10 ASC, doc_id) AS rr
+        |  FROM qsrc)
+        |SELECT c.source, c.doc_id AS chosen_id, c.q10 AS chosen_q10,
+        |  r.doc_id AS rejected_id, r.q10 AS rejected_q10,
+        |  c.q10 - r.q10 AS margin_q10
+        |FROM (SELECT * FROM ranked WHERE rc = 1) c
+        |JOIN (SELECT * FROM ranked WHERE rr = 1) r USING (source)
+        |WHERE c.q10 > r.q10""".stripMargin,
     // q103: the q36 quality CTEs + a cumulative token spend in quality-desc
     // order; the 40% budget boundary is the exact-integer cum*5 <= total*2.
     // The window SUM MUST be cast back to BIGINT: DuckDB widens SUM(BIGINT)

@@ -23,6 +23,87 @@ object RankQueries {
         col("value").as("score"),
         when(col("event_type") === "click", 1).otherwise(0).as("label"))
 
+  /** Kaplan–Meier risk table over (user, item) click-engagement
+    * lifetimes (q231) — the survival-analysis view the cohort/streak
+    * family (q209/q210) doesn't give: at each observed churn duration t
+    * (days from a pair's first to last click), the risk set
+    * `n_at_risk = |{dur ≥ t}|`, the churn events
+    * `n_churned = |{churned, dur = t}|`, and the discrete hazard
+    * `d·10⁶ div n` — the exact-integer skeleton of the KM product-limit
+    * estimator (the cumulative survival product is a float recurrence
+    * two engines won't bitwise-agree on; the risk table is the
+    * estimator's sufficient statistic and every cell here is an
+    * integer). Censoring is honest right-censoring: a pair whose last
+    * click falls within 7 days of the corpus horizon may still be
+    * engaged — it enters risk sets (n) but never the event counts (d).
+    * The grain is (user, item) because it actually churns in this
+    * domain — ~25% of pairs censored, the rest observed — where
+    * whole-user lifetimes are degenerate (every user active to the
+    * horizon: zero events, an empty table).
+    *
+    * 100 TB posture: one pair-keyed aggregate; the horizon is a 1-row
+    * broadcast; the descending cumulative risk-set window runs on the
+    * ≤ |distinct durations| relation (≤ days in the window — the q149
+    * bounded-single-partition device).
+    */
+  def survivalRisk(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("__item"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .filter(col("__item").isNotNull)
+      .groupBy(col("user_id"), col("__item"))
+      .agg(min(col("day")).as("__first"), max(col("day")).as("__last"))
+    val horizon = per.agg(max(col("__last")).as("__horizon"))
+    val durs = per.crossJoin(broadcast(horizon))
+      .select((col("__last") - col("__first")).as("dur"),
+        (col("__horizon") - col("__last") < lit(7L)).as("__censored"))
+    val byDur = durs.groupBy(col("dur"))
+      .agg(count(lit(1)).as("__n_all"),
+        sum(when(!col("__censored"), 1L).otherwise(0L)).as("__d"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.withColumn("n_at_risk", sum(col("__n_all")).over(wDesc))
+      .filter(col("__d") > 0)
+      .select(col("dur").as("dur_days"), col("n_at_risk"),
+        col("__d").as("n_churned"),
+        expr("(__d * 1000000) div n_at_risk").as("hazard_ppm"))
+  }
+
+  /** Calibration / reliability bins (q229) — the evaluation view AUC
+    * cannot give: q18 says whether the score RANKS clicks above views;
+    * this says whether the score's MAGNITUDE means anything, by binning
+    * the q18 substrate's score into ten fixed-width bins ([0,500) by
+    * 50 — fixed edges from the q216 contract's value range, because
+    * data-dependent edges would need a float quantile both engines
+    * agree on) and reporting each bin's observed click rate. Exact
+    * integer arithmetic throughout: counts, ppm rates by integer div,
+    * score mass as DECIMAL cents; the mean is ONE division of two
+    * exact integers (the q154 device). A well-calibrated score shows
+    * pos_rate_ppm rising with bin; this substrate's flat profile is
+    * itself the honest reading (event value does not predict clicking).
+    *
+    * 100 TB posture: one map-side-combined aggregate into ≤ 10 groups;
+    * nothing else crosses the shuffle.
+    */
+  def calibrationBins(s: SparkSession, dir: String): DataFrame =
+    clickViewBase(s, dir)
+      .select(least(floor(col("score") / lit(50.0)).cast("long"), lit(9L))
+          .as("bin"),
+        col("label"),
+        expr("cast(cast(score as decimal(12,2)) * 100 as bigint)")
+          .as("__cents"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label").cast("long")).as("n_pos"),
+        sum(col("__cents")).as("sum_score_cents"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000) div n").as("pos_rate_ppm"),
+        col("sum_score_cents"),
+        (col("sum_score_cents").cast("double") /
+          (col("n") * 100L).cast("double")).as("mean_score"))
+
   /** W1 row_number rank (`AucCalcVersion5.java:302-311`): top-3 per type. */
   def windowRank(s: SparkSession, dir: String): DataFrame =
     Ranking.rowNumber(Tables.events(s, dir),
@@ -753,6 +834,26 @@ object RankQueries {
         .select(get_json_object(col("props"), "$.k").cast("long")
           .as("item"))
         .filter(col("item").isNotNull))
+
+  /** Count-min join-size preflight (q228) — "how many rows would
+    * click-items ⋈ purchase-items produce" estimated WITHOUT joining
+    * the key relations ([[graft.ops.Sketch.countMinJoinSize]]): each
+    * side folds map-side into 4×1024 counters and the estimate is the
+    * min-of-inner-products, one-sided above the truth by the count-min
+    * collision guarantee. q218 answers the same question EXACTLY by
+    * shuffling every distinct key; at 100 TB this is the version that
+    * runs before every big join, and the oracle rebuilds the identical
+    * counters so est_rows — collisions and all — matches bit-for-bit,
+    * with exact_rows beside it certifying `est ≥ exact` on data.
+    */
+  def cmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def items(t: String) = ev.filter(col("event_type") === t)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    graft.ops.Sketch.countMinJoinSize(items("click"), items("purchase"),
+      d = 4, w = 1024)
+  }
 
   /** HyperLogLog UV estimate over event users (q140) — registers, exact
     * integer harmonic numerator, and the one-float-operation estimate,
@@ -1833,6 +1934,8 @@ object RankQueries {
     "q16_rank_ties" -> rankTies,
     "q17_group_size" -> groupSize,
     "q18_auc" -> aucByScene,
+    "q229_calibration_bins" -> calibrationBins,
+    "q231_survival_risk" -> survivalRisk,
     "q19_uauc" -> uaucByScene,
     "q20_itemcf_cosine" -> itemcfCosine,
     "q21_itemcf_decay" -> itemcfDecay,
@@ -1849,6 +1952,7 @@ object RankQueries {
     "q137_session_detail" -> ((s, d) => sessionDetail(s, d)),
     "q138_pagerank" -> itemPageRank,
     "q139_countmin" -> countMinItems,
+    "q228_cms_join_size" -> cmsJoinSize,
     "q140_hll_uv" -> hllUv,
     "q225_kmv_uv" -> kmvUv,
     "q226_kmv_overlap" -> kmvOverlap,
@@ -2034,6 +2138,59 @@ object RankQueries {
       |SELECT item, true_cnt, CAST(MIN(counter) AS BIGINT) AS est_cnt
       |FROM probes JOIN counters USING (row_j, bucket)
       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** One suffixed q228-style counter chain over a keyed count relation
+    * (columns v, c): d fingerprint+mix hash columns (the q170
+    * `__E__`-replace device), buckets mod w, per-(row, bucket) counter
+    * sums — ends defining `ctr$sfx (row_j, bucket, counter)`. */
+  private def cmsCounterChainSql(sfx: String, src: String, d: Int,
+                                 w: Int): String = {
+    def fp(j: Int) = LlmQueries.fpSql(s"CAST(v AS VARCHAR) || '|cms$j'")
+    val raw = (0 until d).map(j => s"${fp(j)} AS x$j").mkString(",\n    ")
+    val mixCtes = graft.ops.Sketch.mixStagesSql("__E__").zipWithIndex
+      .map { case (stage, i) =>
+        val cols = (0 until d)
+          .map(j => s"${stage.replace("__E__", s"x$j")} AS x$j")
+          .mkString(",\n    ")
+        val from = if (i == 0) s"mx0$sfx" else s"mx$i$sfx"
+        s"""mx${i + 1}$sfx AS (SELECT c,
+          |    $cols
+          |  FROM $from)""".stripMargin
+      }.mkString(",\n")
+    val nStages = graft.ops.Sketch.mixStagesSql("x").length
+    val buckets = (0 until d).map(j => s"x$j % $w AS h$j").mkString(", ")
+    val counters = (0 until d).map(j =>
+      s"SELECT $j AS row_j, h$j AS bucket, " +
+        s"CAST(SUM(c) AS BIGINT) AS counter FROM hb$sfx GROUP BY 2")
+      .mkString("\n  UNION ALL\n  ")
+    s"""cnt$sfx AS ($src),
+      |mx0$sfx AS (SELECT c, $raw FROM cnt$sfx),
+      |$mixCtes,
+      |hb$sfx AS (SELECT c, $buckets FROM mx$nStages$sfx),
+      |ctr$sfx AS (
+      |  $counters)""".stripMargin
+  }
+
+  /** q228 oracle: both sides' counters rebuilt with the identical hash
+    * chains, the inner products in HUGEINT (Spark: DECIMAL(38,0)), the
+    * min over rows, and the exact key-join size beside it. */
+  private def cmsJoinOracleSql(d: Int, w: Int): String = {
+    def src(t: String) =
+      s"SELECT $item AS v, CAST(COUNT(*) AS BIGINT) AS c FROM events " +
+        s"WHERE event_type = '$t' AND $item IS NOT NULL GROUP BY 1"
+    s"""WITH ${cmsCounterChainSql("a", src("click"), d, w)},
+      |${cmsCounterChainSql("b", src("purchase"), d, w)},
+      |ip AS (SELECT a.row_j,
+      |    SUM(CAST(a.counter AS HUGEINT) * b.counter) AS p
+      |  FROM ctra a JOIN ctrb b USING (row_j, bucket) GROUP BY 1),
+      |est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_rows FROM ip),
+      |ex AS (SELECT CAST(COALESCE(
+      |    SUM(CAST(a.c AS HUGEINT) * b.c), 0) AS BIGINT) AS exact_rows
+      |  FROM (${src("click")}) a JOIN (${src("purchase")}) b USING (v))
+      |SELECT CAST($d AS BIGINT) AS d, CAST($w AS BIGINT) AS w,
+      |  est_rows, exact_rows
+      |FROM est, ex""".stripMargin
   }
 
   /** q140 oracle: registers via the same integer-comparison rank chain,
@@ -3255,6 +3412,45 @@ object RankQueries {
         |        / (SUM(label) * 1.0 * (COUNT(*) - SUM(label))), 9) AS auc
         |FROM f GROUP BY scene
         |HAVING SUM(label) > 0 AND COUNT(*) - SUM(label) > 0""".stripMargin,
+    "q231_survival_risk" ->
+      s"""WITH per AS (SELECT user_id, $item AS it,
+        |    MIN(epoch_ms(ts) // 86400000) AS first_day,
+        |    MAX(epoch_ms(ts) // 86400000) AS last_day
+        |  FROM events
+        |  WHERE event_type = 'click' AND $item IS NOT NULL
+        |  GROUP BY 1, 2),
+        |h AS (SELECT MAX(last_day) AS horizon FROM per),
+        |durs AS (SELECT last_day - first_day AS dur,
+        |    (horizon - last_day < 7) AS censored
+        |  FROM per, h),
+        |byd AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM durs GROUP BY 1)
+        |SELECT dur AS dur_days,
+        |  CAST(SUM(n_all) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_risk,
+        |  d AS n_churned,
+        |  CAST((d * 1000000) // (SUM(n_all) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    AS BIGINT) AS hazard_ppm
+        |FROM byd
+        |QUALIFY d > 0""".stripMargin,
+    "q229_calibration_bins" ->
+      s"""WITH base AS ($clickViewSql)
+        |SELECT bin, n, n_pos,
+        |  (n_pos * 1000000) // n AS pos_rate_ppm,
+        |  sum_score_cents,
+        |  CAST(sum_score_cents AS DOUBLE) / CAST(n * 100 AS DOUBLE)
+        |    AS mean_score
+        |FROM (
+        |  SELECT LEAST(CAST(FLOOR(score / 50.0) AS BIGINT), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(label) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(CAST(score AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sum_score_cents
+        |  FROM base GROUP BY 1) t""".stripMargin,
     "q19_uauc" ->
       s"""WITH base AS ($clickViewSql),
         |r AS (SELECT scene, user_id, score, label,
@@ -3461,6 +3657,7 @@ object RankQueries {
         |JOIN deg dy ON dy.v = y
         |ORDER BY common DESC, x, y LIMIT 50""".stripMargin,
     "q139_countmin" -> countMinOracleSql(4, 64),
+    "q228_cms_join_size" -> cmsJoinOracleSql(4, 1024),
     "q140_hll_uv" -> hllOracleSql(6),
     "q225_kmv_uv" -> kmvOracleSql(256),
     "q226_kmv_overlap" -> kmvIntersectOracleSql(256),

@@ -526,6 +526,33 @@ class OperatorSpec extends SparkSpecBase {
     assert(clean == Map(1L -> 2L, 2L -> 2L), s"wrong: $clean")
   }
 
+  test("survival risk table and calibration bins: risk sets shrink " +
+    "monotonically, events never exceed the risk set, bins cover the " +
+    "corpus, rates stay in [0, 1e6]") {
+    graft.core.CacheScope.scoped {
+      val km = SparkEntry.queries("q231_survival_risk")(spark, sfDir)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(km.nonEmpty)
+      assert(km.sliding(2).forall {
+        case Array(a, b) => a._2 >= b._2; case _ => true },
+        s"risk sets must shrink as duration grows: ${km.toSeq}")
+      assert(km.forall { case (_, n, d, h) =>
+        d >= 1 && d <= n && h >= 0 && h <= 1000000L }, s"bad row: ${km.toSeq}")
+      val cal = SparkEntry.queries("q229_calibration_bins")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+      assert(cal.map(_._2).sum > 0 && cal.forall { case (b, n, p, ppm, _, m) =>
+        b >= 0 && b <= 9 && p <= n && ppm >= 0 && ppm <= 1000000L &&
+          m >= b * 50.0 && m < (b + 1) * 50.0
+      }, s"bad calibration rows: ${cal.toSeq}")
+      // preference pairs: chosen strictly beats rejected, both distinct
+      val pp = SparkEntry.queries("q230_preference_pairs")(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(pp.nonEmpty)
+      assert(pp.forall { case (_, cid, cq, rid, rq, mg) =>
+        cq > rq && mg == cq - rq && cid != rid }, s"bad pairs: ${pp.toSeq}")
+    }
+  }
+
   test("snapshot delta: per-source flow conservation (old = retained + " +
     "removed, new = retained + added) and the parity fixture's planted " +
     "dup texts are retained") {
@@ -1064,6 +1091,28 @@ class OperatorSpec extends SparkSpecBase {
     assert(loose.map(r => r._1 -> r._2).toMap ==
       (0 until 37).map(k => k.toString ->
         (1 to 400).count(_ % 37 == k).toLong).toMap)
+  }
+
+  test("count-min join size: never undercounts, exact on a loose grid, " +
+    "collides upward on a tight one, zero-overlap joins estimate >= 0") {
+    val a = (1 to 600).map(i => (i % 30).toString).toDF("item")   // 20 each
+    val b = (1 to 300).map(i => (i % 20).toString).toDF("item")   // 15 each
+    // exact join size: keys 0..19 shared, 20 * 15 each = 6000
+    val loose = graft.ops.Sketch.countMinJoinSize(a, b, d = 4, w = 4096)
+      .as[(Long, Long, Long, Long)].head()
+    assert(loose._4 == 6000, s"exact must be 6000: $loose")
+    assert(loose._3 == 6000, s"loose grid must estimate exactly: $loose")
+    val tight = graft.ops.Sketch.countMinJoinSize(a, b, d = 2, w = 4)
+      .as[(Long, Long, Long, Long)].head()
+    assert(tight._3 >= tight._4,
+      s"CMS join estimate must never undercount: $tight")
+    assert(tight._3 > tight._4,
+      s"30 and 20 keys through 4 buckets must collide somewhere: $tight")
+    // disjoint key sets: exact 0; the estimate stays one-sided
+    val c = (1 to 100).map(i => s"other$i").toDF("item")
+    val disj = graft.ops.Sketch.countMinJoinSize(a, c, d = 4, w = 4096)
+      .as[(Long, Long, Long, Long)].head()
+    assert(disj._4 == 0 && disj._3 >= 0, s"disjoint: $disj")
   }
 
   test("bloom filter: no false negatives ever, false positives appear " +
