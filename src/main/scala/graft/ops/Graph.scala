@@ -831,6 +831,74 @@ object Graph {
     else assigned.select(col("id"), col("color").as("scc"))
   }
 
+  /** SCC condensation with topological levels — the quotient DAG
+    * [[stronglyConnectedComponents]] exists to enable: one row per
+    * component with its size and its LONGEST-PATH depth from the DAG's
+    * sources (level 0 = components nothing feeds into; level k = the
+    * latest stage at which a component receives flow). The level is the
+    * standard critical-path/topological-stage reading — on a click
+    * graph, how deep into one-way funnels a neighborhood sits; on a
+    * dependency graph, its build stage. Levels propagate iteratively
+    * (`lvl(v) = max(lvl(v), max over preds lvl(u)+1)`) and are monotone
+    * nondecreasing integers bounded by the DAG depth, so the exact-
+    * decimal sum-unchanged test IS convergence (the CC device); the
+    * condensation is a DAG by construction, so the fixpoint exists.
+    *
+    * Output: (scc, n_members, level) — one row per component.
+    *
+    * 100 TB posture: the SCC pass dominates; everything after runs on
+    * the ≤ |components| condensation relation (component-keyed joins,
+    * localCheckpoint per round, nothing driver-side but the scalars).
+    */
+  def sccCondensation(edges: DataFrame, maxPeels: Int = 50,
+                      maxIters: Int = 200): DataFrame = {
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val scc = stronglyConnectedComponents(e0, maxPeels, maxIters)
+      .localCheckpoint(true)
+    val members = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+    val ced = e0
+      .join(scc.select(col("id").as("src"), col("scc").as("__cs")),
+        Seq("src"))
+      .join(scc.select(col("id").as("dst"), col("scc").as("__cd")),
+        Seq("dst"))
+      .filter(col("__cs") =!= col("__cd"))
+      .select(col("__cs"), col("__cd")).distinct().localCheckpoint(true)
+    var lvl = scc.select(col("scc")).distinct()
+      .select(col("scc"), lit(0L).as("level")).localCheckpoint(true)
+    def lvlSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("level").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var last = lvlSum(lvl)
+    var it = 0
+    var done = false
+    while (!done) {
+      it += 1
+      require(it <= maxIters, s"sccCondensation: levels still moving " +
+        s"after $maxIters rounds — raise maxIters")
+      val cand = ced
+        .join(lvl.select(col("scc").as("__cs"), col("level")), Seq("__cs"))
+        .groupBy(col("__cd").as("scc"))
+        .agg(max(col("level") + lit(1L)).as("__nl"))
+      val next = lvl.join(cand, Seq("scc"), "left")
+        .select(col("scc"),
+          greatest(col("level"), coalesce(col("__nl"), col("level")))
+            .as("level"))
+        .localCheckpoint(true)
+      val s = lvlSum(next)
+      lvl = next
+      done = s.compareTo(last) == 0
+      last = s
+    }
+    members.join(lvl, Seq("scc"))
+      .select(col("scc"), col("n_members"), col("level"))
+  }
+
   def reciprocitySummary(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)

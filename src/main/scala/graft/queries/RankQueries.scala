@@ -552,6 +552,18 @@ object RankQueries {
     graft.ops.Graph.stronglyConnectedComponents(weekSessionEdges(s, dir))
       .select(col("id").as("item"), col("scc"))
 
+  /** SCC condensation of the week-1 session graph (q232) — q227's
+    * quotient DAG as one row per component (size + longest-path
+    * topological level): which mutually-navigable item neighborhoods
+    * exist and how deep into one-way click funnels each sits. The
+    * oracle is definitional end to end — the q227 closure for the
+    * components, then a recursive longest-path CTE over the
+    * condensation — while the Spark side never materializes a closure
+    * (peeling + iterative level propagation).
+    */
+  def itemSccCondensation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.sccCondensation(weekSessionEdges(s, dir))
+
   /** Event-stream contract audit (q216) — the one-row range/shape gate
     * an ingest pipeline runs before anything downstream trusts the
     * batch: NULL users, negative values, timestamps outside the
@@ -1986,6 +1998,7 @@ object RankQueries {
     "q191_spend_gini" -> customerSpendGini,
     "q208_hits" -> itemHits,
     "q227_item_scc" -> itemScc,
+    "q232_scc_condensation" -> itemSccCondensation,
     "q209_retention_cohorts" -> retentionCohorts,
     "q210_activity_streaks" -> activityStreaks,
     "q211_rfm_segments" -> rfmSegments,
@@ -2465,6 +2478,48 @@ object RankQueries {
       |JOIN reach r2 ON r2.a = r1.b AND r2.b = v.id
       |GROUP BY v.id""".stripMargin
 
+  /** q232 oracle: the q227 closure-derived components, member counts,
+    * distinct condensation edges, and the longest-path level as a
+    * recursive CTE (every path enumerated, MAX length per component —
+    * affordable on the ≤100-node oracle graph; the Spark side
+    * propagates levels iteratively instead). */
+  private def sccCondensationOracleSql: String =
+    s"""WITH RECURSIVE c AS (SELECT user_id, ts, event_id, $item AS item
+      |           FROM events
+      |           WHERE event_type = 'click'
+      |             AND ts >= TIMESTAMP '2024-01-01'
+      |             AND ts < TIMESTAMP '2024-01-08'
+      |             AND $item IS NOT NULL),
+      |seq AS (SELECT item, LAG(item) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |        FROM c),
+      |ed AS (SELECT DISTINCT prev AS src, item AS dst
+      |       FROM seq WHERE prev IS NOT NULL AND prev <> item),
+      |verts AS (SELECT DISTINCT src AS id FROM ed
+      |          UNION SELECT DISTINCT dst FROM ed),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN ed e ON r.b = e.src),
+      |sccm AS (SELECT v.id, MAX(r1.b) AS scc
+      |  FROM verts v
+      |  JOIN reach r1 ON r1.a = v.id
+      |  JOIN reach r2 ON r2.a = r1.b AND r2.b = v.id
+      |  GROUP BY v.id),
+      |members AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_members
+      |  FROM sccm GROUP BY 1),
+      |ced AS (SELECT DISTINCT s1.scc AS cs, s2.scc AS cd
+      |  FROM ed JOIN sccm s1 ON ed.src = s1.id
+      |          JOIN sccm s2 ON ed.dst = s2.id
+      |  WHERE s1.scc <> s2.scc),
+      |lvl(cc, l) AS (
+      |  SELECT scc, 0 FROM members
+      |  UNION
+      |  SELECT cd, l + 1 FROM lvl JOIN ced ON cc = cs)
+      |SELECT m.scc, m.n_members, CAST(MAX(l) AS BIGINT) AS level
+      |FROM members m JOIN lvl ON lvl.cc = m.scc
+      |GROUP BY m.scc, m.n_members""".stripMargin
+
   /** One suffixed q225-style bottom-k hash chain: source CTE (one column
     * v) → fingerprint+mix → distinct hashes `d$sfx` → the k smallest as
     * `kept$sfx` (ROW_NUMBER over the hash order — the oracle can afford
@@ -2681,6 +2736,7 @@ object RankQueries {
     // q208: the HITS recurrence unrolled round for round, same unit
     "q208_hits" -> hitsOracleSql(4, 1000000L),
     "q227_item_scc" -> sccOracleSql,
+    "q232_scc_condensation" -> sccCondensationOracleSql,
     // q222: generated from the same step list as the Spark fold
     "q222_funnel_k" ->
       funnelStepsOracleSql(RepeatBuyerSteps, RepeatBuyerWindowMs),

@@ -243,6 +243,33 @@ object StreamingDashboard {
           graft.ops.Sketch.appendHllStore(items, storePath, epoch = id, p = p)
       }
 
+  /** Streamed KMV bottom-k store maintenance — each micro-batch appends
+    * its bottom-k hash epoch (epoch = batchId), so
+    * [[graft.ops.Sketch.mergedKmvEstimate]] over the store is
+    * bit-identical to one-shot sketching everything ingested (union of
+    * per-epoch bottom-k sets contains the true bottom-k of the union;
+    * distinct + re-trim recovers it exactly). Replayed batches reuse
+    * their epoch id and vanish in the merge's distinct — at-least-once
+    * tolerant like the HLL register store, and unlike HLL the merged
+    * sketch supports DIRECT set intersection downstream (q226).
+    */
+  def runKmvStore(events: DataFrame, storePath: String,
+                  checkpoint: String, userCol: String = "user_id",
+                  k: Int = 256,
+                  trigger: Trigger = Trigger.AvailableNow())
+  : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val items = batch.select(col(userCol).as("item"))
+        if (!graft.ops.Sketch.kmvStoreExists(batch.sparkSession, storePath))
+          graft.ops.Sketch.writeKmvStore(items, storePath, epoch = id, k = k)
+        else
+          graft.ops.Sketch.appendKmvStore(items, storePath, epoch = id, k = k)
+      }
+
   /** Full pipeline: 5-min update-mode aggregation → per-trigger foreachBatch
     * that (a) upserts the changed 5-min partials into the metric store and
     * (b) recomputes + upserts only the coarse windows those partials touch —

@@ -507,6 +507,52 @@ class OperatorSpec extends SparkSpecBase {
       6L -> 6L, 8L -> 8L, 7L -> 7L), s"wrong SCCs: $got")
   }
 
+  test("SCC condensation: component sizes and longest-path levels on " +
+    "the two-cycle fixture and the chain DAG") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (6L, 8L), (7L, 7L)).toDF("src", "dst")
+    val got = graft.ops.Graph.sccCondensation(edges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(3L -> ((3L, 0L)), 6L -> ((3L, 1L)), 8L -> ((1L, 2L)),
+      7L -> ((1L, 0L))), s"wrong condensation: $got")
+    val chain = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val lv = graft.ops.Graph.sccCondensation(chain)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(lv == Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 1L -> 3L),
+      s"wrong levels: $lv")
+  }
+
+  test("SCC: 40 seeded random digraphs match a driver-side " +
+    "Floyd-Warshall mutual-reachability brute force exactly") {
+    val rnd = new scala.util.Random(57L) // fixed seed: deterministic test
+    for (trial <- 1 to 40) {
+      val n = 3 + rnd.nextInt(10)
+      val p = 0.05 + rnd.nextDouble() * 0.30
+      val es = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        // brute force: reach[i][j] via Floyd-Warshall, scc = max mutual
+        val reach = Array.tabulate(n, n)((i, j) => i == j)
+        es.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+        for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+          if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+        val inGraph = es.flatMap(e => Seq(e._1, e._2)).toSet
+        val want = inGraph.map { v =>
+          v -> (0 until n).filter(u =>
+            reach(v.toInt)(u) && reach(u)(v.toInt)).map(_.toLong).max
+        }.toMap
+        val got = graft.ops.Graph
+          .stronglyConnectedComponents(es.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"trial $trial (n=$n, ${es.size} edges): " +
+          s"got $got want $want edges=$es")
+      }
+    }
+  }
+
   test("SCC: an ascending-id chain DAG peels one root per round (the " +
     "documented adversarial case) and maxPeels fails loud, not silent") {
     // 4→3→2→1: every color class has one root, so each peel removes one

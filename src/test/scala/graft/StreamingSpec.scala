@@ -231,6 +231,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == merged, "replayed epoch must not drift the estimate")
   }
 
+  test("T13d streamed KMV store: per-batch bottom-k epochs union-merge " +
+    "bit-identically to the one-shot sketch, replays change nothing") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_kmvstream").toString
+    val mem = MemoryStream[Long]
+    val events = mem.toDF().toDF("user_id")
+    val q = StreamingDashboard.runKmvStore(
+      events, s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds")).start()
+    val batches = Seq((1L to 2000L), (1500L to 4500L), (4000L to 6000L))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val epochs = spark.read.parquet(s"$dir/store")
+      .select("epoch").distinct().as[Long].collect().sorted
+    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    val merged = graft.ops.Sketch.mergedKmvEstimate(spark, s"$dir/store")
+      .as[(Long, Long, Long, Long)].head()
+    val oneShot = graft.ops.Sketch.kmvEstimate(
+        batches.flatten.toDF("user_id"), valueCol = "user_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(merged == ((oneShot._1, oneShot._2, oneShot._3, oneShot._4)),
+      s"streamed store $merged != one-shot $oneShot")
+    // a replayed micro-batch (same epoch id, same rows) changes nothing
+    graft.ops.Sketch.appendKmvStore(
+      (1500L to 4500L).toDF("user_id"), s"$dir/store", epoch = 1L,
+      valueCol = "user_id")
+    val replayed = graft.ops.Sketch.mergedKmvEstimate(spark, s"$dir/store")
+      .as[(Long, Long, Long, Long)].head()
+    assert(replayed == merged, "replayed epoch must not drift the estimate")
+  }
+
   test("T13b streamed bloom store: per-batch epochs OR-merge " +
     "bit-identically to the one-shot filter, probes never miss, and " +
     "replays cannot drift") {
