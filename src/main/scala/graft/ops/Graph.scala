@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph algorithms beyond the connected-components fixpoint
@@ -829,6 +830,132 @@ object Graph {
     if (assigned == null)
       active.select(col("id"), col("id").as("scc")) // edgeless input: empty
     else assigned.select(col("id"), col("color").as("scc"))
+  }
+
+  /** Deterministic random walks — the DeepWalk/node2vec corpus-generation
+    * step of graph-embedding pipelines, derandomized the only way an
+    * oracle can check it: at step t a walk sitting on `cur` moves to the
+    * out-neighbor at index `mix57(fp(cur:rep:t|rw)) mod out_deg(cur)`
+    * in the id-ordered adjacency — every choice a pure function of
+    * (position, walk replica, step) on the shared portable hash, so the
+    * corpus is bit-identical across engines, partitionings, and reruns
+    * (classic walkers draw from an RNG, which makes their output
+    * unverifiable-by-twin; training pipelines also want exactly this
+    * reproducibility). Walks start once per (vertex, replica), advance
+    * `len` steps, and STOP at sinks (a vertex with no out-edges emits no
+    * further rows — documented truncation, not teleport).
+    *
+    * Output: (start, rep, step, node) — step 0 is the start itself; one
+    * row per visited position. The fixed step count is part of the
+    * contract (the q138/q208 round-count device): the oracle unrolls the
+    * same `len` joins.
+    *
+    * 100 TB posture: the indexed adjacency is one src-partitioned rank
+    * window over the edge list; each step is one equi join of the walk
+    * frontier against it (key-partitioned, frontier ≤ |V|·reps rows);
+    * localCheckpoint per step truncates lineage. No RNG state, no
+    * driver-side walking.
+    */
+  def randomWalks(edges: DataFrame, len: Int = 4, reps: Int = 2)
+  : DataFrame = {
+    require(len >= 1 && reps >= 1, s"len/reps must be >= 1: $len/$reps")
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e0
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("deg", count(lit(1)).over(
+        Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val verts = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id")))
+      .distinct()
+    val starts = verts.crossJoin(
+        e0.sparkSession.range(reps).select(col("id").cast("long").as("rep")))
+      .select(col("id").as("start"), col("rep"))
+    var frontier = starts
+      .select(col("start"), col("rep"), lit(0L).as("step"),
+        col("start").as("node"))
+      .localCheckpoint(true)
+    var out = frontier
+    for (t <- 1 to len) {
+      val h = Sketch.mix57(graft.llm.TextAnalysis.fingerprint(
+        concat(col("node").cast("string"), lit(":"),
+          col("rep").cast("string"), lit(s":$t|rw"))))
+      val stepped = frontier
+        .select(col("start"), col("rep"), col("node"), h.as("__h"))
+        .join(adj, col("node") === col("src") &&
+          col("idx") === pmod(col("__h"), col("deg")))
+        .select(col("start"), col("rep"), lit(t.toLong).as("step"),
+          col("dst").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(stepped)
+      frontier = stepped
+    }
+    out
+  }
+
+  /** Deterministic degree-proportional negative sampling — the skip-gram
+    * negatives that pair with [[randomWalks]]' positive corpus: draw j
+    * lands at `t_j = mix57(fp(j|neg)) mod T` on the concatenated
+    * degree-interval line (node i owns `[lo_i, lo_i + deg_i)`, lo by
+    * id-ordered prefix sum, T = total degree), so every draw resolves
+    * ∝ degree, reproducibly, with no RNG and no alias table. The
+    * interval lookup is NOT a range join: draws and interval starts
+    * both bucket by `t div ceil(T/buckets)`, each interval replicating
+    * only into the buckets it overlaps (≤ buckets extra rows total),
+    * and inside a bucket the winner is "last start ≤ t" — exactly
+    * [[AsOf.joinAsOf]]'s tagged-union window, partitioned on the
+    * bucket key. The winning interval always contains its draw because
+    * intervals tile [0, T) contiguously.
+    *
+    * Output: (draw_id, t, node).
+    *
+    * 100 TB posture: the prefix sum is the two-phase
+    * [[Scale.globalCumSum]] (never a single-partition window over the
+    * vocabulary); T is a 1-row broadcast; the lookup shuffles on the
+    * bucket key with bounded replication. The oracle keeps the
+    * definitional `lo ≤ t < hi` range join — the
+    * rewrite-vs-definition adversarial pairing.
+    */
+  def negativeSamples(edges: DataFrame, nDraws: Int = 256,
+                      buckets: Int = 32): DataFrame = {
+    require(nDraws >= 1 && buckets >= 1,
+      s"nDraws/buckets must be >= 1: $nDraws/$buckets")
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val cum = Scale.globalCumSum(deg, "id", "deg", "cum")
+      .withColumn("lo", col("cum") - col("deg"))
+      .localCheckpoint(true)
+    val tot = cum.agg(max(col("cum")).as("__tot"))
+    val wExpr = s"((__tot + ${buckets - 1}) div $buckets)" // ceil(T/buckets)
+    val spark = edges.sparkSession
+    val draws = spark.range(nDraws)
+      .select(col("id").cast("long").as("draw_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("draw_id"),
+        pmod(Sketch.mix57(graft.llm.TextAnalysis.fingerprint(
+          concat(col("draw_id").cast("string"), lit("|neg")))),
+          col("__tot")).as("t"),
+        col("__tot"))
+      .withColumn("__bkt", expr(s"t div $wExpr"))
+      .select(col("draw_id"), col("t"), col("__bkt"))
+    val bounds = cum.crossJoin(broadcast(tot))
+      .withColumn("__b0", expr(s"lo div $wExpr"))
+      .withColumn("__b1", expr(s"(lo + deg - 1) div $wExpr"))
+      .select(col("id"), col("lo"),
+        explode(sequence(col("__b0"), col("__b1"))).as("__bkt"))
+    AsOf.joinAsOf(draws, bounds, Seq("__bkt"), "t", "lo", Seq("id"))
+      .select(col("draw_id"), col("t"), col("id").as("node"))
   }
 
   /** SCC condensation with topological levels — the quotient DAG

@@ -564,6 +564,31 @@ object RankQueries {
   def itemSccCondensation(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.sccCondensation(weekSessionEdges(s, dir))
 
+  /** Deterministic random-walk corpus over the week-1 session graph
+    * (q233) — the DeepWalk data-prep step ([[graft.ops.Graph
+    * .randomWalks]]): two replicas per item, four steps, every neighbor
+    * choice a portable-hash function of (position, replica, step) so
+    * the emitted corpus is reproducible and the oracle re-walks it
+    * bit-for-bit through four unrolled join rounds. Sinks truncate
+    * walks (no teleport) — visible at sf0.001 where the session DAG is
+    * sparse.
+    */
+  def itemRandomWalks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.randomWalks(weekSessionEdges(s, dir), len = 4,
+      reps = 2)
+
+  /** Degree-proportional negative samples for the week-1 session graph
+    * (q234) — [[graft.ops.Graph.negativeSamples]]: 256 deterministic
+    * draws on the degree-interval line, resolved through the bucketed
+    * as-of lookup (8 buckets at this scale), while the oracle runs the
+    * definitional `lo ≤ t < hi` range join. Together with q233 this is
+    * the full skip-gram data prep: walks are the positives, these are
+    * the negatives, both reproducible bit-for-bit.
+    */
+  def itemNegativeSamples(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.negativeSamples(weekSessionEdges(s, dir),
+      nDraws = 256, buckets = 8)
+
   /** Event-stream contract audit (q216) — the one-row range/shape gate
     * an ingest pipeline runs before anything downstream trusts the
     * batch: NULL users, negative values, timestamps outside the
@@ -1999,6 +2024,8 @@ object RankQueries {
     "q208_hits" -> itemHits,
     "q227_item_scc" -> itemScc,
     "q232_scc_condensation" -> itemSccCondensation,
+    "q233_random_walks" -> itemRandomWalks,
+    "q234_negative_samples" -> itemNegativeSamples,
     "q209_retention_cohorts" -> retentionCohorts,
     "q210_activity_streaks" -> activityStreaks,
     "q211_rfm_segments" -> rfmSegments,
@@ -2520,6 +2547,94 @@ object RankQueries {
       |FROM members m JOIN lvl ON lvl.cc = m.scc
       |GROUP BY m.scc, m.n_members""".stripMargin
 
+  /** q233 oracle: the identical walk re-run in SQL — id-ordered indexed
+    * adjacency, then `len` unrolled step rounds, each one fingerprint +
+    * staged mix chain (carrying start/rep/node through every stage CTE)
+    * followed by the `idx = h % deg` join. */
+  private def randomWalksOracleSql(len: Int, reps: Int): String = {
+    val stages = graft.ops.Sketch.mixStagesSql("h")
+    def stepCtes(t: Int): String = {
+      val prev = if (t == 1) "f0" else s"f${t - 1}"
+      val fp = LlmQueries.fpSql(
+        s"CAST(node AS VARCHAR) || ':' || CAST(rep AS VARCHAR) || ':$t|rw'")
+      val mixChain = stages.zipWithIndex.map { case (stage, i) =>
+        val src = if (i == 0) s"hx${t}0" else s"hx$t$i"
+        s"hx$t${i + 1} AS (SELECT start, rep, node, $stage AS h FROM $src)"
+      }.mkString(",\n|")
+      s"""hx${t}0 AS (SELECT start, rep, node, $fp AS h FROM $prev),
+        |$mixChain,
+        |f$t AS (SELECT start, rep, adj.dst AS node
+        |  FROM hx$t${stages.length} x JOIN adj
+        |    ON adj.src = x.node AND adj.idx = x.h % adj.deg)""".stripMargin
+    }
+    val walkCtes = (1 to len).map(stepCtes).mkString(",\n")
+    val union = (s"SELECT start, rep, CAST(0 AS BIGINT) AS step, node " +
+      "FROM f0") +: (1 to len).map(t =>
+      s"SELECT start, rep, CAST($t AS BIGINT) AS step, node FROM f$t")
+    s"""WITH c AS (SELECT user_id, ts, event_id, $item AS item
+      |           FROM events
+      |           WHERE event_type = 'click'
+      |             AND ts >= TIMESTAMP '2024-01-01'
+      |             AND ts < TIMESTAMP '2024-01-08'
+      |             AND $item IS NOT NULL),
+      |seq AS (SELECT item, LAG(item) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |        FROM c),
+      |ed AS (SELECT DISTINCT prev AS src, item AS dst
+      |       FROM seq WHERE prev IS NOT NULL AND prev <> item),
+      |adj AS (SELECT src, dst,
+      |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+      |            AS idx,
+      |          COUNT(*) OVER (PARTITION BY src) AS deg
+      |        FROM ed),
+      |verts AS (SELECT DISTINCT src AS id FROM ed
+      |          UNION SELECT DISTINCT dst FROM ed),
+      |starts AS (SELECT id AS start, r AS rep
+      |           FROM verts, range(0, $reps) t(r)),
+      |f0 AS (SELECT start, rep, start AS node FROM starts),
+      |$walkCtes
+      |${union.mkString("\n  UNION ALL\n  ")}""".stripMargin
+  }
+
+  /** q234 oracle: the definitional degree-line lookup — id-ordered
+    * cumulative degree intervals, the identical draw hash chain, and a
+    * plain `lo ≤ t < hi` range join where the Spark side runs the
+    * bucketed as-of rewrite. */
+  private def negativeSamplesOracleSql(nDraws: Int): String = {
+    val mixChain = graft.ops.Sketch.mixStagesSql("h").zipWithIndex
+      .map { case (stage, i) =>
+        s"d${i + 1} AS (SELECT draw_id, $stage AS h FROM d$i)"
+      }.mkString(",\n|")
+    val n = graft.ops.Sketch.mixStagesSql("h").length
+    s"""WITH c AS (SELECT user_id, ts, event_id, $item AS item
+      |           FROM events
+      |           WHERE event_type = 'click'
+      |             AND ts >= TIMESTAMP '2024-01-01'
+      |             AND ts < TIMESTAMP '2024-01-08'
+      |             AND $item IS NOT NULL),
+      |seq AS (SELECT item, LAG(item) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |        FROM c),
+      |ed AS (SELECT DISTINCT prev AS src, item AS dst
+      |       FROM seq WHERE prev IS NOT NULL AND prev <> item),
+      |degs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |  (SELECT src AS id FROM ed UNION ALL SELECT dst AS id FROM ed) t
+      |  GROUP BY 1),
+      |cum AS (SELECT id, deg,
+      |    CAST(SUM(deg) OVER (ORDER BY id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumd
+      |  FROM degs),
+      |tot AS (SELECT CAST(SUM(deg) AS BIGINT) AS t_total FROM degs),
+      |d0 AS (SELECT j AS draw_id,
+      |    ${LlmQueries.fpSql("CAST(j AS VARCHAR) || '|neg'")} AS h
+      |  FROM range(0, $nDraws) r(j)),
+      |$mixChain,
+      |draws AS (SELECT draw_id, h % t_total AS t FROM d$n, tot)
+      |SELECT draw_id, t, cum.id AS node
+      |FROM draws JOIN cum ON t >= cumd - deg AND t < cumd""".stripMargin
+  }
+
   /** One suffixed q225-style bottom-k hash chain: source CTE (one column
     * v) → fingerprint+mix → distinct hashes `d$sfx` → the k smallest as
     * `kept$sfx` (ROW_NUMBER over the hash order — the oracle can afford
@@ -2737,6 +2852,8 @@ object RankQueries {
     "q208_hits" -> hitsOracleSql(4, 1000000L),
     "q227_item_scc" -> sccOracleSql,
     "q232_scc_condensation" -> sccCondensationOracleSql,
+    "q233_random_walks" -> randomWalksOracleSql(4, 2),
+    "q234_negative_samples" -> negativeSamplesOracleSql(256),
     // q222: generated from the same step list as the Spark fold
     "q222_funnel_k" ->
       funnelStepsOracleSql(RepeatBuyerSteps, RepeatBuyerWindowMs),

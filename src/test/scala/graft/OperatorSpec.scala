@@ -507,6 +507,66 @@ class OperatorSpec extends SparkSpecBase {
       6L -> 6L, 8L -> 8L, 7L -> 7L), s"wrong SCCs: $got")
   }
 
+  test("random walks: every transition is a real edge, walks start " +
+    "everywhere, sinks truncate, reruns are bit-identical") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst") // 4 is a sink
+    val rows = graft.ops.Graph.randomWalks(edges, len = 5, reps = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val eset = Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val byWalk = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, vs) => k -> vs.sortBy(_._3).map(_._4).toSeq }
+    // one walk per (vertex, replica), each starting at its own vertex
+    assert(byWalk.keySet == (for (v <- 1L to 4L; r <- 0L to 2L)
+      yield (v, r)).toSet)
+    byWalk.foreach { case ((start, _), path) =>
+      assert(path.head == start)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(eset.contains((a, b)),
+          s"($a,$b) is not an edge; walk from $start: $path")
+        case _ =>
+      }
+      // a walk either runs the full 6 positions or dies at the sink
+      assert(path.length == 6 || path.last == 4L,
+        s"short walk must end at the sink: $path")
+    }
+    // walks from the sink are just the start position
+    assert(byWalk((4L, 0L)) == Seq(4L))
+    val again = graft.ops.Graph.randomWalks(edges, len = 5, reps = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.sorted.toSeq == rows.sorted.toSeq,
+      "walks must be deterministic")
+  }
+
+  test("negative samples: every draw lands in its node's degree " +
+    "interval, counts sum to nDraws, bucketing matches the range join") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L),
+      (4L, 5L)).toDF("src", "dst") // degrees: 1->4, 2->2, 3->2, 4->2, 5->2
+    val got = graft.ops.Graph.negativeSamples(edges, nDraws = 400,
+        buckets = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 400)
+    // recompute the interval line and check containment draw by draw
+    val deg = Map(1L -> 4L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L)
+    val ids = deg.keys.toSeq.sorted
+    val lo = ids.scanLeft(0L)((acc, v) => acc + deg(v)).zip(ids)
+      .map { case (l, v) => v -> l }.toMap
+    got.foreach { case (_, t, node) =>
+      assert(t >= lo(node) && t < lo(node) + deg(node),
+        s"draw t=$t outside node $node's interval")
+    }
+    // the hot node (deg 4 of 12) should dominate proportionally-ish
+    val counts = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(counts(1L) > counts.filterNot(_._1 == 1L).values.max,
+      s"degree-4 node must draw most: $counts")
+    // a different bucket count is a pure rewrite: identical result
+    val again = graft.ops.Graph.negativeSamples(edges, nDraws = 400,
+        buckets = 7)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sorted.toSeq == got.sorted.toSeq,
+      "bucket count must not change the answer")
+  }
+
   test("SCC condensation: component sizes and longest-path levels on " +
     "the two-cycle fixture and the chain DAG") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),

@@ -810,6 +810,21 @@ class PlanSpec extends SparkSpecBase {
       s"each user-day row must explode to its window-end days:\n$p")
   }
 
+  test("q228 CMS join preflight: the plan never joins the key relations " +
+    "— the only join runs on the bounded (row_j, bucket) counter grid") {
+    val p = planOf("q228_cms_join_size")
+    // the sketch leg must not sort-merge anything (counter joins are
+    // tiny broadcasts); the audit leg's exact key join is the ONE
+    // permitted shuffle join, so at most one SMJ total
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"only the exact-audit leg may shuffle-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the counter-grid join must broadcast:\n$p")
+    // the 1-row crossJoin idiom may lower to BroadcastNestedLoopJoin;
+    // a CartesianProduct would mean a real relation got cross-joined
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q116 stratified split: per-stratum rank is the range-partitioned " +
     "two-phase form — windows partition on (__pid, lang, source), sizes " +
     "and offsets broadcast, nothing funnels to one task") {
