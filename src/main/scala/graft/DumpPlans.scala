@@ -57,6 +57,10 @@ object DumpPlans {
     "q137_session_detail" -> "ONE user-key exchange serves the lag window, the running-sum window, and the (user, session) aggregate",
     "q138_pagerank" -> "per-round edge-vs-ranks key join + map-side dst sum + vertex left join; lineage truncated per round (checkpoint leaves in the plan)",
     "q206_winsorized_lengths" -> "per-source rank through the two-phase __pid windows; quantile rows picked by rank-key equi-joins on the bounded counts relation, clamp+mean one more grouped aggregate",
+    "q225_kmv_uv" -> "bottom-k as TakeOrderedAndProject (per-partition k-heaps, no global sort); the whole sketch is k longs",
+    "q228_cms_join_size" -> "both key relations fold map-side into d*w counters; the only joins are the broadcast counter grid and the exact-audit leg — no key ever shuffles for the estimate",
+    "q233_random_walks" -> "id-ordered indexed adjacency (one src-keyed rank window), then len equi joins of the bounded frontier; lineage truncated per step",
+    "q234_negative_samples" -> "two-phase prefix sum builds the degree line; interval lookup is the bucketed tagged-union as-of window — never a range join, intervals replicate only into buckets they overlap",
     "q207_coverage_curve" -> "global vocabulary rank + running mass through the two-phase devices; three literal V rows join the bounded rank relation — the corpus crosses the shuffle as (token, count) only",
     "q208_hits" -> "per-round auth/hub propagation as edge-keyed joins, 1-row L1 normalizers broadcast back via the crossJoin idiom, per-round localCheckpoint leaves",
     "q211_rfm_segments" -> "three chained two-phase global ranks over the customer aggregate (__pid windows); one <=125-row segment aggregate",

@@ -838,6 +838,41 @@ object Sketch {
         col("n_exact"))
   }
 
+  /** Grouped KMV — [[kmvEstimate]] per group key (the q161 treatment
+    * for the bottom-k sketch): each group keeps its k smallest distinct
+    * hashes via a group-partitioned rank window (the bounded top-K
+    * aggregator scores in Double, which cannot carry a 57-bit hash
+    * without collisions in the low bits — the window partitions on the
+    * group key and never funnels to one task). Output one row per
+    * group: (group, k, n_kept, theta, estimate, n_exact) with the same
+    * saturated/exact regimes as the ungrouped form.
+    */
+  def groupedKmvEstimate(items: DataFrame, groupCol: String,
+                         valueCol: String = "item",
+                         k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val hashes = items
+      .select(col(groupCol), salted(col(valueCol), "|kmv").as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h"))
+    val sketch = hashes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+    val exact = items.select(col(groupCol), col(valueCol)).distinct()
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, Seq(groupCol))
+      .select(col(groupCol), lit(k.toLong).as("k"), col("n_kept"),
+        col("theta"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $MixMod) " +
+            "div theta"))
+          .as("estimate"),
+        col("n_exact"))
+  }
+
   /** Direct theta-sketch set algebra over two KMV sketches: one row
     * (k, theta, n_inter, est_inter, n_union, est_union, exact_inter,
     * exact_union). theta = min of the two sketches' thresholds (a

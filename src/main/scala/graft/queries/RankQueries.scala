@@ -589,6 +589,36 @@ object RankQueries {
     graft.ops.Graph.negativeSamples(weekSessionEdges(s, dir),
       nDraws = 256, buckets = 8)
 
+  /** Skip-gram (center, context) pair counts from the q233 walk corpus
+    * (q235) — the last prep step before embedding training: every
+    * ordered pair of walk positions at step distance ≤ 2, counted.
+    * The Spark side never self-joins the corpus: contexts arrive by
+    * four lag/lead columns over one (start, rep)-keyed window (walk
+    * steps are contiguous, so row lag IS step distance), then unpivot
+    * + count. The oracle keeps the definitional corpus self-join on
+    * `|Δstep| ≤ 2` — the rewrite-vs-definition pairing again.
+    *
+    * 100 TB posture: one walk-keyed window (high-cardinality key), one
+    * map-side-combined pair count bounded by vocab².
+    */
+  def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val walks = graft.ops.Graph.randomWalks(weekSessionEdges(s, dir),
+      len = 4, reps = 2)
+    val w = Window.partitionBy(col("start"), col("rep"))
+      .orderBy(col("step"))
+    val withCtx = walks
+      .withColumn("__l1", lag(col("node"), 1).over(w))
+      .withColumn("__l2", lag(col("node"), 2).over(w))
+      .withColumn("__f1", lead(col("node"), 1).over(w))
+      .withColumn("__f2", lead(col("node"), 2).over(w))
+    Seq("__l1", "__l2", "__f1", "__f2")
+      .map(c => withCtx.filter(col(c).isNotNull)
+        .select(col("node").as("center"), col(c).as("context")))
+      .reduce(_ unionByName _)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Event-stream contract audit (q216) — the one-row range/shape gate
     * an ingest pipeline runs before anything downstream trusts the
     * batch: NULL users, negative values, timestamps outside the
@@ -871,6 +901,18 @@ object RankQueries {
         .select(get_json_object(col("props"), "$.k").cast("long")
           .as("item"))
         .filter(col("item").isNotNull))
+
+  /** Grouped KMV UV per event type (q236) — q225's sketch per group
+    * ([[graft.ops.Sketch.groupedKmvEstimate]]), the audience-sizing
+    * companion to q161's grouped HLL: same per-segment question, but
+    * the kept hash sets also intersect directly downstream (q226's
+    * device), which registers cannot.
+    */
+  def groupedKmvUv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.groupedKmvEstimate(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id").as("item")),
+      "event_type")
 
   /** Count-min join-size preflight (q228) — "how many rows would
     * click-items ⋈ purchase-items produce" estimated WITHOUT joining
@@ -1993,6 +2035,7 @@ object RankQueries {
     "q140_hll_uv" -> hllUv,
     "q225_kmv_uv" -> kmvUv,
     "q226_kmv_overlap" -> kmvOverlap,
+    "q236_grouped_kmv" -> groupedKmvUv,
     "q159_item_triangles" -> itemTriangles,
     "q160_link_prediction" -> itemLinkPrediction,
     "q161_grouped_hll" -> groupedHllUv,
@@ -2026,6 +2069,7 @@ object RankQueries {
     "q232_scc_condensation" -> itemSccCondensation,
     "q233_random_walks" -> itemRandomWalks,
     "q234_negative_samples" -> itemNegativeSamples,
+    "q235_skipgram_pairs" -> skipgramPairs,
     "q209_retention_cohorts" -> retentionCohorts,
     "q210_activity_streaks" -> activityStreaks,
     "q211_rfm_segments" -> rfmSegments,
@@ -2551,7 +2595,27 @@ object RankQueries {
     * adjacency, then `len` unrolled step rounds, each one fingerprint +
     * staged mix chain (carrying start/rep/node through every stage CTE)
     * followed by the `idx = h % deg` join. */
-  private def randomWalksOracleSql(len: Int, reps: Int): String = {
+  private def randomWalksOracleSql(len: Int, reps: Int): String =
+    s"""WITH ${walkCtesSql(len, reps)}
+      |SELECT start, rep, step, node FROM corpus""".stripMargin
+
+  /** q235 oracle: the walk CTEs + the DEFINITIONAL corpus self-join on
+    * walk identity and `1 ≤ |Δstep| ≤ 2` — the Spark side's lag/lead
+    * unpivot must count exactly these pairs. */
+  private def skipgramOracleSql(len: Int, reps: Int): String =
+    s"""WITH ${walkCtesSql(len, reps)}
+      |SELECT a.node AS center, b.node AS context,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM corpus a JOIN corpus b
+      |  ON a.start = b.start AND a.rep = b.rep
+      | AND b.step BETWEEN a.step - 2 AND a.step + 2
+      | AND a.step <> b.step
+      |GROUP BY 1, 2""".stripMargin
+
+  /** The q233 walk recurrence as a CTE chain ending in relation
+    * `corpus (start, rep, step, node)` — shared by the q233 and q235
+    * oracles. */
+  private def walkCtesSql(len: Int, reps: Int): String = {
     val stages = graft.ops.Sketch.mixStagesSql("h")
     def stepCtes(t: Int): String = {
       val prev = if (t == 1) "f0" else s"f${t - 1}"
@@ -2571,7 +2635,7 @@ object RankQueries {
     val union = (s"SELECT start, rep, CAST(0 AS BIGINT) AS step, node " +
       "FROM f0") +: (1 to len).map(t =>
       s"SELECT start, rep, CAST($t AS BIGINT) AS step, node FROM f$t")
-    s"""WITH c AS (SELECT user_id, ts, event_id, $item AS item
+    s"""c AS (SELECT user_id, ts, event_id, $item AS item
       |           FROM events
       |           WHERE event_type = 'click'
       |             AND ts >= TIMESTAMP '2024-01-01'
@@ -2592,8 +2656,9 @@ object RankQueries {
       |starts AS (SELECT id AS start, r AS rep
       |           FROM verts, range(0, $reps) t(r)),
       |f0 AS (SELECT start, rep, start AS node FROM starts),
-      |$walkCtes
-      |${union.mkString("\n  UNION ALL\n  ")}""".stripMargin
+      |$walkCtes,
+      |corpus AS (
+      |  ${union.mkString("\n  UNION ALL\n  ")})""".stripMargin
   }
 
   /** q234 oracle: the definitional degree-line lookup — id-ordered
@@ -2671,6 +2736,38 @@ object RankQueries {
       |       END AS estimate,
       |  n_exact
       |FROM agg, ex""".stripMargin
+  }
+
+  /** q236 oracle: the q225 chain with the group key carried through
+    * every mix-stage CTE and the rank window partitioned on it. */
+  private def groupedKmvOracleSql(k: Int): String = {
+    val M = graft.ops.Sketch.MixMod
+    val mixCtes = graft.ops.Sketch.mixStagesSql("h").zipWithIndex
+      .map { case (stage, i) =>
+        s"gm${i + 1} AS (SELECT g, $stage AS h FROM " +
+          s"${if (i == 0) "gh" else s"gm$i"})"
+      }.mkString(",\n|")
+    val n = graft.ops.Sketch.mixStagesSql("h").length
+    s"""WITH gu AS (SELECT DISTINCT event_type AS g, user_id AS v
+      |            FROM events),
+      |gh AS (SELECT g, ${LlmQueries.fpSql("CAST(v AS VARCHAR) || '|kmv'")}
+      |         AS h FROM gu),
+      |$mixCtes,
+      |gd AS (SELECT DISTINCT g, h FROM gm$n),
+      |kept AS (SELECT g, h FROM (SELECT g, h,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r FROM gd) t
+      |  WHERE r <= $k),
+      |agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    MAX(h) AS theta FROM kept GROUP BY 1),
+      |ex AS (SELECT event_type AS g,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      |  FROM events GROUP BY 1)
+      |SELECT agg.g AS event_type, CAST($k AS BIGINT) AS k, n_kept, theta,
+      |  CASE WHEN n_kept < $k THEN n_kept
+      |       ELSE CAST((CAST(${k - 1} AS HUGEINT) * $M) // theta AS BIGINT)
+      |       END AS estimate,
+      |  n_exact
+      |FROM agg JOIN ex USING (g)""".stripMargin
   }
 
   /** q226 oracle: two bottom-k chains, the min-threshold (an unsaturated
@@ -2854,6 +2951,7 @@ object RankQueries {
     "q232_scc_condensation" -> sccCondensationOracleSql,
     "q233_random_walks" -> randomWalksOracleSql(4, 2),
     "q234_negative_samples" -> negativeSamplesOracleSql(256),
+    "q235_skipgram_pairs" -> skipgramOracleSql(4, 2),
     // q222: generated from the same step list as the Spark fold
     "q222_funnel_k" ->
       funnelStepsOracleSql(RepeatBuyerSteps, RepeatBuyerWindowMs),
@@ -3834,6 +3932,7 @@ object RankQueries {
     "q140_hll_uv" -> hllOracleSql(6),
     "q225_kmv_uv" -> kmvOracleSql(256),
     "q226_kmv_overlap" -> kmvIntersectOracleSql(256),
+    "q236_grouped_kmv" -> groupedKmvOracleSql(256),
     // q149: the identical grid + division-free probe; cum/total cast
     // back to BIGINT (DuckDB window SUM yields HUGEINT → float in pandas)
     "q149_value_quantile_hist" ->
