@@ -948,6 +948,9 @@ object Graph {
           col("__tot")).as("t"),
         col("__tot"))
       .withColumn("__bkt", expr(s"t div $wExpr"))
+      // edgeless input: T is NULL, every t is NULL — emit NOTHING
+      // rather than 256 null draws
+      .filter(col("t").isNotNull)
       .select(col("draw_id"), col("t"), col("__bkt"))
     val bounds = cum.crossJoin(broadcast(tot))
       .withColumn("__b0", expr(s"lo div $wExpr"))

@@ -892,8 +892,24 @@ object Sketch {
     */
   def kmvIntersection(a: DataFrame, b: DataFrame,
                       valueCol: String = "item", k: Int = 256): DataFrame = {
-    val ha = graft.core.CacheScope.track(kmvHashes(a, valueCol, k).persist())
-    val hb = graft.core.CacheScope.track(kmvHashes(b, valueCol, k).persist())
+    val da = a.select(col(valueCol)).distinct()
+    val db = b.select(col(valueCol)).distinct()
+    val exInter = da.intersect(db).agg(count(lit(1)).as("exact_inter"))
+    val exUnion = da.union(db).distinct().agg(count(lit(1)).as("exact_union"))
+    thetaAlgebra(kmvHashes(a, valueCol, k), kmvHashes(b, valueCol, k), k)
+      .crossJoin(exInter).crossJoin(exUnion)
+  }
+
+  /** The theta-threshold set algebra over two already-built bottom-k
+    * hash relations (one column `h` each): (k, theta, n_inter,
+    * est_inter, n_union, est_union) — [[kmvIntersection]]'s estimating
+    * core without the corpus-sized exact-audit legs, which is exactly
+    * what a STORED sketch can compute (the store never retained the
+    * data). */
+  def thetaAlgebra(hashesA: DataFrame, hashesB: DataFrame,
+                   k: Int): DataFrame = {
+    val ha = graft.core.CacheScope.track(hashesA.persist())
+    val hb = graft.core.CacheScope.track(hashesB.persist())
     def thetaOf(h: DataFrame, as: String) =
       h.agg(count(lit(1)).as("__n"), max(col("h")).as("__max"))
         .select(when(col("__n") < k, lit(MixMod))
@@ -907,20 +923,42 @@ object Sketch {
     val nInter = belowA.intersect(belowB).agg(count(lit(1)).as("n_inter"))
     val nUnion = belowA.union(belowB).distinct()
       .agg(count(lit(1)).as("n_union"))
-    val da = a.select(col(valueCol)).distinct()
-    val db = b.select(col(valueCol)).distinct()
-    val exInter = da.intersect(db).agg(count(lit(1)).as("exact_inter"))
-    val exUnion = da.union(db).distinct().agg(count(lit(1)).as("exact_union"))
     theta.crossJoin(nInter).crossJoin(nUnion)
-      .crossJoin(exInter).crossJoin(exUnion)
       .select(lit(k.toLong).as("k"), col("theta"),
         col("n_inter"),
         expr(s"(cast(n_inter as decimal(38,0)) * $MixMod) div theta")
           .as("est_inter"),
         col("n_union"),
         expr(s"(cast(n_union as decimal(38,0)) * $MixMod) div theta")
-          .as("est_union"),
-        col("exact_inter"), col("exact_union"))
+          .as("est_union"))
+  }
+
+  /** The merged bottom-k hash relation of a KMV store (all epochs, or
+    * an `epochFilter` span) — the stored-sketch twin of [[kmvHashes]],
+    * reading ≤ k rows per epoch. */
+  def mergedKmvHashes(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      epochFilter: Column = lit(true)): DataFrame = {
+    val k = readKmvK(spark, path)
+    spark.read.parquet(path)
+      .filter(epochFilter)
+      .select(col("h")).distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Direct theta-sketch overlap of two KMV STORES — the q226 row
+    * (minus the exact-audit columns no store can provide) computed
+    * entirely from ≤ 2k stored hashes. Fails loud when the stores were
+    * written at different k (their thresholds would not be comparable
+    * sample rates). */
+  def kmvStoreOverlap(spark: org.apache.spark.sql.SparkSession,
+                      pathA: String, pathB: String,
+                      epochFilter: Column = lit(true)): DataFrame = {
+    val ka = readKmvK(spark, pathA)
+    val kb = readKmvK(spark, pathB)
+    require(ka == kb, s"KMV stores disagree on k ($ka vs $kb) — " +
+      "their bottom-k sets are different sample rates and cannot overlap")
+    thetaAlgebra(mergedKmvHashes(spark, pathA, epochFilter),
+      mergedKmvHashes(spark, pathB, epochFilter), ka)
   }
 
   /** Create/replace a KMV store at `path` with one epoch: (epoch, h)

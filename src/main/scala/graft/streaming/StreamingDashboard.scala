@@ -270,6 +270,38 @@ object StreamingDashboard {
           graft.ops.Sketch.appendKmvStore(items, storePath, epoch = id, k = k)
       }
 
+  /** Streaming audience-overlap monitor: ONE stream maintains TWO KMV
+    * stores (each micro-batch appends the epoch of rows matching that
+    * store's predicate), and [[graft.ops.Sketch.kmvStoreOverlap]] over
+    * the stores answers "how much do the two audiences overlap so far"
+    * at any quiesce point — bit-identical to the batch
+    * `kmvIntersection` of everything ingested (store-merge == one-shot
+    * per side, and the theta algebra reads only the merged hashes).
+    * The q226 capability at ingest, without retaining the corpora.
+    */
+  def runKmvOverlapStores(events: DataFrame, pathA: String, pathB: String,
+                          checkpoint: String,
+                          predA: Column, predB: Column,
+                          valueCol: String = "item", k: Int = 256,
+                          trigger: Trigger = Trigger.AvailableNow())
+  : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        def leg(path: String, pred: Column): Unit = {
+          val items = batch.filter(pred).select(col(valueCol).as("item"))
+          if (!graft.ops.Sketch.kmvStoreExists(s, path))
+            graft.ops.Sketch.writeKmvStore(items, path, epoch = id, k = k)
+          else
+            graft.ops.Sketch.appendKmvStore(items, path, epoch = id, k = k)
+        }
+        leg(pathA, predA)
+        leg(pathB, predB)
+      }
+
   /** Full pipeline: 5-min update-mode aggregation → per-trigger foreachBatch
     * that (a) upserts the changed 5-min partials into the metric store and
     * (b) recomputes + upserts only the coarse windows those partials touch —

@@ -263,6 +263,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == merged, "replayed epoch must not drift the estimate")
   }
 
+  test("T13e streamed KMV overlap stores: the stored-sketch theta row " +
+    "after quiesce equals the batch intersection of everything " +
+    "ingested; mixed-k stores fail loud") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_kmvoverlap").toString
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("user_id", "kind")
+    val q = StreamingDashboard.runKmvOverlapStores(
+      events, s"$dir/a", s"$dir/b", s"$dir/ckpt",
+      predA = col("kind") === "click", predB = col("kind") === "buy",
+      valueCol = "user_id",
+      trigger = Trigger.ProcessingTime("0 seconds")).start()
+    // clicks 1..3000, buys 2000..5000 per batch thirds — real overlap
+    val batches = Seq(
+      (1L to 1000L).map(u => (u, "click")) ++
+        (2000L to 3000L).map(u => (u, "buy")),
+      (1001L to 2500L).map(u => (u, "click")) ++
+        (3001L to 4200L).map(u => (u, "buy")),
+      (2501L to 3000L).map(u => (u, "click")) ++
+        (4201L to 5000L).map(u => (u, "buy")))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = graft.ops.Sketch
+      .kmvStoreOverlap(spark, s"$dir/a", s"$dir/b")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val batch = graft.ops.Sketch.kmvIntersection(
+        (1L to 3000L).toDF("user_id"), (2000L to 5000L).toDF("user_id"),
+        valueCol = "user_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(streamed == ((batch._1, batch._2, batch._3, batch._4,
+      batch._5, batch._6)),
+      s"streamed stores $streamed != batch intersection $batch")
+    // exact overlap for reference: 1001 shared users of 5000
+    assert(batch._7 == 1001 && batch._8 == 5000)
+    // a store written at a different k cannot overlap — loud, not wrong
+    graft.ops.Sketch.writeKmvStore((1L to 100L).toDF("user_id"),
+      s"$dir/c", epoch = 0L, valueCol = "user_id", k = 128)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.kmvStoreOverlap(spark, s"$dir/a", s"$dir/c")
+    }
+  }
+
   test("T13b streamed bloom store: per-batch epochs OR-merge " +
     "bit-identically to the one-shot filter, probes never miss, and " +
     "replays cannot drift") {
