@@ -747,12 +747,21 @@ object Graph {
     * them in as identity rows (they are their own singleton SCCs).
     */
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 50,
-                                  maxIters: Int = 200): DataFrame = {
-    val e0 = edges
+                                  maxIters: Int = 200): DataFrame =
+    sccOfNormalized(normalizeDirectedEdges(edges), maxPeels, maxIters)
+
+  /** Cast/NULL-drop/dedup a directed edge list once, eagerly — shared
+    * by the SCC entry points so [[sccCondensation]] does not normalize
+    * and materialize the corpus-sized relation twice. */
+  private def normalizeDirectedEdges(edges: DataFrame): DataFrame =
+    edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
+
+  private def sccOfNormalized(e0: DataFrame, maxPeels: Int,
+                              maxIters: Int): DataFrame = {
     var eAct = e0
     var active = e0.select(col("src").as("id"))
       .unionByName(e0.select(col("dst").as("id")))
@@ -982,12 +991,8 @@ object Graph {
     */
   def sccCondensation(edges: DataFrame, maxPeels: Int = 50,
                       maxIters: Int = 200): DataFrame = {
-    val e0 = edges
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
-    val scc = stronglyConnectedComponents(e0, maxPeels, maxIters)
+    val e0 = normalizeDirectedEdges(edges)
+    val scc = sccOfNormalized(e0, maxPeels, maxIters)
       .localCheckpoint(true)
     val members = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
     val ced = e0

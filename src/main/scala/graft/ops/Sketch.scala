@@ -138,10 +138,23 @@ object Sketch {
           .select(lit(j).as("row_j"), col("bucket"), col(as))
       }.reduce(_ unionByName _)
     }
-    val ip = counters(a, "__ca").join(counters(b, "__cb"),
-        Seq("row_j", "bucket"))
-      .groupBy(col("row_j"))
-      .agg(sum(col("__ca").cast("decimal(38,0)") * col("__cb")).as("__p"))
+    // every hash row contributes to the min — a row where A's and B's
+    // occupied buckets are DISJOINT has true inner product 0 (the
+    // tightest bound of all), so missing rows must come back as 0 via
+    // the row spine, not drop out of the min (dropping them inflates
+    // the estimate, and with ALL rows disjoint the min of nothing is
+    // NULL — the r14 review catch; the oracle fixes the same gap)
+    val spine = a.sparkSession.range(d)
+      .select(col("id").cast("int").as("row_j"))
+    val ip = spine.join(
+        counters(a, "__ca").join(counters(b, "__cb"),
+            Seq("row_j", "bucket"))
+          .groupBy(col("row_j"))
+          .agg(sum(col("__ca").cast("decimal(38,0)") * col("__cb"))
+            .as("__p0")),
+        Seq("row_j"), "left")
+      .select(coalesce(col("__p0"), lit(0L).cast("decimal(38,0)"))
+        .as("__p"))
       .agg(min(col("__p")).as("__est"))
     val exact = a.groupBy(col(valueCol)).agg(count(lit(1)).as("__a"))
       .join(b.groupBy(col(valueCol)).agg(count(lit(1)).as("__b")),
@@ -831,21 +844,27 @@ object Sketch {
       .agg(count(lit(1)).as("n_exact"))
     sketch.crossJoin(exact)
       .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $MixMod) " +
-            "div theta"))
-          .as("estimate"),
-        col("n_exact"))
+        kmvEstimateCol(k).as("estimate"), col("n_exact"))
   }
+
+  /** The one KMV estimator expression over (n_kept, theta) — shared by
+    * the one-shot, grouped, and store-merged forms so the three can
+    * never drift. */
+  private def kmvEstimateCol(k: Int): Column =
+    when(col("n_kept") < k, col("n_kept"))
+      .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $MixMod) " +
+        "div theta"))
 
   /** Grouped KMV — [[kmvEstimate]] per group key (the q161 treatment
     * for the bottom-k sketch): each group keeps its k smallest distinct
-    * hashes via a group-partitioned rank window (the bounded top-K
-    * aggregator scores in Double, which cannot carry a 57-bit hash
-    * without collisions in the low bits — the window partitions on the
-    * group key and never funnels to one task). Output one row per
-    * group: (group, k, n_kept, theta, estimate, n_exact) with the same
-    * saturated/exact regimes as the ungrouped form.
+    * hashes via the range-partitioned two-phase grouped rank
+    * ([[Scale.groupedRankOrdered]] — a plain
+    * `row_number over (partition by group)` funnels a low-cardinality
+    * group's ENTIRE distinct-hash set through one task, the exact
+    * failure that helper exists for; a Double-scored bounded aggregator
+    * is out too, a 57-bit hash does not fit a Double). Output one row
+    * per group: (group, k, n_kept, theta, estimate, n_exact) with the
+    * same saturated/exact regimes as the ungrouped form.
     */
   def groupedKmvEstimate(items: DataFrame, groupCol: String,
                          valueCol: String = "item",
@@ -854,10 +873,8 @@ object Sketch {
     val hashes = items
       .select(col(groupCol), salted(col(valueCol), "|kmv").as("h"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("h"))
-    val sketch = hashes
-      .withColumn("__rn", row_number().over(w))
+    val sketch = graft.ops.Scale
+      .groupedRankOrdered(hashes, Seq(groupCol), Seq("h"), "__rn")
       .filter(col("__rn") <= k)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
@@ -865,12 +882,7 @@ object Sketch {
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
     sketch.join(exact, Seq(groupCol))
       .select(col(groupCol), lit(k.toLong).as("k"), col("n_kept"),
-        col("theta"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $MixMod) " +
-            "div theta"))
-          .as("estimate"),
-        col("n_exact"))
+        col("theta"), kmvEstimateCol(k).as("estimate"), col("n_exact"))
   }
 
   /** Direct theta-sketch set algebra over two KMV sketches: one row
@@ -908,8 +920,13 @@ object Sketch {
     * data). */
   def thetaAlgebra(hashesA: DataFrame, hashesB: DataFrame,
                    k: Int): DataFrame = {
-    val ha = graft.core.CacheScope.track(hashesA.persist())
-    val hb = graft.core.CacheScope.track(hashesB.persist())
+    // localCheckpoint, not persist: each side is ≤ k rows but read three
+    // times (threshold, below-theta, set algebra), and the long-lived
+    // monitor path (kmvStoreOverlap polled per quiesce) runs OUTSIDE any
+    // CacheScope — a persist there accumulates cache entries forever,
+    // where checkpoint blocks free with the reference
+    val ha = hashesA.localCheckpoint(true)
+    val hb = hashesB.localCheckpoint(true)
     def thetaOf(h: DataFrame, as: String) =
       h.agg(count(lit(1)).as("__n"), max(col("h")).as("__max"))
         .select(when(col("__n") < k, lit(MixMod))
@@ -938,12 +955,15 @@ object Sketch {
     * reading ≤ k rows per epoch. */
   def mergedKmvHashes(spark: org.apache.spark.sql.SparkSession,
                       path: String,
-                      epochFilter: Column = lit(true)): DataFrame = {
-    val k = readKmvK(spark, path)
+                      epochFilter: Column = lit(true)): DataFrame =
+    mergedHashesAtK(spark, path, readKmvK(spark, path), epochFilter)
+
+  private def mergedHashesAtK(spark: org.apache.spark.sql.SparkSession,
+                              path: String, k: Int,
+                              epochFilter: Column): DataFrame =
     spark.read.parquet(path)
       .filter(epochFilter)
       .select(col("h")).distinct().orderBy(col("h")).limit(k)
-  }
 
   /** Direct theta-sketch overlap of two KMV STORES — the q226 row
     * (minus the exact-audit columns no store can provide) computed
@@ -957,8 +977,8 @@ object Sketch {
     val kb = readKmvK(spark, pathB)
     require(ka == kb, s"KMV stores disagree on k ($ka vs $kb) — " +
       "their bottom-k sets are different sample rates and cannot overlap")
-    thetaAlgebra(mergedKmvHashes(spark, pathA, epochFilter),
-      mergedKmvHashes(spark, pathB, epochFilter), ka)
+    thetaAlgebra(mergedHashesAtK(spark, pathA, ka, epochFilter),
+      mergedHashesAtK(spark, pathB, ka, epochFilter), ka)
   }
 
   /** Create/replace a KMV store at `path` with one epoch: (epoch, h)
@@ -1029,15 +1049,10 @@ object Sketch {
                         path: String,
                         epochFilter: Column = lit(true)): DataFrame = {
     val k = readKmvK(spark, path)
-    spark.read.parquet(path)
-      .filter(epochFilter)
-      .select(col("h")).distinct().orderBy(col("h")).limit(k)
+    mergedHashesAtK(spark, path, k, epochFilter)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
       .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $MixMod) " +
-            "div theta"))
-          .as("estimate"))
+        kmvEstimateCol(k).as("estimate"))
   }
 
   /** The standard HLL bias-correction constant — a Scala-side double,

@@ -2268,7 +2268,10 @@ object RankQueries {
       |ip AS (SELECT a.row_j,
       |    SUM(CAST(a.counter AS HUGEINT) * b.counter) AS p
       |  FROM ctra a JOIN ctrb b USING (row_j, bucket) GROUP BY 1),
-      |est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_rows FROM ip),
+      |spine AS (SELECT i AS row_j FROM range(0, $d) t(i)),
+      |ipf AS (SELECT spine.row_j, COALESCE(p, 0) AS p
+      |  FROM spine LEFT JOIN ip USING (row_j)),
+      |est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_rows FROM ipf),
       |ex AS (SELECT CAST(COALESCE(
       |    SUM(CAST(a.c AS HUGEINT) * b.c), 0) AS BIGINT) AS exact_rows
       |  FROM (${src("click")}) a JOIN (${src("purchase")}) b USING (v))

@@ -1219,6 +1219,16 @@ class OperatorSpec extends SparkSpecBase {
     val disj = graft.ops.Sketch.countMinJoinSize(a, c, d = 4, w = 4096)
       .as[(Long, Long, Long, Long)].head()
     assert(disj._4 == 0 && disj._3 >= 0, s"disjoint: $disj")
+    // single keys whose buckets share NOTHING in any row: a hash row
+    // with disjoint occupancy has true inner product 0 and must reach
+    // the min as 0 via the row spine — before the spine fix this case
+    // made min-of-nothing NULL and the estimate a crash, not a bound
+    val solo = graft.ops.Sketch.countMinJoinSize(
+        Seq("alpha").toDF("item"), Seq("beta").toDF("item"),
+        d = 4, w = 4096)
+      .as[(Long, Long, Long, Long)].head()
+    assert(solo._4 == 0 && solo._3 == 0,
+      s"all-rows-disjoint singletons must estimate exactly 0: $solo")
   }
 
   test("bloom filter: no false negatives ever, false positives appear " +
