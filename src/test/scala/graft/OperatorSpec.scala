@@ -1389,6 +1389,23 @@ class OperatorSpec extends SparkSpecBase {
     assert(again == st, "theta-sketch row must be deterministic")
   }
 
+  test("grouped KMV equals the one-shot kmvEstimate run per group, " +
+    "mixed saturation regimes included") {
+    // group a: 5000 values (saturated at k=256); group b: 100 (exact)
+    val rows = ((1 to 5000).map(i => ("a", s"u$i")) ++
+      (1 to 100).map(i => ("b", s"v$i"))).toDF("grp", "item")
+    val grouped = graft.ops.Sketch.groupedKmvEstimate(rows, "grp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = graft.ops.Sketch.kmvEstimate(
+          rows.filter(col("grp") === g).select("item"))
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(grouped(g) == ((solo._1, solo._2, solo._3, solo._4, solo._5)),
+        s"group $g: ${grouped(g)} != $solo")
+    }
+  }
+
   test("KMV store: merged epochs are bit-identical to a one-shot sketch " +
     "of the union, replays are harmless, mixed k fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv")
