@@ -868,11 +868,7 @@ object Graph {
   def randomWalks(edges: DataFrame, len: Int = 4, reps: Int = 2)
   : DataFrame = {
     require(len >= 1 && reps >= 1, s"len/reps must be >= 1: $len/$reps")
-    val e0 = edges
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e0 = normalizeDirectedEdges(edges)
     val w = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = e0
       .withColumn("idx", (row_number().over(w) - 1).cast("long"))
@@ -934,11 +930,7 @@ object Graph {
                       buckets: Int = 32): DataFrame = {
     require(nDraws >= 1 && buckets >= 1,
       s"nDraws/buckets must be >= 1: $nDraws/$buckets")
-    val e0 = edges
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e0 = normalizeDirectedEdges(edges)
     val deg = e0.select(col("src").as("id"))
       .unionByName(e0.select(col("dst").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))

@@ -161,10 +161,18 @@ object Sketch {
         Seq(valueCol))
       .agg(coalesce(sum(col("__a").cast("decimal(38,0)") * col("__b")),
         lit(0L)).as("__ex"))
+    // the decimal sums exist because counters are corpus-sized — so the
+    // final LONG cast must clamp, not wrap: non-ANSI Spark casts decimal
+    // overflow to NULL, and a NULL est_rows would let `est < threshold`
+    // wave through exactly the join this preflight exists to block.
+    // Long.MaxValue reads as "beyond any runnable join", bound preserved
+    val MaxL = Long.MaxValue
     ip.crossJoin(exact)
       .select(lit(d.toLong).as("d"), lit(w.toLong).as("w"),
-        col("__est").cast("long").as("est_rows"),
-        col("__ex").cast("long").as("exact_rows"))
+        least(col("__est"), lit(MaxL).cast("decimal(38,0)"))
+          .cast("long").as("est_rows"),
+        least(col("__ex"), lit(MaxL).cast("decimal(38,0)"))
+          .cast("long").as("exact_rows"))
   }
 
   /** HyperLogLog registers + estimate with NO floating-point anywhere
@@ -820,7 +828,13 @@ object Sketch {
   def kmvHashes(items: DataFrame, valueCol: String = "item",
                 k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
+    // NULL values are EXCLUDED from the sketch domain (the COUNT
+    // DISTINCT convention the HLL twin already follows): a NULL hashes
+    // to a NULL h, which Spark's ASC sort puts FIRST and DuckDB's puts
+    // LAST — without this filter a single NULL silently occupies a
+    // bottom-k slot on one engine and not the other
     items.select(salted(col(valueCol), "|kmv").as("h"))
+      .filter(col("h").isNotNull)
       .distinct().orderBy(col("h")).limit(k)
   }
 
@@ -840,8 +854,7 @@ object Sketch {
                   k: Int = 256): DataFrame = {
     val sketch = kmvHashes(items, valueCol, k)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
-    val exact = items.select(col(valueCol)).distinct()
-      .agg(count(lit(1)).as("n_exact"))
+    val exact = items.agg(countDistinct(col(valueCol)).as("n_exact"))
     sketch.crossJoin(exact)
       .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
         kmvEstimateCol(k).as("estimate"), col("n_exact"))
@@ -872,14 +885,15 @@ object Sketch {
     require(k >= 2, s"k must be >= 2: $k")
     val hashes = items
       .select(col(groupCol), salted(col(valueCol), "|kmv").as("h"))
+      .filter(col("h").isNotNull) // NULLs excluded — see kmvHashes
       .distinct()
     val sketch = graft.ops.Scale
       .groupedRankOrdered(hashes, Seq(groupCol), Seq("h"), "__rn")
       .filter(col("__rn") <= k)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
-    val exact = items.select(col(groupCol), col(valueCol)).distinct()
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    val exact = items.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
     sketch.join(exact, Seq(groupCol))
       .select(col(groupCol), lit(k.toLong).as("k"), col("n_kept"),
         col("theta"), kmvEstimateCol(k).as("estimate"), col("n_exact"))
@@ -904,8 +918,13 @@ object Sketch {
     */
   def kmvIntersection(a: DataFrame, b: DataFrame,
                       valueCol: String = "item", k: Int = 256): DataFrame = {
-    val da = a.select(col(valueCol)).distinct()
-    val db = b.select(col(valueCol)).distinct()
+    // NULLs are outside the sketch domain (see kmvHashes); keep the
+    // exact audit columns on the same domain or they disagree with the
+    // estimates they certify
+    val da = a.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .distinct()
+    val db = b.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .distinct()
     val exInter = da.intersect(db).agg(count(lit(1)).as("exact_inter"))
     val exUnion = da.union(db).distinct().agg(count(lit(1)).as("exact_union"))
     thetaAlgebra(kmvHashes(a, valueCol, k), kmvHashes(b, valueCol, k), k)
@@ -1020,6 +1039,11 @@ object Sketch {
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
+    // the layout filename is shared across store families — a KMV call
+    // pointed at an HLL store (layout "p=6") must say so, not throw a
+    // bare NumberFormatException
+    require(recorded.startsWith("k="),
+      s"store at $path is not a KMV store (layout record '$recorded')")
     recorded.stripPrefix("k=").toInt
   }
 

@@ -2271,9 +2271,11 @@ object RankQueries {
       |spine AS (SELECT i AS row_j FROM range(0, $d) t(i)),
       |ipf AS (SELECT spine.row_j, COALESCE(p, 0) AS p
       |  FROM spine LEFT JOIN ip USING (row_j)),
-      |est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_rows FROM ipf),
-      |ex AS (SELECT CAST(COALESCE(
-      |    SUM(CAST(a.c AS HUGEINT) * b.c), 0) AS BIGINT) AS exact_rows
+      |est AS (SELECT CAST(LEAST(MIN(p), 9223372036854775807) AS BIGINT)
+      |  AS est_rows FROM ipf),
+      |ex AS (SELECT CAST(LEAST(COALESCE(
+      |    SUM(CAST(a.c AS HUGEINT) * b.c), 0), 9223372036854775807)
+      |    AS BIGINT) AS exact_rows
       |  FROM (${src("click")}) a JOIN (${src("purchase")}) b USING (v))
       |SELECT CAST($d AS BIGINT) AS d, CAST($w AS BIGINT) AS w,
       |  est_rows, exact_rows
@@ -2728,7 +2730,9 @@ object RankQueries {
     * DECIMAL(38,0) — the q223 device), exact below saturation. */
   private def kmvOracleSql(k: Int): String = {
     val M = graft.ops.Sketch.MixMod
-    s"""WITH ${kmvChainSql("", "SELECT DISTINCT user_id AS v FROM events", k)},
+    s"""WITH ${kmvChainSql("",
+        "SELECT DISTINCT user_id AS v FROM events " +
+          "WHERE user_id IS NOT NULL", k)},
       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS theta
       |        FROM kept),
       |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
@@ -2752,7 +2756,7 @@ object RankQueries {
       }.mkString(",\n|")
     val n = graft.ops.Sketch.mixStagesSql("h").length
     s"""WITH gu AS (SELECT DISTINCT event_type AS g, user_id AS v
-      |            FROM events),
+      |            FROM events WHERE user_id IS NOT NULL),
       |gh AS (SELECT g, ${LlmQueries.fpSql("CAST(v AS VARCHAR) || '|kmv'")}
       |         AS h FROM gu),
       |$mixCtes,
@@ -2782,7 +2786,8 @@ object RankQueries {
     def pairSrc(t: String) =
       s"SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || " +
         s"CAST($item AS VARCHAR) AS v FROM events " +
-        s"WHERE event_type = '$t' AND $item IS NOT NULL"
+        s"WHERE event_type = '$t' AND $item IS NOT NULL " +
+        "AND user_id IS NOT NULL"
     s"""WITH ${kmvChainSql("a", pairSrc("click"), k)},
       |${kmvChainSql("b", pairSrc("purchase"), k)},
       |ta AS (SELECT CASE WHEN COUNT(*) < $k THEN CAST($M AS BIGINT)

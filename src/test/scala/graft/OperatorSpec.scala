@@ -1360,6 +1360,13 @@ class OperatorSpec extends SparkSpecBase {
     val dup = graft.ops.Sketch.kmvEstimate(base.union(base))
       .as[(Long, Long, Long, Long, Long)].head()
     assert(dup == one, "KMV must be duplicate-insensitive")
+    // NULLs are outside the sketch domain (the COUNT DISTINCT
+    // convention): they change neither the kept set nor n_exact
+    val withNulls = (1 to 100).map(i => Some(s"user$i")) ++
+      Seq(None, None, None)
+    val nn = graft.ops.Sketch.kmvEstimate(withNulls.toDF("item"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(nn == s0, s"NULL values must not enter the sketch: $nn != $s0")
   }
 
   test("KMV intersection: exact below saturation, deterministic " +
@@ -1433,6 +1440,14 @@ class OperatorSpec extends SparkSpecBase {
     val replayed = graft.ops.Sketch.mergedKmvEstimate(spark, dir)
       .as[(Long, Long, Long, Long)].head()
     assert(replayed == merged, "replayed epoch must not move the estimate")
+    // the public merged-hash relation IS the one-shot bottom-k set
+    val mergedHashes = graft.ops.Sketch.mergedKmvHashes(spark, dir)
+      .as[Long].collect().sorted.toSeq
+    val oneShotHashes = graft.ops.Sketch
+      .kmvHashes(e1.union(e2).union(e3))
+      .as[Long].collect().sorted.toSeq
+    assert(mergedHashes == oneShotHashes,
+      "merged store hashes must equal the one-shot bottom-k set")
     // k drift must fail loud, not silently under-estimate
     intercept[IllegalArgumentException] {
       graft.ops.Sketch.appendKmvStore(e1, dir, epoch = 4L, k = 128)
@@ -1440,6 +1455,13 @@ class OperatorSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       graft.ops.Sketch.appendKmvStore(e1, dir + "_nowhere", epoch = 1L)
     }
+    // a KMV read of an HLL store must name the mismatch, not throw a
+    // bare NumberFormatException (both families share the layout file)
+    graft.ops.Sketch.writeHllStore(e1, dir + "_hll", epoch = 1L)
+    val wrong = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedKmvEstimate(spark, dir + "_hll")
+    }
+    assert(wrong.getMessage.contains("not a KMV store"), wrong.getMessage)
   }
 
   test("HLL register store: merged epochs are bit-identical to a " +
