@@ -107,15 +107,31 @@ object Bench {
     val loadEnd = HostProbe.loadavg()
     val load = HostProbe.stampJson(loadStart, probeStart, ioStart,
       loadEnd, HostProbe.spinProbe(), HostProbe.ioProbe())
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$perRun,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+    val isolated = only.nonEmpty
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","isolated":$isolated,"queries":$qs,"runs":$perRun,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 75+ queries the
     // per-run arrays push the line past that window (BENCH_r06.json lost
     // q01–q36). Persist the full line to a repo-local file (swept into the
     // round commit) so the artifact is always recoverable, and still print
     // it for the driver's parser.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+    //
+    // An SPARK_GRAFT_ONLY subset run is the isolated re-measure protocol
+    // (r14: it lived only in judge prose) — it must NEVER clobber the
+    // full-run BENCH.json; instead it APPENDS one JSON line to
+    // BENCH_ISOLATED.json, the adjudication log tools/benchdiff.py reads
+    // to machine-refute contended-refresh regressions (min per query
+    // across lines wins, the Bench rule).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      if (isolated) "BENCH_ISOLATED.json" else "BENCH.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (isolated && !sys.env.contains("SPARK_GRAFT_BENCH_FILE"))
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      else
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    }
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     println(line)

@@ -50,4 +50,40 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** A `day=`-partitioned twin of the events table — the layout the
+    * object-level scaladoc promises at 100 TB, materialized so partition
+    * pruning is EXERCISED, not just asserted in prose: where the
+    * reference walks per-day paths in a driver loop
+    * (`OfflineJob.java:117-145`), a day filter against this layout shows
+    * up as `PartitionFilters` on the scan and Spark lists only the
+    * matching `day=<yyyymmdd>/` dirs (PlanSpec pins the pruned partition
+    * count; q239 runs against it in the registry).
+    *
+    * Built ONCE per sfDir under java.io.tmpdir and reread thereafter —
+    * the twin is a deterministic re-layout of the same rows (`day` is
+    * derived from `ts` under the UTC session), so oracle SQL keeps
+    * reading the flat events table and both sides agree. Single-JVM
+    * idempotence via the object lock + done-marker; a crashed write is
+    * re-run (overwrite) because the marker is created last. */
+  def eventsDayPartitioned(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      import org.apache.spark.sql.functions._
+      // leading "d": a key starting with '_' or '.' (e.g. a sanitized
+      // absolute path) would be invisible to Spark's file index, which
+      // skips underscore/dot-prefixed paths wholesale
+      val key = "d" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_events_day"),
+        key)
+      val marker = new java.io.File(root, "_graft_done")
+      if (!marker.exists()) {
+        events(s, d)
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(root.toString)
+        marker.createNewFile()
+      }
+      s.read.option("basePath", root.toString).parquet(root.toString)
+    }
 }

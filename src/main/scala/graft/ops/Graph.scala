@@ -737,10 +737,21 @@ object Graph {
     * key-partitioned, nothing driver-side but the convergence scalars;
     * localCheckpoint truncates lineage every round. Each peel removes
     * at least every current color-class root's SCC, so dense graphs
-    * (one giant SCC + fringe) finish in a couple of peels; a long
-    * adversarial DAG of singleton SCCs can need O(n) peels — that
-    * worst case is the documented bound, and `maxPeels` turns it into
-    * an error instead of a silent stall.
+    * (one giant SCC + fringe) finish in a couple of peels. Before every
+    * coloring round a TRIM phase (the FW-BW "Trim" step) peels vertices
+    * with zero in-degree or zero out-degree in the ACTIVE subgraph as
+    * singleton SCCs, to a fixpoint: a vertex missing either direction
+    * cannot sit on a cycle, and removing it exposes the next layer —
+    * so any DAG region (the common shape of click/funnel graphs, where
+    * most vertices are trivial SCCs) drains through cheap semi-joins
+    * instead of one full color+mark fixpoint per root class. After trim,
+    * every remaining vertex has both an in- and an out-edge, and peels
+    * are spent only on genuine cycle structure; the r14 worst case (a
+    * chain of singleton SCCs needing one peel per root) now takes ZERO
+    * peels. Trim rounds are capped by `maxIters` per peel — hitting the
+    * cap just hands the remainder to the coloring phase (trim is an
+    * optimization, never semantics), so `maxPeels` stays the only loud
+    * bound and now counts only cycle-bearing peels.
     *
     * Output: (id, scc) — scc = MAX vertex id of the component. Vertices
     * are the edge endpoints; callers wanting isolated vertices union
@@ -748,6 +759,18 @@ object Graph {
     */
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 50,
                                   maxIters: Int = 200): DataFrame =
+    sccOfNormalized(normalizeDirectedEdges(edges), maxPeels, maxIters)._1
+
+  /** Convergence telemetry of one SCC run: how many color+mark peels the
+    * cyclic structure cost and how much the Trim phase drained for free.
+    * Exists so the chain-graph property test can PIN that trim works
+    * (peels ≪ n on funnel shapes) instead of trusting the scaladoc. */
+  private[graft] final case class SccStats(peels: Int, trimRounds: Int,
+                                           trimmed: Long)
+
+  private[graft] def sccWithStats(edges: DataFrame, maxPeels: Int = 50,
+                                  maxIters: Int = 200)
+  : (DataFrame, SccStats) =
     sccOfNormalized(normalizeDirectedEdges(edges), maxPeels, maxIters)
 
   /** Cast/NULL-drop/dedup a directed edge list once, eagerly — shared
@@ -761,7 +784,7 @@ object Graph {
       .distinct().localCheckpoint(true)
 
   private def sccOfNormalized(e0: DataFrame, maxPeels: Int,
-                              maxIters: Int): DataFrame = {
+                              maxIters: Int): (DataFrame, SccStats) = {
     var eAct = e0
     var active = e0.select(col("src").as("id"))
       .unionByName(e0.select(col("dst").as("id")))
@@ -773,11 +796,54 @@ object Graph {
       if (s == null) java.math.BigDecimal.ZERO else s
     }
     var peels = 0
+    var trimRounds = 0
+    var trimmed = 0L
     while (remaining > 0) {
+      // TRIM: peel zero-in/zero-out-degree vertices as singleton SCCs to
+      // a fixpoint (capped by maxIters — past the cap the remainder just
+      // goes to the coloring phase, trim never changes the answer). Each
+      // round is two distinct-projections + two semi joins; the trivial
+      // frames accumulate lazily and fold into `assigned` once per phase.
+      var trimPhase = Seq.empty[DataFrame]
+      var trimming = true
+      var tr = 0
+      while (trimming && remaining > 0 && tr < maxIters) {
+        val haveBoth = active
+          .join(eAct.select(col("src").as("id")).distinct(),
+            Seq("id"), "left_semi")
+          .join(eAct.select(col("dst").as("id")).distinct(),
+            Seq("id"), "left_semi")
+          .localCheckpoint(true)
+        val nBoth = haveBoth.count()
+        if (nBoth == remaining) trimming = false
+        else {
+          tr += 1
+          trimRounds += 1
+          trimmed += remaining - nBoth
+          trimPhase = trimPhase :+ active
+            .join(haveBoth, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("color"))
+          active = haveBoth
+          remaining = nBoth
+          // both endpoints must survive for the edge to stay active
+          eAct = eAct
+            .join(active.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint(true)
+        }
+      }
+      if (trimPhase.nonEmpty) {
+        val tAll = trimPhase.reduce(_ unionByName _)
+        assigned =
+          (if (assigned == null) tAll else assigned.unionByName(tAll))
+            .localCheckpoint(true)
+      }
+      if (remaining > 0) {
       peels += 1
       require(peels <= maxPeels,
         s"scc: $remaining vertices unassigned after $maxPeels peels — " +
-          "raise maxPeels (adversarial DAGs peel one root SCC per round)")
+          "raise maxPeels (every remaining vertex sits on cycle " +
+          "structure; trim already drained the DAG regions)")
       // 1. forward max-color fixpoint on the active subgraph
       var colors = active.select(col("id"), col("id").as("color"))
         .localCheckpoint(true)
@@ -835,18 +901,22 @@ object Graph {
         .join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
         .select(col("src"), col("dst")).localCheckpoint(true)
+      }
     }
-    if (assigned == null)
-      active.select(col("id"), col("id").as("scc")) // edgeless input: empty
-    else assigned.select(col("id"), col("color").as("scc"))
+    val out =
+      if (assigned == null)
+        active.select(col("id"), col("id").as("scc")) // edgeless input: empty
+      else assigned.select(col("id"), col("color").as("scc"))
+    (out, SccStats(peels, trimRounds, trimmed))
   }
 
   /** Deterministic random walks — the DeepWalk/node2vec corpus-generation
     * step of graph-embedding pipelines, derandomized the only way an
-    * oracle can check it: at step t a walk sitting on `cur` moves to the
-    * out-neighbor at index `mix57(fp(cur:rep:t|rw)) mod out_deg(cur)`
+    * oracle can check it: at step t a walk from `start` sitting on `cur`
+    * moves to the out-neighbor at index
+    * `mix57(fp(start:cur:rep:t|rw)) mod out_deg(cur)`
     * in the id-ordered adjacency — every choice a pure function of
-    * (position, walk replica, step) on the shared portable hash, so the
+    * (walk identity, position, step) on the shared portable hash, so the
     * corpus is bit-identical across engines, partitionings, and reruns
     * (classic walkers draw from an RNG, which makes their output
     * unverifiable-by-twin; training pipelines also want exactly this
@@ -887,8 +957,14 @@ object Graph {
       .localCheckpoint(true)
     var out = frontier
     for (t <- 1 to len) {
+      // start is IN the hash (r14 ADVICE): without it, walks from
+      // different starts that meet at the same node at the same step
+      // within a replica follow identical suffixes — folding the start
+      // in restores the trajectory diversity of independent walks while
+      // staying a pure function the oracle unrolls identically
       val h = Sketch.mix57(graft.llm.TextAnalysis.fingerprint(
-        concat(col("node").cast("string"), lit(":"),
+        concat(col("start").cast("string"), lit(":"),
+          col("node").cast("string"), lit(":"),
           col("rep").cast("string"), lit(s":$t|rw"))))
       val stepped = frontier
         .select(col("start"), col("rep"), col("node"), h.as("__h"))
@@ -984,7 +1060,7 @@ object Graph {
   def sccCondensation(edges: DataFrame, maxPeels: Int = 50,
                       maxIters: Int = 200): DataFrame = {
     val e0 = normalizeDirectedEdges(edges)
-    val scc = sccOfNormalized(e0, maxPeels, maxIters)
+    val scc = sccOfNormalized(e0, maxPeels, maxIters)._1
       .localCheckpoint(true)
     val members = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
     val ced = e0

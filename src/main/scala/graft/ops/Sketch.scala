@@ -131,12 +131,17 @@ object Sketch {
     def counters(items: DataFrame, as: String) = {
       val cnt = items.groupBy(col(valueCol))
         .agg(count(lit(1)).as("__c"))
-      (0 until d).map { j =>
-        cnt.groupBy(pmod(salted(col(valueCol), s"|cms$j"), lit(w.toLong))
-            .as("bucket"))
-          .agg(sum("__c").as(as))
-          .select(lit(j).as("row_j"), col("bucket"), col(as))
-      }.reduce(_ unionByName _)
+      // ONE pass per side: all d bucket columns come off a single cnt
+      // scan, unpivoted map-side into (row_j, bucket, __c) rows and
+      // folded by key — the r14 ADVICE fix (d unioned groupBys each
+      // re-ran the per-key aggregate from the raw items, ~d+1 full
+      // input passes at the documented d=4). The d·|keys| unpivot rows
+      // exist only map-side of one combine-enabled shuffle.
+      val pairs = (0 until d).map(j => struct(lit(j).as("row_j"),
+        pmod(salted(col(valueCol), s"|cms$j"), lit(w.toLong)).as("bucket")))
+      cnt.select(explode(array(pairs: _*)).as("rb"), col("__c"))
+        .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+        .agg(sum("__c").as(as))
     }
     // every hash row contributes to the min — a row where A's and B's
     // occupied buckets are DISJOINT has true inner product 0 (the
@@ -877,26 +882,143 @@ object Sketch {
     * failure that helper exists for; a Double-scored bounded aggregator
     * is out too, a 57-bit hash does not fit a Double). Output one row
     * per group: (group, k, n_kept, theta, estimate, n_exact) with the
-    * same saturated/exact regimes as the ungrouped form.
+    * same saturated/exact regimes as the ungrouped form. A group whose
+    * values are all NULL emits (k, 0, null, 0, 0) — the row
+    * [[kmvEstimate]] returns on that group's data alone, so the
+    * grouped==one-shot-per-group equivalence holds for every group.
     */
   def groupedKmvEstimate(items: DataFrame, groupCol: String,
                          valueCol: String = "item",
                          k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    val hashes = items
-      .select(col(groupCol), salted(col(valueCol), "|kmv").as("h"))
-      .filter(col("h").isNotNull) // NULLs excluded — see kmvHashes
-      .distinct()
-    val sketch = graft.ops.Scale
-      .groupedRankOrdered(hashes, Seq(groupCol), Seq("h"), "__rn")
-      .filter(col("__rn") <= k)
+    val sketch = groupedKmvHashes(items, groupCol, valueCol, k)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
     val exact = items.groupBy(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("n_exact"))
-    sketch.join(exact, Seq(groupCol))
-      .select(col(groupCol), lit(k.toLong).as("k"), col("n_kept"),
-        col("theta"), kmvEstimateCol(k).as("estimate"), col("n_exact"))
+    // sketch LEFT-joined onto the exact group spine: a group whose
+    // values are all NULL has no hashes (NULLs are outside the sketch
+    // domain) but IS a group — it must surface as (k, 0, null, 0, 0),
+    // exactly what kmvEstimate returns on that group's data alone (the
+    // r14 ADVICE equivalence gap: an inner join silently dropped it)
+    exact.join(sketch, Seq(groupCol), "left")
+      .select(col(groupCol), lit(k.toLong).as("k"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("theta"),
+        col("n_exact"))
+      .select(col(groupCol), col("k"), col("n_kept"), col("theta"),
+        kmvEstimateCol(k).as("estimate"), col("n_exact"))
+  }
+
+  /** Per-group bottom-k distinct-hash relation (groupCol, h) — the
+    * grouped twin of [[kmvHashes]], shared by [[groupedKmvEstimate]]'s
+    * sketch leg and the overlap matrix. Per-group trim goes through the
+    * range-partitioned two-phase grouped rank
+    * ([[graft.ops.Scale.groupedRankOrdered]]), never a plain per-group
+    * window: a low-cardinality group would funnel its entire
+    * distinct-hash set through one task. */
+  def groupedKmvHashes(items: DataFrame, groupCol: String,
+                       valueCol: String = "item",
+                       k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val hashes = items
+      .select(col(groupCol), salted(col(valueCol), "|kmv").as("h"))
+      .filter(col("h").isNotNull) // NULLs excluded — see kmvHashes
+      .distinct()
+    graft.ops.Scale
+      .groupedRankOrdered(hashes, Seq(groupCol), Seq("h"), "__rn")
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** Pairwise theta-sketch overlap MATRIX over a per-group bottom-k
+    * hash relation — the audience-overlap dashboard at pure sketch
+    * cost (r14 next-round item): one row per unordered group pair
+    * (g_a < g_b) with the pair's own min threshold and the direct
+    * intersection/union estimates, exactly [[thetaAlgebra]] run on
+    * every pair at once. Everything after the input runs on bounded
+    * relations: thresholds are |G| rows, the pair spine |G|² (the
+    * matrix is meaningful for dashboard-scale group counts — event
+    * types, cohorts, segments — not for million-key domains), and every
+    * join below touches ≤ |G|·k hash rows.
+    *
+    * Output: (g_a, g_b, k, theta, n_inter, est_inter, n_union,
+    * est_union), with `n_union = below_a + below_b − n_inter` (hash
+    * sets are distinct within a group, so the inclusion–exclusion on
+    * COUNTS is exact — unlike the cardinality estimates q177 chains).
+    */
+  def thetaOverlapMatrix(hashes: DataFrame, groupCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val h = hashes.select(col(groupCol).as("g"), col("h"))
+      .localCheckpoint(true) // ≤ |G|·k rows, read four times below
+    val th = h.groupBy(col("g"))
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__max"))
+      .select(col("g"),
+        when(col("__n") < k, lit(MixMod)).otherwise(col("__max")).as("__t"))
+    val pairs = th.select(col("g").as("g_a"), col("__t").as("__ta"))
+      .join(th.select(col("g").as("g_b"), col("__t").as("__tb")),
+        col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        least(col("__ta"), col("__tb")).as("theta"))
+      .localCheckpoint(true) // |G|² rows
+    val belowA = h.join(broadcast(pairs),
+        col("g") === col("g_a") && col("h") < col("theta"))
+      .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("__nba"))
+    val belowB = h.join(broadcast(pairs),
+        col("g") === col("g_b") && col("h") < col("theta"))
+      .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("__nbb"))
+    val inter = h.as("x")
+      .join(h.as("y"), col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .join(broadcast(pairs), col("x.g") === col("g_a") &&
+        col("y.g") === col("g_b") && col("x.h") < col("theta"))
+      .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("__ni"))
+    pairs
+      .join(belowA, Seq("g_a", "g_b"), "left")
+      .join(belowB, Seq("g_a", "g_b"), "left")
+      .join(inter, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), lit(k.toLong).as("k"), col("theta"),
+        coalesce(col("__ni"), lit(0L)).as("n_inter"),
+        (coalesce(col("__nba"), lit(0L)) + coalesce(col("__nbb"), lit(0L))
+          - coalesce(col("__ni"), lit(0L))).as("n_union"))
+      .select(col("g_a"), col("g_b"), col("k"), col("theta"),
+        col("n_inter"),
+        expr(s"(cast(n_inter as decimal(38,0)) * $MixMod) div theta")
+          .as("est_inter"),
+        col("n_union"),
+        expr(s"(cast(n_union as decimal(38,0)) * $MixMod) div theta")
+          .as("est_union"))
+  }
+
+  /** The overlap matrix straight from data, with exact audit columns —
+    * [[kmvIntersection]] lifted to every group pair: per-pair exact
+    * intersection by one value-keyed self-join of the distinct
+    * (group, value) relation and exact union by count
+    * inclusion–exclusion. The audit legs are the only corpus-sized
+    * paths (the value self-join fans out by groups-per-value, bounded
+    * by |G|); the estimating path collapses to ≤ |G|·k hashes map-side
+    * first. Groups with no in-domain (non-NULL) value have no sketch
+    * and no audience — they are absent from the matrix. */
+  def groupedKmvOverlapMatrix(items: DataFrame, groupCol: String,
+                              valueCol: String = "item",
+                              k: Int = 256): DataFrame = {
+    val est = thetaOverlapMatrix(
+      groupedKmvHashes(items, groupCol, valueCol, k), groupCol, k)
+    val du = items.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull).distinct().localCheckpoint(true)
+    val exInter = du.as("x")
+      .join(du.as("y"), col("x.v") === col("y.v") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
+      .agg(count(lit(1)).as("__ei"))
+    val ng = du.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+    val spine = ng.select(col("g").as("g_a"), col("__n").as("__na"))
+      .join(ng.select(col("g").as("g_b"), col("__n").as("__nb")),
+        col("g_a") < col("g_b"))
+    val exact = spine.join(exInter, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("__ei"), lit(0L)).as("exact_inter"),
+        (col("__na") + col("__nb") - coalesce(col("__ei"), lit(0L)))
+          .as("exact_union"))
+    est.join(exact, Seq("g_a", "g_b"))
   }
 
   /** Direct theta-sketch set algebra over two KMV sketches: one row
@@ -939,6 +1061,26 @@ object Sketch {
     * data). */
   def thetaAlgebra(hashesA: DataFrame, hashesB: DataFrame,
                    k: Int): DataFrame = {
+    val (theta, belowA, belowB) = thetaBelow(hashesA, hashesB, k)
+    val nInter = belowA.intersect(belowB).agg(count(lit(1)).as("n_inter"))
+    val nUnion = belowA.union(belowB).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    theta.crossJoin(nInter).crossJoin(nUnion)
+      .select(lit(k.toLong).as("k"), col("theta"),
+        col("n_inter"),
+        expr(s"(cast(n_inter as decimal(38,0)) * $MixMod) div theta")
+          .as("est_inter"),
+        col("n_union"),
+        expr(s"(cast(n_union as decimal(38,0)) * $MixMod) div theta")
+          .as("est_union"))
+  }
+
+  /** The shared theta-threshold prologue of the set algebra: the 1-row
+    * min threshold and each side's below-theta hash set. Factored so
+    * [[thetaAlgebra]] and [[thetaDifference]] can never disagree on
+    * what theta is. */
+  private def thetaBelow(hashesA: DataFrame, hashesB: DataFrame, k: Int)
+  : (DataFrame, DataFrame, DataFrame) = {
     // localCheckpoint, not persist: each side is ≤ k rows but read three
     // times (threshold, below-theta, set algebra), and the long-lived
     // monitor path (kmvStoreOverlap polled per quiesce) runs OUTSIDE any
@@ -956,17 +1098,48 @@ object Sketch {
       .select(col("h"))
     val belowB = hb.crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
       .select(col("h"))
-    val nInter = belowA.intersect(belowB).agg(count(lit(1)).as("n_inter"))
-    val nUnion = belowA.union(belowB).distinct()
-      .agg(count(lit(1)).as("n_union"))
-    theta.crossJoin(nInter).crossJoin(nUnion)
+    (theta, belowA, belowB)
+  }
+
+  /** Theta-sketch set DIFFERENCE over two bottom-k hash relations —
+    * the algebra [[thetaAlgebra]] left open (r14 next-round item): below
+    * the shared threshold both sketches are complete samples, so the
+    * EXCEPT counts estimate |A∖B| and |B∖A| with the same one-threshold
+    * estimator, degrading to exact when both sides are unsaturated.
+    * Output: one row (k, theta, n_only_a, est_only_a, n_only_b,
+    * est_only_b). The identity `n_only_a + n_only_b + n_inter = n_union`
+    * holds by construction (the spec pins it against [[thetaAlgebra]]).
+    */
+  def thetaDifference(hashesA: DataFrame, hashesB: DataFrame,
+                      k: Int): DataFrame = {
+    val (theta, belowA, belowB) = thetaBelow(hashesA, hashesB, k)
+    val nOnlyA = belowA.except(belowB).agg(count(lit(1)).as("n_only_a"))
+    val nOnlyB = belowB.except(belowA).agg(count(lit(1)).as("n_only_b"))
+    theta.crossJoin(nOnlyA).crossJoin(nOnlyB)
       .select(lit(k.toLong).as("k"), col("theta"),
-        col("n_inter"),
-        expr(s"(cast(n_inter as decimal(38,0)) * $MixMod) div theta")
-          .as("est_inter"),
-        col("n_union"),
-        expr(s"(cast(n_union as decimal(38,0)) * $MixMod) div theta")
-          .as("est_union"))
+        col("n_only_a"),
+        expr(s"(cast(n_only_a as decimal(38,0)) * $MixMod) div theta")
+          .as("est_only_a"),
+        col("n_only_b"),
+        expr(s"(cast(n_only_b as decimal(38,0)) * $MixMod) div theta")
+          .as("est_only_b"))
+  }
+
+  /** [[kmvIntersection]]'s difference twin: the theta-sketch estimates
+    * of |A∖B| and |B∖A| with the exact audit counts beside them (the
+    * only corpus-sized legs — drop them when the sketch is the point).
+    * NULLs are outside the sketch domain, exactly as in
+    * [[kmvIntersection]]. */
+  def kmvDifference(a: DataFrame, b: DataFrame,
+                    valueCol: String = "item", k: Int = 256): DataFrame = {
+    val da = a.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .distinct()
+    val db = b.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .distinct()
+    val exA = da.except(db).agg(count(lit(1)).as("exact_only_a"))
+    val exB = db.except(da).agg(count(lit(1)).as("exact_only_b"))
+    thetaDifference(kmvHashes(a, valueCol, k), kmvHashes(b, valueCol, k), k)
+      .crossJoin(exA).crossJoin(exB)
   }
 
   /** The merged bottom-k hash relation of a KMV store (all epochs, or
@@ -1077,6 +1250,100 @@ object Sketch {
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
       .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
         kmvEstimateCol(k).as("estimate"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Grouped KMV store: (epoch, <group>, h) rows — per-segment bottom-k
+  // sketches that merge by per-group set-union + re-trim, feeding the
+  // overlap MATRIX without ever re-reading a corpus. Same union-merge
+  // at-least-once tolerance as the ungrouped store; the layout record
+  // pins BOTH k and the group column (rows from a different grouping
+  // would silently cross-pollinate segments).
+  // ---------------------------------------------------------------------
+
+  /** Create/replace a grouped KMV store: one epoch's per-group bottom-k
+    * hash sets plus a `gk=<k>,group=<col>` layout record (the `gk=`
+    * prefix keeps [[readKmvK]] failing loud when an ungrouped call is
+    * pointed here, and vice versa). */
+  def writeGroupedKmvStore(items: DataFrame, path: String, epoch: Long,
+                           groupCol: String, valueCol: String = "item",
+                           k: Int = 256): Unit = {
+    val spark = items.sparkSession
+    groupedKmvHashes(items, groupCol, valueCol, k)
+      .select(lit(epoch).as("epoch"), col(groupCol), col("h"))
+      .write.mode("overwrite").parquet(path)
+    val (fs, lp) = layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"gk=$k,group=$groupCol\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Append one epoch's per-group bottom-k hashes; fails loud on a k or
+    * group-column mismatch. Epoch replay is harmless (set union). */
+  def appendGroupedKmvStore(items: DataFrame, path: String, epoch: Long,
+                            groupCol: String, valueCol: String = "item",
+                            k: Int = 256): Unit = {
+    val spark = items.sparkSession
+    val (rk, rg) = readGroupedKmvLayout(spark, path)
+    require(rk == k && rg == groupCol,
+      s"grouped KMV store at $path was written with (k=$rk, group=$rg), " +
+        s"append requested (k=$k, group=$groupCol) — rebuild the store")
+    groupedKmvHashes(items, groupCol, valueCol, k)
+      .select(lit(epoch).as("epoch"), col(groupCol), col("h"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** The merged per-group bottom-k relation of a grouped KMV store:
+    * union the epochs' sets, re-trim to k per group. Any hash among a
+    * group's merged bottom-k is among that group's bottom-k in some
+    * epoch, so the re-trim recovers exactly the one-shot grouped sketch
+    * of everything the epochs saw (the [[mergedKmvEstimate]] argument,
+    * per group). The window here is a plain per-group row_number — fine
+    * ONLY because its input is the STORE relation (≤ epochs·k rows per
+    * group by construction), never a corpus. */
+  def mergedGroupedKmvHashes(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             epochFilter: Column = lit(true)): DataFrame = {
+    val (k, g) = readGroupedKmvLayout(spark, path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g)).orderBy(col("h"))
+    spark.read.parquet(path).filter(epochFilter)
+      .select(col(g), col("h")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(g), col("h"))
+  }
+
+  /** The pairwise audience-overlap matrix of a grouped KMV store —
+    * [[thetaOverlapMatrix]] over the merged per-group bottom-k sets:
+    * every segment pair's direct intersection/union estimate from ≤
+    * |G|·k stored hashes, no corpus anywhere (the store never retained
+    * one). */
+  def groupedKmvStoreOverlapMatrix(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   epochFilter: Column = lit(true))
+  : DataFrame = {
+    val (k, g) = readGroupedKmvLayout(spark, path)
+    thetaOverlapMatrix(mergedGroupedKmvHashes(spark, path, epochFilter),
+      g, k)
+  }
+
+  private def readGroupedKmvLayout(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): (Int, String) = {
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp), s"grouped KMV store at $path has no layout " +
+      "record — only stores written by writeGroupedKmvStore are mergeable")
+    val in = fs.open(lp)
+    val recorded =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    require(recorded.startsWith("gk="),
+      s"store at $path is not a grouped KMV store (layout '$recorded')")
+    val kv = recorded.split(",").map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+    (kv("gk").toInt, kv("group"))
   }
 
   /** The standard HLL bias-correction constant — a Scala-side double,

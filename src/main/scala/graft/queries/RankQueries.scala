@@ -973,6 +973,53 @@ object RankQueries {
     graft.ops.Sketch.kmvIntersection(pairs("click"), pairs("purchase"))
   }
 
+  /** Click-vs-purchase pair set DIFFERENCE by theta sketch (q237) —
+    * q226's missing algebra leg ([[graft.ops.Sketch.kmvDifference]]):
+    * "how many clicked pairs never converted" (A∖B) and "how many
+    * purchases came without a recorded click" (B∖A), both below the one
+    * shared threshold, with the definitional EXCEPT counts as audit
+    * columns. Same sources, same saturation regimes as q226. */
+  def kmvDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def pairs(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("__item"))
+      .filter(col("__item").isNotNull)
+      .select(concat(col("user_id").cast("string"), lit(":"),
+        col("__item").cast("string")).as("item"))
+    graft.ops.Sketch.kmvDifference(pairs("click"), pairs("purchase"))
+  }
+
+  /** Audience-overlap MATRIX across event types (q238) — every
+    * event-type pair's user-set intersection/union estimated from the
+    * per-group bottom-k sketches at pure sketch cost
+    * ([[graft.ops.Sketch.groupedKmvOverlapMatrix]]): the dashboard
+    * q226 answers for ONE pair, for all of them at once, with the
+    * exact per-pair counts as audit columns. The estimating path
+    * collapses each segment to ≤ k hashes map-side before any join;
+    * only the audit legs touch the corpus. */
+  def kmvOverlapMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.groupedKmvOverlapMatrix(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id").as("item")),
+      "event_type")
+
+  /** Daily rollup off the `day=`-partitioned events layout (q239) —
+    * SURVEY §4.1 made executable: the reference walks per-day HDFS
+    * paths in a driver loop (`OfflineJob.java:117-145`); here the same
+    * "read one week" intent is a `day BETWEEN` filter against
+    * [[graft.core.Tables.eventsDayPartitioned]], which Spark lowers to
+    * `PartitionFilters` — the scan LISTS only the seven matching
+    * `day=<yyyymmdd>/` directories (PlanSpec pins the pruned partition
+    * count). The oracle reads the flat events table with the equivalent
+    * ts-range predicate: layout must not change answers. */
+  def partitionPrunedDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsDayPartitioned(s, dir)
+      .filter(col("day").between(20240101, 20240107))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
   /** 8-day truncated EWMA of daily order revenue, α = 1/4, entirely in
     * integer arithmetic (q167): daily revenue as exact cents, the
     * smoothed value as the exact integer
@@ -2036,6 +2083,9 @@ object RankQueries {
     "q225_kmv_uv" -> kmvUv,
     "q226_kmv_overlap" -> kmvOverlap,
     "q236_grouped_kmv" -> groupedKmvUv,
+    "q237_kmv_difference" -> kmvDiff,
+    "q238_kmv_overlap_matrix" -> kmvOverlapMatrix,
+    "q239_partition_pruned_daily" -> partitionPrunedDaily,
     "q159_item_triangles" -> itemTriangles,
     "q160_link_prediction" -> itemLinkPrediction,
     "q161_grouped_hll" -> groupedHllUv,
@@ -2625,7 +2675,8 @@ object RankQueries {
     def stepCtes(t: Int): String = {
       val prev = if (t == 1) "f0" else s"f${t - 1}"
       val fp = LlmQueries.fpSql(
-        s"CAST(node AS VARCHAR) || ':' || CAST(rep AS VARCHAR) || ':$t|rw'")
+        s"CAST(start AS VARCHAR) || ':' || CAST(node AS VARCHAR) || " +
+          s"':' || CAST(rep AS VARCHAR) || ':$t|rw'")
       val mixChain = stages.zipWithIndex.map { case (stage, i) =>
         val src = if (i == 0) s"hx${t}0" else s"hx$t$i"
         s"hx$t${i + 1} AS (SELECT start, rep, node, $stage AS h FROM $src)"
@@ -2769,12 +2820,14 @@ object RankQueries {
       |ex AS (SELECT event_type AS g,
       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
       |  FROM events GROUP BY 1)
-      |SELECT agg.g AS event_type, CAST($k AS BIGINT) AS k, n_kept, theta,
-      |  CASE WHEN n_kept < $k THEN n_kept
+      |SELECT ex.g AS event_type, CAST($k AS BIGINT) AS k,
+      |  COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept, theta,
+      |  CASE WHEN COALESCE(n_kept, CAST(0 AS BIGINT)) < $k
+      |         THEN COALESCE(n_kept, CAST(0 AS BIGINT))
       |       ELSE CAST((CAST(${k - 1} AS HUGEINT) * $M) // theta AS BIGINT)
       |       END AS estimate,
       |  n_exact
-      |FROM agg JOIN ex USING (g)""".stripMargin
+      |FROM ex LEFT JOIN agg USING (g)""".stripMargin
   }
 
   /** q226 oracle: two bottom-k chains, the min-threshold (an unsaturated
@@ -2817,6 +2870,111 @@ object RankQueries {
       |    AS est_union,
       |  exact_inter, exact_union
       |FROM th, ni, nu, exi, exu""".stripMargin
+  }
+
+  /** q237 oracle: the q226 chains + min threshold, then the
+    * definitional EXCEPT counts below it — each with the shared
+    * `n·2^57 div theta` estimator in HUGEINT — plus the exact
+    * set-difference counts the Spark row carries. */
+  private def kmvDifferenceOracleSql(k: Int): String = {
+    val M = graft.ops.Sketch.MixMod
+    def pairSrc(t: String) =
+      s"SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || " +
+        s"CAST($item AS VARCHAR) AS v FROM events " +
+        s"WHERE event_type = '$t' AND $item IS NOT NULL " +
+        "AND user_id IS NOT NULL"
+    s"""WITH ${kmvChainSql("a", pairSrc("click"), k)},
+      |${kmvChainSql("b", pairSrc("purchase"), k)},
+      |ta AS (SELECT CASE WHEN COUNT(*) < $k THEN CAST($M AS BIGINT)
+      |         ELSE MAX(h) END AS t FROM kepta),
+      |tb AS (SELECT CASE WHEN COUNT(*) < $k THEN CAST($M AS BIGINT)
+      |         ELSE MAX(h) END AS t FROM keptb),
+      |th AS (SELECT LEAST(ta.t, tb.t) AS theta FROM ta, tb),
+      |ba AS (SELECT h FROM kepta, th WHERE h < theta),
+      |bb AS (SELECT h FROM keptb, th WHERE h < theta),
+      |noa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_only_a FROM
+      |  (SELECT h FROM ba EXCEPT SELECT h FROM bb) t),
+      |nob AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_only_b FROM
+      |  (SELECT h FROM bb EXCEPT SELECT h FROM ba) t),
+      |exa AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_only_a FROM
+      |  (${pairSrc("click")}
+      |   EXCEPT
+      |   ${pairSrc("purchase")}) t),
+      |exb AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_only_b FROM
+      |  (${pairSrc("purchase")}
+      |   EXCEPT
+      |   ${pairSrc("click")}) t)
+      |SELECT CAST($k AS BIGINT) AS k, theta, n_only_a,
+      |  CAST((CAST(n_only_a AS HUGEINT) * $M) // theta AS BIGINT)
+      |    AS est_only_a,
+      |  n_only_b,
+      |  CAST((CAST(n_only_b AS HUGEINT) * $M) // theta AS BIGINT)
+      |    AS est_only_b,
+      |  exact_only_a, exact_only_b
+      |FROM th, noa, nob, exa, exb""".stripMargin
+  }
+
+  /** q238 oracle: the q236 grouped chain to per-group bottom-k sets,
+    * then the whole pair algebra in SQL — per-group thresholds, the
+    * g_a < g_b pair spine with LEAST thetas, below-theta and shared-hash
+    * counts per pair, count inclusion–exclusion for the union, and the
+    * exact per-pair audit from a value-keyed self-join of the distinct
+    * (group, user) relation. */
+  private def kmvOverlapMatrixOracleSql(k: Int): String = {
+    val M = graft.ops.Sketch.MixMod
+    val mixCtes = graft.ops.Sketch.mixStagesSql("h").zipWithIndex
+      .map { case (stage, i) =>
+        s"gm${i + 1} AS (SELECT g, $stage AS h FROM " +
+          s"${if (i == 0) "gh" else s"gm$i"})"
+      }.mkString(",\n|")
+    val n = graft.ops.Sketch.mixStagesSql("h").length
+    s"""WITH gu AS (SELECT DISTINCT event_type AS g, user_id AS v
+      |            FROM events WHERE user_id IS NOT NULL),
+      |gh AS (SELECT g, ${LlmQueries.fpSql("CAST(v AS VARCHAR) || '|kmv'")}
+      |         AS h FROM gu),
+      |$mixCtes,
+      |gd AS (SELECT DISTINCT g, h FROM gm$n),
+      |kept AS (SELECT g, h FROM (SELECT g, h,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r FROM gd) t
+      |  WHERE r <= $k),
+      |th AS (SELECT g, CASE WHEN COUNT(*) < $k THEN CAST($M AS BIGINT)
+      |         ELSE MAX(h) END AS t FROM kept GROUP BY 1),
+      |pairs AS (SELECT a.g AS g_a, b.g AS g_b, LEAST(a.t, b.t) AS theta
+      |  FROM th a JOIN th b ON a.g < b.g),
+      |ba AS (SELECT g_a, g_b, CAST(COUNT(*) AS BIGINT) AS nba
+      |  FROM pairs JOIN kept ON kept.g = g_a AND kept.h < theta
+      |  GROUP BY 1, 2),
+      |bb AS (SELECT g_a, g_b, CAST(COUNT(*) AS BIGINT) AS nbb
+      |  FROM pairs JOIN kept ON kept.g = g_b AND kept.h < theta
+      |  GROUP BY 1, 2),
+      |iv AS (SELECT g_a, g_b, CAST(COUNT(*) AS BIGINT) AS ni
+      |  FROM pairs p JOIN kept x ON x.g = p.g_a AND x.h < p.theta
+      |               JOIN kept y ON y.g = p.g_b AND y.h = x.h
+      |  GROUP BY 1, 2),
+      |ng AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nv FROM gu GROUP BY 1),
+      |ei AS (SELECT a.g AS g_a, b.g AS g_b,
+      |    CAST(COUNT(*) AS BIGINT) AS eiv
+      |  FROM gu a JOIN gu b ON a.v = b.v AND a.g < b.g
+      |  GROUP BY 1, 2)
+      |SELECT p.g_a, p.g_b, CAST($k AS BIGINT) AS k, p.theta,
+      |  COALESCE(ni, CAST(0 AS BIGINT)) AS n_inter,
+      |  CAST((CAST(COALESCE(ni, CAST(0 AS BIGINT)) AS HUGEINT) * $M)
+      |    // p.theta AS BIGINT) AS est_inter,
+      |  COALESCE(nba, CAST(0 AS BIGINT)) + COALESCE(nbb, CAST(0 AS BIGINT))
+      |    - COALESCE(ni, CAST(0 AS BIGINT)) AS n_union,
+      |  CAST((CAST(COALESCE(nba, CAST(0 AS BIGINT))
+      |      + COALESCE(nbb, CAST(0 AS BIGINT))
+      |      - COALESCE(ni, CAST(0 AS BIGINT)) AS HUGEINT) * $M)
+      |    // p.theta AS BIGINT) AS est_union,
+      |  COALESCE(eiv, CAST(0 AS BIGINT)) AS exact_inter,
+      |  na.nv + nb.nv - COALESCE(eiv, CAST(0 AS BIGINT)) AS exact_union
+      |FROM pairs p
+      |LEFT JOIN ba ON ba.g_a = p.g_a AND ba.g_b = p.g_b
+      |LEFT JOIN bb ON bb.g_a = p.g_a AND bb.g_b = p.g_b
+      |LEFT JOIN iv ON iv.g_a = p.g_a AND iv.g_b = p.g_b
+      |JOIN ng na ON na.g = p.g_a
+      |JOIN ng nb ON nb.g = p.g_b
+      |LEFT JOIN ei ON ei.g_a = p.g_a AND ei.g_b = p.g_b""".stripMargin
   }
 
   /** q170 oracle: the identical bloom chain in SQL — k fingerprint+mix
@@ -3941,6 +4099,17 @@ object RankQueries {
     "q225_kmv_uv" -> kmvOracleSql(256),
     "q226_kmv_overlap" -> kmvIntersectOracleSql(256),
     "q236_grouped_kmv" -> groupedKmvOracleSql(256),
+    "q237_kmv_difference" -> kmvDifferenceOracleSql(256),
+    "q238_kmv_overlap_matrix" -> kmvOverlapMatrixOracleSql(256),
+    // q239: the flat-table twin of the day=-partitioned scan — layout
+    // is an access-path concern, never an answer concern
+    "q239_partition_pruned_daily" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |GROUP BY 1, 2""".stripMargin,
     // q149: the identical grid + division-free probe; cum/total cast
     // back to BIGINT (DuckDB window SUM yields HUGEINT → float in pandas)
     "q149_value_quantile_hist" ->

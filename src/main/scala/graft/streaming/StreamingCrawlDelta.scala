@@ -37,9 +37,11 @@ import org.apache.spark.sql.types.StructType
   *
   * 100 TB posture: per trigger one map-side-combined distinct over the
   * batch, one anti join and one membership join against hash-keyed
-  * stores (both prunable by the same compaction device as the near-dup
-  * stores if history deepens), bounded per-group aggregates; the
-  * snapshot store holds one 8-byte hash + length per distinct doc.
+  * stores, bounded per-group aggregates; the snapshot store holds one
+  * 8-byte hash + length per distinct doc. When history deepens, the
+  * quiesced [[compactArrivals]] folds the per-trigger arrival dirs into
+  * a bucketed layout the prior probe prunes to each batch's own hash
+  * buckets — the near-dup stores' compaction device, applied here.
   */
 object StreamingCrawlDelta {
 
@@ -65,9 +67,17 @@ object StreamingCrawlDelta {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.core.CacheScope.scoped {
-        val pairs = distinctPairs(batch, groupCol, textCol)
-        val prior = StreamingDedup.readStore(spark,
-          s"$storePath/arrivals", batchId, pairs.schema)
+        val pairs = graft.core.CacheScope.track(
+          distinctPairs(batch, groupCol, textCol).persist())
+        // prior = compacted layout (pruned to this batch's __h buckets)
+        // plus raw batches newer than the last compaction, strictly older
+        // than this one — see compactArrivals
+        val prior = StreamingDedup.readStoreWithCompact(spark,
+          s"$storePath/arrivals", s"$storePath/arrivals_compact",
+          batchId, pairs.schema,
+          buckets => pairs
+            .select(pmod(col("__h"), lit(buckets.toLong)).cast("int").as("g"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq)
         // first-seen only: counted in the batch that completes the pair,
         // never re-counted by a later one (read twice: emit + publish)
         val fresh = graft.core.CacheScope.track(
@@ -114,10 +124,12 @@ object StreamingCrawlDelta {
         org.apache.spark.sql.types.LongType)))
     val old = readSnapshot(spark, storePath, schema)
     // arrival partitions are pairwise disjoint by construction (each
-    // batch anti-joined everything older), so the union IS the new
-    // snapshot's distinct set
-    val arrivals = StreamingDedup.readStore(spark,
-      s"$storePath/arrivals", Long.MaxValue, schema)
+    // batch anti-joined everything older; compaction only re-lays out
+    // the same disjoint rows), so the union IS the new snapshot's
+    // distinct set — read compacted layout (all buckets) + raw tail
+    val arrivals = StreamingDedup.readStoreWithCompact(spark,
+      s"$storePath/arrivals", s"$storePath/arrivals_compact",
+      Long.MaxValue, schema, buckets => 0 until buckets)
     val o = old.withColumn("__in_old", lit(1L))
       .withColumnRenamed("__len", "__len_o")
     val n = arrivals.withColumn("__in_new", lit(1L))
@@ -151,7 +163,28 @@ object StreamingCrawlDelta {
     graft.sinks.Sinks.renameOrThrow(fs, tmpP, snapP)
     fs.delete(oldP, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/arrivals"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/arrivals_compact"),
+      true)
     delta
+  }
+
+  /** Quiesced arrivals compaction — the device the scaladoc promised
+    * (r14 next-round item): folds the accumulated `arrivals/batch=<id>`
+    * dirs into `arrivals_compact/data/__bkt=<pmod(__h, buckets)>/` so a
+    * long-running monitor's per-trigger prior probe reads ≤ `buckets`
+    * hash-group files pruned to the batch's own buckets instead of one
+    * parquet dir per elapsed trigger. Same [[StreamingDedup]] fold
+    * contract: run while the stream is quiesced (single-writer), folded
+    * raw dirs retire, a replayed batch republishing after the fold is
+    * re-folded (not doubled), and emissions are unchanged across a
+    * mid-stream compaction (StreamingSpec pins it). `__h` is already a
+    * 64-bit hash, so the bucket is a plain mod — no rehash. */
+  def compactArrivals(spark: SparkSession, storePath: String,
+                      buckets: Int = 256): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    StreamingDedup.foldStore(spark, s"$storePath/arrivals",
+      s"$storePath/arrivals_compact", buckets)(_.withColumn("__bkt",
+      pmod(col("__h"), lit(buckets.toLong)).cast("int")))
   }
 
   /** Distinct (group, xxhash64(text), length) of a frame — min length

@@ -421,7 +421,7 @@ object StreamingDedup {
     * one layout partitioned by the Int `__bkt` column `addGroup` derives;
     * three-file artifact swapped atomically (park old, rename new), folded
     * raw dirs retired afterward. */
-  private def foldStore(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def foldStore(spark: org.apache.spark.sql.SparkSession,
                         root: String, compRoot: String, buckets: Int)
                        (addGroup: DataFrame => DataFrame): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(root)
@@ -564,7 +564,8 @@ object StreamingDedup {
     * IntegerType and a bare In is the cleanest prunable filter), unioned
     * with raw batches published since the last compaction. Without a
     * compacted layout this is exactly the plain batch-partitioned read. */
-  private def readStoreWithCompact(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def readStoreWithCompact(
+      spark: org.apache.spark.sql.SparkSession,
                                    root: String, compRoot: String,
                                    before: Long,
                                    schema: org.apache.spark.sql.types.StructType,

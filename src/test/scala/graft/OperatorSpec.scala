@@ -613,16 +613,29 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
-  test("SCC: an ascending-id chain DAG peels one root per round (the " +
-    "documented adversarial case) and maxPeels fails loud, not silent") {
-    // 4→3→2→1: every color class has one root, so each peel removes one
-    // singleton SCC — 4 peels to drain
+  test("SCC trim: the r14 adversarial chain DAG drains with ZERO " +
+    "color+mark peels, and maxPeels still fails loud on cycle chains") {
+    // 4→3→2→1 was the documented worst case (one full color+mark peel
+    // per root class); the trim phase now peels it as singleton SCCs
     val chain = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
-    val got = graft.ops.Graph.stronglyConnectedComponents(chain)
-      .as[(Long, Long)].collect().toMap
+    val (gotDf, stats) = graft.ops.Graph.sccWithStats(chain)
+    val got = gotDf.as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(stats.peels == 0 && stats.trimmed == 4L,
+      s"chain must drain by trim alone: $stats")
+    // a DESCENDING chain of 2-cycles is trim-immune (every vertex has an
+    // in- and an out-edge) and still costs one peel per cycle — the
+    // maxPeels loud-failure bound lives on for genuine cycle structure
+    val cyc = Seq((8L, 7L), (7L, 8L), (7L, 6L), (6L, 5L), (5L, 6L),
+      (5L, 4L), (4L, 3L), (3L, 4L), (3L, 2L), (2L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val (cycDf, cycStats) = graft.ops.Graph.sccWithStats(cyc)
+    val cycGot = cycDf.as[(Long, Long)].collect().toMap
+    assert(cycGot == Map(8L -> 8L, 7L -> 8L, 6L -> 6L, 5L -> 6L,
+      4L -> 4L, 3L -> 4L, 2L -> 2L, 1L -> 2L), s"wrong: $cycGot")
+    assert(cycStats.trimmed == 0L, s"2-cycles must not trim: $cycStats")
     intercept[IllegalArgumentException] {
-      graft.ops.Graph.stronglyConnectedComponents(chain, maxPeels = 2)
+      graft.ops.Graph.stronglyConnectedComponents(cyc, maxPeels = 2)
     }
     // NULL endpoints are dropped before anything is counted
     val withNulls = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
@@ -630,6 +643,24 @@ class OperatorSpec extends SparkSpecBase {
     val clean = graft.ops.Graph.stronglyConnectedComponents(withNulls)
       .as[(Long, Long)].collect().toMap
     assert(clean == Map(1L -> 2L, 2L -> 2L), s"wrong: $clean")
+  }
+
+  test("SCC trim property: a 200-vertex descending chain of singleton " +
+    "SCCs takes peels << n (zero, in fact) and stays correct") {
+    // pre-trim this needed ~200 full color+mark peels (maxPeels'
+    // default of 50 would have thrown); now the trim phase drains two
+    // chain ends per round and the peel counter never moves
+    val n = 200
+    val edges = (1 until n).map(i => (n.toLong - i + 1, n.toLong - i))
+      .toDF("src", "dst")
+    val (df, stats) = graft.ops.Graph.sccWithStats(edges)
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got == (1 to n).map(v => v.toLong -> v.toLong).toMap,
+      s"every chain vertex is its own SCC (got ${got.size} rows)")
+    assert(stats.peels == 0, s"trim must spend no peels: $stats")
+    assert(stats.trimmed == n.toLong, s"all $n vertices trim: $stats")
+    assert(stats.trimRounds <= n / 2 + 1,
+      s"trim removes both ends per round: $stats")
   }
 
   test("survival risk table and calibration bins: risk sets shrink " +
@@ -1397,17 +1428,23 @@ class OperatorSpec extends SparkSpecBase {
   }
 
   test("grouped KMV equals the one-shot kmvEstimate run per group, " +
-    "mixed saturation regimes included") {
-    // group a: 5000 values (saturated at k=256); group b: 100 (exact)
-    val rows = ((1 to 5000).map(i => ("a", s"u$i")) ++
-      (1 to 100).map(i => ("b", s"v$i"))).toDF("grp", "item")
+    "mixed saturation regimes and a NULL-only group included") {
+    // group a: 5000 values (saturated at k=256); group b: 100 (exact);
+    // group c: all NULL — outside the sketch domain, but still a group,
+    // so it must emit the same (k, 0, null, 0, 0) row kmvEstimate
+    // returns on its data alone (the r14 ADVICE equivalence gap)
+    val rows = ((1 to 5000).map(i => ("a", Some(s"u$i"))) ++
+      (1 to 100).map(i => ("b", Some(s"v$i"))) ++
+      (1 to 3).map(_ => ("c", Option.empty[String]))).toDF("grp", "item")
     val grouped = graft.ops.Sketch.groupedKmvEstimate(rows, "grp")
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Option[Long], Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
-    for (g <- Seq("a", "b")) {
+    assert(grouped.keySet == Set("a", "b", "c"),
+      s"NULL-only group must not drop: ${grouped.keySet}")
+    for (g <- Seq("a", "b", "c")) {
       val solo = graft.ops.Sketch.kmvEstimate(
           rows.filter(col("grp") === g).select("item"))
-        .as[(Long, Long, Long, Long, Long)].head()
+        .as[(Long, Long, Option[Long], Long, Long)].head()
       assert(grouped(g) == ((solo._1, solo._2, solo._3, solo._4, solo._5)),
         s"group $g: ${grouped(g)} != $solo")
     }
@@ -1460,6 +1497,96 @@ class OperatorSpec extends SparkSpecBase {
     graft.ops.Sketch.writeHllStore(e1, dir + "_hll", epoch = 1L)
     val wrong = intercept[IllegalArgumentException] {
       graft.ops.Sketch.mergedKmvEstimate(spark, dir + "_hll")
+    }
+    assert(wrong.getMessage.contains("not a KMV store"), wrong.getMessage)
+  }
+
+  test("theta difference: exact below saturation, and the set identity " +
+    "n_only_a + n_only_b + n_inter = n_union holds against thetaAlgebra") {
+    // unsaturated: everything exact
+    val a0 = (1 to 150).map(i => s"u$i").toDF("item")
+    val b0 = (101 to 200).map(i => s"u$i").toDF("item")
+    val d0 = graft.ops.Sketch.kmvDifference(a0, b0)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(d0._2 == graft.ops.Sketch.MixMod, "unsaturated theta = domain")
+    assert(d0._4 == 100 && d0._6 == 50, s"exact regime: $d0")
+    assert(d0._7 == 100 && d0._8 == 50, s"exact audit: $d0")
+    // saturated: the identity ties difference to the q226 algebra row
+    val a1 = (1 to 5000).map(i => s"user$i").toDF("item")
+    val b1 = (2501 to 7500).map(i => s"user$i").toDF("item")
+    val ha = graft.ops.Sketch.kmvHashes(a1)
+    val hb = graft.ops.Sketch.kmvHashes(b1)
+    val alg = graft.ops.Sketch.thetaAlgebra(ha, hb, 256)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val dif = graft.ops.Sketch.thetaDifference(
+        graft.ops.Sketch.kmvHashes(a1), graft.ops.Sketch.kmvHashes(b1), 256)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(dif._2 == alg._2, "shared theta must match thetaAlgebra")
+    assert(dif._3 + dif._5 + alg._3 == alg._5,
+      s"only_a ${dif._3} + only_b ${dif._5} + inter ${alg._3} " +
+        s"!= union ${alg._5}")
+    // estimates land near the truth (|A\B| = |B\A| = 2500, RSE ~ 11%)
+    assert(math.abs(dif._4 - 2500) / 2500.0 < 0.5, s"est_only_a: $dif")
+    assert(math.abs(dif._6 - 2500) / 2500.0 < 0.5, s"est_only_b: $dif")
+  }
+
+  test("theta overlap matrix: every pair row equals thetaAlgebra run on " +
+    "that pair alone, zero-overlap pairs included") {
+    val rows = ((1 to 3000).map(i => ("a", s"u$i")) ++
+      (2001 to 5000).map(i => ("b", s"u$i")) ++
+      (1 to 80).map(i => ("c", s"w$i"))) // c: disjoint, unsaturated
+      .toDF("grp", "item")
+    val got = graft.ops.Sketch.groupedKmvOverlapMatrix(rows, "grp")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"all pairs present: ${got.keySet}")
+    for (((ga, gb), row) <- got) {
+      val alg = graft.ops.Sketch.thetaAlgebra(
+          graft.ops.Sketch.kmvHashes(
+            rows.filter(col("grp") === ga).select("item")),
+          graft.ops.Sketch.kmvHashes(
+            rows.filter(col("grp") === gb).select("item")), 256)
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+      assert((row._3, row._4, row._5, row._6, row._7, row._8) == alg,
+        s"pair ($ga,$gb): matrix $row != pairwise $alg")
+    }
+    // exact audit: a∩b = 1000 shared users, c overlaps nothing
+    assert(got(("a", "b"))._9 == 1000 && got(("a", "b"))._10 == 5000)
+    assert(got(("a", "c"))._9 == 0 && got(("a", "c"))._10 == 3080)
+  }
+
+  test("grouped KMV store: the merged overlap matrix is bit-identical " +
+    "to the one-shot matrix over everything the epochs saw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gkmv")
+      .toString + "/store"
+    val e1 = ((1 to 2000).map(i => ("a", s"u$i")) ++
+      (1500 to 3000).map(i => ("b", s"u$i"))).toDF("grp", "item")
+    val e2 = ((1800 to 4000).map(i => ("a", s"u$i")) ++
+      (1 to 60).map(i => ("c", s"w$i"))).toDF("grp", "item")
+    graft.ops.Sketch.writeGroupedKmvStore(e1, dir, epoch = 1L, "grp")
+    graft.ops.Sketch.appendGroupedKmvStore(e2, dir, epoch = 2L, "grp")
+    val merged = graft.ops.Sketch.groupedKmvStoreOverlapMatrix(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val oneShot = graft.ops.Sketch.thetaOverlapMatrix(
+        graft.ops.Sketch.groupedKmvHashes(e1.union(e2), "grp", "item", 256),
+        "grp", 256)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(merged == oneShot, s"store-merge $merged != one-shot $oneShot")
+    // layout discipline: k and group column both fail loud on mismatch
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendGroupedKmvStore(e1, dir, epoch = 3L, "grp",
+        k = 128)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendGroupedKmvStore(
+        e1.withColumnRenamed("grp", "seg"), dir, epoch = 3L, "seg")
+    }
+    // an ungrouped KMV call pointed at a grouped store must say so
+    val wrong = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedKmvEstimate(spark, dir)
     }
     assert(wrong.getMessage.contains("not a KMV store"), wrong.getMessage)
   }

@@ -838,4 +838,31 @@ class PlanSpec extends SparkSpecBase {
       s"offsets and stratum sizes must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"nothing may shuffle-join:\n$p")
   }
+
+  test("q239 day=-partitioned scan: the day filter becomes a " +
+    "PartitionFilter and the scan lists ONLY the seven matching " +
+    "day= directories") {
+    val df = SparkEntry.queries("q239_partition_pruned_daily")(spark, sfDir)
+    // AQE wraps the physical tree — descend through adaptive nodes to
+    // reach the actual scan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    }.flatten
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a file-source scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"day predicate must reach the scan as a PartitionFilter, not a " +
+        s"data filter:\n${df.queryExecution.executedPlan}")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = graft.core.Tables.eventsDayPartitioned(spark, sfDir)
+      .select("day").distinct().count()
+    assert(selected == 7,
+      s"one listed partition per day in [20240101, 20240107]: $selected")
+    assert(selected < total,
+      s"pruning must beat the full layout ($selected of $total days)")
+  }
 }

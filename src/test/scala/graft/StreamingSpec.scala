@@ -543,9 +543,10 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("streaming crawl-delta monitor: per-trigger retained/added " +
-    "emissions sum to the batch snapshotDelta twin, the roll-forward " +
-    "close equals the full q204 relation bit-for-bit, and the store " +
-    "rolls to the new snapshot") {
+    "emissions sum to the batch snapshotDelta twin across a quiesced " +
+    "mid-stream arrivals compaction, the roll-forward close equals the " +
+    "full q204 relation bit-for-bit, and the store rolls to the new " +
+    "snapshot") {
     implicit val s = spark
     import graft.llm.Dedup
     val docs = graft.core.Tables.documents(spark, sfDir)
@@ -560,17 +561,31 @@ class StreamingSpec extends SparkSpecBase {
     val mem = MemoryStream[(String, String)]
     val emissions = scala.collection.mutable.ArrayBuffer[
       (String, Long, Long, Long)]()
-    val q = graft.streaming.StreamingCrawlDelta.crawlDeltaStream(
-        mem.toDF().toDF("source", "text"), store) { (delta, _) =>
-      emissions ++= delta.as[(String, Long, Long, Long)].collect()
-    }.option("checkpointLocation", ckpt).start()
-    try {
-      val rows = newDocs.select("source", "text")
-        .as[(String, String)].collect().toSeq
-      rows.grouped((rows.size + 2) / 3).foreach { g =>
-        mem.addData(g); q.processAllAvailable()
-      }
-    } finally q.stop()
+    // one MemoryStream + one checkpoint across both query incarnations:
+    // stop → compact arrivals → restart resumes from committed offsets
+    def runWaves(waves: Seq[Seq[(String, String)]]): Unit = {
+      val q = graft.streaming.StreamingCrawlDelta.crawlDeltaStream(
+          mem.toDF().toDF("source", "text"), store) { (delta, _) =>
+        emissions ++= delta.as[(String, Long, Long, Long)].collect()
+      }.option("checkpointLocation", ckpt).start()
+      try waves.foreach { g => mem.addData(g); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val rows = newDocs.select("source", "text")
+      .as[(String, String)].collect().toSeq
+    val waves = rows.grouped((rows.size + 2) / 3).toSeq
+    runWaves(waves.take(1))
+    // quiesced mid-stream compaction: emissions and the roll-forward
+    // close below must come out bit-identical to the uncompacted run
+    graft.streaming.StreamingCrawlDelta.compactArrivals(spark, store,
+      buckets = 64)
+    val cfs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!cfs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/arrivals/batch=0")), "folded raw arrival dirs must retire")
+    assert(cfs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/arrivals_compact/_graft_compact")))
+    runWaves(waves.drop(1))
     val twin = Dedup.snapshotDelta(oldDocs, newDocs)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toSet
@@ -598,6 +613,9 @@ class StreamingSpec extends SparkSpecBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/arrivals")),
       "arrival batches must retire at the roll")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/arrivals_compact")),
+      "the compacted arrival layout must retire at the roll too")
     val frozen = spark.read.parquet(s"$store/snapshot").count()
     val expect = newDocs.select(col("source"), xxhash64(col("text")))
       .distinct().count()

