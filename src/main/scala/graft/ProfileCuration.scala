@@ -28,6 +28,7 @@ object ProfileCuration {
     val spinStart = HostProbe.spinProbe()
     val ioStart = HostProbe.ioProbe()
     var report = Seq.empty[(String, Double, Long)]
+    var ticks = Seq.empty[(String, Double)]
     (1 to 2).foreach { round =>
       println(s"--- round $round ---")
       graft.core.CacheScope.scoped {
@@ -38,6 +39,7 @@ object ProfileCuration {
         val tCons = (System.nanoTime() - t00) / 1e9
         println(f"construct           $tCons%8.2f s")
         timed += (("construct", tCons, -1L))
+        ticks = graft.jobs.CurationPipeline.lastConstructTicks.get()
         st.foreach { case (name, df) =>
           val t0 = System.nanoTime()
           val n = df.count()
@@ -69,7 +71,11 @@ object ProfileCuration {
       "\"" + n + "\":" + c }.mkString("{", ",", "}")
     val load = HostProbe.stampJson(loadStart, spinStart, ioStart,
       HostProbe.loadavg(), HostProbe.spinProbe(), HostProbe.ioProbe())
-    val line = s"""{"metric":"q96_stages","stages":$stages,"rows":$rows,"loadavg":$load,"sf":"$dir"}"""
+    // construct-phase attribution: one seconds entry per pipeline
+    // sub-stage (the eager fixpoints/materializations), warm round
+    val cons = ticks.map { case (n, t) => "\"" + n + "\":" + f(t) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"q96_stages","stages":$stages,"construct_stages":$cons,"rows":$rows,"loadavg":$load,"sf":"$dir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_Q96_FILE", "Q96_STAGES.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))

@@ -62,17 +62,30 @@ object CurationPipeline {
     * far; stage k's frame is a subset (by doc_id) of stage k−1's.
     * Persisted intermediates register with the caller's [[CacheScope]].
     */
+  /** Per-sub-stage wall-clock of the most recent [[stages]] call on this
+    * thread — the construct-phase attribution ProfileCuration folds into
+    * Q96_STAGES.json, so "which construct stage moved?" is answerable
+    * from the artifact (r14: the total was one opaque number). */
+  private[graft] val lastConstructTicks =
+    new ThreadLocal[Seq[(String, Double)]] {
+      override def initialValue(): Seq[(String, Double)] = Nil
+    }
+
   def stages(docs: DataFrame, emb: DataFrame): Seq[(String, DataFrame)] = {
     // construction-phase wall-clock attribution (the eager fixpoints and
-    // checkpoints run HERE, not at the consumer's first action) — enable
-    // with GRAFT_CURATION_TIMING=1; ProfileCuration reads these lines
+    // checkpoints run HERE, not at the consumer's first action) — always
+    // recorded into lastConstructTicks; GRAFT_CURATION_TIMING=1 also
+    // prints the lines live
+    lastConstructTicks.set(Nil)
     var __t = System.nanoTime()
     def tick(what: String): Unit = {
+      val now = System.nanoTime()
+      lastConstructTicks.set(
+        lastConstructTicks.get() :+ ((what, (now - __t) / 1e9)))
       if (sys.env.contains("GRAFT_CURATION_TIMING")) {
-        val now = System.nanoTime()
         println(f"[construct] $what%-22s ${(now - __t) / 1e9}%7.2f s")
-        __t = now
       }
+      __t = now
     }
     // 1. scrub BEFORE dedup (two docs differing only in masked spans
     //    dedup together), then keep each text's canonical min-id copy
@@ -109,14 +122,16 @@ object CurationPipeline {
     tick("chunk_rewrite")
 
     // 4. overlapping-window pass (ExactSubstr move) for tile-straddling
-    //    spans. localCheckpoint: materializes AND truncates the logical
-    //    plan — from here on the accumulated DAG's toString, not the data,
-    //    is what would blow the driver
+    //    spans. localCheckpoint(false): truncates the logical plan NOW
+    //    (from here on the accumulated DAG's toString, not the data, is
+    //    what would blow the driver) but defers materialization to the
+    //    first consumer — an eager checkpoint paid a dedicated pass per
+    //    stage for rows the next stage's aggregate reads right after
     val unstraddled = Dedup.substringDedupRewrite(rewritten, w = 8)
       .filter(length(col("text")) > 0)
       .select("doc_id", "text")
       .join(rewritten.drop("text"), "doc_id")
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     tick("substring_rewrite")
 
@@ -134,7 +149,7 @@ object CurationPipeline {
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     val afterSem =
       unstraddled.join(semDropped, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
 
     tick("semantic(ivf+cc)")
 
@@ -143,7 +158,7 @@ object CurationPipeline {
     val repetitive = TextAnalysis.repetitionRatio(afterSem)
       .filter(col("rep_ratio") > 0.2).select("doc_id")
     val afterRep =
-      afterSem.join(repetitive, Seq("doc_id"), "left_anti").localCheckpoint()
+      afterSem.join(repetitive, Seq("doc_id"), "left_anti").localCheckpoint(false)
 
     tick("repetition")
 
@@ -153,7 +168,7 @@ object CurationPipeline {
     val baseCols = afterRep.columns.map(col).toSeq
     val afterQuality = TextAnalysis.qualityScore(afterRep)
       .filter(col("quality_score") >= 0.5)
-      .select(baseCols: _*).localCheckpoint()
+      .select(baseCols: _*).localCheckpoint(false)
 
     tick("quality")
 

@@ -1104,10 +1104,23 @@ object Dedup {
     * corpus-sized to duplicate-sized, which is what makes round count ×
     * materialization survivable at 100 TB (and measured ~2× off the q96
     * chain's two fixpoints at sf0.1).
+    *
+    * Below `driverBelow` symmetrized edges the duplicate graph is
+    * COLLECTED and solved by driver-side union-find instead — the q42
+    * `exactBelow` cutover device, applied to the fixpoint: a bounded
+    * edge list (the default admits ~8 MB of longs) costs one collect
+    * and zero per-round shuffles, where the distributed loop pays
+    * 4-5 shuffles + a checkpoint PER ROUND in fixed overhead (measured
+    * ~2 s across q96's two fixpoints at sf0.1 for a 241-pair graph).
+    * Min-label union-find emits EXACTLY the propagation fixpoint's
+    * labels — comp = min id of the component — so the cutover is
+    * invisible in results (OperatorSpec pins driver == distributed);
+    * pass `driverBelow = 0` to force the distributed path.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           idCol: String = "id",
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          driverBelow: Long = 1L << 20): DataFrame = {
     val edges = pairs
       .select(col(pairs.columns(0)).as("__src"), col(pairs.columns(1)).as("__dst"))
     // localCheckpoint, not persist: the edge set's logical plan is the
@@ -1119,6 +1132,35 @@ object Dedup {
       edges.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .localCheckpoint(true)
     val verts = vertices.select(col(idCol).cast("long").as("id"))
+    val nSym = sym.count()
+    if (nSym <= driverBelow) {
+      // bounded duplicate graph: one collect, zero per-round shuffles.
+      // Union-by-min keeps every tree's root at the component's minimum
+      // id, so find() returns exactly the propagation fixpoint's label
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sym.select(col("__src").cast("long"), col("__dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      val sp = vertices.sparkSession
+      import sp.implicits._
+      val comp = parent.keysIterator.map(v => (v, find(v))).toSeq
+        .toDF("id", "comp")
+      return comp.union(
+        verts.join(comp.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("comp")))
+    }
     // the fixpoint runs over the edge ENDPOINTS only (pairs are between
     // known vertices, so the distinct src set IS the incident vertex
     // set): per-round joins and checkpoints are duplicate-graph-sized,

@@ -719,15 +719,25 @@ object Sketch {
   def groupedHistogramQuantiles(items: DataFrame, groupCols: Seq[String],
                                 valueCol: String, lo: Double,
                                 width: Double, bins: Int,
-                                pcts: Seq[Int]): DataFrame = {
+                                pcts: Seq[Int]): DataFrame =
+    quantilesFromBins(
+      groupedHistogramBins(items, groupCols, valueCol, lo, width, bins),
+      lo, width, pcts, groupCols)
+
+  /** The grouped build alone: (groupCols..., bin, cnt) counters, one
+    * map-side-combined aggregate, no empty-bin spine (the probe never
+    * needs one — see [[quantilesFromBins]] — and the store would only
+    * carry dead rows). */
+  def groupedHistogramBins(items: DataFrame, groupCols: Seq[String],
+                           valueCol: String, lo: Double,
+                           width: Double, bins: Int): DataFrame = {
     require(bins >= 2 && width > 0, s"bad grid: bins=$bins width=$width")
     val bin = least(greatest(
       floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
       lit(bins - 1L))
-    val h = items.select(groupCols.map(col) :+ bin.as("bin"): _*)
+    items.select(groupCols.map(col) :+ bin.as("bin"): _*)
       .groupBy(groupCols.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
-    quantilesFromBins(h, lo, width, pcts, groupCols)
   }
 
   /** One-pass histogram quantiles: build + probe. */
@@ -803,11 +813,97 @@ object Sketch {
       finally in.close()
     }
     val kv = recorded.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    // an ungrouped merge over a GROUPED store would silently sum across
+    // segments (a real relation, the wrong question) — refuse instead
+    require(!kv.contains("group"),
+      s"store at $path is a grouped histogram store (group=${kv("group")})" +
+        " — use mergedGroupedHistQuantiles")
     val (lo, width) = (kv("lo").toDouble, kv("width").toDouble)
     val merged = spark.read.parquet(path)
       .filter(epochFilter)
       .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
     quantilesFromBins(merged, lo, width, pcts)
+  }
+
+  /** Create/replace a GROUPED histogram store: (epoch, <group>, bin,
+    * cnt) parquet with a layout record pinning the grid AND the group
+    * column — per-segment latency/size quantiles over epoch spans, the
+    * dashboard the ungrouped store cannot answer (r14 next-round item).
+    * Counters ADD on merge, so epoch ids are exactly-once here too. */
+  def writeGroupedHistStore(items: DataFrame, path: String, epoch: Long,
+                            groupCol: String, valueCol: String,
+                            lo: Double, width: Double, bins: Int): Unit = {
+    val spark = items.sparkSession
+    groupedHistogramBins(items, Seq(groupCol), valueCol, lo, width, bins)
+      .select(lit(epoch).as("epoch"), col(groupCol), col("bin"), col("cnt"))
+      .write.mode("overwrite").parquet(path)
+    val (fs, lp) = layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"lo=$lo,width=$width,bins=$bins,group=$groupCol\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Append one epoch's grouped histogram; fails loud on a grid or
+    * group-column mismatch and on a reused epoch id (ADD-merged
+    * counters double-count on replay — the ungrouped store's rule). */
+  def appendGroupedHistStore(items: DataFrame, path: String, epoch: Long,
+                             groupCol: String, valueCol: String,
+                             lo: Double, width: Double, bins: Int): Unit = {
+    val spark = items.sparkSession
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp),
+      s"grouped histogram store at $path has no layout record")
+    val recorded = {
+      val in = fs.open(lp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    val requested = s"lo=$lo,width=$width,bins=$bins,group=$groupCol"
+    require(recorded == requested,
+      s"grouped histogram store at $path was written with ($recorded), " +
+        s"append requested ($requested) — rebuild, mixed layouts sum " +
+        "garbage")
+    val dup = spark.read.parquet(path)
+      .filter(col("epoch") === epoch).limit(1).count()
+    require(dup == 0L,
+      s"epoch $epoch already present in $path — ADD-merged counters " +
+        "double-count on replay; use a fresh epoch id")
+    groupedHistogramBins(items, Seq(groupCol), valueCol, lo, width, bins)
+      .select(lit(epoch).as("epoch"), col(groupCol), col("bin"), col("cnt"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Merge a grouped store's epochs by (group, bin) SUM and probe the
+    * per-group quantiles — reads (groups × bins) rows per epoch, never
+    * the data; bit-identical to [[groupedHistogramQuantiles]] over the
+    * union of everything the epochs saw (counter addition is exactly
+    * re-counting). */
+  def mergedGroupedHistQuantiles(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, pcts: Seq[Int],
+                                 epochFilter: Column = lit(true))
+  : DataFrame = {
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp),
+      s"grouped histogram store at $path has no layout record")
+    val recorded = {
+      val in = fs.open(lp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    val kv = recorded.split(",").map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+    require(kv.contains("group"),
+      s"store at $path is an UNGROUPED histogram store — use " +
+        "mergedHistQuantiles")
+    val (lo, width, g) =
+      (kv("lo").toDouble, kv("width").toDouble, kv("group"))
+    val merged = spark.read.parquet(path)
+      .filter(epochFilter)
+      .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    quantilesFromBins(merged, lo, width, pcts, Seq(g))
   }
 
   // ---------------------------------------------------------------------

@@ -248,6 +248,13 @@ class LlmOpsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert((10L to 15L).forall(got(_) == 10L))
     assert(got(20L) == 20L && got(21L) == 20L && got(30L) == 30L)
+    // the driverBelow cutover must be invisible: the distributed
+    // fixpoint (forced with driverBelow = 0) and the default driver-side
+    // union-find emit identical labels
+    val dist = Dedup.connectedComponents(verts.toDF("id"), pairs,
+        driverBelow = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got, s"cutover changed labels: $dist vs $got")
   }
 
   test("near-dup clusters equal a driver-side union-find over the exact " +

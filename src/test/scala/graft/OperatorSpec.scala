@@ -1668,6 +1668,63 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped histogram store: merged per-group quantiles are " +
+    "bit-identical to the one-shot grouped probe over the union; layout " +
+    "and family mismatches fail loud") {
+    graft.core.CacheScope.scoped {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ghist")
+        .toString + "/store"
+      val e1 = (1 to 4000).map { i =>
+        (if (i % 3 == 0) "a" else "b", (i % 97).toDouble / 3.0)
+      }.toDF("seg", "v")
+      val e2 = (1 to 3000).map { i =>
+        (if (i % 4 == 0) "a" else "c", (i % 53).toDouble / 2.0)
+      }.toDF("seg", "v")
+      graft.ops.Sketch.writeGroupedHistStore(e1, dir, epoch = 1L, "seg",
+        "v", lo = 0.0, width = 1.0, bins = 64)
+      graft.ops.Sketch.appendGroupedHistStore(e2, dir, epoch = 2L, "seg",
+        "v", lo = 0.0, width = 1.0, bins = 64)
+      val merged = graft.ops.Sketch
+        .mergedGroupedHistQuantiles(spark, dir, Seq(50, 95, 99))
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+      val oneShot = graft.ops.Sketch
+        .groupedHistogramQuantiles(e1.union(e2), Seq("seg"), "v",
+          0.0, 1.0, 64, Seq(50, 95, 99))
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+      assert(merged == oneShot, s"store-merge $merged != one-shot $oneShot")
+      assert(merged.map(_._1) == Set("a", "b", "c"),
+        "every segment any epoch saw must surface")
+      // ADD-merged counters: replayed epoch and layout drift fail loud
+      intercept[IllegalArgumentException] {
+        graft.ops.Sketch.appendGroupedHistStore(e2, dir, epoch = 2L,
+          "seg", "v", 0.0, 1.0, 64)
+      }
+      intercept[IllegalArgumentException] {
+        graft.ops.Sketch.appendGroupedHistStore(e2, dir, epoch = 3L,
+          "seg", "v", 0.0, 2.0, 64)
+      }
+      intercept[IllegalArgumentException] {
+        graft.ops.Sketch.appendGroupedHistStore(
+          e2.withColumnRenamed("seg", "cohort"), dir, epoch = 3L,
+          "cohort", "v", 0.0, 1.0, 64)
+      }
+      // family confusion is named, not silently mis-summed
+      val wrongG = intercept[IllegalArgumentException] {
+        graft.ops.Sketch.mergedHistQuantiles(spark, dir, Seq(50))
+      }
+      assert(wrongG.getMessage.contains("grouped histogram store"),
+        wrongG.getMessage)
+      val udir = java.nio.file.Files.createTempDirectory("graft_uhist")
+        .toString + "/store"
+      graft.ops.Sketch.writeHistStore(e1.select("v"), udir, epoch = 1L,
+        "v", 0.0, 1.0, 64)
+      val wrongU = intercept[IllegalArgumentException] {
+        graft.ops.Sketch.mergedGroupedHistQuantiles(spark, udir, Seq(50))
+      }
+      assert(wrongU.getMessage.contains("UNGROUPED"), wrongU.getMessage)
+    }
+  }
+
   test("grouped histogram quantiles: per-group estimates within one bin " +
     "of the true quantiles; single-group form matches the ungrouped probe") {
     graft.core.CacheScope.scoped {
