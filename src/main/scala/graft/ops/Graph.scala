@@ -729,8 +729,12 @@ object Graph {
     * without ever hearing about colors. Unlike the round-count-pinned
     * iterations (q138/q162), the contract here is the CONVERGED answer:
     * partial colorings are not SCCs, so the loops run to their
-    * fixpoints and `maxIters`/`maxPeels` are loud-failure bounds, not
-    * semantics.
+    * fixpoints. `maxPeels` is the loud-failure bound on cycle-bearing
+    * peels; the inner fixpoints are bounded by
+    * `max(maxIters, |active| + 1)` — monotone one-hop propagation
+    * provably converges within |active| rounds, so that require is an
+    * invariant check (a bug detector), and a trim-immune deep path
+    * BETWEEN cycles converges slowly instead of erroring.
     *
     * 100 TB posture: per round one edge-keyed join + one
     * map-side-combined MAX (or a semi-join-shaped mark union), all
@@ -802,18 +806,29 @@ object Graph {
       // TRIM: peel zero-in/zero-out-degree vertices as singleton SCCs to
       // a fixpoint (capped by maxIters — past the cap the remainder just
       // goes to the coloring phase, trim never changes the answer). Each
-      // round is two distinct-projections + two semi joins; the trivial
-      // frames accumulate lazily and fold into `assigned` once per phase.
+      // round is ONE map-side-combined direction-flag aggregate over the
+      // active edge endpoints (an endpoint set that IS the active set,
+      // since edge-less actives are trivial by definition) — not the
+      // 2-distinct + 2-semi-join shape, whose fixed overhead showed up
+      // as +45% on q227/q232 at sf0.1. The trivial frames accumulate
+      // lazily and fold into `assigned` once per phase.
       var trimPhase = Seq.empty[DataFrame]
       var trimming = true
       var tr = 0
       while (trimming && remaining > 0 && tr < maxIters) {
-        val haveBoth = active
-          .join(eAct.select(col("src").as("id")).distinct(),
-            Seq("id"), "left_semi")
-          .join(eAct.select(col("dst").as("id")).distinct(),
-            Seq("id"), "left_semi")
-          .localCheckpoint(true)
+        val haveBoth = eAct
+          .select(col("src").as("id"), lit(1).as("__o"), lit(0).as("__i"))
+          .unionByName(eAct
+            .select(col("dst").as("id"), lit(0).as("__o"), lit(1).as("__i")))
+          .groupBy(col("id"))
+          .agg(max(col("__o")).as("__o"), max(col("__i")).as("__i"))
+          .filter(col("__o") === 1 && col("__i") === 1)
+          .select(col("id"))
+          // lazy: the count below materializes + caches in ONE job; an
+          // eager checkpoint paid a dedicated job per check, wasted
+          // whenever the round finds nothing to trim (the common case
+          // on real click graphs — ProfileScc: 0 trim rounds at sf0.1)
+          .localCheckpoint(false)
         val nBoth = haveBoth.count()
         if (nBoth == remaining) trimming = false
         else {
@@ -844,6 +859,13 @@ object Graph {
         s"scc: $remaining vertices unassigned after $maxPeels peels — " +
           "raise maxPeels (every remaining vertex sits on cycle " +
           "structure; trim already drained the DAG regions)")
+      // fixpoint bound: one-hop propagation provably converges within
+      // |active| rounds (each round the frontier of final labels grows
+      // by at least one vertex), so max(maxIters, remaining + 1) makes
+      // the require a true invariant check — a trim-immune path BETWEEN
+      // two cycles (deeper than a fixed maxIters) now converges slowly
+      // instead of erroring, the r14 ADVICE item
+      val iterBound = math.max(maxIters.toLong, remaining + 1L)
       // 1. forward max-color fixpoint on the active subgraph
       var colors = active.select(col("id"), col("id").as("color"))
         .localCheckpoint(true)
@@ -852,8 +874,9 @@ object Graph {
       var done = false
       while (!done) {
         it += 1
-        require(it <= maxIters, s"scc: color fixpoint still moving " +
-          s"after $maxIters rounds — raise maxIters")
+        require(it <= iterBound, s"scc: color fixpoint still moving " +
+          s"after $iterBound rounds over $remaining vertices — " +
+          "monotone max-label propagation cannot need more; this is a bug")
         val prop = eAct
           .join(colors.select(col("id").as("src"), col("color")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(max(col("color")).as("__p"))
@@ -875,8 +898,9 @@ object Graph {
       done = false
       while (!done) {
         it += 1
-        require(it <= maxIters, s"scc: mark fixpoint still moving " +
-          s"after $maxIters rounds — raise maxIters")
+        require(it <= iterBound, s"scc: mark fixpoint still moving " +
+          s"after $iterBound rounds over $remaining vertices — " +
+          "monotone mark growth cannot need more; this is a bug")
         val cand = eAct
           .join(marked.select(col("id").as("dst"), col("color").as("__mc")),
             Seq("dst"))
@@ -1072,6 +1096,9 @@ object Graph {
       .select(col("__cs"), col("__cd")).distinct().localCheckpoint(true)
     var lvl = scc.select(col("scc")).distinct()
       .select(col("scc"), lit(0L).as("level")).localCheckpoint(true)
+    // longest-path depth of a DAG is < |components|, so the adaptive
+    // bound makes the require an invariant check, not a topology cap
+    val iterBound = math.max(maxIters.toLong, lvl.count() + 1L)
     def lvlSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("level").cast("decimal(38,0)"))).head()
         .getDecimal(0)
@@ -1082,8 +1109,9 @@ object Graph {
     var done = false
     while (!done) {
       it += 1
-      require(it <= maxIters, s"sccCondensation: levels still moving " +
-        s"after $maxIters rounds — raise maxIters")
+      require(it <= iterBound, s"sccCondensation: levels still moving " +
+        s"after $iterBound rounds — longest-path depth cannot exceed " +
+        "the component count; this is a bug")
       val cand = ced
         .join(lvl.select(col("scc").as("__cs"), col("level")), Seq("__cs"))
         .groupBy(col("__cd").as("scc"))

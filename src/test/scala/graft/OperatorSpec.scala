@@ -643,6 +643,17 @@ class OperatorSpec extends SparkSpecBase {
     val clean = graft.ops.Graph.stronglyConnectedComponents(withNulls)
       .as[(Long, Long)].collect().toMap
     assert(clean == Map(1L -> 2L, 2L -> 2L), s"wrong: $clean")
+    // the inner fixpoint bound is max(maxIters, |active|+1): monotone
+    // propagation converges within |active| rounds, so even maxIters=1
+    // CONVERGES on a diameter-3 cycle instead of erroring (the r14
+    // ADVICE deep-path concern; maxPeels stays the only topology bound)
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val ringGot = graft.ops.Graph
+      .stronglyConnectedComponents(ring, maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(ringGot == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L),
+      s"wrong: $ringGot")
   }
 
   test("SCC trim property: a 200-vertex descending chain of singleton " +

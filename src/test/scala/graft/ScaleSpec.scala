@@ -70,11 +70,15 @@ class ScaleSpec extends SparkSpecBase {
       Seq.empty[Long].toDF("id"),
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
     // chain 1-2-3-4 needs 3 propagation rounds; 1 round must throw, not
-    // silently return half-merged labels
+    // silently return half-merged labels. driverBelow = 0 forces the
+    // DISTRIBUTED fixpoint — the default driver union-find cutover has
+    // no rounds to run out of (and that path's correctness is pinned in
+    // LlmOpsSpec against this very fixpoint)
     val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(verts, chain, maxIters = 1).collect()
+      Dedup.connectedComponents(verts, chain, maxIters = 1,
+        driverBelow = 0L).collect()
     }
   }
 
