@@ -65,7 +65,10 @@ object DumpPlans {
     "q208_hits" -> "per-round auth/hub propagation as edge-keyed joins, 1-row L1 normalizers broadcast back via the crossJoin idiom, per-round localCheckpoint leaves",
     "q211_rfm_segments" -> "three chained two-phase global ranks over the customer aggregate (__pid windows); one <=125-row segment aggregate",
     "q213_referential_orphans" -> "ONE fact scan checks all three lineitem foreign keys: presence-flag left joins (dims broadcast, orders key-shuffled) into one counter aggregate, rows via literal-struct explode",
-    "q217_collocations" -> "unigram/bigram token-keyed aggregates, bounded lift join, global top-50 as TakeOrderedAndProject — never a full sort")
+    "q217_collocations" -> "unigram/bigram token-keyed aggregates, bounded lift join, global top-50 as TakeOrderedAndProject — never a full sort",
+    "q237_kmv_difference" -> "both sides collapse to k-hash TakeOrderedAndProject sketches before any set op; the EXCEPT legs run on <=2k rows under one broadcast threshold — only the exact-audit legs touch the corpora",
+    "q238_kmv_overlap_matrix" -> "per-group bottom-k via the range-partitioned two-phase grouped rank; pair spine + per-pair thresholds broadcast; every estimate join runs on <=|G|*k hash rows — the audit self-join is the one corpus-sized leg",
+    "q239_partition_pruned_daily" -> "day BETWEEN lowers to PartitionFilters on the day= layout — the scan lists exactly the seven matching day dirs (PlanSpec pins the pruned partition count)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1064,14 +1064,17 @@ object Sketch {
         col("g") === col("g_b") && col("h") < col("theta"))
       .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("__nbb"))
     val inter = h.as("x")
-      .join(h.as("y"), col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .join(broadcast(h.as("y")),
+        col("x.h") === col("y.h") && col("x.g") < col("y.g"))
       .join(broadcast(pairs), col("x.g") === col("g_a") &&
         col("y.g") === col("g_b") && col("x.h") < col("theta"))
       .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("__ni"))
+    // assembly joins are all |G|²-bounded — broadcast them explicitly so
+    // the static plan already shows the shape AQE would pick at runtime
     pairs
-      .join(belowA, Seq("g_a", "g_b"), "left")
-      .join(belowB, Seq("g_a", "g_b"), "left")
-      .join(inter, Seq("g_a", "g_b"), "left")
+      .join(broadcast(belowA), Seq("g_a", "g_b"), "left")
+      .join(broadcast(belowB), Seq("g_a", "g_b"), "left")
+      .join(broadcast(inter), Seq("g_a", "g_b"), "left")
       .select(col("g_a"), col("g_b"), lit(k.toLong).as("k"), col("theta"),
         coalesce(col("__ni"), lit(0L)).as("n_inter"),
         (coalesce(col("__nba"), lit(0L)) + coalesce(col("__nbb"), lit(0L))
@@ -1109,12 +1112,12 @@ object Sketch {
     val spine = ng.select(col("g").as("g_a"), col("__n").as("__na"))
       .join(ng.select(col("g").as("g_b"), col("__n").as("__nb")),
         col("g_a") < col("g_b"))
-    val exact = spine.join(exInter, Seq("g_a", "g_b"), "left")
+    val exact = spine.join(broadcast(exInter), Seq("g_a", "g_b"), "left")
       .select(col("g_a"), col("g_b"),
         coalesce(col("__ei"), lit(0L)).as("exact_inter"),
         (col("__na") + col("__nb") - coalesce(col("__ei"), lit(0L)))
           .as("exact_union"))
-    est.join(exact, Seq("g_a", "g_b"))
+    est.join(broadcast(exact), Seq("g_a", "g_b"))
   }
 
   /** Direct theta-sketch set algebra over two KMV sketches: one row

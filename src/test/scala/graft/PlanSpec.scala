@@ -839,6 +839,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"nothing may shuffle-join:\n$p")
   }
 
+  test("q238 overlap matrix: every estimate-side join broadcasts, the " +
+    "only nested loops are the bounded |G|-row pair spines, no cartesian") {
+    val p = planOf("q238_kmv_overlap_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded hash-set joins must broadcast:\n$p")
+    // the g_a < g_b spines are inequality joins of |G|-row relations —
+    // a bounded nested loop is their correct shape; anything beyond the
+    // two spines (thresholds, exact counts) looping would be a real leak
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the pair spines may nested-loop ($bnlj):\n$p")
+  }
+
   test("q239 day=-partitioned scan: the day filter becomes a " +
     "PartitionFilter and the scan lists ONLY the seven matching " +
     "day= directories") {
