@@ -302,6 +302,37 @@ object StreamingDashboard {
         leg(pathB, predB)
       }
 
+  /** Streaming grouped-audience store — [[runKmvOverlapStores]]' two-
+    * predicate form generalized to a GROUP COLUMN: each micro-batch
+    * appends its per-group bottom-k hash sets as one epoch (= batchId;
+    * at-least-once tolerant, the merge is a set union), and
+    * [[graft.ops.Sketch.groupedKmvStoreOverlapMatrix]] over the store
+    * answers the FULL pairwise audience-overlap matrix (the q238
+    * dashboard) at any quiesce point — bit-identical to the one-shot
+    * grouped matrix of everything ingested (per-group store-merge ==
+    * one-shot, and the theta algebra reads only merged hashes), for
+    * every segment pair at once, never retaining a corpus.
+    */
+  def runGroupedKmvStore(events: DataFrame, storePath: String,
+                         checkpoint: String, groupCol: String,
+                         valueCol: String = "item", k: Int = 256,
+                         trigger: Trigger = Trigger.AvailableNow())
+  : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // kmvStoreExists only probes the layout record, whose filename
+        // is shared across store families — it serves the grouped store
+        if (!graft.ops.Sketch.kmvStoreExists(batch.sparkSession, storePath))
+          graft.ops.Sketch.writeGroupedKmvStore(batch, storePath,
+            epoch = id, groupCol = groupCol, valueCol = valueCol, k = k)
+        else
+          graft.ops.Sketch.appendGroupedKmvStore(batch, storePath,
+            epoch = id, groupCol = groupCol, valueCol = valueCol, k = k)
+      }
+
   /** Full pipeline: 5-min update-mode aggregation → per-trigger foreachBatch
     * that (a) upserts the changed 5-min partials into the metric store and
     * (b) recomputes + upserts only the coarse windows those partials touch —

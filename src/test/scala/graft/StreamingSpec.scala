@@ -306,6 +306,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T13f streamed grouped KMV store: the quiesce-time overlap " +
+    "MATRIX equals the one-shot grouped matrix of everything ingested, " +
+    "for every segment pair at once") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_gkmvstream").toString
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("user_id", "kind")
+    val q = StreamingDashboard.runGroupedKmvStore(
+      events, s"$dir/store", s"$dir/ckpt", groupCol = "kind",
+      valueCol = "user_id",
+      trigger = Trigger.ProcessingTime("0 seconds")).start()
+    // three segments with planted pairwise overlaps, split over batches
+    val all = (1L to 3000L).map(u => (u, "click")) ++
+      (2000L to 5000L).map(u => (u, "buy")) ++
+      (4500L to 6000L).map(u => (u, "view"))
+    try {
+      all.grouped((all.size + 2) / 3).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = graft.ops.Sketch
+      .groupedKmvStoreOverlapMatrix(spark, s"$dir/store")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val oneShot = graft.ops.Sketch.thetaOverlapMatrix(
+        graft.ops.Sketch.groupedKmvHashes(
+          all.toDF("user_id", "kind").select(col("kind"),
+            col("user_id").as("item")), "kind"),
+        "kind", 256)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed == oneShot,
+      s"streamed matrix $streamed != one-shot $oneShot")
+    assert(streamed.map(r => (r._1, r._2)) ==
+      Seq(("buy", "click"), ("buy", "view"), ("click", "view")),
+      s"all three segment pairs must surface: $streamed")
+    // buy∩view is real (4500..5000), click∩view is empty — both rows exist
+    val cv = streamed.find(r => r._1 == "click" && r._2 == "view").get
+    assert(cv._5 == 0L, s"disjoint pair must estimate zero inter: $cv")
+  }
+
   test("T13b streamed bloom store: per-batch epochs OR-merge " +
     "bit-identically to the one-shot filter, probes never miss, and " +
     "replays cannot drift") {
