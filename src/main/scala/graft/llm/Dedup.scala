@@ -1108,10 +1108,14 @@ object Dedup {
     * Below `driverBelow` symmetrized edges the duplicate graph is
     * COLLECTED and solved by driver-side union-find instead — the q42
     * `exactBelow` cutover device, applied to the fixpoint: a bounded
-    * edge list (the default admits ~8 MB of longs) costs one collect
-    * and zero per-round shuffles, where the distributed loop pays
-    * 4-5 shuffles + a checkpoint PER ROUND in fixed overhead (measured
-    * ~2 s across q96's two fixpoints at sf0.1 for a 241-pair graph).
+    * edge list costs one collect and zero per-round shuffles, where
+    * the distributed loop pays 4-5 shuffles + a checkpoint PER ROUND
+    * in fixed overhead (measured ~2 s across q96's two fixpoints at
+    * sf0.1 for a 241-pair graph). The default (2^18 edges) admits
+    * ~4 MB of raw longs but transiently ~50-100 MB of driver heap —
+    * collect materializes boxed tuples plus the union-find HashMap —
+    * which is the honest budget the threshold is sized to, not the
+    * raw-array lower bound.
     * Min-label union-find emits EXACTLY the propagation fixpoint's
     * labels — comp = min id of the component — so the cutover is
     * invisible in results (OperatorSpec pins driver == distributed);
@@ -1120,9 +1124,14 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           idCol: String = "id",
                           maxIters: Int = 50,
-                          driverBelow: Long = 1L << 20): DataFrame = {
+                          driverBelow: Long = 1L << 18): DataFrame = {
+    // NULL endpoints are dropped up front so the cutover is
+    // behavior-invisible on dirty input: the distributed fixpoint
+    // ignores them (NULL never joins), and the driver path would
+    // otherwise NPE on getLong — both paths now see the same relation
     val edges = pairs
       .select(col(pairs.columns(0)).as("__src"), col(pairs.columns(1)).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
     // localCheckpoint, not persist: the edge set's logical plan is the
     // caller's whole pair pipeline (minhash/IVF), and every fixpoint
     // round re-analyzes any plan that references it — a persisted frame
@@ -1145,16 +1154,18 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
+      // typed collect: two primitive-ish longs per edge instead of a
+      // GenericRow per edge — the collect is the driver-heap hot spot
+      val sp = vertices.sparkSession
+      import sp.implicits._
       sym.select(col("__src").cast("long"), col("__dst").cast("long"))
-        .collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
+        .as[(Long, Long)]
+        .collect().foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a)
           parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-      val sp = vertices.sparkSession
-      import sp.implicits._
       val comp = parent.keysIterator.map(v => (v, find(v))).toSeq
         .toDF("id", "comp")
       return comp.union(

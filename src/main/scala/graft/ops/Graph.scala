@@ -760,15 +760,113 @@ object Graph {
     * Output: (id, scc) — scc = MAX vertex id of the component. Vertices
     * are the edge endpoints; callers wanting isolated vertices union
     * them in as identity rows (they are their own singleton SCCs).
+    *
+    * Below `driverBelow` normalized edges the graph is COLLECTED and
+    * solved by iterative driver-side Tarjan instead — the
+    * [[graft.llm.Dedup.connectedComponents]] cutover device applied to
+    * SCC: a bounded edge list costs one typed collect and zero
+    * fixpoint shuffles, where the distributed trim+color+mark loop
+    * pays 10+ jobs of fixed overhead even on a 2,710-edge graph
+    * (measured ~3 s warm on q227's sf0.1 click graph — ALL scheduling,
+    * no data). Tarjan emits the same definitional answer (rep = MAX
+    * member id, the mutual-reachability maximum), so the cutover is
+    * invisible in results (OperatorSpec pins driver == distributed on
+    * randomized digraphs); pass `driverBelow = 0` to force the
+    * distributed path. `maxPeels`/`maxIters` bound only that path.
     */
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 50,
-                                  maxIters: Int = 200): DataFrame =
-    sccOfNormalized(normalizeDirectedEdges(edges), maxPeels, maxIters)._1
+                                  maxIters: Int = 200,
+                                  driverBelow: Long = 1L << 18): DataFrame = {
+    val e0 = normalizeDirectedEdges(edges)
+    if (e0.count() <= driverBelow) sccOnDriver(e0)
+    else sccOfNormalized(e0, maxPeels, maxIters)._1
+  }
+
+  /** Collect a bounded normalized edge list and solve SCC with
+    * iterative Tarjan; comp rep = MAX member id (definitional). The
+    * typed collect keeps per-edge overhead at two boxed longs, and
+    * normalization already dropped NULL/uncastable endpoints, so the
+    * driver and distributed paths see the identical relation. */
+  private def sccOnDriver(e0: DataFrame): DataFrame = {
+    val sp = e0.sparkSession
+    import sp.implicits._
+    val comp = tarjanComponents(e0.as[(Long, Long)].collect())
+    if (comp.isEmpty) sp.emptyDataset[(Long, Long)].toDF("id", "scc")
+    else comp.toSeq.toDF("id", "scc")
+  }
+
+  /** Iterative (explicit-stack) Tarjan over a collected edge list.
+    * Returns member → MAX member id of its SCC — exactly what the
+    * distributed color+mark peeling emits, since the max id of a
+    * component is mutually reachable with every member. Explicit DFS
+    * frames instead of recursion: a 2^18-edge path graph would blow
+    * the JVM stack at the default 512k frames. */
+  private def tarjanComponents(edges: Array[(Long, Long)])
+  : scala.collection.mutable.HashMap[Long, Long] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val verts = mutable.LinkedHashSet.empty[Long]
+    edges.foreach { case (s, d) =>
+      verts += s; verts += d
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+    }
+    val index = mutable.HashMap.empty[Long, Int]
+    val low = mutable.HashMap.empty[Long, Int]
+    val onStack = mutable.HashSet.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val comp = mutable.HashMap.empty[Long, Long]
+    val noKids = mutable.ArrayBuffer.empty[Long]
+    var counter = 0
+    verts.foreach { root =>
+      if (!index.contains(root)) {
+        val vFrames = mutable.ArrayBuffer.empty[Long]
+        val cFrames = mutable.ArrayBuffer.empty[Int]
+        vFrames += root; cFrames += 0
+        index(root) = counter; low(root) = counter; counter += 1
+        stack += root; onStack += root
+        while (vFrames.nonEmpty) {
+          val v = vFrames.last
+          val ci = cFrames.last
+          val kids = adj.getOrElse(v, noKids)
+          if (ci < kids.length) {
+            cFrames(cFrames.length - 1) = ci + 1
+            val w = kids(ci)
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack += w
+              vFrames += w; cFrames += 0
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          } else {
+            vFrames.remove(vFrames.length - 1)
+            cFrames.remove(cFrames.length - 1)
+            if (vFrames.nonEmpty) {
+              val p = vFrames.last
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == index(v)) {
+              val members = mutable.ArrayBuffer.empty[Long]
+              var w = 0L
+              do {
+                w = stack.remove(stack.length - 1)
+                onStack -= w
+                members += w
+              } while (w != v)
+              val rep = members.max
+              members.foreach(m => comp(m) = rep)
+            }
+          }
+        }
+      }
+    }
+    comp
+  }
 
   /** Convergence telemetry of one SCC run: how many color+mark peels the
     * cyclic structure cost and how much the Trim phase drained for free.
     * Exists so the chain-graph property test can PIN that trim works
-    * (peels ≪ n on funnel shapes) instead of trusting the scaladoc. */
+    * (peels ≪ n on funnel shapes) instead of trusting the scaladoc.
+    * Always runs the DISTRIBUTED path (no driver cutover) — the stats
+    * are properties of that algorithm, not of the answer. */
   private[graft] final case class SccStats(peels: Int, trimRounds: Int,
                                            trimmed: Long)
 
@@ -1080,10 +1178,16 @@ object Graph {
     * 100 TB posture: the SCC pass dominates; everything after runs on
     * the ≤ |components| condensation relation (component-keyed joins,
     * localCheckpoint per round, nothing driver-side but the scalars).
+    * Below `driverBelow` normalized edges the WHOLE condensation
+    * (Tarjan + sizes + longest-path levels by Kahn-order DP) runs on
+    * the one collected edge list — same cutover contract as
+    * [[stronglyConnectedComponents]], parity pinned in OperatorSpec.
     */
   def sccCondensation(edges: DataFrame, maxPeels: Int = 50,
-                      maxIters: Int = 200): DataFrame = {
+                      maxIters: Int = 200,
+                      driverBelow: Long = 1L << 18): DataFrame = {
     val e0 = normalizeDirectedEdges(edges)
+    if (e0.count() <= driverBelow) return condensationOnDriver(e0)
     val scc = sccOfNormalized(e0, maxPeels, maxIters)._1
       .localCheckpoint(true)
     val members = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
@@ -1128,6 +1232,47 @@ object Graph {
     }
     members.join(lvl, Seq("scc"))
       .select(col("scc"), col("n_members"), col("level"))
+  }
+
+  /** Driver-side condensation for a bounded collected edge list:
+    * Tarjan components, per-component sizes, then longest-path levels
+    * by dynamic programming in Kahn (topological) order over the
+    * quotient DAG — `level(c) = max(level(pred) + 1)`, 0 at sources,
+    * exactly the distributed fixpoint's converged reading. */
+  private def condensationOnDriver(e0: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val sp = e0.sparkSession
+    import sp.implicits._
+    val es = e0.as[(Long, Long)].collect()
+    val comp = tarjanComponents(es)
+    if (comp.isEmpty)
+      return sp.emptyDataset[(Long, Long, Long)]
+        .toDF("scc", "n_members", "level")
+    val size = mutable.HashMap.empty[Long, Long]
+    comp.valuesIterator.foreach(c => size(c) = size.getOrElse(c, 0L) + 1L)
+    val ced = es.iterator
+      .map { case (s, d) => (comp(s), comp(d)) }
+      .filter { case (cs, cd) => cs != cd }.toSet
+    val indeg = mutable.HashMap.empty[Long, Int]
+    size.keysIterator.foreach(c => indeg(c) = 0)
+    val out = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    ced.foreach { case (cs, cd) =>
+      out.getOrElseUpdate(cs, mutable.ArrayBuffer.empty[Long]) += cd
+      indeg(cd) += 1
+    }
+    val level = mutable.HashMap.empty[Long, Long]
+    val queue = mutable.Queue.empty[Long]
+    indeg.foreach { case (c, d) => if (d == 0) { level(c) = 0L; queue += c } }
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      out.getOrElse(c, Nil).foreach { n =>
+        level(n) = math.max(level.getOrElse(n, 0L), level(c) + 1L)
+        indeg(n) -= 1
+        if (indeg(n) == 0) queue += n
+      }
+    }
+    size.toSeq.map { case (c, n) => (c, n, level(c)) }
+      .toDF("scc", "n_members", "level")
   }
 
   def reciprocitySummary(edges: DataFrame): DataFrame = {

@@ -1041,9 +1041,15 @@ object Sketch {
     * est_union), with `n_union = below_a + below_b − n_inter` (hash
     * sets are distinct within a group, so the inclusion–exclusion on
     * COUNTS is exact — unlike the cardinality estimates q177 chains).
+    *
+    * `maxGroups` is the loud bound on the |G|² pair spine (the store
+    * guard discipline): a caller pointing the matrix at a million-key
+    * group column gets an error carrying the count, not a silent
+    * 10¹²-row cross join. Raise it deliberately for a genuinely large
+    * dashboard; the spine cost is quadratic in it.
     */
   def thetaOverlapMatrix(hashes: DataFrame, groupCol: String,
-                         k: Int): DataFrame = {
+                         k: Int, maxGroups: Int = 4096): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     val h = hashes.select(col(groupCol).as("g"), col("h"))
       .localCheckpoint(true) // ≤ |G|·k rows, read four times below
@@ -1051,6 +1057,13 @@ object Sketch {
       .agg(count(lit(1)).as("__n"), max(col("h")).as("__max"))
       .select(col("g"),
         when(col("__n") < k, lit(MixMod)).otherwise(col("__max")).as("__t"))
+      .localCheckpoint(true) // |G| rows: counted once, joined twice
+    val nG = th.count()
+    require(nG <= maxGroups,
+      s"thetaOverlapMatrix: $nG groups would build a ${nG * nG}-row " +
+        s"pair spine (maxGroups = $maxGroups) — the matrix is " +
+        "quadratic in the group count; raise maxGroups only for a " +
+        "deliberately large dashboard")
     val pairs = th.select(col("g").as("g_a"), col("__t").as("__ta"))
       .join(th.select(col("g").as("g_b"), col("__t").as("__tb")),
         col("g_a") < col("g_b"))
@@ -1099,9 +1112,11 @@ object Sketch {
     * and no audience — they are absent from the matrix. */
   def groupedKmvOverlapMatrix(items: DataFrame, groupCol: String,
                               valueCol: String = "item",
-                              k: Int = 256): DataFrame = {
+                              k: Int = 256,
+                              maxGroups: Int = 4096): DataFrame = {
     val est = thetaOverlapMatrix(
-      groupedKmvHashes(items, groupCol, valueCol, k), groupCol, k)
+      groupedKmvHashes(items, groupCol, valueCol, k), groupCol, k,
+      maxGroups)
     val du = items.select(col(groupCol).as("g"), col(valueCol).as("v"))
       .filter(col("v").isNotNull).distinct().localCheckpoint(true)
     val exInter = du.as("x")
@@ -1426,6 +1441,46 @@ object Sketch {
     val (k, g) = readGroupedKmvLayout(spark, path)
     thetaOverlapMatrix(mergedGroupedKmvHashes(spark, path, epochFilter),
       g, k)
+  }
+
+  /** Quiesced compaction of a grouped KMV store — the crawl-delta fold
+    * applied here (r15 next-round item): a long-running monitor appends
+    * one (epoch, group, h) slab per micro-batch FOREVER, so the merge
+    * read grows with elapsed triggers even though each group's useful
+    * content is bounded at k hashes. This folds every accumulated epoch
+    * into ONE epoch holding each group's merged bottom-k set (union +
+    * re-trim — exactly [[mergedGroupedKmvHashes]], so the post-fold
+    * matrix is bit-identical; StreamingSpec pins it across a mid-stream
+    * compaction). The folded epoch keeps the max epoch id seen, so an
+    * at-least-once replay of the last batch after the fold is re-unioned
+    * (harmless), not doubled. Same single-writer contract as every
+    * store fold: run while the stream is quiesced. The swap runs under
+    * the park/rename/crash-recover protocol — a crash mid-swap leaves
+    * either the old store or the folded one, never a torn dir. */
+  def compactGroupedKmvStore(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    val (k, g) = readGroupedKmvLayout(spark, path)
+    val epochRow = spark.read.parquet(path).agg(max(col("epoch"))).head()
+    val keepEpoch = if (epochRow.isNullAt(0)) 0L else epochRow.getLong(0)
+    val dstP = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    val tmpP = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val fs = dstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverOld(fs, oldP, dstP)
+    fs.delete(tmpP, true)
+    // materializes BEFORE the swap: the write reads the live store
+    mergedGroupedKmvHashes(spark, path)
+      .select(lit(keepEpoch).as("epoch"), col(g), col("h"))
+      .write.parquet(tmpP.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpP, "_graft_layout"),
+      true)
+    try out.write(s"gk=$k,group=$g\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.sinks.Sinks.renameOrThrow(fs, dstP, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmpP, dstP)
+    fs.delete(oldP, true)
+    ()
   }
 
   private def readGroupedKmvLayout(spark: org.apache.spark.sql.SparkSession,

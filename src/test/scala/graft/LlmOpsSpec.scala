@@ -255,6 +255,21 @@ class LlmOpsSpec extends SparkSpecBase {
         driverBelow = 0L)
       .as[(Long, Long)].collect().toMap
     assert(dist == got, s"cutover changed labels: $dist vs $got")
+    // dirty input: NULL-endpoint pairs are dropped on BOTH paths (the
+    // r15 ADVICE case — previously the driver path NPE'd on getLong
+    // where the distributed path silently ignored the row)
+    val dirty = Seq((Some(11L), Some(10L)), (Some(20L), None),
+      (None, Some(21L)), (None, None)).toDF("id_a", "id_b")
+    val wantDirty = Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L,
+      30L -> 30L) ++ (12L to 15L).map(v => v -> v).toMap
+    val gotDirty = Dedup.connectedComponents(verts.toDF("id"), dirty)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDirty == wantDirty, s"driver path on dirty input: $gotDirty")
+    val distDirty = Dedup.connectedComponents(verts.toDF("id"), dirty,
+        driverBelow = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distDirty == wantDirty,
+      s"distributed path on dirty input: $distDirty")
   }
 
   test("near-dup clusters equal a driver-side union-find over the exact " +

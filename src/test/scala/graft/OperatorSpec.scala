@@ -576,6 +576,12 @@ class OperatorSpec extends SparkSpecBase {
       .toMap
     assert(got == Map(3L -> ((3L, 0L)), 6L -> ((3L, 1L)), 8L -> ((1L, 2L)),
       7L -> ((1L, 0L))), s"wrong condensation: $got")
+    // driver == distributed parity on the same fixture (the default
+    // path above took the Tarjan/Kahn cutover)
+    val dist = graft.ops.Graph.sccCondensation(edges, driverBelow = 0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(dist == got, s"distributed condensation $dist != driver $got")
     val chain = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
     val lv = graft.ops.Graph.sccCondensation(chain)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
@@ -609,6 +615,17 @@ class OperatorSpec extends SparkSpecBase {
           .as[(Long, Long)].collect().toMap
         assert(got == want, s"trial $trial (n=$n, ${es.size} edges): " +
           s"got $got want $want edges=$es")
+        // every 8th trial also pins driver == distributed: the default
+        // path above took the Tarjan cutover; the forced-distributed
+        // trim+color+mark run must emit the identical map
+        if (trial % 8 == 0) {
+          val dist = graft.ops.Graph
+            .stronglyConnectedComponents(es.toDF("src", "dst"),
+              driverBelow = 0)
+            .as[(Long, Long)].collect().toMap
+          assert(dist == got, s"trial $trial: distributed $dist != " +
+            s"driver $got edges=$es")
+        }
       }
     }
   }
@@ -634,8 +651,11 @@ class OperatorSpec extends SparkSpecBase {
     assert(cycGot == Map(8L -> 8L, 7L -> 8L, 6L -> 6L, 5L -> 6L,
       4L -> 4L, 3L -> 4L, 2L -> 2L, 1L -> 2L), s"wrong: $cycGot")
     assert(cycStats.trimmed == 0L, s"2-cycles must not trim: $cycStats")
+    // maxPeels bounds the DISTRIBUTED path; force past the driver
+    // cutover to pin it (the driver path has no peels to bound)
     intercept[IllegalArgumentException] {
-      graft.ops.Graph.stronglyConnectedComponents(cyc, maxPeels = 2)
+      graft.ops.Graph.stronglyConnectedComponents(cyc, maxPeels = 2,
+        driverBelow = 0)
     }
     // NULL endpoints are dropped before anything is counted
     val withNulls = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
@@ -650,7 +670,7 @@ class OperatorSpec extends SparkSpecBase {
     val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
       .toDF("src", "dst")
     val ringGot = graft.ops.Graph
-      .stronglyConnectedComponents(ring, maxIters = 1)
+      .stronglyConnectedComponents(ring, maxIters = 1, driverBelow = 0)
       .as[(Long, Long)].collect().toMap
     assert(ringGot == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L),
       s"wrong: $ringGot")
@@ -1565,6 +1585,16 @@ class OperatorSpec extends SparkSpecBase {
     // exact audit: a∩b = 1000 shared users, c overlaps nothing
     assert(got(("a", "b"))._9 == 1000 && got(("a", "b"))._10 == 5000)
     assert(got(("a", "c"))._9 == 0 && got(("a", "c"))._10 == 3080)
+    // the |G|² pair spine is loud-bounded like every store guard: a
+    // group count past maxGroups fails with the count, and the
+    // override is deliberate, not silent
+    val boom = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.groupedKmvOverlapMatrix(rows, "grp", maxGroups = 2)
+    }
+    assert(boom.getMessage.contains("3 groups") &&
+      boom.getMessage.contains("maxGroups"), boom.getMessage)
+    assert(graft.ops.Sketch
+      .groupedKmvOverlapMatrix(rows, "grp", maxGroups = 3).count() == 3L)
   }
 
   test("grouped KMV store: the merged overlap matrix is bit-identical " +

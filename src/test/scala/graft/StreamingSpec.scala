@@ -321,11 +321,19 @@ class StreamingSpec extends SparkSpecBase {
     val all = (1L to 3000L).map(u => (u, "click")) ++
       (2000L to 5000L).map(u => (u, "buy")) ++
       (4500L to 6000L).map(u => (u, "view"))
+    // compact mid-stream (quiesced between triggers): the fold must be
+    // invisible in the final matrix and collapse the epoch slabs
     try {
-      all.grouped((all.size + 2) / 3).foreach { b =>
+      val chunks = all.grouped((all.size + 2) / 3).toSeq
+      chunks.zipWithIndex.foreach { case (b, i) =>
         mem.addData(b.toSeq); q.processAllAvailable()
+        if (i == 1)
+          graft.ops.Sketch.compactGroupedKmvStore(spark, s"$dir/store")
       }
     } finally q.stop()
+    assert(spark.read.parquet(s"$dir/store").select("epoch").distinct()
+      .count() == 2L,
+      "fold must collapse the first two epoch slabs into one")
     val streamed = graft.ops.Sketch
       .groupedKmvStoreOverlapMatrix(spark, s"$dir/store")
       .as[(String, String, Long, Long, Long, Long, Long, Long)]
