@@ -108,7 +108,12 @@ object Bench {
     val load = HostProbe.stampJson(loadStart, probeStart, ioStart,
       loadEnd, HostProbe.spinProbe(), HostProbe.ioProbe())
     val isolated = only.nonEmpty
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","isolated":$isolated,"queries":$qs,"runs":$perRun,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+    // the drift-anchor names ride in the artifact so it self-describes
+    // which queries tools/benchdiff.py normalizes host speed on
+    val anchors = Seq("q23_itemcf_histogram", "q40_boardstats_pairs",
+      "q211_rfm_segments", "q31_simhash_pairs", "q86_hybrid_stored")
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","isolated":$isolated,"queries":$qs,"runs":$perRun,"errors":$errs,"loadavg":$load,"anchors":$anchors,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 75+ queries the
     // per-run arrays push the line past that window (BENCH_r06.json lost
     // q01–q36). Persist the full line to a repo-local file (swept into the

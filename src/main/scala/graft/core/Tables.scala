@@ -60,30 +60,75 @@ object Tables {
     * matching `day=<yyyymmdd>/` dirs (PlanSpec pins the pruned partition
     * count; q239 runs against it in the registry).
     *
-    * Built ONCE per sfDir under java.io.tmpdir and reread thereafter —
-    * the twin is a deterministic re-layout of the same rows (`day` is
-    * derived from `ts` under the UTC session), so oracle SQL keeps
-    * reading the flat events table and both sides agree. Single-JVM
-    * idempotence via the object lock + done-marker; a crashed write is
-    * re-run (overwrite) because the marker is created last. */
+    * Built ONCE per (sfDir, dataset fingerprint) under java.io.tmpdir
+    * and reread thereafter — the twin is a deterministic re-layout of
+    * the same rows (`day` is derived from `ts` under the UTC session),
+    * so oracle SQL keeps reading the flat events table and both sides
+    * agree. The fingerprint (per-file name/length/mtime over the events
+    * parquet) is IN the cache key, so regenerating the dataset at the
+    * same path sweeps the twin instead of silently serving stale
+    * partitions while the oracle reads fresh data (the r15 ADVICE
+    * divergence). Cross-process safety: builders serialize on an OS
+    * file lock, build into a `__tmp` dir, and atomically rename into
+    * place with the done-marker already inside — two JVMs racing the
+    * first build cannot interleave writes, and a reader only ever sees
+    * a complete twin or none. */
   def eventsDayPartitioned(s: SparkSession, d: String): DataFrame =
     synchronized {
       import org.apache.spark.sql.functions._
       // leading "d": a key starting with '_' or '.' (e.g. a sanitized
       // absolute path) would be invisible to Spark's file index, which
       // skips underscore/dot-prefixed paths wholesale
-      val key = "d" + d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val root = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_events_day"),
-        key)
+      val key = "d" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+        java.lang.Long.toHexString(
+          fileFingerprint(new java.io.File(d, "events.parquet")))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_events_day")
+      base.mkdirs()
+      val root = new java.io.File(base, key)
       val marker = new java.io.File(root, "_graft_done")
       if (!marker.exists()) {
-        events(s, d)
-          .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
-          .write.mode("overwrite").partitionBy("day")
-          .parquet(root.toString)
-        marker.createNewFile()
+        val ch = java.nio.channels.FileChannel.open(
+          new java.io.File(base, key + ".lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock() // blocks while another JVM builds
+          try if (!marker.exists()) {
+            val tmp = new java.io.File(base, key + "__tmp")
+            deleteRecursively(tmp)
+            events(s, d)
+              .withColumn("day",
+                date_format(col("ts"), "yyyyMMdd").cast("int"))
+              .write.mode("overwrite").partitionBy("day")
+              .parquet(tmp.toString)
+            // marker goes INSIDE tmp: after the atomic rename the twin
+            // is complete-or-absent, never torn
+            new java.io.File(tmp, "_graft_done").createNewFile()
+            deleteRecursively(root) // a crashed markerless partial
+            require(tmp.renameTo(root),
+              s"eventsDayPartitioned: rename $tmp -> $root failed")
+          } finally lk.release()
+        } finally ch.close()
       }
       s.read.option("basePath", root.toString).parquet(root.toString)
     }
+
+  /** Order-independent content fingerprint of a file/parquet dir:
+    * per-entry name, length, and mtime folded in sorted order. Cheap
+    * (metadata only) and exactly as fresh as the filesystem's mtime
+    * granularity — the right trade for test-scaffolding cache keys. */
+  private def fileFingerprint(f: java.io.File): Long =
+    if (f.isDirectory)
+      f.listFiles().sortBy(_.getName)
+        .foldLeft(f.getName.hashCode.toLong)(
+          (acc, c) => acc * 1000003L + fileFingerprint(c))
+    else f.getName.hashCode.toLong * 1000003L +
+      f.length() * 31L + f.lastModified()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
 }

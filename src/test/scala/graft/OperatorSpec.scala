@@ -1981,4 +1981,35 @@ class OperatorSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("eventsDayPartitioned twin: regenerating the dataset sweeps the " +
+    "cache (fingerprint key), and racing builders serialize on the lock") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evtwin")
+      .toString
+    val gen1 = Tables.events(spark, sfDir)
+    gen1.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val n1 = Tables.eventsDayPartitioned(spark, tmp).count()
+    assert(n1 == gen1.count(), s"twin must re-layout all rows: $n1")
+    // regenerate the dataset at the SAME path with half the rows: the
+    // twin must follow (the r15 ADVICE stale-cache divergence — the old
+    // done-marker key served generation-1 partitions forever)
+    val gen2 = gen1.filter(col("event_id") % 2 === 0).localCheckpoint()
+    gen2.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val n2 = Tables.eventsDayPartitioned(spark, tmp).count()
+    assert(n2 == gen2.count() && n2 < n1,
+      s"regeneration must sweep the twin: got $n2, want ${gen2.count()}")
+    // two builders racing the FIRST build of a fresh dataset: the OS
+    // file lock + tmp-dir/atomic-rename protocol makes both land on the
+    // same complete twin (same JVM here, but the code path is the
+    // cross-process one: lock, build to __tmp, rename with marker inside)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_evtwin2")
+      .toString
+    gen1.write.mode("overwrite").parquet(s"$tmp2/events.parquet")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(Future.sequence((1 to 2).map(_ =>
+      Future(Tables.eventsDayPartitioned(spark, tmp2).count()))), 120.seconds)
+    assert(counts.toSet == Set(n1), s"racing builders disagree: $counts")
+  }
 }

@@ -5,11 +5,15 @@ Usage:
   python3 tools/benchdiff.py BENCH_r07.json BENCH.json
   python3 tools/benchdiff.py HEAD:BENCH.json BENCH.json   # git rev:path OK
 
-Prints the like-for-like total, per-query regressions (>1.3x and >0.3s)
-and improvements (<0.75x from >0.3s), and queries present on one side
-only. A regression on a query the diff never touched usually means the
-machine was loaded during the run — re-measure that query in isolation
-(sbt "runMain graft.Verify <sf> /tmp/x <name>") before believing it.
+Prints the like-for-like total, per-query regressions and improvements,
+and queries present on one side only. Host drift is normalized first: a
+pinned set of stable, code-frozen ANCHOR queries yields a median
+old->new ratio, and the regression threshold scales by it (r15 burned a
+session-day adjudicating a +4.3% close that five untouched anchors
+showed was 1.5-1.9x host drift). A surviving regression is then checked
+against BENCH_ISOLATED.json (same-sf lines only, newest measurement per
+query wins): an isolated re-measure back under the threshold refutes
+the flag as contention.
 """
 import json
 import re
@@ -18,6 +22,13 @@ import subprocess
 import sys
 
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
+
+# Stable, code-frozen drift anchors: moderate runtimes, spread across
+# subsystems, untouched for many rounds — exactly the five queries whose
+# same-code inflation adjudicated the r15 drift fight. If a round edits
+# the code under one of these, REPLACE it here in the same commit.
+ANCHORS = ["q23_itemcf_histogram", "q40_boardstats_pairs",
+           "q211_rfm_segments", "q31_simhash_pairs", "q86_hybrid_stored"]
 
 
 def from_tail(tail: str) -> dict:
@@ -36,7 +47,18 @@ def from_tail(tail: str) -> dict:
     return out
 
 
-def load(spec: str) -> "tuple[dict, dict | None]":
+def norm_sf(v) -> "str | None":
+    """Normalize the sf stamp: Bench lines carry the sfDir path string
+    ("/root/testdata/sf0.1"), driver round artifacts a bare number."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return f"{v:g}"
+    m = re.search(r"sf([\d.]+)/?$", str(v))
+    return m.group(1) if m else str(v)
+
+
+def load(spec: str) -> "tuple[dict, dict | None, str | None]":
     if ":" in spec and not spec.endswith(".json") or (
             ":" in spec and not spec.split(":", 1)[0].endswith(".json")
             and "/" not in spec.split(":", 1)[0]):
@@ -48,20 +70,25 @@ def load(spec: str) -> "tuple[dict, dict | None]":
         with open(spec) as f:
             doc = json.load(f)
     if "queries" in doc:
-        return doc["queries"], doc.get("loadavg")
+        return doc["queries"], doc.get("loadavg"), norm_sf(doc.get("sf"))
     if "tail" in doc:  # driver round artifact (BENCH_r0N.json)
+        sf = norm_sf(doc.get("sf"))
         parsed = doc.get("parsed")
         if isinstance(parsed, dict) and "queries" in parsed:
-            return parsed["queries"], parsed.get("loadavg")
-        return from_tail(doc["tail"]), None
-    return doc, None
+            return parsed["queries"], parsed.get("loadavg"), sf
+        return from_tail(doc["tail"]), None, sf
+    return doc, None, None
 
 
-def load_isolated(near: str) -> dict:
-    """Per-query minimum over every line of BENCH_ISOLATED.json — the
-    isolated re-measure log Bench appends to under SPARK_GRAFT_ONLY.
-    Looked for beside the newer artifact, then in the cwd. A flagged
-    regression whose isolated time is clean was contention, not code."""
+def load_isolated(near: str, sf: "str | None") -> dict:
+    """Per-query isolated re-measures from BENCH_ISOLATED.json (the log
+    Bench appends to under SPARK_GRAFT_ONLY), looked for beside the
+    newer artifact, then in the cwd. Only lines at the SAME sf as the
+    compared artifacts count (r15 ADVICE: a smaller-sf line wrongly
+    refutes a real regression), and the NEWEST line per query wins — a
+    stale measurement from an older revision must not outlive the code
+    it measured. A flagged regression whose isolated time is clean was
+    contention, not code."""
     import os
     cand = []
     if os.path.isfile(near):
@@ -81,17 +108,39 @@ def load_isolated(near: str) -> dict:
                     doc = json.loads(ln)
                 except ValueError:
                     continue
+                line_sf = norm_sf(doc.get("sf"))
+                if sf is not None and line_sf is not None and line_sf != sf:
+                    continue
                 for q, v in doc.get("queries", {}).items():
-                    out[q] = min(v, out[q]) if q in out else v
+                    out[q] = v  # later lines overwrite: newest wins
         break
     return out
+
+
+def drift_factor(old: dict, new: dict) -> "tuple[float, int]":
+    """Median new/old ratio over the anchor set — the host-speed scale
+    between the two runs, measured on code that did not change. Needs
+    >= 3 valid anchors to engage; returns (1.0, n) otherwise."""
+    ratios = sorted(new[a] / old[a] for a in ANCHORS
+                    if a in old and a in new and old[a] > 0.05
+                    and new[a] > 0)
+    if len(ratios) < 3:
+        return 1.0, len(ratios)
+    mid = len(ratios) // 2
+    med = ratios[mid] if len(ratios) % 2 else (
+        ratios[mid - 1] + ratios[mid]) / 2
+    return med, len(ratios)
 
 
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    (old, load_old), (new, load_new) = load(sys.argv[1]), load(sys.argv[2])
+    (old, load_old, sf_old) = load(sys.argv[1])
+    (new, load_new, sf_new) = load(sys.argv[2])
+    if sf_old and sf_new and sf_old != sf_new:
+        print(f"  WARNING: scale factors differ (old sf{sf_old}, "
+              f"new sf{sf_new}) — per-query deltas are not comparable")
     # contention gate: Bench stamps 1/5/15-min loadavg + a spin probe;
     # comparing runs taken under >2x different host load is adjudicating
     # noise, not code — warn loudly before any per-query number
@@ -143,13 +192,27 @@ def main() -> int:
     else:
         print(f"like-for-like over {len(common)} queries: "
               f"{t_old:.1f}s -> {t_new:.1f}s (ratio {t_new / t_old:.3f})")
+    # drift normalization: scale the flag threshold by the anchor ratio.
+    # Only upward (a FASTER new host must not tighten the threshold and
+    # flag noise), capped at 3x (past that the runs aren't comparable
+    # and the cap keeps a real 4x regression from self-excusing).
+    drift, n_anchor = drift_factor(old, new)
+    scale = min(max(drift, 1.0), 3.0)
+    thr = 1.3 * scale
+    if n_anchor >= 3:
+        print(f"  anchor drift: median new/old ratio {drift:.2f} over "
+              f"{n_anchor} code-frozen anchors -> regression threshold "
+              f"{thr:.2f}x")
+    else:
+        print(f"  anchor drift: only {n_anchor} anchors present — "
+              f"no normalization, threshold 1.30x")
     regs = [(new[q] / old[q], q) for q in common
-            if new[q] > old[q] * 1.3 and new[q] > 0.3]
+            if new[q] > old[q] * thr and new[q] > 0.3]
     # machine adjudication (r14: the protocol lived only in judge prose):
     # an isolated SPARK_GRAFT_ONLY re-measure that lands the query back
-    # within the regression threshold refutes the flag — the full-run
+    # within the UNSCALED threshold refutes the flag — the full-run
     # number was contention, and the exit code must not carry it
-    iso = load_isolated(sys.argv[2])
+    iso = load_isolated(sys.argv[2], sf_new or sf_old)
     adj = [(r, q) for r, q in regs if q in iso and iso[q] <= old[q] * 1.3]
     regs = [x for x in regs if x not in adj]
     for r, q in sorted(adj, reverse=True):
