@@ -365,6 +365,54 @@ object Sketch {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** THE layout-record reader, shared by every store family (r15
+    * next-round item: six families hand-rolled the same
+    * open/readAllBytes/parse/require block ~8 times, and the r14
+    * KMV-reads-HLL bug showed the drift risk is real). Parses the
+    * record's `k1=v1,k2=v2` pairs and validates the EXACT key set —
+    * key-set identity is what distinguishes the families (`k=` KMV vs
+    * `bits=,k=` bloom vs `p=` HLL vs the two histogram grids vs
+    * `gk=,group=`) — so any store pointed at the wrong family's reader
+    * fails loud with the family name and the recorded text. `hints`
+    * upgrades specific foreign key sets to a redirecting message (e.g.
+    * "use mergedGroupedHistQuantiles"). */
+  private def readStoreLayout(spark: org.apache.spark.sql.SparkSession,
+                              path: String, family: String,
+                              keys: Set[String],
+                              hints: Map[Set[String], String] = Map.empty)
+  : Map[String, String] = {
+    val (fs, lp) = layoutFile(spark, path)
+    require(fs.exists(lp),
+      s"$family store at $path has no layout record — only stores " +
+        s"written by the family's write entry point are mergeable " +
+        "(the layout cannot be recovered from rows)")
+    val in = fs.open(lp)
+    val recorded =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    val kv = recorded.split(",").map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    hints.get(kv.keySet).foreach(h => require(kv.keySet == keys,
+      s"store at $path $h (layout record '$recorded')"))
+    require(kv.keySet == keys,
+      s"store at $path is not a $family store (layout record " +
+        s"'$recorded'; a $family layout carries exactly " +
+        s"${keys.toSeq.sorted.mkString("[", ",", "]")})")
+    kv
+  }
+
+  // the two histogram grids share keys modulo `group` — an ungrouped
+  // merge over a GROUPED store would silently sum across segments (a
+  // real relation, the wrong question), so each redirects to the other
+  private val HistHints = Map(
+    Set("lo", "width", "bins", "group") ->
+      "is a grouped histogram store — use mergedGroupedHistQuantiles")
+  private val GroupedHistHints = Map(
+    Set("lo", "width", "bins") ->
+      "is an UNGROUPED histogram store — use mergedHistQuantiles")
+
   /** Create/replace an HLL register store at `path` with one epoch.
     * Layout: (epoch, bucket, register) parquet rows — the full m-row
     * spine per epoch — plus a layout record pinning `p` (the precision
@@ -402,19 +450,11 @@ object Sketch {
   def appendHllStore(items: DataFrame, path: String, epoch: Long,
                      valueCol: String = "item", p: Int = 6): Unit = {
     val spark = items.sparkSession
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp),
-      s"HLL store at $path has no layout record — only stores written by " +
-        "writeHllStore are appendable (p cannot be recovered from rows)")
-    val recorded = {
-      val in = fs.open(lp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    }
-    require(recorded == s"p=$p",
-      s"HLL store at $path was written with ($recorded), append requested " +
-        s"(p=$p) — rebuild the store, mixed precisions cannot merge")
+    val kv = readStoreLayout(spark, path, "HLL", Set("p"))
+    require(kv("p") == p.toString,
+      s"HLL store at $path was written with (p=${kv("p")}), append " +
+        s"requested (p=$p) — rebuild the store, mixed precisions cannot " +
+        "merge")
     hllRegisters(items, valueCol, p)
       .select(lit(epoch).as("epoch"), col("bucket"), col("register"))
       .write.mode("append").parquet(path)
@@ -428,15 +468,7 @@ object Sketch {
   def mergedHllEstimate(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         epochFilter: Column = lit(true)): DataFrame = {
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp), s"HLL store at $path has no layout record")
-    val recorded = {
-      val in = fs.open(lp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    }
-    val p = recorded.stripPrefix("p=").toInt
+    val p = readStoreLayout(spark, path, "HLL", Set("p"))("p").toInt
     val merged = spark.read.parquet(path)
       .filter(epochFilter)
       .groupBy(col("bucket")).agg(max(col("register")).as("register"))
@@ -578,27 +610,17 @@ object Sketch {
     fs.exists(lp)
   }
 
-  private def readLayout(spark: org.apache.spark.sql.SparkSession,
-                         path: String): String = {
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp), s"store at $path has no layout record")
-    val in = fs.open(lp)
-    try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    finally in.close()
-  }
-
   /** Append one epoch's words to an existing store. Fails loud when the
     * store has no layout record or a different geometry. */
   def appendBloomStore(members: DataFrame, path: String, epoch: Long,
                        valueCol: String = "item", bitsLog2: Int = 12,
                        k: Int = 3): Unit = {
     val spark = members.sparkSession
-    val recorded = readLayout(spark, path)
-    require(recorded == s"bits=$bitsLog2,k=$k",
-      s"bloom store at $path was written with ($recorded), append " +
-        s"requested (bits=$bitsLog2,k=$k) — rebuild the store, mixed " +
-        "geometries cannot merge")
+    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"))
+    require(kv("bits") == bitsLog2.toString && kv("k") == k.toString,
+      s"bloom store at $path was written with (bits=${kv("bits")}," +
+        s"k=${kv("k")}), append requested (bits=$bitsLog2,k=$k) — " +
+        "rebuild the store, mixed geometries cannot merge")
     bloomWords(members, valueCol, bitsLog2, k)
       .select(lit(epoch).as("epoch"), col("word"), col("bits"))
       .write.mode("append").parquet(path)
@@ -610,7 +632,7 @@ object Sketch {
   def mergedBloomWords(spark: org.apache.spark.sql.SparkSession,
                        path: String,
                        epochFilter: Column = lit(true)): DataFrame = {
-    readLayout(spark, path) // fail loud on a layoutless directory
+    readStoreLayout(spark, path, "bloom", Set("bits", "k")) // fail loud
     spark.read.parquet(path)
       .filter(epochFilter)
       .groupBy(col("word"))
@@ -624,15 +646,9 @@ object Sketch {
                        path: String, probes: DataFrame,
                        valueCol: String = "item",
                        epochFilter: Column = lit(true)): DataFrame = {
-    val recorded = readLayout(spark, path)
-    val m = "bits=(\\d+),k=(\\d+)".r
-    val (bitsLog2, k) = recorded match {
-      case m(b, kk) => (b.toInt, kk.toInt)
-      case _ => throw new IllegalArgumentException(
-        s"bloom store at $path has a foreign layout record: $recorded")
-    }
+    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"))
     bloomProbe(mergedBloomWords(spark, path, epochFilter), probes,
-      valueCol, bitsLog2, k)
+      valueCol, kv("bits").toInt, kv("k").toInt)
   }
 
   // ---------------------------------------------------------------------
@@ -776,15 +792,9 @@ object Sketch {
                       valueCol: String, lo: Double, width: Double,
                       bins: Int): Unit = {
     val spark = items.sparkSession
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp),
-      s"histogram store at $path has no layout record")
-    val recorded = {
-      val in = fs.open(lp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    }
+    val kv = readStoreLayout(spark, path, "histogram",
+      Set("lo", "width", "bins"), HistHints)
+    val recorded = s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}"
     val requested = s"lo=$lo,width=$width,bins=$bins"
     require(recorded == requested,
       s"histogram store at $path was written with ($recorded), append " +
@@ -804,20 +814,10 @@ object Sketch {
   def mergedHistQuantiles(spark: org.apache.spark.sql.SparkSession,
                           path: String, pcts: Seq[Int],
                           epochFilter: Column = lit(true)): DataFrame = {
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp), s"histogram store at $path has no layout record")
-    val recorded = {
-      val in = fs.open(lp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    }
-    val kv = recorded.split(",").map(_.split("=")).map(a => a(0) -> a(1)).toMap
     // an ungrouped merge over a GROUPED store would silently sum across
-    // segments (a real relation, the wrong question) — refuse instead
-    require(!kv.contains("group"),
-      s"store at $path is a grouped histogram store (group=${kv("group")})" +
-        " — use mergedGroupedHistQuantiles")
+    // segments (a real relation, the wrong question) — HistHints refuses
+    val kv = readStoreLayout(spark, path, "histogram",
+      Set("lo", "width", "bins"), HistHints)
     val (lo, width) = (kv("lo").toDouble, kv("width").toDouble)
     val merged = spark.read.parquet(path)
       .filter(epochFilter)
@@ -851,15 +851,10 @@ object Sketch {
                              groupCol: String, valueCol: String,
                              lo: Double, width: Double, bins: Int): Unit = {
     val spark = items.sparkSession
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp),
-      s"grouped histogram store at $path has no layout record")
-    val recorded = {
-      val in = fs.open(lp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    }
+    val kv = readStoreLayout(spark, path, "grouped histogram",
+      Set("lo", "width", "bins", "group"), GroupedHistHints)
+    val recorded = s"lo=${kv("lo")},width=${kv("width")}," +
+      s"bins=${kv("bins")},group=${kv("group")}"
     val requested = s"lo=$lo,width=$width,bins=$bins,group=$groupCol"
     require(recorded == requested,
       s"grouped histogram store at $path was written with ($recorded), " +
@@ -884,20 +879,8 @@ object Sketch {
                                  path: String, pcts: Seq[Int],
                                  epochFilter: Column = lit(true))
   : DataFrame = {
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp),
-      s"grouped histogram store at $path has no layout record")
-    val recorded = {
-      val in = fs.open(lp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    }
-    val kv = recorded.split(",").map(_.split("=", 2))
-      .map(a => a(0) -> a(1)).toMap
-    require(kv.contains("group"),
-      s"store at $path is an UNGROUPED histogram store — use " +
-        "mergedHistQuantiles")
+    val kv = readStoreLayout(spark, path, "grouped histogram",
+      Set("lo", "width", "bins", "group"), GroupedHistHints)
     val (lo, width, g) =
       (kv("lo").toDouble, kv("width").toDouble, kv("group"))
     val merged = spark.read.parquet(path)
@@ -1315,24 +1298,13 @@ object Sketch {
     fs.exists(lp)
   }
 
+  // the layout filename is shared across store families — a KMV call
+  // pointed at an HLL store (layout "p=6") must say "not a KMV store",
+  // not throw a bare NumberFormatException (readStoreLayout's exact
+  // key-set validation is what enforces this for every family)
   private def readKmvK(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Int = {
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp), s"KMV store at $path has no layout record — " +
-      "only stores written by writeKmvStore are mergeable (k cannot be " +
-      "recovered from rows)")
-    val in = fs.open(lp)
-    val recorded =
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    // the layout filename is shared across store families — a KMV call
-    // pointed at an HLL store (layout "p=6") must say so, not throw a
-    // bare NumberFormatException
-    require(recorded.startsWith("k="),
-      s"store at $path is not a KMV store (layout record '$recorded')")
-    recorded.stripPrefix("k=").toInt
-  }
+                       path: String): Int =
+    readStoreLayout(spark, path, "KMV", Set("k"))("k").toInt
 
   /** Append one epoch's bottom-k hashes; fails loud on a k mismatch. */
   def appendKmvStore(items: DataFrame, path: String, epoch: Long,
@@ -1485,18 +1457,8 @@ object Sketch {
 
   private def readGroupedKmvLayout(spark: org.apache.spark.sql.SparkSession,
                                    path: String): (Int, String) = {
-    val (fs, lp) = layoutFile(spark, path)
-    require(fs.exists(lp), s"grouped KMV store at $path has no layout " +
-      "record — only stores written by writeGroupedKmvStore are mergeable")
-    val in = fs.open(lp)
-    val recorded =
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    require(recorded.startsWith("gk="),
-      s"store at $path is not a grouped KMV store (layout '$recorded')")
-    val kv = recorded.split(",").map(_.split("=", 2))
-      .map(a => a(0) -> a(1)).toMap
+    val kv = readStoreLayout(spark, path, "grouped KMV",
+      Set("gk", "group"))
     (kv("gk").toInt, kv("group"))
   }
 
