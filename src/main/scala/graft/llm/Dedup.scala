@@ -891,7 +891,10 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
       .filter(col("shingle").isNotNull).persist())
-    sh.count() // eager, see ngramJaccardPairs
+    // no eager count: the banded-signature materialization inside
+    // minHashLshCandidatesFrom reads sh through a SINGLE branch, so the
+    // lazy persist fills there race-free; by the time the verify join
+    // reads sh twice (both set sides) the cache is warm — one job saved
     val cand = minHashLshCandidatesFrom(sh, bands, rowsPerBand, idCol)
     // sets are built for ALL docs, not semi-joined down to candidate
     // members: measured at sf0.1 (candidate-dense corpus) the restriction
@@ -1136,12 +1139,19 @@ object Dedup {
     // caller's whole pair pipeline (minhash/IVF), and every fixpoint
     // round re-analyzes any plan that references it — a persisted frame
     // keeps that subtree alive in every round's analyzer pass, a
-    // checkpoint is a leaf
-    val sym = edges.union(
-      edges.select(col("__dst").as("__src"), col("__src").as("__dst")))
-      .localCheckpoint(true)
+    // checkpoint is a leaf. Checkpoint BEFORE symmetrizing: the union's
+    // two branches both reference the caller plan, so a post-union
+    // checkpoint ran the (expensive — minhash/IVF) pair pipeline TWICE
+    // in its one materialization job; checkpointing the directed
+    // relation first runs it once and the swap reads cached rows
+    val edges0 = edges.localCheckpoint(true)
+    // no second checkpoint: sym is a plain union over the checkpointed
+    // leaf, so every downstream read is two cached scans — a dedicated
+    // re-materialization job bought nothing
+    val sym = edges0.union(
+      edges0.select(col("__dst").as("__src"), col("__src").as("__dst")))
     val verts = vertices.select(col(idCol).cast("long").as("id"))
-    val nSym = sym.count()
+    val nSym = edges0.count() * 2
     if (nSym <= driverBelow) {
       // bounded duplicate graph: one collect, zero per-round shuffles.
       // Union-by-min keeps every tree's root at the component's minimum
