@@ -730,6 +730,83 @@ object TextAnalysis {
       .filter(col("draw") < col("keep_threshold"))
   }
 
+  /** Deterministic weighted bottom-k sampling — "pick k documents with
+    * inclusion probability ∝ weight", the size/quality-weighted
+    * subsample every mixture-tuning pipeline needs next to the uniform
+    * [[fingerprint]]-bucket draw. Integer-exact Efraimidis–Spirakis
+    * variant: each row's salted content fingerprint h (uniform on
+    * [0, 2^57)) is divided by its weight with INTEGER division —
+    * `P(h div w ≤ t) = P(h < (t+1)·w) ∝ w` for the small thresholds
+    * that decide a k-of-n sample, the exponential-race argument without
+    * the classical key's float `log`/`pow` (which no cross-engine
+    * oracle can reproduce bit-exactly). Smallest k keys win; (key, id)
+    * is a total order, so the winner SET is deterministic. Rows with
+    * NULL or non-positive weight are excluded up front (weight 0 =
+    * never sampled — [[mixtureSample]]'s domain contract).
+    *
+    * Plan/100 TB: one narrow per-row projection (char fold + one
+    * integer divide), then `orderBy(key, id).limit(k)` — plans as
+    * TakeOrderedAndProject: per-partition k-heaps, O(k) state, never a
+    * global sort (the [[graft.ops.Sketch.kmvHashes]] device).
+    */
+  def weightedSampleK(docs: DataFrame, k: Int, weightCol: Column,
+                      idCol: String = "doc_id", salt: String = "|wsample",
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    docs.select(col(idCol), weightCol.cast("long").as("weight"),
+        fingerprint(concat(col(textCol), lit(salt))).as("__h"))
+      .filter(col("weight") > 0)
+      .withColumn("key", expr("__h div weight"))
+      .orderBy(col("key"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("key"))
+  }
+
+  /** Deterministic stratified mixture UPsampling — the replication
+    * complement of [[mixtureSample]] (the standard low-resource-language
+    * / rare-domain move: replicate the tail instead of starving on it).
+    * `targets` maps stratum → factor f ≥ 0 (unlisted strata keep factor
+    * 1.0): every row emits ⌊f⌋ copies plus one more iff its salted
+    * content draw falls under the fractional remainder, so the expected
+    * copy count is exactly f and the realized count is a pure function
+    * of the text (stable across engines, partitionings, re-ingests —
+    * the q63 content-hash device; the salt decorrelates from the
+    * downsampling draw). Output rows carry `rep`, the 0-based copy
+    * index, so downstream shuffles/packing can tell copies apart.
+    * A factor < 1 degenerates to [[mixtureSample]] (⌊f⌋ = 0 and only
+    * the fractional draw emits) — one primitive covers both directions.
+    *
+    * Plan/100 TB: narrow projection + `explode(sequence)` — the output
+    * volume IS the sampling decision (Σ reps rows), no shuffle, pushes
+    * through the scan.
+    */
+  def mixtureUpsample(docs: DataFrame, targets: Seq[(String, Double)],
+                      strataCol: String = "lang", salt: String = "|upsample",
+                      textCol: String = "text"): DataFrame = {
+    val res = 1000000L
+    targets.foreach { case (s, f) =>
+      require(f >= 0 && f <= 1000, s"factor for '$s' out of [0,1000]: $f")
+    }
+    val draw = pmod(fingerprint(concat(col(textCol), lit(salt))), lit(res))
+    val reps = targets.foldLeft(lit(1L): Column) {
+      case (acc, (stratum, f)) =>
+        val whole = math.floor(f).toLong
+        val fracThr = math.round((f - whole) * res)
+        when(col(strataCol) === stratum,
+          lit(whole) + when(col("__draw") < lit(fracThr), lit(1L))
+            .otherwise(lit(0L)))
+          .otherwise(acc)
+    }
+    val base = docs.columns.map(col).toSeq
+    docs.withColumn("__draw", draw)
+      .withColumn("__reps", reps)
+      // explicit filter, not just explode-of-empty: sequence(0, -1)
+      // auto-steps DOWN and would emit two bogus copies
+      .filter(col("__reps") > 0)
+      .select(base :+ explode(sequence(lit(0L), col("__reps") - 1))
+        .as("rep"): _*)
+  }
+
   /** Bigram-LM conditional surprisal — [[lmSurprisal]]'s order-2 form: the
     * document is scored under corpus bigram statistics, `bits(w2|w1) =
     * floor(log2(c1(w1) div c2(w1 w2)))` per transition (c1 ≥ c2 by

@@ -364,6 +364,21 @@ object LlmQueries {
         targets = Seq("en" -> 0.3, "es" -> 0.6))
       .select("doc_id", "lang", "draw")
 
+  /** Token-count-weighted bottom-k sample (k = 100): inclusion
+    * probability ∝ document length, integer-exact keys, plans as
+    * TakeOrderedAndProject — see TextAnalysis.weightedSampleK. */
+  def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.weightedSampleK(Tables.documents(s, dir), k = 100,
+      weightCol = TextAnalysis.tokenCount(col("text")))
+
+  /** Low-resource upsampling (zh ×2.5, fr ×3.0): deterministic
+    * fractional replication with a 0-based copy index — see
+    * TextAnalysis.mixtureUpsample. */
+  def mixtureUpsampleQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureUpsample(Tables.documents(s, dir),
+        targets = Seq("zh" -> 2.5, "fr" -> 3.0))
+      .select("doc_id", "lang", "rep")
+
   /** Per-source cap (10/source): salted content-hash draw ordering, so the
     * survivor set is engine- and partitioning-stable. */
   def sourceCap(s: SparkSession, dir: String): DataFrame =
@@ -1168,6 +1183,8 @@ object LlmQueries {
     "q61_contamination" -> contamination,
     "q62_boilerplate" -> boilerplate,
     "q63_mixture_sample" -> mixtureSample,
+    "q240_weighted_sample" -> weightedSampleQ,
+    "q241_mixture_upsample" -> mixtureUpsampleQ,
     "q64_source_cap" -> sourceCap,
     "q65_lm_surprisal" -> lmSurprisal,
     "q66_incremental_dedup" -> incrementalDedup,
@@ -2803,6 +2820,27 @@ object LlmQueries {
         |WHERE draw < CASE lang WHEN 'en' THEN 300000
         |                       WHEN 'es' THEN 600000
         |                       ELSE 1000000 END""".stripMargin,
+    "q240_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len($toksSql) AS BIGINT) AS weight,
+        |    ${fpSql("text || '|wsample'")} AS h
+        |  FROM documents),
+        |ks AS (SELECT doc_id, weight, h // weight AS key
+        |       FROM d WHERE weight > 0)
+        |SELECT doc_id, weight, key FROM ks
+        |QUALIFY row_number() OVER (ORDER BY key, doc_id) <= 100""".stripMargin,
+    "q241_mixture_upsample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    ${fpSql("text || '|upsample'")} % 1000000 AS draw
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    CASE lang
+        |      WHEN 'zh' THEN 2 + CASE WHEN draw < 500000 THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN 3
+        |      ELSE 1 END AS reps
+        |  FROM d)
+        |SELECT doc_id, lang, CAST(t.rep AS BIGINT) AS rep
+        |FROM r, UNNEST(range(0, reps)) AS t(rep)""".stripMargin,
     "q61_contamination" ->
       s"""WITH $sh5Ctes,
         |fp AS (SELECT doc_id,

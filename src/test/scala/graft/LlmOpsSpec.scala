@@ -2583,4 +2583,77 @@ class LlmOpsSpec extends SparkSpecBase {
         s"window>=n must equal exact: missing ${(fixExact -- wide).take(3)}")
     }
   }
+
+  test("weighted bottom-k sample: winners equal a driver-side recompute " +
+    "of the integer keys, weight gates the domain, heavy docs win more") {
+    import graft.llm.TextAnalysis
+    val k = 25
+    val got = TextAnalysis.weightedSampleK(docs, k,
+        TextAnalysis.tokenCount(col("text")))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == k)
+    // brute force: same fingerprint, same integer divide, same (key, id)
+    // total order — the winner SET must match exactly
+    val all = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, text) =>
+        val w = text.split("\\s+").count(_.nonEmpty).toLong
+        (id, w, if (w > 0) Some(TextAnalysis.fingerprintOf(text + "|wsample") / w)
+                else None)
+      }
+    val want = all.collect { case (id, w, Some(key)) => (key, id, w) }
+      .sorted.take(k).map { case (key, id, w) => (id, w, key) }.toSet
+    assert(got.toSet == want,
+      s"winner set mismatch: ${(got.toSet -- want).take(3)} vs ${(want -- got.toSet).take(3)}")
+    // inclusion ∝ weight: the winners' mean token count must exceed the
+    // corpus mean (deterministic on this corpus; a uniform sampler sits
+    // at the mean)
+    val corpusMean = all.collect { case (_, w, Some(_)) => w }.sum.toDouble /
+      all.count(_._3.isDefined)
+    val winnerMean = got.map(_._2).sum.toDouble / got.length
+    assert(winnerMean > corpusMean,
+      s"weighted winners must skew long: $winnerMean <= $corpusMean")
+    // zero/negative/NULL weight is outside the sampling domain
+    val fix = Seq((1L, "a b c", 0L), (2L, "d e", -3L), (3L, "f g", 5L))
+      .toDF("doc_id", "text", "w")
+    val dom = TextAnalysis.weightedSampleK(fix, 10, col("w"))
+      .as[(Long, Long, Long)].collect()
+    assert(dom.map(_._1).toSeq == Seq(3L), s"domain: ${dom.toSeq}")
+  }
+
+  test("mixture upsample: copy counts are floor(f) plus the fractional " +
+    "content draw, rep indexes are dense, factor 1 is the identity") {
+    import graft.llm.TextAnalysis
+    val got = TextAnalysis.mixtureUpsample(docs,
+        targets = Seq("zh" -> 2.5, "fr" -> 3.0))
+      .select(col("doc_id"), col("lang"), col("rep"))
+      .as[(Long, String, Long)].collect()
+    val byDoc = got.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.head._2, rows.map(_._3).sorted.toSeq) }
+    val langOf = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    assert(byDoc.size == langOf.length, "every doc must emit >= 1 copy here")
+    langOf.foreach { case (id, lang, text) =>
+      val (gl, reps) = byDoc(id)
+      assert(gl == lang)
+      // exact per-doc expectation: floor + (draw < frac-threshold)
+      val draw = math.floorMod(
+        TextAnalysis.fingerprintOf(text + "|upsample"), 1000000L)
+      val wantReps = lang match {
+        case "zh" => 2L + (if (draw < 500000L) 1L else 0L)
+        case "fr" => 3L
+        case _    => 1L
+      }
+      assert(reps == (0L until wantReps),
+        s"doc $id ($lang): reps $reps, want 0 until $wantReps")
+    }
+    // realized zh volume sits between the floor and ceiling of 2.5x
+    val zhDocs = langOf.count(_._2 == "zh")
+    val zhRows = got.count(_._2 == "zh")
+    assert(zhRows > 2 * zhDocs && zhRows < 3 * zhDocs,
+      s"zh should land strictly between 2x and 3x: $zhRows of $zhDocs docs")
+    // factor 1.0 (and absent strata) emit exactly one rep-0 copy
+    val ident = TextAnalysis.mixtureUpsample(docs, targets = Nil)
+      .select(col("doc_id"), col("rep")).as[(Long, Long)].collect()
+    assert(ident.length == langOf.length && ident.forall(_._2 == 0L))
+  }
 }

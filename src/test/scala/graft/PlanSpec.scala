@@ -73,6 +73,15 @@ class PlanSpec extends SparkSpecBase {
       s"top-k must never materialize a global sort:\n$p")
   }
 
+  test("q240 weighted sample lowers to TakeOrderedAndProject — the " +
+    "k-of-corpus draw is per-partition k-heaps, never a global sort") {
+    val p = planOf("q240_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy(key, id).limit(k) must lower to bounded heaps:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no range-partitioned global sort on the sampling path:\n$p")
+  }
+
   test("q134 idle-rich: the balance aggregate broadcasts, the recency " +
     "filter pushes into the orders scan, and the anti join is hash-based") {
     val p = planOf("q134_idle_rich_customers")
