@@ -272,7 +272,11 @@ object Scale {
       .write.mode("overwrite").partitionBy("epoch").parquet(path)
     val (fs, lp) = Sketch.layoutFile(spark, path)
     val out = fs.create(lp, true)
-    try out.write(s"k=$k\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // "tfk=", not "k=": the KMV store's layout is exactly "k=<n>", and
+    // key-set identity is how readStoreLayout tells families apart — a
+    // shared key set would let a KMV merge silently accept an MG store
+    try out.write(s"tfk=$k\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -300,25 +304,49 @@ object Scale {
   def appendTopFreqStore(items: org.apache.spark.sql.Dataset[String],
                          path: String, epoch: Long, k: Int): Unit = {
     val spark = items.sparkSession
-    val (fs, lp) = Sketch.layoutFile(spark, path)
-    require(fs.exists(lp),
-      s"top-freq store at $path has no layout record — only stores " +
-        "written by writeTopFreqStore are appendable")
-    val recorded = {
-      val in = fs.open(lp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    }
-    require(recorded == s"k=$k",
-      s"top-freq store at $path was written with ($recorded), append " +
-        s"requested (k=$k) — rebuild the store, mixed summary widths " +
-        "have no single decrement budget")
+    require(epoch >= 0, s"epoch must be >= 0 (negative ids are reserved " +
+      s"for fold baselines): $epoch")
+    val kv = Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"))
+    require(kv("tfk") == k.toString,
+      s"top-freq store at $path was written with (tfk=${kv("tfk")}), " +
+        s"append requested (k=$k) — rebuild the store, mixed summary " +
+        "widths have no single decrement budget")
     topFreqSummary(items, k)
       .select(col("item"), col("cnt"), lit(epoch).as("epoch"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(path)
+  }
+
+  /** Quiesced compaction of a top-freq store: fold every epoch EXCEPT
+    * the newest into one per-item counter-sum baseline at the reserved
+    * [[graft.ops.Sketch.FoldEpoch]] partition, leaving the newest
+    * batch's partition in place. Counter addition is associative, so
+    * [[mergedHeavyHitters]] is bit-identical across the fold AND the
+    * replay story survives it: Structured Streaming re-delivers at most
+    * the LAST batch, whose dynamic partition overwrite keeps rewriting
+    * its own (still-live) partition — a full fold would have moved that
+    * batch's rows into the baseline, and its replay would then
+    * double-count (the never-overcount half of the MG contract).
+    * Single-writer while quiesced; park/rename swap. */
+  def compactTopFreqStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val k = Sketch.readStoreLayout(spark, path, "top-freq",
+      Set("tfk"))("tfk")
+    // cast: a partitionBy("epoch") column reads back with an INFERRED
+    // (int-sized) type when every dir name fits one
+    val rows = spark.read.parquet(path)
+      .withColumn("epoch", col("epoch").cast("long"))
+    val newestRow = rows.agg(max(col("epoch"))).head()
+    if (newestRow.isNullAt(0)) return
+    val newest = newestRow.getLong(0)
+    val folded = rows.filter(col("epoch") < newest)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+      .select(col("item"), col("cnt"),
+        lit(graft.ops.Sketch.FoldEpoch).as("epoch"))
+      .unionByName(rows.filter(col("epoch") === newest))
+    graft.ops.Sketch.swapFolded(spark, path, s"tfk=$k", folded,
+      partitionCols = Seq("epoch"))
   }
 
   /** Merge a store's epochs (all, or the span `epochFilter` keeps) into
@@ -329,8 +357,7 @@ object Scale {
   def mergedHeavyHitters(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          epochFilter: Column = lit(true)): DataFrame = {
-    val (fs, lp) = Sketch.layoutFile(spark, path)
-    require(fs.exists(lp), s"top-freq store at $path has no layout record")
+    Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk")) // loud
     spark.read.parquet(path)
       .filter(epochFilter)
       .groupBy(col("item")).agg(sum(col("cnt")).as("est_cnt"))

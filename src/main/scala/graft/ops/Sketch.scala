@@ -376,10 +376,11 @@ object Sketch {
     * fails loud with the family name and the recorded text. `hints`
     * upgrades specific foreign key sets to a redirecting message (e.g.
     * "use mergedGroupedHistQuantiles"). */
-  private def readStoreLayout(spark: org.apache.spark.sql.SparkSession,
-                              path: String, family: String,
-                              keys: Set[String],
-                              hints: Map[Set[String], String] = Map.empty)
+  private[ops] def readStoreLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String,
+      keys: Set[String],
+      hints: Map[Set[String], String] = Map.empty)
   : Map[String, String] = {
     val (fs, lp) = layoutFile(spark, path)
     require(fs.exists(lp),
@@ -412,6 +413,47 @@ object Sketch {
   private val GroupedHistHints = Map(
     Set("lo", "width", "bins") ->
       "is an UNGROUPED histogram store — use mergedHistQuantiles")
+
+  /** Quiesced in-place store compaction — the swap half, shared by
+    * every store family's `compact*Store`: write the folded relation
+    * plus the (unchanged) layout record into `path__tmp`, then swap
+    * under the park/rename/crash-recover protocol — a crash mid-swap
+    * leaves either the old store or the folded one, never a torn dir.
+    * The folded plan MUST read the live store lazily: it materializes
+    * during the tmp write, before the live dir moves. Single-writer
+    * while the owning stream is quiesced (every fold's contract). */
+  private[ops] def swapFolded(spark: org.apache.spark.sql.SparkSession,
+                              path: String, layoutLine: String,
+                              folded: DataFrame,
+                              partitionCols: Seq[String] = Nil): Unit = {
+    val dstP = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    val tmpP = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val fs = dstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverOld(fs, oldP, dstP)
+    fs.delete(tmpP, true)
+    val w = folded.write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmpP.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpP, "_graft_layout"),
+      true)
+    try out.write((layoutLine + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.sinks.Sinks.renameOrThrow(fs, dstP, oldP)
+    graft.sinks.Sinks.renameOrThrow(fs, tmpP, dstP)
+    fs.delete(oldP, true)
+    ()
+  }
+
+  /** The reserved epoch id every fold writes its baseline under —
+    * OUTSIDE the id space of real batches (stream batch ids and date
+    * epochs are ≥ 0), so an at-least-once replay of a batch after a
+    * fold can never collide with the folded baseline: idempotent-merge
+    * families (HLL MAX, bloom OR, KMV union) re-merge the replayed slab
+    * harmlessly next to it, and the MG store's per-epoch dynamic
+    * overwrite keeps rewriting the replayed batch's OWN partition. */
+  val FoldEpoch: Long = -1L
 
   /** Create/replace an HLL register store at `path` with one epoch.
     * Layout: (epoch, bucket, register) parquet rows — the full m-row
@@ -473,6 +515,24 @@ object Sketch {
       .filter(epochFilter)
       .groupBy(col("bucket")).agg(max(col("register")).as("register"))
     estimateFromRegisters(merged, p)
+  }
+
+  /** Quiesced compaction: fold every epoch's registers into ONE epoch
+    * holding the per-bucket MAX — a long-running monitor appends one
+    * m-row slab per micro-batch forever, so the merge read grows with
+    * elapsed triggers while the useful content is bounded at m
+    * registers. MAX-merge is idempotent and associative, so the
+    * post-fold estimate is bit-identical (StreamingSpec pins it across
+    * a mid-stream fold) and an at-least-once replay of the last batch
+    * stays harmless. Single-writer while quiesced; park/rename swap. */
+  def compactHllStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val p = readStoreLayout(spark, path, "HLL", Set("p"))("p")
+    swapFolded(spark, path, s"p=$p",
+      spark.read.parquet(path)
+        .groupBy(col("bucket")).agg(max(col("register")).as("register"))
+        .select(lit(FoldEpoch).as("epoch"), col("bucket"),
+          col("register")))
   }
 
   // ---------------------------------------------------------------------
@@ -651,6 +711,20 @@ object Sketch {
       valueCol, kv("bits").toInt, kv("k").toInt)
   }
 
+  /** Quiesced compaction: fold every epoch's words into ONE epoch
+    * holding the per-word BIT_OR — OR-merge is idempotent, so the
+    * post-fold probe set is bit-identical and a replayed last batch
+    * re-ORs harmlessly. Same single-writer + park/rename contract as
+    * every store fold. */
+  def compactBloomStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"))
+    swapFolded(spark, path, s"bits=${kv("bits")},k=${kv("k")}",
+      spark.read.parquet(path)
+        .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+        .select(lit(FoldEpoch).as("epoch"), col("word"), col("bits")))
+  }
+
   // ---------------------------------------------------------------------
   // Fixed-bin histogram quantiles: the add-mergeable companion to the
   // max-mergeable HLL registers. One map-side-combined pass collapses the
@@ -825,6 +899,23 @@ object Sketch {
     quantilesFromBins(merged, lo, width, pcts)
   }
 
+  /** Quiesced compaction: fold every epoch's counters into ONE epoch
+    * holding the per-bin SUM. Counter addition is associative, so the
+    * post-fold quantiles are bit-identical. The folded epoch keeps the
+    * max id, and the exactly-once append rule carries over unchanged: a
+    * NEW epoch appends, a reused id still fails loud (ADD cannot
+    * forgive replay, before or after a fold). */
+  def compactHistStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val kv = readStoreLayout(spark, path, "histogram",
+      Set("lo", "width", "bins"), HistHints)
+    swapFolded(spark, path,
+      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}",
+      spark.read.parquet(path)
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .select(lit(FoldEpoch).as("epoch"), col("bin"), col("cnt")))
+  }
+
   /** Create/replace a GROUPED histogram store: (epoch, <group>, bin,
     * cnt) parquet with a layout record pinning the grid AND the group
     * column — per-segment latency/size quantiles over epoch spans, the
@@ -887,6 +978,21 @@ object Sketch {
       .filter(epochFilter)
       .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
     quantilesFromBins(merged, lo, width, pcts, Seq(g))
+  }
+
+  /** [[compactHistStore]] for the grouped grid: per-(group, bin) SUM
+    * into one epoch; same exactly-once append rule after the fold. */
+  def compactGroupedHistStore(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val kv = readStoreLayout(spark, path, "grouped histogram",
+      Set("lo", "width", "bins", "group"), GroupedHistHints)
+    val g = kv("group")
+    swapFolded(spark, path,
+      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")},group=$g",
+      spark.read.parquet(path)
+        .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .select(lit(FoldEpoch).as("epoch"), col(g), col("bin"),
+          col("cnt")))
   }
 
   // ---------------------------------------------------------------------
@@ -1338,6 +1444,19 @@ object Sketch {
         kmvEstimateCol(k).as("estimate"))
   }
 
+  /** Quiesced compaction: fold every epoch's bottom-k slab into ONE
+    * epoch holding the merged bottom-k set (union + re-trim, exactly
+    * the [[mergedKmvEstimate]] read) — set union is idempotent, so the
+    * post-fold estimate is bit-identical and a replayed last batch
+    * re-unions harmlessly. */
+  def compactKmvStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val k = readKmvK(spark, path)
+    swapFolded(spark, path, s"k=$k",
+      mergedHashesAtK(spark, path, k, lit(true))
+        .select(lit(FoldEpoch).as("epoch"), col("h")))
+  }
+
   // ---------------------------------------------------------------------
   // Grouped KMV store: (epoch, <group>, h) rows — per-segment bottom-k
   // sketches that merge by per-group set-union + re-trim, feeding the
@@ -1423,36 +1542,19 @@ object Sketch {
     * into ONE epoch holding each group's merged bottom-k set (union +
     * re-trim — exactly [[mergedGroupedKmvHashes]], so the post-fold
     * matrix is bit-identical; StreamingSpec pins it across a mid-stream
-    * compaction). The folded epoch keeps the max epoch id seen, so an
-    * at-least-once replay of the last batch after the fold is re-unioned
-    * (harmless), not doubled. Same single-writer contract as every
+    * compaction). The folded baseline lands at the
+    * reserved [[FoldEpoch]] id, so an at-least-once replay of the last
+    * batch after the fold re-unions next to it (harmless), never
+    * collides with it. Same single-writer contract as every
     * store fold: run while the stream is quiesced. The swap runs under
     * the park/rename/crash-recover protocol — a crash mid-swap leaves
     * either the old store or the folded one, never a torn dir. */
   def compactGroupedKmvStore(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
     val (k, g) = readGroupedKmvLayout(spark, path)
-    val epochRow = spark.read.parquet(path).agg(max(col("epoch"))).head()
-    val keepEpoch = if (epochRow.isNullAt(0)) 0L else epochRow.getLong(0)
-    val dstP = new org.apache.hadoop.fs.Path(path)
-    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
-    val tmpP = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val fs = dstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sinks.Sinks.recoverOld(fs, oldP, dstP)
-    fs.delete(tmpP, true)
-    // materializes BEFORE the swap: the write reads the live store
-    mergedGroupedKmvHashes(spark, path)
-      .select(lit(keepEpoch).as("epoch"), col(g), col("h"))
-      .write.parquet(tmpP.toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(tmpP, "_graft_layout"),
-      true)
-    try out.write(s"gk=$k,group=$g\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    graft.sinks.Sinks.renameOrThrow(fs, dstP, oldP)
-    graft.sinks.Sinks.renameOrThrow(fs, tmpP, dstP)
-    fs.delete(oldP, true)
-    ()
+    swapFolded(spark, path, s"gk=$k,group=$g",
+      mergedGroupedKmvHashes(spark, path)
+        .select(lit(FoldEpoch).as("epoch"), col(g), col("h")))
   }
 
   private def readGroupedKmvLayout(spark: org.apache.spark.sql.SparkSession,

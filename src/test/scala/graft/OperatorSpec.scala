@@ -1707,6 +1707,21 @@ class OperatorSpec extends SparkSpecBase {
       graft.ops.Sketch.appendHistStore(e2, dir, epoch = 3L, "v",
         0.0, 2.0, 64)
     }
+    // quiesced fold: counter-sum associativity makes the post-fold
+    // quantiles bit-identical, epochs collapse to the reserved baseline,
+    // and a FRESH epoch still appends on top of it
+    graft.ops.Sketch.compactHistStore(spark, dir)
+    assert(spark.read.parquet(dir).select("epoch").distinct()
+      .as[Long].collect().toSeq == Seq(graft.ops.Sketch.FoldEpoch))
+    val folded = graft.ops.Sketch
+      .mergedHistQuantiles(spark, dir, Seq(50, 95, 99))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(folded == merged, s"fold changed the quantiles: $folded")
+    graft.ops.Sketch.appendHistStore(e2, dir, epoch = 3L, "v",
+      0.0, 1.0, 64)
+    assert(graft.ops.Sketch.mergedHistQuantiles(spark, dir, Seq(50))
+      .as[(Long, Long, Long, Long, Double)].head()._4 == 10000L,
+      "post-fold append must keep counting (4000 + 3000 + 3000)")
   }
 
   test("grouped histogram store: merged per-group quantiles are " +
@@ -1763,6 +1778,15 @@ class OperatorSpec extends SparkSpecBase {
         graft.ops.Sketch.mergedGroupedHistQuantiles(spark, udir, Seq(50))
       }
       assert(wrongU.getMessage.contains("UNGROUPED"), wrongU.getMessage)
+      // quiesced fold: per-(group, bin) sums collapse to the baseline
+      // epoch and the per-group quantiles stay bit-identical
+      graft.ops.Sketch.compactGroupedHistStore(spark, dir)
+      assert(spark.read.parquet(dir).select("epoch").distinct()
+        .as[Long].collect().toSeq == Seq(graft.ops.Sketch.FoldEpoch))
+      val folded = graft.ops.Sketch
+        .mergedGroupedHistQuantiles(spark, dir, Seq(50, 95, 99))
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+      assert(folded == merged, s"fold changed grouped quantiles: $folded")
     }
   }
 

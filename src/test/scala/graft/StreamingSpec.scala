@@ -207,13 +207,20 @@ class StreamingSpec extends SparkSpecBase {
       events, s"$dir/store", s"$dir/ckpt",
       trigger = Trigger.ProcessingTime("0 seconds")).start()
     val batches = Seq((1L to 2000L), (1500L to 4500L), (4000L to 6000L))
+    // quiesced mid-stream fold after batch 2: MAX-merge is idempotent,
+    // so everything asserted below must hold identically across it
     try {
-      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b); q.processAllAvailable()
+        if (i == 1) graft.ops.Sketch.compactHllStore(spark, s"$dir/store")
+      }
     } finally q.stop()
-    // one epoch per micro-batch landed
+    // the fold collapsed epochs {0,1} into the reserved baseline; batch 2
+    // then appended its own slab
     val epochs = spark.read.parquet(s"$dir/store")
       .select("epoch").distinct().as[Long].collect().sorted
-    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    assert(epochs.toSeq == Seq(graft.ops.Sketch.FoldEpoch, 2L),
+      s"epochs: ${epochs.toSeq}")
     val merged = graft.ops.Sketch.mergedHllEstimate(spark, s"$dir/store")
       .as[(Long, Long, Long, Double)].head()
     val oneShot = graft.ops.Sketch.hllEstimate(
@@ -241,12 +248,18 @@ class StreamingSpec extends SparkSpecBase {
       events, s"$dir/store", s"$dir/ckpt",
       trigger = Trigger.ProcessingTime("0 seconds")).start()
     val batches = Seq((1L to 2000L), (1500L to 4500L), (4000L to 6000L))
+    // quiesced mid-stream fold: union + re-trim is exactly the merged
+    // read, so the estimate must be bit-identical across it
     try {
-      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b); q.processAllAvailable()
+        if (i == 1) graft.ops.Sketch.compactKmvStore(spark, s"$dir/store")
+      }
     } finally q.stop()
     val epochs = spark.read.parquet(s"$dir/store")
       .select("epoch").distinct().as[Long].collect().sorted
-    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    assert(epochs.toSeq == Seq(graft.ops.Sketch.FoldEpoch, 2L),
+      s"epochs: ${epochs.toSeq}")
     val merged = graft.ops.Sketch.mergedKmvEstimate(spark, s"$dir/store")
       .as[(Long, Long, Long, Long)].head()
     val oneShot = graft.ops.Sketch.kmvEstimate(
@@ -367,12 +380,18 @@ class StreamingSpec extends SparkSpecBase {
       trigger = Trigger.ProcessingTime("0 seconds")).start()
     val batches = Seq((1 to 200).map(i => s"doc$i"),
       (150 to 400).map(i => s"doc$i"), (350 to 500).map(i => s"doc$i"))
+    // quiesced mid-stream fold: OR-merge is idempotent, so the probe
+    // behavior below must be identical across it
     try {
-      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b); q.processAllAvailable()
+        if (i == 1) graft.ops.Sketch.compactBloomStore(spark, s"$dir/store")
+      }
     } finally q.stop()
     val epochs = spark.read.parquet(s"$dir/store")
       .select("epoch").distinct().as[Long].collect().sorted
-    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    assert(epochs.toSeq == Seq(graft.ops.Sketch.FoldEpoch, 2L),
+      s"epochs: ${epochs.toSeq}")
     val merged = graft.ops.Sketch.mergedBloomWords(spark, s"$dir/store")
       .as[(Long, Long)].collect().sorted.toSeq
     val oneShot = graft.ops.Sketch.bloomWords(
@@ -413,12 +432,21 @@ class StreamingSpec extends SparkSpecBase {
     val batches = (0 until 3).map(b =>
       (0 to 5).flatMap(i => Seq.fill(1 << (10 - i))(s"h$i")) ++
         (1 to 100).map(i => s"s${b}_$i"))
+    // quiesced mid-stream fold: epochs below the newest collapse into
+    // the reserved baseline, the newest partition stays live (the MG
+    // replay contract rides on per-epoch dynamic overwrite), and
+    // counter-sum associativity keeps every bound below identical
     try {
-      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b); q.processAllAvailable()
+        if (i == 1)
+          graft.ops.Scale.compactTopFreqStore(spark, s"$dir/store")
+      }
     } finally q.stop()
     val epochs = spark.read.parquet(s"$dir/store")
       .select("epoch").distinct().as[Long].collect().sorted
-    assert(epochs.length == batches.length, s"epochs: ${epochs.toSeq}")
+    assert(epochs.toSeq == Seq(graft.ops.Sketch.FoldEpoch, 1L, 2L),
+      s"epochs: ${epochs.toSeq}")
     val est = graft.ops.Scale.mergedHeavyHitters(spark, s"$dir/store")
       .as[(String, Long)].collect().toMap
     val exact = batches.flatten.groupBy(identity)
