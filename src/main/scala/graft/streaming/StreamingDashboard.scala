@@ -229,7 +229,8 @@ object StreamingDashboard {
   def runHllRegisterStore(events: DataFrame, storePath: String,
                           checkpoint: String, userCol: String = "user_id",
                           p: Int = 6,
-                          trigger: Trigger = Trigger.AvailableNow())
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          compactEvery: Int = 0)
   : DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
@@ -241,6 +242,12 @@ object StreamingDashboard {
           graft.ops.Sketch.writeHllStore(items, storePath, epoch = id, p = p)
         else
           graft.ops.Sketch.appendHllStore(items, storePath, epoch = id, p = p)
+        // in-runner auto-fold (single-writer: foreachBatch is the only
+        // writer and the fold runs between batch commits). Crash-safe:
+        // a fold that lands before the checkpoint commit just means the
+        // batch replays next to the baseline — MAX-merge is idempotent
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          graft.ops.Sketch.compactHllStore(batch.sparkSession, storePath)
       }
 
   /** Streamed KMV bottom-k store maintenance — each micro-batch appends
@@ -256,7 +263,8 @@ object StreamingDashboard {
   def runKmvStore(events: DataFrame, storePath: String,
                   checkpoint: String, userCol: String = "user_id",
                   k: Int = 256,
-                  trigger: Trigger = Trigger.AvailableNow())
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  compactEvery: Int = 0)
   : DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
@@ -268,6 +276,10 @@ object StreamingDashboard {
           graft.ops.Sketch.writeKmvStore(items, storePath, epoch = id, k = k)
         else
           graft.ops.Sketch.appendKmvStore(items, storePath, epoch = id, k = k)
+        // auto-fold cadence; union + re-trim is idempotent under a
+        // replayed batch landing next to the folded baseline
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          graft.ops.Sketch.compactKmvStore(batch.sparkSession, storePath)
       }
 
   /** Streaming audience-overlap monitor: ONE stream maintains TWO KMV
@@ -316,7 +328,8 @@ object StreamingDashboard {
   def runGroupedKmvStore(events: DataFrame, storePath: String,
                          checkpoint: String, groupCol: String,
                          valueCol: String = "item", k: Int = 256,
-                         trigger: Trigger = Trigger.AvailableNow())
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         compactEvery: Int = 0)
   : DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
@@ -331,6 +344,9 @@ object StreamingDashboard {
         else
           graft.ops.Sketch.appendGroupedKmvStore(batch, storePath,
             epoch = id, groupCol = groupCol, valueCol = valueCol, k = k)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          graft.ops.Sketch.compactGroupedKmvStore(batch.sparkSession,
+            storePath)
       }
 
   /** Full pipeline: 5-min update-mode aggregation → per-trigger foreachBatch

@@ -49,7 +49,8 @@ object StreamingDedup {
                     checkpoint: String, valueCol: String = "text",
                     bitsLog2: Int = 12, k: Int = 3,
                     trigger: org.apache.spark.sql.streaming.Trigger =
-                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                    compactEvery: Int = 0)
   : DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
@@ -64,6 +65,10 @@ object StreamingDedup {
         else
           graft.ops.Sketch.appendBloomStore(members, storePath, epoch = id,
             bitsLog2 = bitsLog2, k = k)
+        // auto-fold cadence (single-writer between batch commits); a
+        // replayed batch re-ORs next to the baseline harmlessly
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          graft.ops.Sketch.compactBloomStore(batch.sparkSession, storePath)
       }
 
   /** Heavy-hitter store maintained at ingest — each micro-batch appends
@@ -87,7 +92,8 @@ object StreamingDedup {
                       checkpoint: String, valueCol: String = "text",
                       k: Int = 64,
                       trigger: org.apache.spark.sql.streaming.Trigger =
-                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                      compactEvery: Int = 0)
   : DataStreamWriter[Row] =
     rows.writeStream
       .outputMode("append")
@@ -103,6 +109,10 @@ object StreamingDedup {
         else
           graft.ops.Scale.appendTopFreqStore(items, storePath, epoch = id,
             k = k)
+        // auto-fold cadence: the MG fold keeps THIS batch's partition
+        // live, so a replay still overwrites only its own partition
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          graft.ops.Scale.compactTopFreqStore(batch.sparkSession, storePath)
       }
 
   /** Streaming NEAR-dup detection — the minhash-band counterpart of

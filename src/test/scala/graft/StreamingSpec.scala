@@ -276,6 +276,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == merged, "replayed epoch must not drift the estimate")
   }
 
+  test("T13d auto-fold cadence: a runner with compactEvery = 2 keeps the " +
+    "epoch count bounded across 4 batches and the estimate bit-identical") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_kmvauto").toString
+    val mem = MemoryStream[Long]
+    val q = StreamingDashboard.runKmvStore(
+      mem.toDF().toDF("user_id"), s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("0 seconds"), compactEvery = 2)
+      .start()
+    val batches = Seq((1L to 1500L), (1000L to 3000L), (2500L to 4000L),
+      (3500L to 5000L))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // folds fired after batches 1 and 3: everything is in the baseline
+    val epochs = spark.read.parquet(s"$dir/store")
+      .select("epoch").distinct().as[Long].collect().sorted
+    assert(epochs.toSeq == Seq(graft.ops.Sketch.FoldEpoch),
+      s"epochs: ${epochs.toSeq}")
+    val merged = graft.ops.Sketch.mergedKmvEstimate(spark, s"$dir/store")
+      .as[(Long, Long, Long, Long)].head()
+    val oneShot = graft.ops.Sketch.kmvEstimate(
+        batches.flatten.toDF("user_id"), valueCol = "user_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(merged == ((oneShot._1, oneShot._2, oneShot._3, oneShot._4)),
+      s"auto-folded store $merged != one-shot $oneShot")
+  }
+
   test("T13e streamed KMV overlap stores: the stored-sketch theta row " +
     "after quiesce equals the batch intersection of everything " +
     "ingested; mixed-k stores fail loud") {
