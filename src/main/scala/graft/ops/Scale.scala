@@ -331,6 +331,7 @@ object Scale {
     * Single-writer while quiesced; park/rename swap. */
   def compactTopFreqStore(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
+    Sketch.recoverParked(spark, path)
     val k = Sketch.readStoreLayout(spark, path, "top-freq",
       Set("tfk"))("tfk")
     // cast: a partitionBy("epoch") column reads back with an INFERRED

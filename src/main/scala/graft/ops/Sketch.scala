@@ -422,6 +422,21 @@ object Sketch {
     * The folded plan MUST read the live store lazily: it materializes
     * during the tmp write, before the live dir moves. Single-writer
     * while the owning stream is quiesced (every fold's contract). */
+  /** Restore a store parked by a crashed swap (dst renamed to `__old`
+    * but the folded tmp never renamed in): the parked dir moves back.
+    * Every `compact*Store` calls this FIRST — the layout read would
+    * otherwise fail loud on the torn window — and plain readers stay
+    * read-only by design: a reader that mutated would race other
+    * readers on the rename, and the torn window already fails loud
+    * with the no-layout-record message rather than answering wrong. */
+  private[ops] def recoverParked(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
+    val dstP = new org.apache.hadoop.fs.Path(path)
+    val fs = dstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.recoverOld(fs,
+      new org.apache.hadoop.fs.Path(path + "__old"), dstP)
+  }
+
   private[ops] def swapFolded(spark: org.apache.spark.sql.SparkSession,
                               path: String, layoutLine: String,
                               folded: DataFrame,
@@ -527,6 +542,7 @@ object Sketch {
     * stays harmless. Single-writer while quiesced; park/rename swap. */
   def compactHllStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
+    recoverParked(spark, path)
     val p = readStoreLayout(spark, path, "HLL", Set("p"))("p")
     swapFolded(spark, path, s"p=$p",
       spark.read.parquet(path)
@@ -718,6 +734,7 @@ object Sketch {
     * every store fold. */
   def compactBloomStore(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
+    recoverParked(spark, path)
     val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"))
     swapFolded(spark, path, s"bits=${kv("bits")},k=${kv("k")}",
       spark.read.parquet(path)
@@ -907,6 +924,7 @@ object Sketch {
     * forgive replay, before or after a fold). */
   def compactHistStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
+    recoverParked(spark, path)
     val kv = readStoreLayout(spark, path, "histogram",
       Set("lo", "width", "bins"), HistHints)
     swapFolded(spark, path,
@@ -984,6 +1002,7 @@ object Sketch {
     * into one epoch; same exactly-once append rule after the fold. */
   def compactGroupedHistStore(spark: org.apache.spark.sql.SparkSession,
                               path: String): Unit = {
+    recoverParked(spark, path)
     val kv = readStoreLayout(spark, path, "grouped histogram",
       Set("lo", "width", "bins", "group"), GroupedHistHints)
     val g = kv("group")
@@ -1451,6 +1470,7 @@ object Sketch {
     * re-unions harmlessly. */
   def compactKmvStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
+    recoverParked(spark, path)
     val k = readKmvK(spark, path)
     swapFolded(spark, path, s"k=$k",
       mergedHashesAtK(spark, path, k, lit(true))
@@ -1551,6 +1571,7 @@ object Sketch {
     * either the old store or the folded one, never a torn dir. */
   def compactGroupedKmvStore(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
+    recoverParked(spark, path)
     val (k, g) = readGroupedKmvLayout(spark, path)
     swapFolded(spark, path, s"gk=$k,group=$g",
       mergedGroupedKmvHashes(spark, path)

@@ -1516,6 +1516,23 @@ class OperatorSpec extends SparkSpecBase {
       .as[Long].collect().sorted.toSeq
     assert(mergedHashes == oneShotHashes,
       "merged store hashes must equal the one-shot bottom-k set")
+    // crash-recovery of the fold swap: simulate a crash between the
+    // park (dst -> __old) and the rename-in — the next compact's
+    // recoverOld must restore the parked store and fold it, answer
+    // unchanged (replayed-epoch rows and all: set union)
+    val fsP = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.Sinks.renameOrThrow(fs, fsP,
+      new org.apache.hadoop.fs.Path(dir + "__old"))
+    intercept[IllegalArgumentException] { // torn window is LOUD, not wrong
+      graft.ops.Sketch.mergedKmvEstimate(spark, dir)
+    }
+    graft.ops.Sketch.compactKmvStore(spark, dir)
+    assert(spark.read.parquet(dir).select("epoch").distinct()
+      .as[Long].collect().toSeq == Seq(graft.ops.Sketch.FoldEpoch))
+    assert(graft.ops.Sketch.mergedKmvEstimate(spark, dir)
+      .as[(Long, Long, Long, Long)].head() == merged,
+      "post-crash fold must recover the parked store bit-identically")
     // k drift must fail loud, not silently under-estimate
     intercept[IllegalArgumentException] {
       graft.ops.Sketch.appendKmvStore(e1, dir, epoch = 4L, k = 128)
