@@ -1064,6 +1064,46 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_tokens"))
   }
 
+  /** CCNet-style per-language perplexity bucketing — the famous
+    * head/middle/tail split: documents are scored under the corpus
+    * unigram LM ([[lmSurprisal]]'s exact-integer bit construction),
+    * ranked per stratum by integer milli-bits-per-token
+    * (`(sum_bits · 10^6) div n_tokens` — an exact rational surrogate
+    * for perplexity order, no float ratio in the sort key), and
+    * assigned equal-count buckets with the floor formula
+    * (`((rn−1)·buckets) div n + 1`, the q211 device — never NTILE,
+    * whose remainder split differs across engines). Bucket 1 = the
+    * lowest-surprisal (cleanest, most-LM-like) slice, the one CCNet
+    * keeps; bucket `buckets` = the tail. Documents with no tokens have
+    * no LM score and are absent — the caller's filter decision, not a
+    * silent default.
+    *
+    * 100 TB posture: the LM score is [[lmSurprisal]]'s token-keyed
+    * aggregates; the per-stratum rank is the range-partitioned
+    * two-phase [[graft.ops.Scale.groupedRankOrdered]] (no per-language
+    * single-task window — 'en' IS a hot key); stratum sizes broadcast.
+    */
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3,
+                        strataCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val sur = lmSurprisal(docs, idCol, textCol)
+      .select(col(idCol), col("sum_bits"), col("n_tokens"))
+      .withColumn("mbits_per_token",
+        expr("(sum_bits * 1000000) div n_tokens"))
+    val keyed = docs.select(col(idCol), col(strataCol))
+      .join(sur, idCol)
+      .select(col(idCol), col(strataCol), col("mbits_per_token"))
+    val ranked = graft.ops.Scale.groupedRankOrdered(keyed,
+      Seq(strataCol), Seq("mbits_per_token", idCol), "__rn")
+    val sizes = keyed.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(sizes), strataCol)
+      .select(col(idCol), col(strataCol), col("mbits_per_token"),
+        (expr(s"((__rn - 1) * $buckets) div __n") + lit(1L)).as("bucket"))
+  }
+
   /** Subword-vocabulary induction — the tokenizer-training prep stage
     * (BPE/WordPiece initialization): candidate subword units are every
     * character n-gram (nMin ≤ n ≤ nMax) of every corpus token, scored by

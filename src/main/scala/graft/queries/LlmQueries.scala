@@ -379,6 +379,11 @@ object LlmQueries {
         targets = Seq("zh" -> 2.5, "fr" -> 3.0))
       .select("doc_id", "lang", "rep")
 
+  /** CCNet head/middle/tail: per-language perplexity terciles under the
+    * corpus unigram LM — see TextAnalysis.perplexityBuckets. */
+  def perplexityBucketsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(Tables.documents(s, dir), buckets = 3)
+
   /** Per-source cap (10/source): salted content-hash draw ordering, so the
     * survivor set is engine- and partitioning-stable. */
   def sourceCap(s: SparkSession, dir: String): DataFrame =
@@ -1185,6 +1190,7 @@ object LlmQueries {
     "q63_mixture_sample" -> mixtureSample,
     "q240_weighted_sample" -> weightedSampleQ,
     "q241_mixture_upsample" -> mixtureUpsampleQ,
+    "q242_perplexity_buckets" -> perplexityBucketsQ,
     "q64_source_cap" -> sourceCap,
     "q65_lm_surprisal" -> lmSurprisal,
     "q66_incremental_dedup" -> incrementalDedup,
@@ -2841,6 +2847,22 @@ object LlmQueries {
         |  FROM d)
         |SELECT doc_id, lang, CAST(t.rep AS BIGINT) AS rep
         |FROM r, UNNEST(range(0, reps)) AS t(rep)""".stripMargin,
+    "q242_perplexity_buckets" ->
+      s"""WITH $surprisalCtes,
+        |kx AS (SELECT doc_id,
+        |         CAST((sum_bits * 1000000) // n_tokens AS BIGINT)
+        |           AS mbits_per_token
+        |       FROM surx),
+        |jx AS (SELECT d.doc_id, d.lang, kx.mbits_per_token
+        |       FROM documents d JOIN kx USING (doc_id)),
+        |rx AS (SELECT doc_id, lang, mbits_per_token,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY mbits_per_token, doc_id) AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |       FROM jx)
+        |SELECT doc_id, lang, mbits_per_token,
+        |  ((rn - 1) * 3) // n + 1 AS bucket
+        |FROM rx""".stripMargin,
     "q61_contamination" ->
       s"""WITH $sh5Ctes,
         |fp AS (SELECT doc_id,

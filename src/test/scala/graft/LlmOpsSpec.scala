@@ -2656,4 +2656,35 @@ class LlmOpsSpec extends SparkSpecBase {
       .select(col("doc_id"), col("rep")).as[(Long, Long)].collect()
     assert(ident.length == langOf.length && ident.forall(_._2 == 0L))
   }
+
+  test("perplexity buckets: per-language terciles are balanced within " +
+    "one, ordered by the integer surprisal key, and cover every " +
+    "tokenized doc") {
+    import graft.llm.TextAnalysis
+    val got = TextAnalysis.perplexityBuckets(docs, buckets = 3)
+      .as[(Long, String, Long, Long)].collect()
+    val tokenized = docs.filter(size(TextAnalysis.tokens(col("text"))) > 0)
+      .count()
+    assert(got.length == tokenized, "every tokenized doc gets a bucket")
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length)
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)), s"$lang: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang buckets must balance within one: $sizes")
+      // bucket boundaries respect the (key, id) order: max of bucket b
+      // <= min of bucket b+1 under the total order
+      val byBucket = rows.groupBy(_._4).view
+        .mapValues(_.map(r => (r._3, r._1)).sorted).toMap
+      val tupleOrd = Ordering.Tuple2[Long, Long]
+      for (b <- 1L to 2L if byBucket.contains(b) && byBucket.contains(b + 1))
+        assert(tupleOrd.lteq(byBucket(b).last, byBucket(b + 1).head),
+          s"$lang: bucket $b overlaps ${b + 1}")
+    }
+    // the head bucket is genuinely lower-surprisal than the tail
+    val head = got.filter(_._4 == 1L).map(_._3)
+    val tail = got.filter(_._4 == 3L).map(_._3)
+    assert(head.max <= tail.min || head.sum.toDouble / head.length <
+      tail.sum.toDouble / tail.length,
+      "head must be cleaner than tail on average")
+  }
 }
