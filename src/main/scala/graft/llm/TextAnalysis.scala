@@ -762,6 +762,32 @@ object TextAnalysis {
       .select(col(idCol), col("weight"), col("key"))
   }
 
+  /** Per-stratum weighted bottom-k — [[weightedSampleK]]'s global heap
+    * replaced by the range-partitioned two-phase grouped rank: k
+    * winners PER stratum, inclusion ∝ weight within each (the "equal
+    * slots per language, weighted within" eval-set constructor). Same
+    * integer-exact key (`h div w`), same NULL/non-positive-weight
+    * domain rule; the grouped rank never funnels a hot stratum through
+    * one task ([[graft.ops.Scale.groupedRankOrdered]]).
+    */
+  def weightedSampleKPerGroup(docs: DataFrame, k: Int, weightCol: Column,
+                              groupCol: String = "lang",
+                              idCol: String = "doc_id",
+                              salt: String = "|wsample",
+                              textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val keyed = docs.select(col(groupCol), col(idCol),
+        weightCol.cast("long").as("weight"),
+        fingerprint(concat(col(textCol), lit(salt))).as("__h"))
+      .filter(col("weight") > 0)
+      .withColumn("key", expr("__h div weight"))
+      .select(col(groupCol), col(idCol), col("weight"), col("key"))
+    graft.ops.Scale.groupedRankOrdered(keyed, Seq(groupCol),
+        Seq("key", idCol), "__rn")
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col(idCol), col("weight"), col("key"))
+  }
+
   /** Deterministic stratified mixture UPsampling — the replication
     * complement of [[mixtureSample]] (the standard low-resource-language
     * / rare-domain move: replicate the tail instead of starving on it).

@@ -384,6 +384,12 @@ object LlmQueries {
   def perplexityBucketsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.perplexityBuckets(Tables.documents(s, dir), buckets = 3)
 
+  /** Per-language weighted bottom-20: equal slots per stratum, inclusion
+    * ∝ token count within — see TextAnalysis.weightedSampleKPerGroup. */
+  def weightedSamplePerLangQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.weightedSampleKPerGroup(Tables.documents(s, dir), k = 20,
+      weightCol = TextAnalysis.tokenCount(col("text")))
+
   /** Per-source cap (10/source): salted content-hash draw ordering, so the
     * survivor set is engine- and partitioning-stable. */
   def sourceCap(s: SparkSession, dir: String): DataFrame =
@@ -1191,6 +1197,7 @@ object LlmQueries {
     "q240_weighted_sample" -> weightedSampleQ,
     "q241_mixture_upsample" -> mixtureUpsampleQ,
     "q242_perplexity_buckets" -> perplexityBucketsQ,
+    "q243_weighted_sample_grouped" -> weightedSamplePerLangQ,
     "q64_source_cap" -> sourceCap,
     "q65_lm_surprisal" -> lmSurprisal,
     "q66_incremental_dedup" -> incrementalDedup,
@@ -2863,6 +2870,16 @@ object LlmQueries {
         |SELECT doc_id, lang, mbits_per_token,
         |  ((rn - 1) * 3) // n + 1 AS bucket
         |FROM rx""".stripMargin,
+    "q243_weighted_sample_grouped" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+        |    CAST(len($toksSql) AS BIGINT) AS weight,
+        |    ${fpSql("text || '|wsample'")} AS h
+        |  FROM documents),
+        |ks AS (SELECT lang, doc_id, weight, h // weight AS key
+        |       FROM d WHERE weight > 0)
+        |SELECT lang, doc_id, weight, key FROM ks
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY key, doc_id) <= 20""".stripMargin,
     "q61_contamination" ->
       s"""WITH $sh5Ctes,
         |fp AS (SELECT doc_id,

@@ -2687,4 +2687,30 @@ class LlmOpsSpec extends SparkSpecBase {
       tail.sum.toDouble / tail.length,
       "head must be cleaner than tail on average")
   }
+
+  test("grouped weighted bottom-k: per-stratum winners equal a " +
+    "driver-side recompute and strata never borrow each other's slots") {
+    import graft.llm.TextAnalysis
+    val k = 7
+    val got = TextAnalysis.weightedSampleKPerGroup(docs, k,
+        TextAnalysis.tokenCount(col("text")))
+      .as[(String, Long, Long, Long)].collect()
+    val all = docs.select(col("lang"), col("doc_id"), col("text"))
+      .as[(String, Long, String)].collect().flatMap { case (lang, id, text) =>
+        val w = text.split("\\s+").count(_.nonEmpty).toLong
+        if (w > 0)
+          Some((lang, TextAnalysis.fingerprintOf(text + "|wsample") / w, id, w))
+        else None
+      }
+    val want = all.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.map(r => (r._2, r._3, r._4)).sorted.take(k).toSeq
+        .map { case (key, id, w) => (lang, id, w, key) }
+    }.toSet
+    assert(got.toSet == want,
+      s"grouped winner mismatch: ${(got.toSet -- want).take(3)} / ${(want -- got.toSet).take(3)}")
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(k, all.count(_._1 == lang)),
+        s"$lang must fill its own ${k} slots")
+    }
+  }
 }
