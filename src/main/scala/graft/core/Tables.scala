@@ -108,6 +108,17 @@ object Tables {
             deleteRecursively(root) // a crashed markerless partial
             require(tmp.renameTo(root),
               s"eventsDayPartitioned: rename $tmp -> $root failed")
+            // sweep superseded generations of the SAME dataset path
+            // (older fingerprints) — without this every regeneration
+            // leaked a full events copy under tmpdir; still under the
+            // lock, and stale-generation readers were reading a dead
+            // dataset anyway
+            val prefix = "d" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_"
+            Option(base.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith(prefix) &&
+                f.getName != key && f.getName != key + ".lock" &&
+                f.getName != key + "__tmp")
+              .foreach(deleteRecursively)
           } finally lk.release()
         } finally ch.close()
       }

@@ -1164,11 +1164,13 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      // typed collect: two primitive-ish longs per edge instead of a
-      // GenericRow per edge — the collect is the driver-heap hot spot
+      // typed collect of the DIRECTED relation: union-find is
+      // direction-agnostic, so collecting the pre-swap half materializes
+      // half the boxed tuples the symmetrized relation would — the
+      // driver-heap hot spot the threshold is budgeted against
       val sp = vertices.sparkSession
       import sp.implicits._
-      sym.select(col("__src").cast("long"), col("__dst").cast("long"))
+      edges0.select(col("__src").cast("long"), col("__dst").cast("long"))
         .as[(Long, Long)]
         .collect().foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a)

@@ -753,9 +753,14 @@ object TextAnalysis {
                       idCol: String = "doc_id", salt: String = "|wsample",
                       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // domain: weight must be a positive INTEGER measure (token count,
+    // byte size — fractional weights truncate via the long cast, so
+    // scale scores to integer units first), and NULL text has no draw
+    // (a NULL key would sort NULLS FIRST in Spark and NULLS LAST in an
+    // oracle — excluded on both sides instead)
     docs.select(col(idCol), weightCol.cast("long").as("weight"),
         fingerprint(concat(col(textCol), lit(salt))).as("__h"))
-      .filter(col("weight") > 0)
+      .filter(col("weight") > 0 && col("__h").isNotNull)
       .withColumn("key", expr("__h div weight"))
       .orderBy(col("key"), col(idCol))
       .limit(k)
@@ -779,7 +784,7 @@ object TextAnalysis {
     val keyed = docs.select(col(groupCol), col(idCol),
         weightCol.cast("long").as("weight"),
         fingerprint(concat(col(textCol), lit(salt))).as("__h"))
-      .filter(col("weight") > 0)
+      .filter(col("weight") > 0 && col("__h").isNotNull)
       .withColumn("key", expr("__h div weight"))
       .select(col(groupCol), col(idCol), col("weight"), col("key"))
     graft.ops.Scale.groupedRankOrdered(keyed, Seq(groupCol),
@@ -1123,7 +1128,10 @@ object TextAnalysis {
       .select(col(idCol), col(strataCol), col("mbits_per_token"))
     val ranked = graft.ops.Scale.groupedRankOrdered(keyed,
       Seq(strataCol), Seq("mbits_per_token", idCol), "__rn")
-    val sizes = keyed.groupBy(col(strataCol))
+    // sizes from the RANKED relation (backed by the grouped rank's
+    // persisted partitioning), not from `keyed` — re-deriving keyed
+    // would run the whole unigram-LM scoring subtree a second time
+    val sizes = ranked.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(sizes), strataCol)
       .select(col(idCol), col(strataCol), col("mbits_per_token"),

@@ -306,7 +306,15 @@ object Scale {
     val spark = items.sparkSession
     require(epoch >= 0, s"epoch must be >= 0 (negative ids are reserved " +
       s"for fold baselines): $epoch")
-    val kv = Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"))
+    val kv = Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"),
+      optionalKeys = Set("folded_through"))
+    // the fold keeps the NEWEST epoch partition live, so a replay of
+    // that batch stays a self-overwrite; anything at or below the
+    // watermark was folded into the baseline and must fail loud
+    kv.get("folded_through").foreach(ft => require(epoch > ft.toLong,
+      s"epoch $epoch was folded into the baseline of $path (watermark " +
+        s"$ft) — ADD-merged MG counters double-count on replay; use a " +
+        "fresh epoch id above the watermark"))
     require(kv("tfk") == k.toString,
       s"top-freq store at $path was written with (tfk=${kv("tfk")}), " +
         s"append requested (k=$k) — rebuild the store, mixed summary " +
@@ -332,8 +340,9 @@ object Scale {
   def compactTopFreqStore(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
     Sketch.recoverParked(spark, path)
-    val k = Sketch.readStoreLayout(spark, path, "top-freq",
-      Set("tfk"))("tfk")
+    val kv = Sketch.readStoreLayout(spark, path, "top-freq",
+      Set("tfk"), optionalKeys = Set("folded_through"))
+    val k = kv("tfk")
     // cast: a partitionBy("epoch") column reads back with an INFERRED
     // (int-sized) type when every dir name fits one
     val rows = spark.read.parquet(path)
@@ -346,7 +355,16 @@ object Scale {
       .select(col("item"), col("cnt"),
         lit(graft.ops.Sketch.FoldEpoch).as("epoch"))
       .unionByName(rows.filter(col("epoch") === newest))
-    graft.ops.Sketch.swapFolded(spark, path, s"tfk=$k", folded,
+    // watermark = the max FOLDED id (strictly below the kept newest),
+    // carried monotonically across repeated folds
+    val prevFt = kv.get("folded_through").map(_.toLong)
+      .getOrElse(graft.ops.Sketch.FoldEpoch)
+    val belowRow = rows.filter(col("epoch") < newest)
+      .agg(max(col("epoch"))).head()
+    val ft = math.max(prevFt,
+      if (belowRow.isNullAt(0)) prevFt else belowRow.getLong(0))
+    graft.ops.Sketch.swapFolded(spark, path,
+      s"tfk=$k,folded_through=$ft", folded,
       partitionCols = Seq("epoch"))
   }
 
@@ -358,7 +376,8 @@ object Scale {
   def mergedHeavyHitters(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          epochFilter: Column = lit(true)): DataFrame = {
-    Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk")) // loud
+    Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"),
+      optionalKeys = Set("folded_through")) // loud
     spark.read.parquet(path)
       .filter(epochFilter)
       .groupBy(col("item")).agg(sum(col("cnt")).as("est_cnt"))

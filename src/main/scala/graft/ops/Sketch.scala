@@ -380,7 +380,8 @@ object Sketch {
       spark: org.apache.spark.sql.SparkSession,
       path: String, family: String,
       keys: Set[String],
-      hints: Map[Set[String], String] = Map.empty)
+      hints: Map[Set[String], String] = Map.empty,
+      optionalKeys: Set[String] = Set.empty)
   : Map[String, String] = {
     val (fs, lp) = layoutFile(spark, path)
     require(fs.exists(lp),
@@ -395,14 +396,23 @@ object Sketch {
     val kv = recorded.split(",").map(_.split("=", 2)).collect {
       case Array(k, v) => k -> v
     }.toMap
-    hints.get(kv.keySet).foreach(h => require(kv.keySet == keys,
+    // optional keys (fold watermarks) are stripped before the identity
+    // check — a folded store is still its family
+    val core = kv.keySet -- optionalKeys
+    hints.get(core).foreach(h => require(core == keys,
       s"store at $path $h (layout record '$recorded')"))
-    require(kv.keySet == keys,
+    require(core == keys,
       s"store at $path is not a $family store (layout record " +
         s"'$recorded'; a $family layout carries exactly " +
         s"${keys.toSeq.sorted.mkString("[", ",", "]")})")
     kv
   }
+
+  /** The fold-watermark layout key of the ADD-merge families: folds
+    * erase per-epoch rows, so the duplicate-epoch replay guard would
+    * silently pass for any folded-away id — the watermark keeps it
+    * LOUD: appends must use an epoch strictly above it. */
+  private[ops] val FoldedThroughKey = "folded_through"
 
   // the two histogram grids share keys modulo `group` — an ungrouped
   // merge over a GROUPED store would silently sum across segments (a
@@ -425,12 +435,19 @@ object Sketch {
   /** Restore a store parked by a crashed swap (dst renamed to `__old`
     * but the folded tmp never renamed in): the parked dir moves back.
     * Every `compact*Store` calls this FIRST — the layout read would
-    * otherwise fail loud on the torn window — and plain readers stay
-    * read-only by design: a reader that mutated would race other
-    * readers on the rename, and the torn window already fails loud
-    * with the no-layout-record message rather than answering wrong. */
-  private[ops] def recoverParked(spark: org.apache.spark.sql.SparkSession,
-                                 path: String): Unit = {
+    * otherwise fail loud on the torn window — and every streaming
+    * runner with an auto-fold cadence calls it BEFORE its
+    * exists-check: a batch replayed into the torn window would
+    * otherwise see "no store", overwrite-CREATE a fresh one holding
+    * only itself, and the next fold's recovery would then delete the
+    * parked history as a stale leftover. Plain READERS stay read-only
+    * by design: a reader that mutated would race other readers on the
+    * rename, and the torn window already fails loud with the
+    * no-layout-record message rather than answering wrong. Callers of
+    * this method are WRITERS (the single-writer contract), so the
+    * rename cannot race. */
+  def recoverParked(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
     val dstP = new org.apache.hadoop.fs.Path(path)
     val fs = dstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sinks.Sinks.recoverOld(fs,
@@ -884,12 +901,19 @@ object Sketch {
                       bins: Int): Unit = {
     val spark = items.sparkSession
     val kv = readStoreLayout(spark, path, "histogram",
-      Set("lo", "width", "bins"), HistHints)
+      Set("lo", "width", "bins"), HistHints, Set(FoldedThroughKey))
     val recorded = s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}"
     val requested = s"lo=$lo,width=$width,bins=$bins"
     require(recorded == requested,
       s"histogram store at $path was written with ($recorded), append " +
         s"requested ($requested) — rebuild, mixed grids sum garbage")
+    // two replay guards, one per regime: the watermark covers epochs a
+    // fold erased (their rows can no longer witness the duplicate), the
+    // row probe covers live epochs
+    kv.get(FoldedThroughKey).foreach(ft => require(epoch > ft.toLong,
+      s"epoch $epoch was folded into the baseline of $path (watermark " +
+        s"$ft) — ADD-merged counters double-count on replay; use a " +
+        "fresh epoch id above the watermark"))
     val dup = spark.read.parquet(path)
       .filter(col("epoch") === epoch).limit(1).count()
     require(dup == 0L,
@@ -908,7 +932,7 @@ object Sketch {
     // an ungrouped merge over a GROUPED store would silently sum across
     // segments (a real relation, the wrong question) — HistHints refuses
     val kv = readStoreLayout(spark, path, "histogram",
-      Set("lo", "width", "bins"), HistHints)
+      Set("lo", "width", "bins"), HistHints, Set(FoldedThroughKey))
     val (lo, width) = (kv("lo").toDouble, kv("width").toDouble)
     val merged = spark.read.parquet(path)
       .filter(epochFilter)
@@ -916,22 +940,39 @@ object Sketch {
     quantilesFromBins(merged, lo, width, pcts)
   }
 
-  /** Quiesced compaction: fold every epoch's counters into ONE epoch
-    * holding the per-bin SUM. Counter addition is associative, so the
-    * post-fold quantiles are bit-identical. The folded epoch keeps the
-    * max id, and the exactly-once append rule carries over unchanged: a
-    * NEW epoch appends, a reused id still fails loud (ADD cannot
-    * forgive replay, before or after a fold). */
+  /** Quiesced compaction: fold every epoch's counters into ONE baseline
+    * at [[FoldEpoch]] holding the per-bin SUM. Counter addition is
+    * associative, so the post-fold quantiles are bit-identical. The
+    * exactly-once append rule survives the fold LOUDLY: the layout
+    * gains a `folded_through` watermark (the max id folded away), and
+    * appends at or below it fail with the watermark — a fold must not
+    * quietly turn a replayed id into a double count just because its
+    * witness rows are gone. */
   def compactHistStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     recoverParked(spark, path)
     val kv = readStoreLayout(spark, path, "histogram",
-      Set("lo", "width", "bins"), HistHints)
+      Set("lo", "width", "bins"), HistHints, Set(FoldedThroughKey))
+    val ft = foldWatermark(spark, path, kv)
     swapFolded(spark, path,
-      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}",
+      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}" +
+        s",$FoldedThroughKey=$ft",
       spark.read.parquet(path)
         .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
         .select(lit(FoldEpoch).as("epoch"), col("bin"), col("cnt")))
+  }
+
+  /** The watermark a full fold records: the max live epoch id folded
+    * away, carried forward monotonically across repeated folds (an
+    * empty store keeps the previous watermark). */
+  private def foldWatermark(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            kv: Map[String, String]): Long = {
+    val prev = kv.get(FoldedThroughKey).map(_.toLong)
+      .getOrElse(FoldEpoch)
+    val row = spark.read.parquet(path)
+      .agg(max(col("epoch").cast("long"))).head()
+    if (row.isNullAt(0)) prev else math.max(prev, row.getLong(0))
   }
 
   /** Create/replace a GROUPED histogram store: (epoch, <group>, bin,
@@ -961,7 +1002,8 @@ object Sketch {
                              lo: Double, width: Double, bins: Int): Unit = {
     val spark = items.sparkSession
     val kv = readStoreLayout(spark, path, "grouped histogram",
-      Set("lo", "width", "bins", "group"), GroupedHistHints)
+      Set("lo", "width", "bins", "group"), GroupedHistHints,
+      Set(FoldedThroughKey))
     val recorded = s"lo=${kv("lo")},width=${kv("width")}," +
       s"bins=${kv("bins")},group=${kv("group")}"
     val requested = s"lo=$lo,width=$width,bins=$bins,group=$groupCol"
@@ -969,6 +1011,10 @@ object Sketch {
       s"grouped histogram store at $path was written with ($recorded), " +
         s"append requested ($requested) — rebuild, mixed layouts sum " +
         "garbage")
+    kv.get(FoldedThroughKey).foreach(ft => require(epoch > ft.toLong,
+      s"epoch $epoch was folded into the baseline of $path (watermark " +
+        s"$ft) — ADD-merged counters double-count on replay; use a " +
+        "fresh epoch id above the watermark"))
     val dup = spark.read.parquet(path)
       .filter(col("epoch") === epoch).limit(1).count()
     require(dup == 0L,
@@ -989,7 +1035,8 @@ object Sketch {
                                  epochFilter: Column = lit(true))
   : DataFrame = {
     val kv = readStoreLayout(spark, path, "grouped histogram",
-      Set("lo", "width", "bins", "group"), GroupedHistHints)
+      Set("lo", "width", "bins", "group"), GroupedHistHints,
+      Set(FoldedThroughKey))
     val (lo, width, g) =
       (kv("lo").toDouble, kv("width").toDouble, kv("group"))
     val merged = spark.read.parquet(path)
@@ -999,15 +1046,19 @@ object Sketch {
   }
 
   /** [[compactHistStore]] for the grouped grid: per-(group, bin) SUM
-    * into one epoch; same exactly-once append rule after the fold. */
+    * into the [[FoldEpoch]] baseline; same loud `folded_through`
+    * watermark on post-fold appends. */
   def compactGroupedHistStore(spark: org.apache.spark.sql.SparkSession,
                               path: String): Unit = {
     recoverParked(spark, path)
     val kv = readStoreLayout(spark, path, "grouped histogram",
-      Set("lo", "width", "bins", "group"), GroupedHistHints)
+      Set("lo", "width", "bins", "group"), GroupedHistHints,
+      Set(FoldedThroughKey))
     val g = kv("group")
+    val ft = foldWatermark(spark, path, kv)
     swapFolded(spark, path,
-      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")},group=$g",
+      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")},group=$g" +
+        s",$FoldedThroughKey=$ft",
       spark.read.parquet(path)
         .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
         .select(lit(FoldEpoch).as("epoch"), col(g), col("bin"),

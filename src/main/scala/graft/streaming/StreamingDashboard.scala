@@ -238,6 +238,11 @@ object StreamingDashboard {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val items = batch.select(col(userCol).as("item"))
+        // recover a torn fold BEFORE the exists-check: a replay into the
+        // park window must append to the restored history, not
+        // overwrite-create a fresh store the next fold's recovery would
+        // then delete the parked history in favor of
+        graft.ops.Sketch.recoverParked(batch.sparkSession, storePath)
         if (!graft.ops.Sketch.hllStoreExists(batch.sparkSession, storePath))
           graft.ops.Sketch.writeHllStore(items, storePath, epoch = id, p = p)
         else
@@ -272,6 +277,7 @@ object StreamingDashboard {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val items = batch.select(col(userCol).as("item"))
+        graft.ops.Sketch.recoverParked(batch.sparkSession, storePath)
         if (!graft.ops.Sketch.kmvStoreExists(batch.sparkSession, storePath))
           graft.ops.Sketch.writeKmvStore(items, storePath, epoch = id, k = k)
         else
@@ -336,6 +342,7 @@ object StreamingDashboard {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Sketch.recoverParked(batch.sparkSession, storePath)
         // kmvStoreExists only probes the layout record, whose filename
         // is shared across store families — it serves the grouped store
         if (!graft.ops.Sketch.kmvStoreExists(batch.sparkSession, storePath))

@@ -58,6 +58,10 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val members = batch.select(col(valueCol).as("item"))
+        // recover a torn fold before the exists-check (see the HLL
+        // runner: a replay must never overwrite-create over parked
+        // history)
+        graft.ops.Sketch.recoverParked(batch.sparkSession, storePath)
         if (!graft.ops.Sketch.bloomStoreExists(batch.sparkSession,
             storePath))
           graft.ops.Sketch.writeBloomStore(members, storePath, epoch = id,
@@ -102,6 +106,7 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import batch.sparkSession.implicits._
         val items = batch.select(col(valueCol).cast("string")).as[String]
+        graft.ops.Sketch.recoverParked(batch.sparkSession, storePath)
         if (!graft.ops.Scale.topFreqStoreExists(batch.sparkSession,
             storePath))
           graft.ops.Scale.writeTopFreqStore(items, storePath, epoch = id,

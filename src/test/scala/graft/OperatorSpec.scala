@@ -1533,6 +1533,21 @@ class OperatorSpec extends SparkSpecBase {
     assert(graft.ops.Sketch.mergedKmvEstimate(spark, dir)
       .as[(Long, Long, Long, Long)].head() == merged,
       "post-crash fold must recover the parked store bit-identically")
+    // the WRITER-side torn window (r16 review): a streaming batch
+    // replayed while the store sits parked must recover-then-append —
+    // an exists-check without recovery would overwrite-CREATE a fresh
+    // store holding only the replay, and the next fold's recovery would
+    // then delete the parked history. recoverParked before the
+    // exists-check (what every runner now does) keeps history intact.
+    graft.sinks.Sinks.renameOrThrow(fs, fsP,
+      new org.apache.hadoop.fs.Path(dir + "__old"))
+    graft.ops.Sketch.recoverParked(spark, dir)
+    assert(graft.ops.Sketch.kmvStoreExists(spark, dir),
+      "recovery must restore the parked store before the exists-check")
+    graft.ops.Sketch.appendKmvStore(e3, dir, epoch = 5L)
+    assert(graft.ops.Sketch.mergedKmvEstimate(spark, dir)
+      .as[(Long, Long, Long, Long)].head() == merged,
+      "replay after recovery must merge into history, not replace it")
     // k drift must fail loud, not silently under-estimate
     intercept[IllegalArgumentException] {
       graft.ops.Sketch.appendKmvStore(e1, dir, epoch = 4L, k = 128)
@@ -1734,6 +1749,15 @@ class OperatorSpec extends SparkSpecBase {
       .mergedHistQuantiles(spark, dir, Seq(50, 95, 99))
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(folded == merged, s"fold changed the quantiles: $folded")
+    // the fold ERASED epoch 2's rows, so the row-probe guard alone
+    // would wave a replayed id through as a silent double count — the
+    // folded_through watermark keeps the refusal loud (r16 review)
+    val replayedAfterFold = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendHistStore(e2, dir, epoch = 2L, "v",
+        0.0, 1.0, 64)
+    }
+    assert(replayedAfterFold.getMessage.contains("folded into the baseline"),
+      replayedAfterFold.getMessage)
     graft.ops.Sketch.appendHistStore(e2, dir, epoch = 3L, "v",
       0.0, 1.0, 64)
     assert(graft.ops.Sketch.mergedHistQuantiles(spark, dir, Seq(50))

@@ -25,8 +25,10 @@ signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 
 # Stable, code-frozen drift anchors: moderate runtimes, spread across
 # subsystems, untouched for many rounds — exactly the five queries whose
-# same-code inflation adjudicated the r15 drift fight. If a round edits
-# the code under one of these, REPLACE it here in the same commit.
+# same-code inflation adjudicated the r15 drift fight. The NEWER
+# artifact's recorded `anchors` field takes precedence when present
+# (single source of truth is the Bench stamp); this list is the
+# fallback for artifacts that predate the stamp.
 ANCHORS = ["q23_itemcf_histogram", "q40_boardstats_pairs",
            "q211_rfm_segments", "q31_simhash_pairs", "q86_hybrid_stored"]
 
@@ -58,7 +60,7 @@ def norm_sf(v) -> "str | None":
     return m.group(1) if m else str(v)
 
 
-def load(spec: str) -> "tuple[dict, dict | None, str | None]":
+def load(spec: str) -> "tuple[dict, dict | None, str | None, list | None]":
     if ":" in spec and not spec.endswith(".json") or (
             ":" in spec and not spec.split(":", 1)[0].endswith(".json")
             and "/" not in spec.split(":", 1)[0]):
@@ -70,14 +72,16 @@ def load(spec: str) -> "tuple[dict, dict | None, str | None]":
         with open(spec) as f:
             doc = json.load(f)
     if "queries" in doc:
-        return doc["queries"], doc.get("loadavg"), norm_sf(doc.get("sf"))
+        return (doc["queries"], doc.get("loadavg"), norm_sf(doc.get("sf")),
+                doc.get("anchors"))
     if "tail" in doc:  # driver round artifact (BENCH_r0N.json)
         sf = norm_sf(doc.get("sf"))
         parsed = doc.get("parsed")
         if isinstance(parsed, dict) and "queries" in parsed:
-            return parsed["queries"], parsed.get("loadavg"), sf
-        return from_tail(doc["tail"]), None, sf
-    return doc, None, None
+            return (parsed["queries"], parsed.get("loadavg"), sf,
+                    parsed.get("anchors"))
+        return from_tail(doc["tail"]), None, sf, None
+    return doc, None, None, None
 
 
 def load_isolated(near: str, sf: "str | None") -> dict:
@@ -117,11 +121,12 @@ def load_isolated(near: str, sf: "str | None") -> dict:
     return out
 
 
-def drift_factor(old: dict, new: dict) -> "tuple[float, int]":
+def drift_factor(old: dict, new: dict,
+                 anchors: "list | None") -> "tuple[float, int]":
     """Median new/old ratio over the anchor set — the host-speed scale
     between the two runs, measured on code that did not change. Needs
     >= 3 valid anchors to engage; returns (1.0, n) otherwise."""
-    ratios = sorted(new[a] / old[a] for a in ANCHORS
+    ratios = sorted(new[a] / old[a] for a in (anchors or ANCHORS)
                     if a in old and a in new and old[a] > 0.05
                     and new[a] > 0)
     if len(ratios) < 3:
@@ -136,8 +141,8 @@ def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    (old, load_old, sf_old) = load(sys.argv[1])
-    (new, load_new, sf_new) = load(sys.argv[2])
+    (old, load_old, sf_old, _) = load(sys.argv[1])
+    (new, load_new, sf_new, anchors_new) = load(sys.argv[2])
     if sf_old and sf_new and sf_old != sf_new:
         print(f"  WARNING: scale factors differ (old sf{sf_old}, "
               f"new sf{sf_new}) — per-query deltas are not comparable")
@@ -196,7 +201,7 @@ def main() -> int:
     # Only upward (a FASTER new host must not tighten the threshold and
     # flag noise), capped at 3x (past that the runs aren't comparable
     # and the cap keeps a real 4x regression from self-excusing).
-    drift, n_anchor = drift_factor(old, new)
+    drift, n_anchor = drift_factor(old, new, anchors_new)
     scale = min(max(drift, 1.0), 3.0)
     thr = 1.3 * scale
     if n_anchor >= 3:
@@ -210,10 +215,12 @@ def main() -> int:
             if new[q] > old[q] * thr and new[q] > 0.3]
     # machine adjudication (r14: the protocol lived only in judge prose):
     # an isolated SPARK_GRAFT_ONLY re-measure that lands the query back
-    # within the UNSCALED threshold refutes the flag — the full-run
-    # number was contention, and the exit code must not carry it
+    # within the DRIFT-SCALED threshold refutes the flag — the isolated
+    # run happens on the same (possibly slower) host, so holding it to
+    # the unscaled 1.3x would make refutation impossible exactly when
+    # drift normalization is engaged
     iso = load_isolated(sys.argv[2], sf_new or sf_old)
-    adj = [(r, q) for r, q in regs if q in iso and iso[q] <= old[q] * 1.3]
+    adj = [(r, q) for r, q in regs if q in iso and iso[q] <= old[q] * thr]
     regs = [x for x in regs if x not in adj]
     for r, q in sorted(adj, reverse=True):
         print(f"  ADJ {q}: {old[q]:.2f} -> {new[q]:.2f} flagged, but "
