@@ -131,14 +131,21 @@ object Tables {
     * granularity — the right trade for test-scaffolding cache keys. */
   private def fileFingerprint(f: java.io.File): Long =
     if (f.isDirectory)
-      f.listFiles().sortBy(_.getName)
+      // null guard (r16 ADVICE): listFiles() returns null, not empty,
+      // for a dir swept concurrently by another JVM's superseded-
+      // generation cleanup (or one that turned unreadable) — treat it
+      // as empty exactly like the sweep call site does
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
         .foldLeft(f.getName.hashCode.toLong)(
           (acc, c) => acc * 1000003L + fileFingerprint(c))
     else f.getName.hashCode.toLong * 1000003L +
       f.length() * 31L + f.lastModified()
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
     f.delete()
     ()
   }

@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * metadata, and decode / feature-extract / resize / frame-sample run as
   * per-partition batch transforms.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment): `StubCodec` derives deterministic fake dimensions/features
-  * from the bytes. Everything Spark-side is real and tested — schema, binary
-  * encoding, partition-batched execution via `mapPartitions` (the Scala
-  * analog of `mapInPandas`: one iterator per partition, so a real decoder
-  * would amortize model/codec init across the batch exactly like a Pandas
-  * UDF), and the fixed-width feature output shape.
+  * Metadata decode is REAL for the header-decodable formats ([[HeaderCodec]]
+  * — PNG / GIF / BMP dimensions and WAV duration are fixed-offset integer
+  * reads straight off the public file-format specs, no imaging library
+  * involved; r16 VERDICT item). Payload-content work that genuinely needs a
+  * pixel/sample decoder (JPEG entropy decode, video frames, feature
+  * encoders) stays STUBBED: `StubCodec` derives deterministic fake values
+  * from the bytes, and rows it handled are flagged loudly (`codec='stub'`).
+  * Everything Spark-side is real and tested — schema, binary encoding,
+  * partition-batched execution via `mapPartitions` (the Scala analog of
+  * `mapInPandas`: one iterator per partition, so a real decoder would
+  * amortize model/codec init across the batch exactly like a Pandas UDF),
+  * and the fixed-width feature output shape.
   *
   * At 100 TB: binary payloads dominate row size — repartition by a size-
   * aware key before decode so partitions stay under executor memory, keep
@@ -27,10 +32,86 @@ object Multimodal {
   case class MediaMeta(mediaType: String, nBytes: Long, width: Int,
                        height: Int, durationMs: Long)
   case class MediaRow(doc_id: Long, content: Array[Byte], mediaType: String)
-  case class DecodedRow(doc_id: Long, mediaType: String, nBytes: Long,
+  case class DecodedRow(doc_id: Long, codec: String, nBytes: Long,
                         width: Int, height: Int, durationMs: Long)
   case class FeatureRow(doc_id: Long, features: Array[Float])
   case class FrameRow(doc_id: Long, frameNo: Int, frameBytes: Array[Byte])
+
+  /** REAL metadata decode for the formats whose dimensions/duration are
+    * fixed-offset integer reads in the public file-format headers — no
+    * imaging library needed (r16 VERDICT item #3):
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk; width/height are
+    *    big-endian u32 at byte offsets 16/20 (PNG spec §11.2.2).
+    *  - GIF: "GIF87a"/"GIF89a", then the Logical Screen Descriptor;
+    *    width/height are little-endian u16 at offsets 6/8.
+    *  - BMP: "BM" file header (14 bytes), then BITMAPINFOHEADER;
+    *    width/height are little-endian i32 at offsets 18/22 (height may
+    *    be negative for top-down DIBs — magnitude is the dimension).
+    *  - WAV: RIFF/WAVE container; the `fmt ` chunk's byte-rate field
+    *    (little-endian u32 at fmt-data offset 8) and the `data` chunk's
+    *    size give duration_ms = data_size * 1000 / byte_rate.
+    *
+    * `sniff` keys on the MAGIC BYTES, never the declared media type — a
+    * mislabeled payload decodes as what it is. Formats that need a real
+    * pixel decoder (JPEG dimensions sit in entropy-coded scan segments,
+    * video needs a demuxer) return None and fall to [[StubCodec]],
+    * flagged `codec = "stub"`. All reads are bounds-checked: a truncated
+    * or hostile header returns None rather than throwing. */
+  object HeaderCodec {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      i + s.length <= b.length &&
+        s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (codec, width, height, duration_ms) from the magic bytes, or None
+      * when the format is not header-decodable. */
+    def sniff(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        ascii(b, 12, "IHDR"))
+        Some(("png", be32(b, 16).toInt, be32(b, 20).toInt, 0L))
+      else if (b.length >= 13 &&
+        (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
+        Some(("gif", le16(b, 6), le16(b, 8), 0L))
+      else if (b.length >= 54 && ascii(b, 0, "BM") && le32(b, 14) == 40L)
+        Some(("bmp", le32(b, 18).toInt,
+          math.abs(le32(b, 22).toInt), 0L))
+      else if (b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))
+        sniffWav(b)
+      else None
+    }
+
+    /** Walk the RIFF chunk list for `fmt ` (byte rate) and `data`
+      * (payload size); duration needs both. Chunks are 8-byte headers
+      * (id + little-endian size) with word-aligned bodies. */
+    private def sniffWav(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+      var off = 12
+      var byteRate = 0L
+      var dataSize = -1L
+      while (off + 8 <= b.length && (byteRate == 0L || dataSize < 0L)) {
+        val size = le32(b, off + 4)
+        if (ascii(b, off, "fmt ") && off + 8 + 12 <= b.length)
+          byteRate = le32(b, off + 16) // fmt data offset 8 = byte rate
+        else if (ascii(b, off, "data")) dataSize = size
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        if (size < 0 || size > Int.MaxValue - 16) return None // hostile
+      }
+      if (byteRate > 0L && dataSize >= 0L)
+        Some(("wav", 0, 0, dataSize * 1000L / byteRate))
+      else None
+    }
+  }
 
   /** STUB decoder: deterministic fake dimensions from the payload size.
     * Replace with a real codec (???) when the imaging libs exist; signature
@@ -68,8 +149,112 @@ object Multimodal {
       encode(col("text"), "UTF-8").cast("binary").as("content"),
       lit(mediaType).as("media_type"))
 
+  /** Synthesize VALID media payloads from the documents table — one file
+    * per doc with a real spec-conformant header (PNG CRC included) and the
+    * doc's utf-8 text as the body, format and dimensions drawn
+    * deterministically from doc_id:
+    *
+    *   format = doc_id % 4 → png / gif / bmp / wav
+    *   width  = doc_id % 640 + 1, height = doc_id·7 % 480 + 1 (images)
+    *   wav    = mono 16-bit @ 8 kHz (byte rate 16000), data = the text
+    *
+    * This is q38's fixture generator: [[decodeMeta]] recovers the
+    * dimensions by PARSING THE BYTES while the DuckDB oracle recomputes
+    * them from the doc_id formulas — equality proves the header decode
+    * inverts the synthesis, which is exactly the real-decode guarantee a
+    * no-imaging-libs sandbox can check. */
+  def synthesizeMedia(docs: DataFrame)
+                     (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").cast("binary")
+        .as("content"), lit("synth").as("mediaType"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val w = (r.doc_id % 640 + 1).toInt
+        val h = (r.doc_id * 7 % 480 + 1).toInt
+        val bytes = (r.doc_id % 4) match {
+          case 0 => synthPng(w, h, r.content)
+          case 1 => synthGif(w, h, r.content)
+          case 2 => synthBmp(w, h, r.content)
+          case _ => synthWav(r.content)
+        }
+        val mt = (r.doc_id % 4) match {
+          case 0 => "image/png"
+          case 1 => "image/gif"
+          case 2 => "image/bmp"
+          case _ => "audio/wav"
+        }
+        MediaRow(r.doc_id, bytes, mt)
+      })
+      .toDF("doc_id", "content", "media_type")
+  }
+
+  private def synthPng(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(17) // type + 13 data bytes
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(0.toByte) // bit depth 8, grayscale
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    val chunk = ihdr.array()
+    val len = java.nio.ByteBuffer.allocate(4).putInt(13).array()
+    val crc = new java.util.zip.CRC32(); crc.update(chunk)
+    val crcB = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt)
+      .array()
+    out.write(len); out.write(chunk); out.write(crcB); out.write(body)
+    out.toByteArray
+  }
+
+  private def synthGif(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte]((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+      0.toByte, 0.toByte, 0.toByte)) // flags, bg index, aspect
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def synthBmp(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + body.length) // file size
+    buf.putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40) // BITMAPINFOHEADER size
+    buf.putInt(w).putInt(h)
+    buf.putShort(1.toShort).putShort(8.toShort) // planes, bpp
+    buf.putInt(0).putInt(body.length) // compression BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm, palette
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(buf.array()); out.write(body)
+    out.toByteArray
+  }
+
+  /** Mono 16-bit 8 kHz — byte rate 16000, so duration_ms = len/16. */
+  private def synthWav(body: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort).putShort(1.toShort) // PCM, mono
+    buf.putInt(8000).putInt(16000) // sample rate, byte rate
+    buf.putShort(2.toShort).putShort(16.toShort) // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(body.length)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(buf.array()); out.write(body)
+    out.toByteArray
+  }
+
   /** Decode pass: per-partition batched probe of each payload — metadata
-    * out, blob dropped (narrow output). */
+    * out, blob dropped (narrow output). Header-decodable formats
+    * ([[HeaderCodec]]: PNG/GIF/BMP/WAV) report their REAL parsed
+    * dimensions/duration with `codec` naming the format; anything else
+    * falls to the deterministic [[StubCodec]] and is flagged loudly with
+    * `codec = "stub"`. */
   def decodeMeta(media: DataFrame)(implicit s: SparkSession): Dataset[DecodedRow] = {
     import s.implicits._
     media.select(col("doc_id"), col("content"), col("media_type").as("mediaType"))
@@ -77,9 +262,15 @@ object Multimodal {
       .mapPartitions { rows =>
         // batch boundary: real codecs init once here, then stream the batch
         rows.map { r =>
-          val m = StubCodec.probe(r.content, r.mediaType)
-          DecodedRow(r.doc_id, m.mediaType, m.nBytes, m.width, m.height,
-            m.durationMs)
+          HeaderCodec.sniff(r.content) match {
+            case Some((codec, w, h, durMs)) =>
+              DecodedRow(r.doc_id, codec, r.content.length.toLong, w, h,
+                durMs)
+            case None =>
+              val m = StubCodec.probe(r.content, r.mediaType)
+              DecodedRow(r.doc_id, "stub", m.nBytes, m.width, m.height,
+                m.durationMs)
+          }
         }
       }
   }

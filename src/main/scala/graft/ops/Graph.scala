@@ -778,7 +778,7 @@ object Graph {
                                   maxIters: Int = 200,
                                   driverBelow: Long = 1L << 18): DataFrame = {
     val e0 = normalizeDirectedEdges(edges)
-    if (e0.count() <= driverBelow) sccOnDriver(e0)
+    if (atMost(e0, driverBelow)) sccOnDriver(e0)
     else sccOfNormalized(e0, maxPeels, maxIters)._1
   }
 
@@ -878,10 +878,22 @@ object Graph {
   /** Cast/NULL-drop/dedup a directed edge list once, eagerly — shared
     * by the SCC entry points so [[sccCondensation]] does not normalize
     * and materialize the corpus-sized relation twice. */
+  /** Bounded cutover probe (r16 VERDICT item): answers "at most `bound`
+    * rows?" with a limit+count that short-circuits at bound+1 — the
+    * driver-cutover decision must not cost a complete pass over a
+    * corpus-sized edge relation just to learn "is it small?" (today the
+    * probed leaf is a cached localCheckpoint, but the probe keeps the
+    * decision O(bound) by contract, not by cache luck). */
+  private def atMost(df: DataFrame, bound: Long): Boolean =
+    Scale.atMostRows(df, bound)
+
   private def normalizeDirectedEdges(edges: DataFrame): DataFrame =
     edges
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
+      // try_cast: uncastable endpoints normalize to NULL and drop with
+      // the NULLs (ANSI mode makes a plain cast THROW on dirty input)
+      .select(col("src").as("__src0"), col("dst").as("__dst0"))
+      .select(expr("try_cast(__src0 AS BIGINT)").as("src"),
+        expr("try_cast(__dst0 AS BIGINT)").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
 
@@ -1187,7 +1199,7 @@ object Graph {
                       maxIters: Int = 200,
                       driverBelow: Long = 1L << 18): DataFrame = {
     val e0 = normalizeDirectedEdges(edges)
-    if (e0.count() <= driverBelow) return condensationOnDriver(e0)
+    if (atMost(e0, driverBelow)) return condensationOnDriver(e0)
     val scc = sccOfNormalized(e0, maxPeels, maxIters)._1
       .localCheckpoint(true)
     val members = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))

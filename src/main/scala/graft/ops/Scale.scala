@@ -264,6 +264,35 @@ object Scale {
     * widths has no single decrement budget, so mismatched appends fail
     * loud.
     */
+  /** Bounded size probe: "does `df` have at most `bound` rows?" via
+    * limit(bound + 1).count() — short-circuits after pulling bound + 1
+    * rows instead of running a complete count() pass. The graph driver
+    * cutovers (CC / SCC / condensation) decide "is this graph small
+    * enough to collect?" with this, so the decision costs O(bound) rows
+    * even when the probed relation is corpus-sized — a full count()
+    * there was a complete pass over a 100 TB-scale edge relation purely
+    * to learn "is it small?" (r16 VERDICT item). OperatorSpec pins the
+    * short-circuit with an accumulator-instrumented scan. */
+  def atMostRows(df: DataFrame, bound: Long): Boolean = {
+    val lim = math.min(bound + 1, Int.MaxValue.toLong).toInt
+    df.limit(lim).count() <= bound
+  }
+
+  /** Pre-r16 top-freq stores recorded `k=<n>` — the SAME key set the
+    * KMV family uses, which is why r16 renamed the key to `tfk=`. The
+    * rename shipped with no migration hint, so a store written by a
+    * pre-rename revision failed every read with a bare "not a top-freq
+    * store" (r16 ADVICE). This hint upgrades that to an explicit
+    * migration message: the fix is a one-line rewrite of the store's
+    * `_graft_layout` record, not a rebuild of the data. */
+  private val TopFreqLegacyHints = Map(
+    Set("k") -> ("has the legacy pre-rename top-freq layout 'k=<n>' — " +
+      "or is a KMV store, the key sets collide, which is why the key " +
+      "was renamed. If this store was written by appendTopFreqStore " +
+      "before the rename, rewrite its _graft_layout record once from " +
+      "'k=<n>' to 'tfk=<n>' (the rows are unchanged); if it is a KMV " +
+      "store, use the mergedKmvDistinct readers"))
+
   def writeTopFreqStore(items: org.apache.spark.sql.Dataset[String],
                         path: String, epoch: Long, k: Int): Unit = {
     val spark = items.sparkSession
@@ -307,7 +336,7 @@ object Scale {
     require(epoch >= 0, s"epoch must be >= 0 (negative ids are reserved " +
       s"for fold baselines): $epoch")
     val kv = Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"),
-      optionalKeys = Set("folded_through"))
+      hints = TopFreqLegacyHints, optionalKeys = Set("folded_through"))
     // the fold keeps the NEWEST epoch partition live, so a replay of
     // that batch stays a self-overwrite; anything at or below the
     // watermark was folded into the baseline and must fail loud
@@ -341,7 +370,8 @@ object Scale {
                           path: String): Unit = {
     Sketch.recoverParked(spark, path)
     val kv = Sketch.readStoreLayout(spark, path, "top-freq",
-      Set("tfk"), optionalKeys = Set("folded_through"))
+      Set("tfk"), hints = TopFreqLegacyHints,
+      optionalKeys = Set("folded_through"))
     val k = kv("tfk")
     // cast: a partitionBy("epoch") column reads back with an INFERRED
     // (int-sized) type when every dir name fits one
@@ -376,9 +406,13 @@ object Scale {
   def mergedHeavyHitters(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          epochFilter: Column = lit(true)): DataFrame = {
-    Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"),
+    val kv = Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"),
+      hints = TopFreqLegacyHints,
       optionalKeys = Set("folded_through")) // loud
-    spark.read.parquet(path)
+    val rows = spark.read.parquet(path)
+    Sketch.guardFoldedWindow(spark, path, kv, epochFilter,
+      rows.filter(epochFilter))
+    rows
       .filter(epochFilter)
       .groupBy(col("item")).agg(sum(col("cnt")).as("est_cnt"))
   }

@@ -180,6 +180,167 @@ object Sketch {
           .cast("long").as("exact_rows"))
   }
 
+  // ---------------------------------------------------------------------
+  // Count-min EPOCH STORE (r16 VERDICT item #5): the persisted,
+  // mergeable form of [[countMinEstimates]] — one d·w counter slab per
+  // epoch, merged over any epoch span by per-(row, bucket) SUM. The CMS
+  // is the ADD-merge family's frequency-ESTIMATE member (the MG top-freq
+  // store answers "what is hot" with ≤ k rows; this answers "how often
+  // is THIS item" for any probe, d·w rows per epoch): counter addition
+  // is exactly re-counting, so a span merge is bit-identical to one-shot
+  // sketching everything the epochs saw. ADD is not idempotent, so the
+  // store inherits the top-freq replay discipline wholesale: epoch
+  // partitions with dynamic self-overwrite, a folded_through watermark
+  // on appends, and a fold that keeps the NEWEST epoch live.
+  // ---------------------------------------------------------------------
+
+  /** One epoch's (row_j, bucket, counter) slab — the counters half of
+    * [[countMinEstimates]], via the one-pass unpivot device of
+    * [[countMinJoinSize]] (never d separate input passes). Buckets with
+    * no mass are absent: a missing (row, bucket) is zero, and zeros add
+    * nothing under the span merge. */
+  private def cmsCounterSlab(items: DataFrame, valueCol: String,
+                             d: Int, w: Int): DataFrame = {
+    val cnt = items.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val pairs = (0 until d).map(j => struct(lit(j).as("row_j"),
+      pmod(salted(col(valueCol), s"|cms$j"), lit(w.toLong)).as("bucket")))
+    cnt.select(explode(array(pairs: _*)).as("rb"), col("__c"))
+      .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+      .agg(sum("__c").as("counter"))
+  }
+
+  /** Create/replace a CMS store at `path` with one epoch. Layout pins
+    * d and w (`cmsd=`, `cmsw=` — counters from different geometries sum
+    * garbage, the histogram grid discipline). */
+  def writeCmsStore(items: DataFrame, path: String, epoch: Long,
+                    valueCol: String = "item", d: Int = 4,
+                    w: Int = 64): Unit = {
+    require(d >= 1 && w >= 1, s"d and w must be positive: d=$d w=$w")
+    val spark = items.sparkSession
+    cmsCounterSlab(items, valueCol, d, w)
+      .select(col("row_j"), col("bucket"), col("counter"),
+        lit(epoch).as("epoch"))
+      .write.mode("overwrite").partitionBy("epoch").parquet(path)
+    val (fs, lp) = layoutFile(spark, path)
+    val out = fs.create(lp, true)
+    try out.write(s"cmsd=$d,cmsw=$w\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Whether a CMS store (with its layout record) exists at `path`. */
+  def cmsStoreExists(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean = {
+    val (fs, lp) = layoutFile(spark, path)
+    fs.exists(lp)
+  }
+
+  private def cmsLayoutKv(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Map[String, String] =
+    readStoreLayout(spark, path, "CMS", Set("cmsd", "cmsw"),
+      optionalKeys = Set(FoldedThroughKey))
+
+  /** Append one epoch's counter slab. ADD-merged counters double-count
+    * on replay, so idempotence comes from the WRITE LAYOUT (the top-freq
+    * device): the store partitions by epoch and this write dynamically
+    * overwrites only the incoming epoch's partition — an at-least-once
+    * re-delivery rewrites its own dir. Epochs at or below the fold
+    * watermark fail loud (their rows were merged into the baseline; a
+    * replay would re-add them). */
+  def appendCmsStore(items: DataFrame, path: String, epoch: Long,
+                     valueCol: String = "item", d: Int = 4,
+                     w: Int = 64): Unit = {
+    val spark = items.sparkSession
+    require(epoch >= 0, s"epoch must be >= 0 (negative ids are reserved " +
+      s"for fold baselines): $epoch")
+    val kv = cmsLayoutKv(spark, path)
+    kv.get(FoldedThroughKey).foreach(ft => require(epoch > ft.toLong,
+      s"epoch $epoch was folded into the baseline of $path (watermark " +
+        s"$ft) — ADD-merged CMS counters double-count on replay; use a " +
+        "fresh epoch id above the watermark"))
+    require(kv("cmsd") == d.toString && kv("cmsw") == w.toString,
+      s"CMS store at $path was written with (cmsd=${kv("cmsd")}," +
+        s"cmsw=${kv("cmsw")}), append requested (d=$d,w=$w) — rebuild " +
+        "the store, mixed geometries sum garbage")
+    cmsCounterSlab(items, valueCol, d, w)
+      .select(col("row_j"), col("bucket"), col("counter"),
+        lit(epoch).as("epoch"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(path)
+  }
+
+  /** The merged (row_j, bucket, counter) relation of an epoch span —
+    * per-cell SUM, d·w rows out at most, never the stream. */
+  def mergedCmsCounters(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        epochFilter: Column = lit(true)): DataFrame = {
+    val kv = cmsLayoutKv(spark, path)
+    val rows = spark.read.parquet(path)
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      rows.filter(epochFilter))
+    rows.filter(epochFilter)
+      .groupBy(col("row_j"), col("bucket"))
+      .agg(sum(col("counter")).as("counter"))
+  }
+
+  /** Probe `probes`' distinct values against the merged span: est = min
+    * over hash rows of the summed counter — bit-identical to
+    * [[countMinEstimates]] run one-shot over everything the span's
+    * epochs saw (counter addition is exactly re-counting), which is the
+    * store's oracle-checkable identity (q245). Output (item, est_cnt);
+    * items the span never saw may still report collision mass — the CMS
+    * one-sided guarantee, est ≥ true, unchanged by the merge. */
+  def mergedCmsEstimates(spark: org.apache.spark.sql.SparkSession,
+                         path: String, probes: DataFrame,
+                         valueCol: String = "item",
+                         epochFilter: Column = lit(true)): DataFrame = {
+    val kv = cmsLayoutKv(spark, path)
+    val (d, w) = (kv("cmsd").toInt, kv("cmsw").toInt)
+    val merged = mergedCmsCounters(spark, path, epochFilter)
+    val items = probes.select(col(valueCol)).distinct()
+    val hashed = (0 until d).map(j =>
+      items.select(col(valueCol), lit(j).as("row_j"),
+        pmod(salted(col(valueCol), s"|cms$j"), lit(w.toLong))
+          .as("bucket")))
+      .reduce(_ unionByName _)
+    hashed.join(merged, Seq("row_j", "bucket"))
+      .groupBy(col(valueCol))
+      .agg(min(col("counter")).as("est_cnt"))
+  }
+
+  /** Quiesced compaction: fold every epoch EXCEPT the newest into one
+    * per-cell SUM baseline at [[FoldEpoch]], newest kept live so a
+    * replayed last batch stays a self-overwrite (the
+    * [[graft.ops.Scale.compactTopFreqStore]] contract — ADD-family folds
+    * must not turn a replay into a double count). Watermark carried
+    * monotonically; park/rename swap; single-writer while quiesced. */
+  def compactCmsStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    recoverParked(spark, path)
+    val kv = cmsLayoutKv(spark, path)
+    val rows = spark.read.parquet(path)
+      .withColumn("epoch", col("epoch").cast("long"))
+    val newestRow = rows.agg(max(col("epoch"))).head()
+    if (newestRow.isNullAt(0)) return
+    val newest = newestRow.getLong(0)
+    val folded = rows.filter(col("epoch") < newest)
+      .groupBy(col("row_j"), col("bucket"))
+      .agg(sum(col("counter")).as("counter"))
+      .select(col("row_j"), col("bucket"), col("counter"),
+        lit(FoldEpoch).as("epoch"))
+      .unionByName(rows.filter(col("epoch") === newest))
+    val prevFt = kv.get(FoldedThroughKey).map(_.toLong).getOrElse(FoldEpoch)
+    val belowRow = rows.filter(col("epoch") < newest)
+      .agg(max(col("epoch"))).head()
+    val ft = math.max(prevFt,
+      if (belowRow.isNullAt(0)) prevFt else belowRow.getLong(0))
+    swapFolded(spark, path,
+      s"cmsd=${kv("cmsd")},cmsw=${kv("cmsw")},$FoldedThroughKey=$ft",
+      folded, partitionCols = Seq("epoch"))
+  }
+
   /** HyperLogLog registers + estimate with NO floating-point anywhere
     * until the final two operations: the 57-bit fingerprint splits into
     * a bucket (`h mod m`) and a 51-bit remainder whose leading-zero rank
@@ -524,7 +685,8 @@ object Sketch {
   def appendHllStore(items: DataFrame, path: String, epoch: Long,
                      valueCol: String = "item", p: Int = 6): Unit = {
     val spark = items.sparkSession
-    val kv = readStoreLayout(spark, path, "HLL", Set("p"))
+    val kv = readStoreLayout(spark, path, "HLL", Set("p"),
+      optionalKeys = Set(FoldedThroughKey))
     require(kv("p") == p.toString,
       s"HLL store at $path was written with (p=${kv("p")}), append " +
         s"requested (p=$p) — rebuild the store, mixed precisions cannot " +
@@ -542,11 +704,15 @@ object Sketch {
   def mergedHllEstimate(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         epochFilter: Column = lit(true)): DataFrame = {
-    val p = readStoreLayout(spark, path, "HLL", Set("p"))("p").toInt
-    val merged = spark.read.parquet(path)
+    val kv = readStoreLayout(spark, path, "HLL", Set("p"),
+      optionalKeys = Set(FoldedThroughKey))
+    val rows = spark.read.parquet(path)
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      rows.filter(epochFilter))
+    val merged = rows
       .filter(epochFilter)
       .groupBy(col("bucket")).agg(max(col("register")).as("register"))
-    estimateFromRegisters(merged, p)
+    estimateFromRegisters(merged, kv("p").toInt)
   }
 
   /** Quiesced compaction: fold every epoch's registers into ONE epoch
@@ -560,8 +726,15 @@ object Sketch {
   def compactHllStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
     recoverParked(spark, path)
-    val p = readStoreLayout(spark, path, "HLL", Set("p"))("p")
-    swapFolded(spark, path, s"p=$p",
+    val kv = readStoreLayout(spark, path, "HLL", Set("p"),
+      optionalKeys = Set(FoldedThroughKey))
+    // MAX-merge is replay-idempotent, so unlike the ADD families the
+    // watermark here exists for READERS, not appenders: it is the only
+    // surviving witness that a historical epoch span was folded away
+    // (r16 ADVICE — a windowed read over erased epochs must be
+    // detectable, see guardFoldedWindow / storeFoldedThrough)
+    val ft = foldWatermark(spark, path, kv)
+    swapFolded(spark, path, s"p=${kv("p")},$FoldedThroughKey=$ft",
       spark.read.parquet(path)
         .groupBy(col("bucket")).agg(max(col("register")).as("register"))
         .select(lit(FoldEpoch).as("epoch"), col("bucket"),
@@ -709,7 +882,8 @@ object Sketch {
                        valueCol: String = "item", bitsLog2: Int = 12,
                        k: Int = 3): Unit = {
     val spark = members.sparkSession
-    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"))
+    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"),
+      optionalKeys = Set(FoldedThroughKey))
     require(kv("bits") == bitsLog2.toString && kv("k") == k.toString,
       s"bloom store at $path was written with (bits=${kv("bits")}," +
         s"k=${kv("k")}), append requested (bits=$bitsLog2,k=$k) — " +
@@ -725,8 +899,12 @@ object Sketch {
   def mergedBloomWords(spark: org.apache.spark.sql.SparkSession,
                        path: String,
                        epochFilter: Column = lit(true)): DataFrame = {
-    readStoreLayout(spark, path, "bloom", Set("bits", "k")) // fail loud
-    spark.read.parquet(path)
+    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"),
+      optionalKeys = Set(FoldedThroughKey)) // fail loud
+    val rows = spark.read.parquet(path)
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      rows.filter(epochFilter))
+    rows
       .filter(epochFilter)
       .groupBy(col("word"))
       .agg(expr("bit_or(bits)").as("bits"))
@@ -739,7 +917,8 @@ object Sketch {
                        path: String, probes: DataFrame,
                        valueCol: String = "item",
                        epochFilter: Column = lit(true)): DataFrame = {
-    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"))
+    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"),
+      optionalKeys = Set(FoldedThroughKey))
     bloomProbe(mergedBloomWords(spark, path, epochFilter), probes,
       valueCol, kv("bits").toInt, kv("k").toInt)
   }
@@ -752,8 +931,13 @@ object Sketch {
   def compactBloomStore(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
     recoverParked(spark, path)
-    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"))
-    swapFolded(spark, path, s"bits=${kv("bits")},k=${kv("k")}",
+    val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"),
+      optionalKeys = Set(FoldedThroughKey))
+    // OR-merge is replay-idempotent — the watermark is the readers'
+    // fold witness, not an append guard (see compactHllStore)
+    val ft = foldWatermark(spark, path, kv)
+    swapFolded(spark, path,
+      s"bits=${kv("bits")},k=${kv("k")},$FoldedThroughKey=$ft",
       spark.read.parquet(path)
         .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
         .select(lit(FoldEpoch).as("epoch"), col("word"), col("bits")))
@@ -934,7 +1118,10 @@ object Sketch {
     val kv = readStoreLayout(spark, path, "histogram",
       Set("lo", "width", "bins"), HistHints, Set(FoldedThroughKey))
     val (lo, width) = (kv("lo").toDouble, kv("width").toDouble)
-    val merged = spark.read.parquet(path)
+    val rows = spark.read.parquet(path)
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      rows.filter(epochFilter))
+    val merged = rows
       .filter(epochFilter)
       .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
     quantilesFromBins(merged, lo, width, pcts)
@@ -974,6 +1161,59 @@ object Sketch {
       .agg(max(col("epoch").cast("long"))).head()
     if (row.isNullAt(0)) prev else math.max(prev, row.getLong(0))
   }
+
+  /** The fold watermark recorded in ANY graft store's layout, if the
+    * store has ever been compacted: every epoch at or below it was
+    * merged into the [[FoldEpoch]] baseline and no longer exists as
+    * per-epoch rows. Windowed readers slicing history on a store that
+    * also gets compacted should consult this before trusting an epoch
+    * span. Family-agnostic on purpose: it reads the raw layout record
+    * without the key-set identity check, because "was this compacted"
+    * is a question every family answers the same way. */
+  def storeFoldedThrough(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Option[Long] = {
+    val (fs, lp) = layoutFile(spark, path)
+    if (!fs.exists(lp)) None
+    else {
+      val in = fs.open(lp)
+      val recorded = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      recorded.split(",").map(_.split("=", 2)).collectFirst {
+        case Array(k, v) if k == FoldedThroughKey => v.toLong
+      }
+    }
+  }
+
+  /** Post-fold window guard (r16 ADVICE): a fold erases the per-epoch
+    * rows at or below the recorded `folded_through` watermark, so an
+    * epoch-windowed read over a folded span can only ever see the
+    * [[FoldEpoch]] baseline (the WHOLE folded history at once) — the
+    * span's own ids no longer exist. This makes the worst symptom loud:
+    * when the store carries a watermark, the window excludes the
+    * baseline, and the filtered store comes back EMPTY, the reader
+    * refuses instead of estimating over nothing (the span almost
+    * certainly predates the fold). A window that straddles the fold and
+    * still matches live epochs is not detectable from the surviving
+    * rows — callers slicing history on a store they also compact should
+    * check [[storeFoldedThrough]] first. The baseline probe evaluates
+    * the filter on a one-row local relation (no store read). */
+  private[ops] def guardFoldedWindow(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      kv: Map[String, String], epochFilter: Column,
+      filtered: => DataFrame): Unit =
+    kv.get(FoldedThroughKey).foreach { ft =>
+      val seesBaseline = !spark.range(1)
+        .select(lit(FoldEpoch).as("epoch"))
+        .filter(epochFilter).isEmpty
+      if (!seesBaseline)
+        require(!filtered.limit(1).isEmpty,
+          s"epoch window over $path matches no live epochs and the " +
+            s"store was folded through epoch $ft — the window's rows " +
+            s"were merged into the $FoldEpoch baseline and no longer " +
+            s"exist per-epoch; include epoch $FoldEpoch for the full " +
+            s"folded history, or use epochs above $ft")
+    }
 
   /** Create/replace a GROUPED histogram store: (epoch, <group>, bin,
     * cnt) parquet with a layout record pinning the grid AND the group
@@ -1039,7 +1279,10 @@ object Sketch {
       Set(FoldedThroughKey))
     val (lo, width, g) =
       (kv("lo").toDouble, kv("width").toDouble, kv("group"))
-    val merged = spark.read.parquet(path)
+    val rows = spark.read.parquet(path)
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      rows.filter(epochFilter))
+    val merged = rows
       .filter(epochFilter)
       .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
     quantilesFromBins(merged, lo, width, pcts, Seq(g))
@@ -1420,8 +1663,12 @@ object Sketch {
     * reading ≤ k rows per epoch. */
   def mergedKmvHashes(spark: org.apache.spark.sql.SparkSession,
                       path: String,
-                      epochFilter: Column = lit(true)): DataFrame =
-    mergedHashesAtK(spark, path, readKmvK(spark, path), epochFilter)
+                      epochFilter: Column = lit(true)): DataFrame = {
+    val kv = kmvLayoutKv(spark, path)
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      spark.read.parquet(path).filter(epochFilter))
+    mergedHashesAtK(spark, path, kv("k").toInt, epochFilter)
+  }
 
   private def mergedHashesAtK(spark: org.apache.spark.sql.SparkSession,
                               path: String, k: Int,
@@ -1438,10 +1685,15 @@ object Sketch {
   def kmvStoreOverlap(spark: org.apache.spark.sql.SparkSession,
                       pathA: String, pathB: String,
                       epochFilter: Column = lit(true)): DataFrame = {
-    val ka = readKmvK(spark, pathA)
-    val kb = readKmvK(spark, pathB)
+    val kvA = kmvLayoutKv(spark, pathA)
+    val kvB = kmvLayoutKv(spark, pathB)
+    val (ka, kb) = (kvA("k").toInt, kvB("k").toInt)
     require(ka == kb, s"KMV stores disagree on k ($ka vs $kb) — " +
       "their bottom-k sets are different sample rates and cannot overlap")
+    guardFoldedWindow(spark, pathA, kvA, epochFilter,
+      spark.read.parquet(pathA).filter(epochFilter))
+    guardFoldedWindow(spark, pathB, kvB, epochFilter,
+      spark.read.parquet(pathB).filter(epochFilter))
     thetaAlgebra(mergedHashesAtK(spark, pathA, ka, epochFilter),
       mergedHashesAtK(spark, pathB, ka, epochFilter), ka)
   }
@@ -1478,9 +1730,14 @@ object Sketch {
   // pointed at an HLL store (layout "p=6") must say "not a KMV store",
   // not throw a bare NumberFormatException (readStoreLayout's exact
   // key-set validation is what enforces this for every family)
+  private def kmvLayoutKv(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Map[String, String] =
+    readStoreLayout(spark, path, "KMV", Set("k"),
+      optionalKeys = Set(FoldedThroughKey))
+
   private def readKmvK(spark: org.apache.spark.sql.SparkSession,
                        path: String): Int =
-    readStoreLayout(spark, path, "KMV", Set("k"))("k").toInt
+    kmvLayoutKv(spark, path)("k").toInt
 
   /** Append one epoch's bottom-k hashes; fails loud on a k mismatch. */
   def appendKmvStore(items: DataFrame, path: String, epoch: Long,
@@ -1507,7 +1764,10 @@ object Sketch {
   def mergedKmvEstimate(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         epochFilter: Column = lit(true)): DataFrame = {
-    val k = readKmvK(spark, path)
+    val kv = kmvLayoutKv(spark, path)
+    val k = kv("k").toInt
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      spark.read.parquet(path).filter(epochFilter))
     mergedHashesAtK(spark, path, k, epochFilter)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
       .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
@@ -1522,8 +1782,12 @@ object Sketch {
   def compactKmvStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
     recoverParked(spark, path)
-    val k = readKmvK(spark, path)
-    swapFolded(spark, path, s"k=$k",
+    val kv = kmvLayoutKv(spark, path)
+    val k = kv("k").toInt
+    // set-union merge is replay-idempotent — the watermark is the
+    // readers' fold witness, not an append guard (see compactHllStore)
+    val ft = foldWatermark(spark, path, kv)
+    swapFolded(spark, path, s"k=$k,$FoldedThroughKey=$ft",
       mergedHashesAtK(spark, path, k, lit(true))
         .select(lit(FoldEpoch).as("epoch"), col("h")))
   }
@@ -1581,7 +1845,10 @@ object Sketch {
   def mergedGroupedKmvHashes(spark: org.apache.spark.sql.SparkSession,
                              path: String,
                              epochFilter: Column = lit(true)): DataFrame = {
-    val (k, g) = readGroupedKmvLayout(spark, path)
+    val kv = groupedKmvLayoutKv(spark, path)
+    val (k, g) = (kv("gk").toInt, kv("group"))
+    guardFoldedWindow(spark, path, kv, epochFilter,
+      spark.read.parquet(path).filter(epochFilter))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(g)).orderBy(col("h"))
     spark.read.parquet(path).filter(epochFilter)
@@ -1623,16 +1890,24 @@ object Sketch {
   def compactGroupedKmvStore(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
     recoverParked(spark, path)
-    val (k, g) = readGroupedKmvLayout(spark, path)
-    swapFolded(spark, path, s"gk=$k,group=$g",
+    val kv = groupedKmvLayoutKv(spark, path)
+    val (k, g) = (kv("gk").toInt, kv("group"))
+    // set-union merge is replay-idempotent — the watermark is the
+    // readers' fold witness, not an append guard (see compactHllStore)
+    val ft = foldWatermark(spark, path, kv)
+    swapFolded(spark, path, s"gk=$k,group=$g,$FoldedThroughKey=$ft",
       mergedGroupedKmvHashes(spark, path)
         .select(lit(FoldEpoch).as("epoch"), col(g), col("h")))
   }
 
+  private def groupedKmvLayoutKv(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Map[String, String] =
+    readStoreLayout(spark, path, "grouped KMV", Set("gk", "group"),
+      optionalKeys = Set(FoldedThroughKey))
+
   private def readGroupedKmvLayout(spark: org.apache.spark.sql.SparkSession,
                                    path: String): (Int, String) = {
-    val kv = readStoreLayout(spark, path, "grouped KMV",
-      Set("gk", "group"))
+    val kv = groupedKmvLayoutKv(spark, path)
     (kv("gk").toInt, kv("group"))
   }
 

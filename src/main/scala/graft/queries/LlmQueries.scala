@@ -150,17 +150,53 @@ object LlmQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
-  /** Multimodal metadata decode over binary payloads (stubbed codec, real
-    * partition-batched plumbing). Deterministic fake dims → oracle-checked.
-    */
+  /** Multimodal metadata decode over binary payloads — REAL header
+    * parsing since r17: [[Multimodal.synthesizeMedia]] builds one valid
+    * PNG/GIF/BMP/WAV file per document (format + dimensions drawn
+    * deterministically from doc_id, text bytes as the body), and
+    * [[Multimodal.decodeMeta]] recovers width/height/duration by parsing
+    * the actual file headers (fixed-offset integer reads per the public
+    * specs — no imaging library). The oracle recomputes the expected
+    * values from the doc_id formulas, so equality proves the byte-level
+    * decode inverts the synthesis. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    Multimodal.decodeMeta(Multimodal.asMedia(Tables.documents(s, dir)))
+    Multimodal.decodeMeta(
+        Multimodal.synthesizeMedia(Tables.documents(s, dir)))
       .toDF()
-      .select(col("doc_id"), col("nBytes").as("n_bytes"),
+      .select(col("doc_id"), col("codec"), col("nBytes").as("n_bytes"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("durationMs").as("duration_ms"))
+  }
+
+  /** URL canonicalization dedup + per-host cap (q244, r16 VERDICT item
+    * #6) — the standard crawl-curation stage the llm/ family lacked. The
+    * documents table carries no URL, so one is SYNTHESIZED per doc with
+    * deliberate non-canonical mess drawn deterministically from doc_id:
+    * mixed-case scheme/host, an explicit `:80` on even ids, a trailing
+    * slash on ids ≡ 0 (mod 5), `utm_`/`gclid` tracking params, and a
+    * fragment. [[Dedup.canonicalizeUrls]] must scrub ALL of it back to
+    * the clean form the oracle recomputes directly from the formulas —
+    * the q38 synthesis-inversion proof structure. Dedup then keeps each
+    * canonical URL's min-id copy and caps every host at 10 docs via the
+    * two-phase content-hash draw (q64 device keyed on host). */
+  def urlCanonicalDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 3 === 0, lit("HTTP://WWW."))
+        .when(id % 3 === 1, lit("http://www."))
+        .otherwise(lit("Http://wWw.")),
+      col("source"), lit(".Example.COM"),
+      when(id % 2 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Page/"), (id % 50).cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&item="), (id % 7).cast("string"),
+      when(id % 4 === 0, concat(lit("&gclid=g"), id.cast("string")))
+        .otherwise(lit("")),
+      lit("#sec"), (id % 3).cast("string"))
+    Dedup.urlCanonicalDedup(
+      Tables.documents(s, dir).withColumn("url", url), cap = 10)
   }
 
   /** Embedding-cosine near-dup pairs (τ = 0.45 — the corpus has no planted
@@ -1198,6 +1234,7 @@ object LlmQueries {
     "q241_mixture_upsample" -> mixtureUpsampleQ,
     "q242_perplexity_buckets" -> perplexityBucketsQ,
     "q243_weighted_sample_grouped" -> weightedSamplePerLangQ,
+    "q244_url_dedup" -> urlCanonicalDedupQ,
     "q64_source_cap" -> sourceCap,
     "q65_lm_surprisal" -> lmSurprisal,
     "q66_incremental_dedup" -> incrementalDedup,
@@ -2880,6 +2917,35 @@ object LlmQueries {
         |SELECT lang, doc_id, weight, key FROM ks
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY key, doc_id) <= 20""".stripMargin,
+    // q244: the oracle recomputes the CLEAN canonical form straight from
+    // the synthesis formulas (scheme/host lowercased, :80/fragment/
+    // trailing-slash/tracking params gone, `item` kept) — the Spark side
+    // gets only the messy URL and must scrub it back; then the same
+    // min-id group rule and the q64 host-cap window (two-phase form
+    // proven row-identical to this window in ScaleSpec)
+    "q244_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, text,
+        |    'http://www.' || source || '.example.com/Page/' ||
+        |      CAST(doc_id % 50 AS VARCHAR) || '?item=' ||
+        |      CAST(doc_id % 7 AS VARCHAR) AS canonical_url,
+        |    'www.' || source || '.example.com' AS host
+        |  FROM documents),
+        |g AS (SELECT canonical_url, MIN(doc_id) AS canonical_id
+        |      FROM u GROUP BY 1),
+        |l AS (SELECT u.doc_id, u.canonical_url, u.host, g.canonical_id,
+        |        u.doc_id = g.canonical_id AS is_canonical, u.text
+        |      FROM u JOIN g USING (canonical_url)),
+        |d AS (SELECT doc_id, host,
+        |        ${fpSql("text || '|urlcap'")} % 1000000 AS draw
+        |      FROM l WHERE is_canonical),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY host
+        |          ORDER BY draw, doc_id) AS rk
+        |      FROM d)
+        |SELECT l.doc_id, l.canonical_url, l.host, l.canonical_id,
+        |  l.is_canonical,
+        |  l.is_canonical AND COALESCE(r.rk <= 10, FALSE) AS kept
+        |FROM l LEFT JOIN r USING (doc_id)""".stripMargin,
     "q61_contamination" ->
       s"""WITH $sh5Ctes,
         |fp AS (SELECT doc_id,
@@ -3253,10 +3319,21 @@ object LlmQueries {
         |    (a, b) -> (a * 31 + b) % 144115188075855872) AS fp
         |FROM documents""".stripMargin,
     "q38_multimodal_meta" ->
-      """SELECT doc_id, strlen(text) AS n_bytes,
-        |  strlen(text) % 640 AS width,
-        |  (strlen(text) * 7) % 480 AS height,
-        |  (strlen(text) * 3) % 10000 AS duration_ms
+      // the synthesis formulas (format = doc_id % 4, dims from doc_id,
+      // wav = 16000 B/s with the text as the data chunk) re-derived in
+      // SQL — the Spark side computes these by PARSING the file headers
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'bmp' ELSE 'wav' END AS codec,
+        |  strlen(text) + CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54 ELSE 44 END
+        |    AS n_bytes,
+        |  CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 640 + 1 END
+        |    AS width,
+        |  CASE WHEN doc_id % 4 = 3 THEN 0 ELSE (doc_id * 7) % 480 + 1 END
+        |    AS height,
+        |  CASE WHEN doc_id % 4 = 3 THEN (strlen(text) * 1000) // 16000
+        |       ELSE 0 END AS duration_ms
         |FROM documents""".stripMargin)
 }
 

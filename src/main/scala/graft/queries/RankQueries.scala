@@ -902,6 +902,43 @@ object RankQueries {
           .as("item"))
         .filter(col("item").isNotNull))
 
+  private val cmsStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CMS epoch-store span merge (q245, r16 VERDICT item #5) — q139's
+    * stream split into three deterministic epochs (pmod(item, 3): any
+    * disjoint split works, counter addition is exactly re-counting),
+    * one d·w counter slab appended per epoch via the persisted store
+    * ([[graft.ops.Sketch.writeCmsStore]]/appendCmsStore), then every
+    * distinct item probed against the MERGED span
+    * ([[graft.ops.Sketch.mergedCmsEstimates]]). The merged estimates
+    * are bit-identical to one-shot [[graft.ops.Sketch.countMinEstimates]]
+    * over the whole stream — the store's defining identity — so q245
+    * shares q139's oracle (true_cnt joined back for the est ≥ true
+    * audit columns).
+    */
+  def cmsStoreSpan(s: SparkSession, dir: String): DataFrame = {
+    def items = Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    val path = cmsStoreCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_cms")
+        .toString + "/store"
+      graft.ops.Sketch.writeCmsStore(
+        items.filter(pmod(col("item"), lit(3L)) === 0L), p, epoch = 0L)
+      graft.ops.Sketch.appendCmsStore(
+        items.filter(pmod(col("item"), lit(3L)) === 1L), p, epoch = 1L)
+      graft.ops.Sketch.appendCmsStore(
+        items.filter(pmod(col("item"), lit(3L)) === 2L), p, epoch = 2L)
+      p
+    })
+    val cnt = items.groupBy(col("item")).agg(count(lit(1)).as("true_cnt"))
+    graft.ops.Sketch.mergedCmsEstimates(s, path, items, "item")
+      .join(cnt, Seq("item"))
+      .select(col("item"), col("true_cnt"), col("est_cnt"))
+  }
+
   /** Grouped KMV UV per event type (q236) — q225's sketch per group
     * ([[graft.ops.Sketch.groupedKmvEstimate]]), the audience-sizing
     * companion to q161's grouped HLL: same per-segment question, but
@@ -2078,6 +2115,7 @@ object RankQueries {
     "q137_session_detail" -> ((s, d) => sessionDetail(s, d)),
     "q138_pagerank" -> itemPageRank,
     "q139_countmin" -> countMinItems,
+    "q245_cms_store" -> cmsStoreSpan,
     "q228_cms_join_size" -> cmsJoinSize,
     "q140_hll_uv" -> hllUv,
     "q225_kmv_uv" -> kmvUv,
@@ -4094,6 +4132,10 @@ object RankQueries {
         |JOIN deg dy ON dy.v = y
         |ORDER BY common DESC, x, y LIMIT 50""".stripMargin,
     "q139_countmin" -> countMinOracleSql(4, 64),
+    // q245: the stored span merge is bit-identical to the one-shot
+    // sketch (counter addition = re-counting), so it shares q139's
+    // oracle verbatim — the equality IS the store's contract
+    "q245_cms_store" -> countMinOracleSql(4, 64),
     "q228_cms_join_size" -> cmsJoinOracleSql(4, 1024),
     "q140_hll_uv" -> hllOracleSql(6),
     "q225_kmv_uv" -> kmvOracleSql(256),

@@ -120,6 +120,48 @@ object StreamingDedup {
           graft.ops.Scale.compactTopFreqStore(batch.sparkSession, storePath)
       }
 
+  /** Count-min store maintained at ingest (r16 VERDICT item #5 — the
+    * last epoch-store family without a streaming runner): each
+    * micro-batch appends its d·w counter slab
+    * ([[graft.ops.Sketch.writeCmsStore]] /
+    * [[graft.ops.Sketch.appendCmsStore]]); any later reader probes an
+    * epoch span with [[graft.ops.Sketch.mergedCmsEstimates]] under the
+    * CMS one-sided guarantee (est ≥ true, bit-identical to one-shot
+    * sketching the span's union — counter addition is re-counting).
+    * Completes the frequency trio: [[runBloomStore]] membership,
+    * [[runTopFreqStore]] "what is hot" in ≤ k rows, this "how often is
+    * THIS item" for any probe. ADD-merged counters double-count a
+    * replayed epoch, so idempotence comes from the write layout exactly
+    * like the MG store: each batch dynamically overwrites its own epoch
+    * partition, and the fold keeps the newest batch's partition live
+    * (StreamingSpec pins mid-stream fold bit-identity + the loud
+    * below-watermark replay). */
+  def runCmsStore(rows: DataFrame, storePath: String,
+                  checkpoint: String, valueCol: String = "text",
+                  d: Int = 4, w: Int = 64,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                  compactEvery: Int = 0)
+  : DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val items = batch.select(col(valueCol).as("item"))
+        graft.ops.Sketch.recoverParked(batch.sparkSession, storePath)
+        if (!graft.ops.Sketch.cmsStoreExists(batch.sparkSession, storePath))
+          graft.ops.Sketch.writeCmsStore(items, storePath, epoch = id,
+            d = d, w = w)
+        else
+          graft.ops.Sketch.appendCmsStore(items, storePath, epoch = id,
+            d = d, w = w)
+        // auto-fold cadence: the fold keeps THIS batch's partition live,
+        // so a replay still overwrites only its own partition
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          graft.ops.Sketch.compactCmsStore(batch.sparkSession, storePath)
+      }
+
   /** Streaming NEAR-dup detection — the minhash-band counterpart of
     * [[dedupByContent]]: each micro-batch's documents are shingled,
     * minhash-banded (identical deterministic hashes to the batch

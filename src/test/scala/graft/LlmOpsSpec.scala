@@ -270,6 +270,22 @@ class LlmOpsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(distDirty == wantDirty,
       s"distributed path on dirty input: $distDirty")
+    // UNCASTABLE endpoints (r16 ADVICE): a non-NULL id that doesn't
+    // cast to long (a non-numeric string) must be dropped on both
+    // paths too — previously the isNotNull filter ran before the cast,
+    // so these rows NPE'd the driver path's typed collect while the
+    // distributed path ignored them
+    val uncastable = Seq(("11", "10"), ("20", "junk"), ("abc", "21"),
+      ("x", "y")).toDF("id_a", "id_b")
+    val gotUncast = Dedup.connectedComponents(verts.toDF("id"), uncastable)
+      .as[(Long, Long)].collect().toMap
+    assert(gotUncast == wantDirty,
+      s"driver path on uncastable input: $gotUncast")
+    val distUncast = Dedup.connectedComponents(verts.toDF("id"), uncastable,
+        driverBelow = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distUncast == wantDirty,
+      s"distributed path on uncastable input: $distUncast")
   }
 
   test("near-dup clusters equal a driver-side union-find over the exact " +
@@ -1561,6 +1577,69 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(frames.nonEmpty && frames.forall(_.frameBytes.length <= 1024))
     val resized = Multimodal.resize(media, targetW = 64, targetH = 64).collect()
     assert(resized.forall(_.content.length == 64 * 64 / 16))
+  }
+
+  test("multimodal header decode: PNG/GIF/BMP/WAV dimensions and duration " +
+    "are parsed from the real file headers; foreign bytes fall to the " +
+    "stub, loudly flagged") {
+    implicit val s = spark
+    // synthesize one doc per format (doc_id % 4 picks it) with known
+    // dims: doc_id 640 -> png w=1,h=161; 1 -> gif w=2,h=8; 2 -> bmp
+    // w=3,h=15; 3 -> wav (32 text bytes -> 32/16 = 2 ms)
+    val docs = Seq((640L, "x" * 100), (1L, "y" * 50), (2L, "z" * 75),
+      (3L, "w" * 32)).toDF("doc_id", "text")
+    val got = Multimodal.decodeMeta(Multimodal.synthesizeMedia(docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got(640L).codec == "png" && got(640L).width == 1 &&
+      got(640L).height == (640 * 7 % 480 + 1) && got(640L).durationMs == 0L,
+      s"png: ${got(640L)}")
+    assert(got(640L).nBytes == 100 + 33)
+    assert(got(1L).codec == "gif" && got(1L).width == 2 &&
+      got(1L).height == 8 && got(1L).nBytes == 50 + 13, s"gif: ${got(1L)}")
+    assert(got(2L).codec == "bmp" && got(2L).width == 3 &&
+      got(2L).height == 15 && got(2L).nBytes == 75 + 54, s"bmp: ${got(2L)}")
+    assert(got(3L).codec == "wav" && got(3L).width == 0 &&
+      got(3L).height == 0 && got(3L).durationMs == 2L &&
+      got(3L).nBytes == 32 + 44, s"wav: ${got(3L)}")
+    // hand-built headers (not via synthesizeMedia) decode too: the
+    // parser reads the spec offsets, not the generator's layout
+    val wavBytes = {
+      val buf = java.nio.ByteBuffer.allocate(44 + 32000)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 32000)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1.toShort).putShort(1.toShort)
+      buf.putInt(8000).putInt(16000)
+      buf.putShort(2.toShort).putShort(16.toShort)
+      buf.put("data".getBytes("US-ASCII")).putInt(32000)
+      buf.array()
+    }
+    assert(Multimodal.HeaderCodec.sniff(wavBytes)
+      .contains(("wav", 0, 0, 2000L)), "32000 B at 16000 B/s = 2000 ms")
+    // a top-down BMP (negative height) reports the magnitude
+    val bmp = {
+      val buf = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      buf.putInt(40).putInt(321).putInt(-77)
+      buf.putShort(1.toShort).putShort(8.toShort)
+      buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.array()
+    }
+    assert(Multimodal.HeaderCodec.sniff(bmp).contains(("bmp", 321, 77, 0L)))
+    // JPEG magic (entropy-coded dims — not header-decodable) and plain
+    // text both fall to the stub, flagged
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++
+      new Array[Byte](100)
+    assert(Multimodal.HeaderCodec.sniff(jpeg).isEmpty)
+    // truncated headers are None, never a throw
+    assert(Multimodal.HeaderCodec.sniff("GIF89a".getBytes).isEmpty)
+    assert(Multimodal.HeaderCodec.sniff(Array[Byte](0x89.toByte)).isEmpty)
+    val stubbed = Multimodal.decodeMeta(
+      Multimodal.asMedia(docs)).collect()
+    assert(stubbed.forall(_.codec == "stub"),
+      "non-media bytes must be flagged as stub-decoded")
   }
 
   test("substring rewrite: a shared 8-gram is cut from the later doc only; " +

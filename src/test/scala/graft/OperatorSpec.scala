@@ -2077,4 +2077,171 @@ class OperatorSpec extends SparkSpecBase {
       Future(Tables.eventsDayPartitioned(spark, tmp2).count()))), 120.seconds)
     assert(counts.toSet == Set(n1), s"racing builders disagree: $counts")
   }
+
+  test("atMostRows probe short-circuits: the cutover decision pulls " +
+    "O(bound) rows, never a full pass (r16 VERDICT item)") {
+    val acc = spark.sparkContext.longAccumulator("rows_scanned")
+    val n = 100000L
+    val big = spark.range(n).map { x => acc.add(1); x }.toDF("src")
+    // a probe at bound 50 must answer false after pulling ~51 rows —
+    // allow the limit executor's partition scale-up some slack, but
+    // nothing near the full relation
+    assert(!graft.ops.Scale.atMostRows(big, 50L))
+    assert(acc.value <= 1000L,
+      s"probe scanned ${acc.value} rows of $n — the limit did not " +
+        "short-circuit")
+    // correctness at the boundary: bound = n-1 is false, bound = n true
+    acc.reset()
+    assert(!graft.ops.Scale.atMostRows(big, n - 1))
+    assert(graft.ops.Scale.atMostRows(big, n))
+  }
+
+  test("fold watermark on idempotent store families (r16 ADVICE): folds " +
+    "record folded_through, and a windowed read over erased epochs " +
+    "fails loud instead of answering empty") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ftwm")
+      .toString
+    // --- HLL (MAX-merge) ---
+    val hll = base + "/hll"
+    graft.ops.Sketch.writeHllStore(
+      (1 to 500).map(i => s"u$i").toDF("item"), hll, epoch = 10L)
+    graft.ops.Sketch.appendHllStore(
+      (300 to 900).map(i => s"u$i").toDF("item"), hll, epoch = 11L)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, hll).isEmpty,
+      "an unfolded store must carry no watermark")
+    val before = graft.ops.Sketch.mergedHllEstimate(spark, hll)
+      .select("estimate").as[Double].head()
+    graft.ops.Sketch.compactHllStore(spark, hll)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, hll) == Some(11L),
+      "fold must record the max folded epoch")
+    // the estimate is bit-identical across the fold, and a full read
+    // (baseline included) stays fine
+    assert(graft.ops.Sketch.mergedHllEstimate(spark, hll)
+      .select("estimate").as[Double].head() == before)
+    // a historical window that the fold erased must refuse, not return
+    // a degenerate estimate over zero registers
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedHllEstimate(spark, hll,
+        col("epoch").between(10L, 11L)).collect()
+    }
+    assert(err.getMessage.contains("folded through epoch 11"),
+      err.getMessage)
+    // post-fold appends (idempotent MAX-merge: replay-safe) still work,
+    // and a window over LIVE epochs passes the guard
+    graft.ops.Sketch.appendHllStore(
+      (1 to 100).map(i => s"u$i").toDF("item"), hll, epoch = 12L)
+    assert(graft.ops.Sketch.mergedHllEstimate(spark, hll,
+      col("epoch") === 12L).select("estimate").as[Double].head() > 0.0)
+    // --- KMV (set-union merge) ---
+    val kmv = base + "/kmv"
+    graft.ops.Sketch.writeKmvStore(
+      (1 to 3000).map(i => s"u$i").toDF("item"), kmv, epoch = 5L)
+    graft.ops.Sketch.appendKmvStore(
+      (2000 to 4000).map(i => s"u$i").toDF("item"), kmv, epoch = 6L)
+    graft.ops.Sketch.compactKmvStore(spark, kmv)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, kmv) == Some(6L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedKmvEstimate(spark, kmv,
+        col("epoch") === 5L).collect()
+    }
+    // --- bloom (OR-merge) ---
+    val blm = base + "/bloom"
+    graft.ops.Sketch.writeBloomStore(
+      (1 to 200).map(i => s"w$i").toDF("item"), blm, epoch = 3L)
+    graft.ops.Sketch.compactBloomStore(spark, blm)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, blm) == Some(3L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedBloomProbe(spark, blm,
+        Seq("w1").toDF("item"), epochFilter = col("epoch") === 3L).collect()
+    }
+    // --- grouped KMV ---
+    val gk = base + "/gkmv"
+    graft.ops.Sketch.writeGroupedKmvStore(
+      (1 to 2000).map(i => (s"g${i % 3}", s"u$i")).toDF("grp", "item"),
+      gk, groupCol = "grp", epoch = 7L)
+    val matBefore = graft.ops.Sketch
+      .groupedKmvStoreOverlapMatrix(spark, gk).collect().toSet
+    graft.ops.Sketch.compactGroupedKmvStore(spark, gk)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, gk) == Some(7L))
+    assert(graft.ops.Sketch.groupedKmvStoreOverlapMatrix(spark, gk)
+      .collect().toSet == matBefore,
+      "overlap matrix must be bit-identical across the fold")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedGroupedKmvHashes(spark, gk,
+        col("epoch") === 7L).collect()
+    }
+    // repeated folds carry the watermark monotonically
+    graft.ops.Sketch.compactHllStore(spark, hll)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, hll) == Some(12L),
+      "second fold must advance the watermark to the newest folded epoch")
+  }
+
+  test("URL canonicalization table: fragments, default ports, tracking " +
+    "params, trailing slashes, case rules — q244's operator") {
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&id=3&fbclid=f#frag",
+        "http://www.ex.com/A/b?id=3", "www.ex.com"),
+      ("https://Host.Org:443/", "https://host.org", "host.org"),
+      // non-default ports are NOT stripped
+      ("https://host.org:8443/p", "https://host.org:8443/p", "host.org"),
+      // surviving params keep their relative order
+      ("http://h.io/path/?b=2&a=1", "http://h.io/path?b=2&a=1", "h.io"),
+      // all-tracking query: the '?' goes too
+      ("http://h.io/x?utm_a=1&utm_b=2", "http://h.io/x", "h.io"),
+      ("http://h.io//", "http://h.io", "h.io"),
+      // path case is significant and preserved; only scheme+host fold
+      ("http://CaSe.Net/KeepCase/Path", "http://case.net/KeepCase/Path",
+        "case.net"))
+    val got = graft.llm.Dedup.canonicalizeUrls(
+        cases.zipWithIndex.map { case ((u, _, _), i) => (i.toLong, u) }
+          .toDF("doc_id", "url"))
+      .select("doc_id", "canonical_url", "host")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    cases.zipWithIndex.foreach { case ((u, cu, h), i) =>
+      assert(got(i)._2 == cu && got(i)._3 == h,
+        s"$u -> (${got(i)._2}, ${got(i)._3}), want ($cu, $h)")
+    }
+    // the composed dedup: three variants of one page collapse to the
+    // min-id copy; kept = canonical AND inside the host cap
+    val docs = Seq(
+      (1L, "http://a.com/p?utm_x=1", "t1"),
+      (2L, "HTTP://A.COM:80/p#z", "t2"),
+      (3L, "http://a.com/p/", "t3"),
+      (4L, "http://b.com/q", "t4")).toDF("doc_id", "url", "text")
+    val dd = graft.llm.Dedup.urlCanonicalDedup(docs, cap = 10)
+      .as[(Long, String, String, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(dd(1L)._2 == "http://a.com/p" && dd(1L)._4 == 1L &&
+      dd(1L)._5 && dd(1L)._6, s"${dd(1L)}")
+    assert(dd(2L)._4 == 1L && !dd(2L)._5 && !dd(2L)._6, s"${dd(2L)}")
+    assert(dd(3L)._4 == 1L && !dd(3L)._5, s"${dd(3L)}")
+    assert(dd(4L)._4 == 4L && dd(4L)._5 && dd(4L)._6, s"${dd(4L)}")
+  }
+
+  test("legacy top-freq layout (pre-rename 'k=') fails with a migration " +
+    "message, not a bare family mismatch (r16 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tflegacy")
+      .toString + "/store"
+    // a legitimate pre-rename top-freq store: rows are fine, only the
+    // layout key is the old name
+    graft.ops.Scale.writeTopFreqStore(
+      (1 to 100).map(i => s"w${i % 7}").toDS(), dir, epoch = 1L, k = 5)
+    val lp = new org.apache.hadoop.fs.Path(dir, "_graft_layout")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lp, true)
+    try out.write("k=5\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Scale.mergedHeavyHitters(spark, dir).collect()
+    }
+    assert(err.getMessage.contains("tfk=<n>") &&
+      err.getMessage.contains("legacy"),
+      s"want the migration hint, got: ${err.getMessage}")
+    // the documented migration (rewrite the record once) restores reads
+    val out2 = fs.create(lp, true)
+    try out2.write("tfk=5\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out2.close()
+    val n = graft.ops.Scale.mergedHeavyHitters(spark, dir).count()
+    assert(n > 0L && n <= 5L, s"post-migration read: $n rows")
+  }
 }

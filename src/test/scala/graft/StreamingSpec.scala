@@ -497,6 +497,66 @@ class StreamingSpec extends SparkSpecBase {
       "a narrower epoch span must carry less mass")
   }
 
+  test("T13g streamed CMS store: merged span estimates are bit-identical " +
+    "to the one-shot sketch across a mid-stream fold; below-watermark " +
+    "replays fail loud") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_cmsstream").toString
+    val mem = MemoryStream[String]
+    val q = StreamingDedup.runCmsStore(
+      mem.toDF().toDF("text"), s"$dir/store", s"$dir/ckpt",
+      d = 4, w = 32, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    val batches = (0 until 3).map(b =>
+      (0 to 9).flatMap(i => Seq.fill((i + 1) * (b + 1))(s"it$i")) ++
+        (1 to 40).map(i => s"r${b}_$i"))
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b); q.processAllAvailable()
+        // quiesced mid-stream fold: epochs below the newest collapse
+        // into the baseline, newest stays live (the ADD-family replay
+        // contract rides on per-epoch dynamic overwrite)
+        if (i == 1)
+          graft.ops.Sketch.compactCmsStore(spark, s"$dir/store")
+      }
+    } finally q.stop()
+    val epochs = spark.read.parquet(s"$dir/store")
+      .select("epoch").distinct().as[Long].collect().sorted
+    assert(epochs.toSeq == Seq(graft.ops.Sketch.FoldEpoch, 1L, 2L),
+      s"epochs: ${epochs.toSeq}")
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, s"$dir/store")
+      == Some(0L), "the fold must record the erased epoch")
+    // bit-identity: the merged span == one-shot countMinEstimates over
+    // the whole replay (counter addition is exactly re-counting)
+    val all = batches.flatten.toDF("item")
+    val got = graft.ops.Sketch.mergedCmsEstimates(spark, s"$dir/store",
+        all, "item").as[(String, Long)].collect().toMap
+    val oneShot = graft.ops.Sketch.countMinEstimates(all, d = 4, w = 32)
+      .select("item", "est_cnt").as[(String, Long)].collect().toMap
+    assert(got == oneShot,
+      "merged store estimates must equal the one-shot sketch bit-for-bit")
+    // est >= true for every probe (the CMS one-sided guarantee)
+    val exact = batches.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong)
+    assert(got.forall { case (it, e) => e >= exact(it) },
+      "CMS never undercounts")
+    // a replay of the folded-away epoch 0 must fail loud, not double-add
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendCmsStore(Seq("x").toDF("item"),
+        s"$dir/store", epoch = 0L, d = 4, w = 32)
+    }
+    assert(err.getMessage.contains("watermark"), err.getMessage)
+    // geometry drift fails loud
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.appendCmsStore(Seq("x").toDF("item"),
+        s"$dir/store", epoch = 9L, d = 4, w = 64)
+    }
+    // a windowed read over the erased epoch refuses (fold watermark)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedCmsEstimates(spark, s"$dir/store", all,
+        "item", epochFilter = col("epoch") === 0L).collect()
+    }
+  }
+
   test("T14 stream-stream interval join: shuffled two-sided replay " +
     "emits exactly the batch interval-join pairs, once each") {
     implicit val s = spark

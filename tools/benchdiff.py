@@ -227,8 +227,18 @@ def main() -> int:
               f"isolated re-measure {iso[q]:.2f}s refutes it (contention)")
     for r, q in sorted(regs, reverse=True):
         print(f"  REG {q}: {old[q]:.2f} -> {new[q]:.2f}  ({r:.2f}x)")
+    # symmetric drift normalization (r16 ADVICE): the regression
+    # threshold scales UP on a slower host; the improvement cutoff must
+    # scale DOWN on a faster one, or pure host drift (anchor ratio < 1)
+    # prints as spurious per-query improvements. Same cap discipline:
+    # never below 1/3 of the nominal cutoff.
+    imp_scale = max(min(drift, 1.0), 1.0 / 3.0)
+    imp_thr = 0.75 * imp_scale
+    if imp_scale < 1.0:
+        print(f"  anchor drift < 1 (faster host): improvement cutoff "
+              f"scaled to {imp_thr:.2f}x")
     imps = [(new[q] / old[q], q) for q in common
-            if new[q] < old[q] * 0.75 and old[q] > 0.3]
+            if new[q] < old[q] * imp_thr and old[q] > 0.3]
     for r, q in sorted(imps):
         print(f"  IMP {q}: {old[q]:.2f} -> {new[q]:.2f}  ({r:.2f}x)")
     gone = sorted(set(old) - set(new))
