@@ -848,6 +848,66 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"nothing may shuffle-join:\n$p")
   }
 
+  test("q242 perplexity buckets: the per-language surprisal rank is the " +
+    "range-partitioned two-phase form — row_number windows partition on " +
+    "__pid, no language funnels through one task") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q242_perplexity_buckets")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    val rnLines = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
+      s"the per-lang rank must be partition-local:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
+  test("q243 grouped weighted sample: the per-language bottom-k rank is " +
+    "the range-partitioned two-phase form — row_number windows partition " +
+    "on __pid, no language funnels through one task") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q243_weighted_sample_grouped")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    val rnLines = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
+      s"the per-lang bottom-k rank must be partition-local:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
+  test("q244 URL dedup: canonicalization is map-only expressions, the " +
+    "group-min joins hash, the host-cap rank partitions on the host " +
+    "(the two-phase pre-filter bounds its input), nothing funnels to " +
+    "one task or goes cartesian") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q244_url_dedup")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task funnel:\n$p")
+    val rnLines = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("host#")),
+      s"the host cap must partition on the host key:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
+  test("q245 CMS store span: the probe joins the bounded d*w counter " +
+    "relation — no cartesian, no single-task funnel on the estimate path") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q245_cms_store")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task funnel:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
   test("q238 overlap matrix: every estimate-side join broadcasts, the " +
     "only nested loops are the bounded |G|-row pair spines, no cartesian") {
     val p = planOf("q238_kmv_overlap_matrix")
