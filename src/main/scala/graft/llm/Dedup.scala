@@ -1169,7 +1169,13 @@ object Dedup {
     // re-materialization job bought nothing
     val sym = edges0.union(
       edges0.select(col("__dst").as("__src"), col("__src").as("__dst")))
-    val verts = vertices.select(col(idCol).cast("long").as("id"))
+    // same try_cast discipline as the edges (r17 review: a plain cast
+    // here contradicted the "dirty endpoints of BOTH kinds" contract —
+    // under ANSI mode one non-numeric vertex id threw at action time
+    // while the identical value in `pairs` was silently dropped)
+    val verts = vertices.select(col(idCol).as("__v0"))
+      .select(expr("try_cast(__v0 AS BIGINT)").as("id"))
+      .filter(col("id").isNotNull)
     // bounded probe, not a full count (r16 VERDICT): the cutover only
     // needs "are there more than driverBelow/2 directed edges", and a
     // limit+count short-circuits at the bound — a full count() is a

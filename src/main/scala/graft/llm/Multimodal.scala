@@ -79,33 +79,49 @@ object Multimodal {
       * when the format is not header-decodable. */
     def sniff(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
       if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
-        ascii(b, 12, "IHDR"))
-        Some(("png", be32(b, 16).toInt, be32(b, 20).toInt, 0L))
-      else if (b.length >= 13 &&
+        ascii(b, 12, "IHDR")) {
+        // PNG dims are 31-bit positive per spec — a field >= 2^31 would
+        // wrap .toInt negative; hostile/corrupt headers fall to the stub
+        val (w, h) = (be32(b, 16), be32(b, 20))
+        if (w >= 1L && w <= Int.MaxValue && h >= 1L && h <= Int.MaxValue)
+          Some(("png", w.toInt, h.toInt, 0L))
+        else None
+      } else if (b.length >= 13 &&
         (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
         Some(("gif", le16(b, 6), le16(b, 8), 0L))
-      else if (b.length >= 54 && ascii(b, 0, "BM") && le32(b, 14) == 40L)
-        Some(("bmp", le32(b, 18).toInt,
-          math.abs(le32(b, 22).toInt), 0L))
-      else if (b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))
+      else if (b.length >= 54 && ascii(b, 0, "BM") && le32(b, 14) == 40L) {
+        // BMP width must be positive; height may be negative (top-down
+        // DIB) and its magnitude is the dimension — anything else is a
+        // hostile header, not a decodable image
+        val w = le32(b, 18).toInt
+        val h = le32(b, 22).toInt
+        if (w > 0 && h != 0 && h != Int.MinValue)
+          Some(("bmp", w, math.abs(h), 0L))
+        else None
+      } else if (b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))
         sniffWav(b)
       else None
     }
 
     /** Walk the RIFF chunk list for `fmt ` (byte rate) and `data`
       * (payload size); duration needs both. Chunks are 8-byte headers
-      * (id + little-endian size) with word-aligned bodies. */
+      * (id + little-endian size) with word-aligned bodies. The offset
+      * walks in LONG arithmetic: a declared chunk size near 2^31 must
+      * run the cursor off the end of the buffer (loop exit), never wrap
+      * an Int negative back INTO it (the review-caught
+      * ArrayIndexOutOfBounds on a hostile size that passed an Int-side
+      * guard). */
     private def sniffWav(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
-      var off = 12
+      var off = 12L
       var byteRate = 0L
       var dataSize = -1L
       while (off + 8 <= b.length && (byteRate == 0L || dataSize < 0L)) {
-        val size = le32(b, off + 4)
-        if (ascii(b, off, "fmt ") && off + 8 + 12 <= b.length)
-          byteRate = le32(b, off + 16) // fmt data offset 8 = byte rate
-        else if (ascii(b, off, "data")) dataSize = size
-        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-        if (size < 0 || size > Int.MaxValue - 16) return None // hostile
+        val o = off.toInt // safe: off + 8 <= b.length <= Int.MaxValue
+        val size = le32(b, o + 4) // u32 as Long, never negative
+        if (ascii(b, o, "fmt ") && off + 8 + 12 <= b.length)
+          byteRate = le32(b, o + 16) // fmt data offset 8 = byte rate
+        else if (ascii(b, o, "data")) dataSize = size
+        off += 8L + size + (size & 1L) // word-aligned; Long, no wrap
       }
       if (byteRate > 0L && dataSize >= 0L)
         Some(("wav", 0, 0, dataSize * 1000L / byteRate))

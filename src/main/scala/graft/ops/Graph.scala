@@ -875,9 +875,6 @@ object Graph {
   : (DataFrame, SccStats) =
     sccOfNormalized(normalizeDirectedEdges(edges), maxPeels, maxIters)
 
-  /** Cast/NULL-drop/dedup a directed edge list once, eagerly — shared
-    * by the SCC entry points so [[sccCondensation]] does not normalize
-    * and materialize the corpus-sized relation twice. */
   /** Bounded cutover probe (r16 VERDICT item): answers "at most `bound`
     * rows?" with a limit+count that short-circuits at bound+1 — the
     * driver-cutover decision must not cost a complete pass over a
@@ -887,6 +884,9 @@ object Graph {
   private def atMost(df: DataFrame, bound: Long): Boolean =
     Scale.atMostRows(df, bound)
 
+  /** Cast/NULL-drop/dedup a directed edge list once, eagerly — shared
+    * by the SCC entry points so [[sccCondensation]] does not normalize
+    * and materialize the corpus-sized relation twice. */
   private def normalizeDirectedEdges(edges: DataFrame): DataFrame =
     edges
       // try_cast: uncastable endpoints normalize to NULL and drop with

@@ -274,8 +274,14 @@ object Scale {
     * to learn "is it small?" (r16 VERDICT item). OperatorSpec pins the
     * short-circuit with an accumulator-instrumented scan. */
   def atMostRows(df: DataFrame, bound: Long): Boolean = {
-    val lim = math.min(bound + 1, Int.MaxValue.toLong).toInt
-    df.limit(lim).count() <= bound
+    require(bound >= 0L, s"bound must be non-negative: $bound")
+    // limit() takes an Int: past Int.MaxValue the short-circuit cannot
+    // be expressed, and clamping would silently answer true for any
+    // larger relation (the r17 review catch) — fall back to the exact
+    // count. A caller probing "may I collect 2^31 rows onto the
+    // driver?" has bigger problems than the probe's cost.
+    if (bound >= Int.MaxValue.toLong) df.count() <= bound
+    else df.limit(bound.toInt + 1).count() <= bound
   }
 
   /** Pre-r16 top-freq stores recorded `k=<n>` — the SAME key set the
@@ -372,30 +378,14 @@ object Scale {
     val kv = Sketch.readStoreLayout(spark, path, "top-freq",
       Set("tfk"), hints = TopFreqLegacyHints,
       optionalKeys = Set("folded_through"))
-    val k = kv("tfk")
-    // cast: a partitionBy("epoch") column reads back with an INFERRED
-    // (int-sized) type when every dir name fits one
-    val rows = spark.read.parquet(path)
-      .withColumn("epoch", col("epoch").cast("long"))
-    val newestRow = rows.agg(max(col("epoch"))).head()
-    if (newestRow.isNullAt(0)) return
-    val newest = newestRow.getLong(0)
-    val folded = rows.filter(col("epoch") < newest)
-      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
-      .select(col("item"), col("cnt"),
-        lit(graft.ops.Sketch.FoldEpoch).as("epoch"))
-      .unionByName(rows.filter(col("epoch") === newest))
-    // watermark = the max FOLDED id (strictly below the kept newest),
-    // carried monotonically across repeated folds
-    val prevFt = kv.get("folded_through").map(_.toLong)
-      .getOrElse(graft.ops.Sketch.FoldEpoch)
-    val belowRow = rows.filter(col("epoch") < newest)
-      .agg(max(col("epoch"))).head()
-    val ft = math.max(prevFt,
-      if (belowRow.isNullAt(0)) prevFt else belowRow.getLong(0))
-    graft.ops.Sketch.swapFolded(spark, path,
-      s"tfk=$k,folded_through=$ft", folded,
-      partitionCols = Seq("epoch"))
+    // the keep-newest protocol (fold everything below the newest live
+    // epoch, watermark monotone, no watermark when nothing folded)
+    // lives ONCE in Sketch.compactKeepNewest, shared with the CMS store
+    Sketch.compactKeepNewest(spark, path, s"tfk=${kv("tfk")}",
+      kv.get("folded_through").map(_.toLong)
+        .getOrElse(graft.ops.Sketch.FoldEpoch),
+      below => below.groupBy(col("item")).agg(sum(col("cnt")).as("cnt")),
+      emptySchemaDdl = "item STRING, cnt BIGINT, epoch BIGINT")
   }
 
   /** Merge a store's epochs (all, or the span `epochFilter` keeps) into
@@ -409,9 +399,9 @@ object Scale {
     val kv = Sketch.readStoreLayout(spark, path, "top-freq", Set("tfk"),
       hints = TopFreqLegacyHints,
       optionalKeys = Set("folded_through")) // loud
-    val rows = spark.read.parquet(path)
-    Sketch.guardFoldedWindow(spark, path, kv, epochFilter,
-      rows.filter(epochFilter))
+    val rows = Sketch.readStoreRows(spark, path,
+      "item STRING, cnt BIGINT, epoch BIGINT")
+    Sketch.guardFoldedWindow(spark, path, kv, epochFilter)
     rows
       .filter(epochFilter)
       .groupBy(col("item")).agg(sum(col("cnt")).as("est_cnt"))

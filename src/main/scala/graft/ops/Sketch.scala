@@ -277,9 +277,9 @@ object Sketch {
                         path: String,
                         epochFilter: Column = lit(true)): DataFrame = {
     val kv = cmsLayoutKv(spark, path)
-    val rows = spark.read.parquet(path)
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      rows.filter(epochFilter))
+    val rows = readStoreRows(spark, path,
+      "row_j INT, bucket BIGINT, counter BIGINT, epoch BIGINT")
+    guardFoldedWindow(spark, path, kv, epochFilter)
     rows.filter(epochFilter)
       .groupBy(col("row_j"), col("bucket"))
       .agg(sum(col("counter")).as("counter"))
@@ -291,7 +291,16 @@ object Sketch {
     * epochs saw (counter addition is exactly re-counting), which is the
     * store's oracle-checkable identity (q245). Output (item, est_cnt);
     * items the span never saw may still report collision mass — the CMS
-    * one-sided guarantee, est ≥ true, unchanged by the merge. */
+    * one-sided guarantee, est ≥ true, unchanged by the merge.
+    *
+    * The probe LEFT-joins the counter cells and coalesces a missing
+    * cell to 0 (the r17 review catch, the same gap
+    * [[countMinJoinSize]]'s row spine closes): the store only persists
+    * occupied cells, so an inner join would let an unseen probe whose
+    * cells are partially empty report its colliding cell's mass — a
+    * real CMS reads the empty cell as 0, the tightest bound — and an
+    * unseen probe with NO occupied cell would vanish from the output
+    * entirely instead of answering est 0. */
   def mergedCmsEstimates(spark: org.apache.spark.sql.SparkSession,
                          path: String, probes: DataFrame,
                          valueCol: String = "item",
@@ -305,9 +314,9 @@ object Sketch {
         pmod(salted(col(valueCol), s"|cms$j"), lit(w.toLong))
           .as("bucket")))
       .reduce(_ unionByName _)
-    hashed.join(merged, Seq("row_j", "bucket"))
+    hashed.join(merged, Seq("row_j", "bucket"), "left")
       .groupBy(col(valueCol))
-      .agg(min(col("counter")).as("est_cnt"))
+      .agg(min(coalesce(col("counter"), lit(0L))).as("est_cnt"))
   }
 
   /** Quiesced compaction: fold every epoch EXCEPT the newest into one
@@ -320,25 +329,53 @@ object Sketch {
                       path: String): Unit = {
     recoverParked(spark, path)
     val kv = cmsLayoutKv(spark, path)
-    val rows = spark.read.parquet(path)
+    compactKeepNewest(spark, path,
+      s"cmsd=${kv("cmsd")},cmsw=${kv("cmsw")}",
+      kv.get(FoldedThroughKey).map(_.toLong).getOrElse(FoldEpoch),
+      below => below.groupBy(col("row_j"), col("bucket"))
+        .agg(sum(col("counter")).as("counter")),
+      emptySchemaDdl =
+        "row_j INT, bucket BIGINT, counter BIGINT, epoch BIGINT")
+  }
+
+  /** The shared keep-newest-live fold of the ADD-merge epoch stores
+    * (top-freq MG counters, CMS counter slabs — extracted by the r17
+    * review, the readStoreLayout consolidation argument applied to the
+    * fold protocol): every epoch EXCEPT the newest folds through
+    * `foldBelow` into one baseline slab at [[FoldEpoch]], the newest
+    * partition stays live so a replayed last batch remains a
+    * self-overwrite (ADD-merged counters double-count a replay whose
+    * rows moved into the baseline — the whole reason these two families
+    * cannot fold everything the way the idempotent families do), and
+    * the `folded_through` watermark advances monotonically to the max
+    * folded id. A compaction that folded NOTHING (single live epoch,
+    * no prior watermark) records no watermark at all — a store that
+    * never lost per-epoch rows must not arm the folded-window guard
+    * (the r17-review false positive). */
+  private[ops] def compactKeepNewest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      baseLayout: String, prevFt: Long,
+      foldBelow: DataFrame => DataFrame,
+      emptySchemaDdl: String): Unit = {
+    // cast: a partitionBy("epoch") column reads back with an INFERRED
+    // (int-sized) type when every dir name fits one; a FILELESS store
+    // (empty summary / empty first batch) folds as its empty relation
+    val rows = readStoreRows(spark, path, emptySchemaDdl)
       .withColumn("epoch", col("epoch").cast("long"))
     val newestRow = rows.agg(max(col("epoch"))).head()
     if (newestRow.isNullAt(0)) return
     val newest = newestRow.getLong(0)
-    val folded = rows.filter(col("epoch") < newest)
-      .groupBy(col("row_j"), col("bucket"))
-      .agg(sum(col("counter")).as("counter"))
-      .select(col("row_j"), col("bucket"), col("counter"),
-        lit(FoldEpoch).as("epoch"))
+    val below = rows.filter(col("epoch") < newest)
+    val folded = foldBelow(below.drop("epoch"))
+      .withColumn("epoch", lit(FoldEpoch))
       .unionByName(rows.filter(col("epoch") === newest))
-    val prevFt = kv.get(FoldedThroughKey).map(_.toLong).getOrElse(FoldEpoch)
-    val belowRow = rows.filter(col("epoch") < newest)
-      .agg(max(col("epoch"))).head()
+    val belowRow = below.agg(max(col("epoch"))).head()
     val ft = math.max(prevFt,
       if (belowRow.isNullAt(0)) prevFt else belowRow.getLong(0))
-    swapFolded(spark, path,
-      s"cmsd=${kv("cmsd")},cmsw=${kv("cmsw")},$FoldedThroughKey=$ft",
-      folded, partitionCols = Seq("epoch"))
+    val layout =
+      if (ft >= 0L) s"$baseLayout,$FoldedThroughKey=$ft" else baseLayout
+    swapFolded(spark, path, layout, folded,
+      partitionCols = Seq("epoch"))
   }
 
   /** HyperLogLog registers + estimate with NO floating-point anywhere
@@ -526,6 +563,30 @@ object Sketch {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Store-row read that survives a FILELESS store dir (r17 review
+    * fallout): families whose per-epoch relation is data-derived —
+    * MG summaries (a uniform rotation legitimately decrements every
+    * counter away), CMS/KMV/histogram slabs of an EMPTY first batch —
+    * can write ZERO rows, and `partitionBy` of an empty frame creates a
+    * dir holding only `_SUCCESS` + the layout record. A plain
+    * `spark.read.parquet` then dies with UNABLE_TO_INFER_SCHEMA on a
+    * store that is perfectly healthy, just empty. The fallback returns
+    * an empty frame with the family's declared row schema, so merges
+    * answer their empty relation and appends into the store work. (The
+    * HLL/bloom families write full register/word SPINES per epoch and
+    * cannot be fileless; they keep plain inference.) */
+  private[ops] def readStoreRows(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 emptySchemaDdl: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(emptySchemaDdl))
+    }
+
   /** THE layout-record reader, shared by every store family (r15
     * next-round item: six families hand-rolled the same
     * open/readAllBytes/parse/require block ~8 times, and the r14
@@ -707,8 +768,7 @@ object Sketch {
     val kv = readStoreLayout(spark, path, "HLL", Set("p"),
       optionalKeys = Set(FoldedThroughKey))
     val rows = spark.read.parquet(path)
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      rows.filter(epochFilter))
+    guardFoldedWindow(spark, path, kv, epochFilter)
     val merged = rows
       .filter(epochFilter)
       .groupBy(col("bucket")).agg(max(col("register")).as("register"))
@@ -902,8 +962,7 @@ object Sketch {
     val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"),
       optionalKeys = Set(FoldedThroughKey)) // fail loud
     val rows = spark.read.parquet(path)
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      rows.filter(epochFilter))
+    guardFoldedWindow(spark, path, kv, epochFilter)
     rows
       .filter(epochFilter)
       .groupBy(col("word"))
@@ -1098,7 +1157,8 @@ object Sketch {
       s"epoch $epoch was folded into the baseline of $path (watermark " +
         s"$ft) — ADD-merged counters double-count on replay; use a " +
         "fresh epoch id above the watermark"))
-    val dup = spark.read.parquet(path)
+    val dup = readStoreRows(spark, path,
+        "epoch BIGINT, bin BIGINT, cnt BIGINT")
       .filter(col("epoch") === epoch).limit(1).count()
     require(dup == 0L,
       s"epoch $epoch already present in $path — ADD-merged counters " +
@@ -1118,9 +1178,9 @@ object Sketch {
     val kv = readStoreLayout(spark, path, "histogram",
       Set("lo", "width", "bins"), HistHints, Set(FoldedThroughKey))
     val (lo, width) = (kv("lo").toDouble, kv("width").toDouble)
-    val rows = spark.read.parquet(path)
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      rows.filter(epochFilter))
+    val rows = readStoreRows(spark, path,
+      "epoch BIGINT, bin BIGINT, cnt BIGINT")
+    guardFoldedWindow(spark, path, kv, epochFilter)
     val merged = rows
       .filter(epochFilter)
       .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
@@ -1144,7 +1204,7 @@ object Sketch {
     swapFolded(spark, path,
       s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}" +
         s",$FoldedThroughKey=$ft",
-      spark.read.parquet(path)
+      readStoreRows(spark, path, "epoch BIGINT, bin BIGINT, cnt BIGINT")
         .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
         .select(lit(FoldEpoch).as("epoch"), col("bin"), col("cnt")))
   }
@@ -1157,7 +1217,7 @@ object Sketch {
                             kv: Map[String, String]): Long = {
     val prev = kv.get(FoldedThroughKey).map(_.toLong)
       .getOrElse(FoldEpoch)
-    val row = spark.read.parquet(path)
+    val row = readStoreRows(spark, path, "epoch BIGINT")
       .agg(max(col("epoch").cast("long"))).head()
     if (row.isNullAt(0)) prev else math.max(prev, row.getLong(0))
   }
@@ -1185,34 +1245,44 @@ object Sketch {
     }
   }
 
-  /** Post-fold window guard (r16 ADVICE): a fold erases the per-epoch
-    * rows at or below the recorded `folded_through` watermark, so an
-    * epoch-windowed read over a folded span can only ever see the
-    * [[FoldEpoch]] baseline (the WHOLE folded history at once) — the
-    * span's own ids no longer exist. This makes the worst symptom loud:
-    * when the store carries a watermark, the window excludes the
-    * baseline, and the filtered store comes back EMPTY, the reader
-    * refuses instead of estimating over nothing (the span almost
-    * certainly predates the fold). A window that straddles the fold and
-    * still matches live epochs is not detectable from the surviving
-    * rows — callers slicing history on a store they also compact should
-    * check [[storeFoldedThrough]] first. The baseline probe evaluates
-    * the filter on a one-row local relation (no store read). */
+  /** Post-fold window guard (r16 ADVICE, tightened by the r17 review):
+    * a fold erases the per-epoch rows at or below the recorded
+    * `folded_through` watermark, so an epoch window that claims any
+    * folded id can only return empty/partial data — the span's own rows
+    * were merged into the [[FoldEpoch]] baseline. The guard refuses
+    * exactly when it can PROVE the overlap: the filter rejects the
+    * baseline (a read including the baseline legitimately sees the
+    * whole folded history) AND accepts at least one epoch in [0, ft] —
+    * point-evaluated against a local range with limit(1), no store
+    * read. Windows entirely above the watermark pass even when they
+    * match nothing (a dashboard polling the current epoch before its
+    * append lands must get its empty answer, not an error — the
+    * r17-review false positive). Watermarks below zero (a compaction
+    * that had nothing to fold) arm nothing. For date-like epoch domains
+    * the proof scan is one codegen range pass (≈ms); beyond 2^31 the
+    * proof is skipped and the read proceeds — callers on such domains
+    * check [[storeFoldedThrough]] themselves (documented, not silent:
+    * the layout still carries the watermark). */
   private[ops] def guardFoldedWindow(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      kv: Map[String, String], epochFilter: Column,
-      filtered: => DataFrame): Unit =
-    kv.get(FoldedThroughKey).foreach { ft =>
+      kv: Map[String, String], epochFilter: Column): Unit =
+    kv.get(FoldedThroughKey).map(_.toLong)
+      .filter(ft => ft >= 0L && ft < (1L << 31)).foreach { ft =>
       val seesBaseline = !spark.range(1)
         .select(lit(FoldEpoch).as("epoch"))
         .filter(epochFilter).isEmpty
-      if (!seesBaseline)
-        require(!filtered.limit(1).isEmpty,
-          s"epoch window over $path matches no live epochs and the " +
-            s"store was folded through epoch $ft — the window's rows " +
-            s"were merged into the $FoldEpoch baseline and no longer " +
-            s"exist per-epoch; include epoch $FoldEpoch for the full " +
-            s"folded history, or use epochs above $ft")
+      if (!seesBaseline) {
+        val claimsFolded = !spark.range(0L, ft + 1)
+          .select(col("id").as("epoch"))
+          .filter(epochFilter).limit(1).isEmpty
+        require(!claimsFolded,
+          s"epoch window over $path accepts epochs at or below the " +
+            s"fold watermark $ft but excludes the $FoldEpoch baseline " +
+            s"— the store was folded through epoch $ft and those " +
+            s"epochs' rows no longer exist per-epoch; include epoch " +
+            s"$FoldEpoch for the full folded history, or use epochs " +
+            s"above $ft")
+      }
     }
 
   /** Create/replace a GROUPED histogram store: (epoch, <group>, bin,
@@ -1255,7 +1325,8 @@ object Sketch {
       s"epoch $epoch was folded into the baseline of $path (watermark " +
         s"$ft) — ADD-merged counters double-count on replay; use a " +
         "fresh epoch id above the watermark"))
-    val dup = spark.read.parquet(path)
+    val dup = readStoreRows(spark, path,
+        s"epoch BIGINT, `$groupCol` STRING, bin BIGINT, cnt BIGINT")
       .filter(col("epoch") === epoch).limit(1).count()
     require(dup == 0L,
       s"epoch $epoch already present in $path — ADD-merged counters " +
@@ -1279,9 +1350,9 @@ object Sketch {
       Set(FoldedThroughKey))
     val (lo, width, g) =
       (kv("lo").toDouble, kv("width").toDouble, kv("group"))
-    val rows = spark.read.parquet(path)
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      rows.filter(epochFilter))
+    val rows = readStoreRows(spark, path,
+      s"epoch BIGINT, `${kv("group")}` STRING, bin BIGINT, cnt BIGINT")
+    guardFoldedWindow(spark, path, kv, epochFilter)
     val merged = rows
       .filter(epochFilter)
       .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
@@ -1302,7 +1373,8 @@ object Sketch {
     swapFolded(spark, path,
       s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")},group=$g" +
         s",$FoldedThroughKey=$ft",
-      spark.read.parquet(path)
+      readStoreRows(spark, path,
+          s"epoch BIGINT, `$g` STRING, bin BIGINT, cnt BIGINT")
         .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
         .select(lit(FoldEpoch).as("epoch"), col(g), col("bin"),
           col("cnt")))
@@ -1665,15 +1737,14 @@ object Sketch {
                       path: String,
                       epochFilter: Column = lit(true)): DataFrame = {
     val kv = kmvLayoutKv(spark, path)
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      spark.read.parquet(path).filter(epochFilter))
+    guardFoldedWindow(spark, path, kv, epochFilter)
     mergedHashesAtK(spark, path, kv("k").toInt, epochFilter)
   }
 
   private def mergedHashesAtK(spark: org.apache.spark.sql.SparkSession,
                               path: String, k: Int,
                               epochFilter: Column): DataFrame =
-    spark.read.parquet(path)
+    readStoreRows(spark, path, "epoch BIGINT, h BIGINT")
       .filter(epochFilter)
       .select(col("h")).distinct().orderBy(col("h")).limit(k)
 
@@ -1690,10 +1761,8 @@ object Sketch {
     val (ka, kb) = (kvA("k").toInt, kvB("k").toInt)
     require(ka == kb, s"KMV stores disagree on k ($ka vs $kb) — " +
       "their bottom-k sets are different sample rates and cannot overlap")
-    guardFoldedWindow(spark, pathA, kvA, epochFilter,
-      spark.read.parquet(pathA).filter(epochFilter))
-    guardFoldedWindow(spark, pathB, kvB, epochFilter,
-      spark.read.parquet(pathB).filter(epochFilter))
+    guardFoldedWindow(spark, pathA, kvA, epochFilter)
+    guardFoldedWindow(spark, pathB, kvB, epochFilter)
     thetaAlgebra(mergedHashesAtK(spark, pathA, ka, epochFilter),
       mergedHashesAtK(spark, pathB, ka, epochFilter), ka)
   }
@@ -1766,8 +1835,7 @@ object Sketch {
                         epochFilter: Column = lit(true)): DataFrame = {
     val kv = kmvLayoutKv(spark, path)
     val k = kv("k").toInt
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      spark.read.parquet(path).filter(epochFilter))
+    guardFoldedWindow(spark, path, kv, epochFilter)
     mergedHashesAtK(spark, path, k, epochFilter)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
       .select(lit(k.toLong).as("k"), col("n_kept"), col("theta"),
@@ -1847,11 +1915,11 @@ object Sketch {
                              epochFilter: Column = lit(true)): DataFrame = {
     val kv = groupedKmvLayoutKv(spark, path)
     val (k, g) = (kv("gk").toInt, kv("group"))
-    guardFoldedWindow(spark, path, kv, epochFilter,
-      spark.read.parquet(path).filter(epochFilter))
+    guardFoldedWindow(spark, path, kv, epochFilter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(g)).orderBy(col("h"))
-    spark.read.parquet(path).filter(epochFilter)
+    readStoreRows(spark, path, s"epoch BIGINT, `$g` STRING, h BIGINT")
+      .filter(epochFilter)
       .select(col(g), col("h")).distinct()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

@@ -286,6 +286,18 @@ class LlmOpsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(distUncast == wantDirty,
       s"distributed path on uncastable input: $distUncast")
+    // dirty VERTEX ids get the same treatment (r17 review: a plain
+    // cast on the vertex side threw under ANSI while the identical
+    // value in pairs was dropped): uncastable vertex ids drop on both
+    // paths instead of throwing
+    val dirtyVerts = (verts.map(_.toString) ++ Seq("junk", "")).toDF("id")
+    val gotDv = Dedup.connectedComponents(dirtyVerts, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDv == got, s"driver path on dirty vertices: $gotDv")
+    val distDv = Dedup.connectedComponents(dirtyVerts, pairs,
+        driverBelow = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distDv == got, s"distributed path on dirty vertices: $distDv")
   }
 
   test("near-dup clusters equal a driver-side union-find over the exact " +
@@ -1636,6 +1648,42 @@ class LlmOpsSpec extends SparkSpecBase {
     // truncated headers are None, never a throw
     assert(Multimodal.HeaderCodec.sniff("GIF89a".getBytes).isEmpty)
     assert(Multimodal.HeaderCodec.sniff(Array[Byte](0x89.toByte)).isEmpty)
+    // hostile headers are None, never a crash or a negative dimension
+    // (r17 review): a WAV chunk size near 2^31 must not wrap the walk
+    // offset back INTO the buffer
+    val hostileWav = {
+      val buf = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(32)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("junk".getBytes("US-ASCII")).putInt(2147483630)
+      buf.array()
+    }
+    assert(Multimodal.HeaderCodec.sniff(hostileWav).isEmpty,
+      "a near-2^31 chunk size must walk off the end, not wrap negative")
+    // PNG dims are 31-bit positive: a width field >= 2^31 (would wrap
+    // .toInt negative) and a zero height both fall to the stub
+    def pngWith(w: Long, h: Long) = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      val buf = java.nio.ByteBuffer.allocate(21)
+      buf.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      buf.putInt(w.toInt).putInt(h.toInt).put(8.toByte)
+      out.write(buf.array()); out.write(new Array[Byte](8))
+      out.toByteArray
+    }
+    assert(Multimodal.HeaderCodec.sniff(pngWith(0x80000000L, 10)).isEmpty)
+    assert(Multimodal.HeaderCodec.sniff(pngWith(10, 0)).isEmpty)
+    // BMP: negative width is hostile (only height may be negative)
+    val badBmp = {
+      val buf = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      buf.putInt(40).putInt(-5).putInt(7)
+      buf.array()
+    }
+    assert(Multimodal.HeaderCodec.sniff(badBmp).isEmpty)
     val stubbed = Multimodal.decodeMeta(
       Multimodal.asMedia(docs)).collect()
     assert(stubbed.forall(_.codec == "stub"),

@@ -2174,6 +2174,125 @@ class OperatorSpec extends SparkSpecBase {
     graft.ops.Sketch.compactHllStore(spark, hll)
     assert(graft.ops.Sketch.storeFoldedThrough(spark, hll) == Some(12L),
       "second fold must advance the watermark to the newest folded epoch")
+    // r17 review: a window entirely ABOVE the watermark that matches
+    // nothing must get its empty answer, not an error — the dashboard
+    // polling the current epoch before its append lands
+    val emptyRow = graft.ops.Sketch.mergedHllEstimate(spark, hll,
+      col("epoch") === 99L).head()
+    assert(emptyRow.isNullAt(emptyRow.fieldIndex("estimate")),
+      "an empty above-watermark window answers its degenerate " +
+        s"zero-register row, never throws: $emptyRow")
+    // and a PARTIAL window (straddling the fold with live rows) is now
+    // provably refused too — the filter accepts a folded id
+    graft.ops.Sketch.appendHllStore(
+      (1 to 50).map(i => s"u$i").toDF("item"), hll, epoch = 20L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedHllEstimate(spark, hll,
+        col("epoch").between(5L, 20L)).collect()
+    }
+  }
+
+  test("keep-newest fold with nothing to fold records NO watermark — a " +
+    "store that never lost per-epoch rows must not arm the folded-" +
+    "window guard (r17 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nofold")
+      .toString + "/store"
+    graft.ops.Sketch.writeCmsStore(
+      (1 to 100).map(i => s"it${i % 9}").toDF("item"), dir, epoch = 0L,
+      d = 4, w = 32)
+    // single live epoch: the keep-newest fold has nothing below it
+    graft.ops.Sketch.compactCmsStore(spark, dir)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, dir).isEmpty,
+      "nothing folded -> no watermark")
+    // an empty-window read on that store stays a plain empty answer
+    assert(graft.ops.Sketch.mergedCmsCounters(spark, dir,
+      col("epoch") === 5L).isEmpty)
+    // same for the MG store (the shared compactKeepNewest protocol) —
+    // skewed data, so the k-counter summary is non-empty
+    import spark.implicits._
+    val tf = dir + "_tf"
+    graft.ops.Scale.writeTopFreqStore(
+      (Seq.fill(40)("hot") ++ (1 to 10).map(i => s"w$i")).toDS(),
+      tf, epoch = 3L, k = 4)
+    graft.ops.Scale.compactTopFreqStore(spark, tf)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, tf).isEmpty)
+    // a REAL fold still records it
+    graft.ops.Sketch.appendCmsStore(
+      (1 to 10).map(i => s"x$i").toDF("item"), dir, epoch = 1L,
+      d = 4, w = 32)
+    graft.ops.Sketch.compactCmsStore(spark, dir)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, dir) == Some(0L))
+  }
+
+  test("fileless stores read as empty, not UNABLE_TO_INFER_SCHEMA: a " +
+    "uniform rotation legitimately empties an MG summary, and an empty " +
+    "first batch writes a KMV/CMS store with zero rows (r17 review " +
+    "fallout)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fileless")
+      .toString
+    // 5 uniformly rotating items against k=4 counters: every 5th
+    // arrival decrements all four, so the final summary is EMPTY —
+    // correct MG behavior ("nothing is frequent"), and the partitioned
+    // write of an empty frame creates a dir with no parquet files
+    val tf = base + "/tf"
+    graft.ops.Scale.writeTopFreqStore(
+      (1 to 50).map(i => s"w${i % 5}").toDS(), tf, epoch = 0L, k = 4)
+    assert(graft.ops.Scale.mergedHeavyHitters(spark, tf).isEmpty,
+      "an empty summary store answers its empty relation")
+    graft.ops.Scale.compactTopFreqStore(spark, tf) // no-op, no throw
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, tf).isEmpty)
+    // appends into the fileless store work, and reads then see them
+    graft.ops.Scale.appendTopFreqStore(
+      (Seq.fill(30)("hot") ++ (1 to 5).map(i => s"x$i")).toDS(),
+      tf, epoch = 1L, k = 4)
+    val hh = graft.ops.Scale.mergedHeavyHitters(spark, tf)
+      .as[(String, Long)].collect().toMap
+    assert(hh.contains("hot") && hh("hot") > 0L, s"$hh")
+    // KMV store written from an EMPTY first batch (empty first
+    // micro-batch in a runner): fileless, must read as empty and
+    // accept the next epoch
+    val kmv = base + "/kmv"
+    graft.ops.Sketch.writeKmvStore(
+      spark.emptyDataset[String].toDF("item"), kmv, epoch = 0L)
+    assert(graft.ops.Sketch.mergedKmvEstimate(spark, kmv)
+      .select("n_kept").as[Long].head() == 0L)
+    graft.ops.Sketch.appendKmvStore(
+      (1 to 500).map(i => s"u$i").toDF("item"), kmv, epoch = 1L)
+    assert(graft.ops.Sketch.mergedKmvEstimate(spark, kmv)
+      .select("n_kept").as[Long].head() > 0L)
+    // CMS: same
+    val cms = base + "/cms"
+    graft.ops.Sketch.writeCmsStore(
+      spark.emptyDataset[String].toDF("item"), cms, epoch = 0L,
+      d = 4, w = 32)
+    assert(graft.ops.Sketch.mergedCmsEstimates(spark, cms,
+        Seq("x").toDF("item")).as[(String, Long)].head() == (("x", 0L)))
+    graft.ops.Sketch.appendCmsStore(
+      Seq.fill(7)("x").toDF("item"), cms, epoch = 1L, d = 4, w = 32)
+    assert(graft.ops.Sketch.mergedCmsEstimates(spark, cms,
+        Seq("x").toDF("item")).as[(String, Long)].head() == (("x", 7L)))
+  }
+
+  test("CMS probe of unseen items: empty cells read as 0 (never another " +
+    "item's collision mass alone), and every probe emits a row (r17 " +
+    "review — the countMinJoinSize spine argument applied to the store)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsprobe")
+      .toString + "/store"
+    graft.ops.Sketch.writeCmsStore(
+      Seq.fill(5)("present").toDF("item"), dir, epoch = 0L, d = 4, w = 32)
+    val probes = Seq("present", "absent_a", "absent_b", "absent_c",
+      "absent_d", "absent_e").toDF("item")
+    val got = graft.ops.Sketch.mergedCmsEstimates(spark, dir, probes)
+      .as[(String, Long)].collect().toMap
+    assert(got.size == 6, s"every probe must emit a row: $got")
+    assert(got("present") == 5L)
+    // one item occupies at most d cells of the d*32 grid; an unseen
+    // probe needs ALL d of its cells to collide to report mass, which
+    // five absent probes against one 4-cell footprint cannot all do
+    assert(got.exists { case (k, v) => k.startsWith("absent") && v == 0L },
+      s"an unseen probe with an empty cell must answer 0: $got")
+    assert(got.forall(_._2 >= 0L))
   }
 
   test("URL canonicalization table: fragments, default ports, tracking " +
