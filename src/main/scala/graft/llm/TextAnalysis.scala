@@ -143,6 +143,98 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg((max("n").cast("double") / sum("n")).as("rep_ratio"))
 
+  /** The Gopher repetition-filter battery (Rae et al. 2021, §A1.1) —
+    * the standard per-document n-gram repetition metrics a production
+    * quality gate runs alongside the single-w [[repetitionRatio]]:
+    *
+    *  - `top{2,3,4}_milli` — the character fraction (in thousandths)
+    *    covered by the document's MOST FREQUENT n-gram: occurrences ×
+    *    gram chars / doc chars. The argmax is deterministic — ties
+    *    break by (count, gram chars, gram text) — so the metric is
+    *    cross-engine exact.
+    *  - `dup{5,8,10}_milli` — the character fraction covered by ALL
+    *    n-grams occurring more than once: Σ over duplicated grams of
+    *    occurrences × gram chars / doc chars, capped at 1000 (overlaps
+    *    are deliberately not de-overlapped — the standard
+    *    implementation's definition, stated so the number means the
+    *    same thing everywhere).
+    *  - `keep` — true iff every metric is at or below the paper's
+    *    published thresholds (top: 0.20/0.18/0.16; dup: 0.15/0.12/0.10
+    *    for n = 5/8/10), compared by exact integer cross-multiplication
+    *    (chars·1000 ≤ thr‰·total), never a float.
+    *
+    * Character counts are over the token-joined text (Σ token chars +
+    * separators), the same basis both engines compute exactly. Docs
+    * shorter than n grams score 0 for that n (nothing repeats); empty
+    * docs keep.
+    *
+    * 100 TB posture: gram generation for ALL six n values is one
+    * per-row projection (the stride-1 slice device — no shuffle), and
+    * the whole battery folds in ONE hash aggregate keyed
+    * (doc, n, gram) with map-side combine plus one per-doc conditional
+    * aggregate — never six passes over the corpus.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 8, 10)
+    val thrTop = Map(2 -> 200L, 3 -> 180L, 4 -> 160L)
+    val thrDup = Map(5 -> 150L, 8 -> 120L, 10 -> 100L)
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val base = docs.select(col(idCol),
+      tokens(col(textCol)).as("__w"))
+      .withColumn("__total",
+        length(array_join(coalesce(col("__w"),
+          array().cast("array<string>")), " ")).cast("long"))
+    // every n's stride-1 gram windows from one projection: per n, a
+    // (n, gram) struct per start position; flatten + one explode
+    val gramArrays = ns.map(n =>
+      when(coalesce(size(col("__w")), lit(0)) >= n,
+        expr(s"transform(sequence(0, size(__w) - $n)," +
+          s" s -> named_struct('n', $n," +
+          s" 'g', array_join(slice(__w, s + 1, $n), ' ')))"))
+        .otherwise(array().cast("array<struct<n:int,g:string>>")))
+    val grams = base
+      .select(col(idCol), explode(flatten(array(gramArrays: _*))).as("__ng"))
+      .select(col(idCol), col("__ng.n").as("__n"), col("__ng.g").as("__g"))
+    val cnt = grams.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__glen", length(col("__g")).cast("long"))
+    // one conditional per-doc aggregate: argmax struct per top-n,
+    // duplicated-char sum per dup-n
+    val aggs =
+      topNs.map(n => max(when(col("__n") === n,
+        struct(col("__c"), col("__glen"), col("__g")))).as(s"__top$n")) ++
+      dupNs.map(n => sum(when(col("__n") === n && col("__c") >= 2L,
+        col("__c") * col("__glen")).otherwise(0L)).as(s"__dup$n"))
+    val stats = cnt.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // named char-count columns first, so the milli fractions can use
+    // integer `div` (a float `/` can mis-floor at representation edges)
+    val withChars = base.select(col(idCol), col("__total"))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol) +: col("__total") +:
+          (topNs.map(n => coalesce(
+            col(s"__top$n.__c") * col(s"__top$n.__glen"), lit(0L))
+            .as(s"__ch_t$n")) ++
+            dupNs.map(n => coalesce(col(s"__dup$n"), lit(0L))
+              .as(s"__ch_d$n"))): _*)
+    def milli(chars: String): Column =
+      when(col("__total") > 0L,
+        least(lit(1000L), expr(s"($chars * 1000) div __total")))
+        .otherwise(0L)
+    val keep = (topNs.map(n =>
+        col(s"__ch_t$n") * 1000L <= lit(thrTop(n)) * col("__total")) ++
+      dupNs.map(n =>
+        col(s"__ch_d$n") * 1000L <= lit(thrDup(n)) * col("__total")))
+      .reduce(_ && _) || col("__total") === 0L
+    withChars.select(
+      col(idCol) +: col("__total").as("n_chars") +:
+        (topNs.map(n => milli(s"__ch_t$n").as(s"top${n}_milli")) ++
+          dupNs.map(n => milli(s"__ch_d$n").as(s"dup${n}_milli")) :+
+          keep.as("keep")): _*)
+  }
+
   /** Language ID by stopword voting: score(lang) = #tokens in that language's
     * stopword list; argmax wins, ties resolved by list order, no hits →
     * "und". An n-gram-free heuristic that stays in codegen.

@@ -199,6 +199,12 @@ object LlmQueries {
       Tables.documents(s, dir).withColumn("url", url), cap = 10)
   }
 
+  /** Gopher repetition-filter battery (q246): the six per-document
+    * n-gram repetition metrics + keep flag of
+    * [[TextAnalysis.repetitionStats]], integer-milli exact. */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir))
+
   /** Embedding-cosine near-dup pairs (τ = 0.45 — the corpus has no planted
     * embedding dups, so the threshold sits just inside the natural tail).
     * Runs the recall-CERTIFIED IVF path: measure the candidate generator's
@@ -1235,6 +1241,7 @@ object LlmQueries {
     "q242_perplexity_buckets" -> perplexityBucketsQ,
     "q243_weighted_sample_grouped" -> weightedSamplePerLangQ,
     "q244_url_dedup" -> urlCanonicalDedupQ,
+    "q246_gopher_repetition" -> gopherRepetition,
     "q64_source_cap" -> sourceCap,
     "q65_lm_surprisal" -> lmSurprisal,
     "q66_incremental_dedup" -> incrementalDedup,
@@ -2946,6 +2953,64 @@ object LlmQueries {
         |  l.is_canonical,
         |  l.is_canonical AND COALESCE(r.rk <= 10, FALSE) AS kept
         |FROM l LEFT JOIN r USING (doc_id)""".stripMargin,
+    // q246: the Gopher battery re-derived — gram windows per n via list
+    // slicing, one (doc, n, gram) count, struct-max argmax (the same
+    // (count, len, gram) lexicographic tie-break Spark's max(struct)
+    // computes), integer milli fractions and cross-multiplied keep
+    "q246_gopher_repetition" -> {
+      val ns = Seq(2, 3, 4, 5, 8, 10)
+      val gramCtes = ns.map(n =>
+        s"""SELECT doc_id, $n AS n,
+          |  unnest(list_transform(generate_series(0, len(toks) - $n),
+          |    s -> array_to_string(toks[s+1:s+$n], ' '))) AS g
+          |FROM b WHERE len(toks) >= $n""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      val topAggs = Seq(2, 3, 4).map(n =>
+        s"max(CASE WHEN n = $n THEN {'c': c, 'l': glen, 'g': g} END) " +
+          s"AS t$n").mkString(",\n    ")
+      val dupAggs = Seq(5, 8, 10).map(n =>
+        s"SUM(CASE WHEN n = $n AND c >= 2 THEN c * glen ELSE 0 END) " +
+          s"AS d$n").mkString(",\n    ")
+      val chCols = (Seq(2, 3, 4).map(n =>
+        s"COALESCE(t$n.c * t$n.l, 0) AS ch_t$n") ++
+        Seq(5, 8, 10).map(n => s"COALESCE(d$n, 0) AS ch_d$n"))
+        .mkString(",\n    ")
+      // CAST: DuckDB sums BIGINT into HUGEINT, which floats through
+      // LEAST — pin every milli column back to BIGINT
+      val milliCols = (Seq(2, 3, 4).map(n =>
+        s"CAST(CASE WHEN total > 0 THEN " +
+          s"LEAST(1000, (ch_t$n * 1000) // total) ELSE 0 END AS BIGINT) " +
+          s"AS top${n}_milli") ++
+        Seq(5, 8, 10).map(n =>
+          s"CAST(CASE WHEN total > 0 THEN " +
+            s"LEAST(1000, (ch_d$n * 1000) // total) ELSE 0 END AS BIGINT) " +
+            s"AS dup${n}_milli")).mkString(",\n  ")
+      val thr = Map(2 -> 200, 3 -> 180, 4 -> 160, 5 -> 150, 8 -> 120,
+        10 -> 100)
+      val keep = (Seq(2, 3, 4).map(n =>
+        s"ch_t$n * 1000 <= ${thr(n)} * total") ++
+        Seq(5, 8, 10).map(n => s"ch_d$n * 1000 <= ${thr(n)} * total"))
+        .mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |        strlen(array_to_string(toks, ' ')) AS total FROM t),
+        |g AS (
+        |  $gramCtes
+        |),
+        |c AS (SELECT doc_id, n, g, COUNT(*) AS c, strlen(g) AS glen
+        |      FROM g GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id,
+        |    $topAggs,
+        |    $dupAggs
+        |  FROM c GROUP BY 1),
+        |j AS (SELECT b.doc_id, b.total,
+        |    $chCols
+        |  FROM b LEFT JOIN s USING (doc_id))
+        |SELECT doc_id, CAST(total AS BIGINT) AS n_chars,
+        |  $milliCols,
+        |  (total = 0 OR ($keep)) AS keep
+        |FROM j""".stripMargin
+    },
     "q61_contamination" ->
       s"""WITH $sh5Ctes,
         |fp AS (SELECT doc_id,

@@ -1591,6 +1591,46 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(resized.forall(_.content.length == 64 * 64 / 16))
   }
 
+  test("Gopher repetition battery: hand-computed top/dup n-gram char " +
+    "fractions, published thresholds, short/empty docs keep (q246)") {
+    // doc 1: "a b a b a b" — top bigram "a b" occurs 3x of 5 bigrams,
+    //   chars 3*3=9 of 11 -> top2 = 9000/11 = 818 (> 200 -> drop)
+    // doc 2: 30 distinct tokens, nothing repeats — the top n-gram still
+    //   scores (count 1: the metric is the published definition, which
+    //   assumes long documents), but every fraction sits under its
+    //   threshold and dup metrics are exactly 0 -> keep
+    // doc 3: a duplicated 5-gram: "v w x y z v w x y z" has "v w x y z"
+    //   twice (2*9=18 chars of 19 -> dup5 = 947 > 150 -> drop); its top
+    //   bigram "z v" ties with ... all bigrams: v w, w x, x y, y z,
+    //   z v, v w, w x, x y, y z -> "v w"/"w x"/"x y"/"y z" each 2x;
+    //   argmax tie-break (cnt, len, text) picks "y z" -> 2*3=6 of 19
+    // doc 4: one token -> no grams at all, keep
+    // doc 5: empty -> keep, n_chars 0
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, (1 to 30).map(i => s"t$i").mkString(" ")),
+      (3L, "v w x y z v w x y z"),
+      (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def m(id: Long, col: String): Long =
+      got(id).getLong(got(id).fieldIndex(col))
+    def keep(id: Long): Boolean =
+      got(id).getBoolean(got(id).fieldIndex("keep"))
+    assert(m(1L, "n_chars") == 11L)
+    assert(m(1L, "top2_milli") == 9L * 1000 / 11, s"${got(1L)}")
+    assert(!keep(1L), "a dominant bigram past 0.20 drops")
+    assert(m(2L, "top2_milli") <= 200L && keep(2L), s"${got(2L)}")
+    assert(m(2L, "dup5_milli") == 0L && m(2L, "dup10_milli") == 0L)
+    assert(m(3L, "dup5_milli") == 18L * 1000 / 19, s"${got(3L)}")
+    assert(!keep(3L), "a duplicated 5-gram span past 0.15 drops")
+    assert(m(3L, "top2_milli") == 6L * 1000 / 19,
+      s"argmax tie must break by (cnt, len, text): ${got(3L)}")
+    assert(m(4L, "n_chars") == 4L && m(4L, "top2_milli") == 0L && keep(4L))
+    assert(m(5L, "n_chars") == 0L && keep(5L))
+  }
+
   test("multimodal header decode: PNG/GIF/BMP/WAV dimensions and duration " +
     "are parsed from the real file headers; foreign bytes fall to the " +
     "stub, loudly flagged") {

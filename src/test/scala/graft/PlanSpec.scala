@@ -908,6 +908,24 @@ class PlanSpec extends SparkSpecBase {
     spark.sqlContext.clearCache()
   }
 
+  test("q246 Gopher battery: all six n values ride ONE gram explode and " +
+    "ONE (doc,n,gram) aggregate — no per-n passes, no cartesian, no " +
+    "single-task funnel") {
+    val p = graft.core.CacheScope.scoped {
+      SparkEntry.queries("q246_gopher_repetition")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task funnel:\n$p")
+    // one Generate = one explode feeding every n (six separate shingle
+    // passes would show six)
+    val gens = p.linesIterator.count(_.contains("Generate explode"))
+    assert(gens == 1, s"expected ONE gram explode, saw $gens:\n$p")
+    spark.sqlContext.clearCache()
+  }
+
   test("q238 overlap matrix: every estimate-side join broadcasts, the " +
     "only nested loops are the bounded |G|-row pair spines, no cartesian") {
     val p = planOf("q238_kmv_overlap_matrix")
