@@ -87,8 +87,12 @@ object Multimodal {
           Some(("png", w.toInt, h.toInt, 0L))
         else None
       } else if (b.length >= 13 &&
-        (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
-        Some(("gif", le16(b, 6), le16(b, 8), 0L))
+        (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))) {
+        // u16 dims cannot be negative, but zero is still a hostile
+        // header, not a decodable image (same policy as PNG/BMP)
+        val (w, h) = (le16(b, 6), le16(b, 8))
+        if (w > 0 && h > 0) Some(("gif", w, h, 0L)) else None
+      }
       else if (b.length >= 54 && ascii(b, 0, "BM") && le32(b, 14) == 40L) {
         // BMP width must be positive; height may be negative (top-down
         // DIB) and its magnitude is the dimension — anything else is a

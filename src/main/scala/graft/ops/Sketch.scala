@@ -372,9 +372,7 @@ object Sketch {
     val belowRow = below.agg(max(col("epoch"))).head()
     val ft = math.max(prevFt,
       if (belowRow.isNullAt(0)) prevFt else belowRow.getLong(0))
-    val layout =
-      if (ft >= 0L) s"$baseLayout,$FoldedThroughKey=$ft" else baseLayout
-    swapFolded(spark, path, layout, folded,
+    swapFolded(spark, path, withFoldWatermark(baseLayout, ft), folded,
       partitionCols = Seq("epoch"))
   }
 
@@ -630,6 +628,13 @@ object Sketch {
     kv
   }
 
+  /** Layout line with the fold watermark appended — OMITTED when the
+    * fold had nothing to erase (ft < 0): a store that never lost
+    * per-epoch rows must not carry a vestigial watermark
+    * ([[storeFoldedThrough]] answers "was anything folded away"). */
+  private[ops] def withFoldWatermark(base: String, ft: Long): String =
+    if (ft >= 0L) s"$base,$FoldedThroughKey=$ft" else base
+
   /** The fold-watermark layout key of the ADD-merge families: folds
     * erase per-epoch rows, so the duplicate-epoch replay guard would
     * silently pass for any folded-away id — the watermark keeps it
@@ -794,7 +799,7 @@ object Sketch {
     // (r16 ADVICE — a windowed read over erased epochs must be
     // detectable, see guardFoldedWindow / storeFoldedThrough)
     val ft = foldWatermark(spark, path, kv)
-    swapFolded(spark, path, s"p=${kv("p")},$FoldedThroughKey=$ft",
+    swapFolded(spark, path, withFoldWatermark(s"p=${kv("p")}", ft),
       spark.read.parquet(path)
         .groupBy(col("bucket")).agg(max(col("register")).as("register"))
         .select(lit(FoldEpoch).as("epoch"), col("bucket"),
@@ -996,7 +1001,7 @@ object Sketch {
     // fold witness, not an append guard (see compactHllStore)
     val ft = foldWatermark(spark, path, kv)
     swapFolded(spark, path,
-      s"bits=${kv("bits")},k=${kv("k")},$FoldedThroughKey=$ft",
+      withFoldWatermark(s"bits=${kv("bits")},k=${kv("k")}", ft),
       spark.read.parquet(path)
         .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
         .select(lit(FoldEpoch).as("epoch"), col("word"), col("bits")))
@@ -1202,8 +1207,8 @@ object Sketch {
       Set("lo", "width", "bins"), HistHints, Set(FoldedThroughKey))
     val ft = foldWatermark(spark, path, kv)
     swapFolded(spark, path,
-      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}" +
-        s",$FoldedThroughKey=$ft",
+      withFoldWatermark(
+        s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}", ft),
       readStoreRows(spark, path, "epoch BIGINT, bin BIGINT, cnt BIGINT")
         .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
         .select(lit(FoldEpoch).as("epoch"), col("bin"), col("cnt")))
@@ -1241,7 +1246,9 @@ object Sketch {
       finally in.close()
       recorded.split(",").map(_.split("=", 2)).collectFirst {
         case Array(k, v) if k == FoldedThroughKey => v.toLong
-      }
+      }.filter(_ >= 0L)
+      // negative = a pre-r17 nothing-to-fold compaction's vestigial
+      // record; "was anything folded away" is No
     }
   }
 
@@ -1258,16 +1265,19 @@ object Sketch {
     * match nothing (a dashboard polling the current epoch before its
     * append lands must get its empty answer, not an error — the
     * r17-review false positive). Watermarks below zero (a compaction
-    * that had nothing to fold) arm nothing. For date-like epoch domains
-    * the proof scan is one codegen range pass (≈ms); beyond 2^31 the
-    * proof is skipped and the read proceeds — callers on such domains
-    * check [[storeFoldedThrough]] themselves (documented, not silent:
-    * the layout still carries the watermark). */
+    * that had nothing to fold) arm nothing. The proof costs one codegen
+    * range pass over [0, ft] — a few ms for batch-id and yyyymmdd-style
+    * domains, which the 2^25 cutoff covers (21001231 < 2^25) — and is
+    * SKIPPED for larger domains (unix seconds/millis epochs), where the
+    * no-match case would scan billions of rows on every read (the
+    * second r17 review pass); there the read proceeds and callers check
+    * [[storeFoldedThrough]] themselves (documented, not silent: the
+    * layout still carries the watermark). */
   private[ops] def guardFoldedWindow(
       spark: org.apache.spark.sql.SparkSession, path: String,
       kv: Map[String, String], epochFilter: Column): Unit =
     kv.get(FoldedThroughKey).map(_.toLong)
-      .filter(ft => ft >= 0L && ft < (1L << 31)).foreach { ft =>
+      .filter(ft => ft >= 0L && ft < (1L << 25)).foreach { ft =>
       val seesBaseline = !spark.range(1)
         .select(lit(FoldEpoch).as("epoch"))
         .filter(epochFilter).isEmpty
@@ -1371,8 +1381,9 @@ object Sketch {
     val g = kv("group")
     val ft = foldWatermark(spark, path, kv)
     swapFolded(spark, path,
-      s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")},group=$g" +
-        s",$FoldedThroughKey=$ft",
+      withFoldWatermark(
+        s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}," +
+          s"group=$g", ft),
       readStoreRows(spark, path,
           s"epoch BIGINT, `$g` STRING, bin BIGINT, cnt BIGINT")
         .groupBy(col(g), col("bin")).agg(sum(col("cnt")).as("cnt"))
@@ -1855,7 +1866,7 @@ object Sketch {
     // set-union merge is replay-idempotent — the watermark is the
     // readers' fold witness, not an append guard (see compactHllStore)
     val ft = foldWatermark(spark, path, kv)
-    swapFolded(spark, path, s"k=$k,$FoldedThroughKey=$ft",
+    swapFolded(spark, path, withFoldWatermark(s"k=$k", ft),
       mergedHashesAtK(spark, path, k, lit(true))
         .select(lit(FoldEpoch).as("epoch"), col("h")))
   }
@@ -1963,7 +1974,8 @@ object Sketch {
     // set-union merge is replay-idempotent — the watermark is the
     // readers' fold witness, not an append guard (see compactHllStore)
     val ft = foldWatermark(spark, path, kv)
-    swapFolded(spark, path, s"gk=$k,group=$g,$FoldedThroughKey=$ft",
+    swapFolded(spark, path,
+      withFoldWatermark(s"gk=$k,group=$g", ft),
       mergedGroupedKmvHashes(spark, path)
         .select(lit(FoldEpoch).as("epoch"), col(g), col("h")))
   }

@@ -2991,13 +2991,18 @@ object LlmQueries {
         s"ch_t$n * 1000 <= ${thr(n)} * total") ++
         Seq(5, 8, 10).map(n => s"ch_d$n * 1000 <= ${thr(n)} * total"))
         .mkString(" AND ")
+      // length(), NOT strlen: the Spark side counts CHARACTERS
+      // (length()), and strlen is bytes — they diverge on any multibyte
+      // text (r17 review). COALESCE: a NULL text tokenizes to NULL,
+      // which must score as the empty doc the Spark side coalesces to.
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |b AS (SELECT doc_id, toks,
-        |        strlen(array_to_string(toks, ' ')) AS total FROM t),
+        |        COALESCE(length(array_to_string(toks, ' ')), 0)
+        |          AS total FROM t),
         |g AS (
         |  $gramCtes
         |),
-        |c AS (SELECT doc_id, n, g, COUNT(*) AS c, strlen(g) AS glen
+        |c AS (SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS glen
         |      FROM g GROUP BY 1, 2, 3),
         |s AS (SELECT doc_id,
         |    $topAggs,

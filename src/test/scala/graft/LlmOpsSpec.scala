@@ -1629,6 +1629,12 @@ class LlmOpsSpec extends SparkSpecBase {
       s"argmax tie must break by (cnt, len, text): ${got(3L)}")
     assert(m(4L, "n_chars") == 4L && m(4L, "top2_milli") == 0L && keep(4L))
     assert(m(5L, "n_chars") == 0L && keep(5L))
+    // NULL text scores as the empty doc (the tokens() coalesce)
+    val gotN = TextAnalysis.repetitionStats(
+        Seq((6L, null: String)).toDF("doc_id", "text"))
+      .collect().head
+    assert(gotN.getLong(gotN.fieldIndex("n_chars")) == 0L &&
+      gotN.getBoolean(gotN.fieldIndex("keep")))
   }
 
   test("multimodal header decode: PNG/GIF/BMP/WAV dimensions and duration " +
@@ -1715,6 +1721,10 @@ class LlmOpsSpec extends SparkSpecBase {
     }
     assert(Multimodal.HeaderCodec.sniff(pngWith(0x80000000L, 10)).isEmpty)
     assert(Multimodal.HeaderCodec.sniff(pngWith(10, 0)).isEmpty)
+    // GIF: zero dims are hostile too (u16 cannot go negative)
+    val zeroGif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0)
+    assert(Multimodal.HeaderCodec.sniff(zeroGif).isEmpty)
     // BMP: negative width is hostile (only height may be negative)
     val badBmp = {
       val buf = java.nio.ByteBuffer.allocate(54)

@@ -2272,6 +2272,18 @@ class OperatorSpec extends SparkSpecBase {
       Seq.fill(7)("x").toDF("item"), cms, epoch = 1L, d = 4, w = 32)
     assert(graft.ops.Sketch.mergedCmsEstimates(spark, cms,
         Seq("x").toDF("item")).as[(String, Long)].head() == (("x", 7L)))
+    // FULL-fold asymmetry: the histogram family folds EVERY epoch into
+    // the baseline (it keeps no newest-live partition), so compacting
+    // even a single-epoch store genuinely erases that epoch's per-epoch
+    // identity — the watermark records it. (An epoch written from empty
+    // input still exists as its zero-count bins spine.)
+    val hist = base + "/hist"
+    graft.ops.Sketch.writeHistStore(
+      spark.emptyDataset[(Long, Double)].toDF("doc_id", "v"), hist,
+      epoch = 0L, valueCol = "v", lo = 0.0, width = 1.0, bins = 10)
+    graft.ops.Sketch.compactHistStore(spark, hist)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, hist) == Some(0L),
+      "a full fold erases its epochs, single-epoch included")
   }
 
   test("CMS probe of unseen items: empty cells read as 0 (never another " +
