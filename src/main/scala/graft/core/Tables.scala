@@ -125,6 +125,17 @@ object Tables {
       s.read.option("basePath", root.toString).parquet(root.toString)
     }
 
+  /** Fingerprinted cache key for per-(process, dataset) temp-store
+    * builders (r17 ADVICE/VERDICT #5): the dataset dir path PLUS a
+    * content fingerprint of the named table file, so a same-JVM
+    * regeneration of the dataset at the same path misses the cache and
+    * rebuilds instead of serving a stale store — the exact staleness
+    * class [[eventsDayPartitioned]] already keys out. The dir stays in
+    * the key so distinct datasets can never collide on a fingerprint. */
+  private[graft] def datasetCacheKey(dir: String, table: String): String =
+    dir + "#" + java.lang.Long.toHexString(
+      fileFingerprint(new java.io.File(dir, table)))
+
   /** Order-independent content fingerprint of a file/parquet dir:
     * per-entry name, length, and mtime folded in sorted order. Cheap
     * (metadata only) and exactly as fresh as the filesystem's mtime

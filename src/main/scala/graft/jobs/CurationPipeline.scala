@@ -71,7 +71,16 @@ object CurationPipeline {
       override def initialValue(): Seq[(String, Double)] = Nil
     }
 
-  def stages(docs: DataFrame, emb: DataFrame): Seq[(String, DataFrame)] = {
+  /** When `gopherRepetition` is set, stage 6 swaps the single-w
+    * top-3-gram dominance ratio for the full Gopher repetition battery
+    * ([[TextAnalysis.repetitionStats]] — all six n-gram thresholds of
+    * Rae et al. 2021 §A1.1 must hold; r17 VERDICT #8). Flag-gated so
+    * q96's oracle stays stable; the battery variant is its own gate
+    * (q247). Every other stage, the ordering, and the
+    * statistics-over-current-text contract are identical. */
+  def stages(docs: DataFrame, emb: DataFrame,
+             gopherRepetition: Boolean = false)
+  : Seq[(String, DataFrame)] = {
     // construction-phase wall-clock attribution (the eager fixpoints and
     // checkpoints run HERE, not at the consumer's first action) — always
     // recorded into lastConstructTicks; GRAFT_CURATION_TIMING=1 also
@@ -153,12 +162,19 @@ object CurationPipeline {
 
     tick("semantic(ivf+cc)")
 
-    // 6. repetition filter: top-3-gram dominance; docs too short to
-    //    shingle have no ratio row and pass through
-    val repetitive = TextAnalysis.repetitionRatio(afterSem)
-      .filter(col("rep_ratio") > 0.2).select("doc_id")
-    val afterRep =
-      afterSem.join(repetitive, Seq("doc_id"), "left_anti").localCheckpoint(false)
+    // 6. repetition filter — default: top-3-gram dominance (docs too
+    //    short to shingle have no ratio row and pass through); gopher
+    //    variant: the full six-threshold battery's keep flag (emits a
+    //    row for every doc, short/empty docs keep by contract)
+    val afterRep = (if (gopherRepetition)
+        afterSem.join(TextAnalysis.repetitionStats(afterSem)
+            .filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      else {
+        val repetitive = TextAnalysis.repetitionRatio(afterSem)
+          .filter(col("rep_ratio") > 0.2).select("doc_id")
+        afterSem.join(repetitive, Seq("doc_id"), "left_anti")
+      }).localCheckpoint(false)
 
     tick("repetition")
 
@@ -209,8 +225,9 @@ object CurationPipeline {
     * a doc dropped at stage k reports k even though it is absent from
     * every later stage too.
     */
-  def verdict(docs: DataFrame, emb: DataFrame): DataFrame =
-    verdictOf(docs, stages(docs, emb))
+  def verdict(docs: DataFrame, emb: DataFrame,
+              gopherRepetition: Boolean = false): DataFrame =
+    verdictOf(docs, stages(docs, emb, gopherRepetition))
 
   /** [[verdict]] over an already-built stage chain (one `stages` call can
     * feed both the verdict and per-stage assertions/counters). */

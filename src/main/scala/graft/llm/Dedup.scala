@@ -1507,9 +1507,10 @@ object Dedup {
     *     — path case is significant),
     *  3. strip an explicit default port (`:80` for http, `:443` for
     *     https),
-    *  4. drop tracking query params (`utm_*` and [[TrackingParams]]),
-    *     preserving the relative order of the survivors; the `?` goes
-    *     too when nothing survives,
+    *  4. drop tracking query params (`utm_*` and [[TrackingParams]],
+    *     matched on the LOWERCASED key — `UTM_SOURCE=` is the same
+    *     tracker tag; values keep their case), preserving the relative
+    *     order of the survivors; the `?` goes too when nothing survives,
     *  5. strip trailing slashes from the path (`/a/` ≡ `/a`, and a bare
     *     `http://h/` ≡ `http://h`).
     *
@@ -1538,10 +1539,17 @@ object Dedup {
         regexp_replace(regexp_extract(col("__tail"), "^[^?]*", 0),
           "/+$", ""))
       .withColumn("__params",
+        // the KEY comparison is case-insensitive (r17 ADVICE: a
+        // `UTM_SOURCE=` or `GCLID=` variant of the same page is the
+        // same tracking param — query keys are conventionally
+        // case-insensitive at the tracker); the VALUE, like the path,
+        // is never case-touched
         filter(split(regexp_extract(col("__tail"), "\\?(.*)$", 1), "&"),
-          p => !(p === "" || p.substr(lit(1), lit(4)) === "utm_" ||
-            split(p, "=").getItem(0)
-              .isin(TrackingParams.toSeq.map(x => x: Any): _*))))
+          p => {
+            val key = lower(split(p, "=").getItem(0))
+            !(p === "" || key.substr(lit(1), lit(4)) === "utm_" ||
+              key.isin(TrackingParams.toSeq.map(x => x: Any): _*))
+          }))
       .withColumn("canonical_url",
         concat(col("__head"), col("__path"),
           when(size(col("__params")) > 0,

@@ -302,6 +302,7 @@ object Scale {
   def writeTopFreqStore(items: org.apache.spark.sql.Dataset[String],
                         path: String, epoch: Long, k: Int): Unit = {
     val spark = items.sparkSession
+    Sketch.requireEpochId(epoch)
     topFreqSummary(items, k)
       .select(col("item"), col("cnt"), lit(epoch).as("epoch"))
       .write.mode("overwrite").partitionBy("epoch").parquet(path)

@@ -217,6 +217,7 @@ object Sketch {
                     valueCol: String = "item", d: Int = 4,
                     w: Int = 64): Unit = {
     require(d >= 1 && w >= 1, s"d and w must be positive: d=$d w=$w")
+    requireEpochId(epoch)
     val spark = items.sparkSession
     cmsCounterSlab(items, valueCol, d, w)
       .select(col("row_j"), col("bucket"), col("counter"),
@@ -252,8 +253,7 @@ object Sketch {
                      valueCol: String = "item", d: Int = 4,
                      w: Int = 64): Unit = {
     val spark = items.sparkSession
-    require(epoch >= 0, s"epoch must be >= 0 (negative ids are reserved " +
-      s"for fold baselines): $epoch")
+    requireEpochId(epoch)
     val kv = cmsLayoutKv(spark, path)
     kv.get(FoldedThroughKey).foreach(ft => require(epoch > ft.toLong,
       s"epoch $epoch was folded into the baseline of $path (watermark " +
@@ -714,6 +714,30 @@ object Sketch {
     * overwrite keeps rewriting the replayed batch's OWN partition. */
   val FoldEpoch: Long = -1L
 
+  /** Every store write/append entry point calls this first (r17 ADVICE):
+    * a negative caller epoch — `writeXStore(epoch = -1)` most of all —
+    * would create a partition indistinguishable from the [[FoldEpoch]]
+    * baseline, silently corrupting [[guardFoldedWindow]] /
+    * [[compactKeepNewest]] semantics. Rejected uniformly at create AND
+    * append so the invariant cannot be bypassed by the create path. */
+  private[ops] def requireEpochId(epoch: Long): Unit =
+    require(epoch >= 0, s"epoch must be >= 0 (negative ids are reserved " +
+      s"for fold baselines): $epoch")
+
+  /** Post-fold append semantics, by merge class (r17 ADVICE, resolved
+    * in favor of replay tolerance): the ADD families (CMS, histograms,
+    * MG/top-freq) REJECT appends at or below the fold watermark — their
+    * rows were merged into the baseline and a replay would double-count.
+    * The idempotent families (HLL MAX, bloom OR, KMV union) ACCEPT
+    * them: an at-least-once source replaying an already-folded
+    * micro-batch must stay harmless, not crash-loop the stream, and the
+    * re-append lands the epoch's complete slab next to the baseline
+    * (merging it in changes nothing). [[guardFoldedWindow]] treats such
+    * a re-appended epoch as LIVE — a windowed read over it answers from
+    * the recreated slab; the guard's refusal is reserved for folded
+    * epochs with no per-epoch rows left (the live-epoch refinement
+    * below). */
+
   /** Create/replace an HLL register store at `path` with one epoch.
     * Layout: (epoch, bucket, register) parquet rows — the full m-row
     * spine per epoch — plus a layout record pinning `p` (the precision
@@ -727,6 +751,7 @@ object Sketch {
   def writeHllStore(items: DataFrame, path: String, epoch: Long,
                     valueCol: String = "item", p: Int = 6): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     hllRegisters(items, valueCol, p)
       .select(lit(epoch).as("epoch"), col("bucket"), col("register"))
       .write.mode("overwrite").parquet(path)
@@ -751,6 +776,7 @@ object Sketch {
   def appendHllStore(items: DataFrame, path: String, epoch: Long,
                      valueCol: String = "item", p: Int = 6): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     val kv = readStoreLayout(spark, path, "HLL", Set("p"),
       optionalKeys = Set(FoldedThroughKey))
     require(kv("p") == p.toString,
@@ -924,6 +950,7 @@ object Sketch {
                       valueCol: String = "item", bitsLog2: Int = 12,
                       k: Int = 3): Unit = {
     val spark = members.sparkSession
+    requireEpochId(epoch)
     bloomWords(members, valueCol, bitsLog2, k)
       .select(lit(epoch).as("epoch"), col("word"), col("bits"))
       .write.mode("overwrite").parquet(path)
@@ -947,6 +974,7 @@ object Sketch {
                        valueCol: String = "item", bitsLog2: Int = 12,
                        k: Int = 3): Unit = {
     val spark = members.sparkSession
+    requireEpochId(epoch)
     val kv = readStoreLayout(spark, path, "bloom", Set("bits", "k"),
       optionalKeys = Set(FoldedThroughKey))
     require(kv("bits") == bitsLog2.toString && kv("k") == k.toString,
@@ -1130,6 +1158,7 @@ object Sketch {
                      valueCol: String, lo: Double, width: Double,
                      bins: Int): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     histogramBins(items, valueCol, lo, width, bins)
       .select(lit(epoch).as("epoch"), col("bin"), col("cnt"))
       .write.mode("overwrite").parquet(path)
@@ -1148,6 +1177,7 @@ object Sketch {
                       valueCol: String, lo: Double, width: Double,
                       bins: Int): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     val kv = readStoreLayout(spark, path, "histogram",
       Set("lo", "width", "bins"), HistHints, Set(FoldedThroughKey))
     val recorded = s"lo=${kv("lo")},width=${kv("width")},bins=${kv("bins")}"
@@ -1265,33 +1295,87 @@ object Sketch {
     * match nothing (a dashboard polling the current epoch before its
     * append lands must get its empty answer, not an error — the
     * r17-review false positive). Watermarks below zero (a compaction
-    * that had nothing to fold) arm nothing. The proof costs one codegen
-    * range pass over [0, ft] — a few ms for batch-id and yyyymmdd-style
-    * domains, which the 2^25 cutoff covers (21001231 < 2^25) — and is
-    * SKIPPED for larger domains (unix seconds/millis epochs), where the
-    * no-match case would scan billions of rows on every read (the
-    * second r17 review pass); there the read proceeds and callers check
-    * [[storeFoldedThrough]] themselves (documented, not silent: the
-    * layout still carries the watermark). */
+    * that had nothing to fold) arm nothing.
+    *
+    * Proof cost, by domain size (the r17 VERDICT #3 refinement): below
+    * 2^25 the probe is the EXACT [0, ft] range pass — a few ms of
+    * codegen for batch-id and yyyymmdd-style domains (21001231 < 2^25).
+    * For larger domains (unix seconds/millis epochs), where the exact
+    * pass would scan billions of synthetic rows on every read, the probe
+    * degrades to a SAMPLED one: the endpoints, a dense run at each end
+    * of [0, ft], and a linear grid across it — ~48k local points, so any
+    * folded-window claim wider than ft/2^14 (about 30 h of millis for a
+    * 2026 unix-millis watermark, seconds-wide for a unix-seconds one) or
+    * touching either end is still PROVEN and refused. A sampled miss
+    * passes: refusal only ever fires on proof, so the dashboard-poll
+    * empty window can never false-refuse; undetected narrow interior
+    * windows fall back to the documented skip path (the layout still
+    * carries the watermark; callers have [[storeFoldedThrough]]). A
+    * filter that references non-epoch columns (legal against the full
+    * store schema) cannot be point-evaluated against the synthetic
+    * one-column frames — AnalysisException from the probe falls back to
+    * the unguarded read for the same reason (r17 ADVICE), never to a
+    * spurious unresolved-column error. And a below-watermark epoch an
+    * idempotent-family replay RE-APPENDED is live again — the refusal
+    * consults the store's actual epoch set and fires only for claimed
+    * epochs with no per-epoch rows left (r17 ADVICE's false-refusal
+    * class). */
   private[ops] def guardFoldedWindow(
       spark: org.apache.spark.sql.SparkSession, path: String,
       kv: Map[String, String], epochFilter: Column): Unit =
     kv.get(FoldedThroughKey).map(_.toLong)
-      .filter(ft => ft >= 0L && ft < (1L << 25)).foreach { ft =>
-      val seesBaseline = !spark.range(1)
-        .select(lit(FoldEpoch).as("epoch"))
-        .filter(epochFilter).isEmpty
-      if (!seesBaseline) {
-        val claimsFolded = !spark.range(0L, ft + 1)
-          .select(col("id").as("epoch"))
-          .filter(epochFilter).limit(1).isEmpty
-        require(!claimsFolded,
-          s"epoch window over $path accepts epochs at or below the " +
-            s"fold watermark $ft but excludes the $FoldEpoch baseline " +
-            s"— the store was folded through epoch $ft and those " +
-            s"epochs' rows no longer exist per-epoch; include epoch " +
-            s"$FoldEpoch for the full folded history, or use epochs " +
-            s"above $ft")
+      .filter(_ >= 0L).foreach { ft =>
+      try {
+        val seesBaseline = !spark.range(1)
+          .select(lit(FoldEpoch).as("epoch"))
+          .filter(epochFilter).isEmpty
+        if (!seesBaseline) {
+          val probes =
+            if (ft < (1L << 25))
+              spark.range(0L, ft + 1).select(col("id").as("epoch"))
+            else {
+              // endpoints + dense runs at both ends + a 2^14 grid:
+              // every probe point is genuinely in [0, ft], so a hit is
+              // a real folded-id claim, never a false positive
+              val dense = 1L << 14
+              val step = ft / dense
+              val ends = spark.range(0L, dense.min(ft + 1)).toDF("id")
+              val tail = spark.range((ft - dense).max(0L), ft + 1)
+                .toDF("id")
+              val grid = spark.range(0L, dense)
+                .select((col("id") * step).as("id"))
+              ends.union(tail).union(grid).select(col("id").as("epoch"))
+            }
+          val accepted = probes.filter(epochFilter)
+          val claimsBelowWatermark = !accepted.limit(1).isEmpty
+          // live-epoch refinement (r17 ADVICE): an idempotent-family
+          // replay may have re-appended an already-folded epoch, whose
+          // complete slab is then LIVE again — a window over it answers
+          // real rows and must pass. Refuse only when the filter claims
+          // a below-watermark id with NO per-epoch rows in the store.
+          // The live set is O(#epochs) — sketch stores hold bounded
+          // slabs per epoch, never corpora — and is consulted only on
+          // the (rare) would-refuse path.
+          val claimsFolded = claimsBelowWatermark && {
+            val live = scala.util.Try(
+              spark.read.parquet(path).select(col("epoch").cast("long"))
+                .filter(col("epoch") >= 0L && col("epoch") <= ft)
+                .distinct().collect().map(_.getLong(0)).toSet)
+              .getOrElse(Set.empty[Long])
+            live.isEmpty ||
+              !accepted.filter(!col("epoch").isInCollection(live))
+                .limit(1).isEmpty
+          }
+          require(!claimsFolded,
+            s"epoch window over $path accepts epochs at or below the " +
+              s"fold watermark $ft but excludes the $FoldEpoch baseline " +
+              s"— the store was folded through epoch $ft and those " +
+              s"epochs' rows no longer exist per-epoch; include epoch " +
+              s"$FoldEpoch for the full folded history, or use epochs " +
+              s"above $ft")
+        }
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => ()
       }
     }
 
@@ -1304,6 +1388,7 @@ object Sketch {
                             groupCol: String, valueCol: String,
                             lo: Double, width: Double, bins: Int): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     groupedHistogramBins(items, Seq(groupCol), valueCol, lo, width, bins)
       .select(lit(epoch).as("epoch"), col(groupCol), col("bin"), col("cnt"))
       .write.mode("overwrite").parquet(path)
@@ -1321,6 +1406,7 @@ object Sketch {
                              groupCol: String, valueCol: String,
                              lo: Double, width: Double, bins: Int): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     val kv = readStoreLayout(spark, path, "grouped histogram",
       Set("lo", "width", "bins", "group"), GroupedHistHints,
       Set(FoldedThroughKey))
@@ -1790,6 +1876,7 @@ object Sketch {
   def writeKmvStore(items: DataFrame, path: String, epoch: Long,
                     valueCol: String = "item", k: Int = 256): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     kmvHashes(items, valueCol, k)
       .select(lit(epoch).as("epoch"), col("h"))
       .write.mode("overwrite").parquet(path)
@@ -1823,6 +1910,7 @@ object Sketch {
   def appendKmvStore(items: DataFrame, path: String, epoch: Long,
                      valueCol: String = "item", k: Int = 256): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     val recorded = readKmvK(spark, path)
     require(recorded == k,
       s"KMV store at $path was written with (k=$recorded), append " +
@@ -1888,6 +1976,7 @@ object Sketch {
                            groupCol: String, valueCol: String = "item",
                            k: Int = 256): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     groupedKmvHashes(items, groupCol, valueCol, k)
       .select(lit(epoch).as("epoch"), col(groupCol), col("h"))
       .write.mode("overwrite").parquet(path)
@@ -1904,6 +1993,7 @@ object Sketch {
                             groupCol: String, valueCol: String = "item",
                             k: Int = 256): Unit = {
     val spark = items.sparkSession
+    requireEpochId(epoch)
     val (rk, rg) = readGroupedKmvLayout(spark, path)
     require(rk == k && rg == groupCol,
       s"grouped KMV store at $path was written with (k=$rk, group=$rg), " +

@@ -39,9 +39,79 @@ object CurationOracle {
       |          THEN 0.3 ELSE 0.0 END AS quality_score
       |FROM (SELECT doc_id, $toksSql AS w, text FROM $rel)""".stripMargin
 
-  val sql: String = {
+  /** The default (q96) repetition stage: single-w top-3-gram dominance
+    * over the semantic survivors. */
+  private def ratioRepetitionCtes: String =
+    s"""tk6 AS (SELECT doc_id, $toksSql AS w FROM smx),
+      |sh6 AS (SELECT doc_id,
+      |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |        FROM tk6, UNNEST(range(1, len(w) - 1)) AS t(i)
+      |        WHERE len(w) >= 3),
+      |c6 AS (SELECT doc_id, shingle, COUNT(*) AS n FROM sh6 GROUP BY 1, 2),
+      |rp6 AS MATERIALIZED (SELECT doc_id, CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+      |          AS rep_ratio
+      |        FROM c6 GROUP BY doc_id),
+      |rmx AS MATERIALIZED (SELECT smx.* FROM smx LEFT JOIN rp6 USING (doc_id)
+      |        WHERE rp6.rep_ratio IS NULL OR rp6.rep_ratio <= 0.2),"""
+      .stripMargin
+
+  /** The q247 repetition stage: the full Gopher battery (q246's keep
+    * flag — all six n-gram repetition thresholds) over the semantic
+    * survivors, re-derived exactly like the q246 oracle but rebased from
+    * `documents` onto `smx`. */
+  private def gopherRepetitionCtes: String = {
+    val thr = Map(2 -> 200, 3 -> 180, 4 -> 160, 5 -> 150, 8 -> 120,
+      10 -> 100)
+    val gramCtes = Seq(2, 3, 4, 5, 8, 10).map(n =>
+      s"""SELECT doc_id, $n AS n,
+        |  unnest(list_transform(generate_series(0, len(toks) - $n),
+        |    s -> array_to_string(toks[s+1:s+$n], ' '))) AS g
+        |FROM g6b WHERE len(toks) >= $n""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val aggs = (Seq(2, 3, 4).map(n =>
+      s"max(CASE WHEN n = $n THEN {'c': c, 'l': glen, 'g': g} END) " +
+        s"AS t$n") ++
+      Seq(5, 8, 10).map(n =>
+        s"SUM(CASE WHEN n = $n AND c >= 2 THEN c * glen ELSE 0 END) " +
+          s"AS d$n")).mkString(",\n    ")
+    val chCols = (Seq(2, 3, 4).map(n =>
+      s"COALESCE(t$n.c * t$n.l, 0) AS ch_t$n") ++
+      Seq(5, 8, 10).map(n => s"COALESCE(d$n, 0) AS ch_d$n"))
+      .mkString(",\n    ")
+    val keep = (Seq(2, 3, 4).map(n =>
+      s"ch_t$n * 1000 <= ${thr(n)} * total") ++
+      Seq(5, 8, 10).map(n => s"ch_d$n * 1000 <= ${thr(n)} * total"))
+      .mkString(" AND ")
+    s"""g6t AS (SELECT doc_id, $toksSql AS toks FROM smx),
+      |g6b AS (SELECT doc_id, toks,
+      |          COALESCE(length(array_to_string(toks, ' ')), 0) AS total
+      |        FROM g6t),
+      |g6g AS (
+      |  $gramCtes
+      |),
+      |g6c AS (SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS glen
+      |        FROM g6g GROUP BY 1, 2, 3),
+      |g6s AS (SELECT doc_id,
+      |    $aggs
+      |  FROM g6c GROUP BY 1),
+      |g6j AS MATERIALIZED (SELECT b.doc_id, b.total,
+      |    $chCols
+      |  FROM g6b b LEFT JOIN g6s USING (doc_id)),
+      |rmx AS MATERIALIZED (SELECT smx.* FROM smx JOIN g6j USING (doc_id)
+      |        WHERE total = 0 OR ($keep)),""".stripMargin
+  }
+
+  val sql: String = sqlWith(gopherRepetition = false)
+
+  /** The q247 variant: identical chain, the repetition stage swapped for
+    * the Gopher battery (r17 VERDICT #8). */
+  def gopherSql: String = sqlWith(gopherRepetition = true)
+
+  private def sqlWith(gopherRepetition: Boolean): String = {
     val url = TextAnalysis.UrlRe
     val email = TextAnalysis.EmailRe
+    val repetitionCtes =
+      if (gopherRepetition) gopherRepetitionCtes else ratioRepetitionCtes
     s"""WITH RECURSIVE
       |scx AS MATERIALIZED (SELECT doc_id,
       |          regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
@@ -145,17 +215,7 @@ object CurationOracle {
       |sd5 AS MATERIALIZED (SELECT id AS doc_id FROM ec5 WHERE id <> comp),
       |smx AS MATERIALIZED (SELECT srx.* FROM srx WHERE NOT EXISTS (
       |          SELECT 1 FROM sd5 WHERE sd5.doc_id = srx.doc_id)),
-      |tk6 AS (SELECT doc_id, $toksSql AS w FROM smx),
-      |sh6 AS (SELECT doc_id,
-      |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      |        FROM tk6, UNNEST(range(1, len(w) - 1)) AS t(i)
-      |        WHERE len(w) >= 3),
-      |c6 AS (SELECT doc_id, shingle, COUNT(*) AS n FROM sh6 GROUP BY 1, 2),
-      |rp6 AS MATERIALIZED (SELECT doc_id, CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
-      |          AS rep_ratio
-      |        FROM c6 GROUP BY doc_id),
-      |rmx AS MATERIALIZED (SELECT smx.* FROM smx LEFT JOIN rp6 USING (doc_id)
-      |        WHERE rp6.rep_ratio IS NULL OR rp6.rep_ratio <= 0.2),
+      |$repetitionCtes
       |q7 AS MATERIALIZED (${qualitySql("rmx")}),
       |qmx AS MATERIALIZED (SELECT rmx.* FROM rmx JOIN q7 USING (doc_id)
       |        WHERE q7.quality_score >= 0.5),

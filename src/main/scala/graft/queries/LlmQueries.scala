@@ -151,14 +151,15 @@ object LlmQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
   /** Multimodal metadata decode over binary payloads — REAL header
-    * parsing since r17: [[Multimodal.synthesizeMedia]] builds one valid
-    * PNG/GIF/BMP/WAV file per document (format + dimensions drawn
-    * deterministically from doc_id, text bytes as the body), and
-    * [[Multimodal.decodeMeta]] recovers width/height/duration by parsing
-    * the actual file headers (fixed-offset integer reads per the public
-    * specs — no imaging library). The oracle recomputes the expected
-    * values from the doc_id formulas, so equality proves the byte-level
-    * decode inverts the synthesis. */
+    * parsing since r17 (JPEG added r18): [[Multimodal.synthesizeMedia]]
+    * builds one valid PNG/GIF/BMP/WAV/JFIF file per document (format +
+    * dimensions drawn deterministically from doc_id, text bytes as the
+    * body), and [[Multimodal.decodeMeta]] recovers width/height/duration
+    * by parsing the actual file headers (fixed-offset integer reads and
+    * a JPEG marker-chain walk per the public specs — no imaging
+    * library). The oracle recomputes the expected values from the doc_id
+    * formulas, so equality proves the byte-level decode inverts the
+    * synthesis. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.decodeMeta(
@@ -175,8 +176,9 @@ object LlmQueries {
     * documents table carries no URL, so one is SYNTHESIZED per doc with
     * deliberate non-canonical mess drawn deterministically from doc_id:
     * mixed-case scheme/host, an explicit `:80` on even ids, a trailing
-    * slash on ids ≡ 0 (mod 5), `utm_`/`gclid` tracking params, and a
-    * fragment. [[Dedup.canonicalizeUrls]] must scrub ALL of it back to
+    * slash on ids ≡ 0 (mod 5), `utm_`/`gclid` tracking params (keys in
+    * MIXED CASE on ids ≡ 0 (mod 3) — the r17 ADVICE case-insensitivity
+    * fix under proof), and a fragment. [[Dedup.canonicalizeUrls]] must scrub ALL of it back to
     * the clean form the oracle recomputes directly from the formulas —
     * the q38 synthesis-inversion proof structure. Dedup then keeps each
     * canonical URL's min-id copy and caps every host at 10 docs via the
@@ -191,8 +193,14 @@ object LlmQueries {
       when(id % 2 === 0, lit(":80")).otherwise(lit("")),
       lit("/Page/"), (id % 50).cast("string"),
       when(id % 5 === 0, lit("/")).otherwise(lit("")),
-      lit("?utm_source=feed&item="), (id % 7).cast("string"),
-      when(id % 4 === 0, concat(lit("&gclid=g"), id.cast("string")))
+      // tracking keys in mixed case on a third of the ids — the r17
+      // ADVICE fix (key-case-insensitive strip) is what scrubs these
+      when(id % 3 === 0, lit("?UTM_Source=feed&item="))
+        .otherwise(lit("?utm_source=feed&item=")),
+      (id % 7).cast("string"),
+      when(id % 4 === 0,
+        concat(when(id % 3 === 0, lit("&GCLID=g"))
+          .otherwise(lit("&gclid=g")), id.cast("string")))
         .otherwise(lit("")),
       lit("#sec"), (id % 3).cast("string"))
     Dedup.urlCanonicalDedup(
@@ -747,7 +755,10 @@ object LlmQueries {
     * (q52's probes, q68's refine), so it shares the q32 oracle. */
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val path = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+    // fingerprint keys on every temp-index cache (r17 ADVICE): a
+    // same-JVM dataset regeneration rebuilds instead of serving stale
+    val path = ivfPqIndexCache.computeIfAbsent(
+      Tables.datasetCacheKey(dir, "embeddings.parquet"), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq")
         .toString + "/index"
       Similarity.writeIvfPqIndex(emb, p)
@@ -871,7 +882,8 @@ object LlmQueries {
     * see Retrieval.writeInvertedIndex). Search equals the inline q80 path
     * bit-for-bit (LlmOpsSpec pins it), so it shares the q80 oracle. */
   def bm25Stored(s: SparkSession, dir: String): DataFrame = {
-    val path = invIndexCache.computeIfAbsent(dir, _ => {
+    val path = invIndexCache.computeIfAbsent(
+      Tables.datasetCacheKey(dir, "documents.parquet"), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_inv")
         .toString + "/index"
       Retrieval.writeInvertedIndex(Tables.documents(s, dir), p)
@@ -890,13 +902,15 @@ object LlmQueries {
     * oracle. */
   def hybridStored(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val sparsePath = invIndexCache.computeIfAbsent(dir, _ => {
+    val sparsePath = invIndexCache.computeIfAbsent(
+      Tables.datasetCacheKey(dir, "documents.parquet"), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_inv")
         .toString + "/index"
       Retrieval.writeInvertedIndex(Tables.documents(s, dir), p)
       p
     })
-    val densePath = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+    val densePath = ivfPqIndexCache.computeIfAbsent(
+      Tables.datasetCacheKey(dir, "embeddings.parquet"), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq")
         .toString + "/index"
       Similarity.writeIvfPqIndex(emb, p)
@@ -959,6 +973,17 @@ object LlmQueries {
   def curationE2E(s: SparkSession, dir: String): DataFrame =
     graft.jobs.CurationPipeline.verdict(Tables.documents(s, dir),
       Tables.embeddings(s, dir))
+
+  /** q247 (r17 VERDICT #8): the composed curation verdict with the
+    * Gopher repetition battery (q246's six-threshold keep flag) as the
+    * repetition gate instead of the single-w dominance ratio —
+    * production quality gates run the full battery, and this pins its
+    * COMPOSITION into the chain (statistics over the current rewritten
+    * text, stage order intact). Flag-gated so q96's oracle is
+    * untouched. */
+  def curationGopher(s: SparkSession, dir: String): DataFrame =
+    graft.jobs.CurationPipeline.verdict(Tables.documents(s, dir),
+      Tables.embeddings(s, dir), gopherRepetition = true)
 
   /** Per-document n-gram novelty (q135): of each doc's distinct 3-grams,
     * the fraction first contributed by THIS doc (corpus-wide min doc_id)
@@ -1242,6 +1267,7 @@ object LlmQueries {
     "q243_weighted_sample_grouped" -> weightedSamplePerLangQ,
     "q244_url_dedup" -> urlCanonicalDedupQ,
     "q246_gopher_repetition" -> gopherRepetition,
+    "q247_curation_gopher" -> curationGopher,
     "q64_source_cap" -> sourceCap,
     "q65_lm_surprisal" -> lmSurprisal,
     "q66_incremental_dedup" -> incrementalDedup,
@@ -1994,6 +2020,8 @@ object LlmQueries {
         |FROM base""".stripMargin,
     // q96: the whole curation chain composed — see CurationOracle
     "q96_curation_e2e" -> CurationOracle.sql,
+    // q247: the same chain with the Gopher battery as the repetition gate
+    "q247_curation_gopher" -> CurationOracle.gopherSql,
     // q82: stride-1 windows (i-1 = 0-based start), duplicate = rn > 1 in
     // (doc, start) order (the q67 canonical rule), removal = any duplicate
     // start covering the position — all-integer arithmetic end to end
@@ -3389,20 +3417,22 @@ object LlmQueries {
         |    (a, b) -> (a * 31 + b) % 144115188075855872) AS fp
         |FROM documents""".stripMargin,
     "q38_multimodal_meta" ->
-      // the synthesis formulas (format = doc_id % 4, dims from doc_id,
-      // wav = 16000 B/s with the text as the data chunk) re-derived in
-      // SQL — the Spark side computes these by PARSING the file headers
+      // the synthesis formulas (format = doc_id % 5, dims from doc_id,
+      // wav = 16000 B/s with the text as the data chunk, jpeg header =
+      // 33 bytes like the png) re-derived in SQL — the Spark side
+      // computes these by PARSING the file headers
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-        |       WHEN 2 THEN 'bmp' ELSE 'wav' END AS codec,
-        |  strlen(text) + CASE CAST(doc_id % 4 AS INT)
-        |    WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54 ELSE 44 END
-        |    AS n_bytes,
-        |  CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 640 + 1 END
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav' ELSE 'jpeg' END
+        |    AS codec,
+        |  strlen(text) + CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54 WHEN 3 THEN 44
+        |    ELSE 33 END AS n_bytes,
+        |  CASE WHEN doc_id % 5 = 3 THEN 0 ELSE doc_id % 640 + 1 END
         |    AS width,
-        |  CASE WHEN doc_id % 4 = 3 THEN 0 ELSE (doc_id * 7) % 480 + 1 END
+        |  CASE WHEN doc_id % 5 = 3 THEN 0 ELSE (doc_id * 7) % 480 + 1 END
         |    AS height,
-        |  CASE WHEN doc_id % 4 = 3 THEN (strlen(text) * 1000) // 16000
+        |  CASE WHEN doc_id % 5 = 3 THEN (strlen(text) * 1000) // 16000
         |       ELSE 0 END AS duration_ms
         |FROM documents""".stripMargin)
 }

@@ -922,7 +922,10 @@ object RankQueries {
       .filter(col("event_type") === "view")
       .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
-    val path = cmsStoreCache.computeIfAbsent(dir, _ => {
+    // fingerprint key (r17 ADVICE): a same-JVM regeneration of the
+    // dataset at this path must rebuild, not serve stale estimates
+    val path = cmsStoreCache.computeIfAbsent(
+      Tables.datasetCacheKey(dir, "events.parquet"), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_cms")
         .toString + "/store"
       graft.ops.Sketch.writeCmsStore(

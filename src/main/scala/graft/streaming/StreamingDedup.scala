@@ -30,6 +30,65 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming URL-canonicalization dedup (r17 VERDICT #4) — the ingest
+    * form of q244's batch stage: each arriving crawl micro-batch is
+    * canonicalized ([[graft.llm.Dedup.canonicalizeUrls]] — map-only
+    * column expressions, so at scan speed), reduced to its min-id doc
+    * per canonical URL (the q244 group rule applied within the
+    * trigger), then LEFT ANTI-joined against the historical
+    * canonical-URL store so only FIRST-SEEN pages reach `onSurvivors`.
+    *
+    * Batch equivalence: under monotone ingest ids (a crawl assigns ids
+    * in arrival order), the union of emissions over k micro-batches is
+    * exactly the `is_canonical` rows of
+    * [[graft.llm.Dedup.urlCanonicalDedup]] over the union of the
+    * batches (StreamingSpec pins it). With non-monotone ids the stream
+    * keeps the FIRST arrival — [[dedupByContent]]'s contract, keyed on
+    * the canonical URL instead of the content bytes.
+    *
+    * Store + replay discipline mirrors [[minHashDedupStream]]:
+    * `urls/batch=<id>` dirs hold one (key-hash, canonical_url, id) row
+    * per distinct canonical URL in the batch, published LAST, so an
+    * at-least-once replay reads only EARLIER batches (its half-written
+    * self is invisible) and self-overwrites its own dir — emissions are
+    * replay-idempotent. 100 TB posture: the probe is a hash-keyed
+    * anti-join of one batch's distinct canonical set against the store
+    * (no corpus re-canonicalization, no state in the streaming engine);
+    * history lives in the store, bounded by distinct pages, not
+    * arrivals. */
+  def urlDedupStream(docs: DataFrame, storePath: String,
+                     urlCol: String = "url", idCol: String = "doc_id")
+                    (onSurvivors: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.core.CacheScope.scoped {
+        import org.apache.spark.sql.types._
+        val winners = graft.core.CacheScope.track(
+          graft.llm.Dedup.canonicalizeUrls(batch, urlCol)
+            .groupBy(col("canonical_url"))
+            .agg(min(col(idCol)).as(idCol))
+            .withColumn("__k", xxhash64(col("canonical_url")))
+            .persist())
+        winners.count() // eager: the anti-join probe AND publish read it
+        val storeSchema = StructType(Seq(
+          StructField("__k", LongType),
+          StructField("canonical_url", StringType),
+          StructField(idCol, LongType)))
+        val seen = readStore(spark, s"$storePath/urls", batchId,
+          storeSchema)
+        val fresh = winners.join(seen.select(col("__k")), Seq("__k"),
+          "left_anti")
+        onSurvivors(fresh.select(col(idCol), col("canonical_url")),
+          batchId)
+        // publish-last: a crash before this point replays the batch
+        // against the same store it just read
+        winners.select(col("__k"), col("canonical_url"), col(idCol))
+          .write.mode("overwrite")
+          .parquet(s"$storePath/urls/batch=$batchId")
+      }
+    }
+
   /** Maintain a persistent bloom store at ingest — the seen-before gate
     * ([[graft.ops.Sketch.bloomWords]], q170) kept incrementally: each
     * micro-batch appends one epoch of m/32 OR-mergeable words;

@@ -1641,11 +1641,12 @@ class LlmOpsSpec extends SparkSpecBase {
     "are parsed from the real file headers; foreign bytes fall to the " +
     "stub, loudly flagged") {
     implicit val s = spark
-    // synthesize one doc per format (doc_id % 4 picks it) with known
+    // synthesize one doc per format (doc_id % 5 picks it) with known
     // dims: doc_id 640 -> png w=1,h=161; 1 -> gif w=2,h=8; 2 -> bmp
-    // w=3,h=15; 3 -> wav (32 text bytes -> 32/16 = 2 ms)
+    // w=3,h=15; 3 -> wav (32 text bytes -> 32/16 = 2 ms); 4 -> jpeg
+    // w=5,h=29 (r18: real SOFn decode)
     val docs = Seq((640L, "x" * 100), (1L, "y" * 50), (2L, "z" * 75),
-      (3L, "w" * 32)).toDF("doc_id", "text")
+      (3L, "w" * 32), (4L, "j" * 40)).toDF("doc_id", "text")
     val got = Multimodal.decodeMeta(Multimodal.synthesizeMedia(docs))
       .collect().map(r => r.doc_id -> r).toMap
     assert(got(640L).codec == "png" && got(640L).width == 1 &&
@@ -1659,6 +1660,9 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got(3L).codec == "wav" && got(3L).width == 0 &&
       got(3L).height == 0 && got(3L).durationMs == 2L &&
       got(3L).nBytes == 32 + 44, s"wav: ${got(3L)}")
+    assert(got(4L).codec == "jpeg" && got(4L).width == 5 &&
+      got(4L).height == 29 && got(4L).durationMs == 0L &&
+      got(4L).nBytes == 40 + 33, s"jpeg: ${got(4L)}")
     // hand-built headers (not via synthesizeMedia) decode too: the
     // parser reads the spec offsets, not the generator's layout
     val wavBytes = {
@@ -1686,11 +1690,47 @@ class LlmOpsSpec extends SparkSpecBase {
       buf.array()
     }
     assert(Multimodal.HeaderCodec.sniff(bmp).contains(("bmp", 321, 77, 0L)))
-    // JPEG magic (entropy-coded dims — not header-decodable) and plain
-    // text both fall to the stub, flagged
+    // JPEG (r18): dims come from the SOFn marker segment — a hand-built
+    // header with fill bytes, a COM segment, and a PROGRESSIVE frame
+    // (SOF2) decodes; the parser walks the chain, not synthesizeMedia's
+    // exact layout
+    def jpegBytes(segs: Array[Byte]*): Array[Byte] =
+      Array(0xff, 0xd8).map(_.toByte) ++ segs.flatten
+    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((data.length + 2) >> 8).toByte, ((data.length + 2) & 0xff).toByte
+      ) ++ data
+    def sofData(w: Int, h: Int): Array[Byte] =
+      Array(8.toByte, (h >> 8).toByte, (h & 0xff).toByte,
+        (w >> 8).toByte, (w & 0xff).toByte, 1.toByte,
+        1.toByte, 0x11.toByte, 0.toByte)
+    val progressive = jpegBytes(
+      Array(0xff.toByte), // fill byte before the first marker
+      seg(0xfe, "a comment".getBytes("US-ASCII")), // COM
+      seg(0xc4, new Array[Byte](16)), // DHT — NOT a frame header
+      seg(0xc2, sofData(1920, 1080))) // SOF2, progressive
+    assert(Multimodal.HeaderCodec.sniff(progressive)
+      .contains(("jpeg", 1920, 1080, 0L)), "SOFn walk must find SOF2")
+    // hostile JPEGs fall to the stub, never throw: a zero segment
+    // length (the old bare-magic case), SOS before any SOF (dims would
+    // sit in entropy-coded data — refuse, don't guess), a truncated
+    // SOF, a near-2^16 segment length running past the buffer, and a
+    // zero-width frame
     val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++
       new Array[Byte](100)
     assert(Multimodal.HeaderCodec.sniff(jpeg).isEmpty)
+    assert(Multimodal.HeaderCodec.sniff(jpegBytes(
+      seg(0xda, new Array[Byte](4)), seg(0xc0, sofData(10, 10)))).isEmpty,
+      "SOS before SOF must refuse")
+    assert(Multimodal.HeaderCodec.sniff(jpegBytes(
+      seg(0xc0, sofData(10, 10)).take(6))).isEmpty,
+      "truncated SOF must refuse")
+    assert(Multimodal.HeaderCodec.sniff(jpegBytes(
+      Array(0xff.toByte, 0xfe.toByte, 0xff.toByte, 0xf0.toByte),
+      new Array[Byte](8))).isEmpty,
+      "a segment length past the buffer must walk off, not wrap")
+    assert(Multimodal.HeaderCodec.sniff(jpegBytes(
+      seg(0xc0, sofData(0, 10)))).isEmpty, "zero width is hostile")
     // truncated headers are None, never a throw
     assert(Multimodal.HeaderCodec.sniff("GIF89a".getBytes).isEmpty)
     assert(Multimodal.HeaderCodec.sniff(Array[Byte](0x89.toByte)).isEmpty)

@@ -2319,6 +2319,10 @@ class OperatorSpec extends SparkSpecBase {
       ("http://h.io/path/?b=2&a=1", "http://h.io/path?b=2&a=1", "h.io"),
       // all-tracking query: the '?' goes too
       ("http://h.io/x?utm_a=1&utm_b=2", "http://h.io/x", "h.io"),
+      // r17 ADVICE: the KEY match is case-insensitive — UTM_SOURCE and
+      // GCLID are the same tracker tags; surviving VALUES keep case
+      ("http://h.io/x?UTM_SOURCE=a&Id=3&GCLID=g9&uTm_medium=Em",
+        "http://h.io/x?Id=3", "h.io"),
       ("http://h.io//", "http://h.io", "h.io"),
       // path case is significant and preserved; only scheme+host fold
       ("http://CaSe.Net/KeepCase/Path", "http://case.net/KeepCase/Path",
@@ -2347,6 +2351,157 @@ class OperatorSpec extends SparkSpecBase {
     assert(dd(2L)._4 == 1L && !dd(2L)._5 && !dd(2L)._6, s"${dd(2L)}")
     assert(dd(3L)._4 == 1L && !dd(3L)._5, s"${dd(3L)}")
     assert(dd(4L)._4 == 4L && dd(4L)._5 && dd(4L)._6, s"${dd(4L)}")
+  }
+
+  test("store epoch-id hygiene (r17 ADVICE): negative caller epochs are " +
+    "rejected at EVERY write/append entry point — writeXStore(-1) would " +
+    "forge a partition indistinguishable from the fold baseline") {
+    val base = java.nio.file.Files.createTempDirectory("graft_negep")
+      .toString
+    val items = Seq("a", "b").toDF("item")
+    def rejected(f: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("reserved"), e.getMessage)
+    }
+    rejected(graft.ops.Sketch.writeCmsStore(items, base + "/c", epoch = -1L))
+    rejected(graft.ops.Sketch.writeHllStore(items, base + "/h", epoch = -1L))
+    rejected(graft.ops.Sketch.writeBloomStore(items, base + "/b",
+      epoch = -2L))
+    rejected(graft.ops.Sketch.writeKmvStore(items, base + "/k", epoch = -1L))
+    rejected(graft.ops.Sketch.writeHistStore(
+      Seq(1.0).toDF("v"), base + "/hi", epoch = -1L, valueCol = "v",
+      lo = 0.0, width = 1.0, bins = 4))
+    rejected(graft.ops.Sketch.writeGroupedHistStore(
+      Seq(("g", 1.0)).toDF("grp", "v"), base + "/gh", epoch = -1L,
+      groupCol = "grp", valueCol = "v", lo = 0.0, width = 1.0, bins = 4))
+    rejected(graft.ops.Sketch.writeGroupedKmvStore(
+      Seq(("g", "a")).toDF("grp", "item"), base + "/gk", epoch = -1L,
+      groupCol = "grp"))
+    rejected(graft.ops.Scale.writeTopFreqStore(
+      Seq("a").toDS(), base + "/tf", epoch = -1L, k = 4))
+    // appends too — a valid store first, then the forged epoch
+    graft.ops.Sketch.writeHllStore(items, base + "/h2", epoch = 0L)
+    rejected(graft.ops.Sketch.appendHllStore(items, base + "/h2",
+      epoch = -1L))
+    graft.ops.Sketch.writeKmvStore(items, base + "/k2", epoch = 0L)
+    rejected(graft.ops.Sketch.appendKmvStore(items, base + "/k2",
+      epoch = -1L))
+    graft.ops.Sketch.writeBloomStore(items, base + "/b2", epoch = 0L)
+    rejected(graft.ops.Sketch.appendBloomStore(items, base + "/b2",
+      epoch = -1L))
+    graft.ops.Sketch.writeGroupedKmvStore(
+      Seq(("g", "a")).toDF("grp", "item"), base + "/gk2", epoch = 0L,
+      groupCol = "grp")
+    rejected(graft.ops.Sketch.appendGroupedKmvStore(
+      Seq(("g", "a")).toDF("grp", "item"), base + "/gk2", epoch = -1L,
+      groupCol = "grp"))
+    graft.ops.Sketch.writeHistStore(Seq(1.0).toDF("v"), base + "/hi2",
+      epoch = 0L, valueCol = "v", lo = 0.0, width = 1.0, bins = 4)
+    rejected(graft.ops.Sketch.appendHistStore(Seq(1.0).toDF("v"),
+      base + "/hi2", epoch = -1L, valueCol = "v", lo = 0.0, width = 1.0,
+      bins = 4))
+    graft.ops.Sketch.writeGroupedHistStore(
+      Seq(("g", 1.0)).toDF("grp", "v"), base + "/gh2", epoch = 0L,
+      groupCol = "grp", valueCol = "v", lo = 0.0, width = 1.0, bins = 4)
+    rejected(graft.ops.Sketch.appendGroupedHistStore(
+      Seq(("g", 1.0)).toDF("grp", "v"), base + "/gh2", epoch = -1L,
+      groupCol = "grp", valueCol = "v", lo = 0.0, width = 1.0, bins = 4))
+  }
+
+  test("folded-window guard on unix-millis epoch domains (r17 VERDICT " +
+    "#3): a window claiming folded millis is refused by the sampled " +
+    "probe, an above-watermark empty poll still passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_msguard")
+      .toString + "/hll"
+    val ms = 1723939200000L // an epoch-millis batch id, far above 2^25
+    graft.ops.Sketch.writeHllStore(
+      (1 to 300).map(i => s"u$i").toDF("item"), dir, epoch = ms)
+    graft.ops.Sketch.appendHllStore(
+      (200 to 600).map(i => s"u$i").toDF("item"), dir, epoch = ms + 60000L)
+    graft.ops.Sketch.compactHllStore(spark, dir)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, dir)
+      == Some(ms + 60000L))
+    // the watermark endpoint is inside the sampled probe's dense tail,
+    // so this folded-window claim is PROVEN and refused — pre-r18 the
+    // guard skipped all domains >= 2^25 wholesale
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedHllEstimate(spark, dir,
+        col("epoch").between(ms, ms + 60000L)).collect()
+    }
+    assert(err.getMessage.contains("folded through"), err.getMessage)
+    // a poll of the NEXT batch's epoch before its append lands must get
+    // its empty answer, never a refusal (the r17-review contract, now
+    // holding on large domains too)
+    val emptyRow = graft.ops.Sketch.mergedHllEstimate(spark, dir,
+      col("epoch") === ms + 120000L).head()
+    assert(emptyRow.isNullAt(emptyRow.fieldIndex("estimate")))
+    // full-history read (baseline included) is untouched
+    assert(graft.ops.Sketch.mergedHllEstimate(spark, dir)
+      .select("estimate").as[Double].head() > 0.0)
+  }
+
+  test("folded-window guard fallbacks (r17 ADVICE): a filter on " +
+    "non-epoch columns falls back to the unguarded read, and a " +
+    "re-appended (live-again) below-watermark epoch is not refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_guardfb")
+      .toString + "/hll"
+    graft.ops.Sketch.writeHllStore(
+      (1 to 400).map(i => s"u$i").toDF("item"), dir, epoch = 1L)
+    graft.ops.Sketch.appendHllStore(
+      (300 to 800).map(i => s"u$i").toDF("item"), dir, epoch = 2L)
+    graft.ops.Sketch.compactHllStore(spark, dir)
+    assert(graft.ops.Sketch.storeFoldedThrough(spark, dir) == Some(2L))
+    // a filter over the full store schema was legal before the guard
+    // existed — it cannot be point-evaluated against the synthetic
+    // epoch frame, and must fall back to the (filtered) unguarded read,
+    // not die with an unresolved-column AnalysisException
+    val est = graft.ops.Sketch.mergedHllEstimate(spark, dir,
+      col("register") >= 0L).select("estimate").as[Double].head()
+    assert(est > 0.0, s"fallback read must answer: $est")
+    // an at-least-once replay re-appends folded epoch 2's complete
+    // slab: the epoch is live again, and a window over it must answer
+    // from the recreated rows instead of the pre-refinement refusal
+    graft.ops.Sketch.appendHllStore(
+      (300 to 800).map(i => s"u$i").toDF("item"), dir, epoch = 2L)
+    val replayEst = graft.ops.Sketch.mergedHllEstimate(spark, dir,
+      col("epoch") === 2L).select("estimate").as[Double].head()
+    val oneShot = graft.ops.Sketch.hllEstimate(
+        (300 to 800).map(i => s"u$i").toDF("item"))
+      .select("estimate").as[Double].head()
+    assert(replayEst == oneShot,
+      s"live-again epoch must answer its own slab: $replayEst vs $oneShot")
+    // a window claiming folded epoch 1 (NOT re-appended) still refuses
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketch.mergedHllEstimate(spark, dir,
+        col("epoch") === 1L).collect()
+    }
+  }
+
+  test("fingerprint-keyed temp-store caches (r17 ADVICE / VERDICT #5): " +
+    "regenerating a dataset at the same path in one JVM rebuilds the " +
+    "CMS store instead of serving stale estimates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmsfp")
+      .toString
+    def gen(ks: Seq[Long]): Unit =
+      ks.map(k => ("view", s"""{"k":$k}""",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("event_type", "props", "ts").repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    gen(Seq.fill(7)(1L) ++ Seq.fill(3)(2L))
+    val got1 = graft.queries.RankQueries.cmsStoreSpan(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got1.keySet == Set(1L, 2L) && got1(1L)._1 == 7L &&
+      got1.forall { case (_, (t, e)) => e >= t }, s"$got1")
+    // regenerate at the SAME path with different items: the old
+    // dir-string key would serve the generation-1 store, and item 9's
+    // probe would answer 0 against its true count of 4
+    Thread.sleep(1100) // mtime granularity floor for the fingerprint
+    gen(Seq.fill(4)(9L))
+    val got2 = graft.queries.RankQueries.cmsStoreSpan(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got2.keySet == Set(9L), s"$got2")
+    assert(got2(9L) == ((4L, 4L)),
+      s"a fresh single-item store answers exactly: ${got2(9L)}")
   }
 
   test("legacy top-freq layout (pre-rename 'k=') fails with a migration " +

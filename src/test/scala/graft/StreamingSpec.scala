@@ -707,6 +707,58 @@ class StreamingSpec extends SparkSpecBase {
         s"extra ${emitted.toSet -- batchPairs}")
   }
 
+  test("streaming URL dedup: union of per-batch survivors equals the " +
+    "batch urlCanonicalDedup canonical rows, replays emit nothing new " +
+    "(r17 VERDICT #4)") {
+    implicit val s = spark
+    // messy crawl URLs with deliberate non-canonical noise (the q244
+    // synthesis shapes): case, :80, trailing slash, tracking params in
+    // BOTH cases, fragments; ids are monotone in arrival order, so
+    // first-seen == min-id == the batch group rule
+    // host × path has period 15, so each canonical page recurs 4× across
+    // the 60 ids — within batches AND across the store boundary
+    val docs = (0L until 60L).map { i =>
+      val host = s"site${i % 3}"
+      val mess = (i % 4) match {
+        case 0 => s"HTTP://WWW.$host.COM:80/p/${i % 5}?utm_a=1#f"
+        case 1 => s"http://www.$host.com/p/${i % 5}/"
+        case 2 => s"http://www.$host.com/p/${i % 5}?UTM_B=2&GCLID=g$i"
+        case _ => s"Http://wWw.$host.com/p/${i % 5}"
+      }
+      (i, mess)
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_url_store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_url_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Map[Long, String]()
+    var emittedTwice = false
+    val q = graft.streaming.StreamingDedup.urlDedupStream(
+        mem.toDF().toDF("doc_id", "url"), store) { (fresh, _) =>
+      fresh.as[(Long, String)].collect().foreach { case (id, cu) =>
+        if (emitted.contains(id)) emittedTwice = true
+        emitted(id) = cu
+      }
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      docs.grouped(20).foreach { g => mem.addData(g); q.processAllAvailable() }
+      // a replayed wave (same pages, later ids): every canonical URL is
+      // already in the store, so the anti-join must emit nothing
+      mem.addData(docs.take(20).map { case (i, u) => (i + 1000L, u) })
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!emittedTwice, "a doc id must be emitted at most once")
+    val batchTruth = graft.llm.Dedup.urlCanonicalDedup(
+        docs.toDF("doc_id", "url").withColumn("text", lit("t")))
+      .filter(col("is_canonical"))
+      .select("doc_id", "canonical_url").as[(Long, String)]
+      .collect().toMap
+    assert(batchTruth.nonEmpty && emitted.toMap == batchTruth,
+      s"stream/batch divergence: missing ${batchTruth.keySet -- emitted.keySet}, " +
+        s"extra ${emitted.keySet -- batchTruth.keySet}")
+  }
+
   test("streaming crawl-delta monitor: per-trigger retained/added " +
     "emissions sum to the batch snapshotDelta twin across a quiesced " +
     "mid-stream arrivals compaction, the roll-forward close equals the " +
