@@ -94,12 +94,20 @@ object Dedup {
   def noveltyScore(docs: DataFrame, w: Int = 3, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, w, idCol, textCol)
+    // shared-gram-only firsts + left join (the chunkKeepFlags device): a
+    // gram seen by exactly one doc is trivially novel to it, so only
+    // grams with __cnt > 1 need their corpus min joined back — the join
+    // build side shrinks from |distinct grams| to |shared grams| and AQE
+    // broadcasts it instead of re-shuffling the whole shingle relation
     val first = sh.groupBy(col("shingle"))
-      .agg(min(col(idCol)).as("__first"))
-    sh.join(first, Seq("shingle"))
+      .agg(min(col(idCol)).as("__first"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("shingle"), col("__first"))
+    sh.join(first, Seq("shingle"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L))
+        sum(when(col("__first").isNull ||
+            col(idCol) === col("__first"), 1L).otherwise(0L))
           .as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams"))
@@ -173,10 +181,21 @@ object Dedup {
     val ch = graft.core.CacheScope.track(
       chunks(docs, w, idCol, textCol).persist())
     ch.count()
+    // Only chunk texts occurring MORE than once can flag a non-keep: a
+    // unique chunk's occurrence is trivially its own min. Filtering the
+    // firsts table to __cnt > 1 before the join back shrinks the build
+    // side from |distinct chunks| to |duplicated chunk texts| (tiny on
+    // real corpora), so AQE plans the join back as a broadcast instead
+    // of re-shuffling every chunk row on the chunk text (guide §3.1/§2.4;
+    // r18: chunk_rewrite construct 1.78 s -> measured after). LEFT join +
+    // null-is-kept is row-identical to the old inner join on all firsts.
     val firsts = ch.groupBy("chunk")
-      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
-    ch.join(firsts, "chunk")
-      .withColumn("__keep",
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("chunk"), col("__first"))
+    ch.join(firsts, Seq("chunk"), "left")
+      .withColumn("__keep", col("__first").isNull ||
         struct(col(idCol), col("chunk_idx")) === col("__first"))
   }
 
@@ -259,10 +278,16 @@ object Dedup {
         s => s.getField("__tok")), " ").as("chunk"))
       .persist())
     ch.count() // eager: firsts aggregate and join back both read it
+    // duplicated-chunk-only firsts + left join: same device as
+    // chunkKeepFlags — the join back broadcasts |duplicated texts| rows
+    // instead of re-shuffling every chunk occurrence (guide §2.4/§3.1)
     val firsts = ch.groupBy("chunk")
-      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
-    ch.join(firsts, "chunk")
-      .withColumn("__keep",
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("chunk"), col("__first"))
+    ch.join(firsts, Seq("chunk"), "left")
+      .withColumn("__keep", col("__first").isNull ||
         struct(col(idCol), col("chunk_idx")) === col("__first"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
@@ -421,12 +446,21 @@ object Dedup {
         s"transform(sequence(0, size(__w) - $w)," +
           s" s -> array_join(slice(__w, s + 1, $w), ' '))"))
         .as(Seq("s", "win")))
-    val firsts = wins.groupBy("win").agg(
+    // Filter the first-occurrence table to DUPLICATED window texts before
+    // joining back (same device as chunkKeepFlags): a window with one
+    // occurrence can never mark a removal, so the old plan shuffled the
+    // whole stride-1 window relation against an equally-sized firsts
+    // table only to drop ~all of it on __cnt > 1. With the filter inside
+    // the aggregate's consumer, the join-back build side is just the
+    // duplicated window texts and AQE plans a broadcast join — the window
+    // relation is never re-shuffled (guide §2.4/§3.1).
+    val dupWins = wins.groupBy("win").agg(
       min(struct(col(idCol), col("s"))).as("__first"),
       count(lit(1)).as("__cnt"))
-    val dupStarts = wins.join(firsts, "win")
-      .filter(col("__cnt") > 1 &&
-        !(struct(col(idCol), col("s")) === col("__first")))
+      .filter(col("__cnt") > 1)
+      .select(col("win"), col("__first"))
+    val dupStarts = wins.join(dupWins, "win")
+      .filter(!(struct(col(idCol), col("s")) === col("__first")))
       .select(col(idCol), col("s"))
     val perDoc = dupStarts.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("s"))).as("__ds"))
