@@ -97,10 +97,24 @@ object ItemCf {
       .withColumn("prev_max", max(col("score")).over(w))
       .filter(col("prev_max").isNull || col("score") > col("prev_max"))
       .groupBy("a", "b").agg(sum("score").as("s"))
-    // weight(a,b) = S(a,b) + S(b,a), emitted for both directions
-    val mirrored = emitted.select(col("b").as("a"), col("a").as("b"), col("s"))
-    emitted.unionByName(mirrored)
-      .groupBy("a", "b").agg(sum("s").as("together_count"))
+    // weight(a,b) = S(a,b) + S(b,a), emitted for both directions. Sum the
+    // two orientations on the UNORDERED key once and explode both output
+    // directions: the previous `emitted union mirrored` re-planned (and
+    // re-executed) the whole L² pair fan-out + running-max window under
+    // each union branch — the most expensive subtree in the job, paid
+    // twice for a two-row sum (guide §2.4: duplicated subtrees). Sums of
+    // exactly two doubles are commutative, so the weights are
+    // bit-identical to the union form.
+    emitted
+      .groupBy(least(col("a"), col("b")).as("__x"),
+        greatest(col("a"), col("b")).as("__y"))
+      .agg(sum(col("s")).as("together_count"))
+      .select(explode(array(
+          struct(col("__x").as("a"), col("__y").as("b")),
+          struct(col("__y").as("a"), col("__x").as("b")))).as("__p"),
+        col("together_count"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"),
+        col("together_count"))
   }
 
   /** Plain symmetric co-occurrence (the `ItemIdCf.java:107-124` un-decayed
@@ -111,8 +125,18 @@ object ItemCf {
     val ui = inter.select("user_id", "item").distinct()
     val l = ui.select(col("user_id"), col("item").as("a"))
     val r = ui.select(col("user_id"), col("item").as("b"))
-    l.join(r, Seq("user_id")).filter(col("a") =!= col("b"))
+    // the count is direction-symmetric: generate each unordered pair ONCE
+    // (a < b — half the join fan-out into the aggregate) and explode both
+    // output directions after the count. Row-identical to the a =!= b
+    // double-emission form.
+    l.join(r, Seq("user_id")).filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("together_count"))
+      .select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("__p"),
+        col("together_count"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"),
+        col("together_count"))
   }
 
   /** Cosine normalization (`ItemIdCfVersion5.java:194-218`): score =
