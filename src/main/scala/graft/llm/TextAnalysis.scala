@@ -132,16 +132,32 @@ object TextAnalysis {
 
   /** Gopher-style repetition signal: the frequency share of each document's
     * most-repeated w-gram (→ 1.0 when one shingle dominates — boilerplate /
-    * generated spam). Two hash aggregates with map-side combine; docs
-    * shorter than w emit nothing. max/sum are exact integers, so the single
-    * division is bit-deterministic.
+    * generated spam). Docs shorter than w emit nothing. max/sum are exact
+    * integers, so the single division is bit-deterministic.
+    *
+    * r18: computed in-row (grams built, sorted, and run-length-folded per
+    * document — equal grams are adjacent after the sort, so the max run IS
+    * the max multiplicity) instead of two corpus-wide hash aggregates over
+    * the exploded (doc, shingle) occurrence stream: zero Exchanges, and
+    * per-doc state bounded by document length. The total gram count is
+    * size − w + 1 exactly (every start position emits one gram), so the
+    * division's operands are the same exact integers as before.
     */
   def repetitionRatio(docs: DataFrame, w: Int = 3, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame =
-    Dedup.shingles(docs, w, idCol, textCol, distinct = false)
-      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("n"))
-      .groupBy(col(idCol))
-      .agg((max("n").cast("double") / sum("n")).as("rep_ratio"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(coalesce(size(col("__w")), lit(0)) >= w)
+      .select(col(idCol), expr(
+        s"""CAST(aggregate(
+           |  array_sort(transform(sequence(0, size(__w) - $w),
+           |    s -> array_join(slice(__w, s + 1, $w), ' '))),
+           |  named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'm', 0L),
+           |  (acc, g) -> IF(acc.p IS NOT NULL AND g = acc.p,
+           |    named_struct('p', acc.p, 'r', acc.r + 1L, 'm', acc.m),
+           |    named_struct('p', g, 'r', 1L,
+           |      'm', greatest(acc.m, acc.r))),
+           |  acc -> greatest(acc.m, acc.r)) AS DOUBLE)
+           |  / (size(__w) - ${w - 1})""".stripMargin).as("rep_ratio"))
 
   /** The Gopher repetition-filter battery (Rae et al. 2021, §A1.1) —
     * the standard per-document n-gram repetition metrics a production
@@ -168,11 +184,19 @@ object TextAnalysis {
     * shorter than n grams score 0 for that n (nothing repeats); empty
     * docs keep.
     *
-    * 100 TB posture: gram generation for ALL six n values is one
-    * per-row projection (the stride-1 slice device — no shuffle), and
-    * the whole battery folds in ONE hash aggregate keyed
-    * (doc, n, gram) with map-side combine plus one per-doc conditional
-    * aggregate — never six passes over the corpus.
+    * 100 TB posture (r18): the whole battery is ONE per-row projection —
+    * per n, the stride-1 grams are built in-row (the slice device),
+    * sorted, and folded with a single `aggregate` run-length pass that
+    * tracks the (count, chars, gram)-argmax AND the duplicated-char sum
+    * at once. Equal grams are adjacent after the sort, so one O(G log G)
+    * sort + O(G) fold per document replaces the previous plan's 6-way
+    * gram EXPLODE (Σ(n) ≈ 32 extra token copies per position) shuffled
+    * into a corpus-wide (doc, n, gram) hash aggregate plus a per-doc
+    * aggregate plus a join back — zero Exchanges now, and per-doc state
+    * is bounded by document length. Outputs are bit-identical: the fold's
+    * argmax compares (count, gram chars, gram text) exactly like the old
+    * max(struct(c, glen, g)) (string comparison is the same binary
+    * UTF8String order on both paths).
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
@@ -186,39 +210,50 @@ object TextAnalysis {
       .withColumn("__total",
         length(array_join(coalesce(col("__w"),
           array().cast("array<string>")), " ")).cast("long"))
-    // every n's stride-1 gram windows from one projection: per n, a
-    // (n, gram) struct per start position; flatten + one explode
-    val gramArrays = ns.map(n =>
-      when(coalesce(size(col("__w")), lit(0)) >= n,
-        expr(s"transform(sequence(0, size(__w) - $n)," +
-          s" s -> named_struct('n', $n," +
-          s" 'g', array_join(slice(__w, s + 1, $n), ' ')))"))
-        .otherwise(array().cast("array<struct<n:int,g:string>>")))
-    val grams = base
-      .select(col(idCol), explode(flatten(array(gramArrays: _*))).as("__ng"))
-      .select(col(idCol), col("__ng.n").as("__n"), col("__ng.g").as("__g"))
-    val cnt = grams.groupBy(col(idCol), col("__n"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__glen", length(col("__g")).cast("long"))
-    // one conditional per-doc aggregate: argmax struct per top-n,
-    // duplicated-char sum per dup-n
-    val aggs =
-      topNs.map(n => max(when(col("__n") === n,
-        struct(col("__c"), col("__glen"), col("__g")))).as(s"__top$n")) ++
-      dupNs.map(n => sum(when(col("__n") === n && col("__c") >= 2L,
-        col("__c") * col("__glen")).otherwise(0L)).as(s"__dup$n"))
-    val stats = cnt.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    // named char-count columns first, so the milli fractions can use
-    // integer `div` (a float `/` can mis-floor at representation edges)
-    val withChars = base.select(col(idCol), col("__total"))
-      .join(stats, Seq(idCol), "left")
+    // Per n: sorted stride-1 grams folded once. State: current run
+    // (p = gram, r = count) + best-so-far argmax by (count, chars, text)
+    // (bc/bl/bg) + duplicated-char sum (d). A run closes when the gram
+    // changes; the finish lambda closes the last run and emits
+    // (t = best count·chars, d). Docs shorter than n score (0, 0) —
+    // exactly the old left-join-null → coalesce(0) path.
+    def closeRun(acc: String) = {
+      val len = s"CAST(length($acc.p) AS BIGINT)"
+      val better = s"$acc.p IS NOT NULL AND ($acc.r > $acc.bc OR " +
+        s"($acc.r = $acc.bc AND ($len > $acc.bl OR " +
+        s"($len = $acc.bl AND $acc.p > $acc.bg))))"
+      val d = s"$acc.d + IF($acc.p IS NOT NULL AND $acc.r >= 2L, " +
+        s"$acc.r * $len, 0L)"
+      (better, d)
+    }
+    def statsFor(n: Int): Column = {
+      val (better, dClosed) = closeRun("acc")
+      val len = "CAST(length(acc.p) AS BIGINT)"
+      expr(
+        s"""IF(coalesce(size(__w), 0) >= $n,
+           |  aggregate(
+           |    array_sort(transform(sequence(0, size(__w) - $n),
+           |      s -> array_join(slice(__w, s + 1, $n), ' '))),
+           |    named_struct('p', CAST(NULL AS STRING), 'r', 0L,
+           |      'bc', 0L, 'bl', 0L, 'bg', CAST(NULL AS STRING), 'd', 0L),
+           |    (acc, g) -> IF(acc.p IS NOT NULL AND g = acc.p,
+           |      named_struct('p', acc.p, 'r', acc.r + 1L, 'bc', acc.bc,
+           |        'bl', acc.bl, 'bg', acc.bg, 'd', acc.d),
+           |      IF($better,
+           |        named_struct('p', g, 'r', 1L, 'bc', acc.r,
+           |          'bl', $len, 'bg', acc.p, 'd', $dClosed),
+           |        named_struct('p', g, 'r', 1L, 'bc', acc.bc,
+           |          'bl', acc.bl, 'bg', acc.bg, 'd', $dClosed))),
+           |    acc -> IF($better,
+           |      named_struct('t', acc.r * $len, 'd', $dClosed),
+           |      named_struct('t', acc.bc * acc.bl, 'd', $dClosed))),
+           |  named_struct('t', 0L, 'd', 0L))""".stripMargin).as(s"__s$n")
+    }
+    val withChars = base
+      .select(col(idCol) +: col("__total") +: ns.map(statsFor): _*)
       .select(
         col(idCol) +: col("__total") +:
-          (topNs.map(n => coalesce(
-            col(s"__top$n.__c") * col(s"__top$n.__glen"), lit(0L))
-            .as(s"__ch_t$n")) ++
-            dupNs.map(n => coalesce(col(s"__dup$n"), lit(0L))
-              .as(s"__ch_d$n"))): _*)
+          (topNs.map(n => col(s"__s$n.t").as(s"__ch_t$n")) ++
+            dupNs.map(n => col(s"__s$n.d").as(s"__ch_d$n"))): _*)
     def milli(chars: String): Column =
       when(col("__total") > 0L,
         least(lit(1000L), expr(s"($chars * 1000) div __total")))
