@@ -186,10 +186,25 @@ object Dedup {
     // firsts table to __cnt > 1 before the join back shrinks the build
     // side from |distinct chunks| to |duplicated chunk texts| (tiny on
     // real corpora), so AQE plans the join back as a broadcast instead
-    // of re-shuffling every chunk row on the chunk text (guide §3.1/§2.4;
-    // r18: chunk_rewrite construct 1.78 s -> measured after). LEFT join +
-    // null-is-kept is row-identical to the old inner join on all firsts.
-    val firsts = ch.groupBy("chunk")
+    // of re-shuffling every chunk row on the chunk text (guide §3.1/§2.4).
+    // LEFT join + null-is-kept is row-identical to the old inner join on
+    // all firsts.
+    //
+    // r18 narrow-shuffle trick (see substringDedupRewrite): a 64-bit-hash
+    // count pass finds candidate duplicate hashes over an 8-byte key, and
+    // the exact text aggregate runs only over rows whose hash count is
+    // ≥ 2 — equal texts imply equal hashes so nothing true is lost, a
+    // colliding unique text drops at the exact __cnt > 1 filter, and the
+    // wide chunk-text relation is never shuffled (the semi-join's build
+    // side is the duplicate-hash set, AQE-broadcast; ch is cached so the
+    // extra pass reads memory).
+    val chH = ch.withColumn("__h", xxhash64(col("chunk")))
+    val dupH = chH.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__hc"))
+      .filter(col("__hc") > 1)
+      .select("__h")
+    val firsts = chH.join(dupH, Seq("__h"), "left_semi")
+      .groupBy("chunk")
       .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"),
         count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)
@@ -280,8 +295,17 @@ object Dedup {
     ch.count() // eager: firsts aggregate and join back both read it
     // duplicated-chunk-only firsts + left join: same device as
     // chunkKeepFlags — the join back broadcasts |duplicated texts| rows
-    // instead of re-shuffling every chunk occurrence (guide §2.4/§3.1)
-    val firsts = ch.groupBy("chunk")
+    // instead of re-shuffling every chunk occurrence (guide §2.4/§3.1),
+    // and (r18) the same narrow-shuffle hash prefilter: the exact text
+    // aggregate runs only over rows whose 8-byte hash count is ≥ 2, so
+    // the wide chunk-text relation is never shuffled
+    val chH = ch.withColumn("__h", xxhash64(col("chunk")))
+    val dupH = chH.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__hc"))
+      .filter(col("__hc") > 1)
+      .select("__h")
+    val firsts = chH.join(dupH, Seq("__h"), "left_semi")
+      .groupBy("chunk")
       .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"),
         count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)
@@ -454,12 +478,31 @@ object Dedup {
     // the aggregate's consumer, the join-back build side is just the
     // duplicated window texts and AQE plans a broadcast join — the window
     // relation is never re-shuffled (guide §2.4/§3.1).
-    val dupWins = wins.groupBy("win").agg(
+    //
+    // r18, the promised narrow-shuffle trick: the only corpus-sized
+    // shuffle left was the firsts aggregate itself, keyed on the WINDOW
+    // TEXT (~w tokens per row). A 64-bit-hash count pass finds the
+    // candidate duplicate hashes first — same row count but an 8-byte
+    // key, no payload — and the exact text aggregate then runs over only
+    // the rows whose hash count is ≥ 2 (equal texts imply equal hashes,
+    // so no true duplicate can be lost; a colliding unique text just
+    // rides along and drops at the exact __cnt > 1 filter — exactness is
+    // decided on the text, the hash only prunes). The semi-join's build
+    // side is the duplicate-hash set, which AQE broadcasts, so the wide
+    // window relation is never shuffled at all (guide §2.3 "shuffle keys
+    // and metadata instead of payloads").
+    val winsH = wins.withColumn("__h", xxhash64(col("win")))
+    val dupH = winsH.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__hc"))
+      .filter(col("__hc") > 1)
+      .select("__h")
+    val winsDup = winsH.join(dupH, Seq("__h"), "left_semi")
+    val dupWins = winsDup.groupBy("win").agg(
       min(struct(col(idCol), col("s"))).as("__first"),
       count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)
       .select(col("win"), col("__first"))
-    val dupStarts = wins.join(dupWins, "win")
+    val dupStarts = winsDup.join(dupWins, "win")
       .filter(!(struct(col(idCol), col("s")) === col("__first")))
       .select(col(idCol), col("s"))
     val perDoc = dupStarts.groupBy(col(idCol))
