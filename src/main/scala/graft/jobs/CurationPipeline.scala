@@ -107,17 +107,32 @@ object CurationPipeline {
 
     // 2. lexical near-dup clusters with best-of-quality retention:
     //    transitive (A~B, B~C drops B AND C), quality computed on the
-    //    scrubbed pre-rewrite text, ties to the larger id
+    //    scrubbed pre-rewrite text, ties to the larger id.
+    //
+    //    r18: the retention decision runs over the EDGE-INCIDENT docs
+    //    only — a doc in no near-dup pair can never be dropped, so the
+    //    old corpus-wide shape (CC labels for every doc, quality scores
+    //    for every doc, one keep-best window over the whole corpus)
+    //    shrank to pair-members-only: score just the members, window
+    //    just the members, and anti-join the losers off `exact`
+    //    (broadcast — losers ≤ members ≪ corpus). Row-identical by
+    //    construction: singleton clusters always keep their only member.
+    //    nearPairs is checkpointed once so the member-id derivation does
+    //    not replay the minhash pipeline the CC fixpoint also consumes —
+    //    LAZILY: the CC's own eager edge checkpoint materializes it in
+    //    the same job, so the checkpoint costs no extra pass.
     val nearPairs = Dedup.minHashDedupPairs(exact, w = 3, tau = 0.8)
-      .select("id_a", "id_b")
-    val keepNear = Dedup.keepBestInCluster(
-        Dedup.connectedComponents(exact.select(col("doc_id")), nearPairs,
-          "doc_id"),
-        TextAnalysis.qualityScore(exact)
+      .select("id_a", "id_b").localCheckpoint(false)
+    val members = nearPairs.select(col("id_a").as("doc_id"))
+      .unionByName(nearPairs.select(col("id_b").as("doc_id"))).distinct()
+    val dropped = Dedup.keepBestInCluster(
+        Dedup.connectedComponents(members, nearPairs, "doc_id"),
+        TextAnalysis.qualityScore(
+            exact.join(members, Seq("doc_id"), "left_semi"))
           .select(col("doc_id"), col("quality_score")))
-      .filter(col("is_kept")).select("doc_id")
+      .filter(!col("is_kept")).select("doc_id")
     val afterNear = CacheScope.track(
-      exact.join(keepNear, Seq("doc_id"), "left_semi").persist())
+      exact.join(dropped, Seq("doc_id"), "left_anti").persist())
 
     tick("near_dup(cc+keep)")
 

@@ -937,8 +937,11 @@ object Dedup {
   def minHashLshCandidates(docs: DataFrame, w: Int, bands: Int,
                            rowsPerBand: Int, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame =
+    // multiset shingles: banding takes MINs, so duplicates cannot change
+    // a signature and the distinct form's exchange is skipped (r18)
     minHashLshCandidatesFrom(
-      shingles(docs, w, idCol, textCol).filter(col("shingle").isNotNull),
+      shingles(docs, w, idCol, textCol, distinct = false)
+        .filter(col("shingle").isNotNull),
       bands, rowsPerBand, idCol)
 
   /** (id, band, bucket) rows from a (id, shingle) frame: minhash
@@ -977,8 +980,14 @@ object Dedup {
   def minHashDedupPairs(docs: DataFrame, w: Int, tau: Double, bands: Int = 16,
                         rowsPerBand: Int = 4, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
-      .filter(col("shingle").isNotNull).persist())
+    // distinct = false (r18): every consumer of sh here is
+    // multiset-insensitive — minhash takes MINs, the verify side
+    // collect_set's — so the distinct form's corpus-wide `.distinct()`
+    // exchange bought nothing (same-JVM A/B: minhash leg 0.433 -> 0.405 s
+    // at sf0.1). Row-set results are identical.
+    val sh = graft.core.CacheScope.track(
+      shingles(docs, w, idCol, textCol, distinct = false)
+        .filter(col("shingle").isNotNull).persist())
     // no eager count: the banded-signature materialization inside
     // minHashLshCandidatesFrom reads sh through a SINGLE branch, so the
     // lazy persist fills there race-free; by the time the verify join
@@ -1015,8 +1024,12 @@ object Dedup {
                           bands: Int, rowsPerBand: Int,
                           idCol: String = "doc_id",
                           textCol: String = "text"): Unit = {
+    // multiset shingles: minhash MINs are duplicate-insensitive, so the
+    // stored (id, band, bucket) rows are bit-identical to the distinct
+    // form's and the distinct exchange is skipped (r18)
     bandedSignatures(
-        shingles(docs, w, idCol, textCol).filter(col("shingle").isNotNull),
+        shingles(docs, w, idCol, textCol, distinct = false)
+          .filter(col("shingle").isNotNull),
         bands, rowsPerBand, idCol)
       .write.mode("overwrite").parquet(path)
     // layout metadata, written AFTER the overwrite (which replaces the
@@ -1079,8 +1092,9 @@ object Dedup {
       s"signature store at $path was written with ($recorded), append " +
         s"requested ($requested) — rebuild the store, mixed hash layouts " +
         "silently miss collisions")
-    bandedSignatures(
-        shingles(newDocs, w, idCol, textCol).filter(col("shingle").isNotNull),
+    bandedSignatures( // multiset shingles: same rows, one less exchange
+        shingles(newDocs, w, idCol, textCol, distinct = false)
+          .filter(col("shingle").isNotNull),
         bands, rowsPerBand, idCol)
       .write.mode("append").parquet(path)
   }
@@ -1107,8 +1121,10 @@ object Dedup {
                             bands: Int, rowsPerBand: Int,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
+    // multiset shingles (r18): both consumers — banding (MIN) and the
+    // verify collect_set — are duplicate-insensitive
     val newSh = graft.core.CacheScope.track(
-      shingles(newDocs, w, idCol, textCol)
+      shingles(newDocs, w, idCol, textCol, distinct = false)
         .filter(col("shingle").isNotNull).persist())
     newSh.count() // eager: banding + both verify sides read it
     val newBands = graft.core.CacheScope.track(
@@ -1150,7 +1166,8 @@ object Dedup {
     val oldCandIds = cand.select(col("corpus_id").as(idCol)).distinct()
       .join(newIds, Seq(idCol), "left_anti")
     val setsOld = shingles(
-        corpus.join(oldCandIds, Seq(idCol), "left_semi"), w, idCol, textCol)
+        corpus.join(oldCandIds, Seq(idCol), "left_semi"), w, idCol, textCol,
+        distinct = false) // collect_set dedups — multiset build, no exchange
       .groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("shset"))
     val setsNew = newSh.groupBy(col(idCol))

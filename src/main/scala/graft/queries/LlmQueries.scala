@@ -478,8 +478,10 @@ object LlmQueries {
       .persist())
     val newDocs = withSplit.filter(col("bucket") >= 80).drop("bucket")
     val oldDocs = withSplit.filter(col("bucket") < 80).drop("bucket")
-    val store = Dedup.bandedSignatures(
-      Dedup.shingles(oldDocs, w = 3).filter(col("shingle").isNotNull),
+    val store = Dedup.bandedSignatures( // multiset shingles: MINs are
+      // duplicate-insensitive, one less exchange (r18)
+      Dedup.shingles(oldDocs, w = 3, distinct = false)
+        .filter(col("shingle").isNotNull),
       bands = 32, rowsPerBand = 2)
     Dedup.incrementalDedupPairs(newDocs, docs, store, w = 3, tau = 0.5,
       bands = 32, rowsPerBand = 2)
