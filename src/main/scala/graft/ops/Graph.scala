@@ -100,14 +100,22 @@ object Graph {
     val maxUnit = Long.MaxValue / 85L / n
     val u = resolveUnit("pageRank", unit, maxUnit, strictUnit,
       s"n=$n vertices")
-    val e = edges.select(col("src"), col("dst"))
+    // r18: checkpoint the edge relation, then the degree-annotated edges,
+    // BEFORE the loop. Every round's localCheckpoint used to re-run the
+    // caller's whole lazy edge pipeline (q138: the co-click self-join,
+    // rebuilt once per round) plus the degree aggregate and its join —
+    // loop-invariant work × iters (guide §2.4). The round now reads one
+    // cached (src, dst, __deg) leaf whose join-output partitioning on
+    // src is preserved by the checkpoint, so only the n-row ranks side
+    // moves per round.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val ed = e.join(deg, Seq("src")).localCheckpoint(true)
     val base = (u * 15L) / 100L
     var ranks = verts.select(col("id"), lit(u).as("r")).localCheckpoint()
     for (_ <- 0 until iters) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"),
           expr("(r * 85L) div (100L * __deg)").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
@@ -171,12 +179,15 @@ object Graph {
     val u = resolveUnit("weightedPageRank", unit, maxUnit, strictUnit,
       s"n=$n vertices, maxW=$maxW")
     val tw = e.groupBy(col("src")).agg(sum(col("w")).as("__tw"))
+    // r18: loop-invariant total-weight join hoisted and checkpointed —
+    // same move as pageRank's degree-annotated edges (each round used to
+    // recompute the tw aggregate and re-shuffle the cached edge relation)
+    val ed = e.join(tw, Seq("src")).localCheckpoint(true)
     val base = (u * 15L) / 100L
     var ranks = verts.select(col("id"), lit(u).as("r")).localCheckpoint()
     for (_ <- 0 until iters) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(tw, Seq("src"))
         .select(col("dst").as("id"),
           expr("(r * 85L * w) div (100L * __tw)").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
@@ -218,15 +229,18 @@ object Graph {
       .join(sd.withColumn("__s", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), lit(0L)).as("__seed"))
       .localCheckpoint()
-    val e = edges.select(col("src"), col("dst"))
+    // r18: same loop-invariant hoist as pageRank — one cached
+    // degree-annotated edge leaf instead of re-running the caller's edge
+    // pipeline + degree aggregate + join every round
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val ed = e.join(deg, Seq("src")).localCheckpoint(true)
     val base = (u * 15L) / 100L
     var ranks = seeded.select(col("id"), (col("__seed") * u).as("r"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val contrib = e
+      val contrib = ed
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"),
           expr("(r * 85L) div (100L * __deg)").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__sum"))

@@ -2013,25 +2013,33 @@ object RankQueries {
     */
   def conversionDelayQuantiles(s: SparkSession, dir: String,
                                windowMs: Long = 604800000L): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // r18: single-scan funnel. The old shape scanned events three times
+    // (one per step) and re-attached each step with a user-keyed range
+    // join — three exchanges of event subsets plus two joins. The three
+    // step times are per-user scalars, so one Exchange(user) + three
+    // stacked unbounded-frame window MINs (t2's predicate reads t1, t3's
+    // reads t1 and t2 — each a plain column by its turn) compute the
+    // same funnel in one pass, and the per-user aggregate reuses the
+    // window's partitioning (guide §2.4: operations keyed the same way
+    // share one exchange). Arithmetic and boundaries are unchanged.
+    val w = Window.partitionBy(col("user_id"))
+    val conv = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("tsm"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("tsm")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click").alias("e")
-      .join(s1.alias("p"),
-        col("e.user_id") === col("p.user_id") &&
-          col("e.tsm") > col("p.t1") &&
-          col("e.tsm") <= col("p.t1") + windowMs)
-      .groupBy(col("e.user_id").as("user_id"))
-      .agg(min(col("e.tsm")).as("t2"), min(col("p.t1")).as("t1"))
-    val conv = ev.filter(col("event_type") === "purchase").alias("e")
-      .join(s2.alias("p"),
-        col("e.user_id") === col("p.user_id") &&
-          col("e.tsm") > col("p.t2") &&
-          col("e.tsm") <= col("p.t1") + windowMs)
-      .groupBy(col("e.user_id").as("user_id"))
-      .agg((min(col("e.tsm")) - min(col("p.t1"))).as("delay"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tsm"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("tsm") > col("t1") &&
+          col("tsm") <= col("t1") + windowMs, col("tsm"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("tsm") > col("t2") &&
+          col("tsm") <= col("t1") + windowMs, col("tsm"))).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((min(col("t3")) - min(col("t1"))).as("delay"))
       .localCheckpoint()
     val ranked = graft.ops.Scale.groupedRankOrdered(conv, Seq.empty,
       Seq("delay", "user_id"), "__rn")

@@ -897,12 +897,25 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct().persist())
-    bp.count() // eager: feeds supports and both pair sides
-    val n = bp.select(col("o")).distinct().count()
+    // one eager job instead of two (r18): the count_distinct both fills
+    // the persist and returns the basket count the lift needs — the old
+    // separate bp.count() + distinct().count() paid a second full pass
+    val n = bp.agg(count_distinct(col("o"))).head().getLong(0)
     val sup = bp.groupBy(col("p")).agg(count(lit(1)).as("sup"))
-    val pairs = bp.select(col("o"), col("p").as("a"))
-      .join(bp.select(col("o"), col("p").as("b")), Seq("o"))
-      .filter(col("a") < col("b"))
+    // r18: pair enumeration via ONE per-basket aggregate + in-row pair
+    // expansion instead of the o-keyed self-join — the join shuffled the
+    // basket relation twice more and re-filtered a < b row by row; here
+    // the sorted basket array emits each (a < b) pair exactly once and
+    // the only new exchange is the bounded pair aggregate. Basket size
+    // is domain-bounded (≤ 7 lineitems), so the in-row expansion is O(1)
+    // per row (the ItemCf a<b device applied to baskets).
+    val pairs = bp.groupBy(col("o"))
+      .agg(sort_array(collect_list(col("p"))).as("__ps"))
+      .select(explode(expr(
+        "flatten(transform(__ps, (x, i) -> " +
+          "transform(slice(__ps, i + 2, size(__ps)), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("__ab"))
+      .select(col("__ab.a").as("a"), col("__ab.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup_ab"))
     pairs
       .join(broadcast(sup.select(col("p").as("a"), col("sup").as("sup_a"))),
