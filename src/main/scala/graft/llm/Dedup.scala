@@ -682,19 +682,31 @@ object Dedup {
       shingles(docs, w, idCol, textCol)
         .filter(col("shingle").isNotNull).persist())
     sh.count() // eager: feeds df, prefix, and both verify sides
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    // r18, hash-keyed rarity (guide §2.3 — shuffle keys, not payloads):
+    // the prefix-filter lemma holds for ANY total order the two sides
+    // share, so rarity is computed per 64-bit shingle HASH — the df
+    // aggregate, the df probe join, and the prefix self-join all move
+    // 8-byte keys instead of w-token strings. The order
+    // (df(h), h, shingle) stays total (shingle breaks the rare h-tie)
+    // and corpus-shared, so zero false negatives survive the swap; a
+    // hash collision only merges two shingles' df counts and pairs
+    // their prefixes — extra CANDIDATES, which the exact verification
+    // below already rejects. The output is unchanged (q152 keeps
+    // sharing q29's oracle).
+    val shH = sh.withColumn("__h", xxhash64(col("shingle")))
+    val df = shH.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val byRarity = Window.partitionBy(col(idCol))
-      .orderBy(col("__df"), col("shingle"))
-    val prefix = sh.join(df, "shingle")
+      .orderBy(col("__df"), col("__h"), col("shingle"))
+    val prefix = shH.join(df, "__h")
       .withColumn("__rn", row_number().over(byRarity))
       .join(sz, idCol)
       .filter(col("__rn") <=
         col("sz") - expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col(idCol), col("shingle"))
-    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("shingle"))
+      .select(col(idCol), col("__h"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("__h"))
+      .join(prefix.select(col(idCol).as("id_b"), col("__h")),
+        Seq("__h"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val setsById = sh.groupBy(col(idCol))
@@ -872,35 +884,44 @@ object Dedup {
     val ranked = graft.ops.Scale.groupedRankOrdered(keyed, Seq.empty,
       Seq("__key", idCol), "__rn")
     val slim = ranked.select(col("__rn"), col(idCol))
-    val cand = (1 to window).map { i =>
-      slim.select((col("__rn") + i).as("__rn"), col(idCol).as("id_a"))
-        .join(slim.select(col("__rn"), col(idCol).as("id_b")), Seq("__rn"))
-        .select(least(col("id_a"), col("id_b")).as("id_a"),
-          greatest(col("id_a"), col("id_b")).as("id_b"))
-    }.reduce(_ unionByName _)
+    // r18: ONE rank-shift join instead of `window` unioned joins — the
+    // shifted side explodes each row into its `window` probe ranks, so
+    // the union of per-offset joins (each re-reading the cached rank
+    // relation) collapses into a single co-partitioned equi-join with
+    // the identical pair multiset (rank keys are unique, so a pair
+    // appears at exactly one offset).
+    val cand = slim
+      .select(explode(expr(s"sequence(1, $window)")).as("__i"),
+        col("__rn"), col(idCol).as("id_a"))
+      .select((col("__rn") + col("__i")).as("__rn"), col("id_a"))
+      .join(slim.select(col("__rn"), col(idCol).as("id_b")), Seq("__rn"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
     val sh = graft.core.CacheScope.track(shingles(docs, w, idCol, textCol)
       .filter(col("shingle").isNotNull).persist())
-    // materializing count = free conservative doc-count upper bound
-    // for the broadcast gate (shingle rows >= docs)
-    val nDocs = sh.count()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    sh.count() // eager: both verify-set sides read it
+    // r18: set-intersect verification (the prefixFilterJaccardPairs
+    // shape) instead of expanding every candidate against the shingle
+    // relation twice — the old cand⋈sh⋈sh shuffled |cand|·shingles-
+    // per-doc string rows into a per-pair count; here each doc's set
+    // ships once per candidate side and the intersection is an in-row
+    // array op. sh is per-doc distinct, so size(set) IS the old sz and
+    // array_intersect counts the same shared-shingle total; pairs
+    // whose intersection is empty fail the rational-τ filter exactly
+    // as the old inner join dropped them.
+    val setsById = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shset"))
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      // per-document relation: the hint is gated on a measured count
-      // ([[MaxBroadcastDocs]]) — bounded corpora broadcast, unbounded
-      // ones join unhinted and AQE decides
-      .join(hintIfBounded(sizes.select(col(idCol).as("id_a"),
-        col("sz").as("sz_a")), nDocs, maxBroadcastDocs), "id_a")
-      .join(hintIfBounded(sizes.select(col(idCol).as("id_b"),
-        col("sz").as("sz_b")), nDocs, maxBroadcastDocs), "id_b")
-      .filter(col("inter") * tauDen >=
-        (col("sz_a") + col("sz_b") - col("inter")) * tauNum)
+      .join(setsById.select(col(idCol).as("id_a"), col("shset").as("set_a")),
+        "id_a")
+      .join(setsById.select(col(idCol).as("id_b"), col("shset").as("set_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("__u",
+        size(col("set_a")) + size(col("set_b")) - col("inter"))
+      .filter(col("inter") * tauDen >= col("__u") * tauNum)
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        (col("inter").cast("double") / col("__u").cast("double"))
           .as("jaccard"))
   }
 
