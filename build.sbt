@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r18: default heap 8g -> 20g. local[32] runs driver AND all executor
+  // threads in ONE JVM, so 8g gave 32 concurrent tasks ~256 MB each
+  // (unified memory region 4.6 GiB) — GC-bound on the aggregate-heavy
+  // queries (guide §5: more memory per concurrent task). Reversed-order
+  // iso A/B at sf0.1: q96 12.8->10.6, q152 3.0->2.3, q66 3.0->2.8.
+  // 20g is ~16% of the 128 GiB sandbox; a cluster deployment sizes
+  // executor memory per core instead, so this is a local-mode knob, and
+  // it stays env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )
