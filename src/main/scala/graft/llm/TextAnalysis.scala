@@ -1531,9 +1531,15 @@ object TextAnalysis {
     val rawTotal = rawCounts.agg(sum("c").as("n_total"))
     val tgtCounts = target.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("ct"))
+    // empty-target guard IN-PLAN (r18): the old `require(head() != null)`
+    // ran a dedicated target-tokenize job before the real one — a full
+    // extra pass over the target corpus per call. raise_error fires at
+    // the same condition (no tokens → NULL total) inside the one real
+    // job, same loud failure, zero extra passes (the q101 device).
     val tgtTotal = tgtCounts.agg(sum("ct").as("nt_total"))
-    require(tgtTotal.head().get(0) != null,
-      "dsirSelect target corpus has no tokens — the target LM is undefined")
+      .select(coalesce(col("nt_total"), raise_error(lit(
+        "dsirSelect target corpus has no tokens — the target LM is " +
+          "undefined")).cast("long")).as("nt_total"))
     val rawBits = (length(bin(expr("n_total div c"))) - 1).cast("long")
     val tgtBits = (length(bin(expr("nt_total div ct"))) - 1).cast("long")
     val perDoc = tf.join(rawCounts, Seq("token"))
