@@ -908,21 +908,23 @@ class PlanSpec extends SparkSpecBase {
     spark.sqlContext.clearCache()
   }
 
-  test("q246 Gopher battery: all six n values ride ONE gram explode and " +
-    "ONE (doc,n,gram) aggregate — no per-n passes, no cartesian, no " +
-    "single-task funnel") {
+  test("q246 Gopher battery: the whole six-threshold battery is ONE " +
+    "shuffle-free projection (in-row sorted-run folds — r18) — no gram " +
+    "explode, no Exchange at all, no cartesian") {
     val p = graft.core.CacheScope.scoped {
       SparkEntry.queries("q246_gopher_repetition")(spark, sfDir)
         .queryExecution.executedPlan.toString
     }
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("Exchange SinglePartition"),
-      s"no single-task funnel:\n$p")
-    // one Generate = one explode feeding every n (six separate shingle
-    // passes would show six)
-    val gens = p.linesIterator.count(_.contains("Generate explode"))
-    assert(gens == 1, s"expected ONE gram explode, saw $gens:\n$p")
+    // r18 tightened this lock: the battery used to ride one gram explode
+    // into a corpus-wide (doc, n, gram) aggregate (the pre-r18 assertion
+    // pinned "exactly one Generate"); the in-row fold needs NEITHER the
+    // explode NOR any shuffle — per-doc statistics stay in the row
+    assert(!p.contains("Generate"),
+      s"battery must not explode grams (in-row folds):\n$p")
+    assert(!p.contains("Exchange"),
+      s"battery must be shuffle-free:\n$p")
     spark.sqlContext.clearCache()
   }
 
