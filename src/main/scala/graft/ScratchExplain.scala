@@ -10,6 +10,10 @@ object ScratchExplain {
     val spark = graft.core.Sessions.builder("explain", 32).master("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // r19: dump the at-scale (cutover-disabled) plan shape on demand —
+    // SPARK_GRAFT_RANK_CUTOVER=0 reproduces the pre-r19 two-phase plans
+    sys.env.get("SPARK_GRAFT_RANK_CUTOVER")
+      .foreach(v => spark.conf.set("spark.graft.rank.cutoverRows", v))
     val outDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "")
     for (name <- args) {

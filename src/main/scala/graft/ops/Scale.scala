@@ -408,6 +408,47 @@ object Scale {
       .groupBy(col("item")).agg(sum(col("cnt")).as("est_cnt"))
   }
 
+  /** Sentinel for the rank/prefix-sum devices' `cutoverRows` parameter:
+    * resolve the bound from the session conf
+    * (`spark.graft.rank.cutoverRows`, default [[DefaultRankCutoverRows]];
+    * 0 disables the probe and always takes the two-phase path). */
+  val RankCutoverFromConf: Long = -1L
+
+  /** Default bounded-input cutover for [[globalCumSumOrdered]] /
+    * [[groupedRankOrdered]]: inputs of at most this many rows take one
+    * ordinary window instead of the two-phase device. 2^20 rows of rank
+    * input (ids + order keys, ~50-100 B each) is well under one task's
+    * sort budget at any deployment size — the same scale-adaptive-cutover
+    * pattern as [[graft.llm.Dedup.connectedComponents]]'s `driverBelow`.
+    * The bound is a row count, not a core count: it does not change
+    * between local[8]/local[32]/a cluster. */
+  val DefaultRankCutoverRows: Long = 1L << 20
+
+  private def resolveRankCutover(df: DataFrame, cutoverRows: Long): Long =
+    if (cutoverRows >= 0L) cutoverRows
+    else df.sparkSession.conf
+      .get("spark.graft.rank.cutoverRows", DefaultRankCutoverRows.toString)
+      .toLong
+
+  /** Bounded-input probe shared by the two-phase devices: persist the
+    * input (scope-tracked) and ask [[atMostRows]]. On the bounded answer
+    * the caller windows the CACHED frame (the probe's pass already
+    * materialized it — upstream runs once); on the unbounded answer the
+    * partial cache is dropped and the probe cost was O(bound) rows of
+    * LocalLimit output (per-partition short-circuit), not a full pass. */
+  private def boundedForRank(df: DataFrame, cutover: Long)
+  : Option[DataFrame] = {
+    if (cutover <= 0L) return None
+    // respect a caller's existing persist (tokenBudgetSelectBy hands in a
+    // frame it already cached) — re-persisting the same plan only warns
+    val alreadyCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (alreadyCached) df else graft.core.CacheScope.track(df.persist())
+    if (atMostRows(cached, cutover)) Some(cached)
+    else { if (!alreadyCached) cached.unpersist(false); None }
+  }
+
   /** Scale-correct global running sum of an integral column ordered by a
     * unique key. The naive `sum.over(Window.orderBy(key))` funnels the whole
     * dataset through ONE window task (its Exchange is SinglePartition); this
@@ -418,12 +459,27 @@ object Scale {
     * addition is order-independent, so the result is exact and deterministic
     * for a unique key regardless of where the range boundaries land.
     *
+    * r19 bounded-input cutover: the two-phase form costs two extra jobs a
+    * bounded input never needs (the range partitioner's sample pass plus
+    * the per-partition-totals collect, each re-running the caller's
+    * upstream plan). When the input is at most `cutoverRows` rows
+    * (probed with [[atMostRows]] on a scope-tracked persist, so upstream
+    * runs ONCE), the running sum is one ordinary window over the cached
+    * rows — row-identical by the same order-independence argument, and the
+    * SinglePartition exchange it plans carries at most `cutoverRows` rows
+    * by construction. Above the bound the plan is exactly the pre-r19
+    * two-phase shape (the probe's partial cache is dropped). `cutoverRows`:
+    * [[RankCutoverFromConf]] resolves `spark.graft.rank.cutoverRows`
+    * (default [[DefaultRankCutoverRows]]); 0 disables the probe — the
+    * PlanSpec locks pin the at-scale shape through that setting.
+    *
     * Cache note: the partitioned frame backs the returned plan — released
     * by the caller's CacheScope after its action (or clearCache outside).
     */
   def globalCumSum(df: DataFrame, orderCol: String, valueCol: String,
-                   outCol: String = "cum"): DataFrame =
-    globalCumSumOrdered(df, Seq(orderCol), valueCol, outCol)
+                   outCol: String = "cum",
+                   cutoverRows: Long = RankCutoverFromConf): DataFrame =
+    globalCumSumOrdered(df, Seq(orderCol), valueCol, outCol, cutoverRows)
 
   /** [[globalCumSum]] over a composite order key (e.g. (draw, id) for a
     * deterministic corpus shuffle: the draw orders, the unique id breaks
@@ -431,8 +487,18 @@ object Scale {
     * be unique. */
   def globalCumSumOrdered(df: DataFrame, orderCols: Seq[String],
                           valueCol: String,
-                          outCol: String = "cum"): DataFrame = {
+                          outCol: String = "cum",
+                          cutoverRows: Long = RankCutoverFromConf)
+  : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    boundedForRank(df, resolveRankCutover(df, cutoverRows)) match {
+      case Some(cached) =>
+        val w = Window.orderBy(orderCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return cached.withColumn(outCol,
+          sum(col(valueCol).cast("long")).over(w))
+      case None => ()
+    }
     val parts = graft.core.CacheScope.track(df
       .repartitionByRange(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
@@ -471,11 +537,31 @@ object Scale {
     * composite key — so NULL group values and values containing any
     * delimiter rank correctly, and nothing round-trips through the driver.
     * Deterministic when (group ++ order) is unique.
+    *
+    * r19 bounded-input cutover (same device and conf as
+    * [[globalCumSumOrdered]]): at most `cutoverRows` rows rank through one
+    * ordinary `row_number` window over the probe's cached frame —
+    * partitioned by the group columns when there are any (parallel by
+    * group, no funnel at all), global otherwise (a SinglePartition
+    * exchange of at most `cutoverRows` rows). Row-identical: rank under a
+    * total order does not depend on the partitioning. Above the bound the
+    * plan is exactly the pre-r19 two-phase shape.
     */
   def groupedRankOrdered(df: DataFrame, groupCols: Seq[String],
                          orderCols: Seq[String],
-                         outCol: String = "rank"): DataFrame = {
+                         outCol: String = "rank",
+                         cutoverRows: Long = RankCutoverFromConf)
+  : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    boundedForRank(df, resolveRankCutover(df, cutoverRows)) match {
+      case Some(cached) =>
+        val w =
+          if (groupCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
+          else Window.partitionBy(groupCols.map(col): _*)
+            .orderBy(orderCols.map(col): _*)
+        return cached.withColumn(outCol, row_number().over(w).cast("long"))
+      case None => ()
+    }
     val keys = groupCols ++ orderCols
     val parts = graft.core.CacheScope.track(df
       .repartitionByRange(keys.map(col): _*)

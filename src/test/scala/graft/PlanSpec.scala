@@ -7,9 +7,87 @@ package graft
   */
 class PlanSpec extends SparkSpecBase {
 
-  private def planOf(q: String): String = {
+  // r19: every lock here pins the AT-SCALE plan, so the rank/prefix-sum
+  // bounded-input cutover (Scale.globalCumSumOrdered/groupedRankOrdered,
+  // conf spark.graft.rank.cutoverRows) is disabled while the plan is
+  // built — at the gate scale every input is under the default bound and
+  // the locks would otherwise be asserting the small-input window, not
+  // the two-phase 100 TB shape. The cutover path itself is locked by the
+  // dedicated "bounded-input cutover" tests below and result-equivalence
+  // in ScaleSpec.
+  private def atScale[T](body: => T): T = {
+    val before = spark.conf.getOption("spark.graft.rank.cutoverRows")
+    spark.conf.set("spark.graft.rank.cutoverRows", "0")
+    try body
+    finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.graft.rank.cutoverRows", v)
+        case None => spark.conf.unset("spark.graft.rank.cutoverRows")
+      }
+    }
+  }
+
+  private def planOf(q: String): String = atScale {
     val df = SparkEntry.queries(q)(spark, sfDir)
     df.queryExecution.executedPlan.toString
+  }
+
+  // planOf for queries whose construction persists intermediates — same
+  // at-scale conf, the caches released on exit
+  private def planOfScoped(q: String): String = atScale {
+    graft.core.CacheScope.scoped {
+      SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }
+  }
+
+  test("rank cutover: a bounded input plans ONE window over the probe's " +
+    "cached rows (no range repartition, no offset machinery), and the " +
+    "at-scale path is unchanged two-phase") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    graft.core.CacheScope.scoped {
+      val bounded = graft.ops.Scale
+        .globalCumSum(docs, "doc_id", "n_chars", cutoverRows = 1L << 20)
+        .queryExecution.executedPlan.toString
+      // bounded plan: a plain running-sum window over the cached probe —
+      // none of the two-phase machinery (no __pid, no range exchange)
+      assert(!bounded.contains("__pid") &&
+        !bounded.contains("rangepartitioning"),
+        s"bounded path must not build the two-phase device:\n$bounded")
+      assert(bounded.contains("InMemory"),
+        s"bounded path must window the probe's cached rows:\n$bounded")
+    }
+    graft.core.CacheScope.scoped {
+      val atScale = graft.ops.Scale
+        .globalCumSum(docs, "doc_id", "n_chars", cutoverRows = 0L)
+        .queryExecution.executedPlan.toString
+      // cutover disabled = the pre-r19 two-phase shape, bit for bit
+      assert(atScale.contains("__pid") &&
+        atScale.contains("rangepartitioning"),
+        s"at-scale path must stay the range-partitioned two-phase:\n$atScale")
+    }
+    spark.sqlContext.clearCache()
+  }
+
+  test("rank cutover: a grouped bounded input windows by the group " +
+    "columns — parallel by group, no single-task funnel even below the " +
+    "bound") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.core.CacheScope.scoped {
+      val p = graft.ops.Scale
+        .groupedRankOrdered(docs, Seq("lang"), Seq("n_chars", "doc_id"),
+          "r", cutoverRows = 1L << 20)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("__pid") && !p.contains("rangepartitioning"),
+        s"bounded grouped rank must not build the two-phase device:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"grouped bounded rank must partition by the group columns:\n$p")
+    }
+    spark.sqlContext.clearCache()
   }
 
   test("q01 scan prunes to the four referenced columns") {
@@ -697,10 +775,7 @@ class PlanSpec extends SparkSpecBase {
   test("q206 winsorized lengths: the per-source rank is the two-phase " +
     "grouped form — every row_number window partitions on __pid, " +
     "never a bare source partition that funnels a stratum to one task") {
-    val p = graft.core.CacheScope.scoped {
-      SparkEntry.queries("q206_winsorized_lengths")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-    }
+    val p = planOfScoped("q206_winsorized_lengths")
     val rnLines = p.linesIterator
       .filter(_.contains("row_number() windowspecdefinition")).toSeq
     assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
@@ -711,10 +786,7 @@ class PlanSpec extends SparkSpecBase {
   test("q207 coverage curve: the vocabulary rank and running mass ride " +
     "the two-phase devices (__pid-partitioned windows); no cartesian " +
     "beyond the broadcast totals") {
-    val p = graft.core.CacheScope.scoped {
-      SparkEntry.queries("q207_coverage_curve")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-    }
+    val p = planOfScoped("q207_coverage_curve")
     val winLines = p.linesIterator
       .filter(l => l.contains("row_number() windowspecdefinition") ||
         l.contains("Window [sum(cnt")).toSeq
@@ -727,10 +799,7 @@ class PlanSpec extends SparkSpecBase {
   test("q211 RFM: all three quintile ranks are the two-phase form — " +
     "every row_number window partitions on __pid, the customer " +
     "universe never funnels through one task") {
-    val p = graft.core.CacheScope.scoped {
-      SparkEntry.queries("q211_rfm_segments")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-    }
+    val p = planOfScoped("q211_rfm_segments")
     val rnLines = p.linesIterator
       .filter(_.contains("row_number() windowspecdefinition")).toSeq
     assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
@@ -741,10 +810,7 @@ class PlanSpec extends SparkSpecBase {
   test("q219 equi-depth histogram: the cents rank is the two-phase " +
     "form — row_number windows partition on __pid, the order universe " +
     "never funnels through one task") {
-    val p = graft.core.CacheScope.scoped {
-      SparkEntry.queries("q219_equidepth_hist")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-    }
+    val p = planOfScoped("q219_equidepth_hist")
     val rnLines = p.linesIterator
       .filter(_.contains("row_number() windowspecdefinition")).toSeq
     assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
@@ -851,10 +917,7 @@ class PlanSpec extends SparkSpecBase {
   test("q242 perplexity buckets: the per-language surprisal rank is the " +
     "range-partitioned two-phase form — row_number windows partition on " +
     "__pid, no language funnels through one task") {
-    val p = graft.core.CacheScope.scoped {
-      SparkEntry.queries("q242_perplexity_buckets")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-    }
+    val p = planOfScoped("q242_perplexity_buckets")
     val rnLines = p.linesIterator
       .filter(_.contains("row_number() windowspecdefinition")).toSeq
     assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
@@ -865,10 +928,7 @@ class PlanSpec extends SparkSpecBase {
   test("q243 grouped weighted sample: the per-language bottom-k rank is " +
     "the range-partitioned two-phase form — row_number windows partition " +
     "on __pid, no language funnels through one task") {
-    val p = graft.core.CacheScope.scoped {
-      SparkEntry.queries("q243_weighted_sample_grouped")(spark, sfDir)
-        .queryExecution.executedPlan.toString
-    }
+    val p = planOfScoped("q243_weighted_sample_grouped")
     val rnLines = p.linesIterator
       .filter(_.contains("row_number() windowspecdefinition")).toSeq
     assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),

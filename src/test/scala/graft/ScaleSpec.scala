@@ -26,7 +26,8 @@ class ScaleSpec extends SparkSpecBase {
     assert(salted == direct)
   }
 
-  test("two-phase global cumsum equals the single-window form") {
+  test("two-phase global cumsum equals the single-window form — on BOTH " +
+    "sides of the r19 bounded-input cutover") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"))
@@ -35,9 +36,17 @@ class ScaleSpec extends SparkSpecBase {
         Window.orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("doc_id", "cum").as[(Long, Long)].collect().toMap
-    val scaled = Scale.globalCumSum(docs, "doc_id", "n_chars")
+    // cutoverRows = 0 forces the two-phase device (the gate corpus is
+    // under the default bound, so the default would test the window
+    // against itself — the pre-r19 coverage must stay)
+    val twoPhase = Scale.globalCumSum(docs, "doc_id", "n_chars",
+        cutoverRows = 0L)
       .select("doc_id", "cum").as[(Long, Long)].collect().toMap
-    assert(scaled == naive)
+    assert(twoPhase == naive)
+    spark.sqlContext.clearCache()
+    val viaCutover = Scale.globalCumSum(docs, "doc_id", "n_chars")
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(viaCutover == naive)
     spark.sqlContext.clearCache()
   }
 
@@ -53,9 +62,14 @@ class ScaleSpec extends SparkSpecBase {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("doc_id", "cum").as[(Long, Long)].collect().toMap
     val scaled = Scale.globalCumSumOrdered(rows, Seq("draw", "doc_id"),
-        "n_chars")
+        "n_chars", cutoverRows = 0L)
       .select("doc_id", "cum").as[(Long, Long)].collect().toMap
     assert(scaled == naive)
+    spark.sqlContext.clearCache()
+    val viaCutover = Scale.globalCumSumOrdered(rows, Seq("draw", "doc_id"),
+        "n_chars")
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(viaCutover == naive)
     spark.sqlContext.clearCache()
   }
 
@@ -367,17 +381,24 @@ class ScaleSpec extends SparkSpecBase {
     }
     val df = rows.toDF("id", "ga", "gb", "v")
     val twoPhase = graft.core.CacheScope.scoped {
-      Scale.groupedRankOrdered(df, Seq("ga", "gb"), Seq("v", "id"), "r")
+      Scale.groupedRankOrdered(df, Seq("ga", "gb"), Seq("v", "id"), "r",
+          cutoverRows = 0L)
         .select("id", "r").as[(Long, Long)].collect().toMap
     }
     val w = Window.partitionBy("ga", "gb").orderBy(col("v"), col("id"))
     val viaWindow = df.withColumn("r", row_number().over(w).cast("long"))
       .select("id", "r").as[(Long, Long)].collect().toMap
     assert(twoPhase == viaWindow)
+    // the r19 bounded-input cutover path must agree too
+    val viaCutover = graft.core.CacheScope.scoped {
+      Scale.groupedRankOrdered(df, Seq("ga", "gb"), Seq("v", "id"), "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+    }
+    assert(viaCutover == viaWindow)
     // single group degenerates to the global rank
     val one = graft.core.CacheScope.scoped {
       Scale.groupedRankOrdered(df.withColumn("ga", lit("x")),
-          Seq("ga"), Seq("v", "id"), "r")
+          Seq("ga"), Seq("v", "id"), "r", cutoverRows = 0L)
         .select("id", "r").as[(Long, Long)].collect().toMap
     }
     val wg = Window.orderBy(col("v"), col("id"))
@@ -401,7 +422,8 @@ class ScaleSpec extends SparkSpecBase {
     }
     val df = rows.toDF("id", "ga", "gb", "v")
     val twoPhase = graft.core.CacheScope.scoped {
-      Scale.groupedRankOrdered(df, Seq("ga", "gb"), Seq("v", "id"), "r")
+      Scale.groupedRankOrdered(df, Seq("ga", "gb"), Seq("v", "id"), "r",
+          cutoverRows = 0L)
         .select("id", "r").as[(Long, Long)].collect().toMap
     }
     assert(twoPhase.size == rows.size, "no rows may vanish")
