@@ -948,6 +948,7 @@ object Dedup {
       .agg(array((1 to numHashes).map(i =>
         min(xxhash64(col("__g") + lit(i.toLong)))): _*).as("minhash"))
 
+
   /** MinHash-LSH candidate pairs: signature split into `bands` bands of
     * `rowsPerBand` rows; docs agreeing on any full band meet in a bucket
     * join; candidates deduped across bands. Near-dup probability follows the
@@ -973,7 +974,14 @@ object Dedup {
     * exactly the buckets the batch pipeline would). */
   def bandedSignatures(sh: DataFrame, bands: Int, rowsPerBand: Int,
                        idCol: String = "doc_id"): DataFrame =
-    minHashSignatures(sh, bands * rowsPerBand, idCol)
+    bandedSignaturesOfSigs(minHashSignatures(sh, bands * rowsPerBand, idCol),
+      bands, rowsPerBand, idCol)
+
+  /** Banding of an (id, minhash) signature frame — the band/bucket layout
+    * shared by the shingle-relation and in-row signature builders. */
+  def bandedSignaturesOfSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                             idCol: String = "doc_id"): DataFrame =
+    sigs
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("minhash"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
@@ -1006,6 +1014,22 @@ object Dedup {
     // collect_set's — so the distinct form's corpus-wide `.distinct()`
     // exchange bought nothing (same-JVM A/B: minhash leg 0.433 -> 0.405 s
     // at sf0.1). Row-set results are identical.
+    //
+    // r19, tried and REVERTED (the r18 VERDICT's "signatures in one
+    // projection" idea, measured both ways by ProfileMinhashInRow with
+    // pair-set equality asserted): an in-row front end — shingle strings
+    // via the unrolled element_at chain, masked gram hashes and
+    // array_distinct verify sets in one cached projection, signatures as
+    // 64 in-row array_min folds (no shingle relation, no pre-banding
+    // Exchange, no collect_set). Same-JVM alternating mins at sf0.1:
+    // at q96's parameters (tau .8, bands 16x4) it measured 1.25-1.39 s
+    // old vs 1.15-1.25 s in-row — within host noise; at q30's OWN
+    // parameters (tau .5, bands 32x2, raw docs) it measured 2.29 s old
+    // vs 2.83 s in-row, and the fresh-JVM bench agreed harder (q30
+    // 1.44 -> 2.98 min-of-5, q66 3.34 -> 4.50). The interpreted
+    // per-element HOF tree loses to the codegen'd explode + window +
+    // 64-min aggregate exactly as the r18 in-row shingle experiment
+    // found — do not re-try without new evidence.
     val sh = graft.core.CacheScope.track(
       shingles(docs, w, idCol, textCol, distinct = false)
         .filter(col("shingle").isNotNull).persist())
