@@ -491,6 +491,17 @@ object Dedup {
     // side is the duplicate-hash set, which AQE broadcasts, so the wide
     // window relation is never shuffled at all (guide §2.3 "shuffle keys
     // and metadata instead of payloads").
+    //
+    // r19, tried and REVERTED: persisting a narrow (id, s, hash) window
+    // relation (strings built only for hash-duplicate candidates via a
+    // join back to the token arrays) looked like it should delete the
+    // "wins rebuilt per consumer pass" cost — but same-JVM alternating
+    // A/B on the chain's own input (ProfileSubstr: NEW 2.01-5.55 s, OLD
+    // 2.24-3.28 s, medians ~3.2 vs ~2.9) shows no robust win: with the
+    // dup-hash set empty-or-small, AQE's empty/small-relation
+    // propagation already prunes the downstream passes of THIS shape, so
+    // the extra persist+count pass only added overhead. Keep the lazy
+    // form; do not re-try without evidence AQE stopped covering it.
     val winsH = wins.withColumn("__h", xxhash64(col("win")))
     val dupH = winsH.groupBy(col("__h"))
       .agg(count(lit(1)).as("__hc"))
