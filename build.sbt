@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // executor memory per core instead, so this is a local-mode knob, and
   // it stays env-overridable for smaller hosts.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-)
+) ++
+  // r19: opt-in GC logging for the heap-size A/B the r18 verdict asked
+  // for (SPARK_GC_LOG=/tmp/gc.log adds -Xlog:gc to the forked JVM);
+  // absent by default — no behavior change for the driver's bench
+  sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq

@@ -464,11 +464,20 @@ object Dedup {
     val base = graft.core.CacheScope.track(docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__w")).persist())
     base.count() // eager: the window fan-out and the rewrite both read it
+    // r19: the window string is an unrolled element_at chain instead of
+    // array_join(slice(...)) — same strings (every window here is a full
+    // w-gram, so all indices are in bounds and concat_ws joins the same
+    // tokens with the same separator), ~30% faster measured
+    // (ProfileSubstr wins build: 0.32-0.36 s vs 0.46-0.51 s warm, 3/3
+    // rounds) because it skips the per-position array slice allocation —
+    // the cdcDedup element_at idiom applied to the string build.
+    val winParts = (1 to w).map(j => s"element_at(__w, s + $j)")
+      .mkString(", ")
     val wins = base
       .filter(coalesce(size(col("__w")), lit(0)) >= w)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(__w) - $w)," +
-          s" s -> array_join(slice(__w, s + 1, $w), ' '))"))
+          s" s -> concat_ws(' ', $winParts))"))
         .as(Seq("s", "win")))
     // Filter the first-occurrence table to DUPLICATED window texts before
     // joining back (same device as chunkKeepFlags): a window with one
