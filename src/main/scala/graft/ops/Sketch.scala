@@ -1558,7 +1558,15 @@ object Sketch {
                          valueCol: String = "item",
                          k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    val sketch = groupedKmvHashes(items, groupCol, valueCol, k)
+    // cutoverRows = 0: the trim input here is one cheap projection +
+    // distinct with a SINGLE consumer, the regime where the r19 rank
+    // cutover's probe+persist is pure overhead — same-JVM conf-flip A/B
+    // on q236 measured the cutover path 0.642 s vs 0.433 s two-phase
+    // (6 alternating rounds), while the matrix path below keeps the
+    // default (q238's flip measured the cutover WINNING 1.337 vs
+    // 1.972 s). Row-identical either way (the device's contract).
+    val sketch = groupedKmvHashes(items, groupCol, valueCol, k,
+        cutoverRows = 0L)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
     val exact = items.groupBy(col(groupCol))
@@ -1585,14 +1593,17 @@ object Sketch {
     * distinct-hash set through one task. */
   def groupedKmvHashes(items: DataFrame, groupCol: String,
                        valueCol: String = "item",
-                       k: Int = 256): DataFrame = {
+                       k: Int = 256,
+                       cutoverRows: Long =
+                         graft.ops.Scale.RankCutoverFromConf): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     val hashes = items
       .select(col(groupCol), salted(col(valueCol), "|kmv").as("h"))
       .filter(col("h").isNotNull) // NULLs excluded — see kmvHashes
       .distinct()
     graft.ops.Scale
-      .groupedRankOrdered(hashes, Seq(groupCol), Seq("h"), "__rn")
+      .groupedRankOrdered(hashes, Seq(groupCol), Seq("h"), "__rn",
+        cutoverRows)
       .filter(col("__rn") <= k)
       .select(col(groupCol), col("h"))
   }
